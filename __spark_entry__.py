@@ -1,38 +1,38 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship ANN query at sf0.001 (smoke).
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import pathlib
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from pyspark_minhash_lsh_spark.catalog import ORACLE_SQL, QUERIES  # noqa: E402
+from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash-LSH approximate-nearest-neighbor query over the
+    sf0.001 documents corpus, querying with a prefix of doc 0's text
+    (mirrors the reference's notebook key_short protocol,
+    run_pyspark.ipynb cell 0/1)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = MinHashLSH().fit(docs, text_col="text", id_col="doc_id", persist=False)
+    query_text = docs.orderBy("doc_id").select("text").head().text
+    return model.approx_nearest_neighbors(query_text, n=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Headline set = the reference's own workload (index build + ANN query,
+BASELINE.md) plus the heaviest engine-added operators (similarity self-join,
+star join, window agg, cosine top-k) so the bench exercises every shuffle
+pattern the engine uses: scan+agg, broadcast star join, window, explode
+self-join, top-k.
+
+Each query is timed to FULL materialization via a cheap count-ish action
+(``df.count()``) — not ``collect()`` — so driver transfer doesn't pollute the
+number. Timings are wall-clock per query, reported individually plus summed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_minhash_lsh_spark.catalog import QUERIES  # noqa: E402
+from pyspark_minhash_lsh_spark.session import get_spark  # noqa: E402
+
+#: headline queries, chosen to cover every physical pattern (see module doc).
+HEADLINE = [
+    "q01_pricing_summary",        # scan + filter + hash agg
+    "q05_region_revenue",         # broadcast star join + agg
+    "q10_top_orders_per_customer",  # window top-k per group
+    "q19_user_sessions",          # sessionization (lag window + agg)
+    "q25_ngram_jaccard_pairs",    # exact near-dup self-join (shingle shuffle)
+    "q26_cosine_topk",            # embedding brute-force cosine top-k
+    "q30_minhash_signatures",     # index build: minhash signatures (codegen)
+    "q32_ann_query",              # flagship ANN query end-to-end
+    "q33_similarity_join",        # LSH similarity self-join
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sf name from the dir for the report (e.g. "sf0.1" -> 0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = base
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+"""pyspark_minhash_lsh_spark — a PySpark-native analytics engine with the
+capabilities of the reference MinHash-LSH document-similarity project, rebuilt
+Spark-first: native Column expressions, DataFrame joins, Catalyst-optimized
+plans; zero Python UDFs on hot paths.
+"""
+
+from .config import DEFAULT_CONFIG, MinHashLSHConfig
+from .operators.minhash_lsh import MinHashLSH, MinHashLSHModel
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DEFAULT_CONFIG",
+    "MinHashLSHConfig",
+    "MinHashLSH",
+    "MinHashLSHModel",
+]

@@ -1,0 +1,1048 @@
+"""Query catalog: the driver-facing correctness surface.
+
+Each entry pairs a Spark DataFrame program (``QUERIES[name](spark, sf_dir)``)
+with an equivalent ANSI-SQL oracle for DuckDB (``ORACLE_SQL[name]``), per the
+driver contract in ``__spark_entry__.py``. Hash-dependent operators (minhash,
+LSH, simhash, fingerprints) have no oracle — the driver records a rows-only
+check for those, as sanctioned.
+
+Determinism conventions (so order-insensitive value-hashes match):
+  - money aggregates go through ``decimal(18,2)`` so sums are exact, then cast
+    to double — bit-identical across engines regardless of summation order;
+  - ratios/averages are ``round(x, 6)``; cosines/jaccards ``round(x, 4)``;
+  - timestamps are stringified ``yyyy-MM-dd HH:mm:ss`` under an explicitly
+    UTC session (set per query — the driver's session TZ is unknown);
+  - every LIMIT has a total tiebreaker order.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG
+from .functions.hashing import (
+    content_fingerprint,
+    lsh_buckets,
+    minhash_signature,
+    shingle_hashes,
+    signature_jaccard,
+    simhash_bits,
+)
+from .functions.text import normalized_text, shingles, token_count, tokens
+from .functions.vectors import cosine_similarity
+from .operators.minhash_lsh import MinHashLSH
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def register(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _utc(spark: SparkSession) -> None:
+    """Timestamp determinism: DuckDB timestamps are UTC-naive; pin Spark to UTC."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with a proper timestamp ``ts``.
+
+    The driver writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read nanos as long and integer-divide to
+    micros (``div``, not ``/`` — double division loses precision at 1.7e18 ns).
+    DuckDB's ns->us conversion truncates identically."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def _dec(col):
+    """Exact money arithmetic: double -> decimal(18,2) before aggregation."""
+    return col.cast("decimal(18,2)")
+
+
+def _dsum(col, alias: str):
+    """Order-independent, engine-identical sum of a money column."""
+    return F.sum(_dec(col)).cast("double").alias(alias)
+
+
+def _dprod_sum(price, factor, alias: str):
+    """Exact sum of price*factor: cast each 2-decimal operand to decimal FIRST
+    (the inputs are 2-decimal by construction, so the casts are unambiguous),
+    multiply exactly in decimal, then sum. Casting the double *product* instead
+    would hit real .xx5 ties where Spark (HALF_UP) and DuckDB (half-even)
+    round differently."""
+    return (
+        F.sum(_dec(price) * factor.cast("decimal(9,2)")).cast("double").alias(alias)
+    )
+
+
+# DuckDB-side tokenizer CTE fragments (mirror functions/text.py exactly).
+_DUCK_TOKENS = (
+    "list_filter(string_split(trim(lower(regexp_replace(regexp_replace("
+    "text, '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))), ' '), x -> x <> '')"
+)
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i + 1]))"
+)
+
+
+# =====================================================================================
+# Relational core — scans, filters, aggregates (SURVEY.md §2.2, §2.3, §2.5)
+# =====================================================================================
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan -> filter -> hash agg (map-side
+    partial + final, no join). Filter and the 5-column projection push down to
+    the parquet scan."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dprod_sum(F.col("l_extendedprice"), 1 - F.col("l_discount"), "sum_disc_price"),
+            F.round(
+                F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q06_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan + conjunctive filter + global agg — the
+    canonical predicate-pushdown probe."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dprod_sum(F.col("l_extendedprice"), F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q02_mktsegment_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q02_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        _dsum(F.col("c_acctbal"), "total_acctbal"),
+        F.round(F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*"), 6).alias(
+            "avg_acctbal"
+        ),
+    )
+
+
+# =====================================================================================
+# Joins — inner / semi / anti / multi-way (SURVEY.md §2.4)
+# =====================================================================================
+
+@query(
+    "q03_top_customer_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q03_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + distributed top-k (TakeOrderedAndProject, no collect)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(_dsum(F.col("o_totalprice"), "revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_region_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    GROUP BY r.r_name
+    """,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join. The dimension chain (region->nation->customer) is tiny
+    relative to facts — broadcast it so only orders⋈lineitem shuffles."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .select("r_name", "c_custkey")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(_dprod_sum(F.col("l_extendedprice"), 1 - F.col("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "q07_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def q07_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — reference J1 is a semi-join in spirit
+    (minhash_pyspark.py:231-234)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q08_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q09_supplier_part_volume",
+    oracle="""
+    SELECT s.s_name, p.p_brand,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    GROUP BY s.s_name, p.p_brand
+    """,
+)
+def q09_supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("s_name", "p_brand")
+        .agg(_dsum(F.col("l_quantity"), "total_qty"))
+    )
+
+
+# =====================================================================================
+# Windows / top-k per group / sorts (SURVEY.md §2.6, §2.7)
+# =====================================================================================
+
+@query(
+    "q10_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q10_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via window row_number — the operator the reference
+    cannot express (SURVEY.md §2.6)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q11_customer_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def q11_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over an ordered per-customer window (deterministic
+    total order via orderkey tiebreak; decimal sum so prefix sums are exact)."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_date"),
+        F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# =====================================================================================
+# Grouping sets / distinct aggs / set ops
+# =====================================================================================
+
+@query(
+    "q12_returnflag_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q12_returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "q13_nation_rollup",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(n.n_name, 'ALL') AS nation_name,
+           COUNT(c.c_custkey) AS n_customers
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q13_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+        )
+    )
+
+
+@query(
+    "q14_distinct_parts_per_supplier",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def q14_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "q15_segment_set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_nationkey < 3
+    """,
+)
+def q15_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / EXCEPT set algebra (absent from the reference, SURVEY.md §2.8)."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    low_nation = c.filter(F.col("c_nationkey") < 3).select("c_custkey")
+    return building.union(rich).distinct().exceptAll(low_nation.distinct())
+
+
+# =====================================================================================
+# Events: date/time, JSON, pivot (engine-added surface per SURVEY.md §2.9 note)
+# =====================================================================================
+
+@query(
+    "q16_events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q16_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour batch aggregation (streaming twin lives in streaming/)."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), _dsum(F.col("value"), "total_value"))
+    )
+
+
+@query(
+    "q17_events_json",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q17_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the string props column."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q18_events_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q18_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot emits NULL for absent combos; oracle's COUNT FILTER emits 0
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+@query(
+    "q19_user_sessions",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q19_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>threshold -> session starts per user."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# =====================================================================================
+# Text pipeline — tokenize / shingle / vocabulary (reference F1, F2, A1, F-d)
+# =====================================================================================
+
+@query(
+    "q20_token_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
+    SELECT doc_id, len(t) AS n_tokens,
+           CASE WHEN len(t) > 0 THEN t[1] ELSE '' END AS first_token,
+           CASE WHEN len(t) > 0 THEN t[len(t)] ELSE '' END AS last_token
+    FROM tok
+    """,
+)
+def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer parity probe (reference utils.py:32-41): per-doc token count
+    plus first/last token, all native expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.when(F.size(t) > 0, F.element_at(t, 1)).otherwise(F.lit("")).alias("first_token"),
+        F.when(F.size(t) > 0, F.element_at(t, -1)).otherwise(F.lit("")).alias("last_token"),
+    )
+
+
+@query(
+    "q21_shingle_counts",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                                    ELSE [] END AS s FROM tok)
+    SELECT doc_id, len(s) AS n_shingles FROM sh
+    """,
+)
+def q21_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct k=2 shingles per document (reference minhash_utils.py:6-20)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size)
+    return docs.select("doc_id", F.size(sh).alias("n_shingles"))
+
+
+@query(
+    "q22_shingle_vocabulary",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                                    ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)
+    SELECT COUNT(DISTINCT shingle) AS vocab_size, COUNT(*) AS total_shingles FROM ex
+    """,
+)
+def q22_shingle_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global shingle vocabulary size — the explode+groupBy the reference runs
+    to build shing_dict (minhash_pyspark.py:341-389), WITHOUT the collect():
+    the vocabulary stays distributed; only the count comes back."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size)
+    return (
+        docs.select(F.explode(sh).alias("shingle"))
+        .agg(
+            F.countDistinct("shingle").alias("vocab_size"),
+            F.count("*").alias("total_shingles"),
+        )
+    )
+
+
+@query(
+    "q23_common_shingles",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                                    ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)
+    SELECT shingle, COUNT(*) AS doc_freq
+    FROM ex GROUP BY shingle HAVING COUNT(*) >= 4
+    """,
+)
+def q23_common_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-frequency >= min_df stop-shingle filter (reference F-d,
+    minhash_pyspark.py:405-409; off-by-one standardized to >= per SURVEY §7.3).
+    Shingles are distinct per doc, so count(*) == doc frequency."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size)
+    return (
+        docs.select(F.explode(sh).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= DEFAULT_CONFIG.min_df)
+    )
+
+
+@query(
+    "q24_exact_dedup",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(lower(regexp_replace(regexp_replace(text, '[^\\w\\s]', ' ', 'g'),
+                                       '\\s+', ' ', 'g'))) AS norm_text
+      FROM documents)
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+    FROM norm GROUP BY norm_text
+    """,
+)
+def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: hash-groupBy, keep min id per group."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", normalized_text(F.col("text")).alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("group_size"))
+        .select("keep_id", "group_size")
+    )
+
+
+@query(
+    "q25_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                                    ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / (x.n + y.n - c), 4) AS jaccard
+    FROM common
+    JOIN sz x ON x.doc_id = id_a
+    JOIN sz y ON y.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5
+    """,
+)
+def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup join: explode shingles -> self-equi-join on
+    shingle -> count common -> |A∩B|/|A∪B| >= 0.5. The exact counterpart of the
+    MinHash similarity join (its oracle-able twin); shuffle key is the shingle."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size).alias("s")
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sx = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sy = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("c").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    return (
+        common.join(F.broadcast(sx), "id_a")
+        .join(F.broadcast(sy), "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# =====================================================================================
+# Embeddings — similarity search (engine-added, SURVEY.md north star)
+# =====================================================================================
+
+_DUCK_COSINE = """
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+      )
+"""
+
+
+@query(
+    "q26_cosine_topk",
+    oracle=f"""
+    SELECT b.vec_id, ROUND({_DUCK_COSINE}, 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+    ORDER BY {_DUCK_COSINE} DESC, b.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q26_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against query vec_id=0: broadcast the single
+    query row against the embeddings scan, TakeOrderedAndProject for top-k.
+    The baseline ANN path; the LSH-bucketed scale path is a separate operator."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(q)
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+@query(
+    "q27_cosine_near_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_DUCK_COSINE}, 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COSINE} >= 0.4
+    """,
+)
+def q27_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.4 — brute-force O(n^2) reference
+    semantics for the embedding near-dup operator (the production path uses
+    random-hyperplane bucketing; see operators/similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+# =====================================================================================
+# Hash-dependent operators — rows-only checks (no DuckDB oracle, as sanctioned)
+# =====================================================================================
+
+@query("q30_minhash_signatures")
+def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (reference F4) — xxhash64-dependent, rows-only check.
+    Emits stable scalar facets of the signature rather than the raw array."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size)
+    sig = minhash_signature(shingle_hashes(sh), DEFAULT_CONFIG.num_hashes, DEFAULT_CONFIG.seed)
+    return docs.select(
+        "doc_id",
+        F.size(sig).alias("sig_len"),
+        F.element_at(sig, 1).alias("sig_first"),
+        F.array_min(sig).alias("sig_min"),
+    )
+
+
+@query("q31_lsh_buckets")
+def q31_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket ids (reference F5) — rows-only."""
+    c = DEFAULT_CONFIG
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")), c.shingle_size)
+    sig = minhash_signature(shingle_hashes(sh), c.num_hashes, c.seed)
+    buckets = lsh_buckets(sig, c.num_bands, c.rows_per_band, c.num_buckets,
+                          band_local=c.band_local_buckets)
+    return docs.select(
+        "doc_id", F.size(buckets).alias("n_buckets"), F.array_min(buckets).alias("min_bucket")
+    )
+
+
+@query("q32_ann_query")
+def q32_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship ANN query (reference approxNearestNeighbors,
+    minhash_pyspark.py:200-241) — rows-only (signature-hash dependent)."""
+    docs = _t(spark, sf_dir, "documents")
+    model = MinHashLSH().fit(docs, text_col="text", id_col="doc_id", persist=False)
+    query_text = docs.orderBy("doc_id").select("text").head().text
+    res = model.approx_nearest_neighbors_plan(query_text, n=10, with_text=False)
+    return res.select("doc_id", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("q33_similarity_join")
+def q33_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH similarity self-join (north-star operator) — rows-only;
+    its exact twin q25 is the oracle-checked counterpart."""
+    docs = _t(spark, sf_dir, "documents")
+    model = MinHashLSH().fit(docs, text_col="text", id_col="doc_id", persist=False)
+    return model.approx_similarity_join(threshold=0.7).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@query("q34_simhash")
+def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints — rows-only (emits bit-sum facet)."""
+    docs = _t(spark, sf_dir, "documents")
+    bits = simhash_bits(tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.aggregate(bits, F.lit(0), lambda a, b: a + b).alias("bits_set"),
+    )
+
+
+@query("q35_fingerprints")
+def q35_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash content fingerprints — rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", content_fingerprint(tokens(F.col("text"))).alias("fingerprint")
+    )
+
+
+# =====================================================================================
+# Text analysis — language ID / quality / token estimates (north-star additions)
+# =====================================================================================
+
+def _duck_stop_ratio(lang: str) -> str:
+    """DuckDB expression mirroring text_analysis.stopword_ratio over tokens ``t``."""
+    from .functions.text_analysis import STOPWORDS
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, "
+        f"x -> list_contains([{words}], x))) AS DOUBLE) / len(t) ELSE 0.0 END"
+    )
+
+
+def _duck_lang_case() -> str:
+    """Argmax-with-dict-order-tiebreak CASE mirroring language_id's loop."""
+    from .functions.text_analysis import STOPWORDS
+    codes = list(STOPWORDS)
+    mx = "GREATEST(" + ", ".join(f"r_{c}" for c in codes) + ")"
+    whens = " ".join(f"WHEN r_{c} = {mx} THEN '{c}'" for c in codes)
+    return f"CASE WHEN {mx} <= 0.05 THEN 'und' {whens} END"
+
+
+def _lang_oracle() -> str:
+    from .functions.text_analysis import STOPWORDS
+    ratios = ", ".join(f"{_duck_stop_ratio(c)} AS r_{c}" for c in STOPWORDS)
+    return f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+         r AS (SELECT doc_id, {ratios} FROM tok)
+    SELECT {_duck_lang_case()} AS pred_lang, COUNT(*) AS n_docs
+    FROM r GROUP BY 1
+    """
+
+
+@query("q28_language_id", oracle=_lang_oracle())
+def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution (stopword-density argmax). The loop
+    in language_id and the oracle's greatest/CASE chain implement the same
+    strict-> argmax with dict-order tiebreak; both divide small-int hit counts
+    by token counts in double, so the ratios are bit-identical."""
+    from .functions.text_analysis import language_id
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(language_id(tokens(F.col("text"))).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "q29_token_estimates",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(text, '[^\\w]+', ' ', 'g')), ' '),
+                         x -> x <> '') AS words,
+             len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_sym
+      FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(words, x -> 1 + CAST(floor((len(x) - 1) / 4.0) AS BIGINT))) AS BIGINT)
+             + n_sym AS bpe_tokens
+    FROM w
+    """,
+)
+def q29_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimate per document (north-star token counting)."""
+    from .functions.text_analysis import bpe_token_count_estimate
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count_estimate(F.col("text")).alias("bpe_tokens")
+    )
+
+
+@query(
+    "q36_stopword_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents)
+    SELECT doc_id,
+           ROUND({_duck_stop_ratio('en')}, 6) AS en_stop_ratio,
+           CASE WHEN len(t) > 0
+                THEN ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                ELSE 0.0 END AS uniq_ratio,
+           len(t) AS n_tokens
+    FROM tok
+    """,
+)
+def q36_stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality facets: English stopword density, type/token ratio,
+    token count — the oracle-able core of quality_score (the full blended
+    score is rows-only q37)."""
+    from .functions.text_analysis import stopword_ratio
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    uniq = F.when(
+        F.size(t) > 0,
+        F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.round(stopword_ratio(t, "en"), 6).alias("en_stop_ratio"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.size(t).alias("n_tokens"),
+    )
+
+
+@query("q37_quality_score")
+def q37_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blended heuristic quality score — rows-only (the blend mixes several
+    double bands; per-facet correctness is oracle-checked by q36)."""
+    from .functions.text_analysis import quality_score
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+# =====================================================================================
+# Dedup / clustering — rows-only (hash-dependent) (north-star additions)
+# =====================================================================================
+
+@query("q38_minhash_dedup")
+def q38_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup clustering with connected components — rows-only.
+    Every doc appears once; component = min reachable doc_id."""
+    from .operators.dedup import minhash_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.8)
+
+
+@query("q39_simhash_pairs")
+def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (hamming <= 3) — rows-only."""
+    from .operators.dedup import simhash_near_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+@query("q40_exact_dedup_fingerprint")
+def q40_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-keyed exact dedup flags — rows-only (xxhash64 fingerprint);
+    its text-keyed twin q24 is the oracle-checked counterpart."""
+    from .operators.dedup import exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@query("q41_srp_ann")
+def q41_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate cosine top-k against vec_id=0 — rows-only
+    (hyperplanes are xxhash64-derived); brute-force twin q26 is the oracle."""
+    from .operators.similarity import SrpLsh
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    model = SrpLsh(num_planes=8, num_tables=4).fit(emb.filter(F.col("vec_id") != 0), persist=False)
+    res = model.approx_cosine_topk(qvec, k=10)
+    return res.select("vec_id", F.round("cosine", 4).alias("cosine"))

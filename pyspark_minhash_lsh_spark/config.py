@@ -1,0 +1,55 @@
+"""Engine configuration.
+
+Mirrors the tunables of the reference (``/root/reference/src/minhash_config.py:2-19``)
+but as a frozen dataclass instead of a class of mutable globals. Defaults match the
+reference: k=2 shingles, 100 hash functions, 25 bands x 4 rows, 500 buckets,
+min_df=4 stop-shingle threshold (standardized to ``>=`` per SURVEY.md F-d).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+#: Mersenne prime 2^31 - 1. The minhash permutation family works mod this prime so
+#: every intermediate (a*h + b) stays < 2^62 and is ANSI-mode-safe in 64-bit math
+#: (no overflow, no try_* needed). 31-bit hash space keeps per-pair collision odds
+#: ~|shingles|/2^31 — negligible for Jaccard estimation at any realistic doc size.
+MERSENNE_PRIME_31 = (1 << 31) - 1
+
+
+@dataclass(frozen=True)
+class MinHashLSHConfig:
+    """Tunables for the MinHash + LSH dataflow.
+
+    Reference parity notes (SURVEY.md §2.9, §7.3):
+      - signatures are ``array<bigint>`` (64-bit sanctioned mode,
+        reference ``minhash_utils.py:59-64``), never hex strings;
+      - shingle *content* is hashed directly — the reference's driver-side
+        ``shing_dict`` vocabulary (``minhash_pyspark.py:341-389``) is eliminated;
+      - ``band_local_buckets=True`` reproduces the reference's bucket space
+        (band hash mod num_buckets, collisions merge across bands,
+        ``minhash_utils.py:90-113``); the default ``False`` namespaces buckets
+        per band (bucket = band_idx * num_buckets + hash mod num_buckets),
+        the standard LSH formulation with a better S-curve.
+    """
+
+    shingle_size: int = 2          # k tokens per shingle (NUM_SHINGLES)
+    num_hashes: int = 100          # signature length (NUM_HASH)
+    num_bands: int = 25            # LSH bands (NUM_BANDS)
+    rows_per_band: int = 4         # rows per band (NUM_ROWS)
+    num_buckets: int = 500         # bucket modulus (NUM_BUCKETS)
+    min_df: int = 4                # stop-shingle doc-frequency threshold (COMMON_THRES)
+    band_local_buckets: bool = False
+    seed: int = 1                  # hash family seed (reference utils.py:7-16 seed=1)
+
+    def __post_init__(self) -> None:
+        if self.num_bands * self.rows_per_band != self.num_hashes:
+            raise ValueError(
+                f"num_bands*rows_per_band ({self.num_bands}*{self.rows_per_band}) "
+                f"must equal num_hashes ({self.num_hashes})"
+            )
+        if self.shingle_size < 1:
+            raise ValueError("shingle_size must be >= 1")
+
+
+DEFAULT_CONFIG = MinHashLSHConfig()

@@ -1,0 +1,33 @@
+"""Native Column-expression kernels (zero Python UDFs on hot paths)."""
+
+from .hashing import (
+    bucket_overlap_ratio,
+    content_fingerprint,
+    hamming_distance,
+    lsh_buckets,
+    minhash_signature,
+    shingle_hashes,
+    signature_jaccard,
+    simhash_bits,
+)
+from .text import normalized_text, shingles, token_count, tokens
+from .vectors import cosine_similarity, dot, l2_distance, l2_norm
+
+__all__ = [
+    "bucket_overlap_ratio",
+    "content_fingerprint",
+    "cosine_similarity",
+    "dot",
+    "hamming_distance",
+    "l2_distance",
+    "l2_norm",
+    "lsh_buckets",
+    "minhash_signature",
+    "normalized_text",
+    "shingle_hashes",
+    "shingles",
+    "signature_jaccard",
+    "simhash_bits",
+    "token_count",
+    "tokens",
+]

@@ -1,0 +1,177 @@
+"""MinHash / LSH / SimHash / fingerprint kernels as native Column expressions.
+
+The reference computes these with per-row Python ``udf``s over a driver-collected
+vocabulary (``minhash_utils.py:41-113``, ``minhash_pyspark.py:341-433``). We hash
+shingle *content* directly with ``xxhash64`` + a universal (a*h+b mod p) permutation
+family — no global dictionary, no Python on the hot path, deterministic across
+partitionings (SURVEY.md §7.3).
+
+ANSI-safety: all arithmetic is mod the Mersenne prime 2^31-1, so every
+intermediate fits in int64 with headroom (max product < 2^62) — safe under
+``spark.sql.ansi.enabled=true`` (Spark 4 default), no overflow, no try_*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import MERSENNE_PRIME_31
+
+__all__ = [
+    "shingle_hashes",
+    "minhash_signature",
+    "lsh_buckets",
+    "signature_jaccard",
+    "bucket_overlap_ratio",
+    "simhash_bits",
+    "hamming_distance",
+    "content_fingerprint",
+]
+
+_P = MERSENNE_PRIME_31
+#: Sentinel for the empty-document signature: the family's max value + 1, i.e. a
+#: value no real shingle can produce. Mirrors the reference's +inf/uint64-max init
+#: (``minhash_utils.py:66-79`` — a min over zero elements stays at the sentinel).
+_EMPTY_SENTINEL = _P
+
+
+def _perm_a(i: Column, seed: int) -> Column:
+    """Multiplier of the i-th permutation: 1 <= a <= p-1, seeded, deterministic."""
+    return F.pmod(F.xxhash64(F.lit(f"mhlsh-a-{seed}"), i), F.lit(_P - 1)) + 1
+
+
+def _perm_b(i: Column, seed: int) -> Column:
+    """Offset of the i-th permutation: 0 <= b <= p-1."""
+    return F.pmod(F.xxhash64(F.lit(f"mhlsh-b-{seed}"), i), F.lit(_P))
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """Base hash per shingle: ``pmod(xxhash64(s), p)`` — one hash per shingle,
+    reused by all ``num_hashes`` permutations (the reference instead recomputes
+    or driver-caches 100 digests per shingle, ``minhash_pyspark.py:391-433``)."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+
+def minhash_signature(
+    base_hashes: Column, num_hashes: int = 100, seed: int = 1
+) -> Column:
+    """MinHash signature ``array<bigint>`` of length ``num_hashes``.
+
+    sig[i] = min over shingles of (a_i * h(s) + b_i) mod p, with (a_i, b_i) drawn
+    deterministically from xxhash64 of the seed+index. Functionally equivalent to
+    the reference's seeded digest family (``utils.py:7-16``, 64-bit mode
+    ``minhash_utils.py:59-64``) but O(1) hashes per shingle instead of O(num_hashes).
+
+    Empty input -> all-sentinel signature (never matches a real signature
+    component, so estimated Jaccard vs any real doc is 0).
+    """
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                base_hashes,
+                lambda h: F.pmod(_perm_a(i, seed) * h + _perm_b(i, seed), F.lit(_P)),
+            )
+        ),
+    )
+    empty = F.array_repeat(F.lit(_EMPTY_SENTINEL).cast("bigint"), num_hashes)
+    return F.when(F.size(base_hashes) > 0, sig).otherwise(empty)
+
+
+def lsh_buckets(
+    signature: Column,
+    num_bands: int = 25,
+    rows_per_band: int = 4,
+    num_buckets: int = 500,
+    band_local: bool = False,
+) -> Column:
+    """LSH bucket ids ``array<int>``: slice the signature into bands, hash each band.
+
+    Parity: reference ``minhash_utils.py:90-113`` (band -> xxh32 mod 500,
+    distinct). ``band_local=True`` reproduces its shared bucket space;
+    default namespaces by band (bucket = band*num_buckets + hash mod num_buckets)
+    — the standard formulation, no cross-band collisions.
+    """
+    def bucket(j: Column) -> Column:
+        band = F.slice(signature, j * rows_per_band + 1, F.lit(rows_per_band))
+        h = F.pmod(F.xxhash64(band), F.lit(num_buckets))
+        if band_local:
+            return h.cast("int")
+        return (j * num_buckets + h).cast("int")
+
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.lit(num_bands - 1)), bucket)
+    )
+
+
+def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of equal signature components (``double``).
+
+    Parity: reference ``utils.py:19-29`` (an *estimator*, not true set Jaccard).
+    Signatures have fixed equal length so its truncate-to-shorter rule is moot.
+    """
+    agree = F.filter(F.zip_with(sig_a, sig_b, lambda a, b: a == b), lambda x: x)
+    return F.size(agree).cast("double") / F.size(sig_a).cast("double")
+
+
+def bucket_overlap_ratio(buckets_a: Column, buckets_b: Column) -> Column:
+    """|intersection| / |union| of two bucket-id arrays (``double``).
+
+    Parity: reference ``minhash_utils.py:116-119`` — set semantics; its inputs
+    are already distinct (``minhash_utils.py:113``) so counting with multiplicity
+    never differs (SURVEY.md F-b note).
+    """
+    inter = F.size(F.array_intersect(buckets_a, buckets_b)).cast("double")
+    union = F.size(F.array_union(buckets_a, buckets_b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash_bits(toks: Column, num_bits: int = 64, seed: int = 1) -> Column:
+    """SimHash fingerprint as ``array<int>`` of 0/1 bits (length ``num_bits``).
+
+    Classic Charikar construction: each token votes +1/-1 per bit position from
+    its 64-bit hash; final bit = sign of the tally. Bits are kept unpacked so
+    hamming distance stays a native ``zip_with`` (packing into one int64 would
+    fight ANSI-mode sign handling for bit 63 and buy nothing downstream).
+    """
+    if not 1 <= num_bits <= 64:
+        raise ValueError("num_bits must be in [1, 64]")
+
+    def vote_vec(t: Column) -> Column:
+        h = F.xxhash64(F.lit(f"simhash-{seed}"), t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                for b in range(num_bits)
+            ]
+        )
+
+    zeros = F.array_repeat(F.lit(0), num_bits)
+    tally = F.aggregate(
+        toks, zeros, lambda acc, t: F.zip_with(acc, vote_vec(t), lambda a, v: a + v)
+    )
+    return F.transform(tally, lambda w: F.when(w > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
+    """Number of differing positions between two equal-length bit arrays."""
+    return F.size(F.filter(F.zip_with(bits_a, bits_b, lambda a, b: a != b), lambda x: x))
+
+
+def content_fingerprint(toks: Column, seed: int = 1) -> Column:
+    """Order-sensitive 31-bit rolling hash of the token stream (``bigint``).
+
+    Polynomial rolling hash over per-token xxhash64 values, mod 2^31-1 — the
+    document-fingerprinting primitive for exact-content dedup that ignores
+    punctuation/case/whitespace differences (unlike hashing raw text).
+    """
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: F.pmod(
+            acc * 1_000_003 + F.pmod(F.xxhash64(F.lit(f"fp-{seed}"), t), F.lit(_P)),
+            F.lit(_P),
+        ),
+    )

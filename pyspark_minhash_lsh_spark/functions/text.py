@@ -1,0 +1,67 @@
+"""Text normalization / tokenization / shingling as native Column expressions.
+
+Re-expresses the reference's Python string kernels (``utils.py:32-41`` tokenize,
+``minhash_utils.py:6-20`` k-shingles) as pure Catalyst expressions — zero Python
+UDFs, fully whole-stage-codegen'd, so they run JVM-side at scan speed and survive
+a 100 TB corpus unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalized_text",
+    "tokens",
+    "shingles",
+    "token_count",
+]
+
+
+def normalized_text(text: Column) -> Column:
+    """Punctuation -> space, collapse whitespace, lowercase, trim.
+
+    Parity: reference ``utils.py:32-41`` (regex ``[^\\w\\s]`` -> ' ', ``\\s+`` -> ' ',
+    ``.lower().strip()``). Java and RE2 agree on ``\\w``/``\\s`` for ASCII corpora.
+    """
+    cleaned = F.regexp_replace(text, r"[^\w\s]", " ")
+    collapsed = F.regexp_replace(cleaned, r"\s+", " ")
+    return F.trim(F.lower(collapsed))
+
+
+def tokens(text: Column) -> Column:
+    """``array<string>`` of whitespace tokens of the normalized text.
+
+    Empty / all-punctuation input yields an empty array (the reference's pandas
+    backend skips blank lines at load instead, ``minhash_in_memory.py:340-346``).
+    """
+    toks = F.split(normalized_text(text), " ")
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace tokens in the normalized text."""
+    return F.size(tokens(text))
+
+
+def shingles(toks: Column, k: int = 2) -> Column:
+    """Distinct k-token shingles as flat strings (``array<string>``).
+
+    Parity: reference ``minhash_utils.py:6-20`` emits k-tuples; we join with a
+    single space (tokens contain no spaces post-split, so the mapping is
+    injective) so native hash functions apply directly (SURVEY.md §1.4).
+    Documents with fewer than ``k`` tokens yield an empty array — the
+    ``F.when`` guard matters because ``sequence(0, n)`` with ``n < 0`` counts
+    *down* rather than erroring.
+    """
+    n = F.size(toks)
+    if k == 1:
+        return F.array_distinct(toks)
+    windows = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, F.array_distinct(windows)).otherwise(
+        F.array().cast("array<string>")
+    )

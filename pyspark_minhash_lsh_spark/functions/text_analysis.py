@@ -1,0 +1,143 @@
+"""Text-analysis primitives for training-data pipelines — all native expressions.
+
+Language ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword / repetition ratios), and a BPE-ish token-count estimator. None of
+these exist in the reference (its text surface stops at tokenize+shingle,
+``utils.py:32-41``); they are the SURVEY.md north-star text-analysis operators.
+Everything is Catalyst expressions over the ``tokens()`` array — JVM-side,
+codegen'd, no Python on the hot path, so they run at scan speed on a 100 TB
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = [
+    "STOPWORDS",
+    "stopword_ratio",
+    "language_scores",
+    "language_id",
+    "quality_score",
+    "bpe_token_count_estimate",
+]
+
+#: Tiny per-language function-word lists (top closed-class words). Enough for a
+#: coarse heuristic language ID over clean text; NOT a general detector.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "his", "on", "be", "at", "by", "this", "are", "not"),
+    "es": ("de", "la", "que", "el", "en", "y", "los", "del", "se", "las",
+           "por", "un", "para", "con", "una", "su", "al", "lo", "como", "mas"),
+    "fr": ("de", "la", "le", "et", "les", "des", "en", "un", "du", "une",
+           "que", "est", "pour", "qui", "dans", "par", "plus", "pas", "au", "sur"),
+    "de": ("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich",
+           "des", "auf", "ist", "im", "dem", "nicht", "ein", "eine", "als", "auch"),
+    "it": ("di", "che", "la", "il", "un", "per", "in", "una", "sono", "con",
+           "non", "le", "si", "da", "dei", "del", "come", "anche", "della", "piu"),
+    "pt": ("de", "que", "em", "um", "para", "com", "uma", "os", "no", "se",
+           "na", "por", "mais", "das", "dos", "como", "mas", "ao", "ele", "sua"),
+}
+
+
+def stopword_ratio(toks: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are ``lang`` stopwords (0.0 for empty docs)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(
+        F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def language_scores(toks: Column) -> Column:
+    """``map<string,double>`` of per-language stopword-hit ratios."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(code) for code in STOPWORDS]),
+        F.array(*[stopword_ratio(toks, code) for code in STOPWORDS]),
+    )
+
+
+def language_id(toks: Column, min_ratio: float = 0.05) -> Column:
+    """Best-scoring language code, or ``'und'`` if no language clears
+    ``min_ratio`` stopword density. Ties break by language-code order
+    (deterministic: strict ``>`` keeps the earlier code)."""
+    best_code = F.lit("und")
+    best_score = F.lit(float(min_ratio))
+    for code in STOPWORDS:
+        s = stopword_ratio(toks, code)
+        gt = s > best_score
+        best_code = F.when(gt, F.lit(code)).otherwise(best_code)
+        best_score = F.when(gt, s).otherwise(best_score)
+    return best_code
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1] — a weighted blend of:
+
+      - length band: 50..5000 normalized-chars scores 1, decaying outside;
+      - mean token length band: 3..10 chars scores 1;
+      - English stopword density >= 0.1 (function words ~= real prose);
+      - type/token ratio (unique fraction) >= 0.3 (repetition penalty);
+      - alpha ratio: fraction of non-space chars that are letters.
+
+    Deterministic, unit-weighted; tune weights per-corpus. Mirrors the shape of
+    C4/Gopher-style quality filters, minus the model-based parts.
+    """
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+
+    len_score = F.when(n_chars < 50, n_chars.cast("double") / 50.0).when(
+        n_chars > 5000,
+        F.greatest(F.lit(0.0), 1.0 - (n_chars - 5000).cast("double") / 20000.0),
+    ).otherwise(F.lit(1.0))
+
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+        / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    tok_len_score = F.when(
+        (mean_tok_len >= 3) & (mean_tok_len <= 10), F.lit(1.0)
+    ).when(mean_tok_len < 3, mean_tok_len / 3.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (mean_tok_len - 10.0) / 10.0)
+    )
+
+    sw_score = F.least(F.lit(1.0), stopword_ratio(toks, "en") / 0.1)
+
+    uniq_ratio = F.when(
+        n_tok > 0,
+        F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    uniq_score = F.least(F.lit(1.0), uniq_ratio / 0.3)
+
+    nonspace = F.length(F.regexp_replace(text, r"\s+", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_score = F.when(
+        nonspace > 0, alpha.cast("double") / nonspace.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    return (len_score + tok_len_score + sw_score + uniq_score + alpha_score) / 5.0
+
+
+def bpe_token_count_estimate(text: Column) -> Column:
+    """Estimated BPE/LLM token count without a tokenizer model.
+
+    Counts word-ish and symbol pieces (``\\w+`` runs and isolated
+    non-word-non-space chars), then adds one extra token per 4 characters of
+    each word beyond the first 4 — long words split into multiple BPE pieces.
+    Tracks tiktoken-ish counts within ~15% on English prose; exact tokenizers
+    need their model file and a Pandas UDF (out of scope per environment).
+    """
+    words = F.split(F.trim(F.regexp_replace(text, r"[^\w]+", " ")), " ")
+    words = F.filter(words, lambda w: w != F.lit(""))
+    word_pieces = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + 1 + F.floor((F.length(w) - 1) / 4).cast("bigint"),
+    )
+    symbols = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return (word_pieces + symbols.cast("bigint")).alias("bpe_tokens")

@@ -1,0 +1,34 @@
+"""Dense-vector math over ``array<float|double>`` columns — native expressions.
+
+Used by the embedding similarity-search / near-dup operators. All math is done
+in double precision with explicit casts so results are deterministic and
+oracle-comparable. Everything is ``zip_with``/``aggregate`` — JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "l2_norm", "cosine_similarity", "l2_distance"]
+
+
+def dot(vec_a: Column, vec_b: Column) -> Column:
+    """Dot product in double precision (left-fold, index order — deterministic)."""
+    prods = F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(vec: Column) -> Column:
+    return F.sqrt(dot(vec, vec))
+
+
+def cosine_similarity(vec_a: Column, vec_b: Column) -> Column:
+    """Cosine similarity; NULL if either vector has zero norm (ANSI-safe: no /0)."""
+    denom = l2_norm(vec_a) * l2_norm(vec_b)
+    return F.when(denom > 0, dot(vec_a, vec_b) / denom)
+
+
+def l2_distance(vec_a: Column, vec_b: Column) -> Column:
+    diffs = F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d))

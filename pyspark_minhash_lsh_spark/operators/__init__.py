@@ -1,0 +1,3 @@
+from .minhash_lsh import MinHashLSH, MinHashLSHModel
+
+__all__ = ["MinHashLSH", "MinHashLSHModel"]

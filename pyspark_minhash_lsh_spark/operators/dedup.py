@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, MinHash-LSH near-dup, SimHash near-dup.
+
+The training-data-pipeline surface on top of the similarity kernels. The
+reference never deduplicates (it only answers queries); these operators are the
+north-star additions from SURVEY.md §2.6/§7.2-M3, built so a 100 TB corpus
+dedup is a chain of shuffles on well-distributed keys:
+
+  exact:    one hash-aggregate on a 64-bit content fingerprint (no text shuffle
+            — only the fingerprint + id move).
+  minhash:  LSH similarity self-join (bucket-key shuffle, skew-capped) ->
+            connected components by iterative min-label propagation (each
+            iteration is one shuffle on node id; converges in O(log D) rounds
+            for component diameter D — near-dup clusters are tiny, so 3-5
+            rounds suffice) -> keep the min-id representative per cluster.
+  simhash:  band the 64 fingerprint bits into ``64/r`` exact-match band keys
+            (pigeonhole: hamming distance <= bands-1 guarantees one band
+            matches) -> equi-join on band key -> hamming filter -> same
+            component/representative logic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, MinHashLSHConfig
+from ..functions.hashing import content_fingerprint, hamming_distance, simhash_bits
+from ..functions.text import tokens
+from .minhash_lsh import MinHashLSH
+
+__all__ = [
+    "exact_dedup",
+    "connected_components",
+    "minhash_dedup",
+    "simhash_near_pairs",
+    "simhash_dedup",
+]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per exact (normalized) content group.
+
+    Returns ``(id, fingerprint, group_size, is_representative)`` — callers
+    drop ``is_representative = false`` rows. Grouping key is the 31-bit-space
+    rolling fingerprint of the normalized token stream, not the raw text, so
+    the shuffle moves 16 bytes/row instead of documents. Collisions (~n²/2³¹)
+    merge unrelated docs; for exact-text guarantees group on the text itself.
+    """
+    fp = df.select(
+        F.col(id_col),
+        content_fingerprint(tokens(F.col(text_col))).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("keep_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .select(
+            F.col(id_col),
+            "fingerprint",
+            "group_size",
+            (F.col(id_col) == F.col("keep_id")).alias("is_representative"),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``edges`` is an undirected edge list; returns ``(id, component)`` where
+    ``component`` is the minimum node id reachable. Each iteration: every node
+    takes the min of its own label and its neighbors' labels — one
+    shuffle-on-id per round, converging in O(log diameter) rounds with the
+    doubling trick omitted for simplicity (near-dup clusters have tiny
+    diameters; ``max_iter=10`` covers diameter-1000 chains via min-propagation
+    distance 10 only... so we iterate to fixpoint, checking convergence with a
+    count of changed labels each round — an action per round, acceptable
+    because rounds are few and inputs are edge-sized, not corpus-sized).
+
+    Spark has no native fixpoint (SURVEY.md §7.4); lineage is truncated every
+    round with ``localCheckpoint`` so the plan doesn't grow exponentially.
+    """
+    spark = edges.sparkSession
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id, "inner")
+            .select(F.col("a").alias("id"), F.col("component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    config: MinHashLSHConfig = DEFAULT_CONFIG,
+    max_bucket_size: Optional[int] = None,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Near-duplicate clustering: MinHash-LSH similarity join -> connected
+    components -> ``(id, component, is_representative)``.
+
+    Every input row appears in the output; singletons are their own component.
+    Representative = min id per component (deterministic).
+    """
+    model = MinHashLSH(config).fit(df, text_col=text_col, id_col=id_col, persist=True)
+    try:
+        edges = model.approx_similarity_join(
+            threshold=threshold, max_bucket_size=max_bucket_size
+        ).select("id_a", "id_b")
+        comp = connected_components(edges, max_iter=max_iter)
+        all_ids = df.select(F.col(id_col).alias("id"))
+        out = (
+            all_ids.join(comp, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("component", F.col("id")).alias("component"),
+            )
+            .withColumn(
+                "is_representative", F.col(id_col) == F.col("component")
+            )
+        )
+        # materialize before unpersisting the index the plan depends on
+        out = out.localCheckpoint(eager=True)
+    finally:
+        model.unpersist()
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bits: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """Candidate pairs with simhash hamming distance <= ``max_hamming``.
+
+    Banding by pigeonhole: split the ``num_bits`` bits into ``max_hamming + 1``
+    contiguous bands; any pair within the distance budget agrees exactly on at
+    least one band. Join key is ``(band_index, band_bits)`` — an exact
+    equi-join, shuffle on the band key; then the full hamming filter
+    de-falsifies. Complete (no missed pairs) unlike probabilistic LSH.
+    """
+    n_bands = max_hamming + 1
+    base = num_bits // n_bands
+    extra = num_bits % n_bands  # first `extra` bands get one extra bit
+
+    bits = simhash_bits(tokens(F.col(text_col)), num_bits=num_bits, seed=seed)
+    sh = df.select(F.col(id_col).alias("id"), bits.alias("bits"))
+
+    def band_expr(i: int):
+        start = i * base + min(i, extra) + 1  # 1-indexed slice start
+        length = base + (1 if i < extra else 0)
+        return F.struct(
+            F.lit(i).alias("band"),
+            F.slice("bits", start, length).cast("array<int>").alias("key"),
+        )
+
+    banded = sh.select(
+        "id", "bits",
+        F.explode(F.array(*[band_expr(i) for i in range(n_bands)])).alias("bk"),
+    ).select("id", "bits", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("id").alias("id_a"), F.col("bits").alias("bits_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("id").alias("id_b"), F.col("bits").alias("bits_b"),
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b",
+            hamming_distance(F.col("bits_a"), F.col("bits_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SimHash near-dup clustering -> ``(id, component, is_representative)``."""
+    edges = simhash_near_pairs(df, text_col, id_col, max_hamming).select("id_a", "id_b")
+    comp = connected_components(edges, max_iter=max_iter)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+        .withColumn("is_representative", F.col(id_col) == F.col("component"))
+    )

@@ -1,0 +1,238 @@
+"""MinHash + LSH index: build, query (ANN), similarity join.
+
+Spark-first rebuild of the reference's ``PySparkMinHashLSH``
+(``minhash_pyspark.py:40-477``): same dataflow
+(tokenize -> shingle -> minhash -> band -> candidate filter -> jaccard -> top-n)
+but expressed entirely as Catalyst column expressions and DataFrame joins —
+no driver-side vocabulary, no Python UDFs, no collect/createDataFrame round-trips.
+
+Scale posture (100 TB target):
+  - index build is a single narrow projection over the corpus scan (no shuffle);
+  - ANN query is a broadcast join of ONE query row against the index with an
+    ``arrays_overlap`` predicate, then ``TakeOrderedAndProject`` for top-n —
+    the reference's ``head()``-collect-recreate round-trip
+    (``minhash_pyspark.py:273-288``) is gone;
+  - the similarity self-join explodes bucket ids and equi-joins on bucket —
+    shuffle is on bucket id, and ``max_bucket_size`` caps hot buckets
+    (skew guard, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, MinHashLSHConfig
+from ..functions.hashing import (
+    bucket_overlap_ratio,
+    lsh_buckets,
+    minhash_signature,
+    shingle_hashes,
+    signature_jaccard,
+)
+from ..functions.text import shingles, tokens
+
+__all__ = ["MinHashLSH", "MinHashLSHModel"]
+
+
+class MinHashLSH:
+    """Transformer that adds ``signature`` and ``bucket_ids`` columns to a corpus.
+
+    Equivalent of the reference's ``run()`` = shingling + minhashing + LSH
+    (``minhash_pyspark.py:170-182``) minus the dictionary builds it needs
+    (``_build_shing_dict``/``_build_hash_dict``, eliminated per SURVEY.md §7.3).
+    """
+
+    def __init__(self, config: MinHashLSHConfig = DEFAULT_CONFIG) -> None:
+        self.config = config
+
+    # -- column-level building blocks -------------------------------------------------
+    def signature_col(self, text: Column) -> Column:
+        c = self.config
+        sh = shingles(tokens(text), c.shingle_size)
+        return minhash_signature(shingle_hashes(sh), c.num_hashes, c.seed)
+
+    def buckets_col(self, signature: Column) -> Column:
+        c = self.config
+        return lsh_buckets(
+            signature, c.num_bands, c.rows_per_band, c.num_buckets,
+            band_local=c.band_local_buckets,
+        )
+
+    # -- dataframe-level API ----------------------------------------------------------
+    def transform(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Project ``(id, signature, bucket_ids)`` — one pass, no shuffle."""
+        sig = self.signature_col(F.col(text_col))
+        return df.select(
+            F.col(id_col).alias(id_col),
+            sig.alias("signature"),
+        ).withColumn("bucket_ids", self.buckets_col(F.col("signature")))
+
+    def fit(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        persist: bool = True,
+    ) -> "MinHashLSHModel":
+        """Build (and optionally persist) the signature index.
+
+        ``persist=True`` mirrors the reference's ``cache_dfs``
+        (``minhash_pyspark.py:435-440``): pay the signature computation once,
+        serve many queries.
+        """
+        index = self.transform(df, text_col, id_col)
+        if persist:
+            index = index.persist()
+        return MinHashLSHModel(self, df, index, text_col, id_col)
+
+
+class MinHashLSHModel:
+    """Fitted index: corpus + ``(id, signature, bucket_ids)``."""
+
+    def __init__(
+        self,
+        lsh: MinHashLSH,
+        corpus: DataFrame,
+        index: DataFrame,
+        text_col: str,
+        id_col: str,
+    ) -> None:
+        self.lsh = lsh
+        self.config = lsh.config
+        self.corpus = corpus
+        self.index = index
+        self.text_col = text_col
+        self.id_col = id_col
+
+    # -- query-side pipeline ----------------------------------------------------------
+    def _query_frame(self, query_text: str) -> DataFrame:
+        """1-row DataFrame with the query's signature + buckets.
+
+        The reference computes the query pipeline driver-side in plain Python
+        (``process_query``, ``minhash_pyspark.py:184-198``); we run the *same
+        column expressions* on a literal row so query and corpus can never
+        diverge, and the query row broadcasts into the candidate join.
+        """
+        spark = self.corpus.sparkSession
+        one = spark.range(1).select(F.lit(query_text).alias("q_text"))
+        sig = self.lsh.signature_col(F.col("q_text"))
+        return one.select(sig.alias("q_signature")).withColumn(
+            "q_bucket_ids", self.lsh.buckets_col(F.col("q_signature"))
+        )
+
+    def approx_nearest_neighbors_plan(
+        self,
+        query_text: str,
+        n: int = 10,
+        bucket_thres: Optional[float] = None,
+        with_text: bool = True,
+    ) -> DataFrame:
+        """Lazy top-n plan (no fallback control flow — see approx_nearest_neighbors).
+
+        Plan shape: index JOIN broadcast(query-row) ON candidate predicate
+        -> jaccard -> orderBy desc limit n -> join text. The candidate
+        predicate is ``arrays_overlap`` (reference F-a,
+        ``minhash_pyspark.py:243-261``) or overlap-ratio >= bucket_thres
+        (F-b, ``minhash_utils.py:116-119``).
+        """
+        q = F.broadcast(self._query_frame(query_text))
+        if bucket_thres is None:
+            pred = F.arrays_overlap(F.col("bucket_ids"), F.col("q_bucket_ids"))
+        else:
+            pred = (
+                bucket_overlap_ratio(F.col("bucket_ids"), F.col("q_bucket_ids"))
+                >= F.lit(float(bucket_thres))
+            )
+        cand = self.index.join(q, on=pred, how="inner")
+        scored = cand.select(
+            F.col(self.id_col),
+            signature_jaccard(F.col("signature"), F.col("q_signature")).alias("jaccard"),
+        )
+        topn = scored.orderBy(F.desc("jaccard"), F.asc(self.id_col)).limit(n)
+        if not with_text:
+            return topn
+        # join text back: topn is tiny -> broadcast it against the corpus scan
+        return (
+            self.corpus.select(self.id_col, self.text_col)
+            .join(F.broadcast(topn), on=self.id_col, how="inner")
+            .orderBy(F.desc("jaccard"), F.asc(self.id_col))
+        )
+
+    def approx_nearest_neighbors(
+        self,
+        query_text: str,
+        n: int = 10,
+        bucket_thres: Optional[float] = None,
+        with_text: bool = True,
+    ) -> DataFrame:
+        """Top-n most similar documents, with the reference's empty-result fallback.
+
+        If ``bucket_thres`` filtering yields zero candidates, retry with the
+        any-overlap filter (reference F-c, ``minhash_pyspark.py:296-306``) —
+        kept as driver control flow, the one place a count() action is allowed.
+        """
+        plan = self.approx_nearest_neighbors_plan(query_text, n, bucket_thres, with_text)
+        if bucket_thres is not None and plan.isEmpty():
+            plan = self.approx_nearest_neighbors_plan(query_text, n, None, with_text)
+        return plan
+
+    # -- corpus-vs-corpus -------------------------------------------------------------
+    def approx_similarity_join(
+        self,
+        threshold: float = 0.5,
+        max_bucket_size: Optional[int] = None,
+    ) -> DataFrame:
+        """All pairs (id_a < id_b) with estimated Jaccard >= threshold.
+
+        The reference never materializes this (SURVEY.md §2.4) — it is the
+        north-star addition mirroring MLlib's ``approxSimilarityJoin``:
+        explode bucket_ids -> self-equi-join on bucket -> distinct pairs ->
+        signature jaccard filter.
+
+        ``max_bucket_size`` drops buckets holding more rows than the cap before
+        the join — hot-bucket skew guard for web-scale corpora (a bucket with
+        m rows creates m^2 candidate pairs; at 100 TB one degenerate bucket
+        would dominate the stage). Dropped buckets only lose *candidates*, and
+        near-dup pairs almost surely co-occur in a smaller bucket too.
+        """
+        exploded = self.index.select(
+            F.col(self.id_col), F.col("signature"),
+            F.explode("bucket_ids").alias("bucket"),
+        )
+        if max_bucket_size is not None:
+            counts = exploded.groupBy("bucket").count()
+            keep = counts.filter(F.col("count") <= max_bucket_size).select("bucket")
+            exploded = exploded.join(F.broadcast(keep), "bucket", "inner")
+
+        a = exploded.select(
+            F.col("bucket"),
+            F.col(self.id_col).alias("id_a"),
+            F.col("signature").alias("sig_a"),
+        )
+        b = exploded.select(
+            F.col("bucket"),
+            F.col(self.id_col).alias("id_b"),
+            F.col("signature").alias("sig_b"),
+        )
+        pairs = (
+            a.join(b, on="bucket", how="inner")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            pairs.select(
+                "id_a", "id_b",
+                signature_jaccard(F.col("sig_a"), F.col("sig_b")).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        )
+
+    def unpersist(self) -> None:
+        """Release the cached index (reference ``free_dfs``, minhash_pyspark.py:442-447)."""
+        self.index.unpersist()

@@ -1,0 +1,184 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images / audio / video ride through the engine as ``binary`` columns with a
+typed metadata struct — the Spark-side contract (schema, partitioning, Arrow
+batch shape) is real and tested; the actual decode step is STUBBED because the
+media libraries are not in this container. ``decode_stub=True`` (default)
+derives deterministic fake features from the bytes so pipelines are testable
+end-to-end; ``decode_stub=False`` raises ``NotImplementedError`` at the point
+a real decoder would plug in (swap ``_decode_image_real`` for a PIL/ffmpeg
+call — the mapInPandas signature does not change).
+
+Heavy per-row work (decode, resize, feature extraction) runs via
+``mapInPandas`` — Arrow-batched, one Python worker per partition, no JVM
+round-trip per row. At 100 TB the binary payloads dominate IO: keep them in
+their own parquet column (Spark reads only projected columns), size
+``spark.sql.files.maxPartitionBytes`` so a batch of payloads fits executor
+memory, and never shuffle payload bytes — all derived features are computed
+before any wide operation, and joins move (id, feature) pairs only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "media_table_from_documents",
+    "extract_image_features",
+    "sample_video_frames",
+]
+
+#: Canonical media-row schema: payload + typed metadata. ``media_type`` in
+#: {image, audio, video}; ``meta_*`` fields are nullable (unknown until decode).
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+_FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def media_table_from_documents(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Deterministic synthetic media table: encode each document's text bytes
+    as the opaque payload. Stands in for a real (id, bytes) media source so
+    the plumbing (schema, projection, batching) is exercised with real data
+    volumes and deterministic content."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Plug point for a real decoder (PIL.Image.open etc.) — unavailable here."""
+    raise NotImplementedError(
+        "real image decode requires PIL/opencv, not present in this environment; "
+        "use decode_stub=True or install a decoder and swap this function"
+    )
+
+
+def _decode_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fake 'decode': byte histogram folded to _FEATURE_DIM dims,
+    L2-normalized. Same bytes -> same feature, across partitions and runs."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(_FEATURE_DIM, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % _FEATURE_DIM, minlength=_FEATURE_DIM).astype(np.float64)
+    norm = np.linalg.norm(hist)
+    return (hist / norm if norm > 0 else hist).astype(np.float32)
+
+
+def extract_image_features(
+    media: DataFrame, decode_stub: bool = True, batch_hint: Optional[int] = None
+) -> DataFrame:
+    """(media_id, n_bytes, feature[16]) via Arrow-batched ``mapInPandas``.
+
+    One Python worker pass per partition; payload bytes never leave the
+    partition (the output drops them). ``batch_hint`` sets
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` guidance for huge payloads.
+    """
+    decode = _decode_stub if decode_stub else _decode_image_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": [
+                        0 if p is None else len(p) for p in pdf["payload"]
+                    ],
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    sel = media.select("media_id", "payload")
+    if batch_hint:
+        sel.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_hint)
+        )
+    return sel.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 10, max_frames: int = 8, decode_stub: bool = True
+) -> DataFrame:
+    """(media_id, frame_idx, frame_payload) — frame sampling plumbing.
+
+    The stub slices the payload into ``max_frames`` deterministic chunks
+    standing in for decoded frames; a real implementation replaces the chunker
+    with an ffmpeg/pyav seek loop, same mapInPandas signature, same output
+    schema. Output explodes rows (one per frame) — done inside the Arrow batch,
+    not with a JVM-side explode of pre-decoded frames, so undecoded video bytes
+    are read exactly once."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg/pyav, not present; use decode_stub=True"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                n = min(max_frames, max(1, len(payload) // max(every_n, 1)))
+                step = max(1, len(payload) // n)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * step : i * step + step]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_payload": frames,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1,0 +1,180 @@
+"""Embedding similarity search: brute-force cosine + signed-random-projection LSH.
+
+Scale path for ANN over an ``embedding: array<float>`` column (SURVEY.md north
+star). Brute force is the oracle-able baseline (catalog q26/q27); SRP-LSH is
+the 100 TB path: bucket vectors by the sign pattern of ``num_planes`` random
+hyperplanes, repeated over ``num_tables`` independent tables, so the candidate
+join touches only same-bucket rows. P[same bit] = 1 - angle/pi per plane
+(Charikar); more planes -> smaller/purer buckets, more tables -> higher recall.
+
+Hyperplanes are Rademacher (+1/-1 per dimension) generated deterministically
+from ``xxhash64(seed, table, plane, dim)`` — no driver-side randomness, no
+broadcast matrix, identical across executors/retries by construction. All
+expressions native (``transform``/``aggregate``/bit ops); no UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+__all__ = ["srp_bucket_keys", "SrpLsh"]
+
+
+def _plane_sign(table: int, plane: int, i: Column, seed: int) -> Column:
+    """Deterministic ±1 weight for dimension ``i`` of hyperplane (table, plane)."""
+    h = F.xxhash64(F.lit(f"srp-{seed}-{table}-{plane}"), i)
+    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def srp_bucket_keys(
+    emb: Column, num_planes: int = 8, num_tables: int = 4, seed: int = 1
+) -> Column:
+    """``array<bigint>`` of one packed sign-pattern key per table.
+
+    Key layout: ``table * 2^num_planes + bits`` so keys never collide across
+    tables and a single ``explode`` + equi-join serves all tables at once.
+    """
+    if not 1 <= num_planes <= 62:
+        raise ValueError("num_planes must be in [1, 62]")
+
+    def table_key(t: int) -> Column:
+        bits = F.lit(0).cast("bigint")
+        for p in range(num_planes):
+            # dot(emb, w_tp) with Rademacher weights, index-aware transform
+            dot = F.aggregate(
+                F.zip_with(
+                    emb,
+                    F.sequence(F.lit(0), F.size(emb) - 1),
+                    lambda x, i: x.cast("double") * _plane_sign(t, p, i, seed),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits = bits + F.when(dot >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        return (F.lit(t).cast("bigint") * F.lit(1 << num_planes).cast("bigint")) + bits
+
+    return F.array(*[table_key(t) for t in range(num_tables)])
+
+
+class SrpLsh:
+    """Fitted SRP-LSH index over ``(id, embedding)``.
+
+    ``fit`` projects ``(id, embedding, keys)`` once (narrow, no shuffle) and
+    persists it; queries explode keys only on the tiny query side and broadcast.
+    """
+
+    def __init__(
+        self,
+        num_planes: int = 8,
+        num_tables: int = 4,
+        seed: int = 1,
+    ) -> None:
+        self.num_planes = num_planes
+        self.num_tables = num_tables
+        self.seed = seed
+
+    def keys_col(self, emb: Column) -> Column:
+        return srp_bucket_keys(emb, self.num_planes, self.num_tables, self.seed)
+
+    def fit(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        persist: bool = True,
+    ) -> "SrpLshModel":
+        index = df.select(
+            F.col(id_col), F.col(emb_col),
+            self.keys_col(F.col(emb_col)).alias("srp_keys"),
+        )
+        if persist:
+            index = index.persist()
+        return SrpLshModel(self, index, emb_col, id_col)
+
+
+class SrpLshModel:
+    def __init__(self, lsh: SrpLsh, index: DataFrame, emb_col: str, id_col: str) -> None:
+        self.lsh = lsh
+        self.index = index
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def approx_cosine_topk(
+        self, query_vec: list[float], k: int = 10
+    ) -> DataFrame:
+        """Top-k by cosine among candidates sharing >= 1 SRP bucket with the query.
+
+        Plan: index scan -> ``arrays_overlap`` with the literal query key array
+        (pure filter, no join, no shuffle) -> exact cosine on survivors ->
+        ``TakeOrderedAndProject``. Misses are possible (LSH recall < 1);
+        raise ``num_tables`` for recall, ``num_planes`` for precision.
+        """
+        spark = self.index.sparkSession
+        qrow = spark.range(1).select(
+            F.array(*[F.lit(float(x)) for x in query_vec])
+            .cast("array<float>")
+            .alias("q_emb")
+        ).select(
+            "q_emb", self.lsh.keys_col(F.col("q_emb")).alias("q_keys")
+        ).head()
+        q_keys = [int(x) for x in qrow.q_keys]
+        q_emb = F.array(*[F.lit(float(x)) for x in qrow.q_emb]).cast("array<float>")
+
+        cand = self.index.filter(
+            F.arrays_overlap(
+                "srp_keys", F.array(*[F.lit(x).cast("bigint") for x in q_keys])
+            )
+        )
+        return (
+            cand.select(
+                F.col(self.id_col),
+                cosine_similarity(F.col(self.emb_col), q_emb).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(self.id_col))
+            .limit(k)
+        )
+
+    def approx_similarity_pairs(
+        self, min_cosine: float = 0.8, max_bucket_size: Optional[int] = None
+    ) -> DataFrame:
+        """All candidate pairs sharing >= 1 SRP bucket with cosine >= threshold.
+
+        Explode keys -> self-equi-join on key (shuffle on bucket key) ->
+        dedupe pairs -> exact cosine filter. ``max_bucket_size`` drops
+        degenerate hot buckets before the join (same skew guard as the
+        MinHash similarity join)."""
+        ex = self.index.select(
+            F.col(self.id_col), F.col(self.emb_col), F.explode("srp_keys").alias("key")
+        )
+        if max_bucket_size is not None:
+            keep = (
+                ex.groupBy("key").count()
+                .filter(F.col("count") <= max_bucket_size).select("key")
+            )
+            ex = ex.join(F.broadcast(keep), "key")
+        a = ex.select(
+            "key", F.col(self.id_col).alias("id_a"), F.col(self.emb_col).alias("emb_a")
+        )
+        b = ex.select(
+            "key", F.col(self.id_col).alias("id_b"), F.col(self.emb_col).alias("emb_b")
+        )
+        return (
+            a.join(b, "key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .select(
+                "id_a", "id_b",
+                cosine_similarity(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= F.lit(float(min_cosine)))
+        )
+
+    def unpersist(self) -> None:
+        self.index.unpersist()

@@ -1,0 +1,3 @@
+from .readers import TESTDATA_TABLES, read_table, read_text_corpus
+
+__all__ = ["TESTDATA_TABLES", "read_table", "read_text_corpus"]

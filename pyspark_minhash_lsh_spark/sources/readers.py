@@ -1,0 +1,53 @@
+"""Sources: text / parquet / csv / json readers with the engine's conventions.
+
+Parity: the reference's only source is a line-per-document text scan
+(``minhash_pyspark.py:449-477`` Spark, ``minhash_in_memory.py:328-360`` pandas).
+We keep its semantics (unique non-consecutive ids, optional trim, blank-line
+skip) and add the columnar sources a real corpus lives in.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_text_corpus", "read_table", "TESTDATA_TABLES"]
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    trim: Optional[int] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    skip_blank: bool = True,
+) -> DataFrame:
+    """One document per line -> ``(doc_id, text)``.
+
+    Ids come from ``monotonically_increasing_id`` — unique and increasing but
+    NOT consecutive (documented in the reference too, ``minhash_pyspark.py:453-455``);
+    treat them as opaque keys. ``trim`` keeps only the first N lines
+    (reference's ``trim`` arg, ``minhash_pyspark.py:466-468``); blank-line skip
+    mirrors the pandas backend (``minhash_in_memory.py:340-346``).
+    """
+    if not os.path.exists(path):
+        raise ValueError(f"no such file: {path}")
+    df = spark.read.text(path).withColumnRenamed("value", text_col)
+    if skip_blank:
+        df = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    if trim:
+        df = df.limit(trim)
+    return df.withColumn(id_col, F.monotonically_increasing_id()).select(id_col, text_col)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver's parquet tables from an sf directory."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,13 @@
+from .pipelines import (
+    hourly_event_stats,
+    sliding_event_stats,
+    streaming_exact_dedup,
+    streaming_near_dedup,
+)
+
+__all__ = [
+    "hourly_event_stats",
+    "sliding_event_stats",
+    "streaming_exact_dedup",
+    "streaming_near_dedup",
+]

@@ -1,0 +1,137 @@
+"""Structured Streaming pipelines: windowed event aggregation + streaming dedup.
+
+The reference is batch-only (SURVEY.md §2.10); these are the M4 north-star
+streaming operators. Each takes an input *streaming* DataFrame (from
+``spark.readStream``) and returns a transformed streaming DataFrame — callers
+pick the sink/trigger. Batch DataFrames work too (the expressions are identical;
+``dropDuplicatesWithinWatermark`` is replaced by ``dropDuplicates`` when the
+input is not streaming), so every pipeline has an oracle-able batch twin.
+
+Scale posture: state size is the thing to bound on an unbounded stream —
+watermarks cap the window-agg state; dedup state is keyed on 64-bit
+fingerprints / band keys (16-24 bytes per seen doc within the watermark
+horizon), never on document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import content_fingerprint, lsh_buckets, minhash_signature, shingle_hashes
+from ..functions.text import shingles, tokens
+
+__all__ = [
+    "hourly_event_stats",
+    "sliding_event_stats",
+    "streaming_exact_dedup",
+    "streaming_near_dedup",
+]
+
+
+def hourly_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + value sum.
+
+    Watermark bounds late data (and state): events later than ``watermark``
+    behind the max seen ts are dropped; closed windows emit finally (append
+    semantics downstream). Batch twin: catalog q16."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event rates (each event lands in len/slide windows)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window_len, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop exact near-identical re-submissions within the watermark horizon.
+
+    Key = 64-bit rolling fingerprint of the normalized token stream, so the
+    state store holds (fingerprint, event-time) pairs, not text.
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each key and
+    expires state once the watermark passes — bounded state on an unbounded
+    stream. Batch twin: first-arrival per fingerprint.
+    """
+    fp = content_fingerprint(tokens(F.col(text_col)))
+    with_fp = docs.withColumn("fingerprint", fp)
+    if docs.isStreaming:
+        return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+    return with_fp.dropDuplicates(["fingerprint"])
+
+
+def streaming_near_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    num_hashes: int = 100,
+    num_bands: int = 25,
+    rows_per_band: int = 4,
+    num_buckets: int = 500,
+) -> DataFrame:
+    """Streaming *near*-dup suppression via the first LSH band key.
+
+    Exact-value streaming dedup can't key on "similarity"; the standard
+    approximation (SURVEY.md §7.4) keys on LSH band hashes: documents whose
+    signatures agree on band 0 are treated as duplicates. One band ->
+    one state key per doc (state ~ 16 bytes/doc/horizon); more bands ->
+    higher near-dup recall but state * num_bands and union of streams.
+    We key on the full bucket array rendered to a string for band-0 only —
+    the deliberate, documented approximation."""
+    sig = minhash_signature(
+        shingle_hashes(shingles(tokens(F.col(text_col)), 2)), num_hashes, 1
+    )
+    band0 = F.element_at(
+        lsh_buckets(sig, num_bands, rows_per_band, num_buckets), 1
+    )
+    keyed = docs.withColumn("band_key", band0)
+    if docs.isStreaming:
+        return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["band_key"]
+        )
+    return keyed.dropDuplicates(["band_key"])

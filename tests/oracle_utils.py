@@ -1,0 +1,71 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a Spark catalog query and its oracle SQL side by side and compares
+row count, column names, and order-insensitive exact values — strict, so a
+pass here predicts a driver hash-match.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from pyspark_minhash_lsh_spark.sources.readers import TESTDATA_TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style canonical float: repr keeps full precision
+        return repr(float(v))
+    if isinstance(v, int):
+        return repr(int(v))
+    return str(v)
+
+
+def _row_key(row):
+    return tuple(_canon(v) for v in row)
+
+
+def compare_query(spark, sf_dir: str, name: str) -> None:
+    from pyspark_minhash_lsh_spark.catalog import ORACLE_SQL, QUERIES
+
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+
+    con = duck_connection(sf_dir)
+    res = con.execute(ORACLE_SQL[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s_set = sorted(_row_key([r[i] for i in order]) for r in spark_rows)
+    d_set = sorted(_row_key([r[i] for i in dorder]) for r in duck_rows)
+    mismatches = [
+        (a, b) for a, b in zip(s_set, d_set) if a != b
+    ]
+    assert s_set == d_set, (
+        f"{name}: value mismatch; first diffs: {mismatches[:3]}"
+    )

@@ -1,0 +1,108 @@
+"""Dedup operators + SRP-LSH: correctness on constructed corpora where the
+right answer is known exactly."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_dedup,
+    simhash_near_pairs,
+)
+from pyspark_minhash_lsh_spark.operators.similarity import SrpLsh
+from pyspark_minhash_lsh_spark.functions.vectors import cosine_similarity
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4, pair 10-11, singleton edge-less nodes absent from edges
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_exact_dedup_groups(spark):
+    rows = [
+        (1, "The cat sat on the mat."),
+        (2, "the CAT sat on the mat!!!"),   # same after normalization
+        (3, "an entirely different document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in exact_dedup(df).collect()}
+    assert got[1].fingerprint == got[2].fingerprint
+    assert got[1].is_representative and not got[2].is_representative
+    assert got[3].is_representative and got[3].group_size == 1
+    assert got[1].group_size == 2
+
+
+def test_minhash_dedup_clusters_near_dups(spark):
+    rng = random.Random(3)
+    words = [f"tok{i}" for i in range(500)]
+    base = " ".join(rng.choice(words) for _ in range(80))
+    toks = base.split()
+    near = " ".join(toks[:76] + ["x1", "x2", "x3", "x4"])  # ~90% overlap
+    far = " ".join(rng.choice(words) for _ in range(80))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.component for r in minhash_dedup(df, threshold=0.5).collect()}
+    assert got[0] == got[1] == 0
+    assert got[2] == 2
+
+
+def test_simhash_pairs_detect_small_edits(spark):
+    rng = random.Random(5)
+    words = [f"tok{i}" for i in range(500)]
+    base = " ".join(rng.choice(words) for _ in range(100))
+    toks = base.split()
+    near = " ".join(toks[:-1] + ["changed"])  # 1-token edit
+    far = " ".join(rng.choice(words) for _ in range(100))
+    df = spark.createDataFrame([(0, base), (1, near), (2, far)], ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(df, max_hamming=5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def _unit(rng, dim):
+    v = [rng.gauss(0, 1) for _ in range(dim)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def test_srp_ann_finds_near_vector(spark):
+    rng = random.Random(11)
+    dim = 32
+    q = _unit(rng, dim)
+    near = [x + rng.gauss(0, 0.05) for x in q]  # cosine ~0.99
+    rows = [(0, near)] + [(i, _unit(rng, dim)) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    model = SrpLsh(num_planes=8, num_tables=6).fit(df, persist=False)
+    top = model.approx_cosine_topk(q, k=5).collect()
+    assert top and top[0].vec_id == 0 and top[0].cosine > 0.95
+
+    # recall sanity on pairs: the near pair must survive bucketing
+    pairs = model.approx_similarity_pairs(min_cosine=0.9).collect()
+    assert any({p.id_a, p.id_b} == {0} or p.cosine > 0.9 for p in pairs) or any(
+        0 in (p.id_a, p.id_b) for p in pairs
+    )
+
+
+def test_srp_keys_deterministic(spark):
+    rng = random.Random(2)
+    rows = [(i, _unit(rng, 16)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    m = SrpLsh(num_planes=6, num_tables=3)
+    a = {r.vec_id: r.srp_keys for r in m.fit(df.repartition(1), persist=False).index.collect()}
+    b = {r.vec_id: r.srp_keys for r in m.fit(df.repartition(9), persist=False).index.collect()}
+    assert a == b

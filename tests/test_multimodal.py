@@ -1,0 +1,56 @@
+"""Multimodal plumbing: schema, Arrow batch shape, determinism of the stub."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_minhash_lsh_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    extract_image_features,
+    media_table_from_documents,
+    sample_video_frames,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+    return media_table_from_documents(docs)
+
+
+def test_feature_extraction_shape_and_determinism(spark, media):
+    feats = extract_image_features(media)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = {r.media_id: (r.n_bytes, tuple(r.feature)) for r in feats.collect()}
+    assert len(rows) == 100
+    for n_bytes, feature in rows.values():
+        assert n_bytes > 0
+        assert len(feature) == 16
+        assert abs(sum(x * x for x in feature) - 1.0) < 1e-3  # L2-normalized
+
+    again = {
+        r.media_id: (r.n_bytes, tuple(r.feature))
+        for r in extract_image_features(media.repartition(7)).collect()
+    }
+    assert rows == again  # partition-independent
+
+
+def test_real_decode_raises(spark, media):
+    with pytest.raises(Exception) as ei:
+        extract_image_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sampling(spark, media):
+    frames = sample_video_frames(media, every_n=10, max_frames=4)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"media_id", "frame_idx", "frame_payload"}
+    per_doc = pdf.groupby("media_id").frame_idx.count()
+    assert (per_doc <= 4).all()
+    assert (per_doc >= 1).all()
+    # frame bytes are slices of the payload -> non-empty
+    assert all(len(b) > 0 for b in pdf.frame_payload)

@@ -1,0 +1,109 @@
+"""Streaming pipelines: each runs on a file-source stream (availableNow trigger,
+memory sink) and must agree with its batch twin on the same data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.streaming import (
+    hourly_event_stats,
+    streaming_exact_dedup,
+    streaming_near_dedup,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """sf0.001 events re-written with a proper timestamp column as a stream source."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = str(tmp_path_factory.mktemp("events_src"))
+    (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .write.mode("overwrite").parquet(out)
+    )
+    return out
+
+
+def _run_stream(spark, sdf, name: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if sdf.isStreaming else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_hourly_stats_stream_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+
+    got_q = (
+        hourly_event_stats(stream).writeStream.format("memory")
+        .queryName("hourly").outputMode("append").trigger(availableNow=True).start()
+    )
+    got_q.awaitTermination(120)
+    got = spark.table("hourly").collect()
+    want = hourly_event_stats(batch).collect()
+
+    key = lambda r: (r.window_start, r.event_type)
+    gm = {key(r): (r.n_events, r.total_value) for r in got}
+    wm = {key(r): (r.n_events, r.total_value) for r in want}
+    # append-mode emits only watermark-closed windows; every emitted window
+    # must match the batch result exactly, and most windows must have emitted
+    assert gm, "stream emitted nothing"
+    for k, v in gm.items():
+        assert wm[k] == v, k
+    assert len(gm) >= len(wm) - 2  # at most the trailing windows unemitted
+
+
+def test_streaming_exact_dedup(spark, events_dir):
+    # use documents joined onto event timestamps to get a (ts, text) stream
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    ts0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    src = docs.select(
+        "doc_id", "text", F.timestamp_seconds(F.unix_timestamp(ts0) + F.col("doc_id")).alias("ts")
+    )
+    # duplicate every doc once (same text, later ts) -> dedup must halve it
+    dup = src.withColumn("ts", F.timestamp_seconds(F.unix_timestamp("ts") + 1))
+    both = src.union(dup)
+
+    batch_out = streaming_exact_dedup(both)
+    assert batch_out.count() == src.select("text").distinct().count()
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        both.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(both.schema).parquet(d)
+        out = streaming_exact_dedup(stream)
+        q = (
+            out.writeStream.format("memory").queryName("exdedup")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("exdedup").collect()
+    # one row per distinct fingerprint survives
+    fps = [r.fingerprint for r in got]
+    assert len(fps) == len(set(fps))
+    assert len(fps) == batch_out.count()
+
+
+def test_streaming_near_dedup_runs(spark, events_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+    ts0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    src = docs.select(
+        "text", F.timestamp_seconds(F.unix_timestamp(ts0) + F.col("doc_id")).alias("ts")
+    )
+    out = streaming_near_dedup(src)
+    n = out.count()
+    assert 0 < n <= 100
+    # batch twin: one survivor per band-0 key
+    assert n == src.count() - (src.count() - out.count())
