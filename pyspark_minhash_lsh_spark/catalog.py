@@ -27,10 +27,10 @@ from .config import DEFAULT_CONFIG
 from .functions.hashing import (
     content_fingerprint,
     lsh_buckets,
-    minhash_signature,
+    minhash_signatures_df,
     shingle_hashes,
     signature_jaccard,
-    simhash_bits,
+    simhash_bits_df,
 )
 from .functions.text import normalized_text, shingles, token_count, tokens
 from .functions.vectors import cosine_similarity
@@ -822,15 +822,17 @@ def q27_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q30_minhash_signatures")
 def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (reference F4) — xxhash64-dependent, rows-only check.
-    Emits stable scalar facets of the signature rather than the raw array."""
+    Runs the relational hot path (minhash_signatures_df); emits stable scalar
+    facets of the signature rather than the raw array."""
+    c = DEFAULT_CONFIG
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size)
-    sig = minhash_signature(shingle_hashes(sh), DEFAULT_CONFIG.num_hashes, DEFAULT_CONFIG.seed)
-    return docs.select(
+    base = shingle_hashes(shingles(tokens(F.col("text")), c.shingle_size))
+    sigs = minhash_signatures_df(docs, base, num_hashes=c.num_hashes, seed=c.seed)
+    return sigs.select(
         "doc_id",
-        F.size(sig).alias("sig_len"),
-        F.element_at(sig, 1).alias("sig_first"),
-        F.array_min(sig).alias("sig_min"),
+        F.size("signature").alias("sig_len"),
+        F.element_at("signature", 1).alias("sig_first"),
+        F.array_min("signature").alias("sig_min"),
     )
 
 
@@ -839,12 +841,14 @@ def q31_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket ids (reference F5) — rows-only."""
     c = DEFAULT_CONFIG
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(tokens(F.col("text")), c.shingle_size)
-    sig = minhash_signature(shingle_hashes(sh), c.num_hashes, c.seed)
-    buckets = lsh_buckets(sig, c.num_bands, c.rows_per_band, c.num_buckets,
-                          band_local=c.band_local_buckets)
-    return docs.select(
-        "doc_id", F.size(buckets).alias("n_buckets"), F.array_min(buckets).alias("min_bucket")
+    base = shingle_hashes(shingles(tokens(F.col("text")), c.shingle_size))
+    sigs = minhash_signatures_df(docs, base, num_hashes=c.num_hashes, seed=c.seed)
+    buckets = lsh_buckets(F.col("signature"), c.num_bands, c.rows_per_band,
+                          c.num_buckets, band_local=c.band_local_buckets)
+    return sigs.select(
+        "doc_id",
+        F.size(buckets).alias("n_buckets"),
+        F.array_min(buckets).alias("min_bucket"),
     )
 
 
@@ -872,12 +876,14 @@ def q33_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q34_simhash")
 def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints — rows-only (emits bit-sum facet)."""
-    docs = _t(spark, sf_dir, "documents")
-    bits = simhash_bits(tokens(F.col("text")))
-    return docs.select(
+    """SimHash 64-bit fingerprints via the relational hot path — rows-only
+    (emits bit-sum facet)."""
+    bits_df = simhash_bits_df(
+        _t(spark, sf_dir, "documents"), tokens(F.col("text"))
+    )
+    return bits_df.select(
         "doc_id",
-        F.aggregate(bits, F.lit(0), lambda a, b: a + b).alias("bits_set"),
+        F.aggregate("bits", F.lit(0), lambda a, b: a + b).alias("bits_set"),
     )
 
 

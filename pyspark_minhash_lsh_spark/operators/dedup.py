@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, MinHashLSHConfig
-from ..functions.hashing import content_fingerprint, hamming_distance, simhash_bits
+from ..functions.hashing import content_fingerprint, hamming_distance, simhash_bits_df
 from ..functions.text import tokens
 from .minhash_lsh import MinHashLSH
 
@@ -183,8 +183,9 @@ def simhash_near_pairs(
     base = num_bits // n_bands
     extra = num_bits % n_bands  # first `extra` bands get one extra bit
 
-    bits = simhash_bits(tokens(F.col(text_col)), num_bits=num_bits, seed=seed)
-    sh = df.select(F.col(id_col).alias("id"), bits.alias("bits"))
+    sh = simhash_bits_df(
+        df, tokens(F.col(text_col)), id_col=id_col, num_bits=num_bits, seed=seed
+    ).select(F.col(id_col).alias("id"), "bits")
 
     def band_expr(i: int):
         start = i * base + min(i, extra) + 1  # 1-indexed slice start

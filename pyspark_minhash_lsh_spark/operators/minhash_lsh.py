@@ -29,6 +29,7 @@ from ..functions.hashing import (
     bucket_overlap_ratio,
     lsh_buckets,
     minhash_signature,
+    minhash_signatures_df,
     shingle_hashes,
     signature_jaccard,
 )
@@ -50,6 +51,11 @@ class MinHashLSH:
 
     # -- column-level building blocks -------------------------------------------------
     def signature_col(self, text: Column) -> Column:
+        """Signature as a single Column expression — query-frame / test use ONLY.
+
+        Nested higher-order expressions evaluate interpreted (~20µs/element);
+        corpus-scale signatures go through ``transform`` -> relational path.
+        Both produce identical values (same ``permutation_constants``)."""
         c = self.config
         sh = shingles(tokens(text), c.shingle_size)
         return minhash_signature(shingle_hashes(sh), c.num_hashes, c.seed)
@@ -65,12 +71,16 @@ class MinHashLSH:
     def transform(
         self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
-        """Project ``(id, signature, bucket_ids)`` — one pass, no shuffle."""
-        sig = self.signature_col(F.col(text_col))
-        return df.select(
-            F.col(id_col).alias(id_col),
-            sig.alias("signature"),
-        ).withColumn("bucket_ids", self.buckets_col(F.col("signature")))
+        """Compute ``(id, signature, bucket_ids)`` via the relational hot path:
+        explode shingle hashes -> 100 codegen'd min-aggregates -> array
+        (``minhash_signatures_df``). One pre-reduced shuffle of ``num_hashes``
+        longs per doc; banding is a cheap 25-element expression on top."""
+        c = self.config
+        base = shingle_hashes(shingles(tokens(F.col(text_col)), c.shingle_size))
+        sigs = minhash_signatures_df(
+            df, base, id_col=id_col, num_hashes=c.num_hashes, seed=c.seed
+        )
+        return sigs.withColumn("bucket_ids", self.buckets_col(F.col("signature")))
 
     def fit(
         self,

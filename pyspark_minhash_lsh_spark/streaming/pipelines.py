@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import content_fingerprint, lsh_buckets, minhash_signature, shingle_hashes
+from ..functions.hashing import (
+    content_fingerprint,
+    lsh_buckets,
+    minhash_signature_arrow,
+    shingle_hashes,
+)
 from ..functions.text import shingles, tokens
 
 __all__ = [
@@ -122,8 +127,10 @@ def streaming_near_dedup(
     one state key per doc (state ~ 16 bytes/doc/horizon); more bands ->
     higher near-dup recall but state * num_bands and union of streams.
     We key on the full bucket array rendered to a string for band-0 only —
-    the deliberate, documented approximation."""
-    sig = minhash_signature(
+    the deliberate, documented approximation. The signature comes from the
+    Arrow-vectorized per-row form (streaming can't take the relational
+    groupBy path without adding stateful aggregation)."""
+    sig = minhash_signature_arrow(
         shingle_hashes(shingles(tokens(F.col(text_col)), 2)), num_hashes, 1
     )
     band0 = F.element_at(
