@@ -866,9 +866,14 @@ def q32_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q33_similarity_join")
 def q33_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH similarity self-join (north-star operator) — rows-only;
-    its exact twin q25 is the oracle-checked counterpart."""
+    its exact twin q25 is the oracle-checked counterpart.
+
+    persist=True matters here: the self-join references the index twice, and
+    without persistence the whole signature pipeline is recomputed for both
+    sides (verified via .explain — the plan showed two full scan->explode->
+    agg subtrees)."""
     docs = _t(spark, sf_dir, "documents")
-    model = MinHashLSH().fit(docs, text_col="text", id_col="doc_id", persist=False)
+    model = MinHashLSH().fit(docs, text_col="text", id_col="doc_id", persist=True)
     return model.approx_similarity_join(threshold=0.7).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )

@@ -133,10 +133,16 @@ def streaming_near_dedup(
     sig = minhash_signature_arrow(
         shingle_hashes(shingles(tokens(F.col(text_col)), 2)), num_hashes, 1
     )
+    # materialize the UDF output before banding: Spark rejects Python-UDF
+    # results referenced inside higher-order lambdas (LAMBDA_FUNCTION_WITH_PYTHON_UDF)
     band0 = F.element_at(
-        lsh_buckets(sig, num_bands, rows_per_band, num_buckets), 1
+        lsh_buckets(F.col("_sig"), num_bands, rows_per_band, num_buckets), 1
     )
-    keyed = docs.withColumn("band_key", band0)
+    keyed = (
+        docs.withColumn("_sig", sig)
+        .withColumn("band_key", band0)
+        .drop("_sig")
+    )
     if docs.isStreaming:
         return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["band_key"]

@@ -44,9 +44,12 @@ def test_hourly_stats_stream_matches_batch(spark, events_dir):
     batch = spark.read.parquet(events_dir)
     stream = spark.readStream.schema(batch.schema).parquet(events_dir)
 
+    # complete mode: a single availableNow batch never advances the watermark,
+    # so append would emit nothing; complete emits every window's final state,
+    # which must equal the batch twin exactly
     got_q = (
         hourly_event_stats(stream).writeStream.format("memory")
-        .queryName("hourly").outputMode("append").trigger(availableNow=True).start()
+        .queryName("hourly").outputMode("complete").trigger(availableNow=True).start()
     )
     got_q.awaitTermination(120)
     got = spark.table("hourly").collect()
@@ -55,12 +58,7 @@ def test_hourly_stats_stream_matches_batch(spark, events_dir):
     key = lambda r: (r.window_start, r.event_type)
     gm = {key(r): (r.n_events, r.total_value) for r in got}
     wm = {key(r): (r.n_events, r.total_value) for r in want}
-    # append-mode emits only watermark-closed windows; every emitted window
-    # must match the batch result exactly, and most windows must have emitted
-    assert gm, "stream emitted nothing"
-    for k, v in gm.items():
-        assert wm[k] == v, k
-    assert len(gm) >= len(wm) - 2  # at most the trailing windows unemitted
+    assert gm == wm
 
 
 def test_streaming_exact_dedup(spark, events_dir):
