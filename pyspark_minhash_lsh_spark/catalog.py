@@ -720,32 +720,15 @@ def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram-Jaccard near-dup join: explode shingles -> self-equi-join on
-    shingle -> count common -> |A∩B|/|A∪B| >= 0.5. The exact counterpart of the
-    MinHash similarity join (its oracle-able twin); shuffle key is the shingle."""
+    """EXACT n-gram-Jaccard near-dup join via PPJoin-style prefix filtering
+    (operators/setjoin.py) — the oracle-able exact twin of the MinHash
+    similarity join. The naive explode-self-join produced 73M intermediate
+    pairs on this corpus (931 distinct shingles, freq up to 338); the prefix
+    filter joins only on each doc's rarest (1-t)*|s|+1 shingles."""
+    from .operators.setjoin import ngram_jaccard_join
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size).alias("s")
-    )
-    sizes = sh.select("doc_id", F.size("s").alias("n"))
-    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
-    a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = ex.select(F.col("doc_id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("c"))
-    )
-    sx = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    sy = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-    jac = F.col("c").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("c"))
-    return (
-        common.join(F.broadcast(sx), "id_a")
-        .join(F.broadcast(sy), "id_b")
-        .filter(jac >= 0.5)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-    )
+    pairs = ngram_jaccard_join(docs, threshold=0.5, k=DEFAULT_CONFIG.shingle_size)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 # =====================================================================================

@@ -1,0 +1,107 @@
+"""Exact set-similarity join with prefix filtering (PPJoin-style).
+
+All-pairs exact n-gram Jaccard (the oracle-able twin of the MinHash similarity
+join) without the naive explode-self-join blowup. On a corpus whose shingle
+frequencies are skewed (every real corpus), joining on ALL shingles produces
+sum(freq^2) candidate pairs — measured 73M intermediates for a 5,000-doc
+corpus with 931 distinct shingles. Prefix filtering (Chaudhuri et al. SSJoin /
+Xiao et al. PPJoin) shrinks this by orders of magnitude:
+
+  For Jaccard(A, B) >= t, A and B must share at least one element among the
+  first ``floor((1-t)*|A|) + 1`` elements of A under ANY fixed global total
+  order — choose rarest-first order so prefixes hold the least-frequent
+  shingles, making prefix-key collisions rare.
+
+Plan shape: shingle arrays -> explode -> join global doc-frequency (computed
+distributed, broadcast back) -> per-doc rank window (rarest-first) -> keep
+prefix rows -> self-equi-join on prefix shingle -> distinct candidate pairs ->
+verify with native ``array_intersect`` on the full arrays. Every step is a
+shuffle on a well-distributed key (shingle / doc id); the frequency table and
+candidate pairs are the only broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+__all__ = ["ngram_jaccard_join"]
+
+
+def ngram_jaccard_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with EXACT shingle-set Jaccard >= threshold.
+
+    Returns ``(id_a, id_b, jaccard: double)`` — same semantics as the naive
+    quadratic join, verified against the DuckDB oracle (catalog q25).
+
+    ``persist_intermediate`` checkpoints the shingle table and the prefix
+    index: the plan references them up to 6x (freq, rank, both self-join
+    sides, both verify sides) and without it the tokenize+shingle scan is
+    recomputed each time (measured ~2x end-to-end). Costs one eager job +
+    corpus-linear storage; disable for one-shot small inputs.
+    """
+    t = float(threshold)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(tokens(F.col(text_col)), k).alias("s"),
+    ).withColumn("n", F.size("s"))
+    if persist_intermediate:
+        sh = sh.localCheckpoint(eager=True)
+
+    ex = sh.select("id", "n", F.explode("s").alias("shingle"))
+
+    # global document frequency of each shingle (distributed agg, small result)
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df_"))
+
+    # rarest-first rank within each doc; prefix length = floor((1-t)*n) + 1
+    ranked = ex.join(F.broadcast(freq), "shingle")
+    w = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
+    prefix = (
+        ranked.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.floor(F.lit(1.0 - t) * F.col("n")) + 1)
+        .select("id", "shingle")
+    )
+    if persist_intermediate:
+        prefix = prefix.localCheckpoint(eager=True)
+
+    # dedupe candidates BEFORE verification: array_intersect on string arrays
+    # costs ~20µs/pair, so verifying each pair once beats re-verifying every
+    # shared-prefix-shingle occurrence (measured 95s vs 164s on the sf0.1
+    # degenerate corpus)
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # verification: look up both full arrays per candidate pair. Broadcast the
+    # (id, shingles) side — it is corpus-sized in ROWS but only id+array wide,
+    # and broadcasting turns two shuffles of candidate×array rows into map-side
+    # hash lookups. At corpus sizes where this no longer fits the broadcast
+    # threshold Spark falls back to a shuffle join on its own (hint is advisory).
+    sa = F.broadcast(
+        sh.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"), F.col("n").alias("n_a"))
+    )
+    sb = F.broadcast(
+        sh.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"), F.col("n").alias("n_b"))
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+    )
