@@ -28,6 +28,7 @@ from .functions.hashing import (
     content_fingerprint,
     lsh_buckets,
     minhash_signatures_df,
+    minhash_signatures_df_128,
     shingle_hashes,
     signature_jaccard,
     simhash_bits_df,
@@ -1040,3 +1041,95 @@ def q41_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = SrpLsh(num_planes=8, num_tables=4).fit(emb.filter(F.col("vec_id") != 0), persist=False)
     res = model.approx_cosine_topk(qvec, k=10)
     return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# =====================================================================================
+# Small relational surface completions (SURVEY.md T3, M2, P6/P7, §2.8)
+# =====================================================================================
+
+@query(
+    "q42_limit_trim",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def q42_limit_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (reference T1/T3: orderBy desc + head/trim) —
+    plans as TakeOrderedAndProject, no driver round-trip."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "q43_projection_ops",
+    oracle="""
+    SELECT p_partkey AS part_id, upper(p_brand) AS brand, p_retailprice
+    FROM part WHERE p_size >= 30
+    """,
+)
+def q43_projection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename / derive / drop projection ops (reference P6/P7)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size") >= 30)
+        .withColumnRenamed("p_partkey", "part_id")
+        .withColumn("brand", F.upper("p_brand"))
+        .select("part_id", "brand", "p_retailprice")
+    )
+
+
+@query(
+    "q44_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q44_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (completes §2.8 with q15's UNION/EXCEPT)."""
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    finished = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return rich.intersect(finished)
+
+
+@query("q45_sample")
+def q45_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (reference M2 keeps df.sample as a user-facing
+    operator) — rows-only: the sampled set is partitioning-dependent, but
+    within one run the same plan is deterministic (the rows-only determinism
+    check re-executes an identical plan), and the aggregate bounds are stable."""
+    li = _t(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+    return li.agg(
+        F.count("*").alias("n_sampled"),
+        F.min("l_orderkey").alias("min_key"),
+    )
+
+
+@query("q46_minhash128")
+def q46_minhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit md5 hex-string signature mode (reference HASH_128BIT,
+    minhash_config.py:54, utils.py:7-16) — rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size)
+    sigs = minhash_signatures_df_128(docs, sh, num_hashes=DEFAULT_CONFIG.num_hashes)
+    return sigs.select(
+        "doc_id",
+        F.size("signature").alias("sig_len"),
+        F.element_at("signature", 1).alias("sig_first"),
+        F.array_min("signature").alias("sig_min"),
+    )

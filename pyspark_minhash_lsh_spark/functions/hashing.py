@@ -26,7 +26,10 @@ __all__ = [
     "permutation_constants",
     "shingle_hashes",
     "minhash_signature",
+    "minhash_signature_arrow",
     "minhash_signatures_df",
+    "minhash_signatures_df_128",
+    "simhash_bits_df",
     "lsh_buckets",
     "signature_jaccard",
     "bucket_overlap_ratio",
@@ -264,6 +267,45 @@ def simhash_bits(toks: Column, num_bits: int = 64, seed: int = 1) -> Column:
         toks, zeros, lambda acc, t: F.zip_with(acc, vote_vec(t), lambda a, v: a + v)
     )
     return F.transform(tally, lambda w: F.when(w > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def minhash_signatures_df_128(
+    df: DataFrame,
+    shingle_col: Column,
+    id_col: str = "doc_id",
+    num_hashes: int = 100,
+    out_col: str = "signature",
+) -> DataFrame:
+    """128-bit-compatibility MinHash: hex-string signatures via native ``md5``.
+
+    The reference's sanctioned 128-bit mode hex-encodes md5/xxh128 digests of
+    ``str(i) + str(shingle)`` per hash index i (``utils.py:7-16``,
+    ``minhash_utils.py:41-87``, ``HASH_128BIT`` minhash_config.py:54). Native
+    ``md5`` yields fixed-width 32-char hex, so lexicographic MIN == numeric
+    MIN and the whole signature stays a codegen'd relational aggregate — same
+    explode+groupBy shape as the 64-bit path. ~100 md5 digests per shingle
+    (the i-indexed family can't reuse one base hash), so this mode is ~5x the
+    64-bit path; it exists for reference parity, not as the default.
+
+    Empty docs -> all-'g' sentinel (lexicographically above any hex digit,
+    mirroring the +inf init at minhash_utils.py:66-79).
+    """
+    ex = df.select(F.col(id_col), F.explode_outer(shingle_col).alias("_s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    sentinel = F.lit("g" * 32)
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(
+                *[F.coalesce(F.col(f"_m{i}"), sentinel) for i in range(num_hashes)]
+            ).alias(out_col),
+        )
+    )
 
 
 def simhash_bits_df(

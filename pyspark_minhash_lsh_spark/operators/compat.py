@@ -1,0 +1,102 @@
+"""Reference-compatible API shim.
+
+A user of the reference's ``PySparkMinHashLSH`` (``minhash_pyspark.py:40-477``)
+can switch to this class with the same call shapes:
+
+    model = PySparkMinHashLSH.read_from_txt(path, spark, trim=0)
+    model.run()
+    result_df = model.approxNearestNeighbors(key_text, n=10, bucket_thres=0.6)
+
+Differences (all deliberate, SURVEY.md §7.3):
+  - no ``sc``/``sqlContext`` args — one SparkSession (pass it explicitly);
+  - signatures are ``array<bigint>`` (the reference's sanctioned 64-bit mode,
+    ``minhash_utils.py:59-64``), not hex strings;
+  - no driver-side ``shing_dict``/``hash_dict`` (eliminated; the reference
+    builds them at ``minhash_pyspark.py:341-433``) — OOV query shingles are
+    hashed like any other, so a full-text self-query scores exactly 1.0;
+  - ``run()`` is lazy + cache like the reference's ``cache_dfs``
+    (``minhash_pyspark.py:435-440``); ``free_dfs`` is provided;
+  - results come back as one lazy DataFrame (the reference's
+    collect->createDataFrame round-trip at ``minhash_pyspark.py:273-288``
+    is gone).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import DEFAULT_CONFIG, MinHashLSHConfig
+from ..sources.readers import read_text_corpus
+from .minhash_lsh import MinHashLSH, MinHashLSHModel
+
+__all__ = ["PySparkMinHashLSH"]
+
+
+class PySparkMinHashLSH:
+    """Drop-in-shaped equivalent of the reference class (minhash_pyspark.py:40)."""
+
+    def __init__(
+        self, documents: DataFrame, config: MinHashLSHConfig = DEFAULT_CONFIG
+    ) -> None:
+        self.documents = documents
+        self.config = config
+        self._model: Optional[MinHashLSHModel] = None
+
+    # reference: read_from_txt(filepath, sc, sqlContext, trim) -> instance
+    # (minhash_pyspark.py:449-477)
+    @classmethod
+    def read_from_txt(
+        cls,
+        filepath: str,
+        spark: SparkSession,
+        trim: int = 0,
+        config: MinHashLSHConfig = DEFAULT_CONFIG,
+    ) -> "PySparkMinHashLSH":
+        docs = read_text_corpus(spark, filepath, trim=trim or None, id_col="id")
+        return cls(docs, config)
+
+    # reference: run() = shingling + minhashing + LSH + cache
+    # (minhash_pyspark.py:170-182)
+    def run(self) -> "PySparkMinHashLSH":
+        self._model = MinHashLSH(self.config).fit(
+            self.documents, text_col="text", id_col=self._id_col(), persist=True
+        )
+        return self
+
+    def _id_col(self) -> str:
+        return "id" if "id" in self.documents.columns else "doc_id"
+
+    @property
+    def minhash_df(self) -> DataFrame:
+        """(id, signature) — reference attribute minhash_pyspark.py:77-78."""
+        self._require_run()
+        return self._model.index.select(self._id_col(), "signature")
+
+    @property
+    def lsh_df(self) -> DataFrame:
+        """(id, bucket_ids) — reference attribute minhash_pyspark.py:79-80."""
+        self._require_run()
+        return self._model.index.select(self._id_col(), "bucket_ids")
+
+    # reference: approxNearestNeighbors(key, n, bucket_thres)
+    # (minhash_pyspark.py:200-241); bucket_thres=0 means any-overlap (F-a),
+    # >0 means overlap-ratio filter (F-b) with empty-result fallback (F-c)
+    def approxNearestNeighbors(
+        self, key: str, n: int = 10, bucket_thres: float = 0.0
+    ) -> DataFrame:
+        self._require_run()
+        return self._model.approx_nearest_neighbors(
+            key, n=n, bucket_thres=bucket_thres or None, with_text=True
+        )
+
+    # reference: cache_dfs / free_dfs (minhash_pyspark.py:435-447)
+    def free_dfs(self) -> None:
+        if self._model is not None:
+            self._model.unpersist()
+
+    def _require_run(self) -> None:
+        # reference asserts minhash_df is not None (minhash_pyspark.py:233)
+        if self._model is None:
+            raise RuntimeError("call run() before querying")

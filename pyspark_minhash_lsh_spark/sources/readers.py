@@ -14,7 +14,13 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_text_corpus", "read_table", "TESTDATA_TABLES"]
+__all__ = [
+    "read_text_corpus",
+    "read_table",
+    "read_csv_corpus",
+    "read_json_corpus",
+    "TESTDATA_TABLES",
+]
 
 TESTDATA_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -51,3 +57,34 @@ def read_text_corpus(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver's parquet tables from an sf directory."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV source -> ``(doc_id, text)``; schema inferred, ids attached if absent.
+
+    Engine-added columnar source (the reference reads only line-per-doc text,
+    ``minhash_pyspark.py:449-477``)."""
+    df = spark.read.csv(path, header=header, sep=sep, inferSchema=True)
+    if id_col not in df.columns:
+        df = df.withColumn(id_col, F.monotonically_increasing_id())
+    return df.select(id_col, *[c for c in df.columns if c != id_col])
+
+
+def read_json_corpus(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines source; ids attached if absent."""
+    df = spark.read.json(path, multiLine=multiline)
+    if id_col not in df.columns:
+        df = df.withColumn(id_col, F.monotonically_increasing_id())
+    return df

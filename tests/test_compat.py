@@ -1,0 +1,51 @@
+"""Reference-compat shim: same call shapes as the reference notebook protocol
+(run_pyspark.ipynb cell 0/1 — read txt, run, query with a prefix of doc 0)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_minhash_lsh_spark.operators.compat import PySparkMinHashLSH
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def corpus_txt(spark, tmp_path_factory):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    path = tmp_path_factory.mktemp("corpus") / "docs.txt"
+    texts = [r.text.replace("\n", " ") for r in docs.select("text").collect()]
+    path.write_text("\n".join(texts) + "\n\n")  # trailing blank line on purpose
+    return str(path)
+
+
+def test_reference_protocol(spark, corpus_txt):
+    model = PySparkMinHashLSH.read_from_txt(corpus_txt, spark).run()
+
+    # blank line skipped on load (reference minhash_in_memory.py:340-346)
+    assert model.documents.count() == 200
+    assert set(model.minhash_df.columns) == {"id", "signature"}
+    assert set(model.lsh_df.columns) == {"id", "bucket_ids"}
+
+    # key_short protocol: query with a prefix of doc 0 -> doc 0 ranks first
+    doc0 = model.documents.orderBy("id").head()
+    key_short = " ".join(doc0.text.split()[:30])
+    res = model.approxNearestNeighbors(key_short, n=5).collect()
+    assert res and res[0].id == doc0.id
+
+    # threshold + fallback path (reference F-b/F-c)
+    res2 = model.approxNearestNeighbors(doc0.text, n=3, bucket_thres=0.9).collect()
+    assert res2 and res2[0].id == doc0.id and res2[0].jaccard == pytest.approx(1.0)
+
+    model.free_dfs()
+
+
+def test_trim(spark, corpus_txt):
+    model = PySparkMinHashLSH.read_from_txt(corpus_txt, spark, trim=50)
+    assert model.documents.count() == 50
+
+
+def test_query_before_run_raises(spark, corpus_txt):
+    model = PySparkMinHashLSH.read_from_txt(corpus_txt, spark)
+    with pytest.raises(RuntimeError):
+        model.approxNearestNeighbors("anything")

@@ -1,0 +1,66 @@
+"""MLlib interop cross-check (SURVEY.md §7.2 M3): our MinHash-LSH similarity
+join and MLlib's CountVectorizer->MinHashLSH pipeline must both recover the
+high-similarity pairs that the EXACT prefix-filtered join finds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.ml.feature import CountVectorizer
+from pyspark.ml.feature import MinHashLSH as MllibMinHashLSH
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.functions.text import shingles, tokens
+from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+from pyspark_minhash_lsh_spark.operators.setjoin import ngram_jaccard_join
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    """Ground truth: exact jaccard >= 0.8 pairs."""
+    return {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_join(docs, threshold=0.8).collect()
+    }
+
+
+def test_our_join_recovers_exact_pairs(docs, exact_pairs):
+    assert exact_pairs, "fixture corpus has no near-dup pairs at 0.8"
+    model = MinHashLSH().fit(docs, persist=True)
+    try:
+        ours = {
+            (r.id_a, r.id_b)
+            for r in model.approx_similarity_join(threshold=0.6).collect()
+        }
+    finally:
+        model.unpersist()
+    # banding S-curve at s>=0.8: P[collide] ~ 1-(1-0.8^4)^25 > 0.9999
+    missed = exact_pairs - ours
+    assert len(missed) <= max(1, len(exact_pairs) // 20), missed
+
+
+def test_mllib_pipeline_agrees(spark, docs, exact_pairs):
+    sh = docs.select(
+        "doc_id", shingles(tokens(F.col("text")), 2).alias("sh")
+    ).filter(F.size("sh") > 0)
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True)
+    cv_model = cv.fit(sh)
+    feats = cv_model.transform(sh)
+    lsh = MllibMinHashLSH(inputCol="features", outputCol="hashes", numHashTables=25, seed=1)
+    lsh_model = lsh.fit(feats)
+    joined = lsh_model.approxSimilarityJoin(feats, feats, 0.4, distCol="dist")
+    mllib_pairs = {
+        (r.ida, r.idb)
+        for r in joined.select(
+            F.col("datasetA.doc_id").alias("ida"), F.col("datasetB.doc_id").alias("idb")
+        ).filter(F.col("ida") < F.col("idb")).collect()
+    }
+    # MLlib distance = 1 - jaccard; threshold 0.4 -> jaccard >= 0.6
+    missed = exact_pairs - mllib_pairs
+    assert len(missed) <= max(1, len(exact_pairs) // 10), missed
