@@ -1133,3 +1133,19 @@ def q46_minhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("signature", 1).alias("sig_first"),
         F.array_min("signature").alias("sig_min"),
     )
+
+
+@query("q47_ivf_ann")
+def q47_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat (KMeans coarse quantizer) cosine top-k vs vec_id=0 — rows-only
+    (KMeans cell assignment is iteration-order dependent across Spark versions;
+    within a session it is deterministic). Full-probe twin equals brute-force
+    q26 exactly (tests/test_ivf.py)."""
+    from .operators.ivf import IvfFlat
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    model = IvfFlat(n_cells=8, seed=1).fit(corpus, persist=False)
+    return model.approx_cosine_topk(qvec, k=10, n_probe=8).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )

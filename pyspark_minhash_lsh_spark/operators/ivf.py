@@ -1,0 +1,110 @@
+"""IVF (inverted-file) embedding ANN: KMeans coarse quantizer + per-cell search.
+
+The second scale path for embedding similarity (complementing SRP-LSH in
+``similarity.py``): cluster the corpus into ``n_cells`` centroids (MLlib
+KMeans — distributed Lloyd's), assign each vector to its nearest centroid, and
+at query time scan only the ``n_probe`` cells nearest the query. Standard
+IVF-Flat (FAISS terminology) re-expressed as DataFrames:
+
+  fit:    KMeans.fit (MLlib) -> assign cell ids -> persist (vec, cell)
+  query:  rank centroids vs query (driver-side over n_cells rows — centroids
+          are model state, inherently small) -> filter index to n_probe cells
+          (partition-prunable predicate) -> exact cosine -> top-k
+
+At 100 TB: the index is written partitioned by ``cell``, so a query's filter
+prunes to n_probe/n_cells of the data before any scan; recall/cost trades off
+via n_probe exactly as in FAISS.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+__all__ = ["IvfFlat"]
+
+
+class IvfFlat:
+    def __init__(self, n_cells: int = 16, seed: int = 1) -> None:
+        self.n_cells = n_cells
+        self.seed = seed
+
+    def fit(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        persist: bool = True,
+    ) -> "IvfFlatModel":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        feats = df.select(
+            F.col(id_col), F.col(emb_col),
+            array_to_vector(F.col(emb_col).cast("array<double>")).alias("_features"),
+        )
+        km = KMeans(k=self.n_cells, seed=self.seed, featuresCol="_features",
+                    predictionCol="cell")
+        model = km.fit(feats)
+        index = model.transform(feats).select(id_col, emb_col, "cell")
+        if persist:
+            index = index.persist()
+        centroids = [list(c) for c in model.clusterCenters()]
+        return IvfFlatModel(self, index, centroids, emb_col, id_col)
+
+
+class IvfFlatModel:
+    def __init__(
+        self,
+        ivf: IvfFlat,
+        index: DataFrame,
+        centroids: list[list[float]],
+        emb_col: str,
+        id_col: str,
+    ) -> None:
+        self.ivf = ivf
+        self.index = index
+        self.centroids = centroids  # model state: n_cells x dim, driver-small
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def _nearest_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
+        """Rank centroids by cosine vs the query — pure driver math over
+        n_cells rows (centroids ARE the model; no corpus data involved)."""
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return dot / (na * nb) if na > 0 and nb > 0 else -1.0
+
+        ranked = sorted(
+            range(len(self.centroids)),
+            key=lambda c: -cos(query_vec, self.centroids[c]),
+        )
+        return ranked[:n_probe]
+
+    def approx_cosine_topk(
+        self, query_vec: list[float], k: int = 10, n_probe: int = 4
+    ) -> DataFrame:
+        """Top-k by exact cosine within the ``n_probe`` nearest cells.
+
+        The cell filter is a plain equality-set predicate — on a cell-partitioned
+        index layout it prunes partitions before the scan."""
+        cells = self._nearest_cells(query_vec, n_probe)
+        q_emb = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<float>")
+        return (
+            self.index.filter(F.col("cell").isin(cells))
+            .select(
+                F.col(self.id_col),
+                cosine_similarity(F.col(self.emb_col), q_emb).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(self.id_col))
+            .limit(k)
+        )
+
+    def unpersist(self) -> None:
+        self.index.unpersist()

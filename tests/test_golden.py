@@ -1,0 +1,54 @@
+"""Golden-file lock (SURVEY.md §5): signature/bucket/fingerprint facets for the
+first 20 sf0.001 docs are frozen in golden_signatures.json. A diff here means
+the hash family or pipeline semantics changed — regenerate ONLY for deliberate
+semantic changes (and say so in the commit message)."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.functions.hashing import content_fingerprint
+from pyspark_minhash_lsh_spark.functions.text import tokens
+from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+from .conftest import SF_SMOKE
+
+GOLDEN = json.loads(
+    (pathlib.Path(__file__).parent / "golden_signatures.json").read_text()
+)
+
+
+def test_signatures_match_golden(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        F.col("doc_id") < 20
+    )
+    idx = MinHashLSH().transform(docs)
+    rows = idx.select(
+        "doc_id",
+        F.element_at("signature", 1).alias("sig_first"),
+        F.array_min("signature").alias("sig_min"),
+        F.element_at("signature", 100).alias("sig_last"),
+        F.size("bucket_ids").alias("n_buckets"),
+        F.array_min("bucket_ids").alias("min_bucket"),
+    ).collect()
+    fps = {
+        r.doc_id: r.f
+        for r in docs.select(
+            "doc_id", content_fingerprint(tokens(F.col("text"))).alias("f")
+        ).collect()
+    }
+    assert len(rows) == len(GOLDEN) == 20
+    for r in rows:
+        g = GOLDEN[str(r.doc_id)]
+        got = {
+            "sig_first": r.sig_first,
+            "sig_min": r.sig_min,
+            "sig_last": r.sig_last,
+            "n_buckets": r.n_buckets,
+            "min_bucket": r.min_bucket,
+            "fingerprint": fps[r.doc_id],
+        }
+        assert got == g, (r.doc_id, got, g)

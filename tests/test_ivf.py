@@ -1,0 +1,38 @@
+"""IVF-Flat embedding ANN: recall against brute force on the testdata embeddings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.functions.vectors import cosine_similarity
+from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+
+from .conftest import SF_SMOKE
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    q_emb = F.array(*[F.lit(x) for x in qvec]).cast("array<float>")
+    brute = [
+        r.vec_id
+        for r in corpus.select(
+            "vec_id", cosine_similarity(F.col("embedding"), q_emb).alias("c")
+        ).orderBy(F.desc("c"), F.asc("vec_id")).limit(10).collect()
+    ]
+
+    model = IvfFlat(n_cells=8, seed=1).fit(corpus, persist=True)
+    try:
+        got = [r.vec_id for r in model.approx_cosine_topk(qvec, k=10, n_probe=4).collect()]
+    finally:
+        model.unpersist()
+    # probing half the cells must recover most of the true top-10
+    assert len(set(brute) & set(got)) >= 7, (brute, got)
+
+    # full probe == brute force exactly
+    model2 = IvfFlat(n_cells=8, seed=1).fit(corpus, persist=False)
+    got_all = [r.vec_id for r in model2.approx_cosine_topk(qvec, k=10, n_probe=8).collect()]
+    assert got_all == brute

@@ -1,0 +1,78 @@
+"""Hypothesis property tests: the native tokenizer/shingler must agree with a
+direct Python model of the reference semantics (utils.py:32-41,
+minhash_utils.py:6-20) on arbitrary input."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.functions.text import shingles, tokens
+from pyspark_minhash_lsh_spark.functions.text_analysis import bpe_token_count_estimate
+
+
+def py_tokens(text: str) -> list[str]:
+    """Reference tokenize: punctuation->space, collapse, lower, strip, split."""
+    cleaned = re.sub(r"[^\w\s]", " ", text)
+    collapsed = re.sub(r"\s+", " ", cleaned)
+    out = collapsed.lower().strip()
+    return [t for t in out.split(" ") if t]
+
+
+def py_shingles(toks: list[str], k: int = 2) -> list[str]:
+    seen, out = set(), []
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+# ASCII-ish text: printable chars incl. punctuation; avoids regex-unicode
+# divergence between Java and Python \w (documented ASCII-corpus assumption)
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts)
+def test_tokenizer_matches_python_model(spark, batch):
+    rows = [(i, t) for i, t in enumerate(batch)]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r.i: (list(r.toks), list(r.sh))
+        for r in df.select(
+            "i",
+            tokens(F.col("t")).alias("toks"),
+            shingles(tokens(F.col("t")), 2).alias("sh"),
+        ).collect()
+    }
+    for i, t in rows:
+        ptoks = py_tokens(t)
+        assert got[i][0] == ptoks, (t, got[i][0], ptoks)
+        assert sorted(got[i][1]) == sorted(py_shingles(ptoks)), t
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts)
+def test_bpe_estimate_bounds(spark, batch):
+    """Estimated tokens >= word count and <= total characters (sane bounds)."""
+    rows = [(i, t) for i, t in enumerate(batch)]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r.i: r.n for r in df.select("i", bpe_token_count_estimate(F.col("t")).alias("n")).collect()
+    }
+    for i, t in rows:
+        words = [w for w in re.sub(r"[^\w]+", " ", t).strip().split() if w]
+        assert got[i] >= len(words), (t, got[i])
+        assert got[i] <= max(len(t), 1) or not t.strip(), (t, got[i])
