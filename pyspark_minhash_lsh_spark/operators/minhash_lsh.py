@@ -246,3 +246,33 @@ class MinHashLSHModel:
     def unpersist(self) -> None:
         """Release the cached index (reference ``free_dfs``, minhash_pyspark.py:442-447)."""
         self.index.unpersist()
+
+    # -- persistence -------------------------------------------------------------------
+    def save_index(self, path: str, partition_by_band0: bool = False) -> None:
+        """Write the index as parquet so later sessions serve queries without
+        recomputing signatures (the reference can only cache in-session).
+
+        ``partition_by_band0=True`` additionally partitions the layout by the
+        first band's bucket — at warehouse scale that lets a band-0 candidate
+        lookup prune partitions before scanning."""
+        out = self.index
+        if partition_by_band0:
+            out = out.withColumn("band0", F.element_at("bucket_ids", 1))
+            out.write.mode("overwrite").partitionBy("band0").parquet(path)
+        else:
+            out.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load_index(
+        cls,
+        spark,
+        path: str,
+        corpus: DataFrame,
+        lsh: "MinHashLSH" = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "MinHashLSHModel":
+        """Rehydrate a saved index. ``corpus`` is still needed for result-text
+        joins; the signature pipeline is NOT recomputed."""
+        index = spark.read.parquet(path).select(id_col, "signature", "bucket_ids")
+        return cls(lsh or MinHashLSH(), corpus, index, text_col, id_col)

@@ -1,0 +1,62 @@
+"""Skew-mitigation utilities: salted joins and capped explode.
+
+At 100 TB the engine's dangerous shuffles are (a) equi-joins whose key
+distribution is Zipfian (shingles, LSH buckets, user ids) and (b) group-bys on
+the same keys. AQE's skew-join splitting handles sort-merge cases at runtime;
+``salted_join`` is the explicit fallback for when one side is huge per key and
+the other is small-but-not-broadcastable — the classic replicate-one-side /
+salt-the-other rewrite, expressed declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join", "cap_group_size"]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys in ``big``.
+
+    ``big`` rows get a random-but-deterministic salt in [0, salt_buckets)
+    (hash of the full row's key + a per-row uniform from ``rand(seed)`` would
+    be nondeterministic across retries — we derive the salt from
+    ``monotonically_increasing_id`` instead, which is stable within a task
+    retry); ``small`` is replicated ``salt_buckets`` times. The join key
+    becomes (key, salt), splitting each hot key's rows across
+    ``salt_buckets`` reducers.
+    """
+    salted_big = big.withColumn(
+        "_salt", (F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))).cast("int")
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias("_salt")
+    replicated_small = small.select("*", salts)
+    return salted_big.join(replicated_small, [on, "_salt"], how).drop("_salt")
+
+
+def cap_group_size(
+    df: DataFrame, key: str, max_rows: int, order_by: str
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per key (deterministic by ``order_by``).
+
+    The explode-side twin of the similarity join's ``max_bucket_size`` guard:
+    bounds the worst-case m^2 blowup of any downstream self-join. Plans as
+    WindowGroupLimit (rank pushdown), so oversized groups are truncated
+    before a full sort materializes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.asc(order_by))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn")
+    )

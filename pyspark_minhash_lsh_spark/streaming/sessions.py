@@ -1,0 +1,125 @@
+"""Custom stateful streaming: event-time sessionization via applyInPandasWithState.
+
+The SURVEY.md M4 "custom stateful operator" — semantics Structured Streaming's
+built-in windows can't express (variable-length sessions defined by inactivity
+gaps). State per user: the currently-open session (start, last event, count).
+Within a batch, events are sorted and split on gaps; every session closed by a
+later in-batch event emits immediately; the trailing open session waits in the
+state store with an event-time timeout of ``last_ts + gap`` — when the
+watermark passes it, the timeout fires and the session emits.
+
+State size: 3 scalars per active user within the watermark horizon — bounded.
+Batch twin for oracle checks: catalog q19 computes the same session counts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["sessionize_stream", "SESSION_SCHEMA"]
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType(), False),
+        StructField("session_start", TimestampType(), False),
+        StructField("session_end", TimestampType(), False),
+        StructField("n_events", IntegerType(), False),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType(), False),
+        StructField("last_ms", LongType(), False),
+        StructField("count", IntegerType(), False),
+    ]
+)
+
+
+def _to_ms(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1_000_000)
+
+
+def _emit(user: str, start_ms: int, last_ms: int, count: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user],
+            "session_start": [pd.Timestamp(start_ms, unit="ms")],
+            "session_end": [pd.Timestamp(last_ms, unit="ms")],
+            "n_events": [count],
+        }
+    )
+
+
+def _make_fn(gap_ms: int):
+    def fn(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        if state.hasTimedOut:
+            start_ms, last_ms, count = state.get
+            state.remove()
+            yield _emit(user, start_ms, last_ms, count)
+            return
+
+        ts_ms: list[int] = []
+        for pdf in pdfs:
+            ts_ms.extend(_to_ms(t) for t in pdf["ts"])
+        ts_ms.sort()
+        if not ts_ms:
+            return
+
+        if state.exists:
+            start_ms, last_ms, count = state.get
+        else:
+            start_ms, last_ms, count = ts_ms[0], ts_ms[0], 0
+
+        out = []
+        for t in ts_ms:
+            if count > 0 and t - last_ms > gap_ms:
+                out.append((start_ms, last_ms, count))
+                start_ms, count = t, 0
+            last_ms = t
+            count += 1
+
+        state.update((start_ms, last_ms, count))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        for s, e, c in out:
+            yield _emit(user, s, e, c)
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization: one output row per closed session.
+
+    Input needs (user_col, ts_col). Works only on streaming DataFrames (state
+    requires the streaming engine); the batch twin is catalog q19."""
+    src = events.select(
+        events[user_col].cast("string").alias("user_id"), events[ts_col].alias("ts")
+    ).withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        _make_fn(gap_minutes * 60 * 1000),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,60 @@
+"""applyInPandasWithState sessionization: two-file stream where the second
+file's timestamps push the watermark past the first sessions' gaps — those
+sessions must emit with exact (start, end, count)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.streaming.sessions import sessionize_stream
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
+    t0 = "2024-01-01 00:00:00"
+    base = F.unix_timestamp(F.to_timestamp(F.lit(t0)))
+
+    def mk(rows):
+        df = spark.createDataFrame(rows, ["user_id", "offset_s"])
+        return df.select(
+            "user_id", F.timestamp_seconds(base + F.col("offset_s")).alias("ts")
+        )
+
+    # file 1: u1 has two sessions (gap > 30min between 600s and 4000s);
+    #         u2 has one session
+    early = mk([
+        ("u1", 0), ("u1", 300), ("u1", 600),
+        ("u1", 4000), ("u1", 4100),
+        ("u2", 100),
+    ])
+    # file 2: far future (+1 day) -> watermark passes everything in file 1
+    late = mk([("u3", 86400)])
+
+    src = tmp_path / "stream"
+    early.coalesce(1).write.mode("append").parquet(str(src))
+    late.coalesce(1).write.mode("append").parquet(str(src))
+
+    schema = early.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+        for r in spark.table("sessions").collect()
+    }
+
+    expect_subset = {
+        ("u1", "2024-01-01T00:00:00", "2024-01-01T00:10:00", 3),
+        ("u1", "2024-01-01T01:06:40", "2024-01-01T01:08:20", 2),
+        ("u2", "2024-01-01T00:01:40", "2024-01-01T00:01:40", 1),
+    }
+    # all of file 1's sessions closed (u3's trailing session may stay open)
+    assert expect_subset <= got, got

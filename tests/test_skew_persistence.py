@@ -1,0 +1,49 @@
+"""Salted join correctness, group-size capping, and index save/load round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH, MinHashLSHModel
+from pyspark_minhash_lsh_spark.operators.skew import cap_group_size, salted_join
+
+from .conftest import SF_SMOKE
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 'a' appears 500x on the big side
+    big = spark.createDataFrame(
+        [("a", i) for i in range(500)] + [("b", i) for i in range(10)], ["k", "v"]
+    )
+    small = spark.createDataFrame([("a", "A"), ("b", "B"), ("c", "C")], ["k", "name"])
+    plain = {(r.k, r.v, r.name) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.name) for r in salted_join(big, small, "k", salt_buckets=4).collect()}
+    assert salted == plain
+
+
+def test_cap_group_size(spark):
+    df = spark.createDataFrame([("g", i) for i in range(100)] + [("h", 1)], ["k", "v"])
+    capped = cap_group_size(df, "k", max_rows=10, order_by="v")
+    got = capped.groupBy("k").count().collect()
+    counts = {r.k: r["count"] for r in got}
+    assert counts == {"g": 10, "h": 1}
+    # deterministic: keeps the smallest order_by values
+    kept = sorted(r.v for r in capped.filter(F.col("k") == "g").collect())
+    assert kept == list(range(10))
+
+
+def test_index_save_load_roundtrip(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+    model = MinHashLSH().fit(docs, persist=False)
+    path = str(tmp_path / "index")
+    model.save_index(path)
+
+    loaded = MinHashLSHModel.load_index(spark, path, docs)
+    qtext = docs.orderBy("doc_id").head().text
+    res = loaded.approx_nearest_neighbors(qtext, n=3).collect()
+    assert res and res[0].doc_id == 0 and res[0].jaccard == 1.0
+
+    # saved signatures identical to freshly computed ones
+    fresh = {r.doc_id: list(r.signature) for r in model.index.collect()}
+    saved = {r.doc_id: list(r.signature) for r in loaded.index.collect()}
+    assert fresh == saved
