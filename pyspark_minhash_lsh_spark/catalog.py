@@ -27,7 +27,7 @@ from .config import DEFAULT_CONFIG
 from .functions.hashing import (
     content_fingerprint,
     lsh_buckets,
-    minhash_signatures_df,
+    minhash_index_df,
     minhash_signatures_df_128,
     shingle_hashes,
     signature_jaccard,
@@ -806,12 +806,15 @@ def q27_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q30_minhash_signatures")
 def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (reference F4) — xxhash64-dependent, rows-only check.
-    Runs the relational hot path (minhash_signatures_df); emits stable scalar
-    facets of the signature rather than the raw array."""
+    Runs the fused relational hot path (minhash_index_df: posexplode tokens ->
+    lead-window k-gram hashes -> 100 min-aggs, one shuffle); emits stable
+    scalar facets of the signature rather than the raw array."""
     c = DEFAULT_CONFIG
     docs = _t(spark, sf_dir, "documents")
-    base = shingle_hashes(shingles(tokens(F.col("text")), c.shingle_size))
-    sigs = minhash_signatures_df(docs, base, num_hashes=c.num_hashes, seed=c.seed)
+    sigs = minhash_index_df(
+        docs, tokens(F.col("text")), k=c.shingle_size,
+        num_hashes=c.num_hashes, seed=c.seed,
+    )
     return sigs.select(
         "doc_id",
         F.size("signature").alias("sig_len"),
@@ -825,8 +828,10 @@ def q31_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket ids (reference F5) — rows-only."""
     c = DEFAULT_CONFIG
     docs = _t(spark, sf_dir, "documents")
-    base = shingle_hashes(shingles(tokens(F.col("text")), c.shingle_size))
-    sigs = minhash_signatures_df(docs, base, num_hashes=c.num_hashes, seed=c.seed)
+    sigs = minhash_index_df(
+        docs, tokens(F.col("text")), k=c.shingle_size,
+        num_hashes=c.num_hashes, seed=c.seed,
+    )
     buckets = lsh_buckets(F.col("signature"), c.num_bands, c.rows_per_band,
                           c.num_buckets, band_local=c.band_local_buckets)
     return sigs.select(

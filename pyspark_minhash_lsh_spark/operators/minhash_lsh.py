@@ -28,12 +28,12 @@ from ..config import DEFAULT_CONFIG, MinHashLSHConfig
 from ..functions.hashing import (
     bucket_overlap_ratio,
     lsh_buckets,
+    minhash_index_df,
     minhash_signature,
-    minhash_signatures_df,
-    shingle_hashes,
     signature_jaccard,
+    token_shingle_hashes,
 )
-from ..functions.text import shingles, tokens
+from ..functions.text import tokens
 
 __all__ = ["MinHashLSH", "MinHashLSHModel"]
 
@@ -55,10 +55,12 @@ class MinHashLSH:
 
         Nested higher-order expressions evaluate interpreted (~20µs/element);
         corpus-scale signatures go through ``transform`` -> relational path.
-        Both produce identical values (same ``permutation_constants``)."""
+        Both produce identical values (same token-hash shingling + the same
+        ``permutation_constants`` family — parity-tested)."""
         c = self.config
-        sh = shingles(tokens(text), c.shingle_size)
-        return minhash_signature(shingle_hashes(sh), c.num_hashes, c.seed)
+        return minhash_signature(
+            token_shingle_hashes(tokens(text), c.shingle_size), c.num_hashes, c.seed
+        )
 
     def buckets_col(self, signature: Column) -> Column:
         c = self.config
@@ -71,14 +73,19 @@ class MinHashLSH:
     def transform(
         self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
-        """Compute ``(id, signature, bucket_ids)`` via the relational hot path:
-        explode shingle hashes -> 100 codegen'd min-aggregates -> array
-        (``minhash_signatures_df``). One pre-reduced shuffle of ``num_hashes``
-        longs per doc; banding is a cheap 25-element expression on top."""
+        """Compute ``(id, signature, bucket_ids)`` via the fused relational hot
+        path (``minhash_index_df``): posexplode tokens -> per-token xxhash64 ->
+        lead() window pairs adjacent hashes into k-gram hashes -> 100 codegen'd
+        min-aggregates reusing the window's shuffle. One exchange total, zero
+        higher-order lambdas; banding is a cheap 25-element expression on top."""
         c = self.config
-        base = shingle_hashes(shingles(tokens(F.col(text_col)), c.shingle_size))
-        sigs = minhash_signatures_df(
-            df, base, id_col=id_col, num_hashes=c.num_hashes, seed=c.seed
+        sigs = minhash_index_df(
+            df,
+            tokens(F.col(text_col)),
+            id_col=id_col,
+            k=c.shingle_size,
+            num_hashes=c.num_hashes,
+            seed=c.seed,
         )
         return sigs.withColumn("bucket_ids", self.buckets_col(F.col("signature")))
 

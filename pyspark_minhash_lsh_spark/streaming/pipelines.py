@@ -22,9 +22,9 @@ from ..functions.hashing import (
     content_fingerprint,
     lsh_buckets,
     minhash_signature_arrow,
-    shingle_hashes,
+    token_shingle_hashes,
 )
-from ..functions.text import shingles, tokens
+from ..functions.text import tokens
 
 __all__ = [
     "hourly_event_stats",
@@ -131,7 +131,7 @@ def streaming_near_dedup(
     Arrow-vectorized per-row form (streaming can't take the relational
     groupBy path without adding stateful aggregation)."""
     sig = minhash_signature_arrow(
-        shingle_hashes(shingles(tokens(F.col(text_col)), 2)), num_hashes, 1
+        token_shingle_hashes(tokens(F.col(text_col)), 2), num_hashes, 1
     )
     # materialize the UDF output before banding: Spark rejects Python-UDF
     # results referenced inside higher-order lambdas (LAMBDA_FUNCTION_WITH_PYTHON_UDF)
