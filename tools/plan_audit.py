@@ -1,0 +1,56 @@
+"""Physical-plan audit: compile (no execution) catalog queries and report
+exchange counts + key operators. Evidence base for PLANS.md.
+
+Usage: python tools/plan_audit.py [query_name ...]   (default: headline set)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark_minhash_lsh_spark.catalog import QUERIES  # noqa: E402
+from pyspark_minhash_lsh_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_region_revenue",
+    "q10_top_orders_per_customer",
+    "q25_ngram_jaccard_pairs",
+    "q26_cosine_topk",
+    "q30_minhash_signatures",
+    "q32_ann_query",
+    "q33_similarity_join",
+]
+
+MARKERS = [
+    "Exchange hashpartitioning",
+    "BroadcastExchange",
+    "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
+    "SortMergeJoin",
+    "WindowGroupLimit",
+    "TakeOrderedAndProject",
+    "PushedFilters: [",
+    "BatchEvalPython",
+    "ArrowEvalPython",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    names = sys.argv[1:] or HEADLINE
+    spark = get_spark(cpus=4)
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        counts = {m: plan.count(m) for m in MARKERS if plan.count(m)}
+        print(f"{name}: {counts}")
+        if "--full" in sys.argv:
+            print(plan)
+
+
+if __name__ == "__main__":
+    main()
