@@ -1,0 +1,99 @@
+"""PPJoin-filtered exact n-gram Jaccard join vs the naive quadratic join.
+
+The operator stacks three candidate filters (prefix, length, prefix-count
+lower bound — see operators/setjoin.py) on top of the hashed-shingle
+pipeline; each is an inequality that must NEVER drop a qualifying pair.
+Ground truth here is the brute-force cross-join on exact string shingle
+sets — any filter bug shows up as a missing pair.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.functions.text import shingles, tokens
+from pyspark_minhash_lsh_spark.operators.setjoin import ngram_jaccard_join
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+def naive_pairs(docs, threshold: float, k: int = 2):
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        shingles(tokens(F.col("text")), k).alias("s"),
+    ).filter(F.size("s") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size(F.array_union("s_a", "s_b"))
+    jac = inter.cast("double") / union.cast("double")
+    out = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return {
+        (r.id_a, r.id_b): r.jaccard
+        for r in out.select("id_a", "id_b", "jaccard").collect()
+    }
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 0.95])
+def test_matches_naive_quadratic(docs, threshold, spark):
+    expected = naive_pairs(docs, threshold)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_join(docs, threshold=threshold).collect()
+    }
+    assert set(got) == set(expected)
+    for pair, jac in expected.items():
+        assert got[pair] == pytest.approx(jac, abs=1e-12)
+
+
+def test_k3_matches_naive(docs):
+    expected = naive_pairs(docs, 0.5, k=3)
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_join(docs, threshold=0.5, k=3).collect()
+    }
+    assert got == set(expected)
+
+
+def test_degenerate_docs_survive(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, ""),                     # empty
+        (3, "!!! ... ???"),          # punctuation-only -> zero tokens
+        (4, "single"),               # one token -> zero 2-shingles
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_join(docs, threshold=0.5).collect()
+    }
+    assert got[(0, 5)] == 1.0
+    assert (0, 1) in got  # 7 of 9 shingles shared = 0.7 jaccard
+    assert all(i not in p for p in got for i in (2, 3, 4))
+
+
+def test_no_persist_same_result(docs):
+    a = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_join(docs, threshold=0.5).collect()
+    }
+    b = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_join(
+            docs, threshold=0.5, persist_intermediate=False
+        ).collect()
+    }
+    assert a == b
