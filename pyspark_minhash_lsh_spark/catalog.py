@@ -507,7 +507,9 @@ def q16_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_events_json",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           -- outer CAST: DuckDB SUM(BIGINT) returns HUGEINT (int128), which
+           -- canonicalizes differently from Spark's bigint in the value hash
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -570,9 +572,12 @@ def q19_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     prev = F.lag("ts").over(w)
+    # compare exact microseconds: the oracle's `ts - LAG(ts) > INTERVAL 30
+    # MINUTE` is microsecond-precise, while cast('long') truncates to whole
+    # seconds (a 30:00.4 gap would disagree between the engines)
     new_session = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60), 1
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
     return (
         ev.select("user_id", new_session.alias("new_session"))

@@ -219,17 +219,29 @@ class MinHashLSHModel:
 
         The self-join and the pair dedupe move ONLY (bucket, id, id) rows —
         24 bytes each; signatures (100 longs, ~800 B) are attached afterwards
-        via broadcast lookups on the deduped pair set. Carrying both
+        via id-keyed joins against the deduped pair set. Carrying both
         signatures through the bucket join shuffled ~70x more bytes
         (measured 14.9s -> 4.6s at sf0.1 on local[32]).
+
+        The signature attach deliberately carries NO broadcast hint: an
+        explicit ``F.broadcast`` is honored regardless of
+        ``autoBroadcastJoinThreshold`` and would force a corpus-sized build
+        side onto the driver (8 GB hard limit -> guaranteed OOM at scale).
+        With AQE on, Spark inspects the *runtime* size of the signature
+        relation and broadcasts it only when it actually fits — small-corpus
+        runs still get the map-side join, web-scale runs get a shuffle join
+        on id, which is well distributed.
         """
         exploded = self.index.select(
             F.col(self.id_col), F.explode("bucket_ids").alias("bucket")
         )
         if max_bucket_size is not None:
+            # Broadcast the HOT bucket list, not the keep list: hot buckets
+            # are few by construction (each exceeds the cap), while the keep
+            # list is ~every bucket — corpus x bands rows at scale.
             counts = exploded.groupBy("bucket").count()
-            keep = counts.filter(F.col("count") <= max_bucket_size).select("bucket")
-            exploded = exploded.join(F.broadcast(keep), "bucket", "inner")
+            hot = counts.filter(F.col("count") > max_bucket_size).select("bucket")
+            exploded = exploded.join(F.broadcast(hot), "bucket", "left_anti")
 
         a = exploded.select(F.col("bucket"), F.col(self.id_col).alias("id_a"))
         b = exploded.select(F.col("bucket"), F.col(self.id_col).alias("id_b"))
@@ -240,12 +252,8 @@ class MinHashLSHModel:
             .dropDuplicates(["id_a", "id_b"])
         )
         sigs = self.index.select(F.col(self.id_col), F.col("signature"))
-        sa = F.broadcast(
-            sigs.select(F.col(self.id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-        )
-        sb = F.broadcast(
-            sigs.select(F.col(self.id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-        )
+        sa = sigs.select(F.col(self.id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+        sb = sigs.select(F.col(self.id_col).alias("id_b"), F.col("signature").alias("sig_b"))
         return (
             pairs.join(sa, "id_a")
             .join(sb, "id_b")

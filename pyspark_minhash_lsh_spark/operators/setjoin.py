@@ -139,20 +139,17 @@ def ngram_jaccard_join(
 
     # verification: look up both full hashed-shingle arrays per candidate
     # pair (built here from the exploded rows — no shuffle: grouping key id
-    # matches the checkpoint's partitioning). Broadcast the (id, hashes)
-    # side — corpus-sized in ROWS but only id+array wide, and broadcasting
-    # turns two shuffles of candidate×array rows into map-side hash lookups.
-    # Where the corpus outgrows the broadcast threshold Spark falls back to
-    # a shuffle join on its own (hint is advisory).
+    # matches the checkpoint's partitioning). NO broadcast hint on the
+    # (id, hashes) side: it is corpus-sized, and an explicit ``F.broadcast``
+    # hint is honored regardless of ``autoBroadcastJoinThreshold`` — at scale
+    # that forces the whole shingle table through the driver (8 GB hard
+    # broadcast limit -> OOM). AQE sees the runtime size instead: small
+    # corpora still get the map-side hash join, large ones shuffle on id.
     sh = dist.groupBy("id").agg(
         F.collect_list("shingle").alias("h"), F.max("n").alias("n")
     )
-    sa = F.broadcast(
-        sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
-    )
-    sb = F.broadcast(
-        sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), F.col("n").alias("n_b"))
-    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), F.col("n").alias("n_b"))
     inter = F.size(F.array_intersect("h_a", "h_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
     return (

@@ -32,7 +32,17 @@ def salted_join(
     retry); ``small`` is replicated ``salt_buckets`` times. The join key
     becomes (key, salt), splitting each hot key's rows across
     ``salt_buckets`` reducers.
+
+    Only ``inner`` and ``left`` (outer on the big side) are supported: the
+    replication makes every *unmatched* small-side row appear
+    ``salt_buckets`` times, so right/full outer joins would emit duplicate
+    rows, and semi/anti shapes silently change meaning.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "replicating the small side breaks right/full/semi/anti semantics"
+        )
     salted_big = big.withColumn(
         "_salt", (F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))).cast("int")
     )

@@ -3,6 +3,7 @@ from .pipelines import (
     sliding_event_stats,
     streaming_exact_dedup,
     streaming_near_dedup,
+    near_dedup_finalize,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "sliding_event_stats",
     "streaming_exact_dedup",
     "streaming_near_dedup",
+    "near_dedup_finalize",
 ]

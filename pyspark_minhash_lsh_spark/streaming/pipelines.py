@@ -15,12 +15,11 @@ horizon), never on document text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     content_fingerprint,
-    lsh_buckets,
     minhash_signature_arrow,
     token_shingle_hashes,
 )
@@ -31,6 +30,7 @@ __all__ = [
     "sliding_event_stats",
     "streaming_exact_dedup",
     "streaming_near_dedup",
+    "near_dedup_finalize",
 ]
 
 
@@ -109,6 +109,23 @@ def streaming_exact_dedup(
     return with_fp.dropDuplicates(["fingerprint"])
 
 
+def _band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Full 64-bit LSH band keys ``array<bigint>`` — one per band.
+
+    key[i] = xxhash64(i, signature[i*r .. i*r+r-1]). Deliberately UN-modded:
+    the ``num_buckets``-modded bucket ids (``lsh_buckets``) exist for
+    *candidate generation* followed by jaccard verification — there a
+    collision only costs a wasted verify. A dedup DROP key needs collisions
+    to mean "signatures actually agree on this band", so the key keeps all
+    64 bits (false-drop probability ~2^-64 per pair, vs ~1/num_buckets for
+    the modded ids — which would discard nearly everything past
+    ``num_buckets`` distinct docs)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda j: F.xxhash64(j, F.slice(signature, j * rows_per_band + 1, rows_per_band)),
+    )
+
+
 def streaming_near_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -117,34 +134,95 @@ def streaming_near_dedup(
     num_hashes: int = 100,
     num_bands: int = 25,
     rows_per_band: int = 4,
-    num_buckets: int = 500,
+    num_state_bands: int = 1,
 ) -> DataFrame:
-    """Streaming *near*-dup suppression via the first LSH band key.
+    """Streaming *near*-dup suppression via LSH band keys.
 
     Exact-value streaming dedup can't key on "similarity"; the standard
-    approximation (SURVEY.md §7.4) keys on LSH band hashes: documents whose
-    signatures agree on band 0 are treated as duplicates. One band ->
-    one state key per doc (state ~ 16 bytes/doc/horizon); more bands ->
-    higher near-dup recall but state * num_bands and union of streams.
-    We key on the full bucket array rendered to a string for band-0 only —
-    the deliberate, documented approximation. The signature comes from the
-    Arrow-vectorized per-row form (streaming can't take the relational
-    groupBy path without adding stateful aggregation)."""
+    approximation (SURVEY.md §7.4) keys on LSH band hashes: a document is a
+    duplicate when its signature agrees with an earlier document's on a
+    monitored band. Keys are FULL 64-bit band hashes (``_band_keys``), so a
+    drop means the band genuinely matched — never a bucket-space collision.
+
+    ``num_state_bands`` trades state for recall:
+      - 1 (default): key on band 0 only — one 8-byte state key per doc
+        within the watermark horizon; misses near-dups whose signatures
+        agree only on later bands.
+      - n > 1: monitor the first n bands. Each doc becomes n band rows;
+        ``dropDuplicatesWithinWatermark`` on (band_idx, band_key) keeps only
+        first-seen band rows, and a doc survives iff ALL its n rows survive
+        (any dropped row = some band matched an earlier doc). The per-band
+        dedup emits in the same micro-batch the doc arrived in (all n rows
+        of a doc explode inside one batch), so the survivors-count finalize
+        is per-batch-safe: apply ``near_dedup_finalize`` in ``foreachBatch``
+        (streaming) — the batch path applies it inline. State is n keys/doc.
+
+    The signature comes from the Arrow-vectorized per-row form (streaming
+    can't take the relational groupBy path without stateful aggregation).
+    """
+    if not 1 <= num_state_bands <= num_bands:
+        raise ValueError("num_state_bands must be in [1, num_bands]")
     sig = minhash_signature_arrow(
         token_shingle_hashes(tokens(F.col(text_col)), 2), num_hashes, 1
     )
     # materialize the UDF output before banding: Spark rejects Python-UDF
     # results referenced inside higher-order lambdas (LAMBDA_FUNCTION_WITH_PYTHON_UDF)
-    band0 = F.element_at(
-        lsh_buckets(F.col("_sig"), num_bands, rows_per_band, num_buckets), 1
-    )
-    keyed = (
+    keys = _band_keys(F.col("_sig"), num_bands, rows_per_band)
+
+    if num_state_bands == 1:
+        keyed = (
+            docs.withColumn("_sig", sig)
+            .withColumn("band_key", F.element_at(keys, 1))
+            .drop("_sig")
+        )
+        if docs.isStreaming:
+            return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+                ["band_key"]
+            )
+        return keyed.dropDuplicates(["band_key"])
+
+    banded = (
         docs.withColumn("_sig", sig)
-        .withColumn("band_key", band0)
+        .withColumn("_keys", F.slice(keys, 1, num_state_bands))
         .drop("_sig")
+        .select("*", F.posexplode("_keys").alias("band_idx", "band_key"))
+        .drop("_keys")
     )
     if docs.isStreaming:
-        return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["band_key"]
+        deduped = banded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["band_idx", "band_key"]
         )
-    return keyed.dropDuplicates(["band_key"])
+        return deduped  # apply near_dedup_finalize per micro-batch (foreachBatch)
+    # batch twin: FIRST-ARRIVAL (by ts) per band key, not arbitrary
+    # dropDuplicates — the earliest doc must win all its keys, as it does in
+    # the stream. Arbitrary winners could split a near-dup pair's keys
+    # between the two docs and annihilate both.
+    from pyspark.sql import Window
+
+    order_cols = [c for c in banded.columns if c not in ("band_idx", "band_key", ts_col)]
+    w = Window.partitionBy("band_idx", "band_key").orderBy(
+        F.asc(ts_col), *[F.asc(c) for c in order_cols]
+    )
+    first = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return near_dedup_finalize(first, num_state_bands)
+
+
+def near_dedup_finalize(band_rows: DataFrame, num_state_bands: int) -> DataFrame:
+    """Collapse per-band survivor rows back to whole documents.
+
+    A document survives iff all ``num_state_bands`` of its band rows survived
+    the per-band dedup (an absent row means that band matched an earlier
+    document). Batch-side (or ``foreachBatch``) finalize for the multi-band
+    mode of ``streaming_near_dedup``; grouping keys are every non-band
+    column, so the shuffle moves only surviving rows."""
+    cols = [c for c in band_rows.columns if c not in ("band_idx", "band_key")]
+    return (
+        band_rows.groupBy(*[F.col(c) for c in cols])
+        .agg(F.count("*").alias("_nb"))
+        .filter(F.col("_nb") == num_state_bands)
+        .drop("_nb")
+    )

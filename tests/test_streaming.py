@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from pyspark_minhash_lsh_spark.streaming import (
     hourly_event_stats,
+    near_dedup_finalize,
     streaming_exact_dedup,
     streaming_near_dedup,
 )
@@ -93,15 +94,67 @@ def test_streaming_exact_dedup(spark, events_dir):
     assert len(fps) == batch_out.count()
 
 
-def test_streaming_near_dedup_runs(spark, events_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+def _synthetic_docs(spark, n=80, dup_every=4):
+    """n distinct docs (disjoint token sets) + an exact re-submission of every
+    ``dup_every``-th doc one second later."""
+    rows = []
+    for i in range(n):
+        text = " ".join(f"tok{i}x{j}" for j in range(12))
+        rows.append((i, text, i))
+    dups = [(n + i, t, ts + 1) for (i, t, ts) in rows if i % dup_every == 0]
+    df = spark.createDataFrame(rows + dups, ["doc_id", "text", "off"])
     ts0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-    src = docs.select(
-        "text", F.timestamp_seconds(F.unix_timestamp(ts0) + F.col("doc_id")).alias("ts")
+    return df.select(
+        "doc_id", "text",
+        F.timestamp_seconds(F.unix_timestamp(ts0) + F.col("off")).alias("ts"),
+    ), len(rows), len(dups)
+
+
+def test_near_dedup_distinct_docs_survive(spark):
+    """Regression: the dedup key must be the full 64-bit band hash, not the
+    modded bucket id — with mod-500 keys, distinct docs collide at ~1/500 per
+    pair and most of a large corpus gets falsely dropped."""
+    src, n_base, n_dups = _synthetic_docs(spark)
+    out = streaming_near_dedup(src.select("text", "ts"))
+    # every distinct doc survives (disjoint token sets -> band keys differ
+    # unless xxhash64 collides, ~2^-64); every exact dup is dropped
+    assert out.count() == n_base
+
+
+def test_near_dedup_multiband_batch(spark):
+    src, n_base, n_dups = _synthetic_docs(spark)
+    out = streaming_near_dedup(src.select("text", "ts"), num_state_bands=8)
+    assert out.count() == n_base
+    assert set(out.columns) == {"text", "ts"}
+
+
+def test_streaming_near_dedup_stream_matches_batch(spark):
+    """Multi-band streaming (foreachBatch finalize) agrees with the batch twin
+    and with minhash_dedup's cluster count on a replayed corpus."""
+    import tempfile
+
+    from pyspark_minhash_lsh_spark.operators.dedup import minhash_dedup
+
+    src, n_base, n_dups = _synthetic_docs(spark)
+    nb = 8
+    batch_out = streaming_near_dedup(src.select("text", "ts"), num_state_bands=nb)
+
+    survivors = []
+    with tempfile.TemporaryDirectory() as d:
+        src.select("text", "ts").write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(src.select("text", "ts").schema).parquet(d)
+        deduped = streaming_near_dedup(stream, num_state_bands=nb)
+
+        def fb(bdf, _bid):
+            survivors.extend(near_dedup_finalize(bdf, nb).collect())
+
+        q = deduped.writeStream.foreachBatch(fb).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    assert len(survivors) == batch_out.count() == n_base
+    assert sorted(r.text for r in survivors) == sorted(
+        r.text for r in batch_out.collect()
     )
-    out = streaming_near_dedup(src)
-    n = out.count()
-    assert 0 < n <= 100
-    # batch twin: one survivor per band-0 key
-    assert n == src.count() - (src.count() - out.count())
+    # cluster count agrees with the batch minhash_dedup representative count
+    reps = minhash_dedup(src, threshold=0.9).filter("is_representative").count()
+    assert reps == n_base
