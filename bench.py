@@ -75,6 +75,8 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    scale = scale_check(spark, sf_dir, timings)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -82,8 +84,73 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "scale_check": scale,
     }))
     spark.stop()
+
+
+#: document-centric queries re-timed at SCALE_FACTOR x documents — the
+#: scale-linearity probe. ratio ~= factor x per query means no supra-linear
+#: stage (quadratic candidate blowup, forced broadcast, driver collect).
+SCALE_QUERIES = ["q30_minhash_signatures", "q32_ann_query", "q33_similarity_join",
+                 "q25_ngram_jaccard_pairs"]
+
+
+def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
+    """Second scale point: replicate ``documents`` ``factor`` x with
+    replica-PREFIXED tokens, so each replica's shingle universe is disjoint.
+
+    Disjointness keeps the similarity structure identical per replica —
+    outputs, candidate pairs, and work all scale exactly linearly with the
+    input, making the timing ratio a clean supra-linearity probe (plain
+    duplication would instead create cross-replica near-dup cliques and
+    quadratic output growth, drowning the signal). Set
+    ``SPARK_GRAFT_SCALE_CHECK=0`` to skip, or another integer to change the
+    factor."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_CHECK", "10"))
+    if factor <= 1:
+        return {}
+
+    tmp = tempfile.mkdtemp(prefix="bench_scale_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        stride = docs.agg(F.max("doc_id")).head()[0] + 1
+        reps = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+                F.array_join(
+                    F.transform(F.split("text", " "), lambda t: F.concat(F.lit(f"r{i}"), t)),
+                    " ",
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+            for i in range(factor)
+        ]
+        big = reps[0]
+        for r in reps[1:]:
+            big = big.unionByName(r)
+        big.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+        out: dict[str, dict[str, float]] = {}
+        for name in SCALE_QUERIES:
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, tmp).count()
+            t = round(time.perf_counter() - t0, 3)
+            base = base_timings.get(name)
+            ratio = round(t / base, 2) if base else None
+            out[name] = {"sec": t, "ratio_vs_1x": ratio}
+            print(
+                f"# scale{factor}x {name}: {t:.3f}s ({n} rows, "
+                f"{ratio}x the 1x time)", file=sys.stderr,
+            )
+        return {"factor": factor, "queries": out}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

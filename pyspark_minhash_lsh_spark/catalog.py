@@ -1161,3 +1161,41 @@ def q47_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.approx_cosine_topk(qvec, k=10, n_probe=8).select(
         "vec_id", F.round("cosine", 4).alias("cosine")
     )
+
+
+@query(
+    "q48_vocabulary",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+         sh AS (SELECT CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                            ELSE [] END AS s FROM tok),
+         u AS (SELECT DISTINCT unnest(s) AS shingle FROM sh)
+    SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) - 1 AS BIGINT) AS idx
+    FROM u
+    """,
+)
+def q48_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fitted-vocabulary dim table (reference _build_shing_dict,
+    minhash_pyspark.py:341-371): distinct corpus shingles with dense
+    lexicographic 0-based indices, built distributed."""
+    from .operators.vocab import fit_vocabulary
+
+    return fit_vocabulary(_t(spark, sf_dir, "documents"))
+
+
+@query("q49_fitted_signatures")
+def q49_fitted_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-parity MinHash over vocabulary INDICES with OOV-drop query
+    semantics (reference bool_vectorizer, minhash_utils.py:23-38) —
+    rows-only (hash-dependent values)."""
+    from .operators.vocab import fit_vocabulary, fitted_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = fit_vocabulary(docs)
+    sigs = fitted_signatures(docs, vocab, num_hashes=DEFAULT_CONFIG.num_hashes)
+    return sigs.select(
+        "doc_id",
+        F.size("signature").alias("sig_len"),
+        F.element_at("signature", 1).alias("sig_first"),
+        F.array_min("signature").alias("sig_min"),
+    )

@@ -30,9 +30,11 @@ __all__ = [
     "minhash_signature_arrow",
     "minhash_signatures_df",
     "minhash_signatures_df_128",
+    "minhash_signature_128_arrow",
     "minhash_index_df",
     "simhash_bits_df",
     "lsh_buckets",
+    "lsh_band_keys",
     "signature_jaccard",
     "bucket_overlap_ratio",
     "simhash_bits",
@@ -324,6 +326,27 @@ def lsh_buckets(
     )
 
 
+def lsh_band_keys(
+    signature: Column, num_bands: int = 25, rows_per_band: int = 4
+) -> Column:
+    """Full 64-bit LSH band keys ``array<bigint>`` — one per band, UN-modded.
+
+    key[i] = xxhash64(i, signature[i*r .. i*r+r-1]). Two documents share a
+    key iff their signatures (essentially certainly) agree on that band — the
+    textbook LSH candidate condition. This is the SCALE key space: the
+    ``num_buckets``-modded ids (``lsh_buckets``) are reference parity
+    (minhash_utils.py:90-113) and saturate at corpus >> num_buckets — a
+    fixed 500-bucket space makes every bucket's occupancy grow linearly with
+    the corpus and any bucket self-join quadratic (measured: 20x time at 10x
+    docs). Full-width keys keep occupancy = true-duplicate cluster size, so
+    candidate generation scales linearly.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda j: F.xxhash64(j, F.slice(signature, j * rows_per_band + 1, rows_per_band)),
+    )
+
+
 def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:
     """Estimated Jaccard = fraction of equal signature components (``double``).
 
@@ -411,6 +434,68 @@ def minhash_signatures_df_128(
             ).alias(out_col),
         )
     )
+
+
+def minhash_signature_128_arrow(
+    shingle_col: Column, num_hashes: int = 100, algo: str = "xxh128"
+) -> Column:
+    """128-bit MinHash signature (``array<string>`` of 32-hex digests) via an
+    Arrow-batched Pandas UDF — the reference's full ``HASH_128BIT`` family.
+
+    Reference parity: ``HASH_128BIT = ["xxh128", "md5"]``
+    (minhash_config.py:54); its hash family is
+    ``xxh128(f"{i}{x}", seed=1).intdigest()`` / ``int(md5(f"{i}{x}"), 16)``
+    per hash index i (utils.py:7-16), min-reduced per doc
+    (minhash_utils.py:41-87). Deltas, both documented in SURVEY.md §7.3:
+    ``x`` is shingle *content* (the dictionary is eliminated; for dictionary
+    semantics use ``operators.vocab``), and digests render as fixed-width
+    zero-padded hex (the reference's ``hex()`` strips leading zeros), so
+    lexicographic MIN == numeric MIN.
+
+    ``algo="md5"`` uses the SAME ``f"{i}|{s}"`` input as the relational md5
+    path (``minhash_signatures_df_128``) and produces identical signatures —
+    parity-tested. ``algo="xxh128"`` needs the optional ``xxhash`` package
+    (not bundled in every environment); when it is missing this raises
+    ImportError at *construction* time and md5 is the sanctioned 128-bit
+    mode. Empty docs -> all-'g' sentinel, matching the relational path.
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    if algo == "xxh128":
+        try:
+            import xxhash
+        except ImportError as e:
+            raise ImportError(
+                "xxh128 mode requires the optional 'xxhash' package; "
+                "use algo='md5' (or minhash_signatures_df_128) — the "
+                "sanctioned 128-bit mode where xxhash is unavailable"
+            ) from e
+
+        def digest(i: int, s: str) -> str:
+            return f"{xxhash.xxh128(f'{i}{s}'.encode('utf-8'), seed=1).intdigest():032x}"
+    elif algo == "md5":
+        from hashlib import md5
+
+        def digest(i: int, s: str) -> str:
+            return md5(f"{i}|{s}".encode("utf-8")).hexdigest()
+    else:
+        raise ValueError(f"algo must be 'xxh128' or 'md5', got {algo!r}")
+
+    sentinel = ["g" * 32] * num_hashes
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _mh(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            if arr is None or len(arr) == 0:
+                out.append(sentinel)
+            else:
+                out.append(
+                    [min(digest(i, s) for s in arr) for i in range(num_hashes)]
+                )
+        return pd.Series(out)
+
+    return _mh(shingle_col)
 
 
 def simhash_bits_df(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG, MinHashLSHConfig
 from ..functions.hashing import (
     bucket_overlap_ratio,
+    lsh_band_keys,
     lsh_buckets,
     minhash_index_df,
     minhash_signature,
@@ -69,6 +70,12 @@ class MinHashLSH:
             band_local=c.band_local_buckets,
         )
 
+    def band_keys_col(self, signature: Column) -> Column:
+        """Full-width 64-bit band keys — the SCALE candidate space (see
+        ``lsh_band_keys``); ``bucket_ids`` stays the reference-parity space."""
+        c = self.config
+        return lsh_band_keys(signature, c.num_bands, c.rows_per_band)
+
     # -- dataframe-level API ----------------------------------------------------------
     def transform(
         self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -87,7 +94,9 @@ class MinHashLSH:
             num_hashes=c.num_hashes,
             seed=c.seed,
         )
-        return sigs.withColumn("bucket_ids", self.buckets_col(F.col("signature")))
+        return sigs.withColumn(
+            "bucket_ids", self.buckets_col(F.col("signature"))
+        ).withColumn("band_keys", self.band_keys_col(F.col("signature")))
 
     def fit(
         self,
@@ -138,8 +147,10 @@ class MinHashLSHModel:
         spark = self.corpus.sparkSession
         one = spark.range(1).select(F.lit(query_text).alias("q_text"))
         sig = self.lsh.signature_col(F.col("q_text"))
-        return one.select(sig.alias("q_signature")).withColumn(
-            "q_bucket_ids", self.lsh.buckets_col(F.col("q_signature"))
+        return (
+            one.select(sig.alias("q_signature"))
+            .withColumn("q_bucket_ids", self.lsh.buckets_col(F.col("q_signature")))
+            .withColumn("q_band_keys", self.lsh.band_keys_col(F.col("q_signature")))
         )
 
     def approx_nearest_neighbors_plan(
@@ -148,17 +159,29 @@ class MinHashLSHModel:
         n: int = 10,
         bucket_thres: Optional[float] = None,
         with_text: bool = True,
+        use_band_keys: bool = False,
     ) -> DataFrame:
         """Lazy top-n plan (no fallback control flow — see approx_nearest_neighbors).
 
         Plan shape: index JOIN broadcast(query-row) ON candidate predicate
-        -> jaccard -> orderBy desc limit n -> join text. The candidate
-        predicate is ``arrays_overlap`` (reference F-a,
-        ``minhash_pyspark.py:243-261``) or overlap-ratio >= bucket_thres
-        (F-b, ``minhash_utils.py:116-119``).
+        -> jaccard -> orderBy desc limit n -> join text. The default
+        candidate predicate is ``arrays_overlap`` on the modded bucket space
+        (reference F-a parity, ``minhash_pyspark.py:243-261``): like the
+        reference, ~1/num_buckets of the corpus collides per bucket, so the
+        top-n fills with jaccard-ranked results even without true band
+        matches. That is fine for a single query — the cost is jaccard on a
+        small corpus fraction, bounded by the index scan it rides on (unlike
+        the SELF-join, where bucket collisions are quadratic and
+        ``band_keys`` is mandatory). ``use_band_keys=True`` restricts
+        candidates to true band agreements (precision mode: no collision
+        filler, possibly < n results). ``bucket_thres`` selects the
+        overlap-ratio filter (F-b, ``minhash_utils.py:116-119``), defined on
+        the modded space.
         """
         q = F.broadcast(self._query_frame(query_text))
-        if bucket_thres is None:
+        if bucket_thres is None and use_band_keys:
+            pred = F.arrays_overlap(F.col("band_keys"), F.col("q_band_keys"))
+        elif bucket_thres is None:
             pred = F.arrays_overlap(F.col("bucket_ids"), F.col("q_bucket_ids"))
         else:
             pred = (
@@ -208,8 +231,16 @@ class MinHashLSHModel:
 
         The reference never materializes this (SURVEY.md §2.4) — it is the
         north-star addition mirroring MLlib's ``approxSimilarityJoin``:
-        explode bucket_ids -> self-equi-join on bucket -> distinct pairs ->
+        explode band_keys -> self-equi-join on band key -> distinct pairs ->
         signature jaccard filter.
+
+        The join key is the FULL-WIDTH 64-bit band key, not the modded
+        bucket id: in a fixed ``num_buckets`` space every bucket's occupancy
+        grows linearly with the corpus, so the bucket self-join grows
+        QUADRATICALLY (measured 20x time at 10x docs before this change; ~2x
+        after — see bench.py scale_check). With full-width keys a bucket
+        holds only docs whose signatures truly agree on that band, so
+        candidates track the real near-dup density.
 
         ``max_bucket_size`` drops buckets holding more rows than the cap before
         the join — hot-bucket skew guard for web-scale corpora (a bucket with
@@ -233,7 +264,7 @@ class MinHashLSHModel:
         on id, which is well distributed.
         """
         exploded = self.index.select(
-            F.col(self.id_col), F.explode("bucket_ids").alias("bucket")
+            F.col(self.id_col), F.explode("band_keys").alias("bucket")
         )
         if max_bucket_size is not None:
             # Broadcast the HOT bucket list, not the keep list: hot buckets
@@ -295,5 +326,15 @@ class MinHashLSHModel:
     ) -> "MinHashLSHModel":
         """Rehydrate a saved index. ``corpus`` is still needed for result-text
         joins; the signature pipeline is NOT recomputed."""
-        index = spark.read.parquet(path).select(id_col, "signature", "bucket_ids")
+        cols = [id_col, "signature", "bucket_ids"]
+        loaded = spark.read.parquet(path)
+        if "band_keys" in loaded.columns:
+            index = loaded.select(*cols, "band_keys")
+        else:
+            # index written by an older version: derive band keys from the
+            # stored signatures (deterministic, so identical to a rebuild)
+            model_lsh = lsh or MinHashLSH()
+            index = loaded.select(*cols).withColumn(
+                "band_keys", model_lsh.band_keys_col(F.col("signature"))
+            )
         return cls(lsh or MinHashLSH(), corpus, index, text_col, id_col)

@@ -1,0 +1,132 @@
+"""Fitted-vocabulary strict-parity mode (SURVEY.md §7.3's promised option).
+
+The reference fixes a corpus-side dictionary ``shingle -> idx``
+(``minhash_pyspark.py:341-371`` ``_build_shing_dict``) and vectorizes every
+document against it; query-side shingles NOT in the dictionary are silently
+DROPPED (``minhash_utils.py:23-38`` ``bool_vectorizer`` — the ``if shingle in
+shing_dict`` guard), so an out-of-vocabulary query degrades toward the empty
+signature. The engine's default mode hashes shingle *content* (no dictionary,
+documented delta in SURVEY.md §7.3) — OOV queries hash like anything else.
+
+This module is the opt-in parity mode: the vocabulary is a distributed dim
+DataFrame ``(shingle, idx)`` — never collected to the driver — joined against
+corpus and query shingles, with the reference's OOV-drop semantics. MinHash
+then permutes the *index*, as the reference does, via the same
+``permutation_constants`` family as the default mode.
+
+Scale note: contiguous index assignment needs a global sort rank, which
+funnels the distinct-shingle set through one task. That is inherent to the
+reference's design (its dict lives in driver memory — strictly worse) and this
+mode exists for parity experiments; the production path has no vocabulary at
+all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import MERSENNE_PRIME_31
+from ..functions.hashing import _EMPTY_SENTINEL, permutation_constants
+from ..functions.text import shingles, tokens
+
+__all__ = ["fit_vocabulary", "fitted_signatures", "fitted_query_signature"]
+
+_P = MERSENNE_PRIME_31
+
+
+def fit_vocabulary(
+    df: DataFrame, text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Corpus shingle dictionary as a dim DataFrame ``(shingle, idx)``.
+
+    ``idx`` is the dense lexicographic rank (0-based) — deterministic across
+    runs and partitionings, mirroring the reference's sorted dict build
+    (SURVEY.md §2 T4). Built distributed: explode -> distinct -> rank. The
+    rank's global window is the single-task parity-mode cost noted in the
+    module docstring.
+    """
+    sh = (
+        df.select(F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"))
+        .distinct()
+    )
+    w = Window.orderBy("shingle")
+    return sh.select(
+        "shingle", (F.row_number().over(w) - 1).cast("bigint").alias("idx")
+    )
+
+
+def _idx_min_aggs(num_hashes: int, seed: int) -> list[Column]:
+    """Per-permutation min aggregates over the joined ``idx`` column."""
+    a, b = permutation_constants(num_hashes, seed)
+    return [
+        F.min(F.pmod(F.lit(a[i]) * F.col("idx") + F.lit(b[i]), F.lit(_P))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def _assemble(grouped: DataFrame, id_col: str, num_hashes: int, out_col: str) -> DataFrame:
+    sentinel = F.lit(_EMPTY_SENTINEL).cast("bigint")
+    return grouped.select(
+        F.col(id_col),
+        F.array(
+            *[F.coalesce(F.col(f"_m{i}"), sentinel) for i in range(num_hashes)]
+        ).alias(out_col),
+    )
+
+
+def fitted_signatures(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 100,
+    seed: int = 1,
+    k: int = 2,
+    out_col: str = "signature",
+) -> DataFrame:
+    """MinHash signatures over vocabulary INDICES with OOV-drop semantics.
+
+    explode_outer keeps every document present; the left join leaves OOV
+    shingles with a NULL idx, which the min aggregates skip — exactly the
+    reference's ``bool_vectorizer`` drop (``minhash_utils.py:23-38``). A doc
+    whose shingles are ALL out-of-vocabulary (or that has none) gets the
+    sentinel signature, the relational twin of the reference's +inf-init
+    signature that no shingle ever lowered (``minhash_utils.py:66-79``).
+
+    The vocab join is a plain equi-join on ``shingle`` — at scale both sides
+    shuffle on a well-distributed key; AQE broadcasts the dim side when it
+    fits.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles(tokens(F.col(text_col)), k)).alias("shingle"),
+    )
+    joined = ex.join(vocab, "shingle", "left")
+    return _assemble(
+        joined.groupBy(id_col).agg(*_idx_min_aggs(num_hashes, seed)),
+        id_col, num_hashes, out_col,
+    )
+
+
+def fitted_query_signature(
+    spark,
+    vocab: DataFrame,
+    query_text: str,
+    num_hashes: int = 100,
+    seed: int = 1,
+    k: int = 2,
+) -> DataFrame:
+    """1-row ``(signature)`` frame for a query under the fitted vocabulary.
+
+    Same OOV-drop path as ``fitted_signatures`` run on a literal row; an
+    all-OOV query returns the all-sentinel signature (estimated jaccard 0.0
+    against every real document — the reference's empty-vector behavior).
+    """
+    one = spark.range(1).select(
+        F.lit(0).alias("_qid"), F.lit(query_text).alias("_qtext")
+    )
+    return fitted_signatures(
+        one, vocab, text_col="_qtext", id_col="_qid",
+        num_hashes=num_hashes, seed=seed, k=k,
+    ).select("signature")

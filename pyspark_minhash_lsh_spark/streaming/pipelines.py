@@ -15,11 +15,12 @@ horizon), never on document text.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     content_fingerprint,
+    lsh_band_keys,
     minhash_signature_arrow,
     token_shingle_hashes,
 )
@@ -109,23 +110,6 @@ def streaming_exact_dedup(
     return with_fp.dropDuplicates(["fingerprint"])
 
 
-def _band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
-    """Full 64-bit LSH band keys ``array<bigint>`` — one per band.
-
-    key[i] = xxhash64(i, signature[i*r .. i*r+r-1]). Deliberately UN-modded:
-    the ``num_buckets``-modded bucket ids (``lsh_buckets``) exist for
-    *candidate generation* followed by jaccard verification — there a
-    collision only costs a wasted verify. A dedup DROP key needs collisions
-    to mean "signatures actually agree on this band", so the key keeps all
-    64 bits (false-drop probability ~2^-64 per pair, vs ~1/num_buckets for
-    the modded ids — which would discard nearly everything past
-    ``num_buckets`` distinct docs)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda j: F.xxhash64(j, F.slice(signature, j * rows_per_band + 1, rows_per_band)),
-    )
-
-
 def streaming_near_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -141,8 +125,8 @@ def streaming_near_dedup(
     Exact-value streaming dedup can't key on "similarity"; the standard
     approximation (SURVEY.md §7.4) keys on LSH band hashes: a document is a
     duplicate when its signature agrees with an earlier document's on a
-    monitored band. Keys are FULL 64-bit band hashes (``_band_keys``), so a
-    drop means the band genuinely matched — never a bucket-space collision.
+    monitored band. Keys are FULL 64-bit band hashes (``lsh_band_keys``), so
+    a drop means the band genuinely matched — never a bucket-space collision.
 
     ``num_state_bands`` trades state for recall:
       - 1 (default): key on band 0 only — one 8-byte state key per doc
@@ -167,7 +151,7 @@ def streaming_near_dedup(
     )
     # materialize the UDF output before banding: Spark rejects Python-UDF
     # results referenced inside higher-order lambdas (LAMBDA_FUNCTION_WITH_PYTHON_UDF)
-    keys = _band_keys(F.col("_sig"), num_bands, rows_per_band)
+    keys = lsh_band_keys(F.col("_sig"), num_bands, rows_per_band)
 
     if num_state_bands == 1:
         keyed = (

@@ -28,6 +28,18 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer doubling: a diameter-200 chain must resolve within max_iter=10
+    rounds (2^10 >> 200). Pure 1-hop min-propagation would need ~200 rounds,
+    so this fails if the doubling step regresses."""
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.component for r in connected_components(edges, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
 def test_exact_dedup_groups(spark):
     rows = [
         (1, "The cat sat on the mat."),

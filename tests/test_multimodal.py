@@ -54,3 +54,30 @@ def test_frame_sampling(spark, media):
     assert (per_doc >= 1).all()
     # frame bytes are slices of the payload -> non-empty
     assert all(len(b) > 0 for b in pdf.frame_payload)
+
+
+def test_payload_projection_reaches_scan(spark, tmp_path):
+    """PLANS.md invariant: the feature pipeline projects ONLY
+    (media_id, payload) out of a wide media table, and that projection reaches
+    the parquet scan (ReadSchema) — payloads never ride next to wide metadata
+    through the Python worker, and unrelated columns are never read."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    wide = (
+        media_table_from_documents(docs)
+        .withColumn("extra_a", F.lit("x"))
+        .withColumn("extra_b", F.lit(123))
+    )
+    path = str(tmp_path / "wide_media")
+    wide.write.mode("overwrite").parquet(path)
+
+    feats = extract_image_features(spark.read.parquet(path))
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    read_schemas = [l for l in plan.split("\n") if "ReadSchema" in l]
+    assert read_schemas, plan
+    for line in read_schemas:
+        assert "media_id" in line and "payload" in line, line
+        for col in ("extra_a", "extra_b", "mime", "width", "height", "duration_ms"):
+            assert col not in line, f"unprojected column {col} read: {line}"
+    assert feats.count() == 50

@@ -1,0 +1,174 @@
+"""Fitted-vocabulary strict-parity mode (OOV-drop, reference
+minhash_utils.py:23-38) and the 128-bit Arrow signature path."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.functions.hashing import (
+    _EMPTY_SENTINEL,
+    minhash_signature_128_arrow,
+    minhash_signatures_df_128,
+    signature_jaccard,
+)
+from pyspark_minhash_lsh_spark.functions.text import shingles, tokens
+from pyspark_minhash_lsh_spark.operators.vocab import (
+    fit_vocabulary,
+    fitted_query_signature,
+    fitted_signatures,
+)
+
+N_HASHES = 16  # small family: tests exercise semantics, not the default size
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "pack my box with five dozen liquor jugs"),
+    (2, "the quick brown fox naps under the old tree"),
+    (3, "sphinx of black quartz judge my vow"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def vocab(spark, corpus):
+    return fit_vocabulary(corpus).cache()
+
+
+def test_vocabulary_dense_lexicographic(spark, corpus, vocab):
+    rows = sorted(vocab.collect(), key=lambda r: r.idx)
+    assert [r.idx for r in rows] == list(range(len(rows)))
+    assert [r.shingle for r in rows] == sorted(r.shingle for r in rows)
+    # every corpus shingle is present
+    n_distinct = (
+        corpus.select(F.explode(shingles(tokens(F.col("text")))).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_distinct
+
+
+def test_fitted_signatures_real_docs(spark, corpus, vocab):
+    sigs = fitted_signatures(corpus, vocab, num_hashes=N_HASHES).collect()
+    assert len(sigs) == len(CORPUS)
+    for r in sigs:
+        assert len(r.signature) == N_HASHES
+        assert all(v < _EMPTY_SENTINEL for v in r.signature)  # no sentinel: all in-vocab
+
+
+def test_oov_tokens_are_dropped(spark, corpus, vocab):
+    """Appending out-of-vocabulary tokens to a known document must NOT change
+    its fitted signature: the appended tokens' shingles (including the one
+    spanning the boundary) are all OOV and the reference drops them."""
+    base = CORPUS[0][1]
+    polluted = base + " zzqx1 zzqx2 zzqx3"
+    s_base = fitted_query_signature(spark, vocab, base, num_hashes=N_HASHES).head().signature
+    s_poll = fitted_query_signature(spark, vocab, polluted, num_hashes=N_HASHES).head().signature
+    assert s_base == s_poll
+    # and equals the corpus-side signature of doc 0
+    s_corpus = (
+        fitted_signatures(corpus, vocab, num_hashes=N_HASHES)
+        .filter(F.col("doc_id") == 0).head().signature
+    )
+    assert s_base == s_corpus
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=10_000).map(lambda i: f"zzoov{i}"),
+        min_size=0, max_size=12,
+    )
+)
+def test_oov_only_query_yields_sentinel(spark_global, vocab_global, toks):
+    """Property (reference empty/sentinel behavior): ANY query built solely
+    from tokens outside the vocabulary namespace produces the all-sentinel
+    signature, and estimated jaccard 0.0 against every corpus doc."""
+    q = " ".join(toks)
+    sig = fitted_query_signature(
+        spark_global, vocab_global, q, num_hashes=N_HASHES
+    ).head().signature
+    assert sig == [_EMPTY_SENTINEL] * N_HASHES
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
+
+
+@pytest.fixture(scope="module")
+def vocab_global(vocab):
+    return vocab
+
+
+def test_sentinel_query_scores_zero(spark, corpus, vocab):
+    qsig = fitted_query_signature(spark, vocab, "zzoov1 zzoov2 zzoov3", num_hashes=N_HASHES)
+    sigs = fitted_signatures(corpus, vocab, num_hashes=N_HASHES)
+    scored = sigs.crossJoin(qsig.select(F.col("signature").alias("q_signature"))).select(
+        signature_jaccard(F.col("signature"), F.col("q_signature")).alias("j")
+    )
+    assert all(r.j == 0.0 for r in scored.collect())
+
+
+# -- 128-bit Arrow path ---------------------------------------------------------------
+
+def test_md5_arrow_matches_relational(spark, corpus):
+    """algo='md5' shares the digest input with minhash_signatures_df_128 —
+    the two pipelines (Arrow pandas_udf vs explode+min-agg) must produce
+    byte-identical signatures."""
+    sh = shingles(tokens(F.col("text")))
+    rel = minhash_signatures_df_128(corpus, sh, num_hashes=8)
+    arrow = corpus.select(
+        "doc_id", minhash_signature_128_arrow(sh, num_hashes=8, algo="md5").alias("signature")
+    )
+    r = {row.doc_id: row.signature for row in rel.collect()}
+    a = {row.doc_id: row.signature for row in arrow.collect()}
+    assert r == a
+
+
+def test_md5_arrow_empty_doc_sentinel(spark):
+    df = spark.createDataFrame([(0, ""), (1, "!!! ???")], ["doc_id", "text"])
+    sh = shingles(tokens(F.col("text")))
+    out = df.select(
+        minhash_signature_128_arrow(sh, num_hashes=4, algo="md5").alias("s")
+    ).collect()
+    for row in out:
+        assert row.s == ["g" * 32] * 4
+
+
+def test_xxh128_gating():
+    """xxh128 needs the optional xxhash package; without it the constructor
+    raises a helpful ImportError pointing at the md5 mode."""
+    try:
+        import xxhash  # noqa: F401
+        has_xxhash = True
+    except ImportError:
+        has_xxhash = False
+    if has_xxhash:
+        col = minhash_signature_128_arrow(F.col("x"), num_hashes=2, algo="xxh128")
+        assert col is not None
+    else:
+        with pytest.raises(ImportError, match="md5"):
+            minhash_signature_128_arrow(F.col("x"), num_hashes=2, algo="xxh128")
+
+
+def test_xxh128_reference_values_if_available(spark):
+    """When xxhash IS installed, pin the digest family to the reference's:
+    xxh128(f'{i}{x}', seed=1).intdigest() (utils.py:7-16)."""
+    xxhash = pytest.importorskip("xxhash")
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    sh = shingles(tokens(F.col("text")))  # ['a b', 'b c']
+    out = df.select(
+        minhash_signature_128_arrow(sh, num_hashes=3, algo="xxh128").alias("s")
+    ).head().s
+    want = [
+        f"{min(xxhash.xxh128(f'{i}{s}'.encode(), seed=1).intdigest() for s in ['a b', 'b c']):032x}"
+        for i in range(3)
+    ]
+    assert out == want
