@@ -136,8 +136,16 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
             big = big.unionByName(r)
         big.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
 
+        budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "240"))
+        started = time.perf_counter()
         out: dict[str, dict[str, float]] = {}
         for name in SCALE_QUERIES:
+            if time.perf_counter() - started > budget:
+                # never let the scale probe starve the headline bench the
+                # driver records — report what completed and stop
+                out[name] = {"sec": None, "ratio_vs_1x": None}
+                print(f"# scale{factor}x {name}: SKIPPED (budget)", file=sys.stderr)
+                continue
             t0 = time.perf_counter()
             n = QUERIES[name](spark, tmp).count()
             t = round(time.perf_counter() - t0, 3)

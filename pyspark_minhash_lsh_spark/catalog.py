@@ -1199,3 +1199,15 @@ def q49_fitted_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("signature", 1).alias("sig_first"),
         F.array_min("signature").alias("sig_min"),
     )
+
+
+@query("q50_embedding_dedup")
+def q50_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clustering (semantic dedup): SRP-LSH
+    candidate pairs -> exact cosine verify -> connected components — rows-only
+    (SRP bucket assignment is hash-dependent; the cosine verify itself is
+    exact and its pair twin q27 is oracle-checked)."""
+    from .operators.dedup import embedding_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup(emb, min_cosine=0.9, num_tables=8)

@@ -34,6 +34,7 @@ __all__ = [
     "exact_dedup",
     "connected_components",
     "minhash_dedup",
+    "embedding_dedup",
     "simhash_near_pairs",
     "simhash_dedup",
 ]
@@ -173,6 +174,52 @@ def minhash_dedup(
         )
         # materialize before unpersisting the index the plan depends on
         out = out.localCheckpoint(eager=True)
+    finally:
+        model.unpersist()
+    return out
+
+
+def embedding_dedup(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.95,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 1,
+    max_bucket_size: Optional[int] = None,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate clustering (semantic dedup).
+
+    The third dedup modality beside text MinHash and SimHash: SRP-LSH
+    candidate pairs (bucketed — never all-pairs) -> exact cosine >= threshold
+    -> connected components -> ``(id, component, is_representative)``.
+    Representative = min id per component. Recall follows the SRP S-curve:
+    raise ``num_tables`` to catch more near-threshold pairs, ``num_planes``
+    to keep buckets small. Every input row appears in the output; singletons
+    are their own component.
+    """
+    from .similarity import SrpLsh
+
+    model = SrpLsh(num_planes=num_planes, num_tables=num_tables, seed=seed).fit(
+        df, emb_col=emb_col, id_col=id_col, persist=True
+    )
+    try:
+        edges = model.approx_similarity_pairs(
+            min_cosine=min_cosine, max_bucket_size=max_bucket_size
+        ).select("id_a", "id_b")
+        comp = connected_components(edges, max_iter=max_iter)
+        all_ids = df.select(F.col(id_col).alias("id"))
+        out = (
+            all_ids.join(comp, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("component", F.col("id")).alias("component"),
+            )
+            .withColumn("is_representative", F.col(id_col) == F.col("component"))
+            .localCheckpoint(eager=True)  # materialize before unpersisting the index
+        )
     finally:
         model.unpersist()
     return out

@@ -146,29 +146,35 @@ class SrpLshModel:
     ) -> DataFrame:
         """All candidate pairs sharing >= 1 SRP bucket with cosine >= threshold.
 
-        Explode keys -> self-equi-join on key (shuffle on bucket key) ->
-        dedupe pairs -> exact cosine filter. ``max_bucket_size`` drops
-        degenerate hot buckets before the join (same skew guard as the
-        MinHash similarity join)."""
-        ex = self.index.select(
-            F.col(self.id_col), F.col(self.emb_col), F.explode("srp_keys").alias("key")
-        )
+        Explode keys -> id-only self-equi-join on key (the shuffle moves
+        16-byte (key, id) rows, never embeddings) -> dedupe pairs -> attach
+        both embeddings via plain id-keyed joins (no broadcast hint — AQE
+        broadcasts the index when it actually fits, shuffles otherwise; same
+        rationale as the MinHash similarity join) -> exact cosine filter.
+        ``max_bucket_size`` drops degenerate hot buckets before the join by
+        anti-joining the (tiny by construction) hot-bucket list.
+        """
+        ex = self.index.select(F.col(self.id_col), F.explode("srp_keys").alias("key"))
         if max_bucket_size is not None:
-            keep = (
+            hot = (
                 ex.groupBy("key").count()
-                .filter(F.col("count") <= max_bucket_size).select("key")
+                .filter(F.col("count") > max_bucket_size).select("key")
             )
-            ex = ex.join(F.broadcast(keep), "key")
-        a = ex.select(
-            "key", F.col(self.id_col).alias("id_a"), F.col(self.emb_col).alias("emb_a")
-        )
-        b = ex.select(
-            "key", F.col(self.id_col).alias("id_b"), F.col(self.emb_col).alias("emb_b")
-        )
-        return (
+            ex = ex.join(F.broadcast(hot), "key", "left_anti")
+        a = ex.select("key", F.col(self.id_col).alias("id_a"))
+        b = ex.select("key", F.col(self.id_col).alias("id_b"))
+        pairs = (
             a.join(b, "key")
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+        )
+        embs = self.index.select(F.col(self.id_col), F.col(self.emb_col))
+        ea = embs.select(F.col(self.id_col).alias("id_a"), F.col(self.emb_col).alias("emb_a"))
+        eb = embs.select(F.col(self.id_col).alias("id_b"), F.col(self.emb_col).alias("emb_b"))
+        return (
+            pairs.join(ea, "id_a")
+            .join(eb, "id_b")
             .select(
                 "id_a", "id_b",
                 cosine_similarity(F.col("emb_a"), F.col("emb_b")).alias("cosine"),

@@ -118,3 +118,35 @@ def test_srp_keys_deterministic(spark):
     a = {r.vec_id: r.srp_keys for r in m.fit(df.repartition(1), persist=False).index.collect()}
     b = {r.vec_id: r.srp_keys for r in m.fit(df.repartition(9), persist=False).index.collect()}
     assert a == b
+
+
+def test_embedding_dedup_clusters(spark):
+    """Semantic dedup: two tight clusters of near-identical vectors plus
+    unrelated singletons -> each cluster collapses to its min-id
+    representative, singletons survive."""
+    from pyspark_minhash_lsh_spark.operators.dedup import embedding_dedup
+
+    rng = random.Random(7)
+    dim = 32
+    c1, c2 = _unit(rng, dim), _unit(rng, dim)
+    rows = []
+    for i in range(3):  # ids 0-2: copies of c1
+        rows.append((i, [x + rng.gauss(0, 0.01) for x in c1]))
+    for i in range(3, 5):  # ids 3-4: copies of c2
+        rows.append((i, [x + rng.gauss(0, 0.01) for x in c2]))
+    rows += [(i, _unit(rng, dim)) for i in range(5, 60)]  # unrelated
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {r.vec_id: r for r in embedding_dedup(
+        df, min_cosine=0.98, num_tables=8
+    ).collect()}
+    assert len(out) == 60  # every row present
+    assert all(out[i].component == 0 for i in range(3))
+    assert all(out[i].component == 3 for i in range(3, 5))
+    reps = [i for i, r in out.items() if r.is_representative]
+    assert 0 in reps and 3 in reps
+    assert not any(out[i].is_representative for i in (1, 2, 4))
+    # unrelated vectors stay their own component (cosine of random unit
+    # vectors in 32-d is far below 0.98)
+    assert all(out[i].component == i for i in range(5, 60))
