@@ -241,8 +241,11 @@ def q03_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-way star join. The dimension chain (region->nation->customer) is tiny
-    relative to facts — broadcast it so only orders⋈lineitem shuffles."""
+    """4-way star join. The dimension chain (region->nation->customer) is
+    small relative to facts, but customer SCALES with SF (15B rows at the
+    100 TB point) — no forced hint: AQE broadcasts the chain while it fits
+    and falls back to a shuffle join keyed on custkey when it doesn't, so
+    only orders⋈lineitem (and, at extreme SF, the dim attach) shuffles."""
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -255,7 +258,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(_dprod_sum(F.col("l_extendedprice"), 1 - F.col("l_discount"), "revenue"))
     )
@@ -307,12 +310,14 @@ def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q09_supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier and part scale with SF — no forced broadcast hints (AQE
+    picks broadcast from runtime sizes at small SF, shuffle join at large)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     p = _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("s_name", "p_brand")
         .agg(_dsum(F.col("l_quantity"), "total_qty"))
     )

@@ -13,11 +13,12 @@ Xiao et al. PPJoin) shrinks this by orders of magnitude:
   shingles, making prefix-key collisions rare.
 
 Plan shape: shingle arrays -> explode -> join global doc-frequency (computed
-distributed, broadcast back) -> per-doc rank window (rarest-first) -> keep
-prefix rows -> self-equi-join on prefix shingle -> distinct candidate pairs ->
-verify with native ``array_intersect`` on the full arrays. Every step is a
-shuffle on a well-distributed key (shingle / doc id); the frequency table and
-candidate pairs are the only broadcasts.
+distributed) -> per-doc rank window (rarest-first) -> keep prefix rows ->
+self-equi-join on prefix shingle -> distinct candidate pairs -> verify with
+native ``array_intersect`` on the full arrays. Every step is a shuffle on a
+well-distributed key (shingle / doc id); no forced broadcast hints anywhere —
+AQE upgrades the frequency and verify joins to broadcasts at small scale where
+they fit.
 """
 
 from __future__ import annotations
@@ -87,11 +88,15 @@ def ngram_jaccard_join(
         # (frequency, rank, both self-join sides) + the verify arrays.
         dist = dist.localCheckpoint(eager=True)
 
-    # global document frequency of each shingle (distributed agg, small result)
+    # global document frequency of each shingle (distributed agg). NO
+    # broadcast hint: freq has one row per DISTINCT shingle — billions at
+    # web scale — and a forced hint would be honored regardless of size.
+    # The join is already keyed on shingle (same key as the agg), and AQE
+    # broadcasts freq at small scale where it genuinely fits.
     freq = dist.groupBy("shingle").agg(F.count("*").alias("df_"))
 
     # rarest-first rank within each doc; prefix length = floor((1-t)*n) + 1
-    ranked = dist.join(F.broadcast(freq), "shingle")
+    ranked = dist.join(freq, "shingle")
     wr = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
     prefix = (
         ranked.withColumn("rnk", F.row_number().over(wr))
