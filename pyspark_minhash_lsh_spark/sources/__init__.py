@@ -1,3 +1,10 @@
 from .readers import TESTDATA_TABLES, read_table, read_text_corpus
+from .sinks import write_csv, write_parquet
 
-__all__ = ["TESTDATA_TABLES", "read_table", "read_text_corpus"]
+__all__ = [
+    "TESTDATA_TABLES",
+    "read_table",
+    "read_text_corpus",
+    "write_parquet",
+    "write_csv",
+]

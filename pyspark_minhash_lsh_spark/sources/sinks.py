@@ -1,0 +1,74 @@
+"""Sinks: result writers with scale-aware layout controls.
+
+Parity: the reference's only sinks are ``show()``/``count()`` driver actions
+(``minhash_pyspark.py:273-288`` collects results to re-create a DataFrame).
+Any engine DataFrame supports those directly; this module adds the writers a
+100 TB pipeline actually needs — partitioned parquet layouts with bounded
+file sizes, so downstream scans can partition-prune and no single output
+file becomes a multi-GB straggler.
+
+Layout rules of thumb at scale:
+  - ``partition_by`` low-cardinality columns only (date, language, source
+    shard) — one directory per value; a high-cardinality partition column
+    creates millions of tiny files;
+  - ``max_records_per_file`` bounds file size without an extra shuffle
+    (the writer rolls files within each task);
+  - ``coalesce_to`` merges small outputs (e.g. a dedup result) into a few
+    files WITHOUT a shuffle — never use it to *increase* parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+__all__ = ["write_parquet", "write_csv"]
+
+
+def _prepare(
+    df: DataFrame,
+    coalesce_to: Optional[int],
+    max_records_per_file: Optional[int],
+):
+    writer_df = df.coalesce(coalesce_to) if coalesce_to else df
+    w = writer_df.write
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    return w
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Optional[Sequence[str]] = None,
+    max_records_per_file: Optional[int] = None,
+    coalesce_to: Optional[int] = None,
+    compression: str = "zstd",
+) -> None:
+    """Write a result table as (optionally partitioned) parquet.
+
+    ``compression="zstd"`` is the scan-speed/size sweet spot for analytic
+    re-reads; pass ``"snappy"`` for maximum write throughput.
+    """
+    w = _prepare(df, coalesce_to, max_records_per_file).option(
+        "compression", compression
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.mode(mode).parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    coalesce_to: Optional[int] = None,
+) -> None:
+    """CSV export for interchange (small results only — no predicate pushdown,
+    no schema, no splittable compression; never the 100 TB format)."""
+    _prepare(df, coalesce_to, None).option("header", str(header).lower()).mode(
+        mode
+    ).csv(path)

@@ -47,3 +47,42 @@ def test_index_save_load_roundtrip(spark, tmp_path):
     fresh = {r.doc_id: list(r.signature) for r in model.index.collect()}
     saved = {r.doc_id: list(r.signature) for r in loaded.index.collect()}
     assert fresh == saved
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    """Sink layout controls: partition dirs exist, file sizes bounded, and
+    the partition column prunes on re-read (PushedFilters/partition pruning)."""
+    from pyspark_minhash_lsh_spark.sources.sinks import write_csv, write_parquet
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    out = str(tmp_path / "sink")
+    write_parquet(docs, out, partition_by=["lang"], max_records_per_file=50)
+
+    import os
+    langs = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert langs, "expected lang= partition directories"
+
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    one_lang = back.filter(F.col("lang") == langs[0].split("=", 1)[1])
+    plan = one_lang._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan reports a partition filter on lang
+    assert "PartitionFilters" in plan and "lang" in plan
+
+    csv_out = str(tmp_path / "sink_csv")
+    write_csv(docs.select("doc_id", "lang"), csv_out, coalesce_to=1)
+    csv_files = [f for f in os.listdir(csv_out) if f.endswith(".csv")]
+    assert len(csv_files) == 1
+    assert spark.read.option("header", "true").csv(csv_out).count() == 200
+
+
+def test_salted_join_rejects_outer_shapes(spark):
+    """Replicating the small side breaks right/full/semi/anti semantics —
+    the guard must reject them loudly rather than emit duplicate rows."""
+    import pytest
+
+    big = spark.createDataFrame([("a", 1)], ["k", "v"])
+    small = spark.createDataFrame([("a", 9)], ["k", "w"])
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, on="k", how=how)
