@@ -66,6 +66,27 @@ def main() -> None:
         .groupBy("r_name").agg(F.count("*"), F.min(F.xxhash64("r_name")))
         .count()
     )
+    # Text-pipeline codegen warmup on a 100-doc slice: posexplode + lead
+    # window + wide min-agg + array set ops are the big generated classes the
+    # minhash/setjoin queries compile on first use (measured: q25 cold ~17s
+    # vs ~8s steady-state without this).
+    wdocs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(100)
+    )
+    tk = wdocs.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    ex = tk.select("doc_id", F.posexplode("tk").alias("p", "t"))
+    wnd = Window.partitionBy("doc_id").orderBy("p")
+    sh = ex.select(
+        "doc_id", F.xxhash64("t", F.lead("t", 1).over(wnd)).alias("s")
+    ).where(F.col("s").isNotNull())
+    agg = sh.groupBy("doc_id").agg(
+        F.collect_list("s").alias("h"), *[F.min(F.col("s") + i).alias(f"m{i}") for i in range(20)]
+    )
+    (
+        agg.alias("x").join(agg.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.size(F.array_intersect("x.h", "y.h")).alias("i"))
+        .agg(F.sum("i")).count()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
