@@ -150,3 +150,47 @@ def test_embedding_dedup_clusters(spark):
     # unrelated vectors stay their own component (cosine of random unit
     # vectors in 32-d is far below 0.98)
     assert all(out[i].component == i for i in range(5, 60))
+
+
+def test_pairwise_joins_identical_without_broadcasts(spark):
+    """Scale-correctness: with autoBroadcastJoinThreshold=-1 (every join a
+    shuffle join, as at 100 TB relation sizes) the similarity join, PPJoin
+    and SRP pairs must produce byte-identical results — proving no operator
+    depends on a broadcast strategy for correctness."""
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+    from pyspark_minhash_lsh_spark.operators.setjoin import ngram_jaccard_join
+
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(120):
+        toks = [rng.choice(words) for _ in range(30)]
+        rows.append((i, " ".join(toks)))
+        if i % 10 == 0:  # a few near-dups
+            mutated = list(toks)
+            mutated[3] = "zz"
+            rows.append((1000 + i, " ".join(mutated)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run_all():
+        m = MinHashLSH().fit(df, persist=False)
+        sim = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in m.approx_similarity_join(threshold=0.6).collect()
+        )
+        ppj = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in ngram_jaccard_join(df, threshold=0.6).collect()
+        )
+        return sim, ppj
+
+    default = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_bc = run_all()
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        without_bc = run_all()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default)
+
+    assert with_bc[0] == without_bc[0] and with_bc[0], "similarity join differs"
+    assert with_bc[1] == without_bc[1] and with_bc[1], "ppjoin differs"
