@@ -232,34 +232,61 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     num_bits: int = 64,
     seed: int = 1,
+    n_blocks: Optional[int] = None,
 ) -> DataFrame:
     """Candidate pairs with simhash hamming distance <= ``max_hamming``.
 
-    Banding by pigeonhole: split the ``num_bits`` bits into ``max_hamming + 1``
-    contiguous bands; any pair within the distance budget agrees exactly on at
-    least one band. Join key is ``(band_index, band_bits)`` — an exact
-    equi-join, shuffle on the band key; then the full hamming filter
-    de-falsifies. Complete (no missed pairs) unlike probabilistic LSH.
+    Banding by pigeonhole: split the ``num_bits`` bits into blocks; any pair
+    within the distance budget agrees exactly on enough blocks that some
+    table key matches. Join key is an exact equi-join key, shuffle on it;
+    then the full hamming filter de-falsifies. Complete (no missed pairs)
+    unlike probabilistic LSH.
+
+    ``n_blocks`` controls the key-space/table-count trade (Manku et al.,
+    WWW'07 §3):
+      - default (``max_hamming + 1`` blocks, one table per block): key width
+        is only ``num_bits/(k+1)`` bits — 16 bits at (64, k=3). A 2^16 key
+        space SATURATES at corpus scale: occupancy grows linearly with docs
+        and the key self-join quadratically (the same disease the MinHash
+        join fixed with full-width band keys — here the narrow key is forced
+        by the completeness guarantee, not a modulus).
+      - ``n_blocks = d > k+1``: one table per combination of ``d-k`` blocks
+        (C(d, d-k) tables). A pair with <= k differing bits has >= d-k clean
+        blocks, so the table keyed on exactly those blocks matches —
+        completeness holds, but keys are now ``num_bits*(d-k)/d`` bits wide
+        (32 bits at d=6, k=3 — 20 tables). More explode rows, exponentially
+        smaller buckets: the scale setting.
     """
-    n_bands = max_hamming + 1
-    base = num_bits // n_bands
-    extra = num_bits % n_bands  # first `extra` bands get one extra bit
+    import itertools
+
+    d = n_blocks if n_blocks is not None else max_hamming + 1
+    if d < max_hamming + 1:
+        raise ValueError("n_blocks must be >= max_hamming + 1 (pigeonhole)")
+    if d > num_bits:
+        raise ValueError("n_blocks cannot exceed num_bits")
+    base = num_bits // d
+    extra = num_bits % d  # first `extra` blocks get one extra bit
 
     sh = simhash_bits_df(
         df, tokens(F.col(text_col)), id_col=id_col, num_bits=num_bits, seed=seed
     ).select(F.col(id_col).alias("id"), "bits")
 
-    def band_expr(i: int):
+    def block_slice(i: int):
         start = i * base + min(i, extra) + 1  # 1-indexed slice start
         length = base + (1 if i < extra else 0)
-        return F.struct(
-            F.lit(i).alias("band"),
-            F.slice("bits", start, length).cast("array<int>").alias("key"),
-        )
+        return F.slice("bits", start, length)
+
+    combos = list(itertools.combinations(range(d), d - max_hamming))
+
+    def table_expr(tbl: int, blocks: tuple[int, ...]):
+        key = F.concat(*[block_slice(b) for b in blocks]).cast("array<int>")
+        return F.struct(F.lit(tbl).alias("band"), key.alias("key"))
 
     banded = sh.select(
         "id", "bits",
-        F.explode(F.array(*[band_expr(i) for i in range(n_bands)])).alias("bk"),
+        F.explode(
+            F.array(*[table_expr(t, c) for t, c in enumerate(combos)])
+        ).alias("bk"),
     ).select("id", "bits", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     a = banded.select(

@@ -194,3 +194,21 @@ def test_pairwise_joins_identical_without_broadcasts(spark):
 
     assert with_bc[0] == without_bc[0] and with_bc[0], "similarity join differs"
     assert with_bc[1] == without_bc[1] and with_bc[1], "ppjoin differs"
+
+
+def test_simhash_block_tables_same_pairs(spark):
+    """Manku-style block-combination tables (n_blocks=6 -> 20 tables of
+    32-bit keys) are complete: they find exactly the same hamming<=3 pairs
+    as the default 4x16-bit banding, with a 2^16x larger key space."""
+    rows = [(i, " ".join(f"t{j}" for j in range(i % 7, i % 7 + 25))) for i in range(80)]
+    rows += [(100 + i, rows[i][1] + " extra") for i in range(0, 20, 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    default = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(df, max_hamming=3).collect()
+    )
+    blocks = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(df, max_hamming=3, n_blocks=6).collect()
+    )
+    assert default == blocks and default
