@@ -39,7 +39,17 @@ class IvfFlat:
         emb_col: str = "embedding",
         id_col: str = "vec_id",
         persist: bool = True,
+        train_fraction: float = 1.0,
     ) -> "IvfFlatModel":
+        """Fit the coarse quantizer, then assign every vector to a cell.
+
+        ``train_fraction < 1`` trains KMeans on a seeded Bernoulli sample —
+        the FAISS-standard recipe at scale (Lloyd's iterations over 100 TB of
+        vectors are pointless when ~100-1000 points per centroid already
+        pin the centroids); the full corpus is still assigned in the single
+        ``transform`` pass. Assignment quality degrades only with extreme
+        under-sampling; recall is governed by ``n_probe`` regardless.
+        """
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -47,9 +57,12 @@ class IvfFlat:
             F.col(id_col), F.col(emb_col),
             array_to_vector(F.col(emb_col).cast("array<double>")).alias("_features"),
         )
+        train = feats if train_fraction >= 1.0 else feats.sample(
+            fraction=train_fraction, seed=self.seed
+        )
         km = KMeans(k=self.n_cells, seed=self.seed, featuresCol="_features",
                     predictionCol="cell")
-        model = km.fit(feats)
+        model = km.fit(train)
         index = model.transform(feats).select(id_col, emb_col, "cell")
         if persist:
             index = index.persist()

@@ -36,3 +36,30 @@ def test_ivf_topk_recall(spark):
     model2 = IvfFlat(n_cells=8, seed=1).fit(corpus, persist=False)
     got_all = [r.vec_id for r in model2.approx_cosine_topk(qvec, k=10, n_probe=8).collect()]
     assert got_all == brute
+
+
+def test_ivf_sampled_training(spark):
+    """Quantizer trained on a 30% sample still assigns every vector and
+    full-probe search still equals brute force (recall is n_probe-governed,
+    not training-fraction-governed)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.functions.vectors import cosine_similarity
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    model = IvfFlat(n_cells=8, seed=1).fit(corpus, persist=False, train_fraction=0.3)
+    assert model.index.count() == corpus.count()  # every vector assigned
+
+    got = model.approx_cosine_topk(qvec, k=10, n_probe=8).collect()
+    q_emb = F.array(*[F.lit(x) for x in qvec]).cast("array<float>")
+    want = (
+        corpus.select("vec_id", cosine_similarity(F.col("embedding"), q_emb).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10).collect()
+    )
+    assert [(r.vec_id, round(r.cosine, 6)) for r in got] == [
+        (r.vec_id, round(r.cosine, 6)) for r in want
+    ]
