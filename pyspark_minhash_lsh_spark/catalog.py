@@ -1216,3 +1216,19 @@ def q50_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_dedup(emb, min_cosine=0.9, num_tables=8)
+
+
+@query("q51_near_dedup_batch")
+def q51_near_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the multi-band streaming near-dedup (first-arrival per
+    full-width band key, survivor iff all monitored bands first-seen) —
+    rows-only (band keys are signature-hash dependent). The streaming side
+    is tested equal to this twin on a replayed corpus."""
+    from .streaming.pipelines import streaming_near_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+    )
+    out = streaming_near_dedup(docs, num_state_bands=4)
+    return out.select("doc_id").orderBy("doc_id")
