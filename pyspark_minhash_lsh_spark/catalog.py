@@ -1232,3 +1232,51 @@ def q51_near_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming_near_dedup(docs, num_state_bands=4)
     return out.select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "q52_ngram_dedup",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                               ELSE [] END AS s FROM tok),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sz x ON x.doc_id = id_a
+      JOIN sz y ON y.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a)
+    SELECT id AS doc_id,
+           MIN(r) AS component,
+           CAST(MIN(r) = id AS INT) AS is_representative
+    FROM reach GROUP BY id
+    """,
+)
+def q52_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard dedup incl. clustering, fully oracle-backed: the
+    DuckDB side computes the same pairs as q25's oracle then closes them
+    with a recursive transitive-closure CTE — so the distributed
+    connected-components operator itself is value-checked, not just the
+    pair generation."""
+    from .operators.dedup import ngram_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_dedup(docs, threshold=0.5)
+    return out.select(
+        "doc_id", "component", F.col("is_representative").cast("int").alias("is_representative")
+    )

@@ -29,11 +29,13 @@ from ..config import DEFAULT_CONFIG, MinHashLSHConfig
 from ..functions.hashing import content_fingerprint, hamming_distance, simhash_bits_df
 from ..functions.text import tokens
 from .minhash_lsh import MinHashLSH
+from .setjoin import ngram_jaccard_join
 
 __all__ = [
     "exact_dedup",
     "connected_components",
     "minhash_dedup",
+    "ngram_dedup",
     "embedding_dedup",
     "simhash_near_pairs",
     "simhash_dedup",
@@ -177,6 +179,38 @@ def minhash_dedup(
     finally:
         model.unpersist()
     return out
+
+
+def ngram_dedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup clustering — the fully oracle-able dedup.
+
+    PPJoin exact pairs (``ngram_jaccard_join``) -> connected components ->
+    ``(id, component, is_representative)``. Unlike the MinHash/SimHash/SRP
+    variants, nothing here is hash-family-dependent, so the *entire*
+    pipeline including the clustering is checkable against a SQL oracle
+    (recursive transitive closure) — catalog q52. Use it where auditability
+    beats the probabilistic variants' speed.
+    """
+    edges = ngram_jaccard_join(
+        df, threshold=threshold, k=k, text_col=text_col, id_col=id_col
+    ).select("id_a", "id_b")
+    comp = connected_components(edges, max_iter=max_iter)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+        .withColumn("is_representative", F.col(id_col) == F.col("component"))
+    )
 
 
 def embedding_dedup(
