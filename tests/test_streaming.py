@@ -158,3 +158,23 @@ def test_streaming_near_dedup_stream_matches_batch(spark):
     # cluster count agrees with the batch minhash_dedup representative count
     reps = minhash_dedup(src, threshold=0.9).filter("is_representative").count()
     assert reps == n_base
+
+
+def test_sliding_event_stats_batch(spark, events_dir):
+    """Each event lands in exactly window_len/slide sliding windows (4 for
+    1h/15m), so the window counts must sum to 4x the event count; spot-check
+    one window against a direct range filter."""
+    from pyspark_minhash_lsh_spark.streaming import sliding_event_stats
+
+    batch = spark.read.parquet(events_dir)
+    out = sliding_event_stats(batch, window_len="1 hour", slide="15 minutes")
+    total_events = batch.count()
+    assert out.agg(F.sum("n_events")).head()[0] == 4 * total_events
+
+    row = out.orderBy("window_start", "event_type").collect()[5]
+    direct = batch.filter(
+        (F.col("ts") >= row.window_start)
+        & (F.col("ts") < row.window_end)
+        & (F.col("event_type") == row.event_type)
+    ).count()
+    assert direct == row.n_events
