@@ -42,6 +42,8 @@ __all__ = [
     "MEDIA_SCHEMA",
     "media_table_from_documents",
     "extract_image_features",
+    "resize_images",
+    "extract_audio_features",
     "sample_video_frames",
 ]
 
@@ -143,6 +145,120 @@ def extract_image_features(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_hint)
         )
     return sel.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("duration_ms", LongType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, decode_stub: bool = True
+) -> DataFrame:
+    """(media_id, payload, width, height) — resize plumbing via mapInPandas.
+
+    The stub 'resizes' by resampling the payload bytes to ``width*height``
+    deterministic samples (byte-stride interpolation) — the Spark-side
+    contract (projection, Arrow batch shape, output schema carrying the new
+    dimensions) is real; a production build swaps the chunk resampler for a
+    PIL ``Image.resize`` with the same signature. Output payload size is
+    bounded by ``width*height`` regardless of input size — the property a
+    real thumbnailer provides and the reason to resize BEFORE any shuffle.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real image resize requires PIL/opencv, not present; use decode_stub=True"
+        )
+
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    out_payloads.append(b"")
+                    continue
+                arr = np.frombuffer(p, dtype=np.uint8)
+                idx = np.linspace(0, len(arr) - 1, num=min(n_out, len(arr))).astype(
+                    np.int64
+                )
+                out_payloads.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": out_payloads,
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def extract_audio_features(
+    media: DataFrame,
+    sample_rate: int = 16_000,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """(media_id, n_bytes, duration_ms, feature[16]) — audio plumbing.
+
+    The stub treats the payload as 16-bit PCM at ``sample_rate`` and emits a
+    16-bin energy histogram over the sample stream plus the implied
+    duration; a production build swaps the PCM interpretation for an
+    ffmpeg/soundfile decode with the same mapInPandas signature. Feature
+    and duration are deterministic functions of the bytes.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real audio decode requires ffmpeg/soundfile, not present; "
+            "use decode_stub=True"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nbytes, durs, feats = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                if p is None or len(p) < 2:
+                    nbytes.append(0 if p is None else len(p))
+                    durs.append(0)
+                    feats.append([0.0] * _FEATURE_DIM)
+                    continue
+                pcm = np.frombuffer(p[: len(p) - (len(p) % 2)], dtype=np.int16)
+                nbytes.append(len(p))
+                durs.append(int(len(pcm) * 1000 / sample_rate))
+                # energy histogram over 16 equal time slices, L2-normalized
+                slices = np.array_split(pcm.astype(np.float64), _FEATURE_DIM)
+                e = np.array([np.sqrt(np.mean(s * s)) if len(s) else 0.0 for s in slices])
+                norm = np.linalg.norm(e)
+                feats.append(((e / norm) if norm > 0 else e).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )
 
 
 def sample_video_frames(

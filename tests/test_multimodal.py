@@ -81,3 +81,40 @@ def test_payload_projection_reaches_scan(spark, tmp_path):
         for col in ("extra_a", "extra_b", "mime", "width", "height", "duration_ms"):
             assert col not in line, f"unprojected column {col} read: {line}"
     assert feats.count() == 50
+
+
+def test_resize_images_bounds_payload(spark, media):
+    from pyspark_minhash_lsh_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, width=8, height=8).collect()
+    assert len(out) == 100
+    for r in out:
+        assert len(r.payload) <= 64  # bounded by width*height
+        assert (r.width, r.height) == (8, 8)
+    # deterministic across partitionings
+    again = {r.media_id: bytes(r.payload) for r in resize_images(
+        media.repartition(5), width=8, height=8).collect()}
+    assert {r.media_id: bytes(r.payload) for r in out} == again
+
+
+def test_extract_audio_features(spark, media):
+    from pyspark_minhash_lsh_spark.operators.multimodal import extract_audio_features
+
+    out = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert len(out) == 100
+    for r in out.values():
+        assert len(r.feature) == 16
+        assert r.duration_ms == (r.n_bytes // 2) * 1000 // 16_000
+        norm = sum(x * x for x in r.feature)
+        assert norm == 0 or abs(norm - 1.0) < 1e-3
+
+
+def test_multimodal_real_decode_stubs_raise(spark, media):
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        extract_audio_features,
+        resize_images,
+    )
+
+    for fn in (resize_images, extract_audio_features):
+        with pytest.raises(NotImplementedError):
+            fn(media, decode_stub=False)
