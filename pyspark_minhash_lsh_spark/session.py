@@ -23,7 +23,10 @@ def get_spark(app_name: str = "pyspark_minhash_lsh_spark", cpus: int | None = No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts every task thread, so this IS the
+        # executor memory for all `cpus` tasks — size it so shuffle/agg
+        # hash maps don't spill during the bench's 10x scale probe
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
