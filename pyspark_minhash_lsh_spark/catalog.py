@@ -1007,10 +1007,52 @@ def q36_stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q37_quality_score")
+def _quality_oracle() -> str:
+    """DuckDB mirror of text_analysis.quality_score — every component is a
+    ratio of integers, so the double arithmetic is bit-identical across
+    engines when written in the same order."""
+    return f"""
+    WITH tok AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(text) AS n_chars,
+        len(t) AS n_tok,
+        CASE WHEN len(t) > 0
+             THEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)
+             ELSE 0.0 END AS mtl,
+        {_duck_stop_ratio('en')} AS swr,
+        CASE WHEN len(t) > 0
+             THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+             ELSE 0.0 END AS uq,
+        len(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+        len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+      FROM tok),
+    c AS (
+      SELECT doc_id,
+        CASE WHEN n_chars < 50 THEN CAST(n_chars AS DOUBLE) / 50.0
+             WHEN n_chars > 5000
+             THEN GREATEST(0.0, 1.0 - CAST(n_chars - 5000 AS DOUBLE) / 20000.0)
+             ELSE 1.0 END AS len_score,
+        CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0
+             WHEN mtl < 3 THEN mtl / 3.0
+             ELSE GREATEST(0.0, 1.0 - (mtl - 10.0) / 10.0) END AS tok_len_score,
+        LEAST(1.0, swr / 0.1) AS sw_score,
+        LEAST(1.0, uq / 0.3) AS uniq_score,
+        CASE WHEN nonspace > 0 THEN CAST(alpha AS DOUBLE) / nonspace
+             ELSE 0.0 END AS alpha_score
+      FROM s)
+    SELECT doc_id,
+           ROUND((len_score + tok_len_score + sw_score + uniq_score
+                  + alpha_score) / 5.0, 4) AS quality
+    FROM c
+    """
+
+
+@query("q37_quality_score", oracle=_quality_oracle())
 def q37_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blended heuristic quality score — rows-only (the blend mixes several
-    double bands; per-facet correctness is oracle-checked by q36)."""
+    """Blended heuristic quality score (C4/Gopher-shaped facets: length band,
+    mean token length, stopword density, type/token ratio, alpha ratio) —
+    fully oracle-backed: each facet is exact rational arithmetic."""
     from .functions.text_analysis import quality_score
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1279,4 +1321,197 @@ def q52_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ngram_dedup(docs, threshold=0.5)
     return out.select(
         "doc_id", "component", F.col("is_representative").cast("int").alias("is_representative")
+    )
+
+
+# =====================================================================================
+# Corpus-level text-pipeline ops (operators/textpipe.py) + temporal joins
+# (operators/temporal.py) — training-data north-star additions, all oracle-backed
+# =====================================================================================
+
+@query(
+    "q53_repetition_metrics",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    ts AS (SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dist FROM tok),
+    bg0 AS (SELECT doc_id,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(generate_series(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i + 1])
+                        ELSE [] END AS bgs
+            FROM tok),
+    bgex AS (SELECT doc_id, unnest(bgs) AS bigram FROM bg0),
+    bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bgex GROUP BY 1, 2),
+    bga AS (SELECT doc_id, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS totc
+            FROM bgc GROUP BY 1)
+    SELECT ts.doc_id,
+           ts.n_tok AS n_tokens,
+           CASE WHEN ts.n_tok > 0
+                THEN ROUND(CAST(ts.n_tok - ts.n_dist AS DOUBLE) / ts.n_tok, 6)
+                ELSE 0.0 END AS dup_token_frac,
+           CASE WHEN bga.totc IS NOT NULL
+                THEN ROUND(CAST(bga.topc AS DOUBLE) / bga.totc, 6)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM ts LEFT JOIN bga ON ts.doc_id = bga.doc_id
+    """,
+)
+def q53_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition facets: duplicate-token-position
+    fraction + most-frequent-bigram occurrence share."""
+    from .operators.textpipe import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q54_duplicated_spans",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    sp0 AS (SELECT doc_id,
+                   CASE WHEN len(t) >= 10
+                        THEN list_distinct(list_transform(
+                               generate_series(1, len(t) - 9),
+                               i -> array_to_string(list_slice(t, i, i + 9), ' ')))
+                        ELSE [] END AS sps
+            FROM tok),
+    ex AS (SELECT doc_id, unnest(sps) AS span FROM sp0),
+    freq AS (SELECT span, COUNT(*) AS ndocs FROM ex GROUP BY 1),
+    per AS (SELECT ex.doc_id,
+                   COUNT(*) AS n_spans,
+                   CAST(SUM(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_shared_spans
+            FROM ex JOIN freq ON ex.span = freq.span
+            GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(per.n_spans, 0) AS n_spans,
+           COALESCE(per.n_shared_spans, 0) AS n_shared_spans,
+           COALESCE(CASE WHEN per.n_spans > 0
+                         THEN ROUND(CAST(per.n_shared_spans AS DOUBLE) / per.n_spans, 6)
+                         ELSE 0.0 END, 0.0) AS shared_frac
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def q54_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 10-token spans per doc (passage-level dup
+    signal). Spark compares spans by xxhash64; the oracle compares the span
+    strings — counts agree unless a 64-bit collision occurs (~n^2/2^64)."""
+    from .operators.textpipe import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf_dir, "documents"), span=10)
+
+
+@query(
+    "q55_contamination",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    g0 AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 5
+                       THEN list_distinct(list_transform(
+                              generate_series(1, len(t) - 4),
+                              i -> array_to_string(list_slice(t, i, i + 4), ' ')))
+                       ELSE [] END AS gs
+           FROM tok),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+    ev AS (SELECT DISTINCT g FROM ex WHERE doc_id < 25),
+    corp AS (SELECT doc_id, g FROM ex WHERE doc_id >= 25),
+    hits AS (SELECT corp.doc_id, COUNT(*) AS n_contaminated
+             FROM corp JOIN ev ON corp.g = ev.g GROUP BY 1),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM corp GROUP BY 1)
+    SELECT hits.doc_id, sizes.n_ngrams, hits.n_contaminated,
+           ROUND(CAST(hits.n_contaminated AS DOUBLE) / sizes.n_ngrams, 6)
+             AS contam_frac
+    FROM hits JOIN sizes ON hits.doc_id = sizes.doc_id
+    """,
+)
+def q55_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination probe: corpus docs (doc_id >= 25) sharing
+    distinct 5-grams with the held-out eval slice (doc_id < 25). The eval
+    n-gram set is the one sanctioned broadcast (bounded by construction)."""
+    from .operators.textpipe import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        n=5,
+    )
+
+
+@query(
+    "q56_sequence_packing",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source,
+                      list_filter(string_split(trim(lower(regexp_replace(
+                        regexp_replace(text, '[^\\w]+', ' ', 'g'), '\\s+', ' ', 'g'))), ' '),
+                        x -> x <> '') AS words,
+                      len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_sym
+               FROM documents),
+    tc AS (SELECT doc_id, source,
+                  CAST(list_sum(list_transform(words,
+                         x -> 1 + CAST(floor((len(x) - 1) / 4.0) AS BIGINT))) AS BIGINT)
+                    + n_sym AS n_tokens
+           FROM w),
+    c AS (SELECT source AS grp, doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM tc)
+    SELECT grp, doc_id, n_tokens, (cum - n_tokens) // 2048 AS chunk_id
+    FROM c
+    """,
+)
+def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 2048-token chunks per source
+    (window prefix-sum inside each source group — no global sort)."""
+    from .operators.textpipe import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+@query(
+    "q57_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, r.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event + the value of the same user's most
+    recent purchase at-or-before it (union-sort window formulation, one
+    shuffle on user_id). Oracle is DuckDB's native ASOF JOIN."""
+    from .operators.temporal import asof_join
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, on="user_id", value_cols=("value",))
+    return out.select("event_id", "user_id", F.col("asof_value"))
+
+
+@query(
+    "q58_range_join",
+    oracle="""
+    SELECT e.event_id, CAST(COUNT(r.event_id) AS BIGINT) AS n_prev_60s
+    FROM events e
+    LEFT JOIN events r
+      ON e.user_id = r.user_id
+     AND r.ts < e.ts
+     AND r.ts >= e.ts - INTERVAL 60 SECOND
+    GROUP BY e.event_id
+    """,
+)
+def q58_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing range-join count: events by the same user in the strict
+    window [ts-60s, ts) before each event. Spark side is the bucketed band
+    join (equi-join on (user, 60s-bucket) with probe-side x2 replication);
+    the oracle is the naive inequality join DuckDB can afford at test SF."""
+    from .operators.temporal import range_join_count
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return range_join_count(
+        ev, on="user_id", ts_col="ts", window_seconds=60,
+        id_col="event_id", out_col="n_prev_60s",
     )

@@ -1,0 +1,146 @@
+"""Temporal join operators Spark lacks natively: as-of join and range join.
+
+Neither exists in the reference (its surface is text similarity), but both
+are table-stakes for event/feature pipelines feeding training data, and both
+are called out by the build brief as custom operators to express Spark-first.
+
+``asof_join``  — for each left row, the latest right row with
+                 ``right.ts <= left.ts`` per key. Implemented as the
+                 union-sort trick: tag sides, union, one window per key
+                 ordered by (ts, side) with ``last(..., ignorenulls=True)``
+                 carrying right values forward. ONE shuffle on the join key,
+                 zero range explosion — the classic merge-join formulation
+                 of as-of, expressed relationally so Catalyst plans it.
+
+``range_join_count`` — per left row, COUNT of same-key rows in a trailing
+                 time window. Implemented with time-bucketing: quantize ts
+                 to window-width buckets, replicate the PROBE side into the
+                 two candidate buckets, equi-join on (key, bucket), then
+                 exact range filter. The equi-join gives Catalyst a
+                 shuffle-hash plan; the naive inequality join would be a
+                 broadcast-nested-loop — quadratic per key and not
+                 shuffle-partitionable.
+
+Scale posture: both shuffle on (key) or (key, time-bucket) — high
+cardinality by construction for event streams; a single hyperactive key is
+the usual skew caveat (salt upstream via operators/skew.py if needed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join_count"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the most recent ``right`` values
+    at or before its timestamp, matched per ``on`` key.
+
+    Returns all ``left`` columns plus ``{prefix}{col}`` for each of
+    ``value_cols`` (NULL when no right row precedes the left row).
+
+    Semantics match DuckDB/kdb ``ASOF JOIN`` with ``left.ts >= right.ts``:
+    ties on the timestamp DO match (the right row sorts before the left row
+    at equal ts). If multiple right rows share (key, ts), the one latest in
+    (ts) window order wins — dedupe the right side first when that matters.
+
+    Plan: union both sides -> single window (partitionBy key, orderBy ts,
+    side) -> ``last(ignorenulls=True)`` forward-fill -> keep left rows. One
+    exchange on the key; no per-row range scan, no join explosion — the
+    right values ride the same sort the window already needed.
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *lcols, *[f"{prefix}{c}" for c in value_cols]
+    )
+
+
+def range_join_count(
+    df: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 60,
+    id_col: str = "event_id",
+    out_col: str = "n_prev",
+) -> DataFrame:
+    """Per row: COUNT of same-key rows strictly inside the trailing window
+    ``[ts - window_seconds, ts)``. Returns ``(id_col, out_col)`` for every
+    input row (0 when nothing precedes).
+
+    Bucketed band join: with buckets of exactly ``window_seconds``, any row
+    in the trailing window lives in the probe row's bucket or the one
+    before, so replicating the PROBE side twice (bucket, bucket-1) and
+    equi-joining on (key, bucket) bounds candidates to ~2x the true windows.
+    The build side is NOT replicated, so each matching row is counted once.
+    The exact ``[ts-w, ts)`` predicate then trims the bucket slack.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    width = int(window_seconds) * 1_000_000
+    base = df.select(
+        F.col(on).alias("_k"), F.col(id_col).alias("_id"), us.alias("_us")
+    )
+    probe = base.select(
+        "_k", "_id", "_us",
+        F.explode(
+            F.array(
+                (F.col("_us") / width).cast("bigint"),
+                (F.col("_us") / width).cast("bigint") - 1,
+            )
+        ).alias("_b"),
+    )
+    build = base.select(
+        F.col("_k"), (F.col("_us") / width).cast("bigint").alias("_b"),
+        F.col("_us").alias("_r_us"),
+    )
+    matches = (
+        probe.join(build, ["_k", "_b"], "inner")
+        .filter(
+            (F.col("_r_us") < F.col("_us"))
+            & (F.col("_r_us") >= F.col("_us") - F.lit(width))
+        )
+        .groupBy("_id")
+        .agg(F.count("*").alias(out_col))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(matches.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(id_col, F.coalesce(out_col, F.lit(0)).alias(out_col))
+    )

@@ -1,0 +1,239 @@
+"""Corpus-level text-pipeline operators for LLM training data.
+
+Four operators a production training-data pipeline runs between raw scrape
+and tokenization — none exist in the reference (its surface stops at
+tokenize + shingle, ``utils.py:32-41``); they extend the SURVEY.md
+north-star text-analysis group with *corpus-level* (cross-document) checks:
+
+  - ``repetition_metrics``   — Gopher-style within-doc repetition facets
+  - ``duplicated_spans``     — cross-document duplicated n-token span finder
+  - ``contamination_check``  — benchmark-contamination n-gram overlap probe
+  - ``pack_documents``       — concat-and-chunk sequence packing by token budget
+
+All are pure DataFrame programs over the shared ``tokens()`` kernel: narrow
+projections + shuffles keyed on doc id or span hash — every key is
+high-cardinality, so the plans survive a 100 TB corpus unchanged. The one
+broadcast (``contamination_check``'s eval n-gram set) is *legitimately*
+driver-small: benchmark suites are a fixed, tiny input by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..functions.text_analysis import bpe_token_count_estimate
+
+__all__ = [
+    "repetition_metrics",
+    "duplicated_spans",
+    "contamination_check",
+    "pack_documents",
+]
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition facets (Gopher-style quality filters).
+
+    Returns ``(doc_id, n_tokens, dup_token_frac, top_bigram_frac)``:
+
+      - ``dup_token_frac``  — fraction of token *positions* occupied by a
+        token that already occurred (1 - distinct/total); Gopher's
+        duplicate-word-fraction analogue;
+      - ``top_bigram_frac`` — occurrence share of the single most frequent
+        token bigram (Gopher's top-2-gram fraction). Counts positions, not
+        distinct bigrams — repetition is exactly what must NOT be deduped.
+
+    Token facets come straight off the token array (no explode); bigram
+    counts are relational: posexplode -> lead() window -> two aggregations,
+    all keyed on doc id. One shuffle, scan-bounded — per-doc HOF counting
+    would be O(n^2) interpreted per document.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    ts = base.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.size(F.array_distinct("t")).alias("n_dist"),
+    )
+    ex = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        ex.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
+    bga = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topc"), F.sum("c").alias("totc"))
+    )
+    dup = F.when(
+        F.col("n_tok") > 0,
+        F.round((F.col("n_tok") - F.col("n_dist")).cast("double") / F.col("n_tok"), 6),
+    ).otherwise(F.lit(0.0))
+    top = F.when(
+        F.col("totc").isNotNull(),
+        F.round(F.col("topc").cast("double") / F.col("totc"), 6),
+    ).otherwise(F.lit(0.0))
+    return ts.join(bga, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        dup.alias("dup_token_frac"),
+        top.alias("top_bigram_frac"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    span: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span detector (passage-level near-dup signal).
+
+    A *span* is a run of ``span`` consecutive tokens; a span is *shared* when
+    its token sequence occurs in >= 2 distinct documents. Returns
+    ``(doc_id, n_spans, n_shared_spans, shared_frac)`` over DISTINCT spans
+    per doc — the fraction of a document's distinct passages that also occur
+    elsewhere (the dedup signal boilerplate/template text lights up).
+
+    Spans are compared by 64-bit ``xxhash64`` over the token window — the
+    join/aggregate shuffles 16-byte rows instead of materialized span
+    strings (the count outputs are hash-value-independent modulo a ~n^2/2^64
+    collision). Plan: posexplode -> lead() window (doc-id shuffle) ->
+    distinct (doc, span) -> span-keyed frequency agg -> doc-keyed count agg.
+    Span hash is the high-cardinality key; no broadcast, no skew pivot.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    ex = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, span)]
+    guard = parts[0].isNotNull()
+    for c in parts[1:]:
+        guard = guard & c.isNotNull()
+    spans = (
+        ex.select("doc_id", F.when(guard, F.xxhash64(*parts)).alias("sh"))
+        .where(F.col("sh").isNotNull())
+        .distinct()
+    )
+    freq = spans.groupBy("sh").agg(F.count("*").alias("ndocs"))
+    per_doc = (
+        spans.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("ndocs") >= 2).cast("bigint")).alias("n_shared_spans"),
+        )
+    )
+    frac = F.when(
+        F.col("n_spans") > 0,
+        F.round(F.col("n_shared_spans").cast("double") / F.col("n_spans"), 6),
+    ).otherwise(F.lit(0.0))
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_shared_spans", F.lit(0)).alias("n_shared_spans"),
+            F.coalesce(frac, F.lit(0.0)).alias("shared_frac"),
+        )
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination probe: which corpus documents contain n-grams
+    of a held-out evaluation set (the pre-training hygiene check run before
+    every serious model train).
+
+    Returns ``(doc_id, n_ngrams, n_contaminated, contam_frac)`` for corpus
+    docs with >= 1 overlapping distinct n-gram.
+
+    The eval n-gram set is explicitly ``broadcast``: benchmark suites are
+    small by construction (thousands of documents, not billions), so this is
+    the sanctioned broadcast shape — a genuinely bounded dimension against a
+    corpus-sized probe side. The corpus side streams through a map-side
+    semi-join with NO shuffle of corpus text. N-grams compare as xxhash64 of
+    the token window (16-byte rows; collision odds ~n^2/2^64).
+    """
+    def ngram_rows(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+        )
+        ex = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+        guard = parts[0].isNotNull()
+        for c in parts[1:]:
+            guard = guard & c.isNotNull()
+        return (
+            ex.select("doc_id", F.when(guard, F.xxhash64(*parts)).alias("gh"))
+            .where(F.col("gh").isNotNull())
+            .distinct()
+        )
+
+    eval_grams = ngram_rows(eval_docs).select("gh").distinct()
+    hits = (
+        ngram_rows(corpus)
+        .join(F.broadcast(eval_grams), "gh", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    sizes = ngram_rows(corpus).groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 6
+            ).alias("contam_frac"),
+        )
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign documents to fixed
+    token-budget training chunks, preserving document boundaries.
+
+    Documents are laid out in ``(group_col, doc_id)`` order; a document's
+    chunk is ``exclusive_prefix_tokens // budget`` — the chunk its first
+    token lands in under plain concatenation (documents longer than the
+    budget still map to one chunk; real packers split them downstream).
+    Returns per-doc ``(group, doc_id, n_tokens, chunk_id)``.
+
+    Packing runs INSIDE each group (window partitioned by ``group_col``):
+    groups pack in parallel and no global sort exists anywhere in the plan —
+    the scale-correct layout, since training shards are per-source anyway.
+    Token counts use the ``bpe_token_count_estimate`` scan-speed estimator.
+    """
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("grp").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("doc_id"),
+            bpe_token_count_estimate(F.col(text_col)).alias("n_tokens"),
+        )
+        .withColumn("chunk_id", F.floor((cum - F.col("n_tokens")) / F.lit(budget)))
+        .select("grp", "doc_id", "n_tokens", "chunk_id")
+    )

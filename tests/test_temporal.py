@@ -1,0 +1,112 @@
+"""Semantic tests for the temporal join operators (operators/temporal.py):
+as-of tie/null semantics and range-window boundary behavior on hand-built
+frames; the sf0.01 DuckDB ASOF/inequality-join oracles live in
+test_catalog_oracle via q57/q58."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.temporal import asof_join, range_join_count
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 10:00:00")),   # before any right row -> null
+            (2, 7, _ts("2024-01-01 10:05:00")),   # equal ts -> tie matches
+            (3, 7, _ts("2024-01-01 10:30:00")),   # latest prior = 10:20
+            (4, 8, _ts("2024-01-01 12:00:00")),   # other key, no right rows
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 10:05:00"), 1.5),
+            (7, _ts("2024-01-01 10:20:00"), 2.5),
+            (7, _ts("2024-01-01 11:00:00"), 9.9),  # after all left rows
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = {r.event_id: r for r in
+           asof_join(left, right, on="user_id", value_cols=("value",)).collect()}
+    assert out[1].asof_value is None
+    assert out[2].asof_value == 1.5   # ts tie: right row at equal ts matches
+    assert out[3].asof_value == 2.5
+    assert out[4].asof_value is None
+    assert len(out) == 4              # every left row survives
+
+
+def test_asof_join_multiple_value_cols(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 10:10:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, _ts("2024-01-01 10:00:00"), 3.0, "x")],
+        "user_id bigint, ts timestamp, value double, tag string",
+    )
+    row = asof_join(left, right, on="user_id", value_cols=("value", "tag")).head()
+    assert row.asof_value == 3.0 and row.asof_tag == "x"
+
+
+def test_asof_join_single_shuffle(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 10:10:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, _ts("2024-01-01 10:00:00"), 3.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    plan = (
+        asof_join(left, right, on="user_id", value_cols=("value",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # union-sort formulation: exactly one exchange (on the key), no join node
+    assert plan.lower().count("exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_range_join_count_boundaries(spark):
+    base = _ts("2024-01-01 10:00:00")
+    rows = [
+        (1, 7, base),                                        # nothing before
+        (2, 7, base + dt.timedelta(seconds=30)),             # sees e1
+        (3, 7, base + dt.timedelta(seconds=60)),             # sees e2 only: e1 is exactly -60s (inclusive)
+        (4, 7, base + dt.timedelta(seconds=121)),            # window (61s,121s]: empty
+        (5, 9, base + dt.timedelta(seconds=30)),             # other key
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    out = {r.event_id: r.n_prev for r in
+           range_join_count(df, on="user_id", ts_col="ts", window_seconds=60,
+                            id_col="event_id", out_col="n_prev").collect()}
+    assert out[1] == 0
+    assert out[2] == 1
+    assert out[3] == 2   # e1 at exactly ts-60 included, e2 at -30 included
+    assert out[4] == 0
+    assert out[5] == 0
+
+
+def test_range_join_matches_naive(spark):
+    # randomized-ish deterministic frame vs the O(n^2) definition
+    rows = [
+        (i, i % 3, _ts("2024-01-01 10:00:00") + dt.timedelta(seconds=(i * 37) % 300))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    got = {r.event_id: r.n_prev for r in
+           range_join_count(df, window_seconds=60, out_col="n_prev").collect()}
+    data = [(e, u, t) for e, u, t in rows]
+    for e, u, t in data:
+        naive = sum(
+            1 for e2, u2, t2 in data
+            if u2 == u and t2 < t and t2 >= t - dt.timedelta(seconds=60)
+        )
+        assert got[e] == naive, e

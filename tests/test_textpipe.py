@@ -1,0 +1,96 @@
+"""Semantic tests for the corpus-level text-pipeline operators
+(operators/textpipe.py) on hand-built inputs with known answers; the
+sf0.01 oracle matches live in test_catalog_oracle via q53-q56."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.textpipe import (
+    contamination_check,
+    duplicated_spans,
+    pack_documents,
+    repetition_metrics,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_repetition_metrics_known_values(spark):
+    docs = _docs(spark, [
+        (0, "a b a b a b", "s"),       # 6 tok, 2 distinct; bigrams: ab x3, ba x2
+        (1, "x y z w", "s"),           # all unique; bigrams all unique
+        (2, "", "s"),                  # empty doc
+        (3, "solo", "s"),              # 1 token, no bigrams
+    ])
+    out = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert out[0].n_tokens == 6
+    assert abs(out[0].dup_token_frac - round(4 / 6, 6)) < 1e-9
+    assert abs(out[0].top_bigram_frac - 0.6) < 1e-9  # 3 of 5 bigrams
+    assert out[1].dup_token_frac == 0.0
+    assert abs(out[1].top_bigram_frac - round(1 / 3, 6)) < 1e-9
+    assert out[2].n_tokens == 0 and out[2].dup_token_frac == 0.0
+    assert out[3].top_bigram_frac == 0.0
+
+
+def test_duplicated_spans_cross_doc(spark):
+    shared = " ".join(f"w{i}" for i in range(10))        # one exact 10-token span
+    docs = _docs(spark, [
+        (0, shared + " tailA tailB", "s"),
+        (1, "headX " + shared, "s"),
+        (2, " ".join(f"u{i}" for i in range(12)), "s"),  # unique spans
+        (3, "too short", "s"),                            # < 10 tokens
+    ])
+    out = {r.doc_id: r for r in duplicated_spans(docs, span=10).collect()}
+    # doc0: 3 distinct spans, only the exact shared window is in doc1 too
+    assert out[0].n_spans == 3 and out[0].n_shared_spans == 1
+    assert out[1].n_spans == 2 and out[1].n_shared_spans == 1
+    assert out[2].n_spans == 3 and out[2].n_shared_spans == 0
+    assert out[3].n_spans == 0 and out[3].shared_frac == 0.0
+
+
+def test_contamination_only_overlapping_docs(spark):
+    eval_docs = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta", "ev")])
+    corpus = _docs(spark, [
+        (0, "alpha beta gamma delta epsilon other words here", "s"),  # overlaps
+        (1, "totally different words in this document body", "s"),    # clean
+        (2, "tiny", "s"),                                             # < n tokens
+    ])
+    out = contamination_check(corpus, eval_docs, n=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0}
+    # only "alpha beta gamma delta epsilon" is a 5-gram of BOTH sides
+    assert rows[0].n_contaminated == 1
+    assert rows[0].n_ngrams == 4
+    assert abs(rows[0].contam_frac - 0.25) < 1e-9
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    eval_docs = _docs(spark, [(100, "alpha beta gamma delta epsilon", "ev")])
+    corpus = _docs(spark, [(0, "alpha beta gamma delta epsilon tail", "s")])
+    plan = contamination_check(corpus, eval_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_documents_boundaries(spark):
+    # budget 10; per-doc estimator: 1 token per word here (all words <= 4 chars)
+    docs = _docs(spark, [
+        (0, " ".join(["w"] * 6), "a"),   # cum 6  -> chunk 0
+        (1, " ".join(["w"] * 6), "a"),   # starts at 6 -> chunk 0
+        (2, " ".join(["w"] * 6), "a"),   # starts at 12 -> chunk 1
+        (3, " ".join(["w"] * 25), "a"),  # starts at 18 -> chunk 1 (oversized doc)
+        (4, " ".join(["w"] * 3), "b"),   # separate group packs independently
+    ])
+    out = {r.doc_id: r for r in pack_documents(docs, budget=10).collect()}
+    assert [out[i].chunk_id for i in range(4)] == [0, 0, 1, 1]
+    assert out[4].grp == "b" and out[4].chunk_id == 0
+    assert out[3].n_tokens == 25
+
+
+def test_pack_documents_no_global_sort(spark):
+    docs = _docs(spark, [(i, "w w w", f"s{i % 3}") for i in range(30)])
+    plan = pack_documents(docs, budget=10)._jdf.queryExecution().executedPlan().toString()
+    # the only exchange is the hash partition by group — no global range sort
+    assert "rangepartitioning" not in plan.lower()
