@@ -1,0 +1,119 @@
+"""Deterministic corpus sampling / splitting / sharding for training data.
+
+Every op keys on ``md5`` of the document id (+ a caller salt) rather than
+``rand()``: the assignment is a pure function of the row, so it is stable
+across runs, executors, partitionings, and engines — reshuffling or
+re-reading the corpus can never move a document between train and test
+(``df.sample``/``randomSplit`` cannot promise that across plan changes).
+md5 exists natively in both Spark and DuckDB, which makes all three ops
+fully oracle-checkable, unlike xxhash64-keyed assignments.
+
+  - ``deterministic_split`` — train/validation/test by hash bucket
+  - ``per_group_quota``     — cap documents per group (C4-style per-domain cap)
+  - ``shard_assignment``    — training shard id + stable position within shard
+
+Scale posture: the split is a narrow projection (no shuffle at all); quota
+and shard positions are single windows keyed on group/shard — high-cardinality
+partitions with per-partition sorts, never a global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["deterministic_split", "per_group_quota", "shard_assignment"]
+
+_BUCKETS = 1 << 32  # 8 hex chars of the md5 digest
+
+
+def _hash_bucket(id_col: str, salt: str) -> Column:
+    """Uniform bucket in [0, 2^32) from the first 8 md5 hex chars of
+    ``salt || id``. ``conv(_, 16, 10)`` matches DuckDB's
+    ``('0x' || substring(md5(_), 1, 8))::UBIGINT`` exactly."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+def deterministic_split(
+    df: DataFrame,
+    weights: Sequence[float] = (0.9, 0.05, 0.05),
+    names: Sequence[str] = ("train", "validation", "test"),
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one of ``names`` with
+    probabilities ``weights`` (exact to 1/2^32), as a pure function of
+    ``md5(salt || id)``.
+
+    Zero shuffles — the split is a projection and composes with any scan.
+    Changing ``salt`` produces an independent assignment (e.g. for k-fold
+    style re-draws) without touching the data.
+    """
+    if len(weights) != len(names) or len(names) < 2:
+        raise ValueError("need >= 2 names with matching weights")
+    total = float(sum(weights))
+    u = _hash_bucket(id_col, salt)
+    acc = 0.0
+    expr = None
+    for w, name in zip(weights[:-1], names[:-1]):
+        acc += w / total
+        thr = int(acc * _BUCKETS)
+        cond = u < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr.otherwise(F.lit(names[-1])))
+
+
+def per_group_quota(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, selected by hash order — an
+    unbiased, deterministic per-domain cap (the C4/RefinedWeb move against
+    mega-domains dominating the corpus).
+
+    Selection order is ``md5(salt || id)`` with the id as tiebreaker, so the
+    kept subset is a uniform random-looking but reproducible sample of each
+    group. One window keyed on the group column; Spark plans it as
+    ``WindowGroupLimit`` (rank pushdown) so each partition keeps only
+    ``quota`` rows before the final filter — no full-group materialization.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Assign each row a training ``shard_id`` in [0, n_shards) and a stable
+    ``shard_pos`` ordering within its shard (hash order, id tiebreak).
+
+    The shard id is ``hash_bucket % n_shards`` (a projection); positions are
+    one window per shard. Downstream writers can
+    ``repartition(n_shards, "shard_id")`` + ``sortWithinPartitions("shard_pos")``
+    to lay out globally-shuffled, reproducible training shards without any
+    global sort.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("shard_id").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard_id", (u % F.lit(int(n_shards))).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("_h")
+    )

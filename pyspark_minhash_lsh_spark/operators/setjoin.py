@@ -38,6 +38,7 @@ def ngram_jaccard_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_intermediate: bool = True,
+    broadcast_max_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with EXACT shingle-set Jaccard >= threshold.
 
@@ -49,6 +50,18 @@ def ngram_jaccard_join(
     sides, both verify sides) and without it the tokenize+shingle scan is
     recomputed each time (measured ~2x end-to-end). Costs one eager job +
     corpus-linear storage; disable for one-shot small inputs.
+
+    ``broadcast_max_rows`` gates the frequency/verify broadcast hints on the
+    MEASURED shingle-row count (a cheap count() on the checkpointed table).
+    An explicit ``F.broadcast`` is honored regardless of
+    ``autoBroadcastJoinThreshold``, so an unconditional hint OOMs at scale
+    (8 GB hard broadcast limit); but with NO hint, AQE's
+    shuffle-to-broadcast conversion still pays the map-side shuffle WRITE of
+    the corpus-sized probe before it can convert (measured ~2x end-to-end at
+    sf0.1). Counting first gets both: known-small inputs skip the shuffle
+    entirely, large corpora take the shuffle join with no OOM risk. At
+    ``persist_intermediate=False`` the count would recompute the scan, so
+    gating is skipped and the planner decides alone.
     """
     t = float(threshold)
     # Spread the corpus across all cores BEFORE the per-doc heavy compute:
@@ -88,12 +101,21 @@ def ngram_jaccard_join(
         # (frequency, rank, both self-join sides) + the verify arrays.
         dist = dist.localCheckpoint(eager=True)
 
-    # global document frequency of each shingle (distributed agg). NO
-    # broadcast hint: freq has one row per DISTINCT shingle — billions at
-    # web scale — and a forced hint would be honored regardless of size.
-    # The join is already keyed on shingle (same key as the agg), and AQE
-    # broadcasts freq at small scale where it genuinely fits.
+    # measured-size broadcast gate (see docstring): only a KNOWN-small
+    # corpus gets hints; localCheckpoint makes the count cheap.
+    small = (
+        persist_intermediate
+        and broadcast_max_rows is not None
+        and dist.count() <= broadcast_max_rows
+    )
+
+    # global document frequency of each shingle (distributed agg): one row
+    # per DISTINCT shingle — billions at web scale, so the hint is applied
+    # only under the measured-size gate; otherwise the join stays keyed on
+    # shingle (same key as the agg) and the planner/AQE decides.
     freq = dist.groupBy("shingle").agg(F.count("*").alias("df_"))
+    if small:
+        freq = F.broadcast(freq)
 
     # rarest-first rank within each doc; prefix length = floor((1-t)*n) + 1
     ranked = dist.join(freq, "shingle")
@@ -144,17 +166,17 @@ def ngram_jaccard_join(
 
     # verification: look up both full hashed-shingle arrays per candidate
     # pair (built here from the exploded rows — no shuffle: grouping key id
-    # matches the checkpoint's partitioning). NO broadcast hint on the
-    # (id, hashes) side: it is corpus-sized, and an explicit ``F.broadcast``
-    # hint is honored regardless of ``autoBroadcastJoinThreshold`` — at scale
-    # that forces the whole shingle table through the driver (8 GB hard
-    # broadcast limit -> OOM). AQE sees the runtime size instead: small
-    # corpora still get the map-side hash join, large ones shuffle on id.
+    # matches the checkpoint's partitioning). The (id, hashes) side is
+    # corpus-sized, so its broadcast hint rides the same measured-size gate:
+    # known-small corpora get map-side hash lookups with zero shuffle of the
+    # array table; everything else shuffle-joins on id (well distributed).
     sh = dist.groupBy("id").agg(
         F.collect_list("shingle").alias("h"), F.max("n").alias("n")
     )
     sa = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), F.col("n").alias("n_b"))
+    if small:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("h_a", "h_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
     return (

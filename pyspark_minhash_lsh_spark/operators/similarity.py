@@ -142,17 +142,22 @@ class SrpLshModel:
         )
 
     def approx_similarity_pairs(
-        self, min_cosine: float = 0.8, max_bucket_size: Optional[int] = None
+        self,
+        min_cosine: float = 0.8,
+        max_bucket_size: Optional[int] = None,
+        broadcast_max_rows: Optional[int] = 200_000,
     ) -> DataFrame:
         """All candidate pairs sharing >= 1 SRP bucket with cosine >= threshold.
 
         Explode keys -> id-only self-equi-join on key (the shuffle moves
         16-byte (key, id) rows, never embeddings) -> dedupe pairs -> attach
-        both embeddings via plain id-keyed joins (no broadcast hint — AQE
-        broadcasts the index when it actually fits, shuffles otherwise; same
-        rationale as the MinHash similarity join) -> exact cosine filter.
-        ``max_bucket_size`` drops degenerate hot buckets before the join by
-        anti-joining the (tiny by construction) hot-bucket list.
+        both embeddings via id-keyed joins -> exact cosine filter. The
+        embedding-attach broadcast hint is gated on a MEASURED index count
+        (same rationale as MinHashLSHModel.approx_similarity_join: a
+        known-small index skips the AQE pre-conversion shuffle entirely; a
+        large one takes the distributed shuffle join with no forced-OOM
+        risk). ``max_bucket_size`` drops degenerate hot buckets before the
+        join by anti-joining the (tiny by construction) hot-bucket list.
         """
         ex = self.index.select(F.col(self.id_col), F.explode("srp_keys").alias("key"))
         if max_bucket_size is not None:
@@ -172,6 +177,8 @@ class SrpLshModel:
         embs = self.index.select(F.col(self.id_col), F.col(self.emb_col))
         ea = embs.select(F.col(self.id_col).alias("id_a"), F.col(self.emb_col).alias("emb_a"))
         eb = embs.select(F.col(self.id_col).alias("id_b"), F.col(self.emb_col).alias("emb_b"))
+        if broadcast_max_rows is not None and self.index.count() <= broadcast_max_rows:
+            ea, eb = F.broadcast(ea), F.broadcast(eb)
         return (
             pairs.join(ea, "id_a")
             .join(eb, "id_b")

@@ -172,23 +172,30 @@ def test_pairwise_joins_identical_without_broadcasts(spark):
             rows.append((1000 + i, " ".join(mutated)))
     df = spark.createDataFrame(rows, ["doc_id", "text"])
 
-    def run_all():
+    def run_all(gate):
+        # gate=None disables the measured-size broadcast hints too, so the
+        # no-broadcast leg is a TRUE all-shuffle plan (hints would otherwise
+        # override autoBroadcastJoinThreshold=-1)
         m = MinHashLSH().fit(df, persist=False)
         sim = sorted(
             (r.id_a, r.id_b, round(r.jaccard, 6))
-            for r in m.approx_similarity_join(threshold=0.6).collect()
+            for r in m.approx_similarity_join(
+                threshold=0.6, broadcast_max_rows=gate
+            ).collect()
         )
         ppj = sorted(
             (r.id_a, r.id_b, round(r.jaccard, 6))
-            for r in ngram_jaccard_join(df, threshold=0.6).collect()
+            for r in ngram_jaccard_join(
+                df, threshold=0.6, broadcast_max_rows=gate
+            ).collect()
         )
         return sim, ppj
 
     default = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    with_bc = run_all()
+    with_bc = run_all(100_000)
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        without_bc = run_all()
+        without_bc = run_all(None)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default)
 
