@@ -1515,3 +1515,73 @@ def q58_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, on="user_id", ts_col="ts", window_seconds=60,
         id_col="event_id", out_col="n_prev_60s",
     )
+
+
+# md5-derived uniform bucket, identical in Spark (conv(substring(md5,1,8),16,10))
+# and DuckDB (('0x' || substring(md5,1,8))::UBIGINT)
+def _duck_bucket(salt: str) -> str:
+    return f"('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+
+
+_SPLIT_T1 = int((1 << 32) * 0.9)
+_SPLIT_T2 = int((1 << 32) * 0.95)
+
+
+@query(
+    "q59_deterministic_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN u < {_SPLIT_T1} THEN 'train'
+                WHEN u < {_SPLIT_T2} THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {_duck_bucket('split')} AS u FROM documents)
+    """,
+)
+def q59_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 90/5/5 train/validation/test split — a pure
+    projection (zero shuffles), stable across runs/partitionings/engines."""
+    from .operators.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_split(docs).select("doc_id", "split")
+
+
+@query(
+    "q60_per_source_quota",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5('quota' || CAST(doc_id AS VARCHAR)), doc_id) <= 10
+    """,
+)
+def q60_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain cap: keep <= 10 docs per source, selected in
+    deterministic hash order (WindowGroupLimit pushdown on the Spark side)."""
+    from .operators.sampling import per_group_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    return per_group_quota(docs, quota=10).select("doc_id", "source")
+
+
+@query(
+    "q61_shard_assignment",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(u % 8 AS INT) AS shard_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY u % 8
+             ORDER BY md5('shard' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS shard_pos
+    FROM (SELECT doc_id, {_duck_bucket('shard')} AS u FROM documents)
+    """,
+)
+def q61_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-shard layout: shard id by hash bucket mod 8 +
+    stable position within each shard (per-shard window, no global sort)."""
+    from .operators.sampling import shard_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_assignment(docs, n_shards=8).select(
+        "doc_id", "shard_id", F.col("shard_pos").cast("bigint").alias("shard_pos")
+    )

@@ -1,0 +1,88 @@
+"""Semantic tests for deterministic sampling/splitting/sharding
+(operators/sampling.py); engine-parity lives in test_catalog_oracle via
+q59-q61 (md5 buckets are identical in Spark and DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.sampling import (
+    deterministic_split,
+    per_group_quota,
+    shard_assignment,
+)
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 7).cast("string")).alias("source"),
+    )
+
+
+def test_split_fractions_and_determinism(spark):
+    df = _docs(spark)
+    out = deterministic_split(df, weights=(0.8, 0.1, 0.1))
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "validation", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # assignment is a pure function of the id: repartitioning cannot move rows
+    again = deterministic_split(df.repartition(13), weights=(0.8, 0.1, 0.1))
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in again.collect()}
+    assert a == b
+
+
+def test_split_salt_changes_assignment(spark):
+    df = _docs(spark, 500)
+    a = {r.doc_id: r.split for r in deterministic_split(df, salt="s1").collect()}
+    b = {r.doc_id: r.split for r in deterministic_split(df, salt="s2").collect()}
+    assert a != b  # independent draw
+    assert set(a) == set(b)  # same rows, every row assigned
+
+
+def test_split_is_projection_no_shuffle(spark):
+    plan = (
+        deterministic_split(_docs(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_per_group_quota_counts_and_stability(spark):
+    df = _docs(spark)  # 7 sources x ~286 docs
+    out = per_group_quota(df, quota=25, group_col="source")
+    counts = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert all(c == 25 for c in counts.values())
+    # growing the corpus cannot evict previously-kept docs arbitrarily:
+    # selection is hash-ordered, so the kept set for a fixed group is the
+    # 25 smallest hashes — recompute on a shuffled frame must agree
+    again = per_group_quota(df.repartition(17), quota=25, group_col="source")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_quota_uses_window_group_limit(spark):
+    plan = (
+        per_group_quota(_docs(spark), quota=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_shard_assignment_positions(spark):
+    df = _docs(spark, 800)
+    out = shard_assignment(df, n_shards=4).collect()
+    assert {r.shard_id for r in out} == {0, 1, 2, 3}
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        # positions are exactly 1..n within each shard (stable total order)
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic under repartitioning
+    again = shard_assignment(df.repartition(11), n_shards=4).collect()
+    assert {(r.doc_id, r.shard_id, r.shard_pos) for r in out} == {
+        (r.doc_id, r.shard_id, r.shard_pos) for r in again
+    }
