@@ -1585,3 +1585,32 @@ def q61_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assignment(docs, n_shards=8).select(
         "doc_id", "shard_id", F.col("shard_pos").cast("bigint").alias("shard_pos")
     )
+
+
+@query(
+    "q62_interval_join",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           r.event_id AS r_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts <= l.ts
+     AND r.ts >= l.ts - INTERVAL 1 HOUR
+    """,
+)
+def q62_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join: (click,
+    purchase) pairs per user within a 1-hour lag. The streaming side is
+    tested equal to this twin on replayed streams (tests/test_streaming.py)."""
+    from .streaming.pipelines import interval_join
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    out = interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        on="user_id", max_lag_seconds=3600,
+    )
+    return out.select("user_id", "l_event_id", "r_event_id")

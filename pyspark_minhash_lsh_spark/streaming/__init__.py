@@ -4,6 +4,7 @@ from .pipelines import (
     streaming_exact_dedup,
     streaming_near_dedup,
     near_dedup_finalize,
+    interval_join,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_near_dedup",
     "near_dedup_finalize",
+    "interval_join",
 ]

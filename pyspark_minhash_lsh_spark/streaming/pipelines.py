@@ -32,6 +32,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_near_dedup",
     "near_dedup_finalize",
+    "interval_join",
 ]
 
 
@@ -209,4 +210,55 @@ def near_dedup_finalize(band_rows: DataFrame, num_state_bands: int) -> DataFrame
         .agg(F.count("*").alias("_nb"))
         .filter(F.col("_nb") == num_state_bands)
         .drop("_nb")
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag_seconds: int = 3600,
+    watermark: str = "2 hours",
+    left_cols: tuple[str, ...] = ("event_id",),
+    right_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: pairs of (left, right) rows
+    with the same key where ``right.ts`` falls in ``[left.ts - lag, left.ts]``.
+
+    On streaming inputs this is Spark's native watermarked stream-stream
+    inner join — the time-range condition lets the engine expire right-side
+    state once the watermark passes ``left.ts - lag``, so state stays
+    bounded by lag x arrival rate (per the Structured Streaming join
+    contract). On batch inputs the identical predicate runs as a plain join,
+    giving an oracle-able twin (catalog q62). At scale prefer
+    ``operators.temporal.range_join_count`` for counting (bucketed
+    equi-join); this operator is for *emitting* the matched pairs.
+
+    Output columns: ``on``, then ``l_<c>``/``r_<c>`` for the requested
+    projections, plus both timestamps as ``l_ts``/``r_ts``.
+    """
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    l = l.select(
+        F.col(on).alias("_lk"), F.col(left_ts).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left_cols],
+    )
+    r = r.select(
+        F.col(on).alias("_rk"), F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    )
+    cond = (
+        (F.col("_lk") == F.col("_rk"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {int(max_lag_seconds)} SECONDS"))
+    )
+    return (
+        l.join(r, cond, "inner")
+        .select(F.col("_lk").alias(on), "l_ts", "r_ts",
+                *[f"l_{c}" for c in left_cols], *[f"r_{c}" for c in right_cols])
     )

@@ -178,3 +178,38 @@ def test_sliding_event_stats_batch(spark, events_dir):
         & (F.col("event_type") == row.event_type)
     ).count()
     assert direct == row.n_events
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (clicks x purchases, 1h lag)
+    emits exactly the batch twin's pairs on a replayed stream."""
+    from pyspark_minhash_lsh_spark.streaming import interval_join
+
+    batch = spark.read.parquet(events_dir)
+    want = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in interval_join(
+            batch.filter(F.col("event_type") == "click"),
+            batch.filter(F.col("event_type") == "purchase"),
+            on="user_id", max_lag_seconds=3600,
+        ).collect()
+    )
+    assert want  # non-degenerate fixture
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    joined = interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        on="user_id", max_lag_seconds=3600,
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory").queryName("ivj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.table("ivj").collect()
+    )
+    assert got == want
