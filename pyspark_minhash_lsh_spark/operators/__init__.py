@@ -1,3 +1,23 @@
 from .minhash_lsh import MinHashLSH, MinHashLSHModel
+from .sampling import deterministic_split, per_group_quota, shard_assignment
+from .temporal import asof_join, range_join_count
+from .textpipe import (
+    contamination_check,
+    duplicated_spans,
+    pack_documents,
+    repetition_metrics,
+)
 
-__all__ = ["MinHashLSH", "MinHashLSHModel"]
+__all__ = [
+    "MinHashLSH",
+    "MinHashLSHModel",
+    "asof_join",
+    "range_join_count",
+    "deterministic_split",
+    "per_group_quota",
+    "shard_assignment",
+    "repetition_metrics",
+    "duplicated_spans",
+    "contamination_check",
+    "pack_documents",
+]
