@@ -1614,3 +1614,41 @@ def q62_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="user_id", max_lag_seconds=3600,
     )
     return out.select("user_id", "l_event_id", "r_event_id")
+
+
+@query(
+    "q63_bm25_search",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKENS} AS t FROM documents),
+    dl AS (SELECT id, len(t) AS dl FROM tok),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    ex AS (SELECT id, unnest(t) AS term FROM tok),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM ex
+           WHERE term IN ('spark', 'window', 'fast') GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df_ FROM tf GROUP BY 1),
+    sc AS (
+      SELECT tf.id,
+             SUM( ln(1.0 + (stats.n_docs - dfq.df_ + 0.5) / (dfq.df_ + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+      FROM tf
+      JOIN dfq USING (term)
+      JOIN dl USING (id)
+      CROSS JOIN stats
+      GROUP BY 1)
+    SELECT id AS doc_id, ROUND(score, 4) AS score
+    FROM sc ORDER BY score DESC, id ASC LIMIT 10
+    """,
+)
+def q63_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search top-10 for ['spark', 'window', 'fast'] — the
+    lexical retrieval path beside the MinHash ANN (q32) and embedding ANN
+    (q41/q47) queries. Fully relational; postings pruned to query terms
+    before any shuffle."""
+    from .operators.search import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_search(docs, ["spark", "window", "fast"], k=10)
+    return out.select(
+        F.col("id").alias("doc_id"), F.round("score", 4).alias("score")
+    )

@@ -1,0 +1,89 @@
+"""Relational BM25 keyword search — the lexical complement to the MinHash
+ANN query (``minhash_lsh.approx_nearest_neighbors``, semantic/near-dup) and
+the embedding ANN operators (SRP/IVF, dense). None exists in the reference;
+together they cover the retrieval triangle a data-curation stack needs
+(exact keywords / fuzzy near-dup / dense semantic).
+
+The whole scorer is a DataFrame program over the shared ``tokens()`` kernel:
+
+  postings  = explode tokens -> filter to query terms FIRST -> tf per (doc, term)
+  doc stats = token count per doc (scan-bound agg)
+  term df   = distinct-doc count per query term
+  score     = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))   (BM25)
+
+Because the query-term filter sits directly on the exploded token stream,
+only matching postings ever shuffle — the heavy corpus-wide work is the
+doc-length aggregate, which is a scan + pre-reduced 16-byte-row exchange.
+Corpus constants (N, avgdl) ride a broadcast single-row frame, never a
+driver round-trip. Top-k terminates in ``TakeOrderedAndProject``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["bm25_search"]
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 over the normalized token stream.
+
+    Returns ``(id, score)`` ordered by score desc (id asc tiebreak).
+    ``query_terms`` are matched post-normalization (lowercased); idf uses the
+    standard ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form, so scores are
+    always positive and rank-stable.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    ex = base.select("id", F.explode("t").alias("term"))
+
+    # per-doc length over ALL tokens (needed by the normalizer), plus the
+    # corpus constants as a broadcastable single row
+    dl = base.select("id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    # postings pruned to the query terms BEFORE any shuffle
+    tf = (
+        ex.filter(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_") + F.lit(0.5)) / (F.col("df_") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_c", contrib)
+        .groupBy("id")
+        .agg(F.sum("_c").alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )

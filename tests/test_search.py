@@ -1,0 +1,64 @@
+"""Semantic tests for relational BM25 search (operators/search.py); the
+engine-parity check is catalog q63's DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.search import bm25_search
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_ranks_term_frequency(spark):
+    docs = _docs(spark, [
+        (0, "cat cat cat dog mouse"),
+        (1, "cat dog bird fish lizard"),
+        (2, "dog dog dog dog dog"),
+        (3, "totally unrelated words here"),
+    ])
+    out = bm25_search(docs, ["cat"], k=10).collect()
+    assert [r.id for r in out] == [0, 1]  # only docs containing the term
+    assert out[0].score > out[1].score    # higher tf wins at equal length
+
+
+def test_bm25_idf_favors_rare_terms(spark):
+    # 'rare' appears in 1 doc, 'common' in all 4; one doc holds one of each
+    docs = _docs(spark, [
+        (0, "rare common filler filler"),
+        (1, "common filler filler filler"),
+        (2, "common filler filler filler"),
+        (3, "common filler filler filler"),
+    ])
+    out = {r.id: r.score for r in bm25_search(docs, ["rare", "common"], k=10).collect()}
+    # doc 0 gets both contributions; its rare-term share must dominate
+    only_common = out[1]
+    assert out[0] > 2 * only_common
+
+
+def test_bm25_manual_value(spark):
+    # single doc, single term: score = idf * tf(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+    docs = _docs(spark, [(0, "a a b"), (1, "b b b")])
+    out = {r.id: r.score for r in bm25_search(docs, ["a"], k=10).collect()}
+    n_docs, df_, tf, dl, avgdl, k1, b = 2, 1, 2, 3, 3.0, 1.2, 0.75
+    idf = math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+    want = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert out[0] == pytest.approx(want, rel=1e-9)
+    assert 1 not in out
+
+
+def test_bm25_topk_plan_terminates_in_take_ordered(spark):
+    docs = _docs(spark, [(i, f"w{i} common") for i in range(50)])
+    plan = bm25_search(docs, ["common"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_empty_terms_raises(spark):
+    docs = _docs(spark, [(0, "a")])
+    with pytest.raises(ValueError):
+        bm25_search(docs, [])
