@@ -1652,3 +1652,53 @@ def q63_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), F.round("score", 4).alias("score")
     )
+
+
+@query(
+    "q64_incremental_dedup",
+    oracle=f"""
+    WITH new_batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 5
+      UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 5),
+    tokn AS (SELECT doc_id, array_to_string({_DUCK_TOKENS}, ' ') AS key
+             FROM new_batch),
+    seen AS (SELECT DISTINCT array_to_string({_DUCK_TOKENS}, ' ') AS key
+             FROM documents WHERE doc_id < 250),
+    first AS (SELECT doc_id, key FROM tokn
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id) = 1)
+    SELECT doc_id FROM first WHERE key NOT IN (SELECT key FROM seen)
+    """,
+)
+def q64_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a new batch (docs >= 250, plus copies of 5
+    seen docs under fresh ids at +10000 and +20000 to construct real
+    cross-batch and in-batch duplicates — the testdata has no natural exact
+    dups) deduped against the seen corpus (docs < 250). The copies must all
+    drop; the genuinely-new docs must all survive."""
+    from .operators.dedup import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") < 250)
+    dup1 = seen.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 10000)
+    dup2 = seen.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 20000)
+    new = docs.filter(F.col("doc_id") >= 250).unionByName(dup1).unionByName(dup2)
+    return incremental_exact_dedup(new, seen).select("doc_id")
+
+
+@query("q65_incremental_near_dedup")
+def q65_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash near-dedup of the same constructed batch vs the
+    seen corpus at threshold 0.5 — rows-only (signature-hash dependent); the
+    exact twin q64 is the oracle-checked counterpart."""
+    from .operators.dedup import incremental_near_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") < 250)
+    dup1 = seen.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 10000)
+    new = docs.filter(F.col("doc_id") >= 250).unionByName(dup1)
+    out = incremental_near_dedup(new, seen, threshold=0.5)
+    return out.select("doc_id").orderBy("doc_id")

@@ -39,6 +39,8 @@ __all__ = [
     "embedding_dedup",
     "simhash_near_pairs",
     "simhash_dedup",
+    "incremental_exact_dedup",
+    "incremental_near_dedup",
 ]
 
 
@@ -366,4 +368,106 @@ def simhash_dedup(
             F.coalesce("component", F.col("id")).alias("component"),
         )
         .withColumn("is_representative", F.col(id_col) == F.col("component"))
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an already-ingested corpus — the
+    production incremental shape (daily crawl vs. the lake), which full-corpus
+    ``exact_dedup`` cannot express without reprocessing everything.
+
+    Keeps new rows whose content fingerprint is (a) first-arrival within the
+    batch (min id wins) and (b) absent from ``seen_docs``. Returns the
+    surviving rows of ``new_docs`` unchanged.
+
+    ``seen_docs`` only needs ``text_col`` — at scale you pass the persisted
+    fingerprint TABLE of the lake (one 8-byte column; project it, don't
+    recompute): the anti-join then shuffles 8-byte keys on both sides. The
+    in-batch window and the anti-join share the fingerprint key, so AQE
+    plans one fingerprint-keyed exchange per side and text never shuffles.
+    """
+    fp = content_fingerprint(tokens(F.col(text_col)))
+    seen_fp = seen_docs.select(fp.alias("_fp")).dropDuplicates(["_fp"])
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    return (
+        new_docs.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(seen_fp, "_fp", "left_anti")
+        .drop("_fp", "_rn")
+    )
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    threshold: float = 0.8,
+    config: MinHashLSHConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash near-dup dedup of a NEW batch against the ingested corpus.
+
+    A new document is dropped when EITHER (a) an earlier in-batch document
+    shares an LSH band and estimated jaccard >= threshold (first-arrival
+    within the batch, like ``minhash_dedup`` but without clustering — new
+    arrivals only attach to survivors) or (b) any seen document shares a
+    band and clears the threshold. Candidate generation is the full-width
+    64-bit band-key equi-join on both legs, so the shuffles move
+    (band_key, id) rows; signatures attach id-keyed afterwards.
+
+    At scale ``seen_docs`` is the saved signature index
+    (``MinHashLSHModel.save_index``): pass its ``(id, signature,
+    band_keys)`` frame as ``seen_docs`` with ``text_col=None`` semantics —
+    any frame already carrying ``signature`` + ``band_keys`` skips the
+    recompute.
+    """
+    from ..functions.hashing import signature_jaccard
+
+    lsh = MinHashLSH(config)
+
+    def indexed(df: DataFrame) -> DataFrame:
+        if "signature" in df.columns and "band_keys" in df.columns:
+            return df.select(F.col(id_col), "signature", "band_keys")
+        return lsh.transform(df, text_col=text_col, id_col=id_col).select(
+            F.col(id_col), "signature", "band_keys"
+        )
+
+    new_idx = indexed(new_docs).localCheckpoint(eager=False)
+    seen_idx = indexed(seen_docs)
+
+    nb = new_idx.select(F.col(id_col).alias("_nid"), F.explode("band_keys").alias("_bk"))
+    sb = seen_idx.select(F.col(id_col).alias("_sid"), F.explode("band_keys").alias("_bk"))
+
+    nsig = new_idx.select(F.col(id_col).alias("_nid"), F.col("signature").alias("_nsig"))
+    ssig = seen_idx.select(F.col(id_col).alias("_sid"), F.col("signature").alias("_ssig"))
+
+    # leg (b): any seen doc within threshold kills the new doc
+    vs_seen = (
+        nb.join(sb, "_bk")
+        .select("_nid", "_sid").dropDuplicates(["_nid", "_sid"])
+        .join(nsig, "_nid").join(ssig, "_sid")
+        .filter(signature_jaccard(F.col("_nsig"), F.col("_ssig")) >= F.lit(float(threshold)))
+        .select("_nid").dropDuplicates(["_nid"])
+    )
+    # leg (a): an EARLIER in-batch doc within threshold kills the later one
+    a = nb.select(F.col("_nid").alias("_ida"), "_bk")
+    b = nb.select(F.col("_nid").alias("_idb"), "_bk")
+    vs_batch = (
+        a.join(b, "_bk")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb").dropDuplicates(["_ida", "_idb"])
+        .join(nsig.select(F.col("_nid").alias("_ida"), F.col("_nsig").alias("_siga")), "_ida")
+        .join(nsig.select(F.col("_nid").alias("_idb"), F.col("_nsig").alias("_sigb")), "_idb")
+        .filter(signature_jaccard(F.col("_siga"), F.col("_sigb")) >= F.lit(float(threshold)))
+        .select(F.col("_idb").alias("_nid")).dropDuplicates(["_nid"])
+    )
+    dropped = vs_seen.unionByName(vs_batch).dropDuplicates(["_nid"])
+    return new_docs.join(
+        dropped.withColumnRenamed("_nid", id_col), id_col, "left_anti"
     )

@@ -1,0 +1,72 @@
+"""Semantic tests for incremental (new-batch-vs-seen-corpus) dedup
+(operators/dedup.py); the constructed-overlap oracle check is catalog q64."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.dedup import (
+    incremental_exact_dedup,
+    incremental_near_dedup,
+)
+from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_incremental_exact_semantics(spark):
+    seen = _df(spark, [(0, "alpha beta gamma"), (1, "delta epsilon zeta")])
+    new = _df(spark, [
+        (10, "alpha beta gamma"),        # dup of seen -> drop
+        (11, "Alpha, beta GAMMA!"),      # normalizes to the same -> drop
+        (12, "brand new document one"),  # survives
+        (13, "brand new document one"),  # in-batch dup of 12 -> drop
+        (14, "another new document"),    # survives
+    ])
+    out = sorted(r.doc_id for r in incremental_exact_dedup(new, seen).collect())
+    assert out == [12, 14]
+
+
+def test_incremental_exact_keeps_all_columns(spark):
+    seen = _df(spark, [(0, "seen text here")])
+    new = spark.createDataFrame(
+        [(10, "fresh text", "web")], "doc_id bigint, text string, source string"
+    )
+    out = incremental_exact_dedup(new, seen).collect()
+    assert len(out) == 1 and out[0].source == "web"
+
+
+def test_incremental_near_dedup_drops_mutations(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    mutated = "zz " + " ".join(f"w{i}" for i in range(1, 40))  # ~0.9 jaccard
+    seen = _df(spark, [(0, base)])
+    new = _df(spark, [
+        (10, mutated),                                   # near-dup of seen -> drop
+        (11, " ".join(f"u{i}" for i in range(40))),      # unrelated -> survive
+        (12, " ".join(f"u{i}" for i in range(1, 41))),   # near-dup of 11 -> drop
+    ])
+    out = sorted(
+        r.doc_id for r in incremental_near_dedup(new, seen, threshold=0.5).collect()
+    )
+    assert out == [11]
+
+
+def test_incremental_near_dedup_accepts_prebuilt_index(spark):
+    """The seen side can be a saved signature index (id, signature,
+    band_keys) — no text recompute."""
+    base = " ".join(f"w{i}" for i in range(40))
+    seen_docs = _df(spark, [(0, base)])
+    seen_idx = MinHashLSH().transform(seen_docs)
+    new = _df(spark, [
+        (10, "zz " + " ".join(f"w{i}" for i in range(1, 40))),  # near-dup
+        (11, " ".join(f"v{i}" for i in range(40))),             # fresh
+    ])
+    via_idx = sorted(
+        r.doc_id for r in incremental_near_dedup(new, seen_idx, threshold=0.5).collect()
+    )
+    via_docs = sorted(
+        r.doc_id for r in incremental_near_dedup(new, seen_docs, threshold=0.5).collect()
+    )
+    assert via_idx == via_docs == [11]
