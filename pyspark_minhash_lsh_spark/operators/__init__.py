@@ -1,5 +1,7 @@
+from .dedup import incremental_exact_dedup, incremental_near_dedup
 from .minhash_lsh import MinHashLSH, MinHashLSHModel
 from .sampling import deterministic_split, per_group_quota, shard_assignment
+from .search import bm25_search
 from .temporal import asof_join, range_join_count
 from .textpipe import (
     contamination_check,
@@ -11,6 +13,9 @@ from .textpipe import (
 __all__ = [
     "MinHashLSH",
     "MinHashLSHModel",
+    "bm25_search",
+    "incremental_exact_dedup",
+    "incremental_near_dedup",
     "asof_join",
     "range_join_count",
     "deterministic_split",
