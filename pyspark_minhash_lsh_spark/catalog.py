@@ -1702,3 +1702,41 @@ def q65_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") >= 250).unionByName(dup1)
     out = incremental_near_dedup(new, seen, threshold=0.5)
     return out.select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "q66_daily_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q66_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate reuse (hypertable rollup pattern): the daily
+    aggregate is computed FROM the hourly aggregate — aggregate-of-aggregate,
+    never a raw rescan for coarser grains. The oracle computes daily straight
+    from raw events, so the hash-match PROVES the two-level rollup is exact
+    (counts re-sum; money stays decimal through both levels and casts to
+    double only at the end)."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(_dec(F.col("value"))).alias("dec_value"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour_ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("dec_value").cast("double").alias("total_value"),
+        )
+    )
