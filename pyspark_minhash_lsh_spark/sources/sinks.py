@@ -23,7 +23,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_parquet", "write_csv"]
+__all__ = ["write_parquet", "write_csv", "write_bucketed_table"]
 
 
 def _prepare(
@@ -58,6 +58,35 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.mode(mode).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed (and optionally sorted) managed parquet table.
+
+    Bucketing pre-shuffles the data ONCE at write time: every later
+    equi-join or aggregation on ``bucket_by`` between tables bucketed the
+    same way runs with NO Exchange on the bucketed side(s) — the co-located
+    join layout for fact tables that are joined on the same key every day
+    (lineitem⋈orders on orderkey, signatures⋈pairs on doc id). ``sort_by``
+    additionally orders within buckets so the sort-merge join reads
+    pre-sorted buckets (zero-Exchange plan asserted in
+    tests/test_skew_persistence.py).
+
+    Bucketing requires the table catalog (``saveAsTable`` — Spark cannot
+    express bucket metadata on path-based writes); reads go through
+    ``spark.table(name)``.
+    """
+    w = df.write.format("parquet").bucketBy(int(num_buckets), *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.mode(mode).saveAsTable(table)
 
 
 def write_csv(

@@ -86,3 +86,43 @@ def test_salted_join_rejects_outer_shapes(spark):
     for how in ("right", "full", "left_semi", "left_anti"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(big, small, on="k", how=how)
+
+
+def test_bucketed_table_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key join with ZERO Exchange
+    and ZERO Sort — the co-located join layout for repeated fact joins."""
+    import uuid
+
+    from pyspark_minhash_lsh_spark.sources.sinks import write_bucketed_table
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bt_a_{suffix}", f"bt_b_{suffix}"
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    try:
+        write_bucketed_table(
+            orders, ta, bucket_by=["o_orderkey"], num_buckets=4,
+            sort_by=["o_orderkey"],
+        )
+        write_bucketed_table(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), tb,
+            bucket_by=["o_orderkey"], num_buckets=4, sort_by=["o_orderkey"],
+        )
+        # disable auto-broadcast so the join would otherwise need a shuffle
+        default = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table(ta).join(spark.table(tb), "o_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            n = joined.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default)
+        # bucketed join returns exactly the plain join's row count
+        assert n == orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
