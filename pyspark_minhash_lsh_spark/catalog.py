@@ -1740,3 +1740,155 @@ def q66_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dec_value").cast("double").alias("total_value"),
         )
     )
+
+
+# =====================================================================================
+# Release hygiene + corpus profiling + domain mixing (round-2 additions)
+# =====================================================================================
+
+# The synthetic documents carry no natural PII/structure, so q67 augments the
+# text with doc_id-derived spans — IDENTICALLY on both engines — to make the
+# redaction non-degenerate: an email on every 3rd doc, a dotted quad on every
+# 4th, a phone on every 5th. The hash-compare then covers the full redacted
+# strings, not just counts.
+from .operators.textpipe import PII_PATTERNS as _PII_PATTERNS  # noqa: E402
+
+_PII_RE = dict(_PII_PATTERNS)
+
+
+def _augment_pii(col):
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@ex"),
+                 (did % 5).cast("string"), F.lit(".example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 4 == 0,
+        F.concat(F.lit(" from 10."), (did % 200).cast("string"), F.lit(".0."),
+                 (did % 250).cast("string")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" call 415-555-"),
+                 F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    return F.concat(col, email, ip, phone)
+
+
+@query(
+    "q67_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@ex'
+                          || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                          || CAST(doc_id % 250 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '{_PII_RE["email"]}')) AS n_email,
+                  regexp_replace(text, '{_PII_RE["email"]}', '<EMAIL>', 'g') AS t
+           FROM aug),
+    s2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(t, '{_PII_RE["ipv4"]}')) AS n_ipv4,
+                  regexp_replace(t, '{_PII_RE["ipv4"]}', '<IPV4>', 'g') AS t
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ipv4,
+                  len(regexp_extract_all(t, '{_PII_RE["phone"]}')) AS n_phone,
+                  regexp_replace(t, '{_PII_RE["phone"]}', '<PHONE>', 'g') AS t
+           FROM s2)
+    SELECT doc_id, t AS redacted_text,
+           CAST(n_email AS INT) AS n_email,
+           CAST(n_ipv4 AS INT) AS n_ipv4,
+           CAST(n_phone AS INT) AS n_phone
+    FROM s3
+    """,
+)
+def q67_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4 / phones) over doc_id-augmented text; the
+    oracle replays the same augmentation and regexes in DuckDB, so the
+    hash-match covers every redacted character. Patterns are restricted to
+    the Java-regex/RE2 common subset (operators/textpipe.py::PII_PATTERNS)."""
+    from .operators.textpipe import pii_redact
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _augment_pii(F.col("text")).alias("text")
+    )
+    out = pii_redact(docs)
+    return out.select(
+        "doc_id", "redacted_text",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+    )
+
+
+@query(
+    "q68_token_frequency_profile",
+    oracle=f"""
+    WITH tok AS (SELECT {_DUCK_TOKENS} AS t FROM documents),
+    ex AS (SELECT unnest(t) AS tok FROM tok),
+    pt AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY 1),
+    prof AS (SELECT c, COUNT(*) AS n_types FROM pt GROUP BY 1)
+    SELECT CAST(c AS BIGINT) AS occurrences,
+           CAST(n_types AS BIGINT) AS n_types,
+           ROUND(CAST(c * n_types AS DOUBLE)
+                 / CAST(SUM(c * n_types) OVER () AS DOUBLE), 6) AS position_frac
+    FROM prof
+    """,
+)
+def q68_token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf profile: frequency-of-frequencies over the token
+    vocabulary plus each band's share of token positions (hapax mass drives
+    vocabulary-growth estimates; a fat head flags boilerplate)."""
+    from .operators.textpipe import token_frequency_profile
+
+    return token_frequency_profile(_t(spark, sf_dir, "documents"))
+
+
+# q69 mixing weights: chosen with exactly-representable binary fractions so
+# the Spark-side double arithmetic (frac * 2^32) is exact and matches the
+# integer thresholds written into the oracle below.
+_MIX_WEIGHTS = {"src0": 2.5, "src3": 0.25, "src7": 0.0}
+_MIX_DEFAULT = 1.0
+
+
+@query(
+    "q69_weighted_resample",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src3' THEN 0
+                         WHEN 'src7' THEN 0 ELSE 1 END AS base,
+             CASE source WHEN 'src0' THEN {int(0.5 * (1 << 32))}
+                         WHEN 'src3' THEN {int(0.25 * (1 << 32))}
+                         WHEN 'src7' THEN 0 ELSE 0 END AS thr,
+             {_duck_bucket('mix')} AS u
+      FROM documents),
+    c AS (SELECT doc_id, source,
+                 base + CASE WHEN u < thr THEN 1 ELSE 0 END AS copies
+          FROM r)
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS BIGINT)
+             AS epoch
+    FROM c WHERE copies >= 1
+    """,
+)
+def q69_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: src0 at 2.5 epochs (upsample), src3 at
+    0.25, src7 dropped, everything else at 1.0 — deterministic md5-bucket
+    fractions, zero shuffles. The oracle replays the copy rule with
+    precomputed integer thresholds."""
+    from .operators.sampling import weighted_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return weighted_resample(docs, _MIX_WEIGHTS, default_weight=_MIX_DEFAULT)

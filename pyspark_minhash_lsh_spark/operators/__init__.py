@@ -1,13 +1,20 @@
 from .dedup import incremental_exact_dedup, incremental_near_dedup
 from .minhash_lsh import MinHashLSH, MinHashLSHModel
-from .sampling import deterministic_split, per_group_quota, shard_assignment
+from .sampling import (
+    deterministic_split,
+    per_group_quota,
+    shard_assignment,
+    weighted_resample,
+)
 from .search import bm25_search
 from .temporal import asof_join, range_join_count
 from .textpipe import (
     contamination_check,
     duplicated_spans,
     pack_documents,
+    pii_redact,
     repetition_metrics,
+    token_frequency_profile,
 )
 
 __all__ = [
@@ -21,8 +28,11 @@ __all__ = [
     "deterministic_split",
     "per_group_quota",
     "shard_assignment",
+    "weighted_resample",
     "repetition_metrics",
     "duplicated_spans",
     "contamination_check",
     "pack_documents",
+    "pii_redact",
+    "token_frequency_profile",
 ]

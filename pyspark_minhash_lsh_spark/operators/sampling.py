@@ -11,6 +11,7 @@ fully oracle-checkable, unlike xxhash64-keyed assignments.
   - ``deterministic_split`` — train/validation/test by hash bucket
   - ``per_group_quota``     — cap documents per group (C4-style per-domain cap)
   - ``shard_assignment``    — training shard id + stable position within shard
+  - ``weighted_resample``   — per-group epoch weights (domain-mixture up/downsample)
 
 Scale posture: the split is a narrow projection (no shuffle at all); quota
 and shard positions are single windows keyed on group/shard — high-cardinality
@@ -24,7 +25,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["deterministic_split", "per_group_quota", "shard_assignment"]
+__all__ = [
+    "deterministic_split",
+    "per_group_quota",
+    "shard_assignment",
+    "weighted_resample",
+]
 
 _BUCKETS = 1 << 32  # 8 hex chars of the md5 digest
 
@@ -90,6 +96,50 @@ def per_group_quota(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= quota)
         .drop("_rk")
+    )
+
+
+def weighted_resample(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    default_weight: float = 1.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture resampling: materialize each group at a target *epoch
+    weight* — the mixing step every LLM pretrain runs (upsample small
+    high-quality domains, downsample the crawl).
+
+    A weight ``w`` means each row is emitted ``floor(w)`` times plus one more
+    with probability ``frac(w)``, decided by ``md5(salt || id)`` — so
+    ``w = 0.3`` is a 30% downsample, ``w = 2.5`` is "2 epochs + half". Output
+    adds an ``epoch`` column (0-based copy index) so shard writers can
+    interleave copies instead of clustering them. Expected group sizes are
+    exact to 1/2^32; the realized set is a pure row function — stable across
+    runs, partitionings, and engines.
+
+    ``weights`` is config, not data (a dict keyed on group value, compiled to
+    a CASE expression): no join, no broadcast. The whole op is projection +
+    ``explode(sequence(...))`` — zero shuffles at any corpus size. Guard:
+    ``sequence`` needs ``copies >= 1`` (Spark's default step would count
+    DOWN for an empty range), hence the filter before the explode.
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("weights must be >= 0")
+    rate = None
+    for val, w in sorted(weights.items()):
+        cond = F.col(group_col) == F.lit(val)
+        rate = F.when(cond, F.lit(float(w))) if rate is None else rate.when(cond, F.lit(float(w)))
+    rate = F.lit(float(default_weight)) if rate is None else rate.otherwise(F.lit(float(default_weight)))
+    u = _hash_bucket(id_col, salt)
+    base = F.floor(rate).cast("bigint")
+    extra = (u < ((rate - F.floor(rate)) * _BUCKETS).cast("bigint")).cast("bigint")
+    return (
+        df.withColumn("_copies", base + extra)
+        .filter(F.col("_copies") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_copies") - 1)))
+        .drop("_copies")
     )
 
 

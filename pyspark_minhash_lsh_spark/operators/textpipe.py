@@ -9,6 +9,8 @@ north-star text-analysis group with *corpus-level* (cross-document) checks:
   - ``duplicated_spans``     — cross-document duplicated n-token span finder
   - ``contamination_check``  — benchmark-contamination n-gram overlap probe
   - ``pack_documents``       — concat-and-chunk sequence packing by token budget
+  - ``pii_redact``           — regex PII scrub (emails / IPv4 / phone numbers)
+  - ``token_frequency_profile`` — corpus Zipf profile (frequency-of-frequencies)
 
 All are pure DataFrame programs over the shared ``tokens()`` kernel: narrow
 projections + shuffles keyed on doc id or span hash — every key is
@@ -30,6 +32,9 @@ __all__ = [
     "duplicated_spans",
     "contamination_check",
     "pack_documents",
+    "pii_redact",
+    "token_frequency_profile",
+    "PII_PATTERNS",
 ]
 
 
@@ -200,6 +205,83 @@ def contamination_check(
                 F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 6
             ).alias("contam_frac"),
         )
+    )
+
+
+#: PII patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+#: identically — character classes, bounded repeats, ASCII ``\b`` — so the
+#: operator stays oracle-checkable. No lookaround/backreferences (RE2 has
+#: neither). Order matters: emails are scrubbed before IPv4 so a dotted
+#: quad inside a hostname is reported once, as part of the email.
+PII_PATTERNS: "tuple[tuple[str, str], ...]" = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: "tuple[tuple[str, str], ...]" = PII_PATTERNS,
+) -> DataFrame:
+    """Scrub personally-identifiable spans from document text — the release
+    hygiene pass every public training corpus runs (C4 and RefinedWeb both
+    ship with PII scrubbed).
+
+    Returns ``(doc_id, redacted_text, n_<kind>...)`` — the text with each
+    match replaced by ``<KIND>`` plus a per-kind match count. Counts are
+    taken on the text AS EACH PATTERN SEES IT (after earlier patterns'
+    replacements), so an email's host is never double-counted as an IPv4;
+    pattern order in ``patterns`` is therefore part of the contract.
+
+    Pure ``regexp_replace``/``regexp_count`` projection — codegen'd,
+    zero-shuffle, composes with any scan. At 100 TB this runs at scan speed;
+    there is nothing to partition or broadcast.
+    """
+    out = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("redacted_text"))
+    counts = []
+    for kind, pat in patterns:
+        out = out.withColumn(f"n_{kind}", F.regexp_count("redacted_text", F.lit(pat)))
+        out = out.withColumn(
+            "redacted_text", F.regexp_replace("redacted_text", pat, f"<{kind.upper()}>")
+        )
+        counts.append(f"n_{kind}")
+    return out.select("doc_id", "redacted_text", *counts)
+
+
+def token_frequency_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus Zipf profile: for each occurrence count ``c``, how many distinct
+    token types occur exactly ``c`` times (frequency-of-frequencies), plus
+    each band's share of all token positions.
+
+    The hapax band (``occurrences = 1``) drives vocabulary-growth estimates
+    (Good-Turing mass); a fat head band signals boilerplate. Returns
+    ``(occurrences, n_types, position_frac)`` — small output (one row per
+    distinct count value), so it's a safe driver-side profile at any corpus
+    size.
+
+    Plan: explode -> token-keyed count (map-side partial agg does the heavy
+    lifting: high-cardinality key, combine before shuffle) -> tiny
+    count-keyed reagg -> global window for the normalizing total. The
+    single-partition window is safe because it runs over the PROFILE (one
+    row per distinct count value, thousands of rows at most at any corpus
+    size), never over token rows — no extra action, one logical plan.
+    """
+    ex = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    prof = (
+        ex.groupBy("tok").agg(F.count("*").alias("c"))
+        .groupBy("c").agg(F.count("*").alias("n_types"))
+    )
+    band = (F.col("c") * F.col("n_types")).cast("double")
+    total = F.sum(band).over(Window.partitionBy(F.lit(1)))
+    return prof.select(
+        F.col("c").alias("occurrences"),
+        "n_types",
+        F.round(band / total, 6).alias("position_frac"),
     )
 
 

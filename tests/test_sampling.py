@@ -86,3 +86,44 @@ def test_shard_assignment_positions(spark):
     assert {(r.doc_id, r.shard_id, r.shard_pos) for r in out} == {
         (r.doc_id, r.shard_id, r.shard_pos) for r in again
     }
+
+
+# ---- weighted_resample ---------------------------------------------------
+
+from pyspark_minhash_lsh_spark.operators.sampling import weighted_resample  # noqa: E402
+
+
+def test_weighted_resample_epoch_counts(spark):
+    docs = _docs(spark, 7000)
+    out = weighted_resample(
+        docs, {"src0": 3.0, "src1": 0.5, "src2": 0.0}, default_weight=1.0
+    )
+    per = {r.source: r for r in out.groupBy("source").count().collect()}
+    n_src = 1000  # 7000 docs over 7 sources
+    assert per["src0"]["count"] == 3 * n_src          # integer weight: exact
+    assert "src2" not in per                           # dropped entirely
+    assert abs(per["src1"]["count"] - 0.5 * n_src) < 0.1 * n_src
+    for s in ("src3", "src4", "src5", "src6"):
+        assert per[s]["count"] == n_src                # default 1.0: identity
+    # epoch indices are dense 0..copies-1 per doc
+    ep = out.filter(F.col("source") == "src0").groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.min("epoch").alias("lo"), F.max("epoch").alias("hi"))
+    bad = ep.filter((F.col("n") != 3) | (F.col("lo") != 0) | (F.col("hi") != 2)).count()
+    assert bad == 0
+
+
+def test_weighted_resample_deterministic_and_validates(spark):
+    import pytest
+
+    docs = _docs(spark, 500)
+    a = sorted(map(tuple, weighted_resample(docs, {"src1": 0.3}).collect()))
+    b = sorted(map(tuple, weighted_resample(docs, {"src1": 0.3}).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        weighted_resample(docs, {"src1": -0.5})
+
+
+def test_weighted_resample_no_shuffle(spark):
+    docs = _docs(spark, 100)
+    plan = weighted_resample(docs, {"src0": 2.0})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

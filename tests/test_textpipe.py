@@ -94,3 +94,59 @@ def test_pack_documents_no_global_sort(spark):
     plan = pack_documents(docs, budget=10)._jdf.queryExecution().executedPlan().toString()
     # the only exchange is the hash partition by group — no global range sort
     assert "rangepartitioning" not in plan.lower()
+
+
+# ---- pii_redact ----------------------------------------------------------
+
+from pyspark_minhash_lsh_spark.operators.textpipe import (  # noqa: E402
+    pii_redact,
+    token_frequency_profile,
+)
+
+
+def test_pii_redact_known_spans(spark):
+    docs = _docs(spark, [
+        (0, "mail me at a.b-c%d@sub.example.org today", "s"),
+        (1, "server 192.168.001.255 and 10.0.0.1 up", "s"),
+        (2, "call 415-555-0100 or 650-555-0199 now", "s"),
+        (3, "clean document with no identifiers", "s"),
+        (4, "mixed x@y.io from 1.2.3.4 tel 212-555-0000", "s"),
+    ])
+    out = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert out[0].redacted_text == "mail me at <EMAIL> today"
+    assert (out[0].n_email, out[0].n_ipv4, out[0].n_phone) == (1, 0, 0)
+    assert out[1].redacted_text == "server <IPV4> and <IPV4> up"
+    assert out[1].n_ipv4 == 2
+    assert out[2].redacted_text == "call <PHONE> or <PHONE> now"
+    assert out[2].n_phone == 2
+    assert out[3].redacted_text == "clean document with no identifiers"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+    assert out[4].redacted_text == "mixed <EMAIL> from <IPV4> tel <PHONE>"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (1, 1, 1)
+
+
+def test_pii_redact_email_host_not_double_counted_as_ip(spark):
+    # dotted quad inside an email host: scrubbed once, as the email
+    docs = _docs(spark, [(0, "ping root@1.2.3.4.example.com ok", "s")])
+    r = pii_redact(docs).collect()[0]
+    assert r.redacted_text == "ping <EMAIL> ok"
+    assert (r.n_email, r.n_ipv4) == (1, 0)
+
+
+def test_pii_redact_is_zero_shuffle(spark):
+    docs = _docs(spark, [(0, "a@b.co", "s")])
+    plan = pii_redact(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---- token_frequency_profile ---------------------------------------------
+
+
+def test_token_frequency_profile_known_values(spark):
+    # tokens: a x4, b x2, c x1, d x1  -> bands: c=1 (2 types), c=2 (1), c=4 (1)
+    docs = _docs(spark, [(0, "a a b c", "s"), (1, "a a b d", "s")])
+    rows = {r.occurrences: r for r in token_frequency_profile(docs).collect()}
+    assert {k: v.n_types for k, v in rows.items()} == {1: 2, 2: 1, 4: 1}
+    assert abs(rows[1].position_frac - 2 / 8) < 1e-9
+    assert abs(rows[4].position_frac - 4 / 8) < 1e-9
+    assert abs(sum(r.position_frac for r in rows.values()) - 1.0) < 1e-6
