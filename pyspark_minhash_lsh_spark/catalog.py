@@ -1892,3 +1892,79 @@ def q69_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return weighted_resample(docs, _MIX_WEIGHTS, default_weight=_MIX_DEFAULT)
+
+
+@query(
+    "q70_length_percentiles",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+           ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q70_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quartiles + p95 — the length-profile scan
+    every curation pass starts with. Uses EXACT ``percentile`` (linear
+    interpolation, identical to DuckDB's quantile_cont) so the oracle
+    hash-matches; at 100 TB swap in ``approx_percentile(col, probs, acc)``
+    — same plan shape (one agg), sketch-mergeable, no per-group sort."""
+    docs = _t(spark, sf_dir, "documents")
+    pct = [0.25, 0.5, 0.75, 0.95]
+    names = ["p25", "p50", "p75", "p95"]
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.round(F.expr(f"percentile(n_chars, {p})"), 6).alias(nm)
+            for p, nm in zip(pct, names)
+        ],
+    )
+
+
+@query(
+    "q71_length_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source),
+    z AS (
+      SELECT d.doc_id, d.source,
+             ROUND((CAST(d.n_chars AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+                   / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1 / s.n)
+                          / (s.n - 1)), 6) AS zscore
+      FROM documents d JOIN s ON d.source = s.source
+      WHERE s.n > 1)
+    SELECT doc_id, source, zscore FROM z WHERE abs(zscore) > 1.8
+    """,
+)
+def q71_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length outliers by z-score (curation: flag truncated and
+    runaway documents). Variance is computed from EXACT integer sums
+    (sum, sum-of-squares, count) and only then in double — bit-identical
+    across engines, unlike stddev_samp whose streaming accumulation order
+    differs. Plan: one partial-agg shuffle for the per-source moments, then
+    the per-row z is a projection after a small dim join (20 sources —
+    planner broadcasts it at any corpus size)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    ).filter(F.col("n") > 1)
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = F.round((F.col("n_chars").cast("double") - mean) / F.sqrt(var), 6)
+    return (
+        docs.join(s, "source")
+        .select("doc_id", "source", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 1.8)
+    )
