@@ -1968,3 +1968,47 @@ def q71_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 1.8)
     )
+
+
+@query("q72_image_features")
+def q72_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode pipeline: doc_id-deterministic 24-bit BMP payloads
+    -> genuine header parse + pixel decode (operators/multimodal.py::
+    _parse_bmp, no media library) -> luminance-histogram features ->
+    per-feature-band counts. Rows-only (binary decode is not
+    SQL-expressible); deterministic by construction, so the driver's
+    stability check is meaningful. Arrow-batched mapInPandas; payloads
+    never shuffle — the agg runs on (media_id, scalar) projections."""
+    from .operators.multimodal import extract_image_features, synthetic_bmp_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = synthetic_bmp_media(docs, width=24, height=16)
+    feats = extract_image_features(media, codec="bmp")
+    # reduce to a compact, order-insensitive summary: dominant luminance band
+    dom = F.expr(
+        "array_position(feature, array_max(feature))"
+    ).cast("int").alias("dominant_band")
+    return (
+        feats.select("media_id", "n_bytes", dom)
+        .groupBy("n_bytes", "dominant_band")
+        .agg(F.count("*").alias("n_images"))
+    )
+
+
+@query("q73_audio_durations")
+def q73_audio_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode pipeline: doc_id-deterministic WAV payloads (stdlib
+    wave encode) -> genuine container decode (sample rate + PCM from the
+    header) -> true durations, aggregated. The known construction
+    (duration = 50 + (id % 20)*10 ms) makes the decoded output exactly
+    predictable — asserted in tests/test_multimodal.py; here the driver
+    checks stability. Rows-only (binary decode is not SQL-expressible)."""
+    from .operators.multimodal import extract_audio_features, synthetic_wav_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = synthetic_wav_media(docs, sample_rate=8_000)
+    feats = extract_audio_features(media, codec="wav")
+    return (
+        feats.groupBy("duration_ms")
+        .agg(F.count("*").alias("n_clips"), F.min("n_bytes").alias("min_bytes"))
+    )

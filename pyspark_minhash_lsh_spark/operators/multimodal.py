@@ -2,12 +2,19 @@
 
 Images / audio / video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side contract (schema, partitioning, Arrow
-batch shape) is real and tested; the actual decode step is STUBBED because the
-media libraries are not in this container. ``decode_stub=True`` (default)
-derives deterministic fake features from the bytes so pipelines are testable
-end-to-end; ``decode_stub=False`` raises ``NotImplementedError`` at the point
-a real decoder would plug in (swap ``_decode_image_real`` for a PIL/ffmpeg
-call — the mapInPandas signature does not change).
+batch shape) is real and tested. Decode has three tiers:
+
+  - ``codec="stub"`` (default) — deterministic fake features from raw bytes,
+    so any payload is testable end-to-end;
+  - ``codec="bmp"`` / ``codec="wav"`` — REAL decoders for the uncompressed
+    formats that need no media library: BMP is pure ``struct`` header parsing
+    + numpy pixel reshaping, WAV is stdlib ``wave``. Real pixels, real PCM,
+    real dimensions/duration — full decode->feature->resize paths run
+    genuinely in this container (see ``_parse_bmp`` / ``_decode_wav``);
+  - ``decode_stub=False`` with no codec — raises ``NotImplementedError`` at
+    the plug point where a PIL/ffmpeg call would decode COMPRESSED formats
+    (jpeg/mp3/mp4), unavailable here; the mapInPandas signature is identical,
+    so a production build swaps one function.
 
 Heavy per-row work (decode, resize, feature extraction) runs via
 ``mapInPandas`` — Arrow-batched, one Python worker per partition, no JVM
@@ -41,6 +48,8 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "media_table_from_documents",
+    "synthetic_bmp_media",
+    "synthetic_wav_media",
     "extract_image_features",
     "resize_images",
     "extract_audio_features",
@@ -97,10 +106,171 @@ def media_table_from_documents(docs: DataFrame, media_type: str = "image") -> Da
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Plug point for a real decoder (PIL.Image.open etc.) — unavailable here."""
+    """Plug point for a COMPRESSED-format decoder (PIL.Image.open etc.) —
+    unavailable here. Uncompressed BMP decodes for real via codec='bmp'."""
     raise NotImplementedError(
-        "real image decode requires PIL/opencv, not present in this environment; "
-        "use decode_stub=True or install a decoder and swap this function"
+        "compressed image decode requires PIL/opencv, not present in this "
+        "environment; use codec='bmp' (real, library-free) or decode_stub=True"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real library-free codecs: BMP (struct header + numpy pixels), WAV (stdlib).
+# ---------------------------------------------------------------------------
+
+def _parse_bmp(payload: bytes) -> "tuple[np.ndarray, int, int]":
+    """REAL BMP decode (24-bit uncompressed BI_RGB, the baseline Windows
+    bitmap): returns ``(pixels[h, w, 3] RGB uint8, width, height)``.
+    Pure ``struct`` + numpy — no media library. Raises ValueError on
+    malformed/unsupported payloads (caller decides skip-vs-fail)."""
+    import struct
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or planes != 1:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) // 4 * 4  # rows pad to 4 bytes
+    need = data_off + row * h
+    if w <= 0 or h <= 0 or len(payload) < need:
+        raise ValueError("truncated BMP")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row * h, offset=data_off)
+    px = raw.reshape(h, row)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, ::-1].copy(), w, h  # BGR -> RGB
+
+
+def _encode_bmp(px: np.ndarray) -> bytes:
+    """REAL BMP encode (24-bit bottom-up BI_RGB) of an ``[h, w, 3]`` RGB
+    uint8 array — the inverse of ``_parse_bmp`` (round-trip tested)."""
+    import struct
+
+    h, w = px.shape[:2]
+    row = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB -> BGR, bottom-up
+    raw = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raw), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0
+    )
+    return header + raw
+
+
+def _luma_feature(px: np.ndarray) -> np.ndarray:
+    """16-bin luminance histogram (Rec.601 luma), L2-normalized — a REAL
+    image feature from decoded pixels."""
+    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
+    hist = np.histogram(luma, bins=_FEATURE_DIM, range=(0.0, 256.0))[0].astype(np.float64)
+    norm = np.linalg.norm(hist)
+    return (hist / norm if norm > 0 else hist).astype(np.float32)
+
+
+def _decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
+    """REAL WAV decode via the stdlib ``wave`` module: returns
+    ``(mono float64 samples in [-1, 1], sample_rate)``. Supports 8/16/32-bit
+    PCM, any channel count (averaged to mono)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(frames, dtype=np.int16).astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype=np.int32).astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        x = x[: len(x) - (len(x) % nch)].reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def synthetic_bmp_media(docs: DataFrame, width: int = 24, height: int = 16) -> DataFrame:
+    """Media table whose payloads are REAL, well-formed 24-bit BMPs with
+    doc_id-deterministic pixel gradients — so the genuine decode path
+    (``codec='bmp'``) is exercisable at any SF without external media files.
+    Encoding runs in the same Arrow-batched shape as decoding."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                r = (xx * 7 + int(mid)) % 256
+                g = (yy * 13 + 3 * int(mid)) % 256
+                b = (xx + yy + 5 * int(mid)) % 256
+                px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                payloads.append(_encode_bmp(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+                }
+            )
+
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def synthetic_wav_media(
+    docs: DataFrame, sample_rate: int = 8_000, base_ms: int = 50
+) -> DataFrame:
+    """Media table whose payloads are REAL WAV files (16-bit mono PCM,
+    stdlib-encoded): doc_id-deterministic sine tones with doc_id-dependent
+    duration, so real decode recovers a KNOWN duration and pitch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            payloads, durs = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                dur_ms = base_ms + (mid % 20) * 10
+                n = sample_rate * dur_ms // 1000
+                tone = 220.0 * (1 + mid % 12)
+                t = np.arange(n, dtype=np.float64) / sample_rate
+                pcm = (np.sin(2 * np.pi * tone * t) * 12000).astype(np.int16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sample_rate)
+                    wf.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
+                durs.append(dur_ms)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                }
+            )
+
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
     )
 
 
@@ -116,15 +286,26 @@ def _decode_stub(payload: bytes) -> np.ndarray:
 
 
 def extract_image_features(
-    media: DataFrame, decode_stub: bool = True, batch_hint: Optional[int] = None
+    media: DataFrame,
+    decode_stub: bool = True,
+    batch_hint: Optional[int] = None,
+    codec: Optional[str] = None,
 ) -> DataFrame:
     """(media_id, n_bytes, feature[16]) via Arrow-batched ``mapInPandas``.
 
-    One Python worker pass per partition; payload bytes never leave the
-    partition (the output drops them). ``batch_hint`` sets
+    ``codec='bmp'`` decodes REAL pixels (``_parse_bmp``) and emits a real
+    luminance histogram; otherwise the stub/plug-point tiering applies (see
+    module docstring). One Python worker pass per partition; payload bytes
+    never leave the partition (the output drops them). ``batch_hint`` sets
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` guidance for huge payloads.
     """
-    decode = _decode_stub if decode_stub else _decode_image_real
+    if codec == "bmp":
+        def decode(p: bytes) -> np.ndarray:
+            return _luma_feature(_parse_bmp(p)[0].astype(np.float64))
+    elif codec is None:
+        decode = _decode_stub if decode_stub else _decode_image_real
+    else:
+        raise ValueError(f"unknown image codec {codec!r} (supported: 'bmp')")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,21 +348,49 @@ AUDIO_FEATURE_SCHEMA = StructType(
 
 
 def resize_images(
-    media: DataFrame, width: int = 224, height: int = 224, decode_stub: bool = True
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    decode_stub: bool = True,
+    codec: Optional[str] = None,
 ) -> DataFrame:
-    """(media_id, payload, width, height) — resize plumbing via mapInPandas.
+    """(media_id, payload, width, height) — resize via mapInPandas.
 
-    The stub 'resizes' by resampling the payload bytes to ``width*height``
-    deterministic samples (byte-stride interpolation) — the Spark-side
-    contract (projection, Arrow batch shape, output schema carrying the new
-    dimensions) is real; a production build swaps the chunk resampler for a
-    PIL ``Image.resize`` with the same signature. Output payload size is
-    bounded by ``width*height`` regardless of input size — the property a
-    real thumbnailer provides and the reason to resize BEFORE any shuffle.
+    ``codec='bmp'`` is a REAL resize: decode pixels, nearest-neighbor
+    resample with numpy index grids, re-encode BMP — genuine thumbnailing
+    with no media library. Otherwise the stub resamples raw payload bytes
+    (plumbing only); a production build swaps in PIL ``Image.resize`` for
+    compressed formats, same signature. Output payload size is bounded by
+    ``width*height`` regardless of input size — the property a real
+    thumbnailer provides and the reason to resize BEFORE any shuffle.
     """
+    if codec == "bmp":
+        def run_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for p in pdf["payload"]:
+                    px, w0, h0 = _parse_bmp(p)
+                    ri = (np.arange(height) * h0 // height)
+                    ci = (np.arange(width) * w0 // width)
+                    payloads.append(_encode_bmp(px[ri][:, ci]))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].astype("int64"),
+                        "payload": payloads,
+                        "width": np.full(len(pdf), width, dtype=np.int32),
+                        "height": np.full(len(pdf), height, dtype=np.int32),
+                    }
+                )
+
+        return media.select("media_id", "payload").mapInPandas(
+            run_bmp, schema=RESIZED_SCHEMA
+        )
+    if codec is not None:
+        raise ValueError(f"unknown image codec {codec!r} (supported: 'bmp')")
     if not decode_stub:
         raise NotImplementedError(
-            "real image resize requires PIL/opencv, not present; use decode_stub=True"
+            "compressed-format resize requires PIL/opencv, not present; "
+            "use codec='bmp' or decode_stub=True"
         )
 
     n_out = width * height
@@ -214,19 +423,52 @@ def extract_audio_features(
     media: DataFrame,
     sample_rate: int = 16_000,
     decode_stub: bool = True,
+    codec: Optional[str] = None,
 ) -> DataFrame:
-    """(media_id, n_bytes, duration_ms, feature[16]) — audio plumbing.
+    """(media_id, n_bytes, duration_ms, feature[16]) — audio features.
 
-    The stub treats the payload as 16-bit PCM at ``sample_rate`` and emits a
-    16-bin energy histogram over the sample stream plus the implied
-    duration; a production build swaps the PCM interpretation for an
-    ffmpeg/soundfile decode with the same mapInPandas signature. Feature
-    and duration are deterministic functions of the bytes.
+    ``codec='wav'`` is a REAL decode via the stdlib ``wave`` module: sample
+    rate and channel layout come from the container header, so
+    ``duration_ms`` is the true clip duration and the 16-slice RMS-energy
+    feature is computed over genuine samples. Otherwise the stub treats the
+    payload as headerless 16-bit PCM at ``sample_rate``; a production build
+    swaps in ffmpeg/soundfile for compressed codecs, same signature.
     """
+    if codec == "wav":
+        def run_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, nbytes, durs, feats = [], [], [], []
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    x, rate = _decode_wav(p)
+                    ids.append(mid)
+                    nbytes.append(len(p))
+                    durs.append(int(len(x) * 1000 / rate))
+                    slices = np.array_split(x, _FEATURE_DIM)
+                    e = np.array(
+                        [np.sqrt(np.mean(s * s)) if len(s) else 0.0 for s in slices]
+                    )
+                    norm = np.linalg.norm(e)
+                    feats.append(
+                        ((e / norm) if norm > 0 else e).astype(np.float32).tolist()
+                    )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(ids, dtype="int64"),
+                        "n_bytes": pd.Series(nbytes, dtype="int64"),
+                        "duration_ms": pd.Series(durs, dtype="int64"),
+                        "feature": feats,
+                    }
+                )
+
+        return media.select("media_id", "payload").mapInPandas(
+            run_wav, schema=AUDIO_FEATURE_SCHEMA
+        )
+    if codec is not None:
+        raise ValueError(f"unknown audio codec {codec!r} (supported: 'wav')")
     if not decode_stub:
         raise NotImplementedError(
-            "real audio decode requires ffmpeg/soundfile, not present; "
-            "use decode_stub=True"
+            "compressed audio decode requires ffmpeg/soundfile, not present; "
+            "use codec='wav' or decode_stub=True"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyspark_minhash_lsh_spark.operators.multimodal import (
     FEATURE_SCHEMA,
@@ -118,3 +119,98 @@ def test_multimodal_real_decode_stubs_raise(spark, media):
     for fn in (resize_images, extract_audio_features):
         with pytest.raises(NotImplementedError):
             fn(media, decode_stub=False)
+
+
+# ---- real library-free codecs: BMP / WAV ---------------------------------
+
+
+def test_bmp_round_trip_and_real_features(spark):
+    import numpy as np
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        _encode_bmp,
+        _parse_bmp,
+        extract_image_features,
+        synthetic_bmp_media,
+    )
+
+    px = np.random.default_rng(7).integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    dec, w, h = _parse_bmp(_encode_bmp(px))
+    assert (dec == px).all() and (w, h) == (11, 9)
+
+    docs = spark.range(50).select(F.col("id").alias("doc_id"))
+    media = synthetic_bmp_media(docs, width=24, height=16)
+    out = {r.media_id: r for r in extract_image_features(media, codec="bmp").collect()}
+    assert len(out) == 50
+    # verify one feature against a local decode of the same deterministic BMP
+    yy, xx = np.mgrid[0:16, 0:24]
+    mid = 17
+    px = np.stack([(xx * 7 + mid) % 256, (yy * 13 + 3 * mid) % 256,
+                   (xx + yy + 5 * mid) % 256], axis=-1).astype(np.uint8)
+    from pyspark_minhash_lsh_spark.operators.multimodal import _luma_feature
+
+    expect = _luma_feature(px.astype(np.float64))
+    got = np.array(out[mid].feature)
+    assert np.allclose(got, expect, atol=1e-6)
+
+
+def test_bmp_real_resize(spark):
+    import numpy as np
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        _parse_bmp,
+        resize_images,
+        synthetic_bmp_media,
+    )
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    media = synthetic_bmp_media(docs, width=24, height=16)
+    out = {r.media_id: r for r in resize_images(media, width=6, height=4, codec="bmp").collect()}
+    assert len(out) == 10
+    for r in out.values():
+        px, w, h = _parse_bmp(bytes(r.payload))  # output is itself a valid BMP
+        assert (w, h) == (6, 4) and px.shape == (4, 6, 3)
+    # nearest-neighbor: resized pixel (0,0) equals source pixel (0,0)
+    mid = 3
+    yy, xx = np.mgrid[0:16, 0:24]
+    src = np.stack([(xx * 7 + mid) % 256, (yy * 13 + 3 * mid) % 256,
+                    (xx + yy + 5 * mid) % 256], axis=-1).astype(np.uint8)
+    px, _, _ = _parse_bmp(bytes(out[mid].payload))
+    assert (px[0, 0] == src[0, 0]).all()
+
+
+def test_wav_real_decode_durations_and_pitch(spark):
+    import numpy as np
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        extract_audio_features,
+        synthetic_wav_media,
+    )
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    media = synthetic_wav_media(docs, sample_rate=8_000)
+    out = {r.media_id: r for r in extract_audio_features(media, codec="wav").collect()}
+    assert len(out) == 40
+    for mid, r in out.items():
+        assert r.duration_ms == 50 + (mid % 20) * 10  # true duration from header
+        # constant-amplitude sine -> near-uniform RMS across the 16 slices
+        f = np.array(r.feature)
+        assert abs(np.linalg.norm(f) - 1.0) < 1e-3
+        assert f.min() > 0.8 * f.max()
+
+
+def test_unknown_codec_raises(spark):
+    import pytest as _pytest
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        resize_images,
+        synthetic_bmp_media,
+    )
+
+    docs = spark.range(2).select(F.col("id").alias("doc_id"))
+    media = synthetic_bmp_media(docs)
+    for fn in (extract_image_features, resize_images, extract_audio_features):
+        with _pytest.raises(ValueError):
+            fn(media, codec="gif")
