@@ -303,24 +303,62 @@ class MinHashLSHModel:
             .filter(F.col("jaccard") >= F.lit(float(threshold)))
         )
 
+    def add_documents(
+        self, new_docs: DataFrame, mode: str = "append"
+    ) -> "MinHashLSHModel":
+        """Incrementally extend the index with a new batch — the steady-state
+        operation of a growing corpus, where re-fitting from scratch is the
+        one thing a 100 TB deployment can never afford. Signatures are
+        computed for the BATCH ONLY (batch-sized cost, not corpus-sized) with
+        the same config/permutations, so merged and rebuilt indexes are
+        bit-identical (tested).
+
+        ``mode='append'`` assumes batch ids are fresh and unions directly —
+        zero touch of the existing index (no shuffle, no scan; cached
+        partitions stay cached). ``mode='upsert'`` replaces existing ids via
+        a batch-vs-index anti-join first — that prices one id-keyed shuffle
+        of the index, so prefer append when ingest guarantees fresh ids.
+        Returns a new model; the old one remains valid (immutable lineage).
+        """
+        if mode not in ("append", "upsert"):
+            raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")
+        batch_index = self.lsh.transform(new_docs, self.text_col, self.id_col)
+        old_index, old_corpus = self.index, self.corpus
+        if mode == "upsert":
+            ids = new_docs.select(self.id_col)
+            old_index = old_index.join(ids, self.id_col, "left_anti")
+            old_corpus = old_corpus.join(ids, self.id_col, "left_anti")
+        return MinHashLSHModel(
+            self.lsh,
+            old_corpus.unionByName(new_docs, allowMissingColumns=True),
+            old_index.unionByName(batch_index),
+            self.text_col,
+            self.id_col,
+        )
+
     def unpersist(self) -> None:
         """Release the cached index (reference ``free_dfs``, minhash_pyspark.py:442-447)."""
         self.index.unpersist()
 
     # -- persistence -------------------------------------------------------------------
-    def save_index(self, path: str, partition_by_band0: bool = False) -> None:
+    def save_index(
+        self, path: str, partition_by_band0: bool = False, mode: str = "overwrite"
+    ) -> None:
         """Write the index as parquet so later sessions serve queries without
         recomputing signatures (the reference can only cache in-session).
 
         ``partition_by_band0=True`` additionally partitions the layout by the
         first band's bucket — at warehouse scale that lets a band-0 candidate
-        lookup prune partitions before scanning."""
+        lookup prune partitions before scanning. ``mode='append'`` adds this
+        model's rows to an existing saved index — pair with a batch-only
+        model (``MinHashLSH().fit(batch)``) to persist an ``add_documents``
+        ingest without rewriting the corpus-sized index."""
         out = self.index
         if partition_by_band0:
             out = out.withColumn("band0", F.element_at("bucket_ids", 1))
-            out.write.mode("overwrite").partitionBy("band0").parquet(path)
+            out.write.mode(mode).partitionBy("band0").parquet(path)
         else:
-            out.write.mode("overwrite").parquet(path)
+            out.write.mode(mode).parquet(path)
 
     @classmethod
     def load_index(

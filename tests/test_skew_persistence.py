@@ -126,3 +126,55 @@ def test_bucketed_table_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_add_documents_append_matches_full_rebuild(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") < 80)
+    batch = docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 120))
+
+    merged = MinHashLSH().fit(seen, persist=False).add_documents(batch)
+    rebuilt = MinHashLSH().fit(seen.unionByName(batch), persist=False)
+    a = {r.doc_id: list(r.signature) for r in merged.index.collect()}
+    b = {r.doc_id: list(r.signature) for r in rebuilt.index.collect()}
+    assert a == b  # bit-identical: same permutations, batch-only compute
+
+    # the merged model serves queries over BOTH corpora
+    qtext = batch.orderBy("doc_id").head().text
+    res = merged.approx_nearest_neighbors(qtext, n=3).collect()
+    assert res and res[0].doc_id == 80 and res[0].jaccard == 1.0
+
+
+def test_add_documents_upsert_replaces_ids(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    model = MinHashLSH().fit(docs, persist=False)
+    # re-ingest doc 7 with different text under the same id
+    new7 = docs.filter(F.col("doc_id") == 3).withColumn("doc_id", F.lit(7))
+    up = model.add_documents(new7, mode="upsert")
+    assert up.index.filter(F.col("doc_id") == 7).count() == 1
+    sig7 = up.index.filter(F.col("doc_id") == 7).head().signature
+    sig3 = up.index.filter(F.col("doc_id") == 3).head().signature
+    assert list(sig7) == list(sig3)  # carries the NEW text's signature
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        model.add_documents(new7, mode="merge")
+
+
+def test_save_index_append_mode(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") < 60)
+    batch = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    path = str(tmp_path / "inc_index")
+
+    MinHashLSH().fit(seen, persist=False).save_index(path)
+    # persist the ingest batch WITHOUT rewriting the seen-corpus index
+    MinHashLSH().fit(batch, persist=False).save_index(path, mode="append")
+
+    loaded = MinHashLSHModel.load_index(spark, path, docs.filter(F.col("doc_id") < 90))
+    assert loaded.index.count() == 90
+    full = MinHashLSH().fit(docs.filter(F.col("doc_id") < 90), persist=False)
+    a = {r.doc_id: list(r.signature) for r in loaded.index.collect()}
+    b = {r.doc_id: list(r.signature) for r in full.index.collect()}
+    assert a == b
