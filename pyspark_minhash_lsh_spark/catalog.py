@@ -60,17 +60,22 @@ def _utc(spark: SparkSession) -> None:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with a proper timestamp ``ts``.
+    """events table with a proper session-TZ timestamp ``ts``.
 
-    The driver writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read nanos as long and integer-divide to
-    micros (``div``, not ``/`` — double division loses precision at 1.7e18 ns).
-    DuckDB's ns->us conversion truncates identically."""
+    Adaptive to the two layouts the driver has generated:
+      - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read
+        nanos as long (legacy conf) and integer-divide to micros (``div``,
+        not ``/`` — double division loses precision at 1.7e18 ns). DuckDB's
+        ns->us conversion truncates identically.
+      - parquet TIMESTAMP (micros): arrives as TIMESTAMP_NTZ; cast to the
+        session-TZ type (a value no-op under the pinned UTC session zone,
+        matching DuckDB's naive timestamps)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        _t(spark, sf_dir, "events")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    ev = _t(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _dec(col):

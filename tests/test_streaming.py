@@ -19,13 +19,10 @@ from .conftest import SF_SMOKE
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
     """sf0.001 events re-written with a proper timestamp column as a stream source."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark_minhash_lsh_spark.catalog import _events
+
     out = str(tmp_path_factory.mktemp("events_src"))
-    (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .write.mode("overwrite").parquet(out)
-    )
+    _events(spark, SF_SMOKE).write.mode("overwrite").parquet(out)
     return out
 
 
