@@ -88,6 +88,23 @@ def main() -> None:
         .agg(F.sum("i")).count()
     )
 
+    # Per-query JIT warmup: run every headline query ONCE at the smallest
+    # scale factor available. Whole-stage codegen compiles a fresh generated
+    # class per distinct plan shape, and the big text-pipeline plans (q25's
+    # PPJoin, q30's 100-min-agg) cost 10-30s of JIT on first execution —
+    # measured 37s cold vs ~5s steady-state for q25 at sf0.1. Running the
+    # same plan shapes on the tiny corpus compiles the same classes for
+    # pennies, so the timed runs below measure steady-state execution, not
+    # compiler state. (The generic warmup above stays: it covers the scan/
+    # join/window codegen that even the smallest-sf pass rides on.)
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_sf) and os.path.abspath(warm_sf) != os.path.abspath(sf_dir):
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_sf).count()
+            except Exception as e:  # warmup must never sink the bench
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
+
     # best-of-N per query (default 2): the host is multi-tenant and single
     # runs vary 2-3x under co-tenant load; the MIN is the reproducible
     # steady-state cost of the plan, which is what throughput claims are
@@ -124,7 +141,7 @@ def main() -> None:
 #: scale-linearity probe. ratio ~= factor x per query means no supra-linear
 #: stage (quadratic candidate blowup, forced broadcast, driver collect).
 SCALE_QUERIES = ["q30_minhash_signatures", "q32_ann_query", "q33_similarity_join",
-                 "q25_ngram_jaccard_pairs"]
+                 "q25_ngram_jaccard_pairs", "q38_minhash_dedup"]
 
 
 def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
@@ -170,6 +187,14 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
         budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "240"))
         started = time.perf_counter()
         out: dict[str, dict[str, float]] = {}
+        # scale-only queries (e.g. the dedup clusterer) aren't in HEADLINE:
+        # time their 1x base here so the ratio is still well-defined
+        base_timings = dict(base_timings)
+        for name in SCALE_QUERIES:
+            if name not in base_timings:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                base_timings[name] = round(time.perf_counter() - t0, 3)
         for name in SCALE_QUERIES:
             if time.perf_counter() - started > budget:
                 # never let the scale probe starve the headline bench the

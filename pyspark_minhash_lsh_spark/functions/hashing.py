@@ -223,16 +223,13 @@ def minhash_index_df(
     (which remains for md5/128-bit parity and relational string queries).
     """
     a, b = permutation_constants(num_hashes, seed)
-    # Repartition small scans by id BEFORE exploding: (1) the tokenize+explode
-    # runs on all cores instead of the scan's 1-2 partitions (measured 2.4s ->
-    # 0.3s at sf0.1 on local[32]); (2) the exchange ships compact text rows
-    # instead of exploded token rows, and the window + grouping then reuse the
-    # id-partitioning — still exactly ONE exchange in the plan, just placed
-    # before the explode. At scale the scan already has >= defaultParallelism
-    # partitions and this is a no-op.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, id_col)
+    # No pre-explode repartition: the window's own exchange (id-partitioned)
+    # distributes the work, and the pre-exchange projection (tokenize +
+    # explode + per-token xxhash64) is cheap even on a 1-2 partition small
+    # scan — measured equal with and without a repartition guard at sf0.1
+    # (best-of-4: 1.36s none vs 1.43s probed-repartition), while the guard's
+    # df.rdd probe cost a full plan->RDD conversion per call. At scale the
+    # scan has >= defaultParallelism partitions anyway.
     ex = df.select(
         F.col(id_col), F.posexplode_outer(text_toks).alias("_pos", "_t")
     ).select(

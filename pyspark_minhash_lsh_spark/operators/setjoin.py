@@ -25,10 +25,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import tokens
 
 __all__ = ["ngram_jaccard_join"]
+
+#: intermediates pinned by the PREVIOUS ngram_jaccard_join call, released
+#: (non-blocking) at the next call so repeated invocations (bench loops,
+#: interactive sessions) hold at most one call's worth of cached blocks.
+_PINNED: list[DataFrame] = []
 
 
 def ngram_jaccard_join(
@@ -45,11 +51,16 @@ def ngram_jaccard_join(
     Returns ``(id_a, id_b, jaccard: double)`` — same semantics as the naive
     quadratic join, verified against the DuckDB oracle (catalog q25).
 
-    ``persist_intermediate`` checkpoints the shingle table and the prefix
-    index: the plan references them up to 6x (freq, rank, both self-join
-    sides, both verify sides) and without it the tokenize+shingle scan is
-    recomputed each time (measured ~2x end-to-end). Costs one eager job +
-    corpus-linear storage; disable for one-shot small inputs.
+    ``persist_intermediate`` caches (``persist(MEMORY_AND_DISK)``) the
+    shingle table and the prefix index: the plan references them up to 6x
+    (freq, rank, both self-join sides, both verify sides) and without it the
+    tokenize+shingle scan is recomputed each time (measured ~2x end-to-end).
+    Lazy persist replaced the round-2 eager ``localCheckpoint`` pair: the
+    checkpoints serialized two extra blocking jobs per call before the join
+    even started (best-of-5 at sf0.1: 2.0s persisted vs 4.2s checkpointed)
+    and their blocks are not safely evictable (truncated lineage), while
+    MEMORY_AND_DISK spills under pressure and recomputes on loss. The
+    previous call's pins are released on entry (see ``_PINNED``).
 
     ``broadcast_max_rows`` gates the frequency/verify broadcast hints on the
     MEASURED shingle-row count (a cheap count() on the checkpointed table).
@@ -69,6 +80,11 @@ def ngram_jaccard_join(
     gating is skipped and the planner decides alone.
     """
     t = float(threshold)
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist(blocking=False)
+        except Exception:  # previous session already stopped — nothing to free
+            pass
     # Spread the corpus across all cores BEFORE the per-doc heavy compute:
     # a small parquet scan arrives as 1-2 partitions (measured 8x at sf0.1
     # on local[32]). At scale the scan already has >= defaultParallelism
@@ -102,12 +118,14 @@ def ngram_jaccard_join(
         .withColumn("n", F.count("*").over(Window.partitionBy("id")))
     )
     if persist_intermediate:
-        # 3 longs/row — cheap to serialize, and the plan reads it 4x
+        # 3 longs/row — cheap to cache, and the plan reads it 4x
         # (frequency, rank, both self-join sides) + the verify arrays.
-        dist = dist.localCheckpoint(eager=True)
+        dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+        _PINNED.append(dist)
 
     # measured-size broadcast gate (see docstring): only a KNOWN-small
-    # corpus gets hints; localCheckpoint makes the count cheap.
+    # corpus gets hints; the count doubles as the persist materialization,
+    # so it is the ONE blocking job before the join.
     small = (
         persist_intermediate
         and broadcast_max_rows is not None
@@ -131,7 +149,10 @@ def ngram_jaccard_join(
         .select("id", "n", "shingle")
     )
     if persist_intermediate:
-        prefix = prefix.localCheckpoint(eager=True)
+        # lazy: materializes inside the candidate join's own job (both
+        # self-join sides share the cached partitions), no extra blocking job
+        prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
+        _PINNED.append(prefix)
 
     # Candidate pruning, all BEFORE the expensive verify lookups:
     #  - length filter (PPJoin): Jaccard >= t requires
@@ -171,7 +192,7 @@ def ngram_jaccard_join(
 
     # verification: look up both full hashed-shingle arrays per candidate
     # pair (built here from the exploded rows — no shuffle: grouping key id
-    # matches the checkpoint's partitioning). The (id, hashes) side is
+    # matches the cached table's partitioning). The (id, hashes) side is
     # corpus-sized, so its broadcast hint rides the same measured-size gate:
     # known-small corpora get map-side hash lookups with zero shuffle of the
     # array table; everything else shuffle-joins on id (well distributed).
