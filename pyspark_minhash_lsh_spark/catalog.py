@@ -56,6 +56,11 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: sf_dirs whose INT64 events.ts column already passed the nanos magnitude
+#: probe (one 1-row job per table per process, not per query invocation)
+_EVENTS_NANOS_CHECKED: set[str] = set()
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with a proper session-TZ timestamp ``ts``.
 
@@ -66,11 +71,31 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns->us conversion truncates identically.
       - parquet TIMESTAMP (micros): arrives as TIMESTAMP_NTZ; cast to the
         session-TZ type (a value no-op under the pinned UTC session zone,
-        matching DuckDB's naive timestamps)."""
+        matching DuckDB's naive timestamps).
+
+    ``_utc`` is pinned HERE (ADVICE r02): the NTZ->timestamp cast reads the
+    session timezone at analysis time, so the UTC pin must travel with the
+    loader rather than rely on every caller remembering it. The bigint
+    branch also sanity-checks magnitude (ADVICE r02): a nanos epoch for this
+    data is ~1.7e18, while a silently-unannotated micros column would be
+    ~1.7e15 — dividing that by 1000 would shift every timestamp 1000x with
+    no error, so mis-scaled values fail fast instead."""
+    _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     ts_type = ev.schema["ts"].dataType.simpleString()
     if ts_type == "bigint":
+        if sf_dir not in _EVENTS_NANOS_CHECKED:  # one 1-row probe per table
+            sample = ev.select("ts").head()
+            if sample is not None and sample.ts is not None and not (
+                1_000_000_000_000_000_000 <= abs(sample.ts) < 10_000_000_000_000_000_000
+            ):
+                raise ValueError(
+                    f"events.ts INT64 magnitude {sample.ts} is not a plausible "
+                    "nanosecond epoch (~1.7e18) — refusing to div by 1000; check "
+                    "the parquet logical type annotation"
+                )
+            _EVENTS_NANOS_CHECKED.add(sf_dir)
         return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 

@@ -413,12 +413,18 @@ def incremental_near_dedup(
 ) -> DataFrame:
     """MinHash near-dup dedup of a NEW batch against the ingested corpus.
 
-    A new document is dropped when EITHER (a) an earlier in-batch document
-    shares an LSH band and estimated jaccard >= threshold (first-arrival
-    within the batch, like ``minhash_dedup`` but without clustering — new
-    arrivals only attach to survivors) or (b) any seen document shares a
-    band and clears the threshold. Candidate generation is the full-width
-    64-bit band-key equi-join on both legs, so the shuffles move
+    A new document is dropped when EITHER (a) ANY earlier in-batch document
+    — surviving or itself dropped — shares an LSH band and estimated
+    jaccard >= threshold, or (b) any seen document shares a band and clears
+    the threshold. Leg (a) is therefore TRANSITIVE CHAINING (first-arrival
+    per near-dup chain): if A is dropped against the lake, B ~ A is dropped
+    via A, and C ~ B is dropped via B even when C matches neither the lake
+    nor any survivor directly. This is the conservative policy (drops
+    weakly-more): near-dup chains collapse to their earliest member exactly
+    like ``minhash_dedup``'s connected components, instead of re-admitting
+    later links whose direct match happened to be dropped. Pinned by the
+    3-doc chain test in tests/test_dedup.py. Candidate generation is the
+    full-width 64-bit band-key equi-join on both legs, so the shuffles move
     (band_key, id) rows; signatures attach id-keyed afterwards.
 
     At scale ``seen_docs`` is the saved signature index

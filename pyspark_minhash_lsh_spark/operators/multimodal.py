@@ -11,10 +11,17 @@ batch shape) is real and tested. Decode has three tiers:
     + numpy pixel reshaping, WAV is stdlib ``wave``. Real pixels, real PCM,
     real dimensions/duration — full decode->feature->resize paths run
     genuinely in this container (see ``_parse_bmp`` / ``_decode_wav``);
+  - ``codec="jpeg"`` / ``codec="png"`` — REAL compressed decode gated on the
+    OPTIONAL ``Pillow`` package (import-gate at construction, mirroring the
+    xxh128 pattern in functions/hashing.py): where Pillow exists these are
+    full real code paths (decode -> luminance feature, decode -> resize ->
+    re-encode); where it doesn't, construction raises ImportError naming the
+    sanctioned fallback (``codec='bmp'`` / stub). Import-gated test in
+    tests/test_multimodal.py;
   - ``decode_stub=False`` with no codec — raises ``NotImplementedError`` at
-    the plug point where a PIL/ffmpeg call would decode COMPRESSED formats
-    (jpeg/mp3/mp4), unavailable here; the mapInPandas signature is identical,
-    so a production build swaps one function.
+    the plug point where a PIL/ffmpeg call would decode other COMPRESSED
+    formats (mp3/mp4), unavailable here; the mapInPandas signature is
+    identical, so a production build swaps one function.
 
 Heavy per-row work (decode, resize, feature extraction) runs via
 ``mapInPandas`` — Arrow-batched, one Python worker per partition, no JVM
@@ -112,6 +119,39 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
         "compressed image decode requires PIL/opencv, not present in this "
         "environment; use codec='bmp' (real, library-free) or decode_stub=True"
     )
+
+
+#: compressed image formats decodable via the optional PIL dependency
+_PIL_CODECS = ("jpeg", "png")
+
+
+def _pil_pixel_decoder(codec: str):
+    """Real compressed-image decoder gated on the OPTIONAL ``Pillow`` package
+    (mirrors the xxh128 import-gate pattern, functions/hashing.py): importing
+    is attempted at CONSTRUCTION time so a missing library fails fast on the
+    driver with the sanctioned fallback named — never inside an executor
+    task. Returns ``payload -> pixels[h, w, 3] RGB uint8``."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise ImportError(
+            f"codec={codec!r} requires the optional 'Pillow' package, not "
+            "present in this environment; use codec='bmp' (real, "
+            "library-free) or decode_stub=True — the sanctioned modes where "
+            "Pillow is unavailable"
+        ) from e
+
+    import io
+
+    def decode(payload: bytes) -> np.ndarray:
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty payload")
+        with Image.open(io.BytesIO(payload)) as im:
+            if im.format is None or im.format.lower() != codec:
+                raise ValueError(f"payload is {im.format}, expected {codec}")
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+    return decode
 
 
 # ---------------------------------------------------------------------------
@@ -302,10 +342,18 @@ def extract_image_features(
     if codec == "bmp":
         def decode(p: bytes) -> np.ndarray:
             return _luma_feature(_parse_bmp(p)[0].astype(np.float64))
+    elif codec in _PIL_CODECS:
+        px_decode = _pil_pixel_decoder(codec)  # ImportError here if no Pillow
+
+        def decode(p: bytes) -> np.ndarray:
+            return _luma_feature(px_decode(p).astype(np.float64))
     elif codec is None:
         decode = _decode_stub if decode_stub else _decode_image_real
     else:
-        raise ValueError(f"unknown image codec {codec!r} (supported: 'bmp')")
+        raise ValueError(
+            f"unknown image codec {codec!r} "
+            f"(supported: 'bmp' + optional {_PIL_CODECS})"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -385,12 +433,43 @@ def resize_images(
         return media.select("media_id", "payload").mapInPandas(
             run_bmp, schema=RESIZED_SCHEMA
         )
+    if codec in _PIL_CODECS:
+        px_decode = _pil_pixel_decoder(codec)  # ImportError here if no Pillow
+        import io
+
+        from PIL import Image  # gate above guarantees availability
+
+        def run_pil(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for p in pdf["payload"]:
+                    px = px_decode(p)
+                    buf = io.BytesIO()
+                    Image.fromarray(px).resize((width, height)).save(
+                        buf, format=codec
+                    )
+                    payloads.append(buf.getvalue())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].astype("int64"),
+                        "payload": payloads,
+                        "width": np.full(len(pdf), width, dtype=np.int32),
+                        "height": np.full(len(pdf), height, dtype=np.int32),
+                    }
+                )
+
+        return media.select("media_id", "payload").mapInPandas(
+            run_pil, schema=RESIZED_SCHEMA
+        )
     if codec is not None:
-        raise ValueError(f"unknown image codec {codec!r} (supported: 'bmp')")
+        raise ValueError(
+            f"unknown image codec {codec!r} "
+            f"(supported: 'bmp' + optional {_PIL_CODECS})"
+        )
     if not decode_stub:
         raise NotImplementedError(
             "compressed-format resize requires PIL/opencv, not present; "
-            "use codec='bmp' or decode_stub=True"
+            "use codec='bmp'/'jpeg'/'png' or decode_stub=True"
         )
 
     n_out = width * height

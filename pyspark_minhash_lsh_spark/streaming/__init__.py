@@ -1,6 +1,7 @@
 from .pipelines import (
     hourly_event_stats,
     sliding_event_stats,
+    start_near_dedup_stream,
     streaming_exact_dedup,
     streaming_near_dedup,
     near_dedup_finalize,
@@ -10,6 +11,7 @@ from .pipelines import (
 __all__ = [
     "hourly_event_stats",
     "sliding_event_stats",
+    "start_near_dedup_stream",
     "streaming_exact_dedup",
     "streaming_near_dedup",
     "near_dedup_finalize",

