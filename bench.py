@@ -195,6 +195,11 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).count()
                 base_timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-N like the headline timings (default 2): the first 10x run
+        # pays whole-stage-codegen JIT for the 10x-specific plan shapes that
+        # the 1x base (best-of-2 after warmup) never pays — single-shot
+        # ratios compared cold-vs-warm, overstating supra-linearity by 3-4x.
+        runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2")))
         for name in SCALE_QUERIES:
             if time.perf_counter() - started > budget:
                 # never let the scale probe starve the headline bench the
@@ -202,14 +207,19 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
                 out[name] = {"sec": None, "ratio_vs_1x": None}
                 print(f"# scale{factor}x {name}: SKIPPED (budget)", file=sys.stderr)
                 continue
-            t0 = time.perf_counter()
-            n = QUERIES[name](spark, tmp).count()
-            t = round(time.perf_counter() - t0, 3)
+            best, n = None, 0
+            for r in range(runs):
+                t0 = time.perf_counter()
+                n = QUERIES[name](spark, tmp).count()
+                t = round(time.perf_counter() - t0, 3)
+                best = t if best is None else min(best, t)
+                if time.perf_counter() - started > budget:
+                    break
             base = base_timings.get(name)
-            ratio = round(t / base, 2) if base else None
-            out[name] = {"sec": t, "ratio_vs_1x": ratio}
+            ratio = round(best / base, 2) if base else None
+            out[name] = {"sec": best, "ratio_vs_1x": ratio}
             print(
-                f"# scale{factor}x {name}: {t:.3f}s ({n} rows, "
+                f"# scale{factor}x {name}: {best:.3f}s ({n} rows, "
                 f"{ratio}x the 1x time)", file=sys.stderr,
             )
         return {"factor": factor, "queries": out}

@@ -62,13 +62,21 @@ def ngram_jaccard_join(
     MEMORY_AND_DISK spills under pressure and recomputes on loss. The
     previous call's pins are released on entry (see ``_PINNED``).
 
-    ``broadcast_max_rows`` gates the frequency/verify broadcast hints on the
-    MEASURED shingle-row count (a cheap count() on the checkpointed table).
-    The default (1M rows) is measured, not guessed: at ~300k rows the
-    broadcast wins big (6.8s vs 19s at sf0.1), at ~3.2M rows forcing it is
-    a 2-8x LOSS vs letting AQE decide (40-63s forced vs 5-19s free across
-    runs of the 10x scale probe on this noisy host) — hash-relation build
-    cost grows faster than the shuffle it avoids.
+    ``broadcast_max_rows`` gates the two broadcast hints, each on the
+    MEASURED row count of ITS OWN build side (one agg job over the persisted
+    shingle table yields both counts):
+      - the frequency table broadcasts when the number of DISTINCT shingles
+        <= ``broadcast_max_rows`` (16-byte rows; 1M ~= 16 MB). Distinct
+        shingles are billions at web scale — real corpora take the
+        shuffle-join path automatically;
+      - the per-doc array table broadcasts when the number of DOCS
+        <= ``broadcast_max_rows / 8`` (rows carry the full hashed-shingle
+        array, ~8 bytes x set size — an order heavier than freq rows).
+    Round 2 gated both hints on the total (doc, shingle) pair count — a
+    proxy an order coarser than either real build side, which pushed the
+    10x scale probe onto the shuffle path that its actual table sizes
+    (9.3k distinct shingles, 50k docs) never warranted: measured 34.5s
+    shuffled vs 25.5s broadcast at 10x, same 256-row result.
     An explicit ``F.broadcast`` is honored regardless of
     ``autoBroadcastJoinThreshold``, so an unconditional hint OOMs at scale
     (8 GB hard broadcast limit); but with NO hint, AQE's
@@ -76,7 +84,7 @@ def ngram_jaccard_join(
     the corpus-sized probe before it can convert (measured ~2x end-to-end at
     sf0.1). Counting first gets both: known-small inputs skip the shuffle
     entirely, large corpora take the shuffle join with no OOM risk. At
-    ``persist_intermediate=False`` the count would recompute the scan, so
+    ``persist_intermediate=False`` the counts would recompute the scan, so
     gating is skipped and the planner decides alone.
     """
     t = float(threshold)
@@ -123,21 +131,25 @@ def ngram_jaccard_join(
         dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
         _PINNED.append(dist)
 
-    # measured-size broadcast gate (see docstring): only a KNOWN-small
-    # corpus gets hints; the count doubles as the persist materialization,
-    # so it is the ONE blocking job before the join.
-    small = (
-        persist_intermediate
-        and broadcast_max_rows is not None
-        and dist.count() <= broadcast_max_rows
-    )
+    # measured-size broadcast gates (see docstring): each hint keyed on its
+    # OWN build side's count. ONE agg job yields both stats and doubles as
+    # the persist materialization — still the single blocking job before
+    # the join.
+    freq_small = verify_small = False
+    if persist_intermediate and broadcast_max_rows is not None:
+        stats = dist.agg(
+            F.countDistinct("shingle").alias("n_shingles"),
+            F.countDistinct("id").alias("n_docs"),
+        ).head()
+        freq_small = stats.n_shingles <= broadcast_max_rows
+        verify_small = stats.n_docs <= max(1, broadcast_max_rows // 8)
 
     # global document frequency of each shingle (distributed agg): one row
     # per DISTINCT shingle — billions at web scale, so the hint is applied
     # only under the measured-size gate; otherwise the join stays keyed on
     # shingle (same key as the agg) and the planner/AQE decides.
     freq = dist.groupBy("shingle").agg(F.count("*").alias("df_"))
-    if small:
+    if freq_small:
         freq = F.broadcast(freq)
 
     # rarest-first rank within each doc; prefix length = floor((1-t)*n) + 1
@@ -201,7 +213,7 @@ def ngram_jaccard_join(
     )
     sa = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), F.col("n").alias("n_b"))
-    if small:
+    if verify_small:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("h_a", "h_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
