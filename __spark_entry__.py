@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from pyspark_minhash_lsh_spark.catalog import ORACLE_SQL, QUERIES  # noqa: E402
+from pyspark_minhash_lsh_spark.catalog import DRIVER_QUERIES, ORACLE_SQL  # noqa: E402
 from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH  # noqa: E402
 
 
@@ -31,7 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    # the curated 50-entry driver surface; the full registry (plus bench-only
+    # entries like q30) lives in catalog.QUERIES
+    return dict(DRIVER_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -803,6 +803,79 @@ def q27_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q77 signature length. 16 permutations keep the driver's value-hash surface
+#: at 16 x n_docs rows (8k at sf0.01) while exercising the identical
+#: (a*h + b) mod p family math as the 100-wide production signatures.
+_Q77_NUM_HASHES = 16
+
+
+def _q77_oracle() -> str:
+    """DuckDB mirror of q77: same md5 base hash (first 15 hex chars -> 60-bit
+    int, mod p), same driver-side ``permutation_constants`` family baked into
+    both engines as literals."""
+    from .functions.hashing import MERSENNE_PRIME_31 as p
+    from .functions.hashing import permutation_constants
+
+    a, b = permutation_constants(_Q77_NUM_HASHES, DEFAULT_CONFIG.seed)
+    vals = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(_Q77_NUM_HASHES))
+    return f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                                    ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+         hx AS (SELECT doc_id,
+                       ('0x' || substring(md5(s), 1, 15))::BIGINT % {p} AS h
+                FROM ex),
+         perms(perm, a, b) AS (VALUES {vals})
+    SELECT doc_id, perm, MIN((a * h + b) % {p}) AS min_hash
+    FROM hx CROSS JOIN perms GROUP BY doc_id, perm
+    """
+
+
+@query("q77_minhash_oracle", oracle=_q77_oracle())
+def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash permutation math, ORACLE-CHECKED (the one hash family both
+    engines can compute): base hash = first 15 hex chars of md5(shingle) as a
+    60-bit int mod p (Spark ``conv(substring(md5,1,15),16,10)`` == DuckDB
+    ``('0x' || substring(md5,1,15))::BIGINT``), then the exact production
+    permutation family sig[i] = min (a_i*h + b_i) mod p
+    (``permutation_constants``, reference seeded digest family utils.py:7-16 /
+    minhash_utils.py:59-79). Long format (doc_id, perm, min_hash) so the
+    driver hash-compares scalars, not arrays. The xxhash64 production path
+    (q30 / minhash_index_df) shares everything but the base hash and stays
+    rows-only + golden/parity-tested; docs with no shingles are dropped on
+    both sides (sentinel semantics covered by tests/test_minhash_properties)."""
+    from .functions.hashing import MERSENNE_PRIME_31 as p
+    from .functions.hashing import permutation_constants
+
+    a, b = permutation_constants(_Q77_NUM_HASHES, DEFAULT_CONFIG.seed)
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size)
+    ex = docs.select("doc_id", F.explode(sh).alias("s"))
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(p),
+    )
+    hx = ex.select("doc_id", h.alias("h"))
+    perms = spark.range(1).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("perm"),
+                    F.lit(a[i]).cast("bigint").alias("a"),
+                    F.lit(b[i]).cast("bigint").alias("b"),
+                )
+                for i in range(_Q77_NUM_HASHES)
+            ])
+        ).alias("p")
+    ).select("p.perm", "p.a", "p.b")
+    return (
+        hx.crossJoin(F.broadcast(perms))  # 16-row build side: provably tiny
+        .groupBy("doc_id", "perm")
+        .agg(F.min(F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(p))).alias("min_hash"))
+    )
+
+
 # =====================================================================================
 # Hash-dependent operators — rows-only checks (no DuckDB oracle, as sanctioned)
 # =====================================================================================
@@ -2035,6 +2108,7 @@ _CURATED_ORDER = [
     "q20_token_shingle_stats",
     "q29_doc_quality",
     "q42_relational_ops",
+    "q77_minhash_oracle",
     # -- block 2: driver-green in round 2 (oracle-backed, re-verified) -------------
     "q01_pricing_summary",
     "q02_mktsegment_stats",
@@ -2058,7 +2132,6 @@ _CURATED_ORDER = [
     "q28_language_id",
     "q48_vocabulary",
     # -- block 3: rows-only (hash-dependent) + suites ------------------------------
-    "q30_minhash_signatures",
     "q32_ann_query",
     "q33_similarity_join",
     "q38_minhash_dedup",
@@ -2067,10 +2140,18 @@ _CURATED_ORDER = [
     "q76_multimodal_suite",
 ]
 
-assert sorted(_CURATED_ORDER) == sorted(QUERIES), (
+#: Registered and benched (bench.py HEADLINE) but NOT in the driver's 50-row
+#: correctness budget: q30's signature math is driver-exercised through
+#: q32/q33/q38/q75, and its permutation family is now ORACLE-checked via the
+#: md5-family twin q77 — the stronger check replaces the rows-only row.
+_BENCH_ONLY = ["q30_minhash_signatures"]
+
+assert sorted(_CURATED_ORDER + _BENCH_ONLY) == sorted(QUERIES), (
     "curated order out of sync with registrations: "
-    f"missing={sorted(set(QUERIES) - set(_CURATED_ORDER))} "
-    f"stale={sorted(set(_CURATED_ORDER) - set(QUERIES))}"
+    f"missing={sorted(set(QUERIES) - set(_CURATED_ORDER) - set(_BENCH_ONLY))} "
+    f"stale={sorted((set(_CURATED_ORDER) | set(_BENCH_ONLY)) - set(QUERIES))}"
 )
-QUERIES = {name: QUERIES[name] for name in _CURATED_ORDER}
+#: driver-facing surface: exactly the curated 50, in recorded order.
+DRIVER_QUERIES = {name: QUERIES[name] for name in _CURATED_ORDER}
+QUERIES = {**DRIVER_QUERIES, **{n: QUERIES[n] for n in _BENCH_ONLY}}
 ORACLE_SQL = {n: ORACLE_SQL[n] for n in _CURATED_ORDER if n in ORACLE_SQL}
