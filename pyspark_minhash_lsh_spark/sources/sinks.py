@@ -46,12 +46,29 @@ def write_parquet(
     max_records_per_file: Optional[int] = None,
     coalesce_to: Optional[int] = None,
     compression: str = "zstd",
+    sort_within_partitions: Optional[Sequence[str]] = None,
 ) -> None:
     """Write a result table as (optionally partitioned) parquet.
 
     ``compression="zstd"`` is the scan-speed/size sweet spot for analytic
     re-reads; pass ``"snappy"`` for maximum write throughput.
+
+    ``sort_within_partitions`` clusters rows by the given columns inside each
+    task before writing — NO extra shuffle — so parquet row-group min/max
+    statistics on those columns become narrow and disjoint instead of
+    spanning the whole domain. Point/range filters on a clustered column then
+    skip most row groups at scan time (the footer-level complement to
+    ``partition_by``'s directory pruning: partition on the low-cardinality
+    coarse key, cluster on the high-cardinality one, e.g. partition_by=
+    ["source"], sort_within_partitions=["doc_id"]). Layout property asserted
+    in tests/test_skew_persistence.py via the written footers.
     """
+    if sort_within_partitions:
+        # coalesce FIRST: coalescing after the sort would concatenate sorted
+        # runs into an unsorted partition and void the row-group clustering
+        if coalesce_to:
+            df, coalesce_to = df.coalesce(coalesce_to), None
+        df = df.sortWithinPartitions(*sort_within_partitions)
     w = _prepare(df, coalesce_to, max_records_per_file).option(
         "compression", compression
     )

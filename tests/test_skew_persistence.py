@@ -76,6 +76,56 @@ def test_write_parquet_partitioned(spark, tmp_path):
     assert spark.read.option("header", "true").csv(csv_out).count() == 200
 
 
+def test_write_parquet_clustered_row_groups(spark, tmp_path):
+    """``sort_within_partitions`` makes parquet min/max stats selective: the
+    clustered layout's per-row-group doc_id intervals are pairwise disjoint
+    (scans with a doc_id predicate skip all but one group), while the same
+    data written unclustered has overlapping full-domain intervals."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark_minhash_lsh_spark.sources.sinks import write_parquet
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(400)
+        .select("doc_id", "lang")
+        .repartition(4)  # scramble doc_id across partitions
+    )
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_parquet(docs, clustered, coalesce_to=1, max_records_per_file=100,
+                  sort_within_partitions=["doc_id"])
+    write_parquet(docs, plain, coalesce_to=1, max_records_per_file=100)
+
+    def doc_id_intervals(path):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index("doc_id")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                out.append((st.min, st.max))
+        return sorted(out)
+
+    c_iv = doc_id_intervals(clustered)
+    p_iv = doc_id_intervals(plain)
+    assert len(c_iv) >= 3 and len(p_iv) >= 3  # file rolling happened
+    # clustered: strictly increasing, non-overlapping intervals
+    for (lo1, hi1), (lo2, hi2) in zip(c_iv, c_iv[1:]):
+        assert lo1 <= hi1 < lo2 <= hi2, c_iv
+    # unclustered: at least one pair of overlapping intervals (each file is a
+    # near-full-domain sample, so min/max stats cannot skip anything)
+    overlaps = sum(
+        1 for (lo1, hi1), (lo2, hi2) in zip(p_iv, p_iv[1:]) if hi1 >= lo2
+    )
+    assert overlaps > 0, p_iv
+
+
 def test_salted_join_rejects_outer_shapes(spark):
     """Replicating the small side breaks right/full/semi/anti semantics —
     the guard must reject them loudly rather than emit duplicate rows."""
