@@ -44,7 +44,7 @@ def ngram_jaccard_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_intermediate: bool = True,
-    broadcast_max_rows: int | None = 1_000_000,
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with EXACT shingle-set Jaccard >= threshold.
 
@@ -62,28 +62,25 @@ def ngram_jaccard_join(
     MEMORY_AND_DISK spills under pressure and recomputes on loss. The
     previous call's pins are released on entry (see ``_PINNED``).
 
-    ``broadcast_max_rows`` gates the two broadcast hints, each on the
-    MEASURED row count of ITS OWN build side (one agg job over the persisted
-    shingle table yields both counts):
-      - the frequency table broadcasts when the number of DISTINCT shingles
-        <= ``broadcast_max_rows`` (16-byte rows; 1M ~= 16 MB). Distinct
-        shingles are billions at web scale — real corpora take the
-        shuffle-join path automatically;
-      - the per-doc array table broadcasts when the number of DOCS
-        <= ``broadcast_max_rows / 8`` (rows carry the full hashed-shingle
-        array, ~8 bytes x set size — an order heavier than freq rows).
-    Round 2 gated both hints on the total (doc, shingle) pair count — a
-    proxy an order coarser than either real build side, which pushed the
-    10x scale probe onto the shuffle path that its actual table sizes
-    (9.3k distinct shingles, 50k docs) never warranted: measured 34.5s
-    shuffled vs 25.5s broadcast at 10x, same 256-row result.
-    An explicit ``F.broadcast`` is honored regardless of
-    ``autoBroadcastJoinThreshold``, so an unconditional hint OOMs at scale
-    (8 GB hard broadcast limit); but with NO hint, AQE's
-    shuffle-to-broadcast conversion still pays the map-side shuffle WRITE of
-    the corpus-sized probe before it can convert (measured ~2x end-to-end at
-    sf0.1). Counting first gets both: known-small inputs skip the shuffle
-    entirely, large corpora take the shuffle join with no OOM risk. At
+    ``broadcast_max_rows`` (default OFF) optionally gates two broadcast
+    hints, each on the MEASURED row count of ITS OWN build side (one agg job
+    over the persisted shingle table yields both counts): the frequency
+    table broadcasts when #distinct shingles <= cap, the per-doc array table
+    when #docs <= cap/8. The default is ``None`` — no stats job, no hints,
+    AQE alone — because round 3 re-measured the alternatives interleaved at
+    the 10x scale probe (once the round-2 eager ``localCheckpoint``s were
+    gone) and the gate's OWN stats job dominated everything it could save:
+    hint-free steady state 8.7-13.8s vs 26-41s for EVERY stats-running
+    variant (hints on, freq-only, or stats-with-no-hints — all
+    indistinguishable), because the double ``countDistinct`` Expand over the
+    corpus-sized shingle table is a full extra blocking shuffle job that
+    also front-loads the cache materialization. The round-2 finding that
+    hint-free paid a 2-4x AQE shuffle-write penalty was an artifact of the
+    checkpoint-era plan and no longer reproduces. The cap remains for
+    callers that KNOW their corpus is small and want the zero-shuffle plan
+    pinned deterministically (an explicit ``F.broadcast`` is honored
+    regardless of ``autoBroadcastJoinThreshold``, so an unconditional hint
+    would OOM at scale — never pass a cap sized beyond driver memory). At
     ``persist_intermediate=False`` the counts would recompute the scan, so
     gating is skipped and the planner decides alone.
     """
