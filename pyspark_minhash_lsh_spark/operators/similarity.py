@@ -145,19 +145,24 @@ class SrpLshModel:
         self,
         min_cosine: float = 0.8,
         max_bucket_size: Optional[int] = None,
-        broadcast_max_rows: Optional[int] = 200_000,
+        broadcast_max_rows: Optional[int] = None,
     ) -> DataFrame:
         """All candidate pairs sharing >= 1 SRP bucket with cosine >= threshold.
 
         Explode keys -> id-only self-equi-join on key (the shuffle moves
         16-byte (key, id) rows, never embeddings) -> dedupe pairs -> attach
         both embeddings via id-keyed joins -> exact cosine filter. The
-        embedding-attach broadcast hint is gated on a MEASURED index count
-        (same rationale as MinHashLSHModel.approx_similarity_join: a
-        known-small index skips the AQE pre-conversion shuffle entirely; a
-        large one takes the distributed shuffle join with no forced-OOM
-        risk). ``max_bucket_size`` drops degenerate hot buckets before the
-        join by anti-joining the (tiny by construction) hot-bucket list.
+        embedding-attach broadcast hint is OFF by default (same round-3
+        measurement as MinHashLSHModel.approx_similarity_join: the gate's
+        ``index.count()`` is an extra blocking job — a full index recompute
+        when unpersisted — and AQE's runtime stats already make the
+        broadcast decision at least as well). Passing ``broadcast_max_rows``
+        re-enables the measured-count gate for persisted-index serving; an
+        explicit hint is honored regardless of
+        ``autoBroadcastJoinThreshold``, which is why it always stays behind
+        the measured count. ``max_bucket_size`` drops degenerate hot buckets
+        before the join by anti-joining the (tiny by construction)
+        hot-bucket list.
         """
         ex = self.index.select(F.col(self.id_col), F.explode("srp_keys").alias("key"))
         if max_bucket_size is not None:
