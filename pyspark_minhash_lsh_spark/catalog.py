@@ -809,15 +809,42 @@ def q27_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q77_NUM_HASHES = 16
 
 
+#: q77 banding layout over the 16-perm signature: 4 bands x 4 rows — the same
+#: shape family as production (num_bands x rows_per_band), scaled to the
+#: oracle's signature length.
+_Q77_NUM_BANDS = 4
+_Q77_ROWS_PER_BAND = _Q77_NUM_HASHES // _Q77_NUM_BANDS
+
+
 def _q77_oracle() -> str:
     """DuckDB mirror of q77: same md5 base hash (first 15 hex chars -> 60-bit
     int, mod p), same driver-side ``permutation_constants`` family baked into
-    both engines as literals."""
+    both engines as literals, same md5-of-joined-components band hash, same
+    component-agreement count between consecutive doc ids."""
     from .functions.hashing import MERSENNE_PRIME_31 as p
     from .functions.hashing import permutation_constants
 
     a, b = permutation_constants(_Q77_NUM_HASHES, DEFAULT_CONFIG.seed)
     vals = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(_Q77_NUM_HASHES))
+    pivot = ", ".join(
+        f"MIN(CASE WHEN perm = {i} THEN min_hash END) AS m{i}"
+        for i in range(_Q77_NUM_HASHES)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, 'band' AS part, {b} AS idx, "
+        "('0x' || substring(md5(concat_ws('|', {cols})), 1, 15))::BIGINT AS value "
+        "FROM sigw".format(
+            b=bi,
+            cols=", ".join(
+                f"m{bi * _Q77_ROWS_PER_BAND + r}" for r in range(_Q77_ROWS_PER_BAND)
+            ),
+        )
+        for bi in range(_Q77_NUM_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)"
+        for i in range(_Q77_NUM_HASHES)
+    )
     return f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
          sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
@@ -826,25 +853,43 @@ def _q77_oracle() -> str:
          hx AS (SELECT doc_id,
                        ('0x' || substring(md5(s), 1, 15))::BIGINT % {p} AS h
                 FROM ex),
-         perms(perm, a, b) AS (VALUES {vals})
-    SELECT doc_id, perm, MIN((a * h + b) % {p}) AS min_hash
-    FROM hx CROSS JOIN perms GROUP BY doc_id, perm
+         perms(perm, a, b) AS (VALUES {vals}),
+         sig AS (SELECT doc_id, perm, MIN((a * h + b) % {p}) AS min_hash
+                 FROM hx CROSS JOIN perms GROUP BY doc_id, perm),
+         sigw AS (SELECT doc_id, {pivot} FROM sig GROUP BY doc_id)
+    SELECT doc_id, 'perm' AS part, perm AS idx, min_hash AS value FROM sig
+    UNION ALL {bands}
+    UNION ALL
+    SELECT x.doc_id, 'agree' AS part, y.doc_id AS idx, {agree} AS value
+    FROM sigw x JOIN sigw y ON y.doc_id = x.doc_id + 1
     """
 
 
 @query("q77_minhash_oracle", oracle=_q77_oracle())
 def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash permutation math, ORACLE-CHECKED (the one hash family both
-    engines can compute): base hash = first 15 hex chars of md5(shingle) as a
-    60-bit int mod p (Spark ``conv(substring(md5,1,15),16,10)`` == DuckDB
-    ``('0x' || substring(md5,1,15))::BIGINT``), then the exact production
-    permutation family sig[i] = min (a_i*h + b_i) mod p
-    (``permutation_constants``, reference seeded digest family utils.py:7-16 /
-    minhash_utils.py:59-79). Long format (doc_id, perm, min_hash) so the
-    driver hash-compares scalars, not arrays. The xxhash64 production path
-    (q30 / minhash_index_df) shares everything but the base hash and stays
-    rows-only + golden/parity-tested; docs with no shingles are dropped on
-    both sides (sentinel semantics covered by tests/test_minhash_properties)."""
+    """MinHash + LSH-banding + estimator math, ORACLE-CHECKED via the one
+    hash family both engines can compute: base hash = first 15 hex chars of
+    md5(shingle) as a 60-bit int mod p (Spark
+    ``conv(substring(md5,1,15),16,10)`` == DuckDB
+    ``('0x' || substring(md5,1,15))::BIGINT``). Long format
+    ``(doc_id, part, idx, value)``, three legs, all-integer values:
+
+      - ``part='perm'``: sig[i] = min (a_i*h + b_i) mod p — the exact
+        production permutation family (``permutation_constants``; reference
+        seeded digest family utils.py:7-16 / minhash_utils.py:59-79);
+      - ``part='band'``: band hash = md5 of the '|'-joined band components
+        (4 bands x 4 rows over the 16-perm signature) — the banding SHAPE of
+        reference minhash_utils.py:90-113 under the shared hash;
+      - ``part='agree'``: # of agreeing signature components between
+        consecutive doc ids — the numerator of the reference's Jaccard
+        estimator (minhash_utils.py:116-124) kept integer so value hashes
+        are exact.
+
+    The xxhash64 production paths (q30 / minhash_index_df, lsh_band_keys,
+    signature_jaccard) share everything but the base hash and stay
+    rows-only + golden/parity/S-curve-tested; docs with no shingles are
+    dropped on both sides (sentinel semantics covered by
+    tests/test_minhash_properties)."""
     from .functions.hashing import MERSENNE_PRIME_31 as p
     from .functions.hashing import permutation_constants
 
@@ -857,23 +902,61 @@ def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(p),
     )
     hx = ex.select("doc_id", h.alias("h"))
-    perms = spark.range(1).select(
+    # one hash-aggregate builds the wide signature (same dataflow shape as
+    # minhash_signatures_df); all three legs derive from it without
+    # re-reading the corpus
+    sigw = hx.groupBy("doc_id").agg(*[
+        F.min(F.pmod(F.lit(a[i]) * F.col("h") + F.lit(b[i]), F.lit(p))).alias(f"m{i}")
+        for i in range(_Q77_NUM_HASHES)
+    ])
+    perm_leg = sigw.select(
+        "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(i).alias("perm"),
-                    F.lit(a[i]).cast("bigint").alias("a"),
-                    F.lit(b[i]).cast("bigint").alias("b"),
+                    F.lit(i).cast("int").alias("idx"),
+                    F.col(f"m{i}").alias("value"),
                 )
                 for i in range(_Q77_NUM_HASHES)
             ])
-        ).alias("p")
-    ).select("p.perm", "p.a", "p.b")
-    return (
-        hx.crossJoin(F.broadcast(perms))  # 16-row build side: provably tiny
-        .groupBy("doc_id", "perm")
-        .agg(F.min(F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(p))).alias("min_hash"))
+        ).alias("e"),
+    ).select("doc_id", F.lit("perm").alias("part"), "e.idx", "e.value")
+    band_leg = sigw.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).cast("int").alias("idx"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("|", *[
+                                F.col(f"m{bi * _Q77_ROWS_PER_BAND + r}")
+                                for r in range(_Q77_ROWS_PER_BAND)
+                            ])),
+                            1, 15,
+                        ),
+                        16, 10,
+                    ).cast("bigint").alias("value"),
+                )
+                for bi in range(_Q77_NUM_BANDS)
+            ])
+        ).alias("e"),
+    ).select("doc_id", F.lit("band").alias("part"), "e.idx", "e.value")
+    x, y = sigw.alias("x"), sigw.alias("y")
+    agree = sum(
+        F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+        for i in range(_Q77_NUM_HASHES)
     )
+    agree_leg = (
+        x.join(y, F.col("y.doc_id") == F.col("x.doc_id") + 1)
+        .select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.lit("agree").alias("part"),
+            F.col("y.doc_id").cast("int").alias("idx"),
+            agree.cast("bigint").alias("value"),
+        )
+    )
+    return perm_leg.unionByName(band_leg).unionByName(agree_leg)
 
 
 # =====================================================================================
