@@ -105,11 +105,14 @@ def main() -> None:
             except Exception as e:  # warmup must never sink the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
-    # best-of-N per query (default 2): the host is multi-tenant and single
-    # runs vary 2-3x under co-tenant load; the MIN is the reproducible
+    # best-of-N per query (default 3): the host is multi-tenant and single
+    # runs vary 2-3x under co-tenant load (measured 33s vs 11.7s totals for
+    # the same commit minutes apart); the MIN is the reproducible
     # steady-state cost of the plan, which is what throughput claims are
-    # about. SPARK_GRAFT_BENCH_RUNS=1 restores single-shot timing.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # about. Three passes cost ~25s extra and cut the tail risk of one
+    # noise spike landing on a single-pass number.
+    # SPARK_GRAFT_BENCH_RUNS=1 restores single-shot timing.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best, n = None, 0
