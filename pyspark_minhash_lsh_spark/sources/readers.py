@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_text_corpus",
     "read_table",
+    "read_columnar",
     "read_csv_corpus",
     "read_json_corpus",
     "TESTDATA_TABLES",
@@ -57,6 +58,18 @@ def read_text_corpus(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver's parquet tables from an sf directory."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_columnar(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
+    """Columnar source by format name (``parquet`` | ``orc``).
+
+    Both formats keep predicate pushdown and column pruning (footer/stripe
+    statistics) — the properties the engine's scan-speed queries rely on; the
+    plan-level assertions in tests/test_skew_persistence.py hold for either.
+    """
+    if format not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format: {format!r}")
+    return spark.read.format(format).load(path)
 
 
 def read_csv_corpus(

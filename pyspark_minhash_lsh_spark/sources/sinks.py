@@ -23,7 +23,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_parquet", "write_csv", "write_bucketed_table"]
+__all__ = ["write_parquet", "write_orc", "write_csv", "write_bucketed_table"]
 
 
 def _prepare(
@@ -75,6 +75,32 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.mode(mode).parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Optional[Sequence[str]] = None,
+    max_records_per_file: Optional[int] = None,
+    coalesce_to: Optional[int] = None,
+    compression: str = "zstd",
+    sort_within_partitions: Optional[Sequence[str]] = None,
+) -> None:
+    """ORC twin of ``write_parquet`` — same layout controls, same clustering
+    semantics (stripe-level min/max statistics instead of row-group footers).
+    For pipelines whose lake standard is ORC rather than parquet; read back
+    via ``read_columnar(spark, path, format="orc")``."""
+    if sort_within_partitions:
+        if coalesce_to:
+            df, coalesce_to = df.coalesce(coalesce_to), None
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    w = _prepare(df, coalesce_to, max_records_per_file).option(
+        "compression", compression
+    ).format("orc")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.mode(mode).save(path)
 
 
 def write_bucketed_table(
