@@ -85,6 +85,23 @@ def test_degenerate_docs_survive(spark):
     assert all(i not in p for p in got for i in (2, 3, 4))
 
 
+def test_construction_runs_no_jobs(spark, docs):
+    """Regression pin for the round-3 fixed-cost class: building the pairwise
+    operators' plans must run ZERO Spark jobs — no eager checkpoints, no gate
+    stats jobs, no index counts. All work happens at the action."""
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df1 = ngram_jaccard_join(docs, threshold=0.5)
+    model = MinHashLSH().fit(docs, persist=False)
+    df2 = model.approx_similarity_join(threshold=0.6)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, f"construction launched jobs: {sorted(after - before)}"
+    # the plans still execute
+    assert df1.count() >= 0 and df2.count() >= 0
+
+
 def test_no_persist_same_result(docs):
     a = {
         (r.id_a, r.id_b)
