@@ -1251,6 +1251,27 @@ def q38_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
           INTERSECT
           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'profile' AS op, COUNT(DISTINCT p_brand) AS k,
+           'p_brand|' || MIN(CAST(p_brand AS VARCHAR)) || '|'
+             || MAX(CAST(p_brand AS VARCHAR)) AS s,
+           ROUND(CAST(SUM(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS v
+    FROM part
+    UNION ALL
+    SELECT 'profile' AS op, COUNT(DISTINCT p_size) AS k,
+           'p_size|' || MIN(CAST(p_size AS VARCHAR)) || '|'
+             || MAX(CAST(p_size AS VARCHAR)) AS s,
+           ROUND(CAST(SUM(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS v
+    FROM part
+    UNION ALL
+    SELECT 'profile' AS op, COUNT(DISTINCT p_type) AS k,
+           'p_type|' || MIN(CAST(p_type AS VARCHAR)) || '|'
+             || MAX(CAST(p_type AS VARCHAR)) AS s,
+           ROUND(CAST(SUM(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS v
+    FROM part
     """,
 )
 def q42_relational_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1261,7 +1282,11 @@ def q42_relational_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       - limit_trim: global sort + limit (reference T1/T3) — still plans the
         sort leg as TakeOrderedAndProject, no driver round-trip;
       - projection: rename / derive / drop ops (reference P6/P7);
-      - intersect: INTERSECT set op (completes §2.8 with q15's UNION/EXCEPT).
+      - intersect: INTERSECT set op (completes §2.8 with q15's UNION/EXCEPT);
+      - profile: ``operators/profile.py::profile_table`` per-column
+        null/distinct/min/max validation stats (exact-distinct mode so the
+        oracle can reproduce; production default is HLL approx) — encoded
+        as ``k=n_distinct, s=column|min|max, v=null_frac``.
     """
     topn = (
         _t(spark, sf_dir, "orders")
@@ -1303,7 +1328,15 @@ def q42_relational_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s"),
         F.lit(None).cast("double").alias("v"),
     )
-    return topn.unionByName(proj).unionByName(inter)
+    from .operators.profile import profile_table
+
+    prof = profile_table(p, ["p_brand", "p_size", "p_type"], exact=True).select(
+        F.lit("profile").alias("op"),
+        F.col("n_distinct").alias("k"),
+        F.concat_ws("|", "column", "min_value", "max_value").alias("s"),
+        F.col("null_frac").alias("v"),
+    )
+    return topn.unionByName(proj).unionByName(inter).unionByName(prof)
 
 
 @query(
@@ -1984,7 +2017,7 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five dedup operators end-to-end, one summary row each — rows-only
+    """Six dedup operators end-to-end, one summary row each — rows-only
     (all are signature/hash dependent; see the suite-curation note above).
     Legs (folding round-2's q34, q39, q50, q51, q65):
       - simhash_bits: relational SimHash fingerprints (bit-sum facets);
@@ -1993,12 +2026,17 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       - near_dedup_batch: batch twin of the multi-band streaming dedup
         (stream==batch equality is tested in tests/test_streaming.py);
       - incremental_near_dedup: constructed batch vs seen corpus (exact twin
-        q64 is oracle-backed)."""
+        q64 is oracle-backed);
+      - line_dedup: C4-style global line dedup over constructed two-line
+        super-docs (every line occurs in exactly two docs, so the keep-first
+        policy is exercised corpus-wide; value-level oracle in
+        tests/test_textpipe.py)."""
     from .operators.dedup import (
         embedding_dedup,
         incremental_near_dedup,
         simhash_near_pairs,
     )
+    from .operators.textpipe import line_dedup
     from .streaming.pipelines import streaming_near_dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -2035,9 +2073,17 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = incremental_near_dedup(new, seen, threshold=0.5)
     leg_inc = _suite_row(inc, "incremental_near_dedup", F.sum("doc_id"), F.max("doc_id"))
 
+    a = docs.select("doc_id", F.col("text").alias("t1"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t2"))
+    sup = a.join(b, "doc_id").select(
+        "doc_id", F.concat_ws("\n", "t1", "t2").alias("text")
+    )
+    ld = line_dedup(sup)
+    leg_ld = _suite_row(ld, "line_dedup", F.sum("n_kept"), F.avg(F.length("text")))
+
     return (
         leg_bits.unionByName(leg_pairs).unionByName(leg_edd)
-        .unionByName(leg_ndb).unionByName(leg_inc)
+        .unionByName(leg_ndb).unionByName(leg_inc).unionByName(leg_ld)
     )
 
 

@@ -6,11 +6,13 @@ from .sampling import (
     shard_assignment,
     weighted_resample,
 )
+from .profile import profile_table
 from .search import bm25_search
 from .temporal import asof_join, range_join_count
 from .textpipe import (
     contamination_check,
     duplicated_spans,
+    line_dedup,
     pack_documents,
     pii_redact,
     repetition_metrics,
@@ -35,4 +37,6 @@ __all__ = [
     "pack_documents",
     "pii_redact",
     "token_frequency_profile",
+    "line_dedup",
+    "profile_table",
 ]

@@ -1,0 +1,83 @@
+"""Table profiling — per-column data-quality statistics in one scan.
+
+The validation pass a pipeline runs on every new data drop before letting it
+anywhere near training: null fractions, distinct cardinalities, and value
+ranges for every column, as a small long-format DataFrame. The reference has
+no equivalent (its only introspection is a row ``count()`` at load,
+minhash_pyspark.py:474); this is an engine-added north-star operator.
+
+Scale shape: ONE aggregate over the table computes every non-distinct stat
+(count / nulls / min / max for all columns in a single hash-less global agg —
+map-side partial, one tiny final row). Distinct counts default to
+``approx_count_distinct`` (HyperLogLog++, one pass, mergeable sketches —
+the only sane choice at 100 TB); ``exact=True`` switches to exact
+``count_distinct`` for oracle-checkable runs at test scale (Spark plans the
+multi-column distinct agg via Expand — one widened pass, still bounded).
+The long-format pivot happens on the SINGLE aggregated row via ``stack``,
+so the unpivot is free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table"]
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-column profile: ``(column, n_rows, n_nulls, null_frac,
+    n_distinct, min_value, max_value)`` — one row per profiled column.
+
+    ``min_value``/``max_value`` are cast to string so heterogeneous column
+    types share one schema (the standard long-format profile contract).
+    ``n_distinct`` counts non-null distinct values — approximate (HLL++,
+    ``approx_count_distinct`` default rsd 5%) unless ``exact=True``.
+
+    Single scan, two shuffle-free map-side partial aggs merged into one
+    final 1-row partition; the output is one row per column — driver-safe
+    at any table size.
+    """
+    cols = columns if columns is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"_null_{c}"))
+        if exact:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias(f"_dist_{c}"))
+        aggs.append(F.min(F.col(c).cast("string")).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("string")).alias(f"_max_{c}"))
+    row = df.agg(*aggs)
+
+    # unpivot the single aggregated row: stack(n, 'col1', nulls1, dist1, ...)
+    stack_args: list = [F.lit(len(cols))]
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"_null_{c}"),
+            F.col(f"_dist_{c}"),
+            F.col(f"_min_{c}"),
+            F.col(f"_max_{c}"),
+        ]
+    return row.select(
+        F.col("_n").alias("n_rows"),
+        F.stack(*stack_args).alias(
+            "column", "n_nulls", "n_distinct", "min_value", "max_value"
+        ),
+    ).select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.when(F.col("n_rows") > 0,
+               F.round(F.col("n_nulls").cast("double") / F.col("n_rows"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("null_frac"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

@@ -11,6 +11,7 @@ north-star text-analysis group with *corpus-level* (cross-document) checks:
   - ``pack_documents``       — concat-and-chunk sequence packing by token budget
   - ``pii_redact``           — regex PII scrub (emails / IPv4 / phone numbers)
   - ``token_frequency_profile`` — corpus Zipf profile (frequency-of-frequencies)
+  - ``line_dedup``           — C4-style global line-level dedup (keep first)
 
 All are pure DataFrame programs over the shared ``tokens()`` kernel: narrow
 projections + shuffles keyed on doc id or span hash — every key is
@@ -34,6 +35,7 @@ __all__ = [
     "pack_documents",
     "pii_redact",
     "token_frequency_profile",
+    "line_dedup",
     "PII_PATTERNS",
 ]
 
@@ -282,6 +284,78 @@ def token_frequency_profile(
         F.col("c").alias("occurrences"),
         "n_types",
         F.round(band / total, 6).alias("position_frac"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    sep: str = "\n",
+    min_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style global line-level deduplication: across the WHOLE corpus,
+    keep only the first occurrence of each exact line (C4 ran this over
+    three-sentence spans; RefinedWeb over lines) and reassemble documents
+    from their surviving lines in original order.
+
+    "First occurrence" is deterministic: the occurrence with the smallest
+    ``(doc_id, line position)``. Lines shorter than ``min_chars`` characters
+    (after trim — blank lines at the default) are EXEMPT: they are kept
+    verbatim in every document and never treated as duplicates, matching the
+    C4 practice of only deduplicating contentful spans.
+
+    Returns ``(doc_id, text, n_lines, n_kept)`` — one row per input doc;
+    ``text`` is the reassembled document (empty string when every line was
+    a repeat), ``n_lines``/``n_kept`` the before/after line counts.
+
+    Scale shape: lines are keyed by their 128-bit md5 fingerprint, so the
+    dedup decision shuffles 16-byte keys + two longs, never line text. The
+    first-occurrence pass is a fingerprint-keyed ``min(struct(doc_id, pos))``
+    AGGREGATE (map-side partial combine), not a window: a boilerplate line
+    occurring in millions of documents partial-aggregates to one row per map
+    task instead of sorting all its occurrences in one window partition —
+    the hot-line-skew-safe formulation. Reassembly groups by doc id
+    (high-cardinality) and orders lines with ``array_sort`` on ``(pos,
+    line)`` structs — no global sort anywhere.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+    )
+    exempt = F.length(F.trim(F.col("line"))) < min_chars
+    ded = lines.where(~exempt).withColumn("fp", F.md5("line"))
+    first = ded.groupBy("fp").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    kept_ded = (
+        ded.join(first, "fp")
+        .where(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("doc_id", "pos", "line")
+    )
+    kept = lines.where(exempt).select("doc_id", "pos", "line").unionByName(kept_ded)
+    reasm = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(reasm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
     )
 
 

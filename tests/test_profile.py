@@ -1,0 +1,58 @@
+"""profile_table (operators/profile.py): per-column validation stats.
+
+Exact mode is value-checked against DuckDB on the sf0.01 part table (the
+same check the driver performs through q42's profile leg); approx mode is
+bounds-checked against the exact answer.
+"""
+
+from __future__ import annotations
+
+from pyspark_minhash_lsh_spark.operators.profile import profile_table
+
+from .conftest import SF_CORRECT
+from .oracle_utils import duck_connection
+
+
+def test_profile_exact_matches_duckdb(spark):
+    df = spark.read.parquet(f"{SF_CORRECT}/part.parquet")
+    cols = ["p_brand", "p_size", "p_type"]
+    got = {r.column: r for r in profile_table(df, cols, exact=True).collect()}
+
+    con = duck_connection(SF_CORRECT)
+    for c in cols:
+        n, nulls, dist, lo, hi = con.execute(
+            f"SELECT COUNT(*), SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), "
+            f"COUNT(DISTINCT {c}), MIN(CAST({c} AS VARCHAR)), "
+            f"MAX(CAST({c} AS VARCHAR)) FROM part"
+        ).fetchone()
+        r = got[c]
+        assert r.n_rows == n
+        assert r.n_nulls == (nulls or 0)
+        assert r.n_distinct == dist
+        assert r.min_value == lo and r.max_value == hi
+        assert r.null_frac == round((nulls or 0) / n, 6)
+
+
+def test_profile_null_handling(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id bigint, s string"
+    )
+    got = {r.column: r for r in profile_table(df, exact=True).collect()}
+    assert got["s"].n_nulls == 2 and got["s"].null_frac == 0.5
+    assert got["s"].n_distinct == 2  # nulls excluded from distinct
+    assert got["s"].min_value == "a" and got["s"].max_value == "b"
+    assert got["id"].n_nulls == 0 and got["id"].n_distinct == 4
+
+
+def test_profile_approx_within_rsd(spark):
+    df = spark.read.parquet(f"{SF_CORRECT}/part.parquet")
+    exact = {
+        r.column: r.n_distinct
+        for r in profile_table(df, ["p_brand", "p_partkey"], exact=True).collect()
+    }
+    approx = {
+        r.column: r.n_distinct
+        for r in profile_table(df, ["p_brand", "p_partkey"]).collect()
+    }
+    for c, e in exact.items():
+        assert abs(approx[c] - e) <= max(2, 0.15 * e), (c, approx[c], e)

@@ -150,3 +150,97 @@ def test_token_frequency_profile_known_values(spark):
     assert abs(rows[1].position_frac - 2 / 8) < 1e-9
     assert abs(rows[4].position_frac - 4 / 8) < 1e-9
     assert abs(sum(r.position_frac for r in rows.values()) - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (C4-style global line-level dedup)
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import line_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = _docs(spark, [
+        (0, f"unique zero\n{boiler}\nalso zero", "s"),
+        (1, f"{boiler}\nunique one", "s"),          # boiler repeats -> dropped
+        (2, f"unique two\n{boiler}", "s"),          # dropped here too
+        (3, boiler, "s"),                            # doc becomes empty
+    ])
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert out[0].text == f"unique zero\n{boiler}\nalso zero"
+    assert out[0].n_lines == 3 and out[0].n_kept == 3
+    assert out[1].text == "unique one" and out[1].n_kept == 1
+    assert out[2].text == "unique two" and out[2].n_kept == 1
+    assert out[3].text == "" and out[3].n_lines == 1 and out[3].n_kept == 0
+
+
+def test_line_dedup_blank_lines_exempt(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import line_dedup
+
+    docs = _docs(spark, [
+        (0, "a\n\nb", "s"),
+        (1, "\nc\n", "s"),   # blank lines kept in every doc (min_chars=1)
+    ])
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert out[0].text == "a\n\nb"
+    assert out[1].text == "\nc\n"
+    assert out[1].n_lines == 3 and out[1].n_kept == 3
+
+
+def test_line_dedup_min_chars_exemption(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import line_dedup
+
+    # 'ok' (2 chars) is exempt under min_chars=3 -> survives in both docs
+    docs = _docs(spark, [
+        (0, "ok\nlong shared line", "s"),
+        (1, "ok\nlong shared line", "s"),
+    ])
+    out = {r.doc_id: r for r in line_dedup(docs, min_chars=3).collect()}
+    assert out[0].text == "ok\nlong shared line"
+    assert out[1].text == "ok"
+
+
+def test_line_dedup_matches_duckdb_oracle(spark):
+    """Value-level oracle on a constructed multi-line corpus: DuckDB computes
+    the same keep-first-by-(doc_id,pos) policy with window functions."""
+    import duckdb
+
+    from pyspark_minhash_lsh_spark.operators.textpipe import line_dedup
+
+    rows = []
+    for d in range(40):
+        lines = [f"common line {i}" for i in range(d % 5)] + [
+            f"doc {d} own line {j}" for j in range(3)
+        ]
+        rows.append((d, "\n".join(lines), "s"))
+    docs = _docs(spark, rows)
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_kept)
+        for r in line_dedup(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(d, t) for d, t, _ in rows])
+    exp = con.execute("""
+        WITH l AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos
+          FROM t),
+        ranked AS (
+          SELECT *, CASE WHEN length(trim(line)) < 1 THEN 1 ELSE
+                 row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+                 END AS rn
+          FROM l),
+        kept AS (SELECT doc_id, pos, line FROM ranked WHERE rn = 1)
+        SELECT t.doc_id,
+               COALESCE(string_agg(kept.line, chr(10) ORDER BY kept.pos), '') AS text,
+               (SELECT COUNT(*) FROM l WHERE l.doc_id = t.doc_id) AS n_lines,
+               COUNT(kept.line) AS n_kept
+        FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        GROUP BY t.doc_id
+    """).fetchall()
+    assert len(exp) == len(got)
+    for doc_id, text, n_lines, n_kept in exp:
+        assert got[doc_id] == (text, n_lines, n_kept), doc_id
