@@ -44,8 +44,18 @@ __all__ = [
 ]
 
 
+def _best_id(score, id_col):
+    """Deterministic argmax expression: the id with the highest ``score``,
+    ties broken toward the SMALLEST id (negated id inside a struct-max, so
+    one map-side-combining aggregate resolves both criteria)."""
+    return -F.max(F.struct(score.alias("s"), (-F.col(id_col)).alias("nid")))["nid"]
+
+
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: Optional[str] = None,
 ) -> DataFrame:
     """Keep one row per exact (normalized) content group.
 
@@ -54,14 +64,27 @@ def exact_dedup(
     rolling fingerprint of the normalized token stream, not the raw text, so
     the shuffle moves 16 bytes/row instead of documents. Collisions (~n²/2³¹)
     merge unrelated docs; for exact-text guarantees group on the text itself.
+
+    ``score_col`` switches representative selection from first-arrival
+    (min id, the default) to QUALITY-AWARE: the group member with the highest
+    score survives (ties -> min id). Production pipelines keep the best copy
+    of a duplicated page — longest, highest quality-classifier score — not
+    the one that happened to be crawled first; pair with
+    ``text_analysis.quality_score``.
     """
-    fp = df.select(
-        F.col(id_col),
-        content_fingerprint(tokens(F.col(text_col))).alias("fingerprint"),
-    )
+    cols = [F.col(id_col), content_fingerprint(tokens(F.col(text_col))).alias("fingerprint")]
+    if score_col is not None:
+        cols.append(F.col(score_col).alias("_score"))
+    fp = df.select(*cols)
     w = Window.partitionBy("fingerprint")
+    keep = (
+        F.min(id_col).over(w)
+        if score_col is None
+        else (-F.max(F.struct(F.col("_score").alias("s"),
+                              (-F.col(id_col)).alias("nid"))).over(w)["nid"])
+    )
     return (
-        fp.withColumn("keep_id", F.min(id_col).over(w))
+        fp.withColumn("keep_id", keep)
         .withColumn("group_size", F.count("*").over(w))
         .select(
             F.col(id_col),
@@ -149,6 +172,45 @@ def connected_components(
     return labels
 
 
+def _label_output(
+    df: DataFrame,
+    comp: DataFrame,
+    id_col: str,
+    score_col: Optional[str] = None,
+) -> DataFrame:
+    """Join component labels back to the full id set and pick one
+    representative per component.
+
+    Default policy: representative = min id (== the component label, since
+    ``connected_components`` labels with the reachable minimum — zero extra
+    work). With ``score_col``: QUALITY-AWARE selection — the member with the
+    highest score survives, ties -> min id. The argmax is a component-keyed
+    struct-max AGGREGATE (map-side partial combine), not a window, so one
+    giant near-dup cluster combines per map task instead of sorting in a
+    single hot partition.
+    """
+    all_ids = df.select(F.col(id_col).alias("id"))
+    labeled = all_ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    if score_col is None:
+        return labeled.select(
+            F.col("id").alias(id_col),
+            "component",
+            (F.col("id") == F.col("component")).alias("is_representative"),
+        )
+    scores = df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score"))
+    joined = labeled.join(scores, "id")
+    best = joined.groupBy("component").agg(
+        _best_id(F.col("_score"), "id").alias("_rep")
+    )
+    return joined.join(best, "component").select(
+        F.col("id").alias(id_col),
+        "component",
+        (F.col("id") == F.col("_rep")).alias("is_representative"),
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -157,12 +219,14 @@ def minhash_dedup(
     config: MinHashLSHConfig = DEFAULT_CONFIG,
     max_bucket_size: Optional[int] = None,
     max_iter: int = 10,
+    score_col: Optional[str] = None,
 ) -> DataFrame:
     """Near-duplicate clustering: MinHash-LSH similarity join -> connected
     components -> ``(id, component, is_representative)``.
 
     Every input row appears in the output; singletons are their own component.
-    Representative = min id per component (deterministic).
+    Representative = min id per component (deterministic), or the
+    highest-``score_col`` member when given (see ``_label_output``).
     """
     model = MinHashLSH(config).fit(df, text_col=text_col, id_col=id_col, persist=True)
     try:
@@ -170,17 +234,7 @@ def minhash_dedup(
             threshold=threshold, max_bucket_size=max_bucket_size
         ).select("id_a", "id_b")
         comp = connected_components(edges, max_iter=max_iter)
-        all_ids = df.select(F.col(id_col).alias("id"))
-        out = (
-            all_ids.join(comp, "id", "left")
-            .select(
-                F.col("id").alias(id_col),
-                F.coalesce("component", F.col("id")).alias("component"),
-            )
-            .withColumn(
-                "is_representative", F.col(id_col) == F.col("component")
-            )
-        )
+        out = _label_output(df, comp, id_col, score_col)
         # materialize before unpersisting the index the plan depends on
         out = out.localCheckpoint(eager=True)
     finally:
@@ -195,6 +249,7 @@ def ngram_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_iter: int = 10,
+    score_col: Optional[str] = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup clustering — the fully oracle-able dedup.
 
@@ -203,21 +258,14 @@ def ngram_dedup(
     variants, nothing here is hash-family-dependent, so the *entire*
     pipeline including the clustering is checkable against a SQL oracle
     (recursive transitive closure) — catalog q52. Use it where auditability
-    beats the probabilistic variants' speed.
+    beats the probabilistic variants' speed. ``score_col`` switches to
+    quality-aware representative selection (see ``_label_output``).
     """
     edges = ngram_jaccard_join(
         df, threshold=threshold, k=k, text_col=text_col, id_col=id_col
     ).select("id_a", "id_b")
     comp = connected_components(edges, max_iter=max_iter)
-    all_ids = df.select(F.col(id_col).alias("id"))
-    return (
-        all_ids.join(comp, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("component", F.col("id")).alias("component"),
-        )
-        .withColumn("is_representative", F.col(id_col) == F.col("component"))
-    )
+    return _label_output(df, comp, id_col, score_col)
 
 
 def embedding_dedup(
@@ -230,13 +278,15 @@ def embedding_dedup(
     seed: int = 1,
     max_bucket_size: Optional[int] = None,
     max_iter: int = 10,
+    score_col: Optional[str] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate clustering (semantic dedup).
 
     The third dedup modality beside text MinHash and SimHash: SRP-LSH
     candidate pairs (bucketed — never all-pairs) -> exact cosine >= threshold
     -> connected components -> ``(id, component, is_representative)``.
-    Representative = min id per component. Recall follows the SRP S-curve:
+    Representative = min id per component (or highest ``score_col`` member,
+    see ``_label_output``). Recall follows the SRP S-curve:
     raise ``num_tables`` to catch more near-threshold pairs, ``num_planes``
     to keep buckets small. Every input row appears in the output; singletons
     are their own component.
@@ -251,16 +301,8 @@ def embedding_dedup(
             min_cosine=min_cosine, max_bucket_size=max_bucket_size
         ).select("id_a", "id_b")
         comp = connected_components(edges, max_iter=max_iter)
-        all_ids = df.select(F.col(id_col).alias("id"))
-        out = (
-            all_ids.join(comp, "id", "left")
-            .select(
-                F.col("id").alias(id_col),
-                F.coalesce("component", F.col("id")).alias("component"),
-            )
-            .withColumn("is_representative", F.col(id_col) == F.col("component"))
-            .localCheckpoint(eager=True)  # materialize before unpersisting the index
-        )
+        # materialize before unpersisting the index
+        out = _label_output(df, comp, id_col, score_col).localCheckpoint(eager=True)
     finally:
         model.unpersist()
     return out
@@ -356,19 +398,14 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_iter: int = 10,
+    score_col: Optional[str] = None,
 ) -> DataFrame:
-    """SimHash near-dup clustering -> ``(id, component, is_representative)``."""
+    """SimHash near-dup clustering -> ``(id, component, is_representative)``.
+    ``score_col`` switches to quality-aware representative selection (see
+    ``_label_output``)."""
     edges = simhash_near_pairs(df, text_col, id_col, max_hamming).select("id_a", "id_b")
     comp = connected_components(edges, max_iter=max_iter)
-    all_ids = df.select(F.col(id_col).alias("id"))
-    return (
-        all_ids.join(comp, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("component", F.col("id")).alias("component"),
-        )
-        .withColumn("is_representative", F.col(id_col) == F.col("component"))
-    )
+    return _label_output(df, comp, id_col, score_col)
 
 
 def incremental_exact_dedup(

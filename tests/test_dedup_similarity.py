@@ -219,3 +219,52 @@ def test_simhash_block_tables_same_pairs(spark):
         for r in simhash_near_pairs(df, max_hamming=3, n_blocks=6).collect()
     )
     assert default == blocks and default
+
+
+# ---------------------------------------------------------------------------
+# quality-aware representative selection (score_col)
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_score_col_picks_best(spark):
+    rows = [
+        (1, "The cat sat on the mat.", 0.2),
+        (2, "the CAT sat on the mat!!!", 0.9),   # same group, higher quality
+        (3, "an entirely different document", 0.1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "quality"])
+    got = {r.doc_id: r for r in exact_dedup(df, score_col="quality").collect()}
+    assert not got[1].is_representative and got[2].is_representative
+    assert got[3].is_representative
+
+
+def test_exact_dedup_score_tie_breaks_min_id(spark):
+    rows = [(5, "same text here", 0.5), (2, "same text here", 0.5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "quality"])
+    got = {r.doc_id: r for r in exact_dedup(df, score_col="quality").collect()}
+    assert got[2].is_representative and not got[5].is_representative
+
+
+def test_minhash_dedup_score_col(spark):
+    rng = random.Random(3)
+    words = [f"tok{i}" for i in range(500)]
+    base = " ".join(rng.choice(words) for _ in range(80))
+    toks = base.split()
+    near = " ".join(toks[:76] + ["x1", "x2", "x3", "x4"])
+    far = " ".join(rng.choice(words) for _ in range(80))
+    df = spark.createDataFrame(
+        [(0, base, 0.1), (1, near, 0.8), (2, far, 0.3)],
+        ["doc_id", "text", "quality"],
+    )
+    got = {r.doc_id: r for r in
+           minhash_dedup(df, threshold=0.5, score_col="quality").collect()}
+    # docs 0 and 1 cluster; the higher-quality doc 1 is kept even though 0
+    # is the component label (min id)
+    assert got[0].component == got[1].component == 0
+    assert not got[0].is_representative and got[1].is_representative
+    assert got[2].is_representative
+    # every component keeps exactly one representative
+    by_comp = {}
+    for r in got.values():
+        by_comp.setdefault(r.component, 0)
+        by_comp[r.component] += int(r.is_representative)
+    assert all(v == 1 for v in by_comp.values())

@@ -244,3 +244,15 @@ def test_line_dedup_matches_duckdb_oracle(spark):
     assert len(exp) == len(got)
     for doc_id, text, n_lines, n_kept in exp:
         assert got[doc_id] == (text, n_lines, n_kept), doc_id
+
+
+def test_line_dedup_plan_has_no_window(spark):
+    """Pins the skew-safety claim: first-occurrence selection is a
+    map-side-combining aggregate, never a per-line-key Window sort (a
+    boilerplate line in millions of docs would serialize one hot window
+    partition)."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import line_dedup
+
+    docs = _docs(spark, [(0, "a\nb", "s"), (1, "b\nc", "s")])
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
