@@ -2017,7 +2017,7 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six dedup operators end-to-end, one summary row each — rows-only
+    """Seven dedup/curation operators end-to-end, one summary row each — rows-only
     (all are signature/hash dependent; see the suite-curation note above).
     Legs (folding round-2's q34, q39, q50, q51, q65):
       - simhash_bits: relational SimHash fingerprints (bit-sum facets);
@@ -2030,7 +2030,12 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       - line_dedup: C4-style global line dedup over constructed two-line
         super-docs (every line occurs in exactly two docs, so the keep-first
         policy is exercised corpus-wide; value-level oracle in
-        tests/test_textpipe.py)."""
+        tests/test_textpipe.py);
+      - curate: the composed curation pipeline (quality/repetition filters
+        -> PII redaction -> quality-aware exact + near dedup) with its
+        per-doc disposition audit (operators/curate.py; value-level tests
+        in tests/test_curate.py)."""
+    from .operators.curate import curate_corpus
     from .operators.dedup import (
         embedding_dedup,
         incremental_near_dedup,
@@ -2081,9 +2086,16 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ld = line_dedup(sup)
     leg_ld = _suite_row(ld, "line_dedup", F.sum("n_kept"), F.avg(F.length("text")))
 
+    cur = curate_corpus(docs, near_dup_threshold=0.5)
+    leg_cur = _suite_row(
+        cur, "curate",
+        F.sum((F.col("status") == "kept").cast("bigint")), F.avg("quality"),
+    )
+
     return (
         leg_bits.unionByName(leg_pairs).unionByName(leg_edd)
         .unionByName(leg_ndb).unionByName(leg_inc).unionByName(leg_ld)
+        .unionByName(leg_cur)
     )
 
 

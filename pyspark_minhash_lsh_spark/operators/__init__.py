@@ -6,6 +6,7 @@ from .sampling import (
     shard_assignment,
     weighted_resample,
 )
+from .curate import curate_corpus
 from .profile import profile_table
 from .search import bm25_search
 from .temporal import asof_join, range_join_count
@@ -39,4 +40,5 @@ __all__ = [
     "token_frequency_profile",
     "line_dedup",
     "profile_table",
+    "curate_corpus",
 ]

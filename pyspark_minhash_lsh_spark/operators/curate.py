@@ -1,0 +1,143 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+One operator that chains the engine's curation stages in the order a
+production pipeline (C4 / RefinedWeb / Dolma-style) runs them, and returns a
+per-document DISPOSITION table — every input document with the reason it was
+kept or dropped — so the pipeline is auditable, not a black box:
+
+  1. scan-speed filters first (length, repetition, quality): pure
+     projections + one doc-keyed agg — the cheap rules prune the corpus
+     BEFORE anything expensive runs;
+  2. PII redaction (zero-shuffle projection) on everything that survives;
+  3. exact dedup on the redacted text (16-byte fingerprint shuffle);
+  4. MinHash-LSH near-dup clustering on the remainder — the costliest stage
+     sees only documents that passed everything else.
+
+Both dedup stages are quality-aware: the highest-``quality`` member of a
+duplicate cluster survives (ties -> min id), so a boilerplate-ridden copy
+never shadows a clean one.
+
+The reference has no curation surface at all (SURVEY.md §2 stops at query
+answering); this is the north-star composition of the engine's own
+operators — each stage is the already-tested standalone op, glued lazily.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, MinHashLSHConfig
+from ..functions.text import tokens
+from ..functions.text_analysis import quality_score
+from .dedup import exact_dedup, minhash_dedup
+from .textpipe import PII_PATTERNS, pii_redact, repetition_metrics
+
+__all__ = ["curate_corpus"]
+
+#: disposition values, in decision order (first failing rule wins)
+STATUSES = (
+    "drop_short",
+    "drop_repetition",
+    "drop_quality",
+    "drop_exact_dup",
+    "drop_near_dup",
+    "kept",
+)
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_dup_token_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.3,
+    min_quality: float = 0.4,
+    redact_pii: bool = True,
+    near_dup_threshold: float = 0.8,
+    config: MinHashLSHConfig = DEFAULT_CONFIG,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Run the full curation pipeline; return one row PER INPUT DOCUMENT:
+
+    ``(doc_id, text, n_tokens, quality, component, status)``
+
+      - ``text``     — PII-redacted when ``redact_pii`` (for every row, so
+        dropped docs are audit-safe to inspect too);
+      - ``quality``  — the heuristic quality score used for filtering AND
+        for duplicate-representative selection;
+      - ``component``— near-dup cluster label (only for docs that reached
+        the near-dup stage; null before it);
+      - ``status``   — one of ``STATUSES``; training data is
+        ``status = 'kept'``.
+
+    Filter order is cost order: length/repetition/quality are scan-speed
+    (one doc-keyed agg for the bigram facet), so at 100 TB the LSH stage —
+    the only one with real shuffle weight — runs on the filtered survivor
+    set only. NOTE: constructing the result runs the LSH fit/cluster jobs
+    eagerly (``minhash_dedup`` materializes its components), like the
+    standalone dedup operators.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if redact_pii:
+        red = pii_redact(base, patterns=PII_PATTERNS).select(
+            "doc_id", F.col("redacted_text").alias("text")
+        )
+    else:
+        red = base
+    rep = repetition_metrics(red).select(
+        "doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"
+    )
+    scored = (
+        red.join(rep, "doc_id")
+        .withColumn("quality", F.round(quality_score(F.col("text")), 6))
+        .withColumn(
+            "status",
+            F.when(F.col("n_tokens") < min_tokens, F.lit("drop_short"))
+            .when(
+                (F.col("dup_token_frac") > max_dup_token_frac)
+                | (F.col("top_bigram_frac") > max_top_bigram_frac),
+                F.lit("drop_repetition"),
+            )
+            .when(F.col("quality") < min_quality, F.lit("drop_quality"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .select("doc_id", "text", "n_tokens", "quality", "status")
+    )
+    filtered_out = scored.where(F.col("status").isNotNull()).select(
+        "doc_id", "text", "n_tokens", "quality",
+        F.lit(None).cast("bigint").alias("component"), "status",
+    )
+    survivors = scored.where(F.col("status").isNull()).drop("status")
+
+    ex = exact_dedup(survivors, score_col="quality").select(
+        F.col("doc_id"), F.col("is_representative").alias("_keep_exact")
+    )
+    after_exact = survivors.join(ex, "doc_id")
+    exact_drops = after_exact.where(~F.col("_keep_exact")).select(
+        "doc_id", "text", "n_tokens", "quality",
+        F.lit(None).cast("bigint").alias("component"),
+        F.lit("drop_exact_dup").alias("status"),
+    )
+    exact_keeps = after_exact.where(F.col("_keep_exact")).drop("_keep_exact")
+
+    nd = minhash_dedup(
+        exact_keeps,
+        threshold=near_dup_threshold,
+        config=config,
+        max_bucket_size=max_bucket_size,
+        score_col="quality",
+    ).select(
+        "doc_id", F.col("component").cast("bigint").alias("component"),
+        "is_representative",
+    )
+    final = exact_keeps.join(nd, "doc_id").select(
+        "doc_id", "text", "n_tokens", "quality", "component",
+        F.when(F.col("is_representative"), F.lit("kept"))
+        .otherwise(F.lit("drop_near_dup"))
+        .alias("status"),
+    )
+    return filtered_out.unionByName(exact_drops).unionByName(final)

@@ -1,0 +1,96 @@
+"""curate_corpus (operators/curate.py): end-to-end disposition semantics on a
+constructed corpus with one document per failure mode."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.curate import STATUSES, curate_corpus
+
+
+def _corpus(spark):
+    rng = random.Random(7)
+    words = (
+        "the of and to in a is that for with on as are this by from at it "
+        "have be was were which their about into through during before "
+        "system data value query table engine cluster shuffle partition "
+        "window join filter scan column vector stream batch group order"
+    ).split()
+
+    def prose(n, salt=""):
+        return " ".join(rng.choice(words) for _ in range(n)) + (" " + salt if salt else "")
+
+    good = prose(80, "contact me at alice@example.com please")
+    near_base = prose(100)
+    toks = near_base.split()
+    near_better = " ".join(toks)                       # doc 5
+    near_worse = " ".join(toks[:95]) + " zz1 zz2 zz3 zz4 zz5"  # doc 6: ~90% overlap
+    rows = [
+        (0, good),
+        (1, "tiny doc"),                                # < 10 tokens
+        (2, " ".join(["spam"] * 40)),                    # repetitive
+        (3, " ".join(f"{i}9{i}77" for i in range(40))),  # digits: low quality
+        (4, good),                                       # exact dup of 0
+        (5, near_better),
+        (6, near_worse),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_curate_dispositions(spark):
+    # min_quality 0.65: the digit doc scores ~0.6 (passes length/ttr bands,
+    # fails alpha + stopword), prose docs score ~0.99
+    out = {
+        r.doc_id: r
+        for r in curate_corpus(_corpus(spark), min_quality=0.65).collect()
+    }
+    assert len(out) == 7  # every input doc present exactly once
+    assert out[1].status == "drop_short"
+    assert out[2].status == "drop_repetition"
+    assert out[3].status == "drop_quality"
+    # exact dup: same text, same quality -> tie broken to min id
+    assert out[0].status == "kept" and out[4].status == "drop_exact_dup"
+    # near-dups cluster; exactly one of the pair is kept
+    pair = {out[5].status, out[6].status}
+    assert pair == {"kept", "drop_near_dup"}
+    assert out[5].component == out[6].component
+    for r in out.values():
+        assert r.status in STATUSES
+
+
+def test_curate_redacts_pii_everywhere(spark):
+    out = {r.doc_id: r for r in curate_corpus(_corpus(spark)).collect()}
+    assert "<EMAIL>" in out[0].text and "@" not in out[0].text
+    # dropped docs are redacted too (audit-safe)
+    assert "@" not in out[4].text
+
+
+def test_curate_near_dup_keeps_higher_quality(spark):
+    # two near-dup docs where the later id has strictly higher quality: the
+    # quality-aware representative must win regardless of arrival order
+    rng = random.Random(11)
+    words = (
+        "the of and to in a is that for with on as are this by from at it "
+        "system data value query table engine cluster shuffle partition "
+        "window join filter scan column vector stream batch group order"
+    ).split()
+    body = " ".join(rng.choice(words) for _ in range(90))
+    toks = body.split()
+    # doc 10: degrade quality by appending digit junk (alpha ratio down)
+    worse = " ".join(toks) + " 0011 2233 4455 6677 8899"
+    better = " ".join(toks + ["clean", "tail", "words", "here", "now"])
+    df = spark.createDataFrame(
+        [(10, worse), (11, better)], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in curate_corpus(
+            df, min_quality=0.0, max_dup_token_frac=0.95,
+            max_top_bigram_frac=0.95, near_dup_threshold=0.5,
+        ).collect()
+    }
+    q10, q11 = out[10].quality, out[11].quality
+    assert q11 > q10, (q10, q11)
+    assert out[11].status == "kept" and out[10].status == "drop_near_dup"
