@@ -1253,22 +1253,22 @@ def q38_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     UNION ALL
     SELECT 'profile' AS op, COUNT(DISTINCT p_brand) AS k,
-           'p_brand|' || MIN(CAST(p_brand AS VARCHAR)) || '|'
-             || MAX(CAST(p_brand AS VARCHAR)) AS s,
+           'p_brand|' || CAST(MIN(p_brand) AS VARCHAR) || '|'
+             || CAST(MAX(p_brand) AS VARCHAR) AS s,
            ROUND(CAST(SUM(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS v
     FROM part
     UNION ALL
     SELECT 'profile' AS op, COUNT(DISTINCT p_size) AS k,
-           'p_size|' || MIN(CAST(p_size AS VARCHAR)) || '|'
-             || MAX(CAST(p_size AS VARCHAR)) AS s,
+           'p_size|' || CAST(MIN(p_size) AS VARCHAR) || '|'
+             || CAST(MAX(p_size) AS VARCHAR) AS s,
            ROUND(CAST(SUM(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS v
     FROM part
     UNION ALL
     SELECT 'profile' AS op, COUNT(DISTINCT p_type) AS k,
-           'p_type|' || MIN(CAST(p_type AS VARCHAR)) || '|'
-             || MAX(CAST(p_type AS VARCHAR)) AS s,
+           'p_type|' || CAST(MIN(p_type) AS VARCHAR) || '|'
+             || CAST(MAX(p_type) AS VARCHAR) AS s,
            ROUND(CAST(SUM(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS v
     FROM part
@@ -1333,7 +1333,8 @@ def q42_relational_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = profile_table(p, ["p_brand", "p_size", "p_type"], exact=True).select(
         F.lit("profile").alias("op"),
         F.col("n_distinct").alias("k"),
-        F.concat_ws("|", "column", "min_value", "max_value").alias("s"),
+        F.concat("column", F.lit("|"), "min_value", F.lit("|"),
+                 "max_value").alias("s"),
         F.col("null_frac").alias("v"),
     )
     return topn.unionByName(proj).unionByName(inter).unionByName(prof)

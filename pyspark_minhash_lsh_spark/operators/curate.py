@@ -5,10 +5,12 @@ production pipeline (C4 / RefinedWeb / Dolma-style) runs them, and returns a
 per-document DISPOSITION table — every input document with the reason it was
 kept or dropped — so the pipeline is auditable, not a black box:
 
-  1. scan-speed filters first (length, repetition, quality): pure
-     projections + one doc-keyed agg — the cheap rules prune the corpus
-     BEFORE anything expensive runs;
-  2. PII redaction (zero-shuffle projection) on everything that survives;
+  1. PII redaction first (zero-shuffle projection, scan speed) — every
+     later stage, filters included, sees audit-safe text, and the quality /
+     repetition metrics describe the text that would actually ship;
+  2. scan-speed filters (length, repetition, quality): pure projections +
+     one doc-keyed agg — the cheap rules prune the corpus before anything
+     with real shuffle weight runs;
   3. exact dedup on the redacted text (16-byte fingerprint shuffle);
   4. MinHash-LSH near-dup clustering on the remainder — the costliest stage
      sees only documents that passed everything else.
@@ -30,12 +32,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, MinHashLSHConfig
-from ..functions.text import tokens
 from ..functions.text_analysis import quality_score
 from .dedup import exact_dedup, minhash_dedup
 from .textpipe import PII_PATTERNS, pii_redact, repetition_metrics
 
 __all__ = ["curate_corpus"]
+
+#: intermediates pinned by the PREVIOUS curate_corpus call, released
+#: (non-blocking) on the next call — same lifecycle as setjoin._PINNED.
+_PINNED: list[DataFrame] = []
 
 #: disposition values, in decision order (first failing rule wins)
 STATUSES = (
@@ -81,6 +86,13 @@ def curate_corpus(
     eagerly (``minhash_dedup`` materializes its components), like the
     standalone dedup operators.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist(blocking=False)
+        except Exception:  # previous session already stopped — nothing to free
+            pass
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     if redact_pii:
         red = pii_redact(base, patterns=PII_PATTERNS).select(
@@ -107,6 +119,12 @@ def curate_corpus(
         )
         .select("doc_id", "text", "n_tokens", "quality", "status")
     )
+    # the disposition union reads this stage from three branches, and the
+    # dedup stages re-read it through their own eager jobs — without the
+    # cache the multi-pattern regex redaction + tokenize + bigram agg would
+    # re-execute ~4x (lazy persist: spills/recomputes instead of failing)
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(scored)
     filtered_out = scored.where(F.col("status").isNotNull()).select(
         "doc_id", "text", "n_tokens", "quality",
         F.lit(None).cast("bigint").alias("component"), "status",

@@ -71,27 +71,30 @@ def exact_dedup(
     of a duplicated page — longest, highest quality-classifier score — not
     the one that happened to be crawled first; pair with
     ``text_analysis.quality_score``.
+
+    Skew shape: group stats come from a fingerprint-keyed AGGREGATE
+    (map-side partial combine) joined back on the fingerprint — a
+    mass-duplicated boilerplate document (millions of rows, one
+    fingerprint) combines per map task instead of sorting through a single
+    hot window partition; the join shuffles the same 16-byte key.
     """
     cols = [F.col(id_col), content_fingerprint(tokens(F.col(text_col))).alias("fingerprint")]
     if score_col is not None:
         cols.append(F.col(score_col).alias("_score"))
     fp = df.select(*cols)
-    w = Window.partitionBy("fingerprint")
     keep = (
-        F.min(id_col).over(w)
+        F.min(id_col)
         if score_col is None
-        else (-F.max(F.struct(F.col("_score").alias("s"),
-                              (-F.col(id_col)).alias("nid"))).over(w)["nid"])
+        else _best_id(F.col("_score"), id_col)
     )
-    return (
-        fp.withColumn("keep_id", keep)
-        .withColumn("group_size", F.count("*").over(w))
-        .select(
-            F.col(id_col),
-            "fingerprint",
-            "group_size",
-            (F.col(id_col) == F.col("keep_id")).alias("is_representative"),
-        )
+    groups = fp.groupBy("fingerprint").agg(
+        F.count("*").alias("group_size"), keep.alias("keep_id")
+    )
+    return fp.join(groups, "fingerprint").select(
+        F.col(id_col),
+        "fingerprint",
+        "group_size",
+        (F.col(id_col) == F.col("keep_id")).alias("is_representative"),
     )
 
 

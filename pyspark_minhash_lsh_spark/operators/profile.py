@@ -33,8 +33,10 @@ def profile_table(
     """Per-column profile: ``(column, n_rows, n_nulls, null_frac,
     n_distinct, min_value, max_value)`` — one row per profiled column.
 
-    ``min_value``/``max_value`` are cast to string so heterogeneous column
-    types share one schema (the standard long-format profile contract).
+    ``min_value``/``max_value`` are computed in the column's NATIVE order
+    (so an int column's max is 50, not the lexicographic "9") and cast to
+    string afterwards, so heterogeneous column types share one schema (the
+    standard long-format profile contract).
     ``n_distinct`` counts non-null distinct values — approximate (HLL++,
     ``approx_count_distinct`` default rsd 5%) unless ``exact=True``.
 
@@ -50,8 +52,8 @@ def profile_table(
             aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
         else:
             aggs.append(F.approx_count_distinct(c).alias(f"_dist_{c}"))
-        aggs.append(F.min(F.col(c).cast("string")).alias(f"_min_{c}"))
-        aggs.append(F.max(F.col(c).cast("string")).alias(f"_max_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
     row = df.agg(*aggs)
 
     # unpivot the single aggregated row: stack(n, 'col1', nulls1, dist1, ...)

@@ -319,9 +319,13 @@ def line_dedup(
     (high-cardinality) and orders lines with ``array_sort`` on ``(pos,
     line)`` structs — no global sort anywhere.
     """
+    # F.split takes a Java REGEX but array_join rejoins with the LITERAL
+    # separator — quote the separator (\Q...\E, with embedded \E split out)
+    # so metachar separators like "|" or "." split literally.
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep_rx))).alias("pos", "line"),
     )
     exempt = F.length(F.trim(F.col("line"))) < min_chars
     ded = lines.where(~exempt).withColumn("fp", F.md5("line"))

@@ -22,8 +22,8 @@ def test_profile_exact_matches_duckdb(spark):
     for c in cols:
         n, nulls, dist, lo, hi = con.execute(
             f"SELECT COUNT(*), SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), "
-            f"COUNT(DISTINCT {c}), MIN(CAST({c} AS VARCHAR)), "
-            f"MAX(CAST({c} AS VARCHAR)) FROM part"
+            f"COUNT(DISTINCT {c}), CAST(MIN({c}) AS VARCHAR), "
+            f"CAST(MAX({c}) AS VARCHAR) FROM part"
         ).fetchone()
         r = got[c]
         assert r.n_rows == n
@@ -42,6 +42,14 @@ def test_profile_null_handling(spark):
     assert got["s"].n_distinct == 2  # nulls excluded from distinct
     assert got["s"].min_value == "a" and got["s"].max_value == "b"
     assert got["id"].n_nulls == 0 and got["id"].n_distinct == 4
+
+
+def test_profile_numeric_minmax_native_order(spark):
+    # min/max must use the column's native ordering, not string order:
+    # lexicographic max of [2, 10, 9] would be "9"; numeric max is 10
+    df = spark.createDataFrame([(2,), (10,), (9,)], "n bigint")
+    r = profile_table(df, exact=True).collect()[0]
+    assert r.min_value == "2" and r.max_value == "10"
 
 
 def test_profile_approx_within_rsd(spark):

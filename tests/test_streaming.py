@@ -214,3 +214,40 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
         for r in spark.table("ivj").collect()
     )
     assert got == want
+
+
+def test_stateless_curation_stages_compose_with_streams(spark, tmp_path):
+    """The scan-speed curation stages (PII redaction, quality scoring,
+    repetition token facets) are pure projections, so the SAME operator code
+    composes with readStream unchanged — stream output must equal the batch
+    twin row-for-row. (The stateful stages — dedup — have their own streaming
+    twins: streaming_exact_dedup / streaming_near_dedup.)"""
+    from pyspark_minhash_lsh_spark.functions.text import tokens
+    from pyspark_minhash_lsh_spark.functions.text_analysis import quality_score
+    from pyspark_minhash_lsh_spark.operators.textpipe import pii_redact
+
+    src = str(tmp_path / "docs_src")
+    rows = [
+        (0, "write to bob@corp.example or call 555-123-4567 for help"),
+        (1, "a perfectly ordinary document with no identifiers at all"),
+        (2, "spam spam spam spam spam spam"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(src)
+    batch = spark.read.parquet(src)
+
+    def stage(df):
+        red = pii_redact(df)
+        return red.select(
+            "doc_id", "redacted_text", "n_email", "n_phone",
+            F.round(quality_score(F.col("redacted_text")), 6).alias("quality"),
+            F.size(tokens(F.col("redacted_text"))).alias("n_tokens"),
+        )
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    got = sorted(
+        map(tuple, _run_stream(spark, stage(stream), "curation_stateless").collect())
+    )
+    want = sorted(map(tuple, stage(batch).collect()))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert "<EMAIL>" in by_id[0][1] and "<PHONE>" in by_id[0][1]

@@ -256,3 +256,15 @@ def test_line_dedup_plan_has_no_window(spark):
     docs = _docs(spark, [(0, "a\nb", "s"), (1, "b\nc", "s")])
     plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_line_dedup_metachar_separator_is_literal(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import line_dedup
+
+    docs = _docs(spark, [
+        (0, "alpha beta|shared segment", "s"),
+        (1, "shared segment|gamma delta", "s"),
+    ])
+    out = {r.doc_id: r for r in line_dedup(docs, sep="|").collect()}
+    assert out[0].text == "alpha beta|shared segment" and out[0].n_lines == 2
+    assert out[1].text == "gamma delta" and out[1].n_kept == 1
