@@ -2102,7 +2102,7 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q75_ann_index_suite")
 def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four index/ANN operators end-to-end, one summary row each — rows-only
+    """Index/ANN operators end-to-end, one summary row each — rows-only
     (see the suite-curation note above). Legs (folding round-2's q31, q41,
     q46, q47, q49):
       - lsh_buckets: reference-parity modded bucket ids (F5);
@@ -2112,8 +2112,11 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       - minhash128: md5 hex-string 128-bit signature mode (reference
         HASH_128BIT);
       - srp_ann + ivf_ann: both embedding ANN paths, top-10 vs vec_id=0
-        (brute-force twin q26 is the oracle)."""
+        (brute-force twin q26 is the oracle);
+      - batch_ann: whole-DataFrame retrieval (top-3 for 10 query rows in
+        one plan; single-query parity tested in tests/test_batch_ann.py)."""
     from .operators.ivf import IvfFlat
+    from .operators.minhash_lsh import MinHashLSH
     from .operators.similarity import SrpLsh
     from .operators.vocab import fit_vocabulary, fitted_signatures
 
@@ -2160,9 +2163,19 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf.approx_cosine_topk(qvec, k=10, n_probe=8), "ivf_ann",
         F.sum("vec_id"), F.sum("cosine"),
     )
+
+    model = MinHashLSH().fit(docs, persist=False)
+    queries = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("query_id"), "text"
+    )
+    ba = model.approx_nearest_neighbors_batch(queries, n=3, with_text=False)
+    leg_ba = _suite_row(
+        ba, "batch_ann",
+        F.sum(F.when(F.col("rank") == 1, F.col("doc_id"))), F.avg("jaccard"),
+    )
     return (
         leg_bk.unionByName(leg_fs).unionByName(leg_128)
-        .unionByName(leg_srp).unionByName(leg_ivf)
+        .unionByName(leg_srp).unionByName(leg_ivf).unionByName(leg_ba)
     )
 
 

@@ -221,6 +221,73 @@ class MinHashLSHModel:
             plan = self.approx_nearest_neighbors_plan(query_text, n, None, with_text)
         return plan
 
+    def approx_nearest_neighbors_batch(
+        self,
+        queries: DataFrame,
+        n: int = 10,
+        query_text_col: str = "text",
+        query_id_col: str = "query_id",
+        with_text: bool = True,
+    ) -> DataFrame:
+        """Top-n neighbors for EVERY row of a query DataFrame in one plan —
+        the batch-retrieval shape (10k user queries against the corpus at
+        once) that the single-string API cannot express without a driver
+        loop of broadcast joins.
+
+        Returns ``(query_id, doc_id, jaccard, rank[, text])``, ``rank`` 1-based
+        per query; queries whose bands match nothing are absent (no filler —
+        this is the precision semantics of ``use_band_keys=True``).
+
+        Plan shape (the batch twin of ``approx_similarity_join``): query
+        signatures come from the same fused relational path as the corpus
+        (distributed — a million-query batch is fine); candidates from a
+        FULL-WIDTH band-key equi-join shuffling only (band, id) rows;
+        signatures attach id-keyed to the deduped pair set; per-query top-n
+        is a ``row_number() <= n`` rank filter, which Spark executes as
+        WindowGroupLimit (per-partition partial top-k before the shuffle) —
+        no global sort, no collect. Candidate count tracks true band
+        agreement, so a hot query costs its own matches only.
+        """
+        from pyspark.sql import Window
+
+        q_idx = self.lsh.transform(queries, query_text_col, query_id_col)
+        qb = q_idx.select(
+            F.col(query_id_col).alias("query_id"), F.explode("band_keys").alias("bucket")
+        )
+        cb = self.index.select(
+            F.col(self.id_col), F.explode("band_keys").alias("bucket")
+        )
+        pairs = (
+            qb.join(cb, "bucket")
+            .select("query_id", self.id_col)
+            .dropDuplicates(["query_id", self.id_col])
+        )
+        qs = q_idx.select(
+            F.col(query_id_col).alias("query_id"), F.col("signature").alias("q_sig")
+        )
+        cs = self.index.select(F.col(self.id_col), "signature")
+        scored = (
+            pairs.join(qs, "query_id")
+            .join(cs, self.id_col)
+            .select(
+                "query_id",
+                F.col(self.id_col),
+                signature_jaccard(F.col("signature"), F.col("q_sig")).alias("jaccard"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("jaccard"), F.asc(self.id_col)
+        )
+        topn = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+        )
+        if not with_text:
+            return topn
+        return topn.join(
+            self.corpus.select(self.id_col, self.text_col), self.id_col, "inner"
+        ).select("query_id", self.id_col, "jaccard", "rank", self.text_col)
+
     # -- corpus-vs-corpus -------------------------------------------------------------
     def approx_similarity_join(
         self,

@@ -1,0 +1,83 @@
+"""approx_nearest_neighbors_batch: whole-DataFrame retrieval in one plan."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+
+def _corpus(spark, n=50, seed=5):
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(300)]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(60))) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_batch_ann_self_queries_rank_first(spark):
+    docs = _corpus(spark)
+    model = MinHashLSH().fit(docs, persist=False)
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("query_id"), "text"
+    )
+    out = model.approx_nearest_neighbors_batch(queries, n=3)
+    top1 = {r.query_id: r for r in out.collect() if r.rank == 1}
+    assert len(top1) == 5
+    for qid, r in top1.items():
+        assert r.doc_id == qid - 1000  # each query's own doc ranks first
+        assert r.jaccard == 1.0
+        assert r.text is not None
+
+
+def test_batch_ann_limits_and_ranks(spark):
+    docs = _corpus(spark)
+    model = MinHashLSH().fit(docs, persist=False)
+    queries = docs.limit(2).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = model.approx_nearest_neighbors_batch(queries, n=4, with_text=False)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) <= 4
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # jaccard non-increasing with rank
+        ordered = sorted(rs, key=lambda r: r.rank)
+        assert all(
+            a.jaccard >= b.jaccard for a, b in zip(ordered, ordered[1:])
+        )
+
+
+def test_batch_ann_no_match_query_absent(spark):
+    docs = _corpus(spark)
+    model = MinHashLSH().fit(docs, persist=False)
+    queries = spark.createDataFrame(
+        [(1, " ".join(f"zz{i} qq{i}" for i in range(40)))],
+        "query_id bigint, text string",
+    )
+    out = model.approx_nearest_neighbors_batch(queries, n=3)
+    # disjoint vocabulary: no band agreement, query yields no rows
+    assert out.where(F.col("query_id") == 1).count() == 0
+
+
+def test_batch_ann_matches_single_query_api(spark):
+    docs = _corpus(spark)
+    model = MinHashLSH().fit(docs, persist=False)
+    qtext = docs.filter(F.col("doc_id") == 7).head().text
+    single = model.approx_nearest_neighbors_plan(
+        qtext, n=5, with_text=False, use_band_keys=True
+    ).collect()
+    batch = model.approx_nearest_neighbors_batch(
+        spark.createDataFrame([(0, qtext)], "query_id bigint, text string"),
+        n=5, with_text=False,
+    ).collect()
+    s = sorted((r.doc_id, round(r.jaccard, 9)) for r in single)
+    b = sorted((r.doc_id, round(r.jaccard, 9)) for r in batch)
+    assert s == b
