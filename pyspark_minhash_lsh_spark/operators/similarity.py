@@ -141,6 +141,62 @@ class SrpLshModel:
             .limit(k)
         )
 
+    def approx_cosine_topk_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_emb_col: Optional[str] = None,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """Top-k by cosine for EVERY row of a query DataFrame in one plan —
+        the embedding twin of ``MinHashLSHModel.approx_nearest_neighbors_batch``
+        (a literal-key filter per query cannot express a million-query batch).
+
+        Returns ``(query_id, <id_col>, cosine, rank)``; queries sharing no
+        SRP bucket with any corpus vector are absent (recall follows the SRP
+        S-curve — raise ``num_tables`` to catch more).
+
+        Plan: query keys via the same deterministic hyperplanes (narrow
+        projection) -> key equi-join of exploded query keys x exploded index
+        keys (16-byte (key, id) rows only) -> dedupe (query, id) pairs ->
+        attach both embeddings id-keyed -> exact cosine -> per-query
+        ``row_number() <= k`` (WindowGroupLimit: partial top-k before the
+        shuffle, no global sort).
+        """
+        from pyspark.sql import Window
+
+        emb = query_emb_col or self.emb_col
+        q_idx = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(emb).alias("q_emb"),
+            self.lsh.keys_col(F.col(emb)).alias("q_keys"),
+        )
+        qx = q_idx.select("query_id", F.explode("q_keys").alias("key"))
+        cx = self.index.select(F.col(self.id_col), F.explode("srp_keys").alias("key"))
+        pairs = (
+            qx.join(cx, "key")
+            .select("query_id", self.id_col)
+            .dropDuplicates(["query_id", self.id_col])
+        )
+        qe = q_idx.select("query_id", "q_emb")
+        ce = self.index.select(F.col(self.id_col), F.col(self.emb_col))
+        scored = (
+            pairs.join(qe, "query_id")
+            .join(ce, self.id_col)
+            .select(
+                "query_id",
+                F.col(self.id_col),
+                cosine_similarity(F.col(self.emb_col), F.col("q_emb")).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc(self.id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     def approx_similarity_pairs(
         self,
         min_cosine: float = 0.8,

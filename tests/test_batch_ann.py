@@ -81,3 +81,49 @@ def test_batch_ann_matches_single_query_api(spark):
     s = sorted((r.doc_id, round(r.jaccard, 9)) for r in single)
     b = sorted((r.doc_id, round(r.jaccard, 9)) for r in batch)
     assert s == b
+
+
+# ---------------------------------------------------------------------------
+# SRP embedding batch ANN
+# ---------------------------------------------------------------------------
+
+def _vectors(spark, n=60, dim=16, seed=9):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_srp_batch_self_queries_rank_first(spark):
+    from pyspark_minhash_lsh_spark.operators.similarity import SrpLsh
+
+    vecs = _vectors(spark)
+    model = SrpLsh(num_planes=6, num_tables=6).fit(vecs, persist=False)
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 500).alias("query_id"), "embedding"
+    )
+    out = model.approx_cosine_topk_batch(
+        queries, k=3, query_emb_col="embedding"
+    )
+    top1 = {r.query_id: r for r in out.collect() if r.rank == 1}
+    assert len(top1) == 5
+    for qid, r in top1.items():
+        assert r.vec_id == qid - 500
+        assert abs(r.cosine - 1.0) < 1e-6
+
+
+def test_srp_batch_matches_single_query(spark):
+    from pyspark_minhash_lsh_spark.operators.similarity import SrpLsh
+
+    vecs = _vectors(spark)
+    model = SrpLsh(num_planes=6, num_tables=6).fit(vecs, persist=False)
+    qvec = [float(x) for x in vecs.filter(F.col("vec_id") == 3).head().embedding]
+    single = model.approx_cosine_topk(qvec, k=5).collect()
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id bigint, embedding array<float>"
+    )
+    batch = model.approx_cosine_topk_batch(queries, k=5).collect()
+    s = sorted((r.vec_id, round(r.cosine, 6)) for r in single)
+    b = sorted((r.vec_id, round(r.cosine, 6)) for r in batch)
+    assert s == b
