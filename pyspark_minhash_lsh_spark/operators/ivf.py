@@ -119,5 +119,61 @@ class IvfFlatModel:
             .limit(k)
         )
 
+    def approx_cosine_topk_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        query_emb_col: str | None = None,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """Top-k per query row for a whole query DataFrame — the IVF twin of
+        ``SrpLshModel.approx_cosine_topk_batch`` (the driver-side centroid
+        ranking of the single-vector API cannot express a large batch).
+
+        Returns ``(query_id, <id_col>, cosine, rank)``.
+
+        Plan: centroids (model state, n_cells rows) broadcast against the
+        query frame -> per-query ``row_number() <= n_probe`` picks probe
+        cells -> equi-join probes x index on ``cell`` (each cell's scan
+        serves every query probing it — the standard batched-IVF shape;
+        the join key has only n_cells values, so at scale raise ``n_cells``
+        to keep per-cell fan-in bounded) -> exact cosine -> per-query
+        ``row_number() <= k`` (WindowGroupLimit).
+        """
+        from pyspark.sql import Window
+
+        emb = query_emb_col or self.emb_col
+        spark = self.index.sparkSession
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cell int, c_emb array<float>",
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(emb).alias("q_emb")
+        )
+        ranked = q.crossJoin(F.broadcast(cent)).select(
+            "query_id", "q_emb", "cell",
+            cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("_c"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("cell"))
+        probes = (
+            ranked.withColumn("_r", F.row_number().over(wp))
+            .filter(F.col("_r") <= n_probe)
+            .select("query_id", "q_emb", "cell")
+        )
+        scored = probes.join(self.index, "cell").select(
+            "query_id",
+            F.col(self.id_col),
+            cosine_similarity(F.col(self.emb_col), F.col("q_emb")).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc(self.id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     def unpersist(self) -> None:
         self.index.unpersist()

@@ -127,3 +127,44 @@ def test_srp_batch_matches_single_query(spark):
     s = sorted((r.vec_id, round(r.cosine, 6)) for r in single)
     b = sorted((r.vec_id, round(r.cosine, 6)) for r in batch)
     assert s == b
+
+
+# ---------------------------------------------------------------------------
+# IVF embedding batch ANN
+# ---------------------------------------------------------------------------
+
+def test_ivf_batch_full_probe_matches_single(spark):
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+
+    vecs = _vectors(spark)
+    model = IvfFlat(n_cells=4, seed=1).fit(vecs, persist=False)
+    qvec = [float(x) for x in vecs.filter(F.col("vec_id") == 2).head().embedding]
+    single = model.approx_cosine_topk(qvec, k=5, n_probe=4).collect()
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id bigint, embedding array<float>"
+    )
+    batch = model.approx_cosine_topk_batch(
+        queries, k=5, n_probe=4, query_emb_col="embedding"
+    ).collect()
+    s = sorted((r.vec_id, round(r.cosine, 6)) for r in single)
+    b = sorted((r.vec_id, round(r.cosine, 6)) for r in batch)
+    assert s == b
+
+
+def test_ivf_batch_self_queries_rank_first(spark):
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+
+    vecs = _vectors(spark)
+    model = IvfFlat(n_cells=4, seed=1).fit(vecs, persist=False)
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 700).alias("query_id"), "embedding"
+    )
+    # full probe: the query's own vector is always in a probed cell
+    out = model.approx_cosine_topk_batch(
+        queries, k=3, n_probe=4, query_emb_col="embedding"
+    )
+    top1 = {r.query_id: r for r in out.collect() if r.rank == 1}
+    assert len(top1) == 5
+    for qid, r in top1.items():
+        assert r.vec_id == qid - 700
+        assert abs(r.cosine - 1.0) < 1e-6
