@@ -168,3 +168,15 @@ def test_ivf_batch_self_queries_rank_first(spark):
     for qid, r in top1.items():
         assert r.vec_id == qid - 700
         assert abs(r.cosine - 1.0) < 1e-6
+
+
+def test_batch_ann_plan_uses_window_group_limit(spark):
+    """Pins the PLANS.md claim: the per-query top-k executes as
+    WindowGroupLimit (partial top-k before the shuffle), not a global sort."""
+    docs = _corpus(spark, n=10)
+    model = MinHashLSH().fit(docs, persist=False)
+    queries = docs.limit(2).select(F.col("doc_id").alias("query_id"), "text")
+    out = model.approx_nearest_neighbors_batch(queries, n=3, with_text=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" not in plan  # no global top-k

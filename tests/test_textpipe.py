@@ -268,3 +268,49 @@ def test_line_dedup_metachar_separator_is_literal(spark):
     out = {r.doc_id: r for r in line_dedup(docs, sep="|").collect()}
     assert out[0].text == "alpha beta|shared segment" and out[0].n_lines == 2
     assert out[1].text == "gamma delta" and out[1].n_kept == 1
+
+
+def _py_line_dedup(docs, min_chars=1):
+    """Python model of line_dedup: keep-first by (doc_id, pos), short lines
+    exempt."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        lines = text.split("\n")
+        kept = []
+        for line in lines:
+            if len(line.strip()) < min_chars:
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+        out[doc_id] = ("\n".join(kept), len(lines), len(kept))
+    return out
+
+
+def test_line_dedup_property_vs_python_model(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_minhash_lsh_spark.operators.textpipe import line_dedup
+
+    line = st.text(
+        alphabet=st.characters(whitelist_categories=["Ll", "Nd", "Zs"]),
+        max_size=12,
+    )
+    corpus = st.lists(
+        st.lists(line, min_size=0, max_size=5), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(corpus)
+    def check(doc_lines):
+        docs = [(i, "\n".join(ls)) for i, ls in enumerate(doc_lines)]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.text, r.n_lines, r.n_kept)
+            for r in line_dedup(df).collect()
+        }
+        assert got == _py_line_dedup(docs)
+
+    check()
