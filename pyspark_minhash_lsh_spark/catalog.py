@@ -1465,23 +1465,56 @@ def q53_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_shared_spans
             FROM ex JOIN freq ON ex.span = freq.span
-            GROUP BY 1)
+            GROUP BY 1),
+    spp AS (SELECT doc_id, unnest(generate_series(1, len(t) - 9)) AS pos
+            FROM tok WHERE len(t) >= 10),
+    spv AS (SELECT spp.doc_id, spp.pos,
+                   array_to_string(list_slice(tok.t, spp.pos, spp.pos + 9), ' ') AS span
+            FROM spp JOIN tok ON spp.doc_id = tok.doc_id),
+    rnk AS (SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY span) AS occ,
+                   ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+            FROM spv),
+    dup AS (SELECT doc_id, pos FROM rnk WHERE occ >= 2 AND rn > 1),
+    rem AS (SELECT DISTINCT doc_id, dup.pos + g.i AS pos
+            FROM dup CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS i) g),
+    tokex AS (SELECT doc_id, unnest(t) AS tk2, generate_subscripts(t, 1) AS pos
+              FROM tok),
+    keptx AS (SELECT tokex.* FROM tokex ANTI JOIN rem USING (doc_id, pos)),
+    clean AS (SELECT tok.doc_id,
+                     COALESCE(string_agg(keptx.tk2, ' ' ORDER BY keptx.pos), '')
+                       AS cleaned_text,
+                     CAST(len(tok.t) - COUNT(keptx.tk2) AS BIGINT) AS n_removed
+              FROM tok LEFT JOIN keptx ON tok.doc_id = keptx.doc_id
+              GROUP BY tok.doc_id, len(tok.t))
     SELECT d.doc_id,
            COALESCE(per.n_spans, 0) AS n_spans,
            COALESCE(per.n_shared_spans, 0) AS n_shared_spans,
            COALESCE(CASE WHEN per.n_spans > 0
                          THEN ROUND(CAST(per.n_shared_spans AS DOUBLE) / per.n_spans, 6)
-                         ELSE 0.0 END, 0.0) AS shared_frac
-    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+                         ELSE 0.0 END, 0.0) AS shared_frac,
+           clean.n_removed,
+           clean.cleaned_text
+    FROM documents d
+    LEFT JOIN per ON d.doc_id = per.doc_id
+    JOIN clean ON d.doc_id = clean.doc_id
     """,
 )
 def q54_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated 10-token spans per doc (passage-level dup
-    signal). Spark compares spans by xxhash64; the oracle compares the span
-    strings — counts agree unless a 64-bit collision occurs (~n^2/2^64)."""
-    from .operators.textpipe import duplicated_spans
+    signal) PLUS the exact-substring scrub twin (Lee et al.-style removal,
+    ``remove_duplicated_spans``): the oracle value-checks the full cleaned
+    text of every document, not just counts. Spark compares spans by
+    xxhash64; the oracle compares the span strings — results agree unless a
+    64-bit collision occurs (~n^2/2^64)."""
+    from .operators.textpipe import duplicated_spans, remove_duplicated_spans
 
-    return duplicated_spans(_t(spark, sf_dir, "documents"), span=10)
+    docs = _t(spark, sf_dir, "documents")
+    det = duplicated_spans(docs, span=10)
+    rm = remove_duplicated_spans(docs, span=10).select(
+        "doc_id", "n_removed", F.col("text").alias("cleaned_text")
+    )
+    return det.join(rm, "doc_id")
 
 
 @query(

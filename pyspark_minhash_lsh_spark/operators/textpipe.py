@@ -7,6 +7,7 @@ north-star text-analysis group with *corpus-level* (cross-document) checks:
 
   - ``repetition_metrics``   — Gopher-style within-doc repetition facets
   - ``duplicated_spans``     — cross-document duplicated n-token span finder
+  - ``remove_duplicated_spans`` — exact duplicated-substring scrub (keep first)
   - ``contamination_check``  — benchmark-contamination n-gram overlap probe
   - ``pack_documents``       — concat-and-chunk sequence packing by token budget
   - ``pii_redact``           — regex PII scrub (emails / IPv4 / phone numbers)
@@ -31,6 +32,7 @@ from ..functions.text_analysis import bpe_token_count_estimate
 __all__ = [
     "repetition_metrics",
     "duplicated_spans",
+    "remove_duplicated_spans",
     "contamination_check",
     "pack_documents",
     "pii_redact",
@@ -148,6 +150,91 @@ def duplicated_spans(
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("n_shared_spans", F.lit(0)).alias("n_shared_spans"),
             F.coalesce(frac, F.lit(0.0)).alias("shared_frac"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    span: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring REMOVAL (the scrub that pairs with
+    ``duplicated_spans``'s detection): any run of ``span`` consecutive
+    tokens occurring at >= 2 positions corpus-wide (across documents or
+    repeated within one) is removed everywhere except its globally first
+    occurrence, and documents are rebuilt from their surviving tokens.
+    This is the dedup policy of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") at fixed span granularity — the
+    suffix-array step replaced by a relational rolling window, which is the
+    shape that distributes.
+
+    Policy details (deterministic):
+      - occurrence order is ``(doc_id, position)``; the minimum is the
+        protected first occurrence of each distinct span value;
+      - a TOKEN is dropped iff it is covered by at least one NON-first
+        occurrence of a duplicated span — tokens of a protected occurrence
+        can still fall to an overlapping different span's duplicate;
+      - output text is the surviving tokens joined by single spaces
+        (tokenized-normalized text, like every op built on ``tokens()``).
+
+    Returns ``(doc_id, text, n_tokens, n_removed)`` — one row per input doc.
+
+    Scale shape: spans are 64-bit rolling ``xxhash64`` windows (16-byte
+    shuffle rows; DuckDB-oracle counterpart compares real strings, catalog
+    q54); first-occurrence/occurrence-count is one span-keyed AGGREGATE
+    (map-side combine — a boilerplate span in millions of docs never sorts
+    one hot partition); coverage expansion is ``explode(sequence(...))`` of
+    ±span positions on non-first occurrences only; the final anti-join and
+    reassembly are doc-keyed.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    ex = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, span)]
+    guard = parts[0].isNotNull()
+    for c in parts[1:]:
+        guard = guard & c.isNotNull()
+    spans = ex.select(
+        "doc_id", "pos", F.when(guard, F.xxhash64(*parts)).alias("sh")
+    ).where(F.col("sh").isNotNull())
+    agg = spans.groupBy("sh").agg(
+        F.count("*").alias("occ"), F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    dup_occ = (
+        spans.join(agg, "sh")
+        .where(
+            (F.col("occ") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    removals = dup_occ.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + span - 1)).alias("pos")
+    ).distinct()
+    kept = ex.join(removals, ["doc_id", "pos"], "left_anti")
+    reasm = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = base.select("doc_id", F.size("t").alias("n_tokens"))
+    return (
+        totals.join(reasm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
 

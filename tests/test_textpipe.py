@@ -4,6 +4,8 @@ sf0.01 oracle matches live in test_catalog_oracle via q53-q56."""
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import functions as F
 
 from pyspark_minhash_lsh_spark.operators.textpipe import (
@@ -314,3 +316,94 @@ def test_line_dedup_property_vs_python_model(spark):
         assert got == _py_line_dedup(docs)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicated_spans (exact duplicated-substring scrub)
+# ---------------------------------------------------------------------------
+
+def test_remove_duplicated_spans_cross_doc(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import remove_duplicated_spans
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    docs = _docs(spark, [
+        (0, shared + " taila tailb", "s"),   # first occurrence: protected
+        (1, "headx " + shared, "s"),          # duplicate: span scrubbed
+        (2, " ".join(f"u{i}" for i in range(12)), "s"),  # unique: untouched
+    ])
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, span=10).collect()}
+    assert out[0].text == shared + " taila tailb" and out[0].n_removed == 0
+    assert out[1].text == "headx" and out[1].n_removed == 10
+    assert out[2].n_removed == 0 and out[2].n_tokens == 12
+
+
+def test_remove_duplicated_spans_within_doc_repeat(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import remove_duplicated_spans
+
+    block = " ".join(f"b{i}" for i in range(10))
+    docs = _docs(spark, [(0, block + " " + block, "s")])
+    r = remove_duplicated_spans(docs, span=10).collect()[0]
+    # second copy of the block is a non-first occurrence of the same span
+    assert r.text == block
+    assert r.n_tokens == 20 and r.n_removed == 10
+
+
+def test_remove_duplicated_spans_short_docs_untouched(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import remove_duplicated_spans
+
+    docs = _docs(spark, [(0, "too short", "s"), (1, "too short", "s")])
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, span=10).collect()}
+    # < span tokens: no windows exist, nothing to remove (exact dup of the
+    # WHOLE doc is exact_dedup's job, not the span scrubber's)
+    assert out[0].text == "too short" and out[0].n_removed == 0
+    assert out[1].text == "too short" and out[1].n_removed == 0
+
+
+def test_remove_duplicated_spans_matches_duckdb(spark):
+    import duckdb
+
+    from pyspark_minhash_lsh_spark.operators.textpipe import remove_duplicated_spans
+
+    rng = random.Random(13)
+    words = [f"t{i}" for i in range(30)]
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = []
+    for d in range(12):
+        body = " ".join(rng.choice(words) for _ in range(25))
+        text = body + " " + shared if d % 3 == 0 else body
+        rows.append((d, text))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in remove_duplicated_spans(docs, span=10).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = con.execute("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM t),
+        spp AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 9)) AS pos FROM tok),
+        sp AS (SELECT spp.doc_id, spp.pos,
+                      array_to_string(list_slice(tok.tk, spp.pos, spp.pos + 9), ' ') AS span
+               FROM spp JOIN tok ON spp.doc_id = tok.doc_id),
+        ranked AS (SELECT doc_id, pos,
+                          COUNT(*) OVER (PARTITION BY span) AS occ,
+                          ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+                   FROM sp),
+        dup AS (SELECT doc_id, pos FROM ranked WHERE occ >= 2 AND rn > 1),
+        rem AS (SELECT DISTINCT doc_id, dup.pos + g.i AS pos
+                FROM dup CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS i) g),
+        tokex AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
+                  FROM tok),
+        kept AS (SELECT tokex.* FROM tokex ANTI JOIN rem USING (doc_id, pos))
+        SELECT tok.doc_id,
+               COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.pos), '') AS text,
+               len(tok.tk) AS n_tokens,
+               len(tok.tk) - COUNT(kept.tok) AS n_removed
+        FROM tok LEFT JOIN kept ON tok.doc_id = kept.doc_id
+        GROUP BY tok.doc_id, len(tok.tk)
+    """).fetchall()
+    assert len(exp) == len(got)
+    for doc_id, text, n_tokens, n_removed in exp:
+        assert got[doc_id] == (text, n_tokens, n_removed), doc_id
