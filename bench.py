@@ -144,7 +144,8 @@ def main() -> None:
 #: scale-linearity probe. ratio ~= factor x per query means no supra-linear
 #: stage (quadratic candidate blowup, forced broadcast, driver collect).
 SCALE_QUERIES = ["q30_minhash_signatures", "q32_ann_query", "q33_similarity_join",
-                 "q25_ngram_jaccard_pairs", "q38_minhash_dedup"]
+                 "q25_ngram_jaccard_pairs", "q38_minhash_dedup",
+                 "q54_duplicated_spans"]  # span detect + substring scrub
 
 
 def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:

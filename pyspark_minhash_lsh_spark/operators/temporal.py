@@ -44,23 +44,34 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: Sequence[str] = ("value",),
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every ``left`` row + the most recent ``right`` values
-    at or before its timestamp, matched per ``on`` key.
+    """Left as-of join: every ``left`` row + the matched ``right`` values per
+    ``on`` key, matched by time ``direction``:
+
+      - ``backward`` (default): most recent right row with ``right.ts <=
+        left.ts`` — DuckDB/kdb ``ASOF JOIN`` semantics; ties match;
+      - ``forward``: earliest right row with ``right.ts >= left.ts``
+        (DuckDB ``ASOF`` with ``<=``); ties match;
+      - ``nearest``: whichever of the two is closer in time; exact ties
+        prefer backward (the already-observed row — the causality-safe
+        choice for feature joins).
 
     Returns all ``left`` columns plus ``{prefix}{col}`` for each of
-    ``value_cols`` (NULL when no right row precedes the left row).
+    ``value_cols`` (NULL when no right row exists in the direction). If
+    multiple right rows share (key, ts), the one latest in window order
+    wins — dedupe the right side first when that matters.
 
-    Semantics match DuckDB/kdb ``ASOF JOIN`` with ``left.ts >= right.ts``:
-    ties on the timestamp DO match (the right row sorts before the left row
-    at equal ts). If multiple right rows share (key, ts), the one latest in
-    (ts) window order wins — dedupe the right side first when that matters.
-
-    Plan: union both sides -> single window (partitionBy key, orderBy ts,
-    side) -> ``last(ignorenulls=True)`` forward-fill -> keep left rows. One
-    exchange on the key; no per-row range scan, no join explosion — the
-    right values ride the same sort the window already needed.
+    Plan: union both sides -> window per needed direction (partitionBy key,
+    orderBy ts/side) -> ``last``/``first(ignorenulls=True)`` fill -> keep
+    left rows. ONE exchange on the key regardless of direction (``nearest``
+    adds a second sort over the same exchange, not a second shuffle); no
+    per-row range scan, no join explosion.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     lcols = left.columns
     l = left.select(
         F.col(on).alias("_k"),
@@ -68,6 +79,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("_rts"),
     )
     r = right.select(
         F.col(on).alias("_k"),
@@ -75,19 +87,47 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(right_ts).alias("_rts"),
     )
-    w = (
+    u = l.unionByName(r)
+    # backward: right rows sort BEFORE an equal-ts left row, frame trailing
+    wb = (
         Window.partitionBy("_k")
         .orderBy(F.asc("_ts"), F.asc("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in value_cols
-        ],
+    # forward: right rows sort AFTER an equal-ts left row, frame leading
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.desc("_side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+
+    def back(c):
+        return F.last(f"_rv_{c}", ignorenulls=True).over(wb)
+
+    def fwd(c):
+        return F.first(f"_rv_{c}", ignorenulls=True).over(wf)
+
+    if direction == "backward":
+        out_cols = [back(c).alias(f"{prefix}{c}") for c in value_cols]
+    elif direction == "forward":
+        out_cols = [fwd(c).alias(f"{prefix}{c}") for c in value_cols]
+    else:
+        b_ts = F.last("_rts", ignorenulls=True).over(wb)
+        f_ts = F.first("_rts", ignorenulls=True).over(wf)
+        take_back = f_ts.isNull() | (
+            b_ts.isNotNull()
+            & (
+                F.col("_ts").cast("double") - b_ts.cast("double")
+                <= f_ts.cast("double") - F.col("_ts").cast("double")
+            )
+        )
+        out_cols = [
+            F.when(take_back, back(c)).otherwise(fwd(c)).alias(f"{prefix}{c}")
+            for c in value_cols
+        ]
+    filled = u.select("*", *out_cols)
     return filled.filter(F.col("_side") == 1).select(
         *lcols, *[f"{prefix}{c}" for c in value_cols]
     )

@@ -110,3 +110,98 @@ def test_range_join_matches_naive(spark):
             if u2 == u and t2 < t and t2 >= t - dt.timedelta(seconds=60)
         )
         assert got[e] == naive, e
+
+
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 10:00:00")),   # next right = 10:05
+            (2, 7, _ts("2024-01-01 10:05:00")),   # equal ts tie matches
+            (3, 7, _ts("2024-01-01 11:30:00")),   # after all right rows -> null
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 10:05:00"), 1.5),
+            (7, _ts("2024-01-01 11:00:00"), 9.9),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = {r.event_id: r for r in asof_join(
+        left, right, on="user_id", value_cols=("value",), direction="forward"
+    ).collect()}
+    assert out[1].asof_value == 1.5
+    assert out[2].asof_value == 1.5   # tie matches forward too
+    assert out[3].asof_value is None
+
+
+def test_asof_join_nearest_direction(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 10:07:00")),  # back 10:05 (2m) vs fwd 11:00 -> back
+            (2, 7, _ts("2024-01-01 10:50:00")),  # back 10:05 (45m) vs fwd 11:00 (10m) -> fwd
+            (3, 7, _ts("2024-01-01 09:00:00")),  # nothing behind -> fwd
+            (4, 7, _ts("2024-01-01 12:00:00")),  # nothing ahead -> back
+            (5, 7, _ts("2024-01-01 10:32:30")),  # exact midpoint -> prefer back
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 10:05:00"), 1.5),
+            (7, _ts("2024-01-01 11:00:00"), 9.9),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = {r.event_id: r for r in asof_join(
+        left, right, on="user_id", value_cols=("value",), direction="nearest"
+    ).collect()}
+    assert out[1].asof_value == 1.5
+    assert out[2].asof_value == 9.9
+    assert out[3].asof_value == 1.5
+    assert out[4].asof_value == 9.9
+    assert out[5].asof_value == 1.5   # midpoint tie -> backward (causal)
+
+
+def test_asof_join_forward_matches_duckdb(spark):
+    import random
+
+    import duckdb
+
+    rng = random.Random(21)
+    lrows = [
+        (i, rng.randrange(3), _ts("2024-01-01 00:00:00")
+         + dt.timedelta(seconds=rng.randrange(86400)))
+        for i in range(200)
+    ]
+    rrows = [
+        (rng.randrange(3), _ts("2024-01-01 00:00:00")
+         + dt.timedelta(seconds=rng.randrange(86400)), float(i))
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(lrows, "event_id bigint, user_id bigint, ts timestamp")
+    right = spark.createDataFrame(rrows, "user_id bigint, ts timestamp, value double")
+    got = {r.event_id: r.asof_value for r in asof_join(
+        left, right, on="user_id", value_cols=("value",), direction="forward"
+    ).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (event_id BIGINT, user_id BIGINT, ts TIMESTAMP)")
+    con.execute("CREATE TABLE r (user_id BIGINT, ts TIMESTAMP, value DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", rrows)
+    exp = dict(con.execute("""
+        SELECT l.event_id, r.value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """).fetchall())
+    assert got == exp
+
+
+def test_asof_join_bad_direction(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1, _ts("2024-01-01 00:00:00"))],
+                                 "event_id bigint, user_id bigint, ts timestamp")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, on="user_id", direction="sideways")
