@@ -845,6 +845,21 @@ def _q77_oracle() -> str:
         f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)"
         for i in range(_Q77_NUM_HASHES)
     )
+    def band_expr(bi: int, alias: str) -> str:
+        cols = ", ".join(
+            f"m{bi * _Q77_ROWS_PER_BAND + r}" for r in range(_Q77_ROWS_PER_BAND)
+        )
+        return (
+            f"('0x' || substring(md5(concat_ws('|', {cols})), 1, 15))::BIGINT"
+            f" AS {alias}"
+        )
+
+    bw_cols = ", ".join(band_expr(bi, f"b{bi}") for bi in range(_Q77_NUM_BANDS))
+    band_match = " OR ".join(f"bw.b{bi} = q.b{bi}" for bi in range(_Q77_NUM_BANDS))
+    ann_agree = " + ".join(
+        f"(CASE WHEN bw.m{i} = q.m{i} THEN 1 ELSE 0 END)"
+        for i in range(_Q77_NUM_HASHES)
+    )
     return f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
          sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
@@ -856,12 +871,22 @@ def _q77_oracle() -> str:
          perms(perm, a, b) AS (VALUES {vals}),
          sig AS (SELECT doc_id, perm, MIN((a * h + b) % {p}) AS min_hash
                  FROM hx CROSS JOIN perms GROUP BY doc_id, perm),
-         sigw AS (SELECT doc_id, {pivot} FROM sig GROUP BY doc_id)
+         sigw AS (SELECT doc_id, {pivot} FROM sig GROUP BY doc_id),
+         bw AS (SELECT *, {bw_cols} FROM sigw),
+         q AS (SELECT * FROM bw WHERE doc_id = 0),
+         cand AS (SELECT bw.doc_id, {ann_agree} AS agree
+                  FROM bw, q WHERE {band_match}),
+         ranked AS (SELECT doc_id, agree,
+                           ROW_NUMBER() OVER (ORDER BY agree DESC, doc_id ASC) AS rn
+                    FROM cand)
     SELECT doc_id, 'perm' AS part, perm AS idx, min_hash AS value FROM sig
     UNION ALL {bands}
     UNION ALL
     SELECT x.doc_id, 'agree' AS part, y.doc_id AS idx, {agree} AS value
     FROM sigw x JOIN sigw y ON y.doc_id = x.doc_id + 1
+    UNION ALL
+    SELECT doc_id, 'ann' AS part, CAST(rn AS INT) AS idx, agree AS value
+    FROM ranked WHERE rn <= 10
     """
 
 
@@ -883,7 +908,12 @@ def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
       - ``part='agree'``: # of agreeing signature components between
         consecutive doc ids — the numerator of the reference's Jaccard
         estimator (minhash_utils.py:116-124) kept integer so value hashes
-        are exact.
+        are exact;
+      - ``part='ann'``: the flagship ANN query END-TO-END — band-match
+        candidate retrieval for query doc 0, estimator ranking, top-10
+        (idx = rank, value = agreement count) — the exact dataflow of
+        ``approx_nearest_neighbors`` (reference minhash_pyspark.py:200-241)
+        with every stage value-checked by the oracle.
 
     The xxhash64 production paths (q30 / minhash_index_df, lsh_band_keys,
     signature_jaccard) share everything but the base hash and stay
@@ -956,7 +986,59 @@ def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
             agree.cast("bigint").alias("value"),
         )
     )
-    return perm_leg.unionByName(band_leg).unionByName(agree_leg)
+
+    # 'ann' leg: the FLAGSHIP pipeline shape end-to-end under the oracle —
+    # band-match candidate retrieval for query doc 0, estimator ranking,
+    # deterministic top-10 (rank ties -> min doc id). Same dataflow as
+    # MinHashLSHModel.approx_nearest_neighbors, md5 family instead of
+    # xxhash64, so DuckDB value-checks candidates, scores, AND ranking.
+    def bexpr(bi: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", *[
+                    F.col(f"m{bi * _Q77_ROWS_PER_BAND + r}")
+                    for r in range(_Q77_ROWS_PER_BAND)
+                ])),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+
+    wide = sigw.select(
+        "*", *[bexpr(bi).alias(f"b{bi}") for bi in range(_Q77_NUM_BANDS)]
+    )
+    qrow = F.broadcast(
+        wide.filter(F.col("doc_id") == 0).select(
+            *[F.col(f"m{i}").alias(f"qm{i}") for i in range(_Q77_NUM_HASHES)],
+            *[F.col(f"b{bi}").alias(f"qb{bi}") for bi in range(_Q77_NUM_BANDS)],
+        )
+    )
+    band_match = F.lit(False)
+    for bi in range(_Q77_NUM_BANDS):
+        band_match = band_match | (F.col(f"b{bi}") == F.col(f"qb{bi}"))
+    ann_agree = sum(
+        F.when(F.col(f"m{i}") == F.col(f"qm{i}"), 1).otherwise(0)
+        for i in range(_Q77_NUM_HASHES)
+    )
+    top = (
+        wide.join(qrow, on=band_match)
+        .select("doc_id", ann_agree.cast("bigint").alias("value"))
+        .orderBy(F.desc("value"), F.asc("doc_id"))
+        .limit(10)
+    )
+    ann_leg = top.select(
+        "doc_id",
+        F.lit("ann").alias("part"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("value"), F.asc("doc_id")))
+        .cast("int")
+        .alias("idx"),
+        "value",
+    )
+    return (
+        perm_leg.unionByName(band_leg).unionByName(agree_leg)
+        .unionByName(ann_leg)
+    )
 
 
 # =====================================================================================
