@@ -815,6 +815,11 @@ _Q77_NUM_HASHES = 16
 _Q77_NUM_BANDS = 4
 _Q77_ROWS_PER_BAND = _Q77_NUM_HASHES // _Q77_NUM_BANDS
 
+#: q77 simhash-twin fingerprint width (bits of the 60-bit md5 int used for
+#: the per-bit +-1 votes) — small like the 16-perm signature, same math
+#: shape as the production 64-bit simhash_bits_df.
+_Q77_SIM_BITS = 16
+
 
 def _q77_oracle() -> str:
     """DuckDB mirror of q77: same md5 base hash (first 15 hex chars -> 60-bit
@@ -860,6 +865,13 @@ def _q77_oracle() -> str:
         f"(CASE WHEN bw.m{i} = q.m{i} THEN 1 ELSE 0 END)"
         for i in range(_Q77_NUM_HASHES)
     )
+    sim_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_Q77_SIM_BITS)
+    )
+    sim_pack = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_Q77_SIM_BITS)
+    )
     return f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
          sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
@@ -878,7 +890,12 @@ def _q77_oracle() -> str:
                   FROM bw, q WHERE {band_match}),
          ranked AS (SELECT doc_id, agree,
                            ROW_NUMBER() OVER (ORDER BY agree DESC, doc_id ASC) AS rn
-                    FROM cand)
+                    FROM cand),
+         thx AS (SELECT doc_id,
+                        ('0x' || substring(md5(unnest(t)), 1, 15))::BIGINT AS h
+                 FROM tok),
+         sims AS (SELECT doc_id, {sim_sums} FROM thx GROUP BY doc_id),
+         simw AS (SELECT doc_id, CAST({sim_pack} AS BIGINT) AS fp FROM sims)
     SELECT doc_id, 'perm' AS part, perm AS idx, min_hash AS value FROM sig
     UNION ALL {bands}
     UNION ALL
@@ -887,6 +904,12 @@ def _q77_oracle() -> str:
     UNION ALL
     SELECT doc_id, 'ann' AS part, CAST(rn AS INT) AS idx, agree AS value
     FROM ranked WHERE rn <= 10
+    UNION ALL
+    SELECT doc_id, 'simbits' AS part, 0 AS idx, fp AS value FROM simw
+    UNION ALL
+    SELECT x.doc_id, 'simham' AS part, CAST(y.doc_id AS INT) AS idx,
+           CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS value
+    FROM simw x JOIN simw y ON y.doc_id = x.doc_id + 1
     """
 
 
@@ -913,7 +936,11 @@ def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidate retrieval for query doc 0, estimator ranking, top-10
         (idx = rank, value = agreement count) — the exact dataflow of
         ``approx_nearest_neighbors`` (reference minhash_pyspark.py:200-241)
-        with every stage value-checked by the oracle.
+        with every stage value-checked by the oracle;
+      - ``part='simbits'`` / ``part='simham'``: the SimHash kernel — per-bit
+        +-1 vote sums thresholded to a packed 16-bit fingerprint, and
+        hamming distance between consecutive doc ids — the
+        ``simhash_bits_df``/``hamming_distance`` math under the shared hash.
 
     The xxhash64 production paths (q30 / minhash_index_df, lsh_band_keys,
     signature_jaccard) share everything but the base hash and stay
@@ -1035,9 +1062,44 @@ def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("idx"),
         "value",
     )
+
+    # simhash twin: same +-1 bit-vote -> threshold -> hamming math as
+    # simhash_bits_df/hamming_distance (functions/hashing.py), md5 base hash
+    thx = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tokv")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tokv")), 1, 15), 16, 10)
+        .cast("bigint").alias("h"),
+    )
+    sims = thx.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{bit}")
+        for bit in range(_Q77_SIM_BITS)
+    ])
+    fp = sum(
+        F.when(F.col(f"s{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        for bit in range(_Q77_SIM_BITS)
+    )
+    simw = sims.select("doc_id", fp.cast("bigint").alias("fp"))
+    simbits_leg = simw.select(
+        "doc_id", F.lit("simbits").alias("part"),
+        F.lit(0).cast("int").alias("idx"), F.col("fp").alias("value"),
+    )
+    sx, sy = simw.alias("sx"), simw.alias("sy")
+    simham_leg = sx.join(sy, F.col("sy.doc_id") == F.col("sx.doc_id") + 1).select(
+        F.col("sx.doc_id").alias("doc_id"),
+        F.lit("simham").alias("part"),
+        F.col("sy.doc_id").cast("int").alias("idx"),
+        F.bit_count(F.col("sx.fp").bitwiseXOR(F.col("sy.fp")))
+        .cast("bigint").alias("value"),
+    )
     return (
         perm_leg.unionByName(band_leg).unionByName(agree_leg)
-        .unionByName(ann_leg)
+        .unionByName(ann_leg).unionByName(simbits_leg).unionByName(simham_leg)
     )
 
 
