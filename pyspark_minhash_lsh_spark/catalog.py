@@ -820,6 +820,10 @@ _Q77_ROWS_PER_BAND = _Q77_NUM_HASHES // _Q77_NUM_BANDS
 #: shape as the production 64-bit simhash_bits_df.
 _Q77_SIM_BITS = 16
 
+#: q77 SRP-twin hyperplane count (one table) — same sign-of-Rademacher-dot
+#: math shape as the production srp_bucket_keys.
+_Q77_SRP_PLANES = 8
+
 
 def _q77_oracle() -> str:
     """DuckDB mirror of q77: same md5 base hash (first 15 hex chars -> 60-bit
@@ -872,6 +876,24 @@ def _q77_oracle() -> str:
     sim_pack = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_Q77_SIM_BITS)
     )
+
+    def srp_dot(p: int) -> str:
+        # Rademacher weight: low bit of md5("srp-<p>-<dim>") -> +-1; the
+        # 0-based dim matches Spark's sequence(0, size-1) index
+        w = (
+            "CASE WHEN ('0x' || substring(md5('srp-" + str(p) + "-' || "
+            "CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT & 1 = 1 "
+            "THEN 1.0 ELSE -1.0 END"
+        )
+        return (
+            "list_sum(list_transform(generate_series(1, len(embedding)), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({w})))"
+        )
+
+    srp_pack = " + ".join(
+        f"(CASE WHEN ({srp_dot(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_Q77_SRP_PLANES)
+    )
     return f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
          sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
@@ -910,6 +932,10 @@ def _q77_oracle() -> str:
     SELECT x.doc_id, 'simham' AS part, CAST(y.doc_id AS INT) AS idx,
            CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS value
     FROM simw x JOIN simw y ON y.doc_id = x.doc_id + 1
+    UNION ALL
+    SELECT vec_id AS doc_id, 'srpbits' AS part, 0 AS idx,
+           CAST({srp_pack} AS BIGINT) AS value
+    FROM embeddings
     """
 
 
@@ -940,7 +966,16 @@ def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
       - ``part='simbits'`` / ``part='simham'``: the SimHash kernel — per-bit
         +-1 vote sums thresholded to a packed 16-bit fingerprint, and
         hamming distance between consecutive doc ids — the
-        ``simhash_bits_df``/``hamming_distance`` math under the shared hash.
+        ``simhash_bits_df``/``hamming_distance`` math under the shared hash;
+      - ``part='srpbits'``: the SRP-LSH kernel over ``embeddings`` —
+        sign-of-Rademacher-dot hyperplane keys (``srp_bucket_keys`` math)
+        with md5-derived weights; both engines fold the dot left-to-right
+        in double, so the packed sign patterns match exactly.
+
+    With these legs every hash-kernel family in the engine — minhash
+    permutations, LSH banding, the jaccard-estimator numerator, the ANN
+    ranking, simhash bit votes + hamming, and SRP hyperplane signs — is
+    value-checked against the SQL oracle, not just rows-only.
 
     The xxhash64 production paths (q30 / minhash_index_df, lsh_band_keys,
     signature_jaccard) share everything but the base hash and stay
@@ -1097,9 +1132,49 @@ def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col("sx.fp").bitwiseXOR(F.col("sy.fp")))
         .cast("bigint").alias("value"),
     )
+
+    # SRP twin: sign-of-Rademacher-dot hyperplane keys (srp_bucket_keys
+    # math, operators/similarity.py) with md5-derived +-1 weights; both
+    # engines accumulate the dot left-to-right in double, so signs agree
+    def srp_dot(p: int):
+        def weighted(x, i):
+            wbit = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"srp-{p}-"), i.cast("string"))),
+                        1, 15,
+                    ),
+                    16, 10,
+                )
+                .cast("bigint")
+                .bitwiseAND(F.lit(1))
+            )
+            return x.cast("double") * F.when(wbit == 1, 1.0).otherwise(-1.0)
+
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                weighted,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    srp_pack = sum(
+        F.when(srp_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(_Q77_SRP_PLANES)
+    )
+    srp_leg = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit("srpbits").alias("part"),
+        F.lit(0).cast("int").alias("idx"),
+        srp_pack.cast("bigint").alias("value"),
+    )
     return (
         perm_leg.unionByName(band_leg).unionByName(agree_leg)
         .unionByName(ann_leg).unionByName(simbits_leg).unionByName(simham_leg)
+        .unionByName(srp_leg)
     )
 
 
