@@ -29,7 +29,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import tokens
 
-__all__ = ["ngram_jaccard_join"]
+__all__ = ["ngram_jaccard_join", "ngram_containment_join"]
 
 #: intermediates pinned by the PREVIOUS ngram_jaccard_join call, released
 #: (non-blocking) at the next call so repeated invocations (bench loops,
@@ -220,4 +220,91 @@ def ngram_jaccard_join(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_join(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """All ORDERED pairs (id_a != id_b) with EXACT shingle-set containment
+    ``|A ∩ B| / |A| >= threshold`` — document A is (mostly) contained in B.
+
+    Containment is the asymmetric twin of ``ngram_jaccard_join``: a short
+    quote, excerpt, or chapter inside a long document scores near 1.0 here
+    while its symmetric Jaccard is tiny — the training-data case (quoted
+    passages, partial scrapes, embedded boilerplate) the Jaccard join
+    structurally cannot catch.
+
+    Prefix filter, containment form: ``|A ∩ B| >= ceil(t*|A|)`` forces A to
+    share an element of its rarest-first prefix of length
+    ``|A| - ceil(t*|A|) + 1`` with B — but places NO bound on B, so the
+    candidate join is A-prefix x B-all-shingles (still pruned by rarity:
+    prefixes hold the least frequent shingles). No length filter exists for
+    containment (a 10-shingle doc can be contained in a 10,000-shingle
+    one). Verification attaches both full hashed-shingle arrays id-keyed
+    and computes exact ``|A ∩ B| / |A|``. Same 64-bit hashed-shingle
+    representation, lazy-persist lifecycle, and AQE-only join policy as
+    ``ngram_jaccard_join`` (see its docstring for the measured rationale).
+    """
+    t = float(threshold)
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist(blocking=False)
+        except Exception:  # previous session already stopped — nothing to free
+            pass
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, id_col)
+
+    tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+    ex0 = tk.select("id", F.posexplode("tk").alias("pos", "tok"))
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    guard = parts[0].isNotNull()
+    for c in parts[1:]:
+        guard = guard & c.isNotNull()
+    dist = (
+        ex0.select("id", F.when(guard, F.xxhash64(*parts)).alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+        .withColumn("n", F.count("*").over(Window.partitionBy("id")))
+    )
+    if persist_intermediate:
+        dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+        _PINNED.append(dist)
+
+    freq = dist.groupBy("shingle").agg(F.count("*").alias("df_"))
+    wr = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
+    alpha_a = F.ceil(F.lit(t) * F.col("n"))
+    prefix_a = (
+        dist.join(freq, "shingle")
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= F.col("n") - alpha_a + 1)
+        .select(F.col("id").alias("id_a"), F.col("shingle"))
+    )
+    cand = (
+        prefix_a.join(
+            dist.select(F.col("id").alias("id_b"), "shingle"), "shingle"
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = dist.groupBy("id").agg(
+        F.collect_list("shingle").alias("h"), F.max("n").alias("n")
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", inter.cast("double") / F.col("n_a").cast("double"))
+        .filter(F.col("containment") >= t)
+        .select("id_a", "id_b", "containment")
     )

@@ -114,3 +114,67 @@ def test_no_persist_same_result(docs):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# ngram_containment_join (asymmetric: quote/excerpt detection)
+# ---------------------------------------------------------------------------
+
+def test_containment_detects_quote_in_long_doc(spark):
+    from pyspark_minhash_lsh_spark.operators.setjoin import ngram_containment_join
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    long_doc = " ".join(f"w{i}" for i in range(80)) + " " + quote
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, quote), (1, long_doc), (2, other)], "doc_id bigint, text string"
+    )
+    rows = {(r.id_a, r.id_b): r.containment
+            for r in ngram_containment_join(df, threshold=0.9).collect()}
+    # the quote is fully contained in the long doc...
+    assert rows[(0, 1)] == 1.0
+    # ...but not vice versa, and the unrelated doc matches nothing
+    assert (1, 0) not in rows
+    assert not any(2 in k for k in rows)
+
+
+def test_containment_matches_duckdb(spark):
+    import random
+
+    import duckdb
+
+    from pyspark_minhash_lsh_spark.operators.setjoin import ngram_containment_join
+
+    rng = random.Random(17)
+    words = [f"w{i}" for i in range(60)]
+    rows = []
+    for d in range(25):
+        n = rng.randrange(15, 40)
+        rows.append((d, " ".join(rng.choice(words) for _ in range(n))))
+    # inject one true excerpt pair
+    rows.append((100, rows[3][1].rsplit(" ", 1)[0].split(" ", 2)[2]))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r.id_a, r.id_b, round(r.containment, 6))
+        for r in ngram_containment_join(df, threshold=0.6).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = sorted(map(tuple, con.execute("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM t),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS s
+               FROM tok WHERE len(t) >= 2),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(CAST(c AS DOUBLE) / sz.n, 6) AS containment
+        FROM common JOIN sz ON sz.doc_id = id_a
+        WHERE CAST(c AS DOUBLE) / sz.n >= 0.6
+    """).fetchall()))
+    assert got == exp
