@@ -47,7 +47,12 @@ def profile_table(
     cols = columns if columns is not None else df.columns
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"_null_{c}"))
+        # coalesce: SUM over an empty table is NULL, but "0 nulls" is the
+        # right profile answer for a 0-row input
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("bigint")), F.lit(0))
+            .alias(f"_null_{c}")
+        )
         if exact:
             aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
         else:

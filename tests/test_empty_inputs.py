@@ -1,0 +1,101 @@
+"""Empty-corpus edge cases: every major operator must return a well-formed
+empty (or zero-stat) result on a 0-row input rather than crash — the guard
+for incremental pipelines whose daily batch can legitimately be empty."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+def test_exact_dedup_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.dedup import exact_dedup
+
+    assert exact_dedup(_empty_docs(spark)).count() == 0
+
+
+def test_line_dedup_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import line_dedup
+
+    out = line_dedup(_empty_docs(spark))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "text", "n_lines", "n_kept"]
+
+
+def test_remove_duplicated_spans_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import remove_duplicated_spans
+
+    assert remove_duplicated_spans(_empty_docs(spark)).count() == 0
+
+
+def test_profile_table_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.profile import profile_table
+
+    rows = {r.column: r for r in profile_table(_empty_docs(spark), exact=True).collect()}
+    assert set(rows) == {"doc_id", "text"}
+    for r in rows.values():
+        assert r.n_rows == 0 and r.n_nulls == 0 and r.n_distinct == 0
+        assert r.null_frac == 0.0
+        assert r.min_value is None and r.max_value is None
+
+
+def test_ngram_jaccard_join_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.setjoin import ngram_jaccard_join
+
+    assert ngram_jaccard_join(_empty_docs(spark), threshold=0.5).count() == 0
+
+
+def test_batch_ann_empty_queries(spark):
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+    docs = spark.createDataFrame(
+        [(0, "some corpus document with words"), (1, "another corpus document")],
+        "doc_id bigint, text string",
+    )
+    model = MinHashLSH().fit(docs, persist=False)
+    queries = spark.createDataFrame([], "query_id bigint, text string")
+    assert model.approx_nearest_neighbors_batch(queries, n=3).count() == 0
+
+
+def test_incremental_dedup_empty_batch(spark):
+    from pyspark_minhash_lsh_spark.operators.dedup import incremental_exact_dedup
+
+    seen = spark.createDataFrame(
+        [(0, "already ingested text")], "doc_id bigint, text string"
+    )
+    out = incremental_exact_dedup(_empty_docs(spark), seen)
+    assert out.count() == 0
+
+
+def test_curate_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.curate import curate_corpus
+
+    out = curate_corpus(_empty_docs(spark))
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "text", "n_tokens", "quality", "component", "status"
+    ]
+
+
+def test_token_frequency_profile_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import token_frequency_profile
+
+    assert token_frequency_profile(_empty_docs(spark)).count() == 0
+
+
+def test_asof_join_empty_right(spark):
+    import datetime as dt
+
+    from pyspark_minhash_lsh_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, dt.datetime(2024, 1, 1, 10, 0, 0))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame([], "user_id bigint, ts timestamp, value double")
+    for d in ("backward", "forward", "nearest"):
+        out = asof_join(left, right, on="user_id", direction=d).collect()
+        assert len(out) == 1 and out[0].asof_value is None, d
