@@ -33,10 +33,15 @@ def normalized_text(text: Column) -> Column:
 def tokens(text: Column) -> Column:
     """``array<string>`` of whitespace tokens of the normalized text.
 
-    Empty / all-punctuation input yields an empty array (the reference's pandas
-    backend skips blank lines at load instead, ``minhash_in_memory.py:340-346``).
+    Empty / all-punctuation / NULL input yields an empty array (the
+    reference's pandas backend skips blank lines at load instead,
+    ``minhash_in_memory.py:340-346``). The NULL coalesce matters downstream:
+    without it a NULL-text row carries a NULL token array -> NULL
+    fingerprints/sizes, and rows silently vanish from key-equi-joins (a
+    real bug caught by the null-text probe) — with it a NULL document
+    behaves exactly like an empty one everywhere.
     """
-    toks = F.split(normalized_text(text), " ")
+    toks = F.split(F.coalesce(normalized_text(text), F.lit("")), " ")
     return F.filter(toks, lambda t: t != F.lit(""))
 
 

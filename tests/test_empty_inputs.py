@@ -99,3 +99,45 @@ def test_asof_join_empty_right(spark):
     for d in ("backward", "forward", "nearest"):
         out = asof_join(left, right, on="user_id", direction=d).collect()
         assert len(out) == 1 and out[0].asof_value is None, d
+
+
+# ---------------------------------------------------------------------------
+# NULL text rows (real scraped corpora contain them)
+# ---------------------------------------------------------------------------
+
+def _null_docs(spark):
+    return spark.createDataFrame(
+        [(0, "real text here with words"), (1, None), (2, None)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_tokens_null_is_empty_array(spark):
+    from pyspark_minhash_lsh_spark.functions.text import tokens
+
+    out = (
+        _null_docs(spark)
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .collect()
+    )
+    by_id = {r.doc_id: r.t for r in out}
+    assert by_id[1] == [] and by_id[2] == []  # null behaves like empty
+
+
+def test_exact_dedup_keeps_null_text_rows(spark):
+    """Regression: the fingerprint-keyed join must not drop NULL-text rows
+    (NULL keys never match in an equi-join); null docs group as empties."""
+    from pyspark_minhash_lsh_spark.operators.dedup import exact_dedup
+
+    out = {r.doc_id: r for r in exact_dedup(_null_docs(spark)).collect()}
+    assert len(out) == 3  # every input row present
+    assert out[1].group_size == 2 and out[2].group_size == 2
+    assert out[1].is_representative and not out[2].is_representative
+
+
+def test_curate_null_text_dropped_short(spark):
+    from pyspark_minhash_lsh_spark.operators.curate import curate_corpus
+
+    out = {r.doc_id: r for r in curate_corpus(_null_docs(spark)).collect()}
+    assert len(out) == 3
+    assert out[1].status == "drop_short" and out[1].n_tokens == 0
