@@ -49,10 +49,17 @@ class IvfFlat:
         pin the centroids); the full corpus is still assigned in the single
         ``transform`` pass. Assignment quality degrades only with extreme
         under-sampling; recall is governed by ``n_probe`` regardless.
+
+        NULL / empty embeddings are EXCLUDED from the index (MLlib's
+        vector conversion rejects them with an opaque NPE otherwise): a
+        vector-less row cannot be a similarity answer — the same effective
+        semantics as the SRP path, where a null embedding derives no bucket
+        keys and is never a candidate.
         """
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
+        df = df.where(F.col(emb_col).isNotNull() & (F.size(emb_col) > 0))
         feats = df.select(
             F.col(id_col), F.col(emb_col),
             array_to_vector(F.col(emb_col).cast("array<double>")).alias("_features"),

@@ -141,3 +141,19 @@ def test_curate_null_text_dropped_short(spark):
     out = {r.doc_id: r for r in curate_corpus(_null_docs(spark)).collect()}
     assert len(out) == 3
     assert out[1].status == "drop_short" and out[1].n_tokens == 0
+
+
+def test_ivf_excludes_null_and_empty_embeddings(spark):
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(10)]
+    rows += [(100, None), (101, [])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    model = IvfFlat(n_cells=2, seed=1).fit(emb, persist=False)
+    out = model.approx_cosine_topk([1.0] * 8, k=20, n_probe=2).collect()
+    ids = {r.vec_id for r in out}
+    assert 100 not in ids and 101 not in ids
+    assert len(out) == 10  # every real vector still indexed
