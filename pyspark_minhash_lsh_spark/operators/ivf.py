@@ -126,6 +126,36 @@ class IvfFlatModel:
             .limit(k)
         )
 
+    # -- persistence -------------------------------------------------------------------
+    def save_index(self, path: str, mode: str = "overwrite") -> None:
+        """Write the ``(id, embedding, cell)`` index as parquet, partitioned
+        by ``cell`` so a query's ``n_probe`` filter prunes partitions before
+        any scan (the FAISS inverted-list layout as a parquet directory).
+        Centroids (model state, n_cells rows) and params ride in
+        underscore-prefixed sidecars the main read ignores."""
+        self.index.write.mode(mode).partitionBy("cell").parquet(path)
+        spark = self.index.sparkSession
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/_centroids")
+        spark.createDataFrame(
+            [(self.ivf.n_cells, self.ivf.seed, self.emb_col, self.id_col)],
+            "n_cells int, seed int, emb_col string, id_col string",
+        ).coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/_params")
+
+    @classmethod
+    def load_index(cls, spark, path: str) -> "IvfFlatModel":
+        """Rehydrate a saved IVF index without re-running KMeans."""
+        p = spark.read.parquet(path.rstrip("/") + "/_params").head()
+        cent_rows = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
+        centroids = [
+            list(r.centroid) for r in sorted(cent_rows, key=lambda r: r.cell)
+        ]
+        index = spark.read.parquet(path).select(p.id_col, p.emb_col, "cell")
+        return cls(IvfFlat(n_cells=p.n_cells, seed=p.seed), index, centroids,
+                   p.emb_col, p.id_col)
+
     def approx_cosine_topk_batch(
         self,
         queries: DataFrame,

@@ -252,3 +252,27 @@ class SrpLshModel:
 
     def unpersist(self) -> None:
         self.index.unpersist()
+
+    # -- persistence -------------------------------------------------------------------
+    def save_index(self, path: str, mode: str = "overwrite") -> None:
+        """Write the ``(id, embedding, srp_keys)`` index as parquet so later
+        sessions serve queries without re-projecting keys. The hyperplanes
+        are derived deterministically from ``(seed, table, plane, dim)``, so
+        only the data needs to persist — the model parameters ride along in
+        a one-row sidecar under ``<path>/_params``."""
+        self.index.write.mode(mode).parquet(path)
+        spark = self.index.sparkSession
+        spark.createDataFrame(
+            [(self.lsh.num_planes, self.lsh.num_tables, self.lsh.seed,
+              self.emb_col, self.id_col)],
+            "num_planes int, num_tables int, seed int, emb_col string, id_col string",
+        ).coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/_params")
+
+    @classmethod
+    def load_index(cls, spark, path: str) -> "SrpLshModel":
+        """Rehydrate a saved SRP index; queries work immediately (no refit —
+        key derivation is deterministic from the saved params)."""
+        p = spark.read.parquet(path.rstrip("/") + "/_params").head()
+        lsh = SrpLsh(num_planes=p.num_planes, num_tables=p.num_tables, seed=p.seed)
+        index = spark.read.parquet(path).select(p.id_col, p.emb_col, "srp_keys")
+        return cls(lsh, index, p.emb_col, p.id_col)

@@ -258,3 +258,51 @@ def test_save_index_append_mode(spark, tmp_path):
     a = {r.doc_id: list(r.signature) for r in loaded.index.collect()}
     b = {r.doc_id: list(r.signature) for r in full.index.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SRP / IVF index persistence (parity with MinHashLSHModel.save/load_index)
+# ---------------------------------------------------------------------------
+
+def _embs(spark, n=40, dim=8, seed=5):
+    import random
+
+    rng = random.Random(seed)
+    return spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_srp_index_save_load_same_results(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.similarity import SrpLsh, SrpLshModel
+
+    emb = _embs(spark)
+    model = SrpLsh(num_planes=6, num_tables=3, seed=2).fit(emb, persist=False)
+    q = [1.0] * 8
+    want = sorted((r.vec_id, round(r.cosine, 9))
+                  for r in model.approx_cosine_topk(q, k=5).collect())
+    path = str(tmp_path / "srp_idx")
+    model.save_index(path)
+    loaded = SrpLshModel.load_index(spark, path)
+    got = sorted((r.vec_id, round(r.cosine, 9))
+                 for r in loaded.approx_cosine_topk(q, k=5).collect())
+    assert got == want
+    assert loaded.lsh.num_planes == 6 and loaded.lsh.seed == 2
+
+
+def test_ivf_index_save_load_same_results(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat, IvfFlatModel
+
+    emb = _embs(spark)
+    model = IvfFlat(n_cells=4, seed=1).fit(emb, persist=False)
+    q = [1.0] * 8
+    want = sorted((r.vec_id, round(r.cosine, 9))
+                  for r in model.approx_cosine_topk(q, k=5, n_probe=4).collect())
+    path = str(tmp_path / "ivf_idx")
+    model.save_index(path)
+    loaded = IvfFlatModel.load_index(spark, path)
+    assert loaded.centroids == [[float(x) for x in c] for c in model.centroids]
+    got = sorted((r.vec_id, round(r.cosine, 9))
+                 for r in loaded.approx_cosine_topk(q, k=5, n_probe=4).collect())
+    assert got == want
