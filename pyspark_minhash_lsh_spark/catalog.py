@@ -657,31 +657,6 @@ def q20_token_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q23_common_shingles",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
-         sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
-                                    ELSE [] END AS s FROM tok),
-         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)
-    SELECT shingle, COUNT(*) AS doc_freq
-    FROM ex GROUP BY shingle HAVING COUNT(*) >= 4
-    """,
-)
-def q23_common_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc-frequency >= min_df stop-shingle filter (reference F-d,
-    minhash_pyspark.py:405-409; off-by-one standardized to >= per SURVEY §7.3).
-    Shingles are distinct per doc, so count(*) == doc frequency."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size)
-    return (
-        docs.select(F.explode(sh).alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count("*").alias("doc_freq"))
-        .filter(F.col("doc_freq") >= DEFAULT_CONFIG.min_df)
-    )
-
-
-@query(
     "q24_exact_dedup",
     oracle=f"""
     WITH norm AS (
@@ -1178,6 +1153,85 @@ def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q78_corpus_overlap",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, {_DUCK_TOKENS} AS t FROM documents),
+         sh AS (SELECT doc_id, source,
+                       CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                            ELSE [] END AS s FROM tok),
+         gs AS (SELECT DISTINCT source, unnest(s) AS shingle FROM sh),
+         sizes AS (SELECT source, COUNT(*) AS n FROM gs GROUP BY source),
+         common AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+                  COUNT(*) AS n_common
+           FROM gs a JOIN gs b
+             ON a.shingle = b.shingle AND a.source < b.source
+           GROUP BY 1, 2),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         fo AS (SELECT shingle, MIN(doc_id) AS first_id FROM ex
+                GROUP BY shingle),
+         nov AS (
+           SELECT e.doc_id, COUNT(*) AS n_shingles,
+                  SUM(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END)
+                    AS n_novel
+           FROM ex e JOIN fo f ON e.shingle = f.shingle
+           GROUP BY e.doc_id)
+    SELECT 'overlap' AS op, source_a AS a, source_b AS b,
+           x.n AS k1, y.n AS k2, n_common AS k3,
+           ROUND(CAST(n_common AS DOUBLE) / (x.n + y.n - n_common), 4) AS v1,
+           ROUND(CAST(n_common AS DOUBLE) / LEAST(x.n, y.n), 4) AS v2
+    FROM common
+    JOIN sizes x ON x.source = source_a
+    JOIN sizes y ON y.source = source_b
+    UNION ALL
+    SELECT 'novelty' AS op, CAST(d.doc_id AS VARCHAR) AS a,
+           CAST(NULL AS VARCHAR) AS b,
+           COALESCE(n_shingles, 0) AS k1, COALESCE(n_novel, 0) AS k2,
+           CAST(NULL AS BIGINT) AS k3,
+           ROUND(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS v1,
+           CAST(NULL AS DOUBLE) AS v2
+    FROM documents d LEFT JOIN nov ON nov.doc_id = d.doc_id
+    """,
+)
+def q78_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics (operators/corpus_stats.py) in one tagged
+    union — both EXACT set computations, fully oracle-backed:
+      - overlap: pairwise distinct-shingle Jaccard + containment between
+        sources (``source_overlap``) — which dumps duplicate each other;
+        a=source_a, b=source_b, k1/k2=vocab sizes, k3=shared, v1=jaccard,
+        v2=containment;
+      - novelty: per-document fraction of shingles first introduced by that
+        document (``ngram_novelty``) — mosaic-duplication score no pairwise
+        threshold catches; a=doc_id, k1=n_shingles, k2=n_novel, v1=novelty.
+    Default 64-bit hashed shingle keys (counts identical to the oracle's
+    string keys barring 2^-64 collisions — the q25 PPJoin posture)."""
+    from .operators.corpus_stats import ngram_novelty, source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    ov = source_overlap(docs).select(
+        F.lit("overlap").alias("op"),
+        F.col("source_a").alias("a"),
+        F.col("source_b").alias("b"),
+        F.col("n_a").alias("k1"),
+        F.col("n_b").alias("k2"),
+        F.col("n_common").alias("k3"),
+        F.col("jaccard").alias("v1"),
+        F.col("containment").alias("v2"),
+    )
+    nv = ngram_novelty(docs).select(
+        F.lit("novelty").alias("op"),
+        F.col("doc_id").cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.col("n_shingles").alias("k1"),
+        F.col("n_novel").alias("k2"),
+        F.lit(None).cast("bigint").alias("k3"),
+        F.col("novelty").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return ov.unionByName(nv)
+
+
 # =====================================================================================
 # Hash-dependent operators — rows-only checks (no DuckDB oracle, as sanctioned)
 # =====================================================================================
@@ -1563,20 +1617,43 @@ def q42_relational_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q48_vocabulary",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
-         sh AS (SELECT CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
-                            ELSE [] END AS s FROM tok),
-         u AS (SELECT DISTINCT unnest(s) AS shingle FROM sh)
-    SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) - 1 AS BIGINT) AS idx
+         sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                                    ELSE [] END AS s FROM tok),
+         u AS (SELECT DISTINCT unnest(s) AS shingle FROM sh),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)
+    SELECT 'vocab' AS leg, shingle,
+           CAST(ROW_NUMBER() OVER (ORDER BY shingle) - 1 AS BIGINT) AS n
     FROM u
+    UNION ALL
+    SELECT 'common' AS leg, shingle, COUNT(*) AS n
+    FROM ex GROUP BY shingle HAVING COUNT(*) >= 4
     """,
 )
 def q48_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fitted-vocabulary dim table (reference _build_shing_dict,
-    minhash_pyspark.py:341-371): distinct corpus shingles with dense
-    lexicographic 0-based indices, built distributed."""
+    """Shingle-vocabulary aggregates in one tagged union (merged from
+    round-2's q48 + q23 under the driver's 50-query budget):
+      - vocab: fitted-vocabulary dim table (reference _build_shing_dict,
+        minhash_pyspark.py:341-371) — distinct corpus shingles with dense
+        lexicographic 0-based indices, built distributed;
+      - common: doc-frequency >= min_df stop-shingle filter (reference F-d,
+        minhash_pyspark.py:405-409; off-by-one standardized to >= per
+        SURVEY §7.3). Shingles are distinct per doc, so count(*) == doc freq.
+    """
     from .operators.vocab import fit_vocabulary
 
-    return fit_vocabulary(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    vocab = fit_vocabulary(docs).select(
+        F.lit("vocab").alias("leg"), "shingle", F.col("idx").alias("n")
+    )
+    sh = shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size)
+    common = (
+        docs.select(F.explode(sh).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= DEFAULT_CONFIG.min_df)
+        .select(F.lit("common").alias("leg"), "shingle", "n")
+    )
+    return vocab.unionByName(common)
 
 
 @query(
@@ -2487,7 +2564,7 @@ def q76_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      are additionally pytest-verified at value level).
 # Query ids are stable historical labels, not positions — q04 was folded
 # into q03 during round-1 development and the id was retired, like the ids
-# merged away this round (q08/q13/q21/q22/q36/q37/q43/q44/q45/q49/q61/q71
+# merged away this round (q08/q13/q21/q22/q23/q36/q37/q43/q44/q45/q49/q61/q71
 # and the suite-folded q31/q34/q39/q40/q41/q46/q47/q50/q51/q65/q72/q73).
 # =====================================================================================
 
@@ -2516,6 +2593,7 @@ _CURATED_ORDER = [
     "q29_doc_quality",
     "q42_relational_ops",
     "q77_minhash_oracle",
+    "q78_corpus_overlap",
     # -- block 2: driver-green in round 2 (oracle-backed, re-verified) -------------
     "q01_pricing_summary",
     "q02_mktsegment_stats",
@@ -2531,7 +2609,6 @@ _CURATED_ORDER = [
     "q17_events_json",
     "q18_events_pivot",
     "q19_user_sessions",
-    "q23_common_shingles",
     "q24_exact_dedup",
     "q25_ngram_jaccard_pairs",
     "q26_cosine_topk",

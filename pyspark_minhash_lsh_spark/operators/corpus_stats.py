@@ -1,0 +1,180 @@
+"""Corpus-level n-gram statistics: cross-source overlap and per-doc novelty.
+
+Two curation questions every large-scale training-data pipeline asks before
+mixing sources:
+
+  - ``source_overlap`` — *which sources duplicate each other?* Pairwise
+    set-similarity (Jaccard + containment) between the distinct k-shingle
+    vocabularies of each source/domain/dump. Crawl snapshots overlap heavily
+    release-to-release; quantifying that overlap decides which dumps are worth
+    deduping against each other at all.
+  - ``ngram_novelty`` — *how much of each document is new text?* Fraction of a
+    document's distinct shingles whose first corpus occurrence (min doc id) is
+    this document. Low-novelty documents are recombinations of already-seen
+    text (boilerplate, templates, quote farms) and are prime filter/downweight
+    candidates even when no single pairwise near-dup fires.
+
+Both are exact set computations (oracle-able in ANSI SQL), not sketches, and
+both are shaped for 100 TB:
+
+  - the only corpus-sized shuffles are keyed on the shingle (64-bit hashed by
+    default, so 8-byte keys move, never shingle text — same sanctioned
+    collision posture as the PPJoin in ``setjoin.py``);
+  - per-source sizes / group counts are tiny dimension tables (|sources| rows)
+    and broadcast;
+  - the overlap self-join replicates each shingle row once per source that
+    contains it, so a shingle present in G sources costs O(G^2) pair rows.
+    With file-level sources G is small; for domain-level grouping (G up to
+    millions) ``max_group_freq`` prunes ubiquitous shingles (stop-shingles
+    carry no overlap signal anyway — identical role to the reference's
+    ``COMMON_THRES`` stop-shingle filter, minhash_pyspark.py:405-409).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+__all__ = ["source_overlap", "ngram_novelty"]
+
+
+def _shingle_col(text: Column, shingle_size: int) -> Column:
+    return shingles(tokens(text), shingle_size)
+
+
+def source_overlap(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_size: int = 2,
+    min_jaccard: float = 0.0,
+    max_group_freq: int | None = None,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Pairwise n-gram overlap between document groups (sources/domains/dumps).
+
+    Returns one row per unordered group pair ``(source_a < source_b)`` that
+    shares at least one shingle and clears ``min_jaccard``::
+
+        source_a, source_b, n_a, n_b, n_common,
+        jaccard     = n_common / (n_a + n_b - n_common)        (round 4)
+        containment = n_common / least(n_a, n_b)               (round 4)
+
+    ``n_a``/``n_b`` are the distinct-shingle vocabulary sizes of each group.
+    Containment catches the subset case Jaccard hides: a small dump fully
+    contained in a big one has low Jaccard but containment ~1.
+
+    Plan shape (audited in tests): explode -> DISTINCT (group, shingle-key)
+    [one shuffle on the shingle key] -> optional stop-shingle prune
+    (``max_group_freq``) -> shingle-keyed self-join [same key, co-partitioned]
+    -> pair-keyed count [|pairs| <= G^2 rows] -> broadcast join of the G-row
+    size dim. Shingle text never shuffles when ``hash_shingles`` (default):
+    keys are ``xxhash64`` longs, the same 2^-64-collision posture sanctioned
+    for the PPJoin (setjoin.py) and its oracle.
+    """
+    sh = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_shingle_col(F.col(text_col), shingle_size)).alias("shingle"),
+    )
+    key = F.xxhash64("shingle") if hash_shingles else F.col("shingle")
+    gs = sh.select("grp", key.alias("sk")).distinct()
+
+    if max_group_freq is not None:
+        # stop-shingle prune: a shingle in > max_group_freq groups contributes
+        # O(G^2) join rows and ~zero pairwise signal — drop it BEFORE the
+        # self-join (window-free: one more agg on the already-partitioned key)
+        freq = gs.groupBy("sk").agg(F.count("*").alias("gf"))
+        gs = gs.join(freq.filter(F.col("gf") <= max_group_freq), "sk", "inner").select(
+            "grp", "sk"
+        )
+
+    sizes = gs.groupBy("grp").agg(F.count("*").alias("n"))
+
+    a = gs.alias("a")
+    b = gs.alias("b")
+    common = (
+        a.join(b, (F.col("a.sk") == F.col("b.sk")) & (F.col("a.grp") < F.col("b.grp")))
+        .groupBy(F.col("a.grp").alias("source_a"), F.col("b.grp").alias("source_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+
+    sz_a = F.broadcast(sizes.select(F.col("grp"), F.col("n").alias("n_a")))
+    sz_b = F.broadcast(sizes.select(F.col("grp"), F.col("n").alias("n_b")))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    out = (
+        common.join(sz_a, F.col("source_a") == sz_a.grp).drop("grp")
+        .join(sz_b, F.col("source_b") == sz_b.grp).drop("grp")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(jac, 4).alias("jaccard"),
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 4).alias("containment"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(jac >= min_jaccard)
+    return out
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 2,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Per-document n-gram novelty vs every earlier document (by ``id_col``).
+
+    For each document: of its distinct shingles, how many does it introduce to
+    the corpus (no document with a smaller id contains them)?  Returns one row
+    per input document::
+
+        doc_id, n_shingles, n_novel,
+        novelty = n_novel / n_shingles   (round 6; NULL for shingle-less docs)
+
+    The first document scores 1.0 by construction; an exact copy of any
+    earlier document scores 0.0. Unlike pairwise near-dup detection this
+    catches *mosaic* duplication — a document stitched from pieces of many
+    earlier documents never fires a pairwise Jaccard threshold but scores near
+    zero here.
+
+    Plan shape: explode -> shingle-keyed ``min(id)`` aggregate (map-side
+    partial combine carries the heavy load — corpus-frequency skew lands on
+    the combiner, not one reducer) -> join back on the same shingle key
+    [co-partitioned] -> doc-keyed agg -> left join onto the doc spine so empty
+    documents keep a row. All shuffles are on high-cardinality keys; with
+    ``hash_shingles`` (default) only 16-byte (key, id) rows move.
+    """
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingle_col(F.col(text_col), shingle_size)).alias("shingle"),
+    )
+    key = F.xxhash64("shingle") if hash_shingles else F.col("shingle")
+    ex = ex.select("doc_id", key.alias("sk"))
+
+    first = ex.groupBy("sk").agg(F.min("doc_id").alias("first_id"))
+    per_doc = (
+        ex.join(first, "sk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_id") == F.col("doc_id")).cast("bigint")).alias("n_novel"),
+        )
+    )
+    return (
+        ids.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )

@@ -1,0 +1,219 @@
+"""Value-level tests for operators/corpus_stats.py (source_overlap /
+ngram_novelty) on constructed corpora, plus hashed-vs-string key parity,
+stop-shingle pruning, a randomized DuckDB comparison, and plan shape."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from pyspark_minhash_lsh_spark.operators.corpus_stats import (
+    ngram_novelty,
+    source_overlap,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+# ---------------------------------------------------------------------------
+# source_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_known_values(spark):
+    # src A shingles: {a b, b c, c d} (3); src B: {b c, c d, d e, e f} (4);
+    # shared = {b c, c d} (2) -> jaccard 2/5, containment 2/3
+    docs = _docs(spark, [
+        (0, "a b c d", "A"),
+        (1, "b c d e f", "B"),
+    ])
+    [r] = source_overlap(docs).collect()
+    assert (r.source_a, r.source_b) == ("A", "B")
+    assert (r.n_a, r.n_b, r.n_common) == (3, 4, 2)
+    assert r.jaccard == round(2 / 5, 4)
+    assert r.containment == round(2 / 3, 4)
+
+
+def test_source_overlap_disjoint_pair_absent(spark):
+    docs = _docs(spark, [
+        (0, "a b c", "A"),
+        (1, "x y z", "B"),
+        (2, "a b", "C"),  # shares 'a b' with A only
+    ])
+    rows = {(r.source_a, r.source_b): r for r in source_overlap(docs).collect()}
+    assert set(rows) == {("A", "C")}
+    assert rows[("A", "C")].n_common == 1
+
+
+def test_source_overlap_multiple_docs_union_per_source(spark):
+    # vocab is the UNION of the source's docs (distinct), not per-doc sums
+    docs = _docs(spark, [
+        (0, "a b c", "A"),
+        (1, "a b c", "A"),  # duplicate doc adds nothing to A's vocabulary
+        (2, "a b c", "B"),
+    ])
+    [r] = source_overlap(docs).collect()
+    assert (r.n_a, r.n_b, r.n_common) == (2, 2, 2)
+    assert r.jaccard == 1.0 and r.containment == 1.0
+
+
+def test_source_overlap_hash_parity_and_min_jaccard(spark):
+    docs = _docs(spark, [
+        (0, "a b c d e", "A"),
+        (1, "c d e f g", "B"),
+        (2, "a b", "C"),
+    ])
+    hashed = sorted(map(tuple, source_overlap(docs).collect()))
+    plain = sorted(map(tuple, source_overlap(docs, hash_shingles=False).collect()))
+    assert hashed == plain
+    strict = source_overlap(docs, min_jaccard=0.3).collect()
+    assert all(r.jaccard >= 0.3 for r in strict)
+    assert len(strict) < len(hashed)
+
+
+def test_source_overlap_max_group_freq_prunes_ubiquitous(spark):
+    # 'x y' is in all three sources -> pruned at max_group_freq=2, so the
+    # only surviving overlap is A/B's 'p q'
+    docs = _docs(spark, [
+        (0, "x y p q", "A"),
+        (1, "x y p q", "B"),
+        (2, "x y m n", "C"),
+    ])
+    # shingles of "x y p q" = {x y, y p, p q}; the prune removes 'x y'
+    # (present in 3 > 2 groups), leaving A/B sharing {y p, p q}
+    pruned = {
+        (r.source_a, r.source_b): r.n_common
+        for r in source_overlap(docs, max_group_freq=2).collect()
+    }
+    assert pruned == {("A", "B"): 2}
+    full = {
+        (r.source_a, r.source_b): r.n_common
+        for r in source_overlap(docs).collect()
+    }
+    assert full[("A", "B")] == 3 and ("A", "C") in full
+
+
+def test_source_overlap_sizes_join_is_broadcast(spark):
+    docs = _docs(spark, [(0, "a b c", "A"), (1, "b c d", "B")])
+    plan = source_overlap(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_first_copy_mosaic_empty(spark):
+    docs = _docs(spark, [
+        (0, "a b c d", "s"),        # first doc: all 3 shingles novel
+        (1, "a b c d", "s"),        # exact copy: novelty 0
+        (2, "a b c x y z", "s"),    # {a b, b c} seen; {c x, x y, y z} new
+        (3, "", "s"),               # shingle-less: NULL novelty, counts 0
+    ])
+    rows = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert len(rows) == 4
+    assert rows[0].n_shingles == 3 and rows[0].novelty == 1.0
+    assert rows[1].n_shingles == 3 and rows[1].novelty == 0.0
+    assert rows[2].n_shingles == 5 and rows[2].n_novel == 3
+    assert rows[2].novelty == round(3 / 5, 6)
+    assert rows[3].n_shingles == 0 and rows[3].n_novel == 0
+    assert rows[3].novelty is None
+
+
+def test_ngram_novelty_order_is_by_id_not_input(spark):
+    # min(doc_id) defines "first", regardless of DataFrame row order
+    docs = _docs(spark, [
+        (5, "a b c", "s"),
+        (1, "a b c", "s"),
+    ])
+    rows = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert rows[1].novelty == 1.0
+    assert rows[5].novelty == 0.0
+
+
+def test_ngram_novelty_hash_parity(spark):
+    docs = _docs(spark, [
+        (0, "the quick brown fox", "s"),
+        (1, "the quick red fox", "s"),
+        (2, "", "s"),
+    ])
+    hashed = sorted(map(tuple, ngram_novelty(docs).collect()))
+    plain = sorted(map(tuple, ngram_novelty(docs, hash_shingles=False).collect()))
+    assert hashed == plain
+
+
+# ---------------------------------------------------------------------------
+# randomized DuckDB comparison (independent model, random corpora)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_randomized_duckdb_model(spark, seed):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (
+            i,
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))),
+            f"s{rng.randint(0, 3)}",
+        )
+        for i in range(60)
+    ]
+    docs = _docs(spark, rows)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    frag_tokens = (
+        "list_filter(string_split(trim(lower(regexp_replace(regexp_replace("
+        "text, '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))), ' '), x -> x <> '')"
+    )
+    frag_sh = (
+        "list_distinct(list_transform(generate_series(1, len(t) - 1), "
+        "i -> t[i] || ' ' || t[i + 1]))"
+    )
+    base = f"""
+    WITH tok AS (SELECT doc_id, source, {frag_tokens} AS t FROM documents),
+         sh AS (SELECT doc_id, source,
+                       CASE WHEN len(t) >= 2 THEN {frag_sh} ELSE [] END AS s
+                FROM tok)
+    """
+
+    duck_ov = con.execute(base + """
+        , gs AS (SELECT DISTINCT source, unnest(s) AS shingle FROM sh),
+        sizes AS (SELECT source, COUNT(*) AS n FROM gs GROUP BY source),
+        common AS (
+          SELECT a.source sa, b.source sb, COUNT(*) c FROM gs a JOIN gs b
+          ON a.shingle = b.shingle AND a.source < b.source GROUP BY 1, 2)
+        SELECT sa, sb, x.n, y.n, c FROM common
+        JOIN sizes x ON x.source = sa JOIN sizes y ON y.source = sb
+        ORDER BY sa, sb
+    """).fetchall()
+    spark_ov = sorted(
+        (r.source_a, r.source_b, r.n_a, r.n_b, r.n_common)
+        for r in source_overlap(docs).collect()
+    )
+    assert spark_ov == [tuple(r) for r in duck_ov]
+
+    duck_nov = con.execute(base + """
+        , ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        fo AS (SELECT shingle, MIN(doc_id) f FROM ex GROUP BY shingle)
+        SELECT e.doc_id, COUNT(*),
+               SUM(CASE WHEN fo.f = e.doc_id THEN 1 ELSE 0 END)
+        FROM ex e JOIN fo ON fo.shingle = e.shingle
+        GROUP BY e.doc_id ORDER BY e.doc_id
+    """).fetchall()
+    spark_nov = sorted(
+        (r.doc_id, r.n_shingles, r.n_novel)
+        for r in ngram_novelty(docs).collect()
+        if r.n_shingles > 0
+    )
+    assert spark_nov == [tuple(r) for r in duck_nov]
