@@ -6,6 +6,7 @@ from .sampling import (
     shard_assignment,
     weighted_resample,
 )
+from .corpus_stats import ngram_novelty, source_overlap
 from .curate import curate_corpus
 from .profile import profile_table
 from .search import bm25_search
@@ -41,4 +42,6 @@ __all__ = [
     "line_dedup",
     "profile_table",
     "curate_corpus",
+    "source_overlap",
+    "ngram_novelty",
 ]

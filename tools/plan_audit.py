@@ -35,6 +35,9 @@ ASSERTIONS = [
     ("q57_asof_join", [], ["Join"]),
     # BM25 top-k plans as TakeOrderedAndProject (no global sort, no collect)
     ("q63_bm25_search", ["TakeOrderedAndProject"], []),
+    # corpus overlap joins the tiny per-source size dim via broadcast and
+    # must never degrade to a cartesian pair enumeration
+    ("q78_corpus_overlap", ["BroadcastHashJoin"], ["CartesianProduct"]),
 ]
 
 MARKERS = [
