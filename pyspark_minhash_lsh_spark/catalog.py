@@ -2347,12 +2347,15 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seven dedup/curation operators end-to-end, one summary row each — rows-only
+    """Eight dedup/curation operators end-to-end, one summary row each — rows-only
     (all are signature/hash dependent; see the suite-curation note above).
     Legs (folding round-2's q34, q39, q50, q51, q65):
       - simhash_bits: relational SimHash fingerprints (bit-sum facets);
       - simhash_pairs: Manku block-combination banded pairs, hamming <= 3;
       - embedding_dedup: SRP candidates -> exact cosine -> components;
+      - semantic_cells: SemDeDup-style cluster-scoped dedup (KMeans cells ->
+        within-cell cosine -> components), the alternative candidate
+        generator to the SRP path;
       - near_dedup_batch: batch twin of the multi-band streaming dedup
         (stream==batch equality is tested in tests/test_streaming.py);
       - incremental_near_dedup: constructed batch vs seen corpus (exact twin
@@ -2369,6 +2372,7 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import (
         embedding_dedup,
         incremental_near_dedup,
+        semantic_dedup_cells,
         simhash_near_pairs,
     )
     from .operators.textpipe import line_dedup
@@ -2390,6 +2394,12 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edd = embedding_dedup(emb, min_cosine=0.9, num_tables=8)
     leg_edd = _suite_row(
         edd, "embedding_dedup", F.sum(F.col("is_representative").cast("bigint")),
+        F.countDistinct("component"),
+    )
+
+    sdc = semantic_dedup_cells(emb, min_cosine=0.9, n_cells=8)
+    leg_sdc = _suite_row(
+        sdc, "semantic_cells", F.sum(F.col("is_representative").cast("bigint")),
         F.countDistinct("component"),
     )
 
@@ -2424,6 +2434,7 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         leg_bits.unionByName(leg_pairs).unionByName(leg_edd)
+        .unionByName(leg_sdc)
         .unionByName(leg_ndb).unionByName(leg_inc).unionByName(leg_ld)
         .unionByName(leg_cur)
     )

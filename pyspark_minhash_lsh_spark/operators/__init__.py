@@ -1,4 +1,8 @@
-from .dedup import incremental_exact_dedup, incremental_near_dedup
+from .dedup import (
+    incremental_exact_dedup,
+    incremental_near_dedup,
+    semantic_dedup_cells,
+)
 from .minhash_lsh import MinHashLSH, MinHashLSHModel
 from .sampling import (
     deterministic_split,
@@ -44,4 +48,5 @@ __all__ = [
     "curate_corpus",
     "source_overlap",
     "ngram_novelty",
+    "semantic_dedup_cells",
 ]

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG, MinHashLSHConfig
 from ..functions.hashing import content_fingerprint, hamming_distance, simhash_bits_df
 from ..functions.text import tokens
+from ..functions.vectors import cosine_similarity
 from .minhash_lsh import MinHashLSH
 from .setjoin import ngram_jaccard_join
 
@@ -37,6 +38,7 @@ __all__ = [
     "minhash_dedup",
     "ngram_dedup",
     "embedding_dedup",
+    "semantic_dedup_cells",
     "simhash_near_pairs",
     "simhash_dedup",
     "incremental_exact_dedup",
@@ -308,6 +310,100 @@ def embedding_dedup(
         out = _label_output(df, comp, id_col, score_col).localCheckpoint(eager=True)
     finally:
         model.unpersist()
+    return out
+
+
+def semantic_dedup_cells(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 1,
+    train_fraction: float = 1.0,
+    max_cell_size: Optional[int] = None,
+    max_iter: int = 10,
+    score_col: Optional[str] = None,
+) -> DataFrame:
+    """Cluster-scoped semantic dedup (SemDeDup-style, Abbas et al. 2023):
+    KMeans-cell the embeddings, verify exact cosine >= threshold only
+    WITHIN each cell, then connected components.
+
+    The alternative candidate generator to ``embedding_dedup``'s SRP-LSH:
+    SRP recall follows the hyperplane S-curve per pair, while cell scoping
+    is the published SemDeDup recipe — near-dups sit in the same semantic
+    cluster, so within-cell pairwise finds them without any corpus-wide
+    pair enumeration. The known boundary effect (a pair split across two
+    cells is missed) is inherent to the approach; run the SRP variant when
+    cross-boundary recall matters more than cluster interpretability.
+
+    Scale posture: the only quadratic stage is the within-cell self-join,
+    O(sum cell_size^2) — pick ``n_cells ~ N/1000`` so expected cells hold
+    ~1000 vectors (the paper's regime), and ``train_fraction`` to train
+    KMeans on a sample while still assigning every vector (IvfFlat.fit).
+    ``max_cell_size`` excludes degenerate cells entirely (the hot-bucket
+    cap of the LSH paths): a cell that big means the quantizer under-fit —
+    raise ``n_cells`` rather than brute-forcing it. ``n_cells=1`` degrades
+    to exact all-pairs dedup — the oracle-able small-N mode (tested against
+    brute force). Output matches every dedup op here:
+    ``(id, component, is_representative)``, representative = min id or
+    highest ``score_col`` member.
+    """
+    from .ivf import IvfFlat
+
+    if n_cells == 1:
+        # exact all-pairs mode (MLlib KMeans needs k >= 2, and a single cell
+        # has no quantizer to fit anyway); same NULL/empty exclusion as
+        # IvfFlat.fit — a vector-less row can never be a candidate
+        model = None
+        base_cells = (
+            df.where(F.col(emb_col).isNotNull() & (F.size(emb_col) > 0))
+            .select(
+                F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
+                F.lit(0).alias("cell"),
+            )
+            .persist()
+        )
+        cells = base_cells
+    else:
+        model = IvfFlat(n_cells=n_cells, seed=seed).fit(
+            df, emb_col=emb_col, id_col=id_col, persist=True,
+            train_fraction=train_fraction,
+        )
+        cells = model.index.select(
+            F.col(model.id_col).alias("id"), F.col(model.emb_col).alias("emb"),
+            "cell",
+        )
+    try:
+        if max_cell_size is not None:
+            big = (
+                cells.groupBy("cell").agg(F.count("*").alias("n"))
+                .filter(F.col("n") > max_cell_size)
+                .select("cell")
+            )
+            cells = cells.join(big, "cell", "left_anti")
+        a = cells.select(
+            F.col("cell"), F.col("id").alias("id_a"), F.col("emb").alias("emb_a")
+        )
+        b = cells.select(
+            F.col("cell"), F.col("id").alias("id_b"), F.col("emb").alias("emb_b")
+        )
+        edges = (
+            a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                cosine_similarity(F.col("emb_a"), F.col("emb_b")) >= min_cosine
+            )
+            .select("id_a", "id_b")
+        )
+        comp = connected_components(edges, max_iter=max_iter)
+        # materialize before unpersisting the index the edge plan reads
+        out = _label_output(df, comp, id_col, score_col).localCheckpoint(eager=True)
+    finally:
+        if model is not None:
+            model.unpersist()
+        else:
+            base_cells.unpersist()
     return out
 
 

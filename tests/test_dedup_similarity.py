@@ -268,3 +268,115 @@ def test_minhash_dedup_score_col(spark):
         by_comp.setdefault(r.component, 0)
         by_comp[r.component] += int(r.is_representative)
     assert all(v == 1 for v in by_comp.values())
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_cells (SemDeDup-style cluster-scoped embedding dedup)
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_semantic_dedup_cells_clusters(spark):
+    """Same constructed corpus as the SRP-path test: two tight clusters plus
+    singletons -> identical clustering through the cell-scoped generator
+    (near-identical vectors always share a KMeans cell)."""
+    from pyspark_minhash_lsh_spark.operators.dedup import semantic_dedup_cells
+
+    rng = random.Random(7)
+    dim = 32
+    c1, c2 = _unit(rng, dim), _unit(rng, dim)
+    rows = [(i, [x + rng.gauss(0, 0.01) for x in c1]) for i in range(3)]
+    rows += [(i, [x + rng.gauss(0, 0.01) for x in c2]) for i in range(3, 5)]
+    rows += [(i, _unit(rng, dim)) for i in range(5, 60)]
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup_cells(
+            _emb_df(spark, rows), min_cosine=0.98, n_cells=6
+        ).collect()
+    }
+    assert len(out) == 60
+    assert all(out[i].component == 0 for i in range(3))
+    assert all(out[i].component == 3 for i in range(3, 5))
+    assert out[0].is_representative and out[3].is_representative
+    assert not any(out[i].is_representative for i in (1, 2, 4))
+    assert all(out[i].component == i for i in range(5, 60))
+
+
+def test_semantic_dedup_cells_single_cell_equals_bruteforce(spark):
+    """n_cells=1 degrades to exact all-pairs dedup: components must equal a
+    Python union-find over the brute-force cosine>=t edge set."""
+    from pyspark_minhash_lsh_spark.operators.dedup import semantic_dedup_cells
+
+    rng = random.Random(13)
+    dim = 16
+    # anchors + noisy copies at varied noise levels -> a rich edge set with
+    # chains (a-b and b-c >= t while a-c < t), exercising the transitivity
+    anchors = [_unit(rng, dim) for _ in range(6)]
+    rows = []
+    for i in range(40):
+        base = anchors[i % 6]
+        noise = rng.choice([0.02, 0.1, 0.25, 0.5])
+        rows.append((i, [x + rng.gauss(0, noise) for x in base]))
+    df = _emb_df(spark, rows)
+
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("ea"), F.col("eb")) >= 0.9)
+        .collect()
+    )
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in brute:
+        ra, rb = find(e.id_a), find(e.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(40)}
+    assert any(v != k for k, v in expected.items())  # non-trivial corpus
+
+    got = {
+        r.vec_id: r.component
+        for r in semantic_dedup_cells(df, min_cosine=0.9, n_cells=1).collect()
+    }
+    assert got == expected
+
+
+def test_semantic_dedup_cells_max_cell_size_and_score(spark):
+    from pyspark_minhash_lsh_spark.operators.dedup import semantic_dedup_cells
+
+    rng = random.Random(3)
+    dim = 16
+    c1 = _unit(rng, dim)
+    rows = [(i, [x + rng.gauss(0, 0.005) for x in c1]) for i in range(5)]
+    df = _emb_df(spark, rows).withColumn(
+        "score", (F.col("vec_id") == 2).cast("double")
+    )
+    # every vector lands in one cell of 5 > max_cell_size=4 -> the cell is
+    # excluded, no edges form, every row is its own singleton component
+    capped = semantic_dedup_cells(
+        df, min_cosine=0.9, n_cells=1, max_cell_size=4
+    ).collect()
+    assert all(r.component == r.vec_id and r.is_representative for r in capped)
+    # without the cap they cluster; score_col picks id 2 as representative
+    scored = {
+        r.vec_id: r
+        for r in semantic_dedup_cells(
+            df, min_cosine=0.9, n_cells=1, score_col="score"
+        ).collect()
+    }
+    assert all(r.component == 0 for r in scored.values())
+    reps = [i for i, r in scored.items() if r.is_representative]
+    assert reps == [2]
