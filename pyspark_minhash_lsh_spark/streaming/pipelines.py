@@ -111,6 +111,31 @@ def streaming_exact_dedup(
     return with_fp.dropDuplicates(["fingerprint"])
 
 
+def _lake_band_rows(lake_index: DataFrame, num_state_bands: int) -> DataFrame:
+    """Normalize a lake index to distinct monitored ``(band_idx, band_key)``
+    rows. Accepts either pre-exploded ``band_idx``/``band_key`` columns or a
+    ``band_keys`` array (the ``MinHashLSHModel`` index / ``save_index``
+    layout); only the first ``num_state_bands`` bands are monitored — the
+    same bands the stream keys its state on, so lake and in-stream recall
+    are identical by construction."""
+    if "band_idx" in lake_index.columns and "band_key" in lake_index.columns:
+        rows = lake_index.select("band_idx", "band_key").filter(
+            F.col("band_idx") < num_state_bands
+        )
+    elif "band_keys" in lake_index.columns:
+        rows = lake_index.select(
+            F.posexplode(F.slice("band_keys", 1, num_state_bands)).alias(
+                "band_idx", "band_key"
+            )
+        )
+    else:
+        raise ValueError(
+            "lake_index needs either a band_keys array column (saved "
+            "MinHashLSH index) or band_idx/band_key columns"
+        )
+    return rows.dropDuplicates(["band_idx", "band_key"])
+
+
 def streaming_near_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -120,6 +145,7 @@ def streaming_near_dedup(
     num_bands: int = 25,
     rows_per_band: int = 4,
     num_state_bands: int = 1,
+    lake_index: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming *near*-dup suppression via LSH band keys.
 
@@ -144,6 +170,21 @@ def streaming_near_dedup(
         query), or apply ``near_dedup_finalize`` in your own ``foreachBatch``
         — the batch path applies it inline. State is n keys/doc.
 
+    ``lake_index`` makes this the STREAMING INCREMENTAL dedup (the stream
+    twin of ``dedup.incremental_near_dedup``): a batch DataFrame carrying
+    the already-ingested corpus's band keys — pass ``MinHashLSHModel.index``
+    or the ``save_index`` parquet re-read — and every arrival whose
+    monitored band matches the lake is dropped via a stateless
+    stream-static LEFT ANTI join evaluated per micro-batch (appends to the
+    lake path are picked up batch-over-batch). In multi-band mode the
+    anti-join removes the matching band ROW and the finalize's
+    all-rows-present rule drops the doc, so a lake match on ANY monitored
+    band kills the arrival; its surviving band rows still seed the stream
+    state, giving the same conservative transitive chaining as the batch
+    incremental policy. Scale: the lake side shuffles 8-byte band keys only
+    (never signatures or text) — at warehouse scale point it at the saved
+    band-key index, not the corpus.
+
     The signature comes from the Arrow-vectorized per-row form (streaming
     can't take the relational groupBy path without stateful aggregation).
     """
@@ -162,6 +203,9 @@ def streaming_near_dedup(
             .withColumn("band_key", F.element_at(keys, 1))
             .drop("_sig")
         )
+        if lake_index is not None:
+            lake = _lake_band_rows(lake_index, 1).select("band_key")
+            keyed = keyed.join(lake, "band_key", "left_anti")
         if docs.isStreaming:
             return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
                 ["band_key"]
@@ -175,6 +219,12 @@ def streaming_near_dedup(
         .select("*", F.posexplode("_keys").alias("band_idx", "band_key"))
         .drop("_keys")
     )
+    if lake_index is not None:
+        banded = banded.join(
+            _lake_band_rows(lake_index, num_state_bands),
+            ["band_idx", "band_key"],
+            "left_anti",
+        )
     if docs.isStreaming:
         deduped = banded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["band_idx", "band_key"]
@@ -208,10 +258,13 @@ def start_near_dedup_stream(
     num_bands: int = 25,
     rows_per_band: int = 4,
     num_state_bands: int = 1,
+    lake_index: DataFrame | None = None,
     **start_kwargs,
 ):
     """ONE-CALL streaming near-dedup: wires ``streaming_near_dedup`` and (in
     multi-band mode) ``near_dedup_finalize`` together and starts the query.
+    ``lake_index`` adds the stream-vs-lake anti-join (see
+    ``streaming_near_dedup``).
 
     ``sink`` receives each micro-batch of fully-deduped DOCUMENT rows (band
     columns already collapsed): either a callable ``(batch_df, batch_id)``
@@ -229,6 +282,7 @@ def start_near_dedup_stream(
         docs, text_col=text_col, ts_col=ts_col, watermark=watermark,
         num_hashes=num_hashes, num_bands=num_bands,
         rows_per_band=rows_per_band, num_state_bands=num_state_bands,
+        lake_index=lake_index,
     )
     if not docs.isStreaming:
         raise ValueError(

@@ -251,3 +251,95 @@ def test_stateless_curation_stages_compose_with_streams(spark, tmp_path):
     assert got == want
     by_id = {t[0]: t for t in got}
     assert "<EMAIL>" in by_id[0][1] and "<PHONE>" in by_id[0][1]
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental near-dedup (stream vs lake index)
+# ---------------------------------------------------------------------------
+
+
+def _lake_and_arrivals(spark):
+    """Lake = first 40 synthetic docs (fitted index); arrivals = 20 exact
+    re-submissions of lake docs + 20 genuinely new docs."""
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+    rows = [(i, " ".join(f"tok{i}x{j}" for j in range(12)), i) for i in range(40)]
+    lake_df = spark.createDataFrame(rows, ["doc_id", "text", "off"])
+    model = MinHashLSH().fit(lake_df, text_col="text", id_col="doc_id",
+                             persist=False)
+
+    resub = [(100 + i, t, 100 + i) for (i, t, _) in rows[:20]]
+    fresh = [
+        (200 + i, " ".join(f"new{i}y{j}" for j in range(12)), 200 + i)
+        for i in range(20)
+    ]
+    arr = spark.createDataFrame(resub + fresh, ["doc_id", "text", "off"])
+    ts0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    arrivals = arr.select(
+        "doc_id", "text",
+        F.timestamp_seconds(F.unix_timestamp(ts0) + F.col("off")).alias("ts"),
+    )
+    return model.index, arrivals
+
+
+@pytest.mark.parametrize("nb", [1, 8])
+def test_near_dedup_vs_lake_batch(spark, nb):
+    """Arrivals matching the lake index are dropped; fresh docs survive —
+    in both single-band and multi-band state modes."""
+    lake_index, arrivals = _lake_and_arrivals(spark)
+    out = streaming_near_dedup(
+        arrivals.select("doc_id", "text", "ts"),
+        num_state_bands=nb, lake_index=lake_index,
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == list(range(200, 220))
+
+
+def test_near_dedup_vs_lake_stream_matches_batch(spark):
+    """The stream-static anti-join path (availableNow replay through
+    start_near_dedup_stream) emits exactly the batch twin's survivors."""
+    import tempfile
+
+    from pyspark_minhash_lsh_spark.streaming import start_near_dedup_stream
+
+    lake_index, arrivals = _lake_and_arrivals(spark)
+    nb = 8
+    src = arrivals.select("doc_id", "text", "ts")
+    batch_out = streaming_near_dedup(src, num_state_bands=nb,
+                                     lake_index=lake_index)
+
+    survivors = []
+    with tempfile.TemporaryDirectory() as d:
+        src.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(src.schema).parquet(d)
+        q = start_near_dedup_stream(
+            stream, lambda bdf, _bid: survivors.extend(bdf.collect()),
+            num_state_bands=nb, lake_index=lake_index,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    assert sorted(r.doc_id for r in survivors) == sorted(
+        r.doc_id for r in batch_out.collect()
+    )
+    assert len(survivors) == 20
+
+
+def test_near_dedup_vs_lake_accepts_exploded_rows(spark):
+    """The lake side also accepts pre-exploded (band_idx, band_key) rows —
+    the shape a warehouse would store band-bucketed."""
+    lake_index, arrivals = _lake_and_arrivals(spark)
+    exploded = lake_index.select(
+        F.posexplode("band_keys").alias("band_idx", "band_key")
+    )
+    a = streaming_near_dedup(
+        arrivals.select("doc_id", "text", "ts"),
+        num_state_bands=4, lake_index=lake_index,
+    )
+    b = streaming_near_dedup(
+        arrivals.select("doc_id", "text", "ts"),
+        num_state_bands=4, lake_index=exploded,
+    )
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
