@@ -12,6 +12,7 @@ north-star text-analysis group with *corpus-level* (cross-document) checks:
   - ``pack_documents``       — concat-and-chunk sequence packing by token budget
   - ``pii_redact``           — regex PII scrub (emails / IPv4 / phone numbers)
   - ``token_frequency_profile`` — corpus Zipf profile (frequency-of-frequencies)
+  - ``top_tokens_per_group`` — per-source top-k token table (domain fingerprint)
   - ``line_dedup``           — C4-style global line-level dedup (keep first)
 
 All are pure DataFrame programs over the shared ``tokens()`` kernel: narrow
@@ -37,6 +38,7 @@ __all__ = [
     "pack_documents",
     "pii_redact",
     "token_frequency_profile",
+    "top_tokens_per_group",
     "line_dedup",
     "PII_PATTERNS",
 ]
@@ -371,6 +373,39 @@ def token_frequency_profile(
         F.col("c").alias("occurrences"),
         "n_types",
         F.round(band / total, 6).alias("position_frac"),
+    )
+
+
+def top_tokens_per_group(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_count: int = 1,
+) -> DataFrame:
+    """Top-``k`` most frequent tokens per source/domain — the domain
+    "fingerprint" table curation teams eyeball to spot boilerplate-dominated
+    or off-language sources before mixing.
+
+    Returns ``(group, token, n, rank)`` with ``rank`` 1..k by count desc,
+    token asc on ties (fully deterministic). Plan: explode -> one
+    (group, token)-keyed count (map-side partial combine absorbs the Zipf
+    head before the shuffle) -> per-group ``row_number() <= k``, which Spark
+    executes as WindowGroupLimit — each task pre-trims to its local top-k
+    before the group shuffle, so no group ever materializes its full
+    vocabulary in one partition.
+    """
+    ex = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    counts = ex.groupBy("group", "token").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    w = Window.partitionBy("group").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

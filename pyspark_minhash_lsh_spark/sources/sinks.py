@@ -23,7 +23,13 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_parquet", "write_orc", "write_csv", "write_bucketed_table"]
+__all__ = [
+    "write_parquet",
+    "write_orc",
+    "write_csv",
+    "write_bucketed_table",
+    "write_training_shards",
+]
 
 
 def _prepare(
@@ -101,6 +107,45 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.mode(mode).save(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Lay the corpus out as ``n_shards`` globally-shuffled, reproducible
+    training shards — the last-mile writer of a training-data pipeline.
+
+    Composes ``sampling.shard_assignment`` (md5 shard id + stable in-shard
+    hash order) with the layout recipe its docstring promises:
+    ``repartition(n_shards, shard_id)`` co-locates each shard in one task,
+    ``sortWithinPartitions(shard_pos)`` fixes the within-shard read order
+    with a LOCAL sort, and ``partitionBy(shard_id)`` writes one directory
+    per shard. Exactly ONE shuffle (the repartition) and NO global sort —
+    a ``df.orderBy(rand())`` epoch shuffle would range-partition the whole
+    corpus and not be reproducible. Determinism: every layout decision is a
+    pure function of ``(id, salt)``, so re-running on the same corpus
+    yields byte-identical shard membership and order — epoch N+1 uses a new
+    ``salt`` for a fresh permutation. Readers stream shard files in parquet
+    row order; rows arrive hash-shuffled without any reader-side sort.
+    """
+    from ..operators.sampling import shard_assignment
+
+    sharded = shard_assignment(df, n_shards, id_col=id_col, salt=salt)
+    out = (
+        sharded.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_pos")
+    )
+    w = out.write.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.partitionBy("shard_id").mode(mode).parquet(path)
 
 
 def write_bucketed_table(

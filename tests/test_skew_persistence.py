@@ -306,3 +306,39 @@ def test_ivf_index_save_load_same_results(spark, tmp_path):
     got = sorted((r.vec_id, round(r.cosine, 9))
                  for r in loaded.approx_cosine_topk(q, k=5, n_probe=4).collect())
     assert got == want
+
+
+def test_write_training_shards_layout_and_determinism(spark, tmp_path):
+    """Shard writer: one directory per shard, within-shard order follows the
+    deterministic hash permutation, re-runs are byte-identical, a new salt
+    gives a different permutation."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark_minhash_lsh_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1, p2, p3 = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "c")
+    write_training_shards(docs, p1, n_shards=4)
+    write_training_shards(docs, p2, n_shards=4)
+    write_training_shards(docs, p3, n_shards=4, salt="epoch1")
+
+    def layout(path):
+        out = {}
+        for d in sorted(glob.glob(f"{path}/shard_id=*")):
+            files = glob.glob(f"{d}/*.parquet")
+            assert len(files) == 1  # one task per shard -> one file
+            out[d.rsplit("=", 1)[1]] = pq.read_table(files[0])["doc_id"].to_pylist()
+        return out
+
+    l1, l2, l3 = layout(p1), layout(p2), layout(p3)
+    assert sorted(l1) == ["0", "1", "2", "3"]
+    assert l1 == l2  # reproducible: same ids, same order, same shards
+    # all rows present exactly once
+    all_ids = sorted(i for ids in l1.values() for i in ids)
+    assert all_ids == sorted(r.doc_id for r in docs.select("doc_id").collect())
+    # a new salt re-permutes (overwhelmingly: 250 docs re-hashed)
+    assert l1 != l3
+    # within-shard order is the hash order, NOT id order (shuffled)
+    assert any(ids != sorted(ids) for ids in l1.values())

@@ -407,3 +407,85 @@ def test_remove_duplicated_spans_matches_duckdb(spark):
     assert len(exp) == len(got)
     for doc_id, text, n_tokens, n_removed in exp:
         assert got[doc_id] == (text, n_tokens, n_removed), doc_id
+
+
+# ---------------------------------------------------------------------------
+# top_tokens_per_group
+# ---------------------------------------------------------------------------
+
+
+def test_top_tokens_per_group_known_values(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import top_tokens_per_group
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b b c", "s1"),
+            (1, "b c", "s1"),
+            (2, "z z y", "s2"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    rows = sorted(
+        (r.group, r.rank, r.token, r.n)
+        for r in top_tokens_per_group(docs, k=2).collect()
+    )
+    # s1: a x3, b x3 -> tie broken token-asc (a before b); s2: z x2, y x1
+    assert rows == [
+        ("s1", 1, "a", 3),
+        ("s1", 2, "b", 3),
+        ("s2", 1, "z", 2),
+        ("s2", 2, "y", 1),
+    ]
+    capped = top_tokens_per_group(docs, k=2, min_count=2).collect()
+    assert all(r.n >= 2 for r in capped)
+    assert not any(r.token == "y" for r in capped)
+
+
+def test_top_tokens_per_group_matches_duckdb(spark):
+    import random
+
+    import duckdb
+
+    from pyspark_minhash_lsh_spark.operators.textpipe import top_tokens_per_group
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(9)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))),
+         f"s{i % 3}")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = sorted(
+        (r.group, r.rank, r.token, r.n)
+        for r in top_tokens_per_group(docs, k=4).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute("""
+        WITH ex AS (
+          SELECT source AS grp, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        c AS (SELECT grp, token, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+        r AS (SELECT grp, token, n,
+                     ROW_NUMBER() OVER (PARTITION BY grp
+                                        ORDER BY n DESC, token ASC) AS rank
+              FROM c)
+        SELECT grp, rank, token, n FROM r WHERE rank <= 4
+    """).fetchall()))
+    assert got == [(g, int(rk), t, int(n)) for (g, rk, t, n) in want]
+
+
+def test_top_tokens_per_group_plans_window_group_limit(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import top_tokens_per_group
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "s")], "doc_id bigint, text string, source string"
+    )
+    plan = (
+        top_tokens_per_group(docs, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
