@@ -1,4 +1,5 @@
 from .dedup import (
+    dedup_profile,
     incremental_exact_dedup,
     incremental_near_dedup,
     semantic_dedup_cells,
@@ -49,4 +50,5 @@ __all__ = [
     "source_overlap",
     "ngram_novelty",
     "semantic_dedup_cells",
+    "dedup_profile",
 ]

@@ -35,6 +35,7 @@ from .setjoin import ngram_jaccard_join
 __all__ = [
     "exact_dedup",
     "connected_components",
+    "dedup_profile",
     "minhash_dedup",
     "ngram_dedup",
     "embedding_dedup",
@@ -214,6 +215,39 @@ def _label_output(
         "component",
         (F.col("id") == F.col("_rep")).alias("is_representative"),
     )
+
+
+def dedup_profile(labels: DataFrame) -> DataFrame:
+    """Cluster-size histogram of any dedup labeling — the QA readout run
+    after every dedup pass (every operator here emits the required
+    ``component`` column).
+
+    Returns one row per distinct cluster size::
+
+        cluster_size, n_clusters, n_docs, doc_frac (round 6), removal_frac
+
+    ``removal_frac`` is the corpus fraction this size band would delete
+    (size-1 per cluster) — summing it gives the pass's total deletion rate;
+    a fat tail at large sizes pinpoints boilerplate explosions worth
+    inspecting before committing the delete. Plan: component-keyed count
+    (map-side partial) -> tiny size-keyed reagg -> single-partition window
+    over the PROFILE only (rows = distinct sizes, never docs) — the same
+    safe shape as ``token_frequency_profile``.
+    """
+    prof = (
+        labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+    )
+    docs = (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
+    removed = ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("bigint")
+    total = F.sum(docs).over(Window.partitionBy(F.lit(1)))
+    return prof.select(
+        "cluster_size",
+        "n_clusters",
+        docs.alias("n_docs"),
+        F.round(docs.cast("double") / total, 6).alias("doc_frac"),
+        F.round(removed.cast("double") / total, 6).alias("removal_frac"),
+    ).orderBy("cluster_size")
 
 
 def minhash_dedup(

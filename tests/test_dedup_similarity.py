@@ -380,3 +380,23 @@ def test_semantic_dedup_cells_max_cell_size_and_score(spark):
     assert all(r.component == 0 for r in scored.values())
     reps = [i for i, r in scored.items() if r.is_representative]
     assert reps == [2]
+
+
+def test_dedup_profile_histogram(spark):
+    """dedup_profile on a known labeling: sizes, doc shares, removal rate."""
+    from pyspark_minhash_lsh_spark.operators.dedup import dedup_profile
+
+    # components: {0,1,2} size 3, {10,11} size 2, {20},{21},{22} singletons
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (20, 20), (21, 21), (22, 22)],
+        ["id", "component"],
+    )
+    rows = {r.cluster_size: r for r in dedup_profile(labels).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_clusters == 3 and rows[1].n_docs == 3
+    assert rows[2].n_clusters == 1 and rows[2].n_docs == 2
+    assert rows[3].n_clusters == 1 and rows[3].n_docs == 3
+    assert rows[3].doc_frac == round(3 / 8, 6)
+    assert rows[1].removal_frac == 0.0
+    # total removal = (2-1) + (3-1) = 3 of 8 docs
+    assert round(sum(r.removal_frac for r in rows.values()), 6) == round(3 / 8, 6)
