@@ -12,6 +12,7 @@ north-star text-analysis group with *corpus-level* (cross-document) checks:
   - ``pack_documents``       — concat-and-chunk sequence packing by token budget
   - ``pii_redact``           — regex PII scrub (emails / IPv4 / phone numbers)
   - ``token_frequency_profile`` — corpus Zipf profile (frequency-of-frequencies)
+  - ``unigram_logprob_score`` — perplexity-proxy quality score (CCNet-style)
   - ``top_tokens_per_group`` — per-source top-k token table (domain fingerprint)
   - ``line_dedup``           — C4-style global line-level dedup (keep first)
 
@@ -38,6 +39,7 @@ __all__ = [
     "pack_documents",
     "pii_redact",
     "token_frequency_profile",
+    "unigram_logprob_score",
     "top_tokens_per_group",
     "line_dedup",
     "PII_PATTERNS",
@@ -373,6 +375,70 @@ def token_frequency_profile(
         F.col("c").alias("occurrences"),
         "n_types",
         F.round(band / total, 6).alias("position_frac"),
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-document unigram cross-entropy vs a reference corpus — the
+    perplexity-proxy quality filter (the CCNet recipe with a unigram LM
+    standing in for KenLM, which needs no external model artifact).
+
+    Score = mean over the doc's token POSITIONS of ``-log p(token)``, where
+    ``p`` is the add-``smoothing`` Laplace unigram estimate fitted on
+    ``reference`` (default: the corpus itself — self-scoring flags gibberish
+    and off-distribution docs as high-entropy outliers; pass a trusted
+    corpus to score against a clean distribution instead). Returns
+    ``(doc_id, n_tokens, logprob)`` with ``logprob`` rounded to 6 (NULL for
+    token-less docs). Lower = more typical text; filter or downweight the
+    high tail.
+
+    Plan: reference explode -> token-keyed count (map-side partial absorbs
+    the Zipf head) + a 1-row total broadcast -> corpus tokens LEFT-join the
+    count dim on the token key (OOV rows get the smoothing floor) -> doc
+    agg. Both shuffles are high-cardinality (token / doc id); the count dim
+    is vocabulary-sized, so the join stays a hash join at any corpus size.
+    """
+    ref = reference if reference is not None else df
+    ref_ex = ref.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = ref_ex.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("c").alias("_n"), F.count("*").alias("_v")
+        )
+    )
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    joined = (
+        ex.join(counts, "tok", "left")
+        .crossJoin(totals)  # 1-row broadcast: corpus totals
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(smoothing)))
+                    / (F.col("_n") + F.lit(float(smoothing)) * (F.col("_v") + 1))
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("logprob"),
+    )
+    spine = df.select(F.col(id_col).alias("doc_id"))
+    return spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "logprob",
     )
 
 

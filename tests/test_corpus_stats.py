@@ -217,3 +217,36 @@ def test_randomized_duckdb_model(spark, seed):
         if r.n_shingles > 0
     )
     assert spark_nov == [tuple(r) for r in duck_nov]
+
+
+# ---------------------------------------------------------------------------
+# hardening: NULL groups / empty corpora
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_null_group_rows_excluded(spark):
+    """NULL-source docs can't name a pair side: they drop out of the overlap
+    table (SQL NULL comparison semantics) without affecting real pairs."""
+    docs = spark.createDataFrame(
+        [(0, "a b c", "A"), (1, "a b c", None), (2, "a b", "B")],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {(r.source_a, r.source_b): r.n_common
+            for r in source_overlap(docs).collect()}
+    assert rows == {("A", "B"): 1}
+
+
+def test_corpus_stats_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    assert source_overlap(docs).collect() == []
+    assert ngram_novelty(docs).collect() == []
+
+
+def test_ngram_novelty_null_text_counts_zero(spark):
+    docs = spark.createDataFrame(
+        [(0, None, "s"), (1, "a b c", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert rows[0].n_shingles == 0 and rows[0].novelty is None
+    assert rows[1].novelty == 1.0

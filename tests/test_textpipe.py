@@ -489,3 +489,89 @@ def test_top_tokens_per_group_plans_window_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob_score
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_closed_form(spark):
+    """Laplace estimate against an external reference, checked to the digit:
+    ref 'a a b' -> N=3, V=2, denom = 3 + 1*(2+1) = 6; p(a)=1/2, p(b)=1/3,
+    p(OOV)=1/6."""
+    import math
+
+    from pyspark_minhash_lsh_spark.operators.textpipe import unigram_logprob_score
+
+    ref = spark.createDataFrame([(0, "a a b")], "doc_id bigint, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "z"), (3, "")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_score(docs, reference=ref).collect()}
+    assert rows[1].n_tokens == 2
+    assert rows[1].logprob == round((-math.log(0.5) - math.log(1 / 3)) / 2, 6)
+    assert rows[2].logprob == round(-math.log(1 / 6), 6)
+    assert rows[3].n_tokens == 0 and rows[3].logprob is None
+
+
+def test_unigram_logprob_self_mode_flags_gibberish(spark):
+    """Self-scored: docs made of corpus-common tokens score lower (more
+    typical) than a doc of hapax tokens."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import unigram_logprob_score
+
+    common = [(i, "the cat sat on the mat") for i in range(20)]
+    gibberish = [(99, "zxqv wkjh pqrst uvxyz")]
+    docs = spark.createDataFrame(
+        common + gibberish, "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r.logprob for r in unigram_logprob_score(docs).collect()}
+    assert rows[99] > rows[0] * 2  # gibberish is a clear outlier
+
+
+def test_unigram_logprob_matches_duckdb(spark):
+    import math
+    import random
+
+    import duckdb
+
+    from pyspark_minhash_lsh_spark.operators.textpipe import unigram_logprob_score
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(7)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.logprob)
+        for r in unigram_logprob_score(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = con.execute("""
+        WITH ex AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS tok
+          FROM documents),
+        c AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok),
+        t AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM c),
+        j AS (SELECT e.doc_id,
+                     -ln((COALESCE(c.c, 0) + 1.0) / (t.n + 1.0 * (t.v + 1)))
+                       AS nll
+              FROM ex e LEFT JOIN c ON c.tok = e.tok CROSS JOIN t)
+        SELECT d.doc_id, COALESCE(cnt, 0), lp
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt, ROUND(AVG(nll), 6) AS lp
+                   FROM j GROUP BY doc_id) s ON s.doc_id = d.doc_id
+    """).fetchall()
+    for doc_id, cnt, lp in want:
+        g_cnt, g_lp = got[doc_id]
+        assert g_cnt == cnt
+        if lp is None:
+            assert g_lp is None
+        else:
+            assert math.isclose(g_lp, lp, abs_tol=2e-6)
