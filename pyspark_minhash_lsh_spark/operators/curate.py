@@ -47,6 +47,7 @@ STATUSES = (
     "drop_short",
     "drop_repetition",
     "drop_quality",
+    "drop_entropy",
     "drop_exact_dup",
     "drop_near_dup",
     "kept",
@@ -61,6 +62,8 @@ def curate_corpus(
     max_dup_token_frac: float = 0.6,
     max_top_bigram_frac: float = 0.3,
     min_quality: float = 0.4,
+    max_logprob: Optional[float] = None,
+    logprob_reference: Optional[DataFrame] = None,
     redact_pii: bool = True,
     near_dup_threshold: float = 0.8,
     config: MinHashLSHConfig = DEFAULT_CONFIG,
@@ -78,6 +81,12 @@ def curate_corpus(
         the near-dup stage; null before it);
       - ``status``   — one of ``STATUSES``; training data is
         ``status = 'kept'``.
+
+    ``max_logprob`` (opt-in) adds the perplexity-proxy gate after the
+    quality rule: docs whose mean unigram ``-log p(token)`` exceeds it are
+    ``drop_entropy``. The unigram model fits on ``logprob_reference`` when
+    given (a trusted clean corpus), else self-scores on the redacted input;
+    cost is one extra token-keyed agg + join, only when enabled.
 
     Filter order is cost order: length/repetition/quality are scan-speed
     (one doc-keyed agg for the bigram facet), so at 100 TB the LSH stage —
@@ -103,20 +112,30 @@ def curate_corpus(
     rep = repetition_metrics(red).select(
         "doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"
     )
-    scored = (
-        red.join(rep, "doc_id")
-        .withColumn("quality", F.round(quality_score(F.col("text")), 6))
-        .withColumn(
-            "status",
-            F.when(F.col("n_tokens") < min_tokens, F.lit("drop_short"))
-            .when(
-                (F.col("dup_token_frac") > max_dup_token_frac)
-                | (F.col("top_bigram_frac") > max_top_bigram_frac),
-                F.lit("drop_repetition"),
-            )
-            .when(F.col("quality") < min_quality, F.lit("drop_quality"))
-            .otherwise(F.lit(None).cast("string")),
+    staged = red.join(rep, "doc_id")
+    status = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("drop_short"))
+        .when(
+            (F.col("dup_token_frac") > max_dup_token_frac)
+            | (F.col("top_bigram_frac") > max_top_bigram_frac),
+            F.lit("drop_repetition"),
         )
+        .when(F.col("quality") < min_quality, F.lit("drop_quality"))
+    )
+    if max_logprob is not None:
+        from .textpipe import unigram_logprob_score
+
+        lp = unigram_logprob_score(
+            red, reference=logprob_reference
+        ).select("doc_id", "logprob")
+        staged = staged.join(lp, "doc_id", "left")
+        status = status.when(
+            F.col("logprob") > float(max_logprob), F.lit("drop_entropy")
+        )
+    scored = (
+        staged
+        .withColumn("quality", F.round(quality_score(F.col("text")), 6))
+        .withColumn("status", status.otherwise(F.lit(None).cast("string")))
         .select("doc_id", "text", "n_tokens", "quality", "status")
     )
     # the disposition union reads this stage from three branches, and the

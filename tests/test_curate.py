@@ -94,3 +94,28 @@ def test_curate_near_dup_keeps_higher_quality(spark):
     q10, q11 = out[10].quality, out[11].quality
     assert q11 > q10, (q10, q11)
     assert out[11].status == "kept" and out[10].status == "drop_near_dup"
+
+
+def test_curate_entropy_gate(spark):
+    """Opt-in perplexity gate: a gibberish doc among typical ones becomes
+    drop_entropy; with the gate off the disposition is unchanged."""
+    from pyspark_minhash_lsh_spark.operators.curate import curate_corpus
+
+    typical = [
+        (i, "the quick brown fox jumps over the lazy dog near the river bank "
+            f"variant {i}")
+        for i in range(20)
+    ]
+    gibberish = [(99, "zxqv wkjh pqrst uvxyz mnbvc qwerty asdfgh zxcvbn "
+                      "poiuyt lkjhgf")]
+    docs = spark.createDataFrame(typical + gibberish, ["doc_id", "text"])
+
+    off = {r.doc_id: r.status for r in curate_corpus(
+        docs, min_quality=0.0, near_dup_threshold=0.95).collect()}
+    assert off[99] != "drop_entropy"
+
+    on = {r.doc_id: r.status for r in curate_corpus(
+        docs, min_quality=0.0, near_dup_threshold=0.95,
+        max_logprob=4.0).collect()}
+    assert on[99] == "drop_entropy"
+    assert sum(1 for s in on.values() if s == "drop_entropy") == 1
