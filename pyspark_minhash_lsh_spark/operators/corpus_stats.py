@@ -53,6 +53,7 @@ def source_overlap(
     min_jaccard: float = 0.0,
     max_group_freq: int | None = None,
     hash_shingles: bool = True,
+    broadcast_sizes: bool = True,
 ) -> DataFrame:
     """Pairwise n-gram overlap between document groups (sources/domains/dumps).
 
@@ -74,6 +75,11 @@ def source_overlap(
     size dim. Shingle text never shuffles when ``hash_shingles`` (default):
     keys are ``xxhash64`` longs, the same 2^-64-collision posture sanctioned
     for the PPJoin (setjoin.py) and its oracle.
+
+    ``broadcast_sizes=False`` drops the forced hint on the size-dim joins —
+    use it when ``group_col`` is registered-domain-grained (millions of
+    groups, a dim too big to force-broadcast); AQE then picks the strategy
+    from runtime stats.
     """
     sh = docs.select(
         F.col(group_col).alias("grp"),
@@ -101,8 +107,9 @@ def source_overlap(
         .agg(F.count("*").alias("n_common"))
     )
 
-    sz_a = F.broadcast(sizes.select(F.col("grp"), F.col("n").alias("n_a")))
-    sz_b = F.broadcast(sizes.select(F.col("grp"), F.col("n").alias("n_b")))
+    hint = F.broadcast if broadcast_sizes else (lambda d: d)
+    sz_a = hint(sizes.select(F.col("grp"), F.col("n").alias("n_a")))
+    sz_b = hint(sizes.select(F.col("grp"), F.col("n").alias("n_b")))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     out = (
         common.join(sz_a, F.col("source_a") == sz_a.grp).drop("grp")

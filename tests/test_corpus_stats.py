@@ -250,3 +250,14 @@ def test_ngram_novelty_null_text_counts_zero(spark):
     rows = {r.doc_id: r for r in ngram_novelty(docs).collect()}
     assert rows[0].n_shingles == 0 and rows[0].novelty is None
     assert rows[1].novelty == 1.0
+
+
+def test_source_overlap_no_broadcast_mode_identical(spark):
+    """broadcast_sizes=False (domain-grained escape hatch) returns identical
+    values through whatever join strategy AQE picks."""
+    docs = _docs(spark, [
+        (0, "a b c d e", "A"), (1, "c d e f g", "B"), (2, "a b c", "C"),
+    ])
+    a = sorted(map(tuple, source_overlap(docs).collect()))
+    b = sorted(map(tuple, source_overlap(docs, broadcast_sizes=False).collect()))
+    assert a == b
