@@ -17,9 +17,12 @@ from .profile import profile_table
 from .search import bm25_search
 from .temporal import asof_join, range_join_count
 from .textpipe import (
+    chunk_documents,
     contamination_check,
     duplicated_spans,
     line_dedup,
+    line_filter,
+    normalize_text,
     pack_documents,
     pii_redact,
     repetition_metrics,
@@ -45,6 +48,9 @@ __all__ = [
     "pii_redact",
     "token_frequency_profile",
     "line_dedup",
+    "line_filter",
+    "chunk_documents",
+    "normalize_text",
     "profile_table",
     "curate_corpus",
     "source_overlap",

@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG, MinHashLSHConfig
 from ..functions.text_analysis import quality_score
 from .dedup import exact_dedup, minhash_dedup
-from .textpipe import PII_PATTERNS, pii_redact, repetition_metrics
+from .textpipe import (
+    PII_PATTERNS,
+    line_filter,
+    normalize_text,
+    pii_redact,
+    repetition_metrics,
+)
 
 __all__ = ["curate_corpus"]
 
@@ -44,6 +50,7 @@ _PINNED: list[DataFrame] = []
 
 #: disposition values, in decision order (first failing rule wins)
 STATUSES = (
+    "drop_boilerplate",
     "drop_short",
     "drop_repetition",
     "drop_quality",
@@ -65,6 +72,8 @@ def curate_corpus(
     max_logprob: Optional[float] = None,
     logprob_reference: Optional[DataFrame] = None,
     redact_pii: bool = True,
+    unicode_form: Optional[str] = None,
+    clean_lines: bool = False,
     near_dup_threshold: float = 0.8,
     config: MinHashLSHConfig = DEFAULT_CONFIG,
     max_bucket_size: Optional[int] = None,
@@ -81,6 +90,12 @@ def curate_corpus(
         the near-dup stage; null before it);
       - ``status``   — one of ``STATUSES``; training data is
         ``status = 'kept'``.
+
+    ``unicode_form`` (opt-in, e.g. ``"NFC"``) canonicalizes the text before
+    anything else sees it; ``clean_lines`` (opt-in) runs the C4 boilerplate
+    line rules (``textpipe.line_filter``) — surviving lines become the
+    shipped text, and pages failing the doc-level rules get disposition
+    ``drop_boilerplate``. Both are zero-shuffle front stages.
 
     ``max_logprob`` (opt-in) adds the perplexity-proxy gate after the
     quality rule: docs whose mean unigram ``-log p(token)`` exceeds it are
@@ -103,6 +118,21 @@ def curate_corpus(
         except Exception:  # previous session already stopped — nothing to free
             pass
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if unicode_form is not None:
+        # canonicalize FIRST: every later rule (and the shipped text) sees
+        # composed/folded codepoints; zero-shuffle (one Arrow batch stage)
+        base = normalize_text(
+            base, form=unicode_form, collapse_whitespace=False,
+            text_col="text", output_col="text",
+        )
+    boiler = None
+    if clean_lines:
+        # C4 boilerplate line rules: the surviving-line text is what ships
+        # (and what every later stage scores); pages failing the doc-level
+        # rules are disposition 'drop_boilerplate'. Zero-shuffle projection.
+        lf = line_filter(base)
+        base = lf.select("doc_id", "text")
+        boiler = lf.select("doc_id", (~F.col("keep_doc")).alias("_boiler"))
     if redact_pii:
         red = pii_redact(base, patterns=PII_PATTERNS).select(
             "doc_id", F.col("redacted_text").alias("text")
@@ -113,8 +143,15 @@ def curate_corpus(
         "doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"
     )
     staged = red.join(rep, "doc_id")
+    if boiler is not None:
+        staged = staged.join(boiler, "doc_id", "left")
+        status = F.when(
+            F.coalesce(F.col("_boiler"), F.lit(False)), F.lit("drop_boilerplate")
+        ).when(F.col("n_tokens") < min_tokens, F.lit("drop_short"))
+    else:
+        status = F.when(F.col("n_tokens") < min_tokens, F.lit("drop_short"))
     status = (
-        F.when(F.col("n_tokens") < min_tokens, F.lit("drop_short"))
+        status
         .when(
             (F.col("dup_token_frac") > max_dup_token_frac)
             | (F.col("top_bigram_frac") > max_top_bigram_frac),

@@ -25,6 +25,7 @@ driver-small: benchmark suites are a fixed, tiny input by construction.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,6 +43,10 @@ __all__ = [
     "unigram_logprob_score",
     "top_tokens_per_group",
     "line_dedup",
+    "line_filter",
+    "chunk_documents",
+    "normalize_text",
+    "unicode_normalize",
     "PII_PATTERNS",
 ]
 
@@ -585,3 +590,209 @@ def pack_documents(
         .withColumn("chunk_id", F.floor((cum - F.col("n_tokens")) / F.lit(budget)))
         .select("grp", "doc_id", "n_tokens", "chunk_id")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 512,
+    stride: int | None = None,
+    drop_partial: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-context chunking: split each document into ``window``-token
+    chunks every ``stride`` tokens — the step between tokenized corpus and
+    fixed-context-length LM training/eval batches (``stride == window`` gives
+    disjoint pretraining chunks; ``stride < window`` the overlapping layout
+    sliding-window perplexity eval uses).
+
+    Returns ``(doc_id, chunk_id, start, n_tokens, chunk_text)`` — one row per
+    chunk, ``start`` the 0-based token offset, ``chunk_text`` the
+    space-rejoined token window. Chunk starts are ``0, stride, 2*stride, ...``
+    while they fall inside the document; the final chunk is allowed to be
+    shorter than ``window`` unless ``drop_partial`` (then only full-width
+    chunks survive — a short document yields none). Zero-token documents
+    yield no chunks in either mode.
+
+    Scale shape: a pure zero-shuffle projection — ``tokens()`` kernel ->
+    ``sequence`` of starts -> ``posexplode`` -> ``slice``/``array_join``.
+    Output size is input size x (window/stride) by construction; nothing to
+    partition, broadcast, or skew. At 100 TB this runs at scan speed and
+    parallelism follows the input splits.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    stride = window if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    # sequence(0, n-1, stride): all starts strictly inside the doc; n = 0
+    # yields sequence(0, -1) which counts DOWN -> guard with the n > 0 filter
+    # on the exploded rows (start < n) instead of a per-row when().
+    chunks = (
+        toks.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.posexplode(
+                F.when(
+                    F.col("n") > 0,
+                    F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("chunk_id", "start"),
+        )
+    )
+    out = chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.least(F.lit(window), F.col("n") - F.col("start")).alias("n_tokens"),
+        F.array_join(F.slice("toks", F.col("start") + 1, F.lit(window)), " ").alias(
+            "chunk_text"
+        ),
+    )
+    if drop_partial:
+        out = out.where(F.col("n_tokens") == window)
+    return out
+
+
+#: C4's line-level boilerplate rules (Raffel et al. 2020, §2.2 "we only
+#: retained lines that ended in a terminal punctuation mark ... contained at
+#: least 5 words ... removed any line with the word Javascript").
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_DROP_LINE_PATTERNS = (r"(?i)\bjavascript\b",)
+#: C4's page-level drop rules ("lorem ipsum" text, curly brace = code).
+C4_DROP_DOC_PATTERNS = (r"(?i)lorem ipsum", r"\{")
+
+
+def line_filter(
+    df: DataFrame,
+    min_words: int = 5,
+    require_terminal_punct: bool = True,
+    terminal_punct: "tuple[str, ...]" = C4_TERMINAL_PUNCT,
+    drop_line_patterns: "tuple[str, ...]" = C4_DROP_LINE_PATTERNS,
+    drop_doc_patterns: "tuple[str, ...]" = C4_DROP_DOC_PATTERNS,
+    min_kept_lines: int = 3,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style boilerplate line cleaning (Raffel et al. 2020 §2.2): drop
+    lines that don't end in terminal punctuation, have fewer than
+    ``min_words`` words, or match a drop pattern (default: the word
+    "javascript"); then flag whole documents that kept fewer than
+    ``min_kept_lines`` lines or match a doc-level drop pattern (default:
+    "lorem ipsum" or a curly brace).
+
+    Returns ``(doc_id, text, n_lines, n_kept, keep_doc)`` — one row per input
+    document, ``text`` reassembled from the surviving lines in original
+    order (empty string when none survive), ``keep_doc`` the page-level
+    verdict. Callers typically ``.where("keep_doc")`` and drop the flag.
+
+    Scale shape: unlike ``line_dedup`` (which must see every copy of a line
+    corpus-wide), every rule here is doc-local — so the whole operator is a
+    ZERO-SHUFFLE projection: ``split`` -> array ``filter`` with the line
+    predicate -> ``array_join``, no explode/groupBy round-trip. At 100 TB it
+    runs at scan speed with parallelism = input splits.
+    """
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+    def line_ok(line):
+        trimmed = F.trim(line)
+        ok = F.lit(True)
+        if require_terminal_punct:
+            endings = [F.endswith(trimmed, F.lit(p)) for p in terminal_punct]
+            ends = endings[0]
+            for e in endings[1:]:
+                ends = ends | e
+            ok = ok & ends
+        if min_words > 0:
+            words = F.filter(
+                F.split(trimmed, r"\s+"), lambda w: w != F.lit("")
+            )
+            ok = ok & (F.size(words) >= min_words)
+        for pat in drop_line_patterns:
+            ok = ok & ~trimmed.rlike(pat)
+        return ok
+
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep_rx))
+    kept = F.filter(lines, line_ok)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_raw"),
+        lines.alias("_lines"),
+        kept.alias("_kept"),
+    ).select(
+        "doc_id",
+        F.array_join("_kept", sep).alias("text"),
+        F.size("_lines").alias("n_lines"),
+        F.size("_kept").alias("n_kept"),
+        F.col("_raw").alias("_raw"),
+    )
+    keep = F.col("n_kept") >= min_kept_lines
+    for pat in drop_doc_patterns:
+        keep = keep & ~F.coalesce(F.col("_raw"), F.lit("")).rlike(pat)
+    return out.select(
+        "doc_id", "text", "n_lines", "n_kept", keep.alias("keep_doc")
+    )
+
+
+def unicode_normalize(col, form: str = "NFC"):
+    """Unicode-normalize a string Column to ``form`` (NFC/NFD/NFKC/NFKD).
+
+    Spark SQL has no normalization builtin, so this is one of the engine's
+    sanctioned Arrow escape hatches (SURVEY §2.11): a ``pandas_udf`` over
+    Arrow batches calling the vectorized ``Series.str.normalize`` —
+    batch-at-a-time columnar transfer, never row-at-a-time Python. DuckDB's
+    ``nfc_normalize`` oracles the NFC mode (Unicode's normalization
+    stability policy guarantees engines agree on assigned codepoints).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return _norm(col)
+
+
+def normalize_text(
+    df: DataFrame,
+    form: str | None = "NFC",
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    text_col: str = "text",
+    output_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text normalization — the very first pass of a scrape-to-
+    training pipeline: strip control characters, Unicode-normalize
+    (compose ``e + U+0301`` -> ``é``, fold ligatures/width under NFKC),
+    optionally lowercase, and collapse runs of whitespace.
+
+    Adds ``output_col`` next to the input columns (NULL text normalizes to
+    the empty string so downstream key-joins never silently drop rows —
+    same contract as ``tokens()``).
+
+    Scale shape: the control-strip / lowercase / whitespace steps are native
+    ``regexp_replace``/``lower`` (codegen'd, scan speed). Only the Unicode
+    form step leaves the JVM, via the Arrow-vectorized ``unicode_normalize``
+    — and only when ``form`` is not None, so ASCII-clean pipelines that skip
+    it stay entirely JVM-side. Zero shuffles either way.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    if strip_control:
+        # C0 controls minus \t\n\r (whitespace handling owns those) + DEL
+        c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if form is not None:
+        c = unicode_normalize(c, form)
+    if lowercase:
+        c = F.lower(c)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(output_col, c)

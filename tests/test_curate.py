@@ -119,3 +119,46 @@ def test_curate_entropy_gate(spark):
         max_logprob=4.0).collect()}
     assert on[99] == "drop_entropy"
     assert sum(1 for s in on.values() if s == "drop_entropy") == 1
+
+
+def test_curate_clean_lines_and_unicode(spark):
+    """Opt-in front stages: clean_lines applies the C4 line rules (filtered
+    text ships; failing pages -> drop_boilerplate) and unicode_form
+    canonicalizes before every later rule."""
+    from pyspark_minhash_lsh_spark.operators.curate import curate_corpus
+
+    good_lines = [
+        "this is a clean sentence with enough words to keep around.",
+        "another perfectly fine line holding plenty of distinct words here.",
+        "a third unique sentence keeps the page over the line threshold.",
+    ]
+    docs = spark.createDataFrame(
+        [
+            # enough good lines to keep, one boilerplate line stripped
+            (0, "\n".join(good_lines + ["click here menu"])),
+            # javascript-y page: every line dies -> drop_boilerplate
+            (1, "\n".join(["enable javascript now", "click ok", "menu"])),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in curate_corpus(
+        docs, clean_lines=True, min_quality=0.0, min_tokens=5,
+        near_dup_threshold=0.99).collect()}
+    assert out[1].status == "drop_boilerplate"
+    assert out[0].status == "kept", out[0]
+    assert "click here" not in out[0].text  # boilerplate line stripped
+
+    # unicode_form composes decomposed codepoints before dedup fingerprints
+    composed = "café river walk morning light over the quiet water today."
+    decomposed = "café river walk morning light over the quiet water today."
+    docs2 = spark.createDataFrame(
+        [(0, composed), (1, decomposed)], ["doc_id", "text"])
+    plain = {r.doc_id: r.status for r in curate_corpus(
+        docs2, min_quality=0.0, min_tokens=3, near_dup_threshold=0.99).collect()}
+    # without normalization the two spellings are distinct byte strings
+    assert sorted(plain.values()).count("kept") == 2
+    norm = {r.doc_id: r.status for r in curate_corpus(
+        docs2, unicode_form="NFC", min_quality=0.0, min_tokens=3,
+        near_dup_threshold=0.99).collect()}
+    # with NFC they are exact duplicates: one survives, one drops
+    assert sorted(norm.values()) == ["drop_exact_dup", "kept"]

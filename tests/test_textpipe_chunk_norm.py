@@ -1,0 +1,239 @@
+"""Semantic + oracle tests for the round-3 scrape-to-training front-door
+operators: ``chunk_documents`` (fixed-context token windows),
+``line_filter`` (C4 boilerplate line rules), and ``normalize_text`` /
+``unicode_normalize`` (Unicode NFC/NFKC canonicalization).
+
+Non-ASCII test inputs are spelled as ``\\uXXXX`` escapes on purpose: the
+composed/decomposed distinction is invisible in rendered text and survives
+editor round-trips only as escapes.
+"""
+
+from __future__ import annotations
+
+import random
+import unicodedata
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.textpipe import (
+    chunk_documents,
+    line_filter,
+    normalize_text,
+    unicode_normalize,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+
+
+def test_chunk_documents_known_values(spark):
+    docs = _docs(spark, [
+        (0, " ".join(f"t{i}" for i in range(10)), "s"),
+        (1, "a b c", "s"),
+        (2, "", "s"),
+        (3, None, "s"),
+    ])
+    out = chunk_documents(docs, window=4, stride=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_id)
+    assert [(r.chunk_id, r.start, r.n_tokens, r.chunk_text) for r in c0] == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 4, 4, "t4 t5 t6 t7"),
+        (2, 8, 2, "t8 t9"),
+    ]
+    assert [(r.start, r.chunk_text) for r in by_doc[1]] == [(0, "a b c")]
+    assert 2 not in by_doc and 3 not in by_doc  # zero-token docs: no chunks
+
+
+def test_chunk_documents_overlap_and_drop_partial(spark):
+    docs = _docs(spark, [(0, " ".join(f"t{i}" for i in range(10)), "s")])
+    out = sorted(
+        chunk_documents(docs, window=8, stride=4).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.start, r.n_tokens) for r in out] == [(0, 8), (4, 6), (8, 2)]
+    full = chunk_documents(docs, window=8, stride=4, drop_partial=True).collect()
+    assert [(r.start, r.n_tokens) for r in full] == [(0, 8)]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    docs = _docs(spark, [(0, "a b", "s")])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=4, stride=0)
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    docs = _docs(spark, [(0, "a b c d e", "s")])
+    plan = chunk_documents(docs, window=2)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Exchange" not in plan and "Repartition" not in plan
+
+
+def test_chunk_documents_matches_duckdb(spark):
+    """Randomized value oracle: DuckDB replays the same start-grid + slice
+    policy with generate_series/list_slice over the shared tokenizer."""
+    import duckdb
+
+    rng = random.Random(7)
+    rows = [
+        (d, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(0, 40))), "s")
+        for d in range(60)
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r.doc_id, r.chunk_id): (r.start, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, window=7, stride=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(d, t) for d, t, _ in rows])
+    exp = con.execute(r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(lower(regexp_replace(regexp_replace(
+                   text, '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))), ' '),
+                   x -> x <> '') AS toks
+          FROM t),
+        st AS (
+          SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 3)) AS start
+          FROM tok WHERE len(toks) > 0)
+        SELECT doc_id, start // 3 AS chunk_id, start,
+               least(7, len(toks) - start) AS n_tokens,
+               array_to_string(toks[start + 1 : start + 7], ' ') AS chunk_text
+        FROM st
+    """).fetchall()
+    expected = {(d, c): (s, n, txt) for d, c, s, n, txt in exp}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# line_filter
+
+
+def test_line_filter_c4_rules(spark):
+    keepable = "this line has five words."
+    docs = _docs(spark, [
+        (0, "\n".join([keepable, "short line.", "no terminal punctuation here at all",
+                       "enable javascript to view this.", keepable, keepable]), "s"),
+        (1, "\n".join([keepable, keepable]), "s"),            # < 3 kept lines
+        (2, "\n".join([keepable] * 3) + "\nlorem ipsum dolor sit amet.", "s"),
+        (3, "\n".join([keepable] * 3) + "\nvar x = {a: 1}", "s"),
+        (4, None, "s"),
+    ])
+    out = {r.doc_id: r for r in line_filter(docs).collect()}
+    assert out[0].n_lines == 6 and out[0].n_kept == 3
+    assert out[0].text == "\n".join([keepable] * 3)
+    assert out[0].keep_doc is True
+    assert out[1].n_kept == 2 and out[1].keep_doc is False
+    assert out[2].keep_doc is False          # lorem ipsum page rule
+    assert out[3].keep_doc is False          # curly-brace page rule
+    assert out[4].n_lines == 1 and out[4].n_kept == 0 and out[4].keep_doc is False
+
+
+def test_line_filter_zero_shuffle_plan(spark):
+    docs = _docs(spark, [(0, "a line with five words here.", "s")])
+    plan = line_filter(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Exchange" not in plan and "Repartition" not in plan
+
+
+def test_line_filter_custom_rules(spark):
+    docs = _docs(spark, [(0, "one two three\nalpha beta", "s")])
+    out = line_filter(
+        docs, min_words=2, require_terminal_punct=False,
+        drop_line_patterns=(), drop_doc_patterns=(), min_kept_lines=1,
+    ).collect()[0]
+    assert out.n_kept == 2 and out.keep_doc is True
+
+
+def test_line_filter_quoted_terminal_punct(spark):
+    docs = _docs(spark, [(0, 'he said "five words are here."', "s")])
+    out = line_filter(docs, min_kept_lines=1).collect()[0]
+    assert out.n_kept == 1 and out.keep_doc is True
+
+
+# ---------------------------------------------------------------------------
+# normalize_text / unicode_normalize
+
+
+def test_normalize_text_nfc_known_values(spark):
+    decomposed_cafe = "café  du   monde"     # e + combining acute
+    a_ring = "Åring \x07bell"                # A + combining ring; BEL
+    ligature = "ﬁnancial"                     # fi ligature: NFC keeps it
+    docs = _docs(spark, [
+        (0, decomposed_cafe, "s"),
+        (1, a_ring, "s"),
+        (2, None, "s"),
+        (3, ligature, "s"),
+    ])
+    out = {r.doc_id: r.norm_text for r in normalize_text(docs).collect()}
+    assert out[0] == "café du monde"
+    assert out[1] == "Åring bell"
+    assert out[2] == ""
+    assert out[3] == ligature
+
+
+def test_normalize_text_nfkc_folds_compat(spark):
+    # fi ligature, fullwidth Hi, Roman numeral characters I II — NFKC folds
+    # all to ASCII, then the native lower() runs on the folded text
+    s = "ﬁle Ｈｉ ⅠⅡ"
+    assert unicodedata.normalize("NFKC", s).lower() == "file hi iii"
+    docs = _docs(spark, [(0, s, "s")])
+    out = normalize_text(docs, form="NFKC", lowercase=True).collect()[0]
+    assert out.norm_text == "file hi iii"
+
+
+def test_normalize_text_matches_duckdb_nfc(spark):
+    """DuckDB ``nfc_normalize`` is the independent oracle for the NFC mode
+    (Unicode normalization stability: engines agree on assigned codepoints)."""
+    import duckdb
+
+    specials = [
+        "café fin",                  # decomposed e-acute
+        "ﬁnancial",                   # fi ligature (NFC-invariant)
+        "Ｈｅｌｌｏ",  # fullwidth Hello (NFC-invariant)
+        "Å",                         # A + combining ring -> U+00C5
+        "Å",                          # Angstrom sign -> U+00C5
+        "é́",                   # e + two combining acutes
+        "plain ascii 123",
+        "",
+    ]
+    rows = [(i, s, "s") for i, s in enumerate(specials)]
+    docs = _docs(spark, rows)
+    got = {
+        r.doc_id: r.norm_text
+        for r in normalize_text(
+            docs, collapse_whitespace=False, strip_control=False
+        ).collect()
+    }
+    con = duckdb.connect()
+    exp = {
+        i: con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        for i, s, _ in rows
+    }
+    assert got == exp
+    # and the decomposed forms really did change (the oracle isn't vacuous)
+    assert got[0] == "café fin" and got[3] == "Å" and got[4] == "Å"
+
+
+def test_normalize_text_native_when_no_form(spark):
+    """With ``form=None`` the op must stay entirely JVM-side — no Arrow/Python
+    evaluation node in the plan."""
+    docs = _docs(spark, [(0, "  A  b\tc ", "s")])
+    df = normalize_text(docs, form=None, lowercase=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    assert df.collect()[0].norm_text == "a b c"
+
+
+def test_unicode_normalize_rejects_unknown_form(spark):
+    with pytest.raises(ValueError):
+        unicode_normalize(F.col("x"), form="NFX")
