@@ -1867,17 +1867,45 @@ def q55_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT source AS grp, doc_id, n_tokens,
                  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-          FROM tc)
-    SELECT grp, doc_id, n_tokens, (cum - n_tokens) // 2048 AS chunk_id
-    FROM c
+          FROM tc),
+    pk AS (SELECT 'pack' AS leg, grp, doc_id, (cum - n_tokens) // 2048 AS chunk_id,
+                  n_tokens, CAST(-1 AS BIGINT) AS start, '' AS chunk_text
+           FROM c),
+    tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    st AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 48)) AS start
+           FROM tok WHERE len(t) > 0),
+    ck AS (SELECT 'chunk' AS leg, '' AS grp, doc_id, start // 48 AS chunk_id,
+                  CAST(least(64, len(t) - start) AS BIGINT) AS n_tokens, start,
+                  array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text
+           FROM st)
+    SELECT * FROM pk UNION ALL SELECT * FROM ck
     """,
 )
 def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing into 2048-token chunks per source
-    (window prefix-sum inside each source group — no global sort)."""
-    from .operators.textpipe import pack_documents
+    """Chunk-assignment suite, both directions a trainer needs:
+    'pack' leg — concat-and-chunk sequence packing into 2048-token budget
+    chunks per source (window prefix-sum inside each source group, no
+    global sort); 'chunk' leg — fixed-context chunking of each document
+    into 64-token windows every 48 tokens (overlapping slices, zero-shuffle
+    projection); the oracle value-checks every chunk's exact text."""
+    from .operators.textpipe import chunk_documents, pack_documents
 
-    return pack_documents(_t(spark, sf_dir, "documents"), budget=2048)
+    docs = _t(spark, sf_dir, "documents")
+    pack = pack_documents(docs, budget=2048).select(
+        F.lit("pack").alias("leg"), "grp", "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.lit(-1).cast("bigint").alias("start"),
+        F.lit("").alias("chunk_text"),
+    )
+    chunk = chunk_documents(docs, window=64, stride=48).select(
+        F.lit("chunk").alias("leg"), F.lit("").alias("grp"), "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("start").cast("bigint").alias("start"),
+        "chunk_text",
+    )
+    return pack.unionByName(chunk)
 
 
 @query(
@@ -2169,8 +2197,33 @@ def _augment_pii(col):
     return F.concat(col, email, ip, phone)
 
 
+#: doc_id-selected Unicode suffixes for q67's 'norm' leg — decomposed
+#: combining sequences (NFC composes), a compatibility ligature (NFC keeps),
+#: and the identity case. Spelled as escapes; the oracle builds the SAME
+#: strings with chr() codepoints, so both engines normalize identical input.
+_NORM_SUFFIXES = (
+    " cafe\u0301 menu",                    # e + U+0301 -> NFC composes to e-acute
+    " A\u030angstro\u0308m lab",          # A + U+030A, o + U+0308 -> composed
+    " \ufb01nal report",                   # U+FB01 fi ligature, NFC-invariant
+    "",                                    # identity
+)
+_DUCK_NORM_SUFFIX = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN ' cafe' || chr(769) || ' menu' "
+    "WHEN 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm lab' "
+    "WHEN 2 THEN ' ' || chr(64257) || 'nal report' "
+    "ELSE '' END"
+)
+
+#: q67 'lines' leg page augmentation: one always-keepable line, the doc text
+#: (terminal '.' only on even ids), one javascript line, and a page-killing
+#: 'lorem ipsum' line on every 7th id — exercises every C4 rule.
+_Q67_KEEP_LINE = "A clean line with six words here."
+_Q67_JS_LINE = "enable javascript now"
+
+
 @query(
-    "q67_pii_redaction",
+    "q67_text_hygiene",
     oracle=f"""
     WITH aug AS (
       SELECT doc_id,
@@ -2198,31 +2251,112 @@ def _augment_pii(col):
     s3 AS (SELECT doc_id, n_email, n_ipv4,
                   len(regexp_extract_all(t, '{_PII_RE["phone"]}')) AS n_phone,
                   regexp_replace(t, '{_PII_RE["phone"]}', '<PHONE>', 'g') AS t
-           FROM s2)
-    SELECT doc_id, t AS redacted_text,
-           CAST(n_email AS INT) AS n_email,
-           CAST(n_ipv4 AS INT) AS n_ipv4,
-           CAST(n_phone AS INT) AS n_phone
-    FROM s3
+           FROM s2),
+    pii AS (SELECT 'pii' AS leg, doc_id, t AS text,
+                   CAST(n_email AS BIGINT) AS m1,
+                   CAST(n_ipv4 AS BIGINT) AS m2,
+                   CAST(n_phone AS BIGINT) AS m3
+            FROM s3),
+    laug AS (
+      SELECT doc_id,
+             '{_Q67_KEEP_LINE}' || chr(10)
+             || text || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END || chr(10)
+             || '{_Q67_JS_LINE}'
+             || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END
+               AS aug
+      FROM documents),
+    lf AS (
+      SELECT doc_id, aug,
+             string_split(aug, chr(10)) AS all_lines,
+             list_filter(string_split(aug, chr(10)),
+               x -> (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+                     OR ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+                    AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                                        w -> w <> '')) >= 5
+                    AND NOT regexp_matches(trim(x), '(?i)\\bjavascript\\b')
+             ) AS kept
+      FROM laug),
+    lines AS (
+      SELECT 'lines' AS leg, doc_id,
+             array_to_string(kept, chr(10)) AS text,
+             CAST(len(all_lines) AS BIGINT) AS m1,
+             CAST(len(kept) AS BIGINT) AS m2,
+             CAST(CASE WHEN len(kept) >= 2
+                        AND NOT regexp_matches(aug, '(?i)lorem ipsum')
+                        AND NOT regexp_matches(aug, '\\{{')
+                   THEN 1 ELSE 0 END AS BIGINT) AS m3
+      FROM lf),
+    naug AS (SELECT doc_id, text || {_DUCK_NORM_SUFFIX} AS aug FROM documents),
+    norm AS (
+      SELECT 'norm' AS leg, doc_id,
+             nfc_normalize(aug) AS text,
+             CAST(length(nfc_normalize(aug)) AS BIGINT) AS m1,
+             CAST(length(aug) AS BIGINT) AS m2,
+             CAST(CASE WHEN nfc_normalize(aug) <> aug THEN 1 ELSE 0 END
+                  AS BIGINT) AS m3
+      FROM naug)
+    SELECT * FROM pii UNION ALL SELECT * FROM lines UNION ALL SELECT * FROM norm
     """,
 )
-def q67_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub (emails / IPv4 / phones) over doc_id-augmented text; the
-    oracle replays the same augmentation and regexes in DuckDB, so the
-    hash-match covers every redacted character. Patterns are restricted to
-    the Java-regex/RE2 common subset (operators/textpipe.py::PII_PATTERNS)."""
-    from .operators.textpipe import pii_redact
+def q67_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-hygiene suite in one tagged union (schema ``leg, doc_id, text,
+    m1, m2, m3``), every leg value-checked by the oracle over doc_id-derived
+    augmentation (the synthetic docs carry no natural PII / line structure /
+    non-ASCII):
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", _augment_pii(F.col("text")).alias("text")
+      - pii:   PII scrub (emails / IPv4 / phones) — ``text`` the fully
+        redacted string, ``m1..m3`` the per-kind match counts; patterns are
+        restricted to the Java-regex/RE2 common subset (PII_PATTERNS);
+      - lines: C4 boilerplate line rules (``textpipe.line_filter``) over a
+        constructed 3/4-line page exercising every rule — ``text`` the
+        surviving lines, ``m1`` n_lines, ``m2`` n_kept, ``m3`` keep_doc;
+      - norm:  Unicode NFC (``textpipe.normalize_text`` Arrow path) over
+        text carrying decomposed/ligature suffixes; DuckDB's
+        ``nfc_normalize`` is the independent oracle — ``m1``/``m2``
+        codepoint lengths after/before, ``m3`` changed flag.
+    """
+    from .operators.textpipe import line_filter, normalize_text, pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    red = pii_redact(
+        docs.select("doc_id", _augment_pii(F.col("text")).alias("text"))
+    ).select(
+        F.lit("pii").alias("leg"), "doc_id",
+        F.col("redacted_text").alias("text"),
+        F.col("n_email").cast("bigint").alias("m1"),
+        F.col("n_ipv4").cast("bigint").alias("m2"),
+        F.col("n_phone").cast("bigint").alias("m3"),
     )
-    out = pii_redact(docs)
-    return out.select(
-        "doc_id", "redacted_text",
-        F.col("n_email").cast("int").alias("n_email"),
-        F.col("n_ipv4").cast("int").alias("n_ipv4"),
-        F.col("n_phone").cast("int").alias("n_phone"),
+    laug = F.concat(
+        F.lit(_Q67_KEEP_LINE + "\n"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.lit("\n" + _Q67_JS_LINE),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\nlorem ipsum")).otherwise(F.lit("")),
     )
+    lines = line_filter(
+        docs.select("doc_id", laug.alias("text")), min_kept_lines=2
+    ).select(
+        F.lit("lines").alias("leg"), "doc_id", "text",
+        F.col("n_lines").cast("bigint").alias("m1"),
+        F.col("n_kept").cast("bigint").alias("m2"),
+        F.col("keep_doc").cast("bigint").alias("m3"),
+    )
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _NORM_SUFFIXES]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    norm = normalize_text(
+        docs.select("doc_id", F.concat(F.col("text"), sfx).alias("text")),
+        form="NFC", collapse_whitespace=False, strip_control=False,
+    ).select(
+        F.lit("norm").alias("leg"), "doc_id",
+        F.col("norm_text").alias("text"),
+        F.length("norm_text").cast("bigint").alias("m1"),
+        F.length("text").cast("bigint").alias("m2"),
+        (F.col("norm_text") != F.col("text")).cast("bigint").alias("m3"),
+    )
+    return red.unionByName(lines).unionByName(norm)
 
 
 @query(
@@ -2594,7 +2728,7 @@ _CURATED_ORDER = [
     "q63_bm25_search",
     "q64_incremental_dedup",
     "q66_daily_rollup",
-    "q67_pii_redaction",
+    "q67_text_hygiene",
     "q68_token_frequency_profile",
     "q69_weighted_resample",
     "q70_length_percentiles",
