@@ -12,6 +12,7 @@ from .sampling import (
     weighted_resample,
 )
 from .corpus_stats import ngram_novelty, source_overlap
+from .classify import QualityClassifier, score_quality, train_quality_classifier
 from .curate import curate_corpus
 from .profile import profile_table
 from .search import bm25_search
@@ -53,6 +54,9 @@ __all__ = [
     "normalize_text",
     "profile_table",
     "curate_corpus",
+    "QualityClassifier",
+    "train_quality_classifier",
+    "score_quality",
     "source_overlap",
     "ngram_novelty",
     "semantic_dedup_cells",

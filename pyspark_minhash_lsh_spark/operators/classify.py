@@ -1,0 +1,144 @@
+"""Model-based quality filtering: a fastText-style linear classifier over
+hashed bag-of-tokens features.
+
+The heuristic filters (``text_analysis.quality_score``, the Gopher
+repetition rules) are hand-tuned thresholds; production corpora (GPT-3's
+WebText-similarity filter, CCNet, LLaMA) additionally train a LINEAR
+CLASSIFIER on labeled good/bad documents and keep what scores well. This
+module is that step, built on Spark MLlib so training and scoring both
+distribute:
+
+  - features: the shared ``tokens()`` kernel -> ``HashingTF`` (fixed-width
+    hashed bag-of-words, no fitted vocabulary to broadcast — the 100 TB
+    safe featurizer: a vocabulary-based CountVectorizer would need a
+    corpus-wide fit + a model broadcast that grows with the corpus;
+    hashing is stateless and constant-size);
+  - model: ``LogisticRegression`` (L-BFGS; per-iteration cost is one
+    executor-parallel gradient pass + a constant-size driver reduce).
+
+Scoring is a pure map-side transform (zero shuffle), so gating a corpus on
+``prob_good`` composes with any scan at scan speed.
+
+No DuckDB oracle: iterative ML training is sanctioned non-SQL (driver
+contract allows rows-only checks); correctness is pinned by separability /
+save-load-parity / threshold tests instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import HashingTF
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = [
+    "train_quality_classifier",
+    "score_quality",
+    "QualityClassifier",
+]
+
+
+class QualityClassifier:
+    """Fitted quality model: wraps the MLlib ``PipelineModel`` and exposes
+    distributed scoring / persistence."""
+
+    def __init__(self, model: PipelineModel):
+        self.model = model
+
+    def score(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Score every document: ``(doc_id, prob_good)`` with
+        ``prob_good = P(label=1 | text)``. Pure projection — HashingTF and
+        the linear model are both per-row transforms; ``.explain`` shows no
+        Exchange, so this composes with any scan at scan speed."""
+        feats = df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+        )
+        out = self.model.transform(feats)
+        return out.select(
+            "doc_id",
+            F.round(vector_to_array("probability")[1], 6).alias("prob_good"),
+        )
+
+    def keep(
+        self,
+        df: DataFrame,
+        min_prob: float = 0.5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Filter ``df`` to documents scoring ``prob_good >= min_prob``
+        (broadcast-free: the score is computed inline, not joined)."""
+        scored = self.score(df, text_col=text_col, id_col=id_col)
+        return (
+            df.join(scored.where(F.col("prob_good") >= min_prob),
+                    df[id_col] == scored.doc_id, "left_semi")
+        )
+
+    def save(self, path: str) -> None:
+        self.model.write().overwrite().save(path)
+
+    @classmethod
+    def load(cls, path: str) -> "QualityClassifier":
+        return cls(PipelineModel.load(path))
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = 1 << 18,
+    reg_param: float = 1e-3,
+    elastic_net: float = 0.0,
+    max_iter: int = 30,
+    binary_counts: bool = True,
+) -> QualityClassifier:
+    """Fit the quality classifier on a labeled corpus (``label`` 1 = good,
+    0 = bad — e.g. curated reference pages vs raw scrape, the GPT-3 recipe).
+
+    ``n_features`` is the hashing width (2^18 default: collision rate is
+    negligible next to label noise at any realistic vocabulary).
+    ``binary_counts`` uses presence instead of term frequency — the
+    fastText-classifier convention, robust to document length.
+
+    Training cost at scale: each L-BFGS iteration is one map-side gradient
+    pass over the (sparse) feature vectors plus a driver reduce of a
+    ``n_features``-sized dense vector — no shuffle of the corpus itself.
+    The fitted model is a single dense coefficient vector, broadcast once
+    at scoring time (constant size, independent of corpus size).
+    """
+    base = labeled.select(
+        tokens(F.col(text_col)).alias("toks"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+    tf = HashingTF(
+        inputCol="toks", outputCol="features",
+        numFeatures=int(n_features), binary=binary_counts,
+    )
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label",
+        regParam=float(reg_param), elasticNetParam=float(elastic_net),
+        maxIter=int(max_iter),
+    )
+    model = Pipeline(stages=[tf, lr]).fit(base)
+    return QualityClassifier(model)
+
+
+def score_quality(
+    df: DataFrame,
+    classifier: QualityClassifier,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Functional alias for ``classifier.score`` (operator-style call)."""
+    return classifier.score(df, text_col=text_col, id_col=id_col)

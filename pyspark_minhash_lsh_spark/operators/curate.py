@@ -26,7 +26,10 @@ operators — each stage is the already-tested standalone op, glued lazily.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import TYPE_CHECKING, Optional
+
+if TYPE_CHECKING:  # annotation-only: scoring takes any fitted QualityClassifier
+    from .classify import QualityClassifier
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,6 +58,7 @@ STATUSES = (
     "drop_repetition",
     "drop_quality",
     "drop_entropy",
+    "drop_classifier",
     "drop_exact_dup",
     "drop_near_dup",
     "kept",
@@ -74,6 +78,8 @@ def curate_corpus(
     redact_pii: bool = True,
     unicode_form: Optional[str] = None,
     clean_lines: bool = False,
+    quality_model: Optional["QualityClassifier"] = None,
+    min_model_prob: float = 0.5,
     near_dup_threshold: float = 0.8,
     config: MinHashLSHConfig = DEFAULT_CONFIG,
     max_bucket_size: Optional[int] = None,
@@ -96,6 +102,11 @@ def curate_corpus(
     line rules (``textpipe.line_filter``) — surviving lines become the
     shipped text, and pages failing the doc-level rules get disposition
     ``drop_boilerplate``. Both are zero-shuffle front stages.
+
+    ``quality_model`` (opt-in, a fitted ``classify.QualityClassifier``)
+    adds the MODEL-BASED quality gate after the heuristic rules: docs
+    scoring ``prob_good < min_model_prob`` become ``drop_classifier``.
+    Scoring is a map-side transform (constant-size model broadcast).
 
     ``max_logprob`` (opt-in) adds the perplexity-proxy gate after the
     quality rule: docs whose mean unigram ``-log p(token)`` exceeds it are
@@ -168,6 +179,12 @@ def curate_corpus(
         staged = staged.join(lp, "doc_id", "left")
         status = status.when(
             F.col("logprob") > float(max_logprob), F.lit("drop_entropy")
+        )
+    if quality_model is not None:
+        mp = quality_model.score(red).select("doc_id", "prob_good")
+        staged = staged.join(mp, "doc_id", "left")
+        status = status.when(
+            F.col("prob_good") < float(min_model_prob), F.lit("drop_classifier")
         )
     scored = (
         staged

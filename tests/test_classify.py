@@ -1,0 +1,85 @@
+"""Model-based quality filter (operators/classify.py): separability,
+save/load parity, filter gating, and the zero-shuffle scoring plan."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.classify import (
+    QualityClassifier,
+    train_quality_classifier,
+)
+
+GOOD_VOCAB = [
+    "the", "quick", "analysis", "shows", "clear", "results", "with",
+    "detailed", "methods", "and", "careful", "discussion", "of", "data",
+]
+BAD_VOCAB = [
+    "click", "here", "buy", "now", "free", "casino", "winner", "prize",
+    "subscribe", "offer", "limited", "deal", "cheap", "viagra",
+]
+
+
+def _corpus(spark, n=120, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        vocab = GOOD_VOCAB if i % 2 == 0 else BAD_VOCAB
+        text = " ".join(rng.choice(vocab) for _ in range(30))
+        rows.append((i, text, 1 if i % 2 == 0 else 0))
+    return spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    train = _corpus(spark, n=120, seed=3)
+    return train_quality_classifier(train, n_features=1 << 12)
+
+
+def test_classifier_separates_held_out(spark, fitted):
+    test = _corpus(spark, n=60, seed=99)  # fresh draws, same generative split
+    scored = fitted.score(test).join(test.select("doc_id", "label"), "doc_id")
+    acc = scored.select(
+        F.avg(
+            ((F.col("prob_good") >= 0.5).cast("int") == F.col("label"))
+            .cast("double")
+        ).alias("acc")
+    ).head().acc
+    assert acc >= 0.95, acc
+
+
+def test_scores_are_probabilities(spark, fitted):
+    test = _corpus(spark, n=20, seed=5)
+    rows = fitted.score(test).collect()
+    assert len(rows) == 20
+    assert all(0.0 <= r.prob_good <= 1.0 for r in rows)
+
+
+def test_keep_gates_on_threshold(spark, fitted):
+    test = _corpus(spark, n=40, seed=11)
+    kept = fitted.keep(test, min_prob=0.5)
+    ids = {r.doc_id for r in kept.collect()}
+    labels = {r.doc_id: r.label for r in test.collect()}
+    good = {d for d, l in labels.items() if l == 1}
+    # gating recovers (essentially) the good half
+    assert len(ids.symmetric_difference(good)) <= 2
+    assert set(kept.columns) == {"doc_id", "text", "label"}
+
+
+def test_scoring_plan_has_no_exchange(spark, fitted):
+    test = _corpus(spark, n=4, seed=1)
+    plan = fitted.score(test)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_save_load_parity(spark, fitted, tmp_path):
+    test = _corpus(spark, n=30, seed=42)
+    path = str(tmp_path / "quality_model")
+    fitted.save(path)
+    reloaded = QualityClassifier.load(path)
+    a = sorted((r.doc_id, r.prob_good) for r in fitted.score(test).collect())
+    b = sorted((r.doc_id, r.prob_good) for r in reloaded.score(test).collect())
+    assert a == b

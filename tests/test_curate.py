@@ -162,3 +162,38 @@ def test_curate_clean_lines_and_unicode(spark):
         near_dup_threshold=0.99).collect()}
     # with NFC they are exact duplicates: one survives, one drops
     assert sorted(norm.values()) == ["drop_exact_dup", "kept"]
+
+
+def test_curate_classifier_gate(spark):
+    """Opt-in model gate: a spammy doc among clean ones becomes
+    drop_classifier once a fitted quality model is supplied."""
+    from pyspark_minhash_lsh_spark.operators.classify import (
+        train_quality_classifier,
+    )
+    from pyspark_minhash_lsh_spark.operators.curate import curate_corpus
+
+    import random
+    rng = random.Random(17)
+    good_vocab = ["careful", "analysis", "of", "the", "data", "shows",
+                  "clear", "methods", "and", "results", "discussion"]
+    bad_vocab = ["click", "here", "buy", "now", "free", "winner", "prize",
+                 "offer", "deal", "cheap"]
+    labeled = spark.createDataFrame(
+        [(i, " ".join(rng.choice(good_vocab if i % 2 == 0 else bad_vocab)
+                      for _ in range(25)), 1 if i % 2 == 0 else 0)
+         for i in range(100)],
+        "doc_id bigint, text string, label int",
+    )
+    model = train_quality_classifier(labeled, n_features=1 << 12)
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(rng.choice(good_vocab) for _ in range(25)) + " one"),
+         (1, " ".join(rng.choice(bad_vocab) for _ in range(25)) + " two")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.status for r in curate_corpus(
+        docs, min_quality=0.0, min_tokens=3, near_dup_threshold=0.99,
+        max_dup_token_frac=1.0, max_top_bigram_frac=1.0,
+        quality_model=model).collect()}
+    assert out[1] == "drop_classifier"
+    assert out[0] == "kept"

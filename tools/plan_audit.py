@@ -38,6 +38,10 @@ ASSERTIONS = [
     # corpus overlap joins the tiny per-source size dim via broadcast and
     # must never degrade to a cartesian pair enumeration
     ("q78_corpus_overlap", ["BroadcastHashJoin"], ["CartesianProduct"]),
+    # the text-hygiene suite is three zero-shuffle projection legs under a
+    # union: regex redaction, array-filter line rules, Arrow-batch NFC —
+    # no Exchange anywhere (the NFC leg's ArrowEvalPython is sanctioned)
+    ("q67_text_hygiene", ["ArrowEvalPython"], ["Exchange"]),
 ]
 
 MARKERS = [
