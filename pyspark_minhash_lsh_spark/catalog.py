@@ -1984,26 +1984,58 @@ _SPLIT_T2 = int((1 << 32) * 0.95)
                PARTITION BY u % 8
                ORDER BY md5('shard' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
                AS shard_pos
-      FROM (SELECT doc_id, {_duck_bucket('shard')} AS u FROM documents))
-    SELECT sp.doc_id, sp.split, sh.shard_id, sh.shard_pos
-    FROM sp JOIN sh ON sp.doc_id = sh.doc_id
+      FROM (SELECT doc_id, {_duck_bucket('shard')} AS u FROM documents)),
+    tok AS (
+      SELECT doc_id, source,
+             len({_DUCK_TOKENS}) AS n_tok,
+             md5('tokbudget' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    tb AS (
+      SELECT doc_id,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+               AS cum_excl
+      FROM tok)
+    SELECT sp.doc_id, sp.split, sh.shard_id, sh.shard_pos,
+           CAST(CASE WHEN tb.cum_excl < 2000 THEN 1 ELSE 0 END AS INT)
+             AS tok_kept
+    FROM sp
+    JOIN sh ON sp.doc_id = sh.doc_id
+    JOIN tb ON sp.doc_id = tb.doc_id
     """,
 )
 def q59_split_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-deterministic 90/5/5 train/validation/test split (pure
     projection, zero shuffles, stable across runs/partitionings/engines)
     joined with the reproducible training-shard layout (shard id by hash
-    bucket mod 8 + stable position via per-shard window — no global sort).
+    bucket mod 8 + stable position via per-shard window — no global sort)
+    and, round 3, the per-source TOKEN-budget cap membership
+    (``sampling.per_group_token_budget``, 2000 tokens per source in
+    deterministic hash order — ``tok_kept`` flags the kept draw).
     Merged from round-2's q59 + q61 under the driver's 50-query budget;
-    both operators still run unchanged and join on doc_id."""
-    from .operators.sampling import deterministic_split, shard_assignment
+    all operators still run unchanged and join on doc_id."""
+    from .operators.sampling import (
+        deterministic_split,
+        per_group_token_budget,
+        shard_assignment,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     split = deterministic_split(docs).select("doc_id", "split")
     shard = shard_assignment(docs, n_shards=8).select(
         "doc_id", "shard_id", F.col("shard_pos").cast("bigint").alias("shard_pos")
     )
-    return split.join(shard, "doc_id")
+    tb = per_group_token_budget(docs, budget=2000).select(
+        "doc_id", F.lit(1).alias("_tk")
+    )
+    return (
+        split.join(shard, "doc_id")
+        .join(tb, "doc_id", "left")
+        .select(
+            "doc_id", "split", "shard_id", "shard_pos",
+            F.coalesce(F.col("_tk"), F.lit(0)).cast("int").alias("tok_kept"),
+        )
+    )
 
 
 @query(
@@ -2481,7 +2513,7 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eight dedup/curation operators end-to-end, one summary row each — rows-only
+    """Nine dedup/curation operators end-to-end, one summary row each — rows-only
     (all are signature/hash dependent; see the suite-curation note above).
     Legs (folding round-2's q34, q39, q50, q51, q65):
       - simhash_bits: relational SimHash fingerprints (bit-sum facets);
@@ -2501,8 +2533,13 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       - curate: the composed curation pipeline (quality/repetition filters
         -> PII redaction -> quality-aware exact + near dedup) with its
         per-doc disposition audit (operators/curate.py; value-level tests
-        in tests/test_curate.py)."""
+        in tests/test_curate.py);
+      - leakage_split (round 3): near-dup-aware train/test split — the
+        metric pair (distinct components, distinct (component, split)
+        pairs) is EQUAL by construction iff no cluster straddles splits
+        (value-level tests in tests/test_sampling.py)."""
     from .operators.curate import curate_corpus
+    from .operators.sampling import leakage_safe_split
     from .operators.dedup import (
         embedding_dedup,
         incremental_near_dedup,
@@ -2566,11 +2603,20 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("status") == "kept").cast("bigint")), F.avg("quality"),
     )
 
+    lss = leakage_safe_split(docs, threshold=0.5)
+    leg_lss = _suite_row(
+        lss, "leakage_split",
+        F.countDistinct("component"),
+        # sums over a distinct-count pair: near-dup CLUSTERS never straddle
+        # splits, so (component, split) pairs == distinct components
+        F.countDistinct(F.struct("component", "split")),
+    )
+
     return (
         leg_bits.unionByName(leg_pairs).unionByName(leg_edd)
         .unionByName(leg_sdc)
         .unionByName(leg_ndb).unionByName(leg_inc).unionByName(leg_ld)
-        .unionByName(leg_cur)
+        .unionByName(leg_cur).unionByName(leg_lss)
     )
 
 

@@ -7,7 +7,9 @@ from .dedup import (
 from .minhash_lsh import MinHashLSH, MinHashLSHModel
 from .sampling import (
     deterministic_split,
+    leakage_safe_split,
     per_group_quota,
+    per_group_token_budget,
     shard_assignment,
     weighted_resample,
 )
@@ -40,6 +42,8 @@ __all__ = [
     "range_join_count",
     "deterministic_split",
     "per_group_quota",
+    "per_group_token_budget",
+    "leakage_safe_split",
     "shard_assignment",
     "weighted_resample",
     "repetition_metrics",

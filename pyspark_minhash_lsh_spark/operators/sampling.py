@@ -28,8 +28,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "deterministic_split",
     "per_group_quota",
+    "per_group_token_budget",
     "shard_assignment",
     "weighted_resample",
+    "leakage_safe_split",
 ]
 
 _BUCKETS = 1 << 32  # 8 hex chars of the md5 digest
@@ -167,3 +169,86 @@ def shard_assignment(
         .withColumn("shard_pos", F.row_number().over(w))
         .drop("_h")
     )
+
+
+def per_group_token_budget(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "tokbudget",
+) -> DataFrame:
+    """Keep documents per group until a TOKEN budget is exhausted — the
+    mixture-weighting move when domain caps are specified in tokens (as
+    training-mix specs are), not document counts.
+
+    Documents are laid out in deterministic ``md5(salt || id)`` hash order
+    (id tiebreaker) inside each group; a document is kept iff its FIRST
+    token still lands inside the budget (exclusive-prefix-sum < budget, the
+    same convention as ``pack_documents``) — so every group keeps at least
+    one document and the kept set is a reproducible uniform draw.
+
+    Token counts use the shared ``tokens()`` kernel (swap in
+    ``bpe_token_count_estimate`` upstream by passing a pre-tokenized count
+    column via ``text_col``-derived projection if BPE budgeting is wanted).
+    One window keyed on the group column; unlike ``per_group_quota`` the
+    running SUM can't use WindowGroupLimit rank pushdown, so a mega-group
+    materializes its window partition — cap extreme domains with
+    ``per_group_quota`` first when that matters.
+    """
+    from ..functions.text import token_count
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("_n_tok").over(w)
+    return (
+        df.withColumn("_n_tok", token_count(F.col(text_col)))
+        .withColumn("_cum_excl", cum - F.col("_n_tok"))
+        .filter(F.col("_cum_excl") < budget)
+        .drop("_n_tok", "_cum_excl")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    weights: Sequence[float] = (0.9, 0.05, 0.05),
+    names: Sequence[str] = ("train", "validation", "test"),
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "split",
+    config=None,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: assign whole NEAR-DUPLICATE
+    CLUSTERS to a split, never individual documents — the guard against
+    eval leakage through paraphrased/boilerplate copies that a plain
+    per-doc split cannot give (a near-copy of a test doc in train is
+    contamination that survives exact dedup).
+
+    Runs ``minhash_dedup`` (LSH + connected components) at ``threshold``
+    and hashes the CLUSTER label through the same ``md5`` splitter as
+    ``deterministic_split`` — singleton docs (the vast majority) hash their
+    own label, so fractions still land on ``weights``. Returns the input
+    plus ``component`` and ``split``.
+
+    Scale: the clustering is the same bucketed LSH dataflow as the dedup
+    operators (id-only shuffles); the split itself is a zero-shuffle
+    projection over the clustered output. NOTE: like the dedup operators,
+    constructing the result runs the clustering jobs eagerly.
+    """
+    from ..config import DEFAULT_CONFIG
+    from .dedup import minhash_dedup
+
+    if len(weights) != len(names) or len(names) < 2:
+        raise ValueError("need >= 2 names with matching weights")
+    clustered = minhash_dedup(
+        df, threshold=threshold, text_col=text_col, id_col=id_col,
+        config=config or DEFAULT_CONFIG,
+    ).select(F.col(id_col).alias("_lid"), F.col("component"))
+    joined = df.join(clustered, df[id_col] == F.col("_lid")).drop("_lid")
+    labeled = deterministic_split(
+        joined, weights=weights, names=names, id_col="component", salt=salt
+    )
+    return labeled

@@ -127,3 +127,90 @@ def test_weighted_resample_no_shuffle(spark):
     docs = _docs(spark, 100)
     plan = weighted_resample(docs, {"src0": 2.0})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# per_group_token_budget / leakage_safe_split (round 3)
+
+
+def test_token_budget_matches_duckdb(spark):
+    """DuckDB replays the hash-order exclusive-prefix-sum policy exactly."""
+    import random
+
+    import duckdb
+
+    from pyspark_minhash_lsh_spark.operators.sampling import (
+        per_group_token_budget,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(99)}" for _ in range(rng.randrange(1, 30))),
+         f"src{i % 3}")
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = sorted(
+        r.doc_id for r in per_group_token_budget(df, budget=120).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    exp = sorted(x[0] for x in con.execute(r"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 len(list_filter(string_split(trim(lower(regexp_replace(
+                   regexp_replace(text, '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))),
+                   ' '), x -> x <> '')) AS n_tok,
+                 md5('tokbudget' || CAST(doc_id AS VARCHAR)) AS h
+          FROM t),
+        c AS (SELECT doc_id,
+                     SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tok AS cum_excl
+              FROM tok)
+        SELECT doc_id FROM c WHERE cum_excl < 120
+    """).fetchall())
+    assert got == exp and 0 < len(got) < 90
+
+
+def test_token_budget_keeps_first_doc_per_group(spark):
+    from pyspark_minhash_lsh_spark.operators.sampling import (
+        per_group_token_budget,
+    )
+
+    # one doc far over budget still survives (its first token is in budget)
+    df = spark.createDataFrame(
+        [(0, " ".join(["w"] * 500), "a"), (1, "x y z", "b")],
+        "doc_id bigint, text string, source string",
+    )
+    kept = {r.doc_id for r in per_group_token_budget(df, budget=10).collect()}
+    assert kept == {0, 1}
+
+
+def test_leakage_safe_split_co_assigns_near_dups(spark):
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.sampling import leakage_safe_split
+
+    rng = random.Random(29)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows = []
+    for d in range(40):
+        body = [rng.choice(vocab) for _ in range(60)]
+        rows.append((2 * d, " ".join(body), "s"))
+        # near-identical twin: one token changed
+        twin = list(body)
+        twin[7] = "MUT"
+        rows.append((2 * d + 1, " ".join(twin), "s"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = leakage_safe_split(df, weights=(0.5, 0.5), names=("train", "test"),
+                             threshold=0.7)
+    got = {r.doc_id: (r.split, r.component) for r in out.collect()}
+    assert len(got) == 80
+    for d in range(40):
+        a, b = got[2 * d], got[2 * d + 1]
+        assert a[1] == b[1], f"twin pair {d} split across components"
+        assert a[0] == b[0], f"twin pair {d} LEAKED across splits"
+    # both splits actually used
+    assert {v[0] for v in got.values()} == {"train", "test"}
