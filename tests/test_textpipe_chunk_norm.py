@@ -237,3 +237,47 @@ def test_normalize_text_native_when_no_form(spark):
 def test_unicode_normalize_rejects_unknown_form(spark):
     with pytest.raises(ValueError):
         unicode_normalize(F.col("x"), form="NFX")
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents property tests (hypothesis)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tok=st.integers(min_value=0, max_value=60),
+    window=st.integers(min_value=1, max_value=12),
+    stride=st.integers(min_value=1, max_value=12),
+)
+def test_chunk_documents_properties(spark, n_tok, window, stride):
+    """Invariants for any (window, stride): disjoint chunks (stride>=window)
+    concatenate back to the document; stride<=window covers every token;
+    starts are exactly the stride grid inside the doc."""
+    toks = [f"t{i}" for i in range(n_tok)]
+    docs = _docs(spark, [(0, " ".join(toks), "s")])
+    out = sorted(
+        chunk_documents(docs, window=window, stride=stride).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    expected_starts = list(range(0, n_tok, stride))
+    assert [r.start for r in out] == expected_starts
+    for r in out:
+        assert r.chunk_text == " ".join(toks[r.start: r.start + window])
+        assert r.n_tokens == min(window, n_tok - r.start)
+    if stride >= window:
+        # disjoint mode: chunks partition a prefix-regular subsequence
+        rebuilt = [t for r in out for t in (r.chunk_text.split(" ") if r.chunk_text else [])]
+        if stride == window:
+            assert rebuilt == toks
+    if stride <= window and n_tok > 0:
+        covered = set()
+        for r in out:
+            covered.update(range(r.start, r.start + r.n_tokens))
+        assert covered == set(range(n_tok))

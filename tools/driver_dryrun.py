@@ -1,0 +1,99 @@
+"""Dry-run the driver's correctness gate locally: run EVERY
+``__spark_entry__.queries()`` entry at sf0.01 next to its ``oracle_sql()``
+DuckDB twin and report per-query row-count / schema / value-hash matches —
+the same three checks CORRECTNESS_r{N}.json records.
+
+Usage: python tools/driver_dryrun.py [out.json]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _canon(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(float(v))
+    if isinstance(v, int):
+        return repr(int(v))
+    return str(v)
+
+
+def _value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    keys = sorted(
+        "\x1f".join(_canon(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for k in keys:
+        h.update(k.encode("utf-8", "surrogatepass"))
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from pyspark_minhash_lsh_spark.session import get_spark
+
+    spark = get_spark("driver_dryrun")
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    report = {}
+    n_fail = 0
+    for name, fn in qs.items():
+        rec: dict = {}
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+            rec["spark_rows"] = len(rows)
+            if name in osql:
+                res = con.execute(osql[name])
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
+                rec["oracle_rows"] = len(drows)
+                rec["rows_match"] = len(rows) == len(drows)
+                rec["schema_match"] = sorted(cols) == sorted(dcols)
+                rec["hash_match"] = (
+                    _value_hash(cols, rows) == _value_hash(dcols, drows)
+                )
+                ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+            else:
+                rec["err"] = "no_oracle"
+                ok = len(rows) >= 0
+            if not ok:
+                n_fail += 1
+        except Exception as e:  # record, keep going
+            rec["err"] = f"{type(e).__name__}: {e}"[:300]
+            n_fail += 1
+        report[name] = rec
+        flag = "OK " if rec.get("hash_match", "err" in rec and rec["err"] == "no_oracle") else "FAIL"
+        print(f"{flag} {name}: {rec}")
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/correctness_dry.json"
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"\n{len(qs)} queries, {n_fail} failures -> {out}")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
