@@ -15,6 +15,7 @@ from .sampling import (
 )
 from .corpus_stats import ngram_novelty, source_overlap
 from .classify import QualityClassifier, score_quality, train_quality_classifier
+from .reduce import PcaReducer, fit_pca_reducer
 from .curate import curate_corpus
 from .profile import profile_table
 from .search import bm25_search
@@ -59,6 +60,8 @@ __all__ = [
     "profile_table",
     "curate_corpus",
     "QualityClassifier",
+    "PcaReducer",
+    "fit_pca_reducer",
     "train_quality_classifier",
     "score_quality",
     "source_overlap",

@@ -1,0 +1,101 @@
+"""PCA dimensionality reduction for embedding columns — the shrink-before-
+index step of a large-scale ANN pipeline.
+
+At 100 TB an embedding table's cost is dominated by vector width: a
+1536-dim float column is ~6 KB/row through every shuffle, cache, and
+distance kernel. Standard practice (FAISS OPQ/PCA pre-transforms, Matryoshka
+truncation) reduces to 32-256 dims before indexing; recall loss is small
+because semantic embeddings concentrate variance in the leading components.
+
+This module is that step on Spark MLlib:
+
+  - ``fit_pca_reducer``   — sample-trainable PCA fit (one pass over a
+    bounded sample; the model is a d x k dense matrix, constant-size);
+  - ``PcaReducer.reduce`` — map-side projection of ``array<float>`` ->
+    ``array<float>`` (k dims), zero shuffle, composes with any scan;
+    feeds directly into ``SrpLsh`` / ``IvfFlat`` / the brute-force kernels.
+
+No DuckDB oracle (eigendecomposition is sanctioned non-SQL); pinned by
+variance / isometry-trend / save-load tests instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.ml.feature import PCA, PCAModel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fit_pca_reducer", "PcaReducer"]
+
+
+class PcaReducer:
+    """Fitted PCA transform for embedding columns."""
+
+    def __init__(self, model: PCAModel):
+        self.model = model
+        self.k = model.getK()
+
+    def reduce(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        output_col: str = "embedding_reduced",
+    ) -> DataFrame:
+        """Append ``output_col`` (``array<float>``, k dims) — a pure
+        projection (the d x k loading matrix rides inside the transform;
+        no join, no shuffle)."""
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        out = self.model.transform(
+            df.withColumn(
+                "_features", array_to_vector(F.col(emb_col).cast("array<double>"))
+            )
+        )
+        return out.withColumn(
+            output_col, vector_to_array(F.col(self.model.getOutputCol())).cast("array<float>")
+        ).drop("_features", self.model.getOutputCol())
+
+    @property
+    def explained_variance(self) -> list:
+        """Per-component explained-variance fractions (descending)."""
+        return list(self.model.explainedVariance)
+
+    def save(self, path: str) -> None:
+        self.model.write().overwrite().save(path)
+
+    @classmethod
+    def load(cls, path: str) -> "PcaReducer":
+        return cls(PCAModel.load(path))
+
+
+def fit_pca_reducer(
+    df: DataFrame,
+    k: int = 64,
+    emb_col: str = "embedding",
+    sample_rows: Optional[int] = 100_000,
+    seed: int = 13,
+) -> PcaReducer:
+    """Fit the PCA reducer. ``sample_rows`` bounds the fit input (PCA needs
+    only enough rows to estimate the covariance — a uniform sample of 100k
+    vectors is ample for any realistic d, and keeps the fit cost constant
+    as the corpus grows; pass None to fit on everything).
+
+    The fit is one distributed covariance accumulation + a driver-side
+    eigendecomposition of the d x d Gramian — independent of corpus size
+    after the sample bound.
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.col(emb_col).cast("array<double>")).alias("_features")
+    )
+    if sample_rows is not None:
+        # one count job at fit time (documented cost) to size the fraction;
+        # the PCA fit itself then reads only the sampled rows
+        n = feats.count()
+        if n > sample_rows:
+            feats = feats.sample(fraction=sample_rows / n, seed=seed)
+    pca = PCA(k=int(k), inputCol="_features", outputCol="_pca")
+    return PcaReducer(pca.fit(feats))

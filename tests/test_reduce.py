@@ -1,0 +1,94 @@
+"""PCA embedding reduction (operators/reduce.py): variance capture on
+low-rank data, neighbor preservation, zero-shuffle transform, save/load."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.reduce import PcaReducer, fit_pca_reducer
+
+
+def _lowrank_corpus(spark, n=200, d=24, rank=4, seed=5, noise=0.01):
+    """Vectors living (up to tiny noise) in a random rank-``rank`` subspace."""
+    rng = random.Random(seed)
+    basis = [[rng.gauss(0, 1) for _ in range(d)] for _ in range(rank)]
+    rows = []
+    for i in range(n):
+        coef = [rng.gauss(0, 1) for _ in range(rank)]
+        v = [
+            sum(c * b[j] for c, b in zip(coef, basis)) + rng.gauss(0, noise)
+            for j in range(d)
+        ]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _lowrank_corpus(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def reducer(corpus):
+    return fit_pca_reducer(corpus, k=4, sample_rows=None)
+
+
+def test_lowrank_variance_captured(reducer):
+    # rank-4 data (+1% noise): 4 components must explain ~all variance
+    assert sum(reducer.explained_variance) >= 0.995
+
+
+def test_reduce_shapes_and_zero_shuffle(corpus, reducer):
+    out = reducer.reduce(corpus)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(len(r.embedding_reduced) == 4 for r in rows)
+    assert set(out.columns) == {"vec_id", "embedding", "embedding_reduced"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_neighbors_preserved_on_lowrank(spark, corpus, reducer):
+    """On (near-)exactly low-rank data PCA is an isometry of the data
+    subspace: pairwise cosine ranking must be preserved. Check top-1
+    neighbor of 10 probes matches between full and reduced space."""
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    full = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    red = {
+        r.vec_id: list(r.embedding_reduced)
+        for r in reducer.reduce(corpus).collect()
+    }
+    for probe in range(10):
+        nn_full = max(
+            (i for i in full if i != probe), key=lambda i: cos(full[probe], full[i])
+        )
+        nn_red = max(
+            (i for i in red if i != probe), key=lambda i: cos(red[probe], red[i])
+        )
+        assert nn_full == nn_red, probe
+
+
+def test_sampled_fit_close_to_full_fit(spark, corpus):
+    sampled = fit_pca_reducer(corpus, k=4, sample_rows=120, seed=7)
+    assert sum(sampled.explained_variance) >= 0.99
+
+
+def test_save_load_parity(corpus, reducer, tmp_path):
+    path = str(tmp_path / "pca_model")
+    reducer.save(path)
+    again = PcaReducer.load(path)
+    a = {r.vec_id: list(r.embedding_reduced)
+         for r in reducer.reduce(corpus).collect()}
+    b = {r.vec_id: list(r.embedding_reduced)
+         for r in again.reduce(corpus).collect()}
+    assert a == b
