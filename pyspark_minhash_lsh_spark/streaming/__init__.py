@@ -2,6 +2,7 @@ from .pipelines import (
     hourly_event_stats,
     sliding_event_stats,
     start_near_dedup_stream,
+    streaming_curate,
     streaming_exact_dedup,
     streaming_near_dedup,
     near_dedup_finalize,
@@ -12,6 +13,7 @@ __all__ = [
     "hourly_event_stats",
     "sliding_event_stats",
     "start_near_dedup_stream",
+    "streaming_curate",
     "streaming_exact_dedup",
     "streaming_near_dedup",
     "near_dedup_finalize",

@@ -33,6 +33,7 @@ __all__ = [
     "streaming_near_dedup",
     "near_dedup_finalize",
     "interval_join",
+    "streaming_curate",
 ]
 
 
@@ -373,3 +374,86 @@ def interval_join(
         .select(F.col("_lk").alias(on), "l_ts", "r_ts",
                 *[f"l_{c}" for c in left_cols], *[f"r_{c}" for c in right_cols])
     )
+
+
+def streaming_curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_dup_token_frac: float = 0.6,
+    min_quality: float = 0.4,
+    redact_pii: bool = True,
+    quality_model=None,
+    min_model_prob: float = 0.5,
+) -> DataFrame:
+    """Streaming edition of the curation front half: every rule that is
+    ROW-LOCAL (projection or constant-size model transform) applied to a
+    document stream, emitting the same disposition audit as
+    ``curate_corpus``: ``(doc_id, text, n_tokens, quality, status)`` with
+    ``status`` in drop_short / drop_repetition / drop_quality /
+    drop_classifier / kept.
+
+    Differences from the batch pipeline, forced by streaming semantics:
+      - the repetition rule uses only the row-local facet
+        (``dup_token_frac`` = 1 - distinct/total token positions); the
+        top-bigram facet needs a per-doc aggregation, which append-mode
+        streaming can't express statelessly — run the batch pipeline for it;
+      - no perplexity gate (corpus-fit unigram model needs an agg; pass a
+        pre-fitted ``quality_model`` instead — MLlib transforms are
+        row-local and stream-legal);
+      - no dedup stages: compose ``streaming_exact_dedup`` /
+        ``streaming_near_dedup`` (or the ``lake_index`` incremental mode)
+        DOWNSTREAM of the kept rows.
+
+    Zero state, zero watermark, zero shuffle — the stream is safe at any
+    rate; the same call works on a batch DataFrame (tested equal).
+    """
+    from ..functions.text_analysis import quality_score
+
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if redact_pii:
+        from ..operators.textpipe import pii_redact
+
+        base = pii_redact(base).select(
+            "doc_id", F.col("redacted_text").alias("text")
+        )
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    dup_frac = F.when(
+        n_tok > 0,
+        F.round((n_tok - F.size(F.array_distinct(toks))).cast("double") / n_tok, 6),
+    ).otherwise(F.lit(0.0))
+    staged = base.select(
+        "doc_id", "text",
+        n_tok.alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    if quality_model is not None:
+        staged = _attach_model_prob(staged, quality_model)
+    status = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("drop_short"))
+        .when(F.col("dup_token_frac") > max_dup_token_frac, F.lit("drop_repetition"))
+        .when(F.col("quality") < min_quality, F.lit("drop_quality"))
+    )
+    if quality_model is not None:
+        status = status.when(
+            F.col("prob_good") < float(min_model_prob), F.lit("drop_classifier")
+        )
+    out_cols = ["doc_id", "text", "n_tokens", "quality"]
+    return staged.select(
+        *out_cols, status.otherwise(F.lit("kept")).alias("status")
+    )
+
+
+def _attach_model_prob(staged: DataFrame, quality_model) -> DataFrame:
+    """Inline the classifier probability as an extra column WITHOUT a join
+    (stream-legal: MLlib transforms are row-local projections)."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = staged.withColumn("toks", tokens(F.col("text")))
+    out = quality_model.model.transform(feats)
+    return out.withColumn(
+        "prob_good", F.round(vector_to_array("probability")[1], 6)
+    ).drop("toks", "features", "rawPrediction", "probability", "prediction")

@@ -343,3 +343,68 @@ def test_near_dedup_vs_lake_accepts_exploded_rows(spark):
     assert sorted(r.doc_id for r in a.collect()) == sorted(
         r.doc_id for r in b.collect()
     )
+
+
+def test_streaming_curate_matches_batch(spark, tmp_path_factory):
+    """streaming_curate on a file-source stream must agree row-for-row with
+    the same call on the batch read (all rules are row-local)."""
+    from pyspark_minhash_lsh_spark.streaming import streaming_curate
+
+    src = str(tmp_path_factory.mktemp("curate_src"))
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.write.mode("overwrite").parquet(src)
+
+    batch = streaming_curate(spark.read.parquet(src))
+    stream = streaming_curate(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    got = _run_stream(spark, stream, "curate_stream")
+
+    key = lambda rows: sorted(
+        (r.doc_id, r.text, r.n_tokens, r.quality, r.status) for r in rows
+    )
+    assert key(got.collect()) == key(batch.collect())
+    statuses = {r.status for r in batch.collect()}
+    assert "kept" in statuses
+
+
+def test_streaming_curate_classifier_gate(spark, tmp_path_factory):
+    """The model gate is stream-legal (row-local transform): a spammy doc in
+    the stream gets drop_classifier."""
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.classify import (
+        train_quality_classifier,
+    )
+    from pyspark_minhash_lsh_spark.streaming import streaming_curate
+
+    rng = random.Random(23)
+    good = ["careful", "analysis", "of", "the", "data", "shows", "clear",
+            "methods", "and", "results"]
+    bad = ["click", "here", "buy", "now", "free", "winner", "prize", "offer"]
+    labeled = spark.createDataFrame(
+        [(i, " ".join(rng.choice(good if i % 2 == 0 else bad)
+                      for _ in range(25)), 1 if i % 2 == 0 else 0)
+         for i in range(80)],
+        "doc_id bigint, text string, label int",
+    )
+    model = train_quality_classifier(labeled, n_features=1 << 12)
+
+    src = str(tmp_path_factory.mktemp("clf_src"))
+    spark.createDataFrame(
+        [(0, " ".join(rng.choice(good) for _ in range(25)) + " uniq one"),
+         (1, " ".join(rng.choice(bad) for _ in range(25)) + " uniq two")],
+        "doc_id bigint, text string",
+    ).write.mode("overwrite").parquet(src)
+
+    stream = streaming_curate(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        min_quality=0.0, min_tokens=3, max_dup_token_frac=1.0,
+        quality_model=model,
+    )
+    out = {r.doc_id: r.status
+           for r in _run_stream(spark, stream, "curate_clf").collect()}
+    assert out[1] == "drop_classifier"
+    assert out[0] == "kept"
