@@ -16,6 +16,7 @@ from .sampling import (
 from .corpus_stats import ngram_novelty, source_overlap
 from .classify import QualityClassifier, score_quality, train_quality_classifier
 from .reduce import PcaReducer, fit_pca_reducer
+from .tokenize import wordpiece_encode
 from .curate import curate_corpus
 from .profile import profile_table
 from .search import bm25_search
@@ -62,6 +63,7 @@ __all__ = [
     "QualityClassifier",
     "PcaReducer",
     "fit_pca_reducer",
+    "wordpiece_encode",
     "train_quality_classifier",
     "score_quality",
     "source_overlap",

@@ -1,0 +1,121 @@
+"""Subword tokenization: WordPiece encode (text -> token ids) at scan speed.
+
+``text_analysis.bpe_token_count_estimate`` estimates token COUNTS for
+budgeting; this module does the real thing — segment each whitespace word
+into subwords with BERT's greedy longest-match-first WordPiece algorithm
+and emit vocabulary ids, the step that turns a curated corpus into
+training-ready sequences.
+
+Design for 100 TB:
+  - the vocabulary (30-50k strings -> ids) is CONSTANT-size config; it
+    ships once per executor inside the Arrow UDF closure — never a join,
+    never corpus-dependent;
+  - encoding is an Arrow-batched ``pandas_udf`` (sanctioned escape hatch,
+    SURVEY §2.11): subword segmentation is an irreducibly imperative loop
+    per word, exactly the workload the Arrow batch path exists for. A
+    trie-free greedy matcher over a Python dict is O(word_len^2) per word
+    with tiny constants — scan-bound in practice;
+  - zero shuffle: pure projection, composes with any scan, chunker, or
+    shard writer downstream.
+
+No DuckDB oracle (imperative segmentation); pinned by a pure-Python
+reference implementation + known-segmentation tests instead.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["wordpiece_encode", "wordpiece_segment_word", "UNK_TOKEN"]
+
+UNK_TOKEN = "[UNK]"
+
+
+def wordpiece_segment_word(
+    word: str, vocab: Mapping[str, int], max_word_chars: int = 100
+) -> list[str]:
+    """Greedy longest-match-first WordPiece segmentation of ONE word
+    (BERT's algorithm): repeatedly take the longest vocab prefix, with
+    ``##`` marking word-internal continuations; any unmatchable position
+    (or an over-long word) collapses the whole word to ``[UNK]``."""
+    if len(word) > max_word_chars:
+        return [UNK_TOKEN]
+    pieces: list[str] = []
+    start = 0
+    while start < len(word):
+        end = len(word)
+        cur = None
+        while start < end:
+            piece = word[start:end]
+            if start > 0:
+                piece = "##" + piece
+            if piece in vocab:
+                cur = piece
+                break
+            end -= 1
+        if cur is None:
+            return [UNK_TOKEN]
+        pieces.append(cur)
+        start = end
+    return pieces
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: "Mapping[str, int] | Sequence[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_chars: int = 100,
+) -> DataFrame:
+    """Encode documents to WordPiece ids: returns
+    ``(doc_id, token_ids array<int>, n_tokens, n_unk)``.
+
+    ``vocab`` maps piece -> id (a plain sequence is enumerated in order);
+    continuation pieces use the ``##`` prefix convention. The vocabulary
+    must contain ``[UNK]`` (appended automatically for sequence input).
+    Words run through the shared ``tokens()`` normalizer first, so the
+    same text always encodes identically to the rest of the engine's
+    token-keyed operators.
+    """
+    if not isinstance(vocab, Mapping):
+        vocab = {p: i for i, p in enumerate(vocab)}
+        if UNK_TOKEN not in vocab:
+            vocab[UNK_TOKEN] = len(vocab)
+    if UNK_TOKEN not in vocab:
+        raise ValueError(f"vocab must contain {UNK_TOKEN!r}")
+    vocab = dict(vocab)
+    unk_id = vocab[UNK_TOKEN]
+    mwc = int(max_word_chars)
+
+    @F.pandas_udf("struct<token_ids: array<int>, n_unk: int>")
+    def _encode(words: pd.Series) -> pd.DataFrame:
+        all_ids, all_unk = [], []
+        for ws in words:
+            ids: list[int] = []
+            n_unk = 0
+            for w in (ws if ws is not None else []):
+                for piece in wordpiece_segment_word(w, vocab, mwc):
+                    pid = vocab.get(piece, unk_id)
+                    ids.append(pid)
+                    if pid == unk_id:
+                        n_unk += 1
+            all_ids.append(ids)
+            all_unk.append(n_unk)
+        return pd.DataFrame({"token_ids": all_ids, "n_unk": all_unk})
+
+    enc = df.select(
+        F.col(id_col).alias("doc_id"),
+        _encode(tokens(F.col(text_col))).alias("_enc"),
+    )
+    return enc.select(
+        "doc_id",
+        F.col("_enc.token_ids").alias("token_ids"),
+        F.size("_enc.token_ids").alias("n_tokens"),
+        F.col("_enc.n_unk").alias("n_unk"),
+    )

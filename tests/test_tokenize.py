@@ -1,0 +1,85 @@
+"""WordPiece encode (operators/tokenize.py): known segmentations, pure-Python
+reference parity, OOV handling, and the zero-shuffle plan."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark_minhash_lsh_spark.operators.tokenize import (
+    UNK_TOKEN,
+    wordpiece_encode,
+    wordpiece_segment_word,
+)
+
+VOCAB = [
+    UNK_TOKEN, "un", "##want", "##ed", "want", "##s", "run", "##ning",
+    "the", "a", "data", "##base", "##bases", "engine", "s",
+]
+V = {p: i for i, p in enumerate(VOCAB)}
+
+
+def test_segment_known_words():
+    assert wordpiece_segment_word("unwanted", V) == ["un", "##want", "##ed"]
+    assert wordpiece_segment_word("wants", V) == ["want", "##s"]
+    assert wordpiece_segment_word("running", V) == ["run", "##ning"]
+    # greedy longest-match: ##bases beats ##base + (unmatchable s)
+    assert wordpiece_segment_word("databases", V) == ["data", "##bases"]
+    assert wordpiece_segment_word("zzz", V) == [UNK_TOKEN]
+    assert wordpiece_segment_word("x" * 200, V) == [UNK_TOKEN]
+
+
+def test_encode_known_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "the unwanted databases"), (1, "zzz engine"), (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in wordpiece_encode(df, VOCAB).collect()}
+    assert out[0].token_ids == [V["the"], V["un"], V["##want"], V["##ed"],
+                                V["data"], V["##bases"]]
+    assert out[0].n_unk == 0 and out[0].n_tokens == 6
+    assert out[1].token_ids == [V[UNK_TOKEN], V["engine"]]
+    assert out[1].n_unk == 1
+    assert out[2].token_ids == [] and out[3].token_ids == []
+
+
+def test_encode_matches_python_reference(spark):
+    """Randomized parity: the distributed encoder equals the pure-Python
+    model (tokens() normalization + greedy segmentation) on arbitrary docs."""
+    import re
+
+    def py_tokens(text):
+        cleaned = re.sub(r"[^\w\s]", " ", text or "")
+        return [t for t in re.sub(r"\s+", " ", cleaned).lower().strip().split(" ") if t]
+
+    rng = random.Random(31)
+    words = ["unwanted", "wants", "running", "databases", "the", "zzz",
+             "engine", "a", "data", "s", "Run!", "WANTS,"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 20))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.token_ids, r.n_unk)
+           for r in wordpiece_encode(df, VOCAB).collect()}
+    for i, text in rows:
+        ids, n_unk = [], 0
+        for w in py_tokens(text):
+            for p in wordpiece_segment_word(w, V):
+                ids.append(V.get(p, V[UNK_TOKEN]))
+                n_unk += p == UNK_TOKEN
+        assert got[i] == (ids, n_unk), i
+
+
+def test_encode_requires_unk():
+    with pytest.raises(ValueError):
+        import pyspark.sql  # noqa: F401
+        wordpiece_encode(None, {"a": 0})
+
+
+def test_encode_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(0, "the engine")], "doc_id bigint, text string")
+    plan = wordpiece_encode(df, VOCAB)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # the sanctioned Arrow batch path
