@@ -16,7 +16,7 @@ from .sampling import (
 from .corpus_stats import ngram_novelty, source_overlap
 from .classify import QualityClassifier, score_quality, train_quality_classifier
 from .reduce import PcaReducer, fit_pca_reducer
-from .tokenize import wordpiece_encode
+from .tokenize import bpe_encode, train_bpe, wordpiece_encode
 from .curate import curate_corpus
 from .profile import profile_table
 from .search import bm25_search
@@ -64,6 +64,8 @@ __all__ = [
     "PcaReducer",
     "fit_pca_reducer",
     "wordpiece_encode",
+    "train_bpe",
+    "bpe_encode",
     "train_quality_classifier",
     "score_quality",
     "source_overlap",

@@ -1,10 +1,11 @@
-"""Subword tokenization: WordPiece encode (text -> token ids) at scan speed.
+"""Subword tokenization: WordPiece/BPE encode (text -> tokens) at scan
+speed, plus distributed-aggregation BPE vocabulary training.
 
 ``text_analysis.bpe_token_count_estimate`` estimates token COUNTS for
 budgeting; this module does the real thing — segment each whitespace word
-into subwords with BERT's greedy longest-match-first WordPiece algorithm
-and emit vocabulary ids, the step that turns a curated corpus into
-training-ready sequences.
+into subwords (BERT greedy WordPiece, or a BPE merge list learned by
+``train_bpe``) and emit vocabulary tokens, the step that turns a curated
+corpus into training-ready sequences.
 
 Design for 100 TB:
   - the vocabulary (30-50k strings -> ids) is CONSTANT-size config; it
@@ -32,7 +33,15 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["wordpiece_encode", "wordpiece_segment_word", "UNK_TOKEN"]
+__all__ = [
+    "wordpiece_encode",
+    "wordpiece_segment_word",
+    "train_bpe",
+    "bpe_encode",
+    "bpe_segment_word",
+    "UNK_TOKEN",
+    "END_OF_WORD",
+]
 
 UNK_TOKEN = "[UNK]"
 
@@ -119,3 +128,127 @@ def wordpiece_encode(
         F.size("_enc.token_ids").alias("n_tokens"),
         F.col("_enc.n_unk").alias("n_unk"),
     )
+
+
+END_OF_WORD = "</w>"
+
+
+def train_bpe(
+    df: DataFrame,
+    num_merges: int = 1000,
+    min_word_freq: int = 1,
+    max_word_types: int = 1_000_000,
+    text_col: str = "text",
+) -> "list[tuple[str, str]]":
+    """Learn a BPE merge list (Sennrich et al. 2016) from a corpus.
+
+    Architecture is the one production tokenizer trainers use (and the only
+    one that distributes): the CORPUS-scale step is a single Spark
+    aggregation to ``(word, count)`` — the merge-learning loop then runs
+    driver-side over the bounded WORD-TYPE table (types grow ~O(corpus^0.5)
+    by Heaps' law; ``min_word_freq``/``max_word_types`` bound it hard, and
+    dropping hapax types changes learned merges negligibly). Each merge
+    updates only the types containing the merged pair — the classic
+    in-memory algorithm, exact given the aggregated counts.
+
+    Returns the ordered merge list (highest-priority first) for
+    ``bpe_encode``. Words are segmented into characters with an
+    ``END_OF_WORD`` marker on the final character, the standard
+    word-boundary convention.
+    """
+    wc_rows = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .where(F.col("c") >= int(min_word_freq))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(int(max_word_types))
+        .collect()
+    )
+    # word type -> (symbol tuple, count)
+    types: dict[tuple, int] = {}
+    for r in wc_rows:
+        syms = tuple(list(r.w[:-1]) + [r.w[-1] + END_OF_WORD]) if r.w else ()
+        if syms:
+            types[syms] = types.get(syms, 0) + r.c
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        pair_counts: dict[tuple, int] = {}
+        for syms, c in types.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # deterministic: max count, lexicographic tiebreak
+        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        merged = a + b
+        new_types: dict[tuple, int] = {}
+        for syms, c in types.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_types[t] = new_types.get(t, 0) + c
+        types = new_types
+    return merges
+
+
+def bpe_segment_word(word: str, ranks: "Mapping[tuple, int]") -> list[str]:
+    """Apply learned merges to one word (lowest-rank pair first — the
+    standard BPE apply order, equivalent to replaying the merge history)."""
+    if not word:
+        return []
+    syms = list(word[:-1]) + [word[-1] + END_OF_WORD]
+    while len(syms) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        syms[best_i: best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "Sequence[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a learned BPE merge list: returns
+    ``(doc_id, pieces array<string>, n_tokens)``. Same scale shape as
+    ``wordpiece_encode``: constant-size merge table in the Arrow UDF
+    closure, zero-shuffle projection. Pieces are strings (with the
+    ``END_OF_WORD`` marker); map to ids with any stable vocabulary
+    enumeration downstream.
+    """
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def _encode(words: pd.Series) -> pd.Series:
+        out = []
+        for ws in words:
+            pieces: list[str] = []
+            for w in (ws if ws is not None else []):
+                pieces.extend(bpe_segment_word(w, ranks))
+            out.append(pieces)
+        return pd.Series(out)
+
+    enc = df.select(
+        F.col(id_col).alias("doc_id"),
+        _encode(tokens(F.col(text_col))).alias("pieces"),
+    )
+    return enc.withColumn("n_tokens", F.size("pieces"))

@@ -83,3 +83,78 @@ def test_encode_zero_shuffle_plan(spark):
     plan = wordpiece_encode(df, VOCAB)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan  # the sanctioned Arrow batch path
+
+
+# ---------------------------------------------------------------------------
+# BPE training + encoding
+
+
+def _bpe_corpus(spark):
+    # Sennrich-style toy distribution: 'low' x5, 'lower' x2, 'newest' x6,
+    # 'widest' x3 as documents
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    return spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+    )
+
+
+def test_train_bpe_learns_frequent_units(spark):
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        END_OF_WORD,
+        bpe_segment_word,
+        train_bpe,
+    )
+
+    merges = train_bpe(_bpe_corpus(spark), num_merges=50)
+    assert merges, "no merges learned"
+    # ('e','s') and ('s','t</w>') tie at count 9 (newest 6 + widest 3);
+    # the deterministic max-lex tiebreak picks ('s','t</w>') first and
+    # ('e','s') can no longer exist — ('e','st</w>') follows at 9
+    assert merges[0] == ("s", "t</w>")
+    assert merges[1] == ("e", "st</w>")
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # the most frequent words collapse to single symbols
+    assert bpe_segment_word("newest", ranks) == ["newest" + END_OF_WORD]
+    assert bpe_segment_word("low", ranks) == ["low" + END_OF_WORD]
+    # unseen word still segments into valid pieces that rebuild the word
+    pieces = bpe_segment_word("lowest", ranks)
+    assert "".join(pieces) == "lowest" + END_OF_WORD
+    assert len(pieces) >= 2  # never seen as a whole word
+
+
+def test_train_bpe_deterministic(spark):
+    from pyspark_minhash_lsh_spark.operators.tokenize import train_bpe
+
+    corpus = _bpe_corpus(spark)
+    assert train_bpe(corpus, num_merges=30) == train_bpe(corpus, num_merges=30)
+
+
+def test_bpe_encode_dataframe(spark):
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        END_OF_WORD,
+        bpe_encode,
+        train_bpe,
+    )
+
+    corpus = _bpe_corpus(spark)
+    merges = train_bpe(corpus, num_merges=50)
+    df = spark.createDataFrame(
+        [(0, "newest widest"), (1, "lowest"), (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    assert out[0].pieces[0] == "newest" + END_OF_WORD
+    assert "".join(out[0].pieces) == "newest" + END_OF_WORD + "widest" + END_OF_WORD
+    assert "".join(out[1].pieces) == "lowest" + END_OF_WORD
+    assert out[2].pieces == [] and out[3].pieces == []
+    assert out[0].n_tokens == len(out[0].pieces)
+
+
+def test_bpe_min_word_freq_bounds_types(spark):
+    from pyspark_minhash_lsh_spark.operators.tokenize import train_bpe
+
+    corpus = _bpe_corpus(spark)
+    # dropping types under freq 4 leaves only low(5) and newest(6)
+    merges = train_bpe(corpus, num_merges=50, min_word_freq=4)
+    flat = {a for a, _ in merges} | {b for _, b in merges}
+    assert not any("r" in s for s in flat)  # 'lower' types excluded

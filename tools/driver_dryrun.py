@@ -84,8 +84,11 @@ def main() -> None:
             rec["err"] = f"{type(e).__name__}: {e}"[:300]
             n_fail += 1
         report[name] = rec
-        flag = "OK " if rec.get("hash_match", "err" in rec and rec["err"] == "no_oracle") else "FAIL"
-        print(f"{flag} {name}: {rec}")
+        if "hash_match" in rec:
+            ok_flag = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+        else:
+            ok_flag = rec.get("err") == "no_oracle"
+        print(f"{'OK ' if ok_flag else 'FAIL'} {name}: {rec}")
 
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/correctness_dry.json"
     with open(out, "w") as f:
