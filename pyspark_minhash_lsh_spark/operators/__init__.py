@@ -15,6 +15,7 @@ from .sampling import (
 )
 from .corpus_stats import ngram_novelty, source_overlap
 from .classify import QualityClassifier, score_quality, train_quality_classifier
+from .pq import PqModel, fit_pq
 from .reduce import PcaReducer, fit_pca_reducer
 from .tokenize import bpe_encode, train_bpe, wordpiece_encode
 from .curate import curate_corpus
@@ -63,6 +64,8 @@ __all__ = [
     "QualityClassifier",
     "PcaReducer",
     "fit_pca_reducer",
+    "PqModel",
+    "fit_pq",
     "wordpiece_encode",
     "train_bpe",
     "bpe_encode",

@@ -1,0 +1,197 @@
+"""Product quantization (PQ) for embedding ANN — the 100 TB memory play.
+
+IVF prunes WHICH vectors a query scans (`operators/ivf.py`); PQ shrinks
+WHAT is scanned: each d-dim vector becomes ``m`` one-byte-ish codes (one
+k-means codebook per d/m-dim subspace, Jégou et al. 2011), a 64-512x size
+reduction that turns a 6 KB float row into 8-16 bytes. Queries score codes
+with asymmetric distance (ADC): a constant-size lookup table per query —
+``m x k`` partial inner products — summed over each vector's codes. At
+corpus scale the scan reads ONLY the code column; the float embeddings
+never leave parquet.
+
+Scale shape:
+  - fit: a BOUNDED sample is pulled to the driver (codebooks need ~10-100k
+    vectors regardless of corpus size) and Lloyd k-means runs per subspace
+    in numpy — constant cost as the corpus grows, like IvfFlat's
+    sample-trained quantizer;
+  - encode: Arrow-batched pandas_udf with the (m, k, dsub) codebook tensor
+    in the closure (constant size) — zero shuffle, scan speed;
+  - query: ADC table built once per query on the driver (m*k floats),
+    summed per row in an Arrow batch; top-k via TakeOrderedAndProject.
+
+Inputs are L2-normalized before fit/encode, so the ADC inner product
+approximates cosine similarity and composes with the engine's other
+embedding operators. No DuckDB oracle (iterative k-means is sanctioned
+non-SQL); pinned by recall-vs-brute-force, reconstruction, determinism,
+and save/load tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fit_pq", "PqModel"]
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _kmeans(x: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
+    """Plain Lloyd with random-point init (deterministic via ``rng``);
+    empty clusters re-seeded from the farthest points."""
+    k = min(k, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+            else:
+                cent[j] = x[d2.min(axis=1).argmax()]
+    return cent
+
+
+class PqModel:
+    """Fitted product quantizer: ``codebooks`` is an (m, k, dsub) tensor."""
+
+    def __init__(self, codebooks: np.ndarray, emb_col: str, id_col: str):
+        self.codebooks = codebooks
+        self.m, self.k, self.dsub = codebooks.shape
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    # -- encode ---------------------------------------------------------------
+
+    def encode(self, df: DataFrame) -> DataFrame:
+        """Append ``pq_codes`` (``array<int>``, length m): nearest-centroid
+        code per subspace over the L2-normalized vector. Zero-shuffle Arrow
+        projection; the codes column is what a scan reads at query time."""
+        books = self.codebooks
+        m, k, dsub = self.m, self.k, self.dsub
+
+        @F.pandas_udf("array<int>")
+        def _enc(vs: pd.Series) -> pd.Series:
+            out = []
+            for v in vs:
+                if v is None or len(v) != m * dsub:
+                    out.append(None)
+                    continue
+                x = _normalize(np.asarray(v, dtype=np.float64)[None, :])[0]
+                codes = np.empty(m, dtype=np.int32)
+                for j in range(m):
+                    sub = x[j * dsub:(j + 1) * dsub]
+                    d2 = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+                    codes[j] = int(d2.argmin())
+                out.append(codes.tolist())
+            return pd.Series(out)
+
+        return df.withColumn("pq_codes", _enc(F.col(self.emb_col)))
+
+    # -- query ----------------------------------------------------------------
+
+    def approx_cosine_topk(
+        self, encoded: DataFrame, query: "list[float]", n: int = 10
+    ) -> DataFrame:
+        """Top-``n`` rows of an ``encode``-d table by ADC score against
+        ``query`` — ``(id, adc_score)``, descending. The per-query lookup
+        table (m x k partial inner products of the normalized query with
+        every centroid) is built driver-side and ships in the UDF closure;
+        the executor work per row is m table lookups over the code column."""
+        q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
+        if len(q) != self.m * self.dsub:
+            raise ValueError(
+                f"query dim {len(q)} != model dim {self.m * self.dsub}")
+        table = np.stack([
+            self.codebooks[j] @ q[j * self.dsub:(j + 1) * self.dsub]
+            for j in range(self.m)
+        ])  # (m, k)
+
+        @F.pandas_udf("double")
+        def _adc(codes: pd.Series) -> pd.Series:
+            out = []
+            for c in codes:
+                if c is None:
+                    out.append(None)
+                else:
+                    cc = np.asarray(c, dtype=np.int64)
+                    out.append(float(table[np.arange(len(cc)), cc].sum()))
+            return pd.Series(out)
+
+        return (
+            encoded.select(
+                F.col(self.id_col), _adc(F.col("pq_codes")).alias("adc_score")
+            )
+            .where(F.col("adc_score").isNotNull())
+            .orderBy(F.desc("adc_score"), F.asc(self.id_col))
+            .limit(n)
+        )
+
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, spark, path: str, mode: str = "overwrite") -> None:
+        """Persist codebooks as parquet rows ``(subspace, centroid, vector)``
+        + a one-row params sidecar (same convention as the SRP/IVF
+        indexes)."""
+        rows = [
+            (j, c, self.codebooks[j, c].tolist())
+            for j in range(self.m) for c in range(self.k)
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, centroid int, vector array<double>"
+        ).coalesce(1).write.mode(mode).parquet(path)
+        spark.createDataFrame(
+            [(self.m, self.k, self.dsub, self.emb_col, self.id_col)],
+            "m int, k int, dsub int, emb_col string, id_col string",
+        ).coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/_params")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PqModel":
+        p = spark.read.parquet(path.rstrip("/") + "/_params").head()
+        books = np.zeros((p.m, p.k, p.dsub))
+        for r in spark.read.parquet(path).collect():
+            books[r.subspace, r.centroid] = r.vector
+        return cls(books, p.emb_col, p.id_col)
+
+
+def fit_pq(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 50_000,
+    iters: int = 15,
+    seed: int = 41,
+) -> PqModel:
+    """Fit PQ codebooks on a bounded sample: ``m`` subspaces x ``k``
+    centroids over L2-normalized vectors. The dimension must divide evenly
+    by ``m``. Fit cost is constant in corpus size (sample bound, driver
+    k-means per subspace on d/m-dim slices)."""
+    sample = df.select(emb_col).where(F.col(emb_col).isNotNull())
+    n = sample.count()
+    if n > sample_rows:
+        sample = sample.sample(fraction=sample_rows / n, seed=seed)
+    mat = np.asarray([r[0] for r in sample.collect()], dtype=np.float64)
+    if mat.ndim != 2 or not len(mat):
+        raise ValueError("no vectors to fit on")
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    mat = _normalize(mat)
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.stack([
+        # pad ragged codebooks up to k is unnecessary: _kmeans caps k at
+        # sample size, and encode/argmin only sees what exists
+        _kmeans(mat[:, j * dsub:(j + 1) * dsub], k, iters, rng)
+        for j in range(m)
+    ])
+    return PqModel(books, emb_col, id_col)

@@ -1,0 +1,121 @@
+"""Product quantization (operators/pq.py): recall vs brute-force cosine,
+encode/plan shape, determinism, and save/load parity."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.pq import PqModel, fit_pq
+
+
+def _clustered_corpus(spark, n_clusters=15, per_cluster=20, d=32, seed=9):
+    rng = random.Random(seed)
+    centers = [
+        [rng.gauss(0, 1) for _ in range(d)] for _ in range(n_clusters)
+    ]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _clustered_corpus(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    return fit_pq(corpus, m=8, k=32, sample_rows=10_000)
+
+
+@pytest.fixture(scope="module")
+def encoded(corpus, model):
+    return model.encode(corpus).cache()
+
+
+def test_codes_shape_and_nulls(spark, model):
+    df = spark.createDataFrame(
+        [(0, [0.1] * 32), (1, None)], "vec_id bigint, embedding array<float>"
+    )
+    out = {r.vec_id: r.pq_codes for r in model.encode(df).collect()}
+    assert len(out[0]) == 8 and all(0 <= c < 32 for c in out[0])
+    assert out[1] is None
+
+
+def test_recall_vs_brute_force(corpus, model, encoded):
+    full = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    cluster_hits = exact_hits = total = 0
+    for probe in [0, 25, 111, 222, 299]:
+        brute = sorted(
+            (i for i in full if i != probe),
+            key=lambda i: -_cos(full[probe], full[i]),
+        )[:10]
+        got = [
+            r.vec_id
+            for r in model.approx_cosine_topk(encoded, full[probe], n=11).collect()
+            if r.vec_id != probe
+        ][:10]
+        probe_cluster = probe // 20
+        cluster_hits += sum(1 for i in got if i // 20 == probe_cluster)
+        exact_hits += len(set(brute) & set(got))
+        total += 10
+    # the guarantee PQ makes: retrieved neighbors come from the true
+    # cluster. WITHIN a tight cluster the 19 mates are interchangeable
+    # after 4x quantization (ordering there is noise), so cluster-level
+    # recall is the meaningful bar and exact-id recall only a floor.
+    assert cluster_hits / total >= 0.95, cluster_hits / total
+    assert exact_hits / total >= 0.35, exact_hits / total
+
+
+def test_self_is_top_scoring_cluster(corpus, model, encoded):
+    full = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    top = model.approx_cosine_topk(encoded, full[42], n=5).collect()
+    # all top hits come from doc 42's cluster (ids 40-59)
+    assert all(40 <= r.vec_id < 60 for r in top), [r.vec_id for r in top]
+
+
+def test_encode_zero_shuffle_plan(encoded, corpus, model):
+    plan = model.encode(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" in plan
+
+
+def test_fit_deterministic(corpus):
+    a = fit_pq(corpus, m=4, k=16, sample_rows=10_000)
+    b = fit_pq(corpus, m=4, k=16, sample_rows=10_000)
+    assert (a.codebooks == b.codebooks).all()
+
+
+def test_save_load_parity(spark, corpus, model, encoded, tmp_path):
+    path = str(tmp_path / "pq_index")
+    model.save(spark, path)
+    again = PqModel.load(spark, path)
+    assert (again.codebooks == model.codebooks).all()
+    q = [0.2] * 32
+    a = [(r.vec_id, round(r.adc_score, 9))
+         for r in model.approx_cosine_topk(encoded, q, n=7).collect()]
+    b = [(r.vec_id, round(r.adc_score, 9))
+         for r in again.approx_cosine_topk(encoded, q, n=7).collect()]
+    assert a == b
+
+
+def test_dim_validation(spark, corpus):
+    with pytest.raises(ValueError):
+        fit_pq(corpus, m=5)  # 32 % 5 != 0
+    m = fit_pq(corpus, m=4, k=8, sample_rows=10_000)
+    with pytest.raises(ValueError):
+        m.approx_cosine_topk(m.encode(corpus), [0.1] * 7)
