@@ -15,7 +15,7 @@ from .sampling import (
 )
 from .corpus_stats import ngram_novelty, source_overlap
 from .classify import QualityClassifier, score_quality, train_quality_classifier
-from .pq import PqModel, fit_pq
+from .pq import PqModel, build_ivf_pq_index, fit_pq, ivf_pq_topk
 from .reduce import PcaReducer, fit_pca_reducer
 from .tokenize import bpe_encode, train_bpe, wordpiece_encode
 from .curate import curate_corpus
@@ -66,6 +66,8 @@ __all__ = [
     "fit_pca_reducer",
     "PqModel",
     "fit_pq",
+    "build_ivf_pq_index",
+    "ivf_pq_topk",
     "wordpiece_encode",
     "train_bpe",
     "bpe_encode",

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fit_pq", "PqModel"]
+__all__ = ["fit_pq", "PqModel", "build_ivf_pq_index", "ivf_pq_topk"]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -195,3 +195,31 @@ def fit_pq(
         for j in range(m)
     ])
     return PqModel(books, emb_col, id_col)
+
+
+def build_ivf_pq_index(ivf_model, pq_model: PqModel) -> DataFrame:
+    """Materialize the IVF-PQ index: ``(id, cell, pq_codes)`` — the slim
+    artifact a 100 TB ANN service actually serves from (16-24 bytes per
+    vector; the float embeddings stay in cold storage). Feed it to
+    ``ivf_pq_topk`` (cache or write it cell-partitioned so probes prune
+    partitions, same layout trick as ``IvfFlatModel.save_index``)."""
+    enc = pq_model.encode(ivf_model.index)
+    return enc.select(F.col(pq_model.id_col), F.col("cell"), F.col("pq_codes"))
+
+
+def ivf_pq_topk(
+    ivf_model,
+    pq_model: PqModel,
+    index: DataFrame,
+    query: "list[float]",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ query: prune to the ``n_probe`` nearest cells (driver math
+    over the coarse centroids), then ADC-score ONLY those rows' codes —
+    the full FAISS-style composition: coarse quantizer bounds the scan,
+    product codes bound the bytes. Returns ``(id, adc_score)`` top-k."""
+    cells = ivf_model._nearest_cells(query, n_probe)
+    return pq_model.approx_cosine_topk(
+        index.filter(F.col("cell").isin(cells)), query, n=k
+    )

@@ -119,3 +119,32 @@ def test_dim_validation(spark, corpus):
     m = fit_pq(corpus, m=4, k=8, sample_rows=10_000)
     with pytest.raises(ValueError):
         m.approx_cosine_topk(m.encode(corpus), [0.1] * 7)
+
+
+def test_ivf_pq_composition(spark, corpus, model):
+    """IVF-PQ: cell pruning + code scanning. With all cells probed the
+    result must equal the full PQ scan; with few probes the self-cluster
+    still dominates."""
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+    from pyspark_minhash_lsh_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+    )
+
+    ivf = IvfFlat(n_cells=10, seed=3).fit(corpus, persist=False)
+    index = build_ivf_pq_index(ivf, model).cache()
+    assert set(index.columns) == {"vec_id", "cell", "pq_codes"}
+
+    full = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    q = full[42]
+    # all-cells probe == plain PQ scan over the whole index
+    all_probe = [(r.vec_id, round(r.adc_score, 9))
+                 for r in ivf_pq_topk(ivf, model, index, q, k=8,
+                                      n_probe=10).collect()]
+    plain = [(r.vec_id, round(r.adc_score, 9))
+             for r in model.approx_cosine_topk(
+                 index, q, n=8).collect()]
+    assert all_probe == plain
+    # narrow probe still lands in doc 42's cluster (ids 40-59)
+    narrow = ivf_pq_topk(ivf, model, index, q, k=5, n_probe=2).collect()
+    assert narrow and all(40 <= r.vec_id < 60 for r in narrow)
