@@ -15,9 +15,15 @@ from .sampling import (
 )
 from .corpus_stats import ngram_novelty, source_overlap
 from .classify import QualityClassifier, score_quality, train_quality_classifier
-from .pq import PqModel, build_ivf_pq_index, fit_pq, ivf_pq_topk
+from .pq import PqModel, build_ivf_pq_index, fit_pq, ivf_pq_topk, pq_topk_batch
 from .reduce import PcaReducer, fit_pca_reducer
-from .tokenize import bpe_encode, train_bpe, wordpiece_encode
+from .tokenize import (
+    bpe_decode,
+    bpe_encode,
+    train_bpe,
+    wordpiece_decode,
+    wordpiece_encode,
+)
 from .curate import curate_corpus
 from .profile import profile_table
 from .search import bm25_search
@@ -71,6 +77,9 @@ __all__ = [
     "wordpiece_encode",
     "train_bpe",
     "bpe_encode",
+    "bpe_decode",
+    "wordpiece_decode",
+    "pq_topk_batch",
     "train_quality_classifier",
     "score_quality",
     "source_overlap",

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fit_pq", "PqModel", "build_ivf_pq_index", "ivf_pq_topk"]
+__all__ = ["fit_pq", "PqModel", "build_ivf_pq_index", "ivf_pq_topk", "pq_topk_batch"]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -223,3 +223,82 @@ def ivf_pq_topk(
     return pq_model.approx_cosine_topk(
         index.filter(F.col("cell").isin(cells)), query, n=k
     )
+
+
+def _batch_topk(model: PqModel, encoded: DataFrame, qids, qmat, k: int) -> DataFrame:
+    """Shared batched-ADC core: score every encoded row against every query
+    in one Arrow pass, explode per query, WindowGroupLimit the top-k."""
+    from pyspark.sql import Window
+
+    tables = np.stack([
+        np.stack([
+            model.codebooks[j] @ q[j * model.dsub:(j + 1) * model.dsub]
+            for j in range(model.m)
+        ])
+        for q in qmat
+    ])  # (n_queries, m, k)
+
+    @F.pandas_udf("array<double>")
+    def _adc_all(codes: pd.Series) -> pd.Series:
+        out = []
+        ar = np.arange(tables.shape[1])
+        for c in codes:
+            if c is None:
+                out.append(None)
+            else:
+                cc = np.asarray(c, dtype=np.int64)
+                out.append(tables[:, ar, cc].sum(axis=1).tolist())
+            # tables[:, j, code_j] summed over j — all queries at once
+        return pd.Series(out)
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        encoded.select(
+            F.col(model.id_col), _adc_all(F.col("pq_codes")).alias("_s")
+        )
+        .where(F.col("_s").isNotNull())
+        .select(
+            F.col(model.id_col), F.posexplode("_s").alias("_qi", "adc_score")
+        )
+        .select(
+            F.element_at(qid_arr, F.col("_qi") + 1).alias("query_id"),
+            F.col(model.id_col), F.col("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc(model.id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_topk_batch(
+    pq_model: PqModel,
+    encoded: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    query_emb_col: str | None = None,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched ADC top-k: every query in ``queries`` against an
+    ``encode``-d table in ONE scan — the PQ twin of the SRP/IVF batch
+    APIs. Returns ``(query_id, <id_col>, adc_score, rank)``.
+
+    The query batch is collected to the driver and its (n_queries, m, k)
+    ADC table stack ships in the Arrow UDF closure — sized for SERVING
+    batches (hundreds to low thousands of queries), not query-corpora;
+    join-style workloads belong to the SRP/IVF batch paths. Each encoded
+    row is scored against all queries in one numpy gather, so the corpus
+    is still scanned exactly once regardless of batch size."""
+    emb = query_emb_col or pq_model.emb_col
+    rows = queries.select(F.col(query_id_col), F.col(emb)).collect()
+    if not rows:
+        raise ValueError("empty query batch")
+    qids = [r[0] for r in rows]
+    qmat = _normalize(np.asarray([r[1] for r in rows], dtype=np.float64))
+    if qmat.shape[1] != pq_model.m * pq_model.dsub:
+        raise ValueError(
+            f"query dim {qmat.shape[1]} != model dim {pq_model.m * pq_model.dsub}")
+    return _batch_topk(pq_model, encoded, qids, qmat, k)

@@ -38,7 +38,9 @@ __all__ = [
     "wordpiece_segment_word",
     "train_bpe",
     "bpe_encode",
+    "bpe_decode",
     "bpe_segment_word",
+    "wordpiece_decode",
     "UNK_TOKEN",
     "END_OF_WORD",
 ]
@@ -252,3 +254,28 @@ def bpe_encode(
         _encode(tokens(F.col(text_col))).alias("pieces"),
     )
     return enc.withColumn("n_tokens", F.size("pieces"))
+
+
+def bpe_decode(pieces):
+    """Native Column expr: BPE pieces -> normalized text (END_OF_WORD
+    markers become spaces). Round-trips ``bpe_encode`` output exactly for
+    any input, since pieces concatenate to ``word + END_OF_WORD`` per word
+    by construction. Zero Python — codegen'd string ops."""
+    joined = F.array_join(pieces, "")
+    return F.trim(F.regexp_replace(joined, r"</w>", " "))
+
+
+def wordpiece_decode(token_ids, vocab: "Mapping[str, int] | Sequence[str]"):
+    """Native Column expr: WordPiece ids -> text (``##`` continuations
+    rejoined). ``[UNK]`` pieces survive as literal ``[UNK]`` words — decode
+    is lossy exactly where encode was. The id->piece table is a literal
+    array in the plan (constant-size vocab, same stance as encode)."""
+    if not isinstance(vocab, Mapping):
+        vocab = {p: i for i, p in enumerate(vocab)}
+        vocab.setdefault(UNK_TOKEN, len(vocab))
+    inv = [None] * (max(vocab.values()) + 1)
+    for p, i in vocab.items():
+        inv[i] = p
+    piece_arr = F.array(*[F.lit(p if p is not None else "") for p in inv])
+    pieces = F.transform(token_ids, lambda i: F.element_at(piece_arr, i + 1))
+    return F.regexp_replace(F.array_join(pieces, " "), " ##", "")

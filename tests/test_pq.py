@@ -148,3 +148,25 @@ def test_ivf_pq_composition(spark, corpus, model):
     # narrow probe still lands in doc 42's cluster (ids 40-59)
     narrow = ivf_pq_topk(ivf, model, index, q, k=5, n_probe=2).collect()
     assert narrow and all(40 <= r.vec_id < 60 for r in narrow)
+
+
+def test_pq_topk_batch_matches_single(spark, corpus, model, encoded):
+    """Batched ADC equals the single-query API per query id."""
+    from pyspark_minhash_lsh_spark.operators.pq import pq_topk_batch
+
+    full = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    probes = [0, 77, 123]
+    queries = spark.createDataFrame(
+        [(p, full[p]) for p in probes], "query_id bigint, embedding array<float>"
+    )
+    batch = pq_topk_batch(model, encoded, queries, k=6)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, round(r.adc_score, 9)))
+    for p in probes:
+        single = [
+            (i + 1, r.vec_id, round(r.adc_score, 9))
+            for i, r in enumerate(
+                model.approx_cosine_topk(encoded, full[p], n=6).collect())
+        ]
+        assert sorted(got[p]) == single, p

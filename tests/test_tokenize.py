@@ -158,3 +158,43 @@ def test_bpe_min_word_freq_bounds_types(spark):
     merges = train_bpe(corpus, num_merges=50, min_word_freq=4)
     flat = {a for a, _ in merges} | {b for _, b in merges}
     assert not any("r" in s for s in flat)  # 'lower' types excluded
+
+
+def test_decode_round_trips(spark):
+    """Native decode exprs invert the encoders over normalized text."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        bpe_decode,
+        bpe_encode,
+        train_bpe,
+        wordpiece_decode,
+        wordpiece_encode,
+    )
+
+    corpus = _bpe_corpus(spark)
+    merges = train_bpe(corpus, num_merges=50)
+    df = spark.createDataFrame(
+        [(0, "newest widest lowest"), (1, "low lower")],
+        "doc_id bigint, text string",
+    )
+    enc = bpe_encode(df, merges)
+    back = {r.doc_id: r.t for r in enc.select(
+        "doc_id", bpe_decode(F.col("pieces")).alias("t")).collect()}
+    assert back[0] == "newest widest lowest" and back[1] == "low lower"
+
+    wp = wordpiece_encode(df, VOCAB)
+    wback = {r.doc_id: r.t for r in wp.select(
+        "doc_id", wordpiece_decode(F.col("token_ids"), VOCAB).alias("t")).collect()}
+    # 'lowest'/'lower'/'widest' are OOV for the wordpiece VOCAB -> [UNK]
+    assert wback[1] == "[UNK] [UNK]"
+    assert wback[0].startswith("[UNK] [UNK]") or "unwanted" not in wback[0]
+
+    # the decode EXPRESSION itself is native (no Python eval node of its
+    # own — measured on a plain literal frame, without the encoder upstream)
+    lit = spark.createDataFrame(
+        [([f"low{'</w>'}"],)], "pieces array<string>"
+    )
+    plan = lit.select(bpe_decode(F.col("pieces")))._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert "Python" not in plan
