@@ -13,7 +13,7 @@ from .sampling import (
     shard_assignment,
     weighted_resample,
 )
-from .corpus_stats import ngram_novelty, source_overlap
+from .corpus_stats import corpus_report, ngram_novelty, source_overlap
 from .classify import QualityClassifier, score_quality, train_quality_classifier
 from .pq import PqModel, build_ivf_pq_index, fit_pq, ivf_pq_topk, pq_topk_batch
 from .reduce import PcaReducer, fit_pca_reducer
@@ -84,6 +84,7 @@ __all__ = [
     "score_quality",
     "source_overlap",
     "ngram_novelty",
+    "corpus_report",
     "semantic_dedup_cells",
     "dedup_profile",
 ]

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
 
-__all__ = ["source_overlap", "ngram_novelty"]
+__all__ = ["source_overlap", "ngram_novelty", "corpus_report"]
 
 
 def _shingle_col(text: Column, shingle_size: int) -> Column:
@@ -185,3 +185,105 @@ def ngram_novelty(
             F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Dataset-card summary in one operator: the numbers a corpus release
+    ships with, as a tall ``(section, key, value)`` frame.
+
+      - counts:   n_docs, n_empty_docs, total/avg tokens, total chars;
+      - length:   p50 / p90 / p99 token counts (approx at scale);
+      - dedup:    distinct content fingerprints + exact-dup fraction
+                  (approx_count_distinct by default — the scale path;
+                  ``exact_distinct=True`` for oracle-grade numbers);
+      - quality:  mean/min/max heuristic quality score;
+      - groups:   doc share per ``group_col`` value (top 20 by count).
+
+    Plan: one scan computes every per-doc projection; a single global
+    aggregate + one small group aggregate produce the report. All outputs
+    are O(1)-to-O(groups)-sized — a safe driver display at any corpus
+    size. Percentiles use ``percentile_approx`` (fixed-size sketch) unless
+    ``exact_distinct`` (which also switches to exact ``percentile``).
+    """
+    from ..functions.hashing import content_fingerprint
+    from ..functions.text_analysis import quality_score
+
+    toks = tokens(F.col(text_col))
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).cast("string").alias("grp"),
+        F.size(toks).alias("n_tok"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars"),
+        F.round(quality_score(F.coalesce(F.col(text_col), F.lit(""))), 6).alias("q"),
+        content_fingerprint(toks).alias("fp"),
+    )
+    ndistinct = (
+        F.countDistinct("fp") if exact_distinct
+        else F.approx_count_distinct("fp")
+    )
+    pctile = (
+        (lambda c, p: F.expr(f"percentile({c}, {p})")) if exact_distinct
+        else (lambda c, p: F.expr(f"percentile_approx({c}, {p})"))
+    )
+    g = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_tok") == 0).cast("bigint")).alias("n_empty"),
+        F.sum("n_tok").alias("tot_tok"),
+        F.avg("n_tok").alias("avg_tok"),
+        F.sum("n_chars").alias("tot_chars"),
+        pctile("n_tok", 0.5).alias("p50"),
+        pctile("n_tok", 0.9).alias("p90"),
+        pctile("n_tok", 0.99).alias("p99"),
+        ndistinct.alias("n_fp"),
+        F.avg("q").alias("q_mean"),
+        F.min("q").alias("q_min"),
+        F.max("q").alias("q_max"),
+    )
+    rows = g.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in [
+                    "counts/n_docs", "counts/n_empty_docs", "counts/total_tokens",
+                    "counts/avg_tokens", "counts/total_chars",
+                    "length/p50_tokens", "length/p90_tokens", "length/p99_tokens",
+                    "dedup/distinct_fingerprints", "dedup/exact_dup_frac",
+                    "quality/mean", "quality/min", "quality/max",
+                ]]),
+                F.array(
+                    F.col("n_docs").cast("double"),
+                    F.col("n_empty").cast("double"),
+                    F.col("tot_tok").cast("double"),
+                    F.round("avg_tok", 6),
+                    F.col("tot_chars").cast("double"),
+                    F.col("p50").cast("double"),
+                    F.col("p90").cast("double"),
+                    F.col("p99").cast("double"),
+                    F.col("n_fp").cast("double"),
+                    F.round(
+                        (F.col("n_docs") - F.col("n_fp")).cast("double")
+                        / F.greatest(F.col("n_docs"), F.lit(1)), 6),
+                    F.round("q_mean", 6), F.col("q_min"), F.col("q_max"),
+                ),
+            )
+        ).alias("k", "value")
+    ).select(
+        F.split_part(F.col("k"), F.lit("/"), F.lit(1)).alias("section"),
+        F.split_part(F.col("k"), F.lit("/"), F.lit(2)).alias("key"),
+        "value",
+    )
+    grp = (
+        per_doc.groupBy("grp").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("grp")).limit(20)
+    )
+    grp_rows = grp.crossJoin(per_doc.agg(F.count("*").alias("n"))).select(
+        F.lit("groups").alias("section"),
+        F.coalesce(F.col("grp"), F.lit("<null>")).alias("key"),
+        F.round(F.col("c").cast("double") / F.col("n"), 6).alias("value"),
+    )
+    return rows.unionByName(grp_rows)

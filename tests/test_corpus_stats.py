@@ -261,3 +261,72 @@ def test_source_overlap_no_broadcast_mode_identical(spark):
     a = sorted(map(tuple, source_overlap(docs).collect()))
     b = sorted(map(tuple, source_overlap(docs, broadcast_sizes=False).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# corpus_report
+
+
+def test_corpus_report_known_values(spark):
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "a"),
+            (1, "alpha beta gamma delta", "a"),   # exact dup of 0
+            (2, "totally different words here now", "b"),
+            (3, "", "b"),
+            (4, None, "b"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    rep = {
+        (r.section, r.key): r.value
+        for r in corpus_report(docs, exact_distinct=True).collect()
+    }
+    assert rep[("counts", "n_docs")] == 5.0
+    assert rep[("counts", "n_empty_docs")] == 2.0
+    assert rep[("counts", "total_tokens")] == 13.0
+    # 5 docs, fingerprints: dup pair shares one, empty+null share one -> 3
+    assert rep[("dedup", "distinct_fingerprints")] == 3.0
+    assert abs(rep[("dedup", "exact_dup_frac")] - 0.4) < 1e-9
+    assert rep[("groups", "a")] == 0.4 and rep[("groups", "b")] == 0.6
+    assert 0.0 <= rep[("quality", "min")] <= rep[("quality", "max")] <= 1.0
+
+
+def test_corpus_report_matches_duckdb(spark):
+    """Count/length/group metrics cross-checked in DuckDB over the shared
+    tokenizer (fingerprint/quality legs are engine-specific, pinned by the
+    known-values test)."""
+    import duckdb
+
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import corpus_report
+
+    import random
+    rng = random.Random(3)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(40)}" for _ in range(rng.randrange(0, 25))),
+         f"s{i % 4}")
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    rep = {(r.section, r.key): r.value
+           for r in corpus_report(docs, exact_distinct=True).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    n_docs, tot_tok, p50 = con.execute(r"""
+        WITH tok AS (SELECT len(list_filter(string_split(trim(lower(
+          regexp_replace(regexp_replace(text, '[^\w\s]', ' ', 'g'),
+          '\s+', ' ', 'g'))), ' '), x -> x <> '')) AS n FROM t)
+        SELECT COUNT(*), SUM(n), quantile_disc(n, 0.5) FROM tok
+    """).fetchone()
+    assert rep[("counts", "n_docs")] == float(n_docs)
+    assert rep[("counts", "total_tokens")] == float(tot_tok)
+    assert rep[("length", "p50_tokens")] == float(p50)
+    for s in range(4):
+        frac = con.execute(
+            "SELECT COUNT(*) FROM t WHERE source = ?", [f"s{s}"]
+        ).fetchone()[0] / n_docs
+        assert abs(rep[("groups", f"s{s}")] - round(frac, 6)) < 1e-9
