@@ -157,3 +157,62 @@ def test_ivf_excludes_null_and_empty_embeddings(spark):
     ids = {r.vec_id for r in out}
     assert 100 not in ids and 101 not in ids
     assert len(out) == 10  # every real vector still indexed
+
+
+def _empty_docs_src(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string, source string")
+
+
+def test_round3_text_ops_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        chunk_documents,
+        line_filter,
+        normalize_text,
+    )
+
+    e = _empty_docs_src(spark)
+    assert chunk_documents(e, window=8).count() == 0
+    lf = line_filter(e)
+    assert lf.count() == 0
+    assert lf.columns == ["doc_id", "text", "n_lines", "n_kept", "keep_doc"]
+    assert normalize_text(e).count() == 0
+
+
+def test_corpus_report_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import corpus_report
+
+    rep = {(r.section, r.key): r.value
+           for r in corpus_report(_empty_docs_src(spark)).collect()}
+    assert rep[("counts", "n_docs")] == 0.0
+    assert rep[("dedup", "exact_dup_frac")] == 0.0
+
+
+def test_token_budget_and_leakage_split_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.sampling import (
+        leakage_safe_split,
+        per_group_token_budget,
+    )
+
+    e = _empty_docs_src(spark)
+    assert per_group_token_budget(e, budget=100).count() == 0
+    out = leakage_safe_split(e)
+    assert out.count() == 0 and "split" in out.columns
+
+
+def test_bpe_and_wordpiece_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        bpe_encode,
+        train_bpe,
+        wordpiece_encode,
+    )
+
+    e = _empty_docs_src(spark)
+    assert train_bpe(e, num_merges=5) == []
+    assert bpe_encode(e, []).count() == 0
+    assert wordpiece_encode(e, ["[UNK]", "a"]).count() == 0
+
+
+def test_streaming_curate_empty_batch(spark):
+    from pyspark_minhash_lsh_spark.streaming import streaming_curate
+
+    assert streaming_curate(_empty_docs_src(spark)).count() == 0
