@@ -41,6 +41,7 @@ __all__ = [
     "embedding_dedup",
     "semantic_dedup_cells",
     "simhash_near_pairs",
+    "hamming_near_pairs",
     "simhash_dedup",
     "incremental_exact_dedup",
     "incremental_near_dedup",
@@ -473,6 +474,25 @@ def simhash_near_pairs(
         (32 bits at d=6, k=3 — 20 tables). More explode rows, exponentially
         smaller buckets: the scale setting.
     """
+    sh = simhash_bits_df(
+        df, tokens(F.col(text_col)), id_col=id_col, num_bits=num_bits, seed=seed
+    ).select(F.col(id_col).alias("id"), "bits")
+    return hamming_near_pairs(sh, max_hamming, num_bits=num_bits, n_blocks=n_blocks)
+
+
+def hamming_near_pairs(
+    bits_df: DataFrame,
+    max_hamming: int = 3,
+    num_bits: int = 64,
+    n_blocks: Optional[int] = None,
+) -> DataFrame:
+    """Generic banded hamming join: all ``(id_a, id_b, hamming)`` pairs with
+    distance <= ``max_hamming`` over an ``(id, bits array<int>)`` frame —
+    the Manku block-combination machinery factored out of
+    ``simhash_near_pairs`` so ANY bit-fingerprint family (text simhash,
+    image perceptual hashes, audio spectral hashes) gets the same complete,
+    bucketed candidate generation. See ``simhash_near_pairs`` for the
+    ``n_blocks`` key-width/table-count scale trade."""
     import itertools
 
     d = n_blocks if n_blocks is not None else max_hamming + 1
@@ -483,10 +503,6 @@ def simhash_near_pairs(
     base = num_bits // d
     extra = num_bits % d  # first `extra` blocks get one extra bit
 
-    sh = simhash_bits_df(
-        df, tokens(F.col(text_col)), id_col=id_col, num_bits=num_bits, seed=seed
-    ).select(F.col(id_col).alias("id"), "bits")
-
     def block_slice(i: int):
         start = i * base + min(i, extra) + 1  # 1-indexed slice start
         length = base + (1 if i < extra else 0)
@@ -494,11 +510,11 @@ def simhash_near_pairs(
 
     combos = list(itertools.combinations(range(d), d - max_hamming))
 
-    def table_expr(tbl: int, blocks: tuple[int, ...]):
+    def table_expr(tbl: int, blocks: "tuple[int, ...]"):
         key = F.concat(*[block_slice(b) for b in blocks]).cast("array<int>")
         return F.struct(F.lit(tbl).alias("band"), key.alias("key"))
 
-    banded = sh.select(
+    banded = bits_df.select(
         "id", "bits",
         F.explode(
             F.array(*[table_expr(t, c) for t, c in enumerate(combos)])

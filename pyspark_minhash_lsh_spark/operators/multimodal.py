@@ -61,6 +61,8 @@ __all__ = [
     "resize_images",
     "extract_audio_features",
     "sample_video_frames",
+    "image_phash",
+    "phash_near_pairs",
 ]
 
 #: Canonical media-row schema: payload + typed metadata. ``media_type`` in
@@ -619,3 +621,114 @@ def sample_video_frames(
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup: DCT pHash (numpy-only) + banded hamming pairs.
+# ---------------------------------------------------------------------------
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the scipy-free 2D DCT building
+    block: ``D @ A @ D.T``)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    d[0, :] /= np.sqrt(2.0)
+    return d
+
+
+def _phash_bits(px: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> np.ndarray:
+    """64-bit (``hash_size^2``) DCT perceptual hash of an RGB uint8 image:
+    luma -> nearest-neighbor downsample to ``hash_size * highfreq_factor``
+    square -> 2D DCT -> top-left low-frequency block -> bit = coefficient
+    above the block median (DC excluded from the median, standard pHash)."""
+    n = hash_size * highfreq_factor
+    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
+    h, w = luma.shape
+    ri = np.round(np.linspace(0, h - 1, n)).astype(int)
+    ci = np.round(np.linspace(0, w - 1, n)).astype(int)
+    small = luma[np.ix_(ri, ci)]
+    d = _dct_matrix(n)
+    coef = (d @ small @ d.T)[:hash_size, :hash_size]
+    flat = coef.flatten()
+    med = np.median(flat[1:])  # exclude the DC term
+    return (flat > med).astype(np.int8)
+
+
+def image_phash(
+    media: DataFrame,
+    codec: str = "bmp",
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> DataFrame:
+    """Perceptual hash per image: ``(media_id, phash bigint, bits
+    array<int>)``. Undecodable/NULL payloads yield NULL hash rows (callers
+    filter or audit them). Arrow-batched ``mapInPandas`` like the other
+    decode ops — payloads never leave the partition; the output is
+    16 bytes + the bit array per image.
+
+    ``codec='bmp'`` uses the REAL library-free decoder; ``'jpeg'``/``'png'``
+    use the import-gated Pillow path (ImportError at construction when the
+    library is absent — same tiering as ``extract_image_features``)."""
+    if codec == "bmp":
+        def px_decode(p: bytes) -> np.ndarray:
+            return _parse_bmp(p)[0]
+    elif codec in _PIL_CODECS:
+        px_decode = _pil_pixel_decoder(codec)
+    else:
+        raise ValueError(
+            f"unknown image codec {codec!r} "
+            f"(supported: 'bmp' + optional {_PIL_CODECS})"
+        )
+    hs, hf = int(hash_size), int(highfreq_factor)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, bit_arrays = [], []
+            for p in pdf["payload"]:
+                try:
+                    bits = _phash_bits(px_decode(p).astype(np.float64), hs, hf)
+                except Exception:
+                    hashes.append(None)
+                    bit_arrays.append(None)
+                    continue
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                if val >= 1 << 63:  # wrap to signed 64-bit for BIGINT
+                    val -= 1 << 64
+                hashes.append(val)
+                bit_arrays.append(bits.astype(np.int32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "bits": bit_arrays,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id bigint, phash bigint, bits array<int>"
+    )
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    hash_size: int = 8,
+    n_blocks: "Optional[int]" = None,
+) -> DataFrame:
+    """All image pairs with pHash hamming distance <= ``max_hamming`` —
+    near-duplicate images (re-encodes, slight crops/noise) under the same
+    complete Manku banded join the text SimHash dedup uses
+    (``dedup.hamming_near_pairs``): exact block-key equi-join candidates,
+    hamming de-falsify, never all-pairs. Input is ``image_phash`` output;
+    NULL-hash rows are excluded. Returns ``(id_a, id_b, hamming)``."""
+    from .dedup import hamming_near_pairs
+
+    bits_df = hashes.where(F.col("bits").isNotNull()).select(
+        F.col("media_id").alias("id"), "bits"
+    )
+    return hamming_near_pairs(
+        bits_df, max_hamming, num_bits=hash_size * hash_size, n_blocks=n_blocks
+    )

@@ -269,3 +269,76 @@ def test_pil_codec_import_gate(spark):
 
     resized = resize_images(png_media, width=4, height=3, codec="png").collect()
     assert len(resized) == 3 and all(r.width == 4 and r.height == 3 for r in resized)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup (round 3)
+
+
+def test_image_phash_noise_robust_and_discriminative(spark):
+    """pHash must be stable under slight pixel noise and far apart for
+    unrelated images — the property that makes hamming dedup meaningful."""
+    import numpy as np
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        _encode_bmp,
+        image_phash,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    # smooth it so the hash captures structure, not per-pixel noise
+    base = (base.astype(np.int32) + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    base = base.astype(np.uint8)
+    noisy = np.clip(
+        base.astype(np.int16) + rng.integers(-4, 5, size=base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+
+    media = spark.createDataFrame(
+        [(0, _encode_bmp(base)), (1, _encode_bmp(noisy)),
+         (2, _encode_bmp(other)), (3, None)],
+        "media_id bigint, payload binary",
+    )
+    out = {r.media_id: r for r in image_phash(media).collect()}
+    assert out[3].phash is None
+    ham01 = sum(a != b for a, b in zip(out[0].bits, out[1].bits))
+    ham02 = sum(a != b for a, b in zip(out[0].bits, out[2].bits))
+    assert ham01 <= 6, ham01          # near-identical content
+    assert ham02 >= 16, ham02         # unrelated content
+    # determinism
+    again = {r.media_id: r.phash for r in image_phash(media).collect()}
+    assert again[0] == out[0].phash
+
+
+def test_phash_near_pairs_banded_join(spark):
+    import numpy as np
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        _encode_bmp,
+        image_phash,
+        phash_near_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for d in range(10):
+        img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        img = (img.astype(np.int32) + np.roll(img, 1, 0) + np.roll(img, 1, 1)) // 3
+        img = img.astype(np.uint8)
+        rows.append((2 * d, _encode_bmp(img)))
+        twin = np.clip(
+            img.astype(np.int16) + rng.integers(-3, 4, size=img.shape), 0, 255
+        ).astype(np.uint8)
+        rows.append((2 * d + 1, _encode_bmp(twin)))
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    hashes = image_phash(media)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(hashes, max_hamming=8).collect()
+    }
+    # every constructed twin pair is found
+    for d in range(10):
+        assert (2 * d, 2 * d + 1) in pairs, d
+    # and the join is a real filter: nowhere near all 190 pairs
+    assert len(pairs) < 60
