@@ -342,3 +342,53 @@ def test_phash_near_pairs_banded_join(spark):
         assert (2 * d, 2 * d + 1) in pairs, d
     # and the join is a real filter: nowhere near all 190 pairs
     assert len(pairs) < 60
+
+
+def test_audio_fingerprint_robust_and_discriminative(spark):
+    """Same clip re-gained + lightly noised -> tiny hamming; different tones
+    -> far apart; near pairs found via the banded join."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        audio_fingerprint,
+        fingerprint_near_pairs,
+    )
+
+    def wav(tones, gain=12000.0, noise=0.0, seed=0, rate=8000, ms=200):
+        rng = np.random.default_rng(seed)
+        n = rate * ms // 1000
+        t = np.arange(n) / rate
+        x = sum(np.sin(2 * np.pi * f * t) for f in tones) / len(tones)
+        x = x * gain + rng.normal(0, noise, n)
+        pcm = np.clip(x, -32768, 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(rate)
+            wf.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (0, wav([440, 1200, 2500])),
+            (1, wav([440, 1200, 2500], gain=6000, noise=40.0, seed=7)),  # re-gain+noise
+            (2, wav([300, 900, 3300])),                                   # other content
+            (3, b"not a wav"),
+        ],
+        "media_id bigint, payload binary",
+    )
+    out = {r.media_id: r for r in audio_fingerprint(media).collect()}
+    assert out[3].afp is None
+    ham01 = sum(a != b for a, b in zip(out[0].bits, out[1].bits))
+    ham02 = sum(a != b for a, b in zip(out[0].bits, out[2].bits))
+    assert ham01 <= 6, ham01
+    assert ham02 >= 12, ham02
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in fingerprint_near_pairs(
+            audio_fingerprint(media), max_hamming=8).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs
