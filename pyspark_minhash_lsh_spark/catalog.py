@@ -2711,10 +2711,18 @@ def q76_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         histogram -> dominant-band facet. Arrow-batched mapInPandas;
         payloads never shuffle (plan-asserted in tests).
       - audio_durations: WAV payloads (stdlib wave encode) -> container
-        decode (sample rate + PCM) -> true durations."""
+        decode (sample rate + PCM) -> true durations;
+      - image_phash (round 3): DCT perceptual hashes of the same BMPs ->
+        banded hamming near-pair join (doc_id-deterministic pixels, so
+        pair count and hash sum are stable);
+      - audio_fp (round 3): spectral energy-grid fingerprints of the same
+        WAV tones (deterministic sines -> stable bit sums)."""
     from .operators.multimodal import (
+        audio_fingerprint,
         extract_audio_features,
         extract_image_features,
+        image_phash,
+        phash_near_pairs,
         synthetic_bmp_media,
         synthetic_wav_media,
     )
@@ -2737,7 +2745,22 @@ def q76_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg_wav = _suite_row(
         afeats, "audio_durations", F.sum("duration_ms"), F.avg("n_bytes")
     )
-    return leg_img.unionByName(leg_wav)
+
+    ph = image_phash(media)
+    pairs = phash_near_pairs(ph, max_hamming=16)
+    leg_ph = _suite_row(
+        pairs, "image_phash_pairs", F.sum(F.col("id_a") + F.col("id_b")),
+        F.avg("hamming"),
+    )
+
+    afp = audio_fingerprint(wav).where(F.col("afp").isNotNull())
+    leg_afp = _suite_row(
+        afp, "audio_fp", F.sum(F.expr("aggregate(bits, 0, (a, b) -> a + b)")),
+        F.avg("media_id"),
+    )
+    return (
+        leg_img.unionByName(leg_wav).unionByName(leg_ph).unionByName(leg_afp)
+    )
 
 
 # =====================================================================================
