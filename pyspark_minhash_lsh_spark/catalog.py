@@ -2716,7 +2716,10 @@ def q76_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded hamming near-pair join (doc_id-deterministic pixels, so
         pair count and hash sum are stable);
       - audio_fp (round 3): spectral energy-grid fingerprints of the same
-        WAV tones (deterministic sines -> stable bit sums)."""
+        WAV tones (deterministic sines -> stable bit sums);
+      - video_shots (round 3): REAL BMP-reel videos (engine-defined
+        uncompressed container; known scene cut at frame 6) -> per-frame
+        DCT pHash -> consecutive-frame hamming -> shot boundaries."""
     from .operators.multimodal import (
         audio_fingerprint,
         extract_audio_features,
@@ -2724,7 +2727,9 @@ def q76_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_phash,
         phash_near_pairs,
         synthetic_bmp_media,
+        synthetic_video_media,
         synthetic_wav_media,
+        video_shot_boundaries,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -2758,8 +2763,16 @@ def q76_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         afp, "audio_fp", F.sum(F.expr("aggregate(bits, 0, (a, b) -> a + b)")),
         F.avg("media_id"),
     )
+
+    vids = synthetic_video_media(docs.limit(50), n_frames=8, scene_cut=4)
+    shots = video_shot_boundaries(vids, min_hamming=12)
+    leg_vid = _suite_row(
+        shots, "video_shots",
+        F.sum(F.col("is_boundary").cast("bigint")), F.avg("hamming"),
+    )
     return (
-        leg_img.unionByName(leg_wav).unionByName(leg_ph).unionByName(leg_afp)
+        leg_img.unionByName(leg_wav).unionByName(leg_ph)
+        .unionByName(leg_afp).unionByName(leg_vid)
     )
 
 

@@ -392,3 +392,80 @@ def test_audio_fingerprint_robust_and_discriminative(spark):
             audio_fingerprint(media), max_hamming=8).collect()
     }
     assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# real video pipeline (BMP reel)
+
+
+def test_video_frame_sampling_real(spark):
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        _parse_bmp,
+        sample_video_frames_real,
+        synthetic_video_media,
+    )
+
+    docs = spark.createDataFrame([(0,), (1,)], "doc_id bigint")
+    media = synthetic_video_media(docs, n_frames=12)
+    frames = sample_video_frames_real(media, every_n=2, max_frames=4).collect()
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r.media_id, []).append(r)
+    assert set(by_vid) == {0, 1}
+    for vid, rows in by_vid.items():
+        assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+        for r in rows:
+            px, w, h = _parse_bmp(r.frame_payload)  # REAL standalone BMPs out
+            assert (h, w) == (16, 24)
+
+
+def test_video_shot_boundary_at_known_cut(spark):
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        synthetic_video_media,
+        video_shot_boundaries,
+    )
+
+    docs = spark.createDataFrame([(0,), (5,)], "doc_id bigint")
+    media = synthetic_video_media(docs, n_frames=12, scene_cut=6)
+    out = video_shot_boundaries(media, min_hamming=12).collect()
+    for vid in (0, 5):
+        rows = {r.frame_idx: r for r in out if r.media_id == vid}
+        assert len(rows) == 11
+        assert rows[6].is_boundary, rows[6]          # the constructed cut
+        others = [i for i, r in rows.items() if r.is_boundary and i != 6]
+        assert not others, others                    # and ONLY the cut
+
+
+def test_video_fingerprint_near_pairs(spark):
+    import numpy as np
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        _encode_bmp_reel,
+        _parse_bmp_reel,
+        fingerprint_near_pairs,
+        synthetic_video_media,
+        video_fingerprint,
+    )
+
+    docs = spark.createDataFrame([(0,), (1,), (2,)], "doc_id bigint")
+    base = {r.media_id: r.payload
+            for r in synthetic_video_media(docs, n_frames=8).collect()}
+    # noisy re-encode of video 0 under a new id
+    rng = np.random.default_rng(3)
+    noisy = [
+        np.clip(f.astype(np.int16) + rng.integers(-3, 4, size=f.shape), 0, 255
+                ).astype(np.uint8)
+        for f in _parse_bmp_reel(bytes(base[0]))
+    ]
+    media = spark.createDataFrame(
+        [(0, bytes(base[0])), (1, bytes(base[1])), (2, bytes(base[2])),
+         (100, _encode_bmp_reel(noisy)), (200, b"junk")],
+        "media_id bigint, payload binary",
+    )
+    fp = video_fingerprint(media)
+    out = {r.media_id: r for r in fp.collect()}
+    assert out[200].vfp is None
+    pairs = {(r.id_a, r.id_b)
+             for r in fingerprint_near_pairs(fp, max_hamming=4).collect()}
+    assert (0, 100) in pairs
+    assert (0, 1) not in pairs and (0, 2) not in pairs
