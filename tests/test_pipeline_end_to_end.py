@@ -1,0 +1,80 @@
+"""Whole-pipeline integration: the composed scrape-to-training-shards flow
+on the sf0.001 documents table, checking the cross-stage invariants no
+single-operator test sees (monotone survivor counts, split exclusivity,
+near-dup leakage safety, shard determinism and coverage)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "source"
+    ).cache()
+
+
+def test_full_pipeline(spark, raw, tmp_path_factory):
+    from pyspark_minhash_lsh_spark.operators import (
+        chunk_documents,
+        curate_corpus,
+        leakage_safe_split,
+        train_bpe,
+        bpe_encode,
+    )
+    from pyspark_minhash_lsh_spark.sources.sinks import write_training_shards
+
+    n_raw = raw.count()
+
+    # 1. curate (normalize + C4 line rules + heuristics + dedup)
+    cur = curate_corpus(
+        raw, unicode_form="NFC", min_tokens=5, near_dup_threshold=0.7
+    ).cache()
+    assert cur.count() == n_raw  # audit keeps every input doc
+    kept = cur.filter("status = 'kept'").select("doc_id", "text").cache()
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_raw
+
+    # 2. leakage-safe split of the kept docs
+    split = leakage_safe_split(kept, weights=(0.8, 0.2), names=("train", "test"),
+                               threshold=0.7).cache()
+    assert split.count() == n_kept
+    # exclusivity: each doc in exactly one split; clusters never straddle
+    assert split.groupBy("doc_id").count().filter("count > 1").count() == 0
+    straddle = (
+        split.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter("ns > 1").count()
+    )
+    assert straddle == 0
+    train = split.filter("split = 'train'").select("doc_id", "text").cache()
+
+    # 3. learn a BPE vocab on train only; encode both sides
+    merges = train_bpe(train, num_merges=200, min_word_freq=2)
+    assert merges
+    enc = bpe_encode(train, merges)
+    n_enc = enc.count()
+    assert n_enc == train.count()
+    assert enc.filter(F.size("pieces") == 0).join(
+        train.filter(F.length(F.trim(F.coalesce("text", F.lit("")))) > 0),
+        "doc_id", "left_semi").count() == 0  # nonempty docs encode nonempty
+
+    # 4. fixed-context chunks of the training split
+    chunks = chunk_documents(train, window=64, stride=64)
+    # every train doc with >= 1 token produced >= 1 chunk
+    assert chunks.select("doc_id").distinct().count() == train.filter(
+        F.size(F.split(F.trim("text"), " ")) >= 1
+    ).filter(F.length(F.trim("text")) > 0).count()
+
+    # 5. reproducible shards of the training docs
+    out = str(tmp_path_factory.mktemp("shards"))
+    write_training_shards(train, out, n_shards=4, salt="e2e")
+    back = spark.read.parquet(out)
+    assert back.count() == train.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in train.select("doc_id").collect()
+    }
