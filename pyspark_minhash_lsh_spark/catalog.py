@@ -2634,9 +2634,15 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       - srp_ann + ivf_ann: both embedding ANN paths, top-10 vs vec_id=0
         (brute-force twin q26 is the oracle);
       - batch_ann: whole-DataFrame retrieval (top-3 for 10 query rows in
-        one plan; single-query parity tested in tests/test_batch_ann.py)."""
+        one plan; single-query parity tested in tests/test_batch_ann.py);
+      - pq_ann (round 3): product-quantized ADC top-10 against the same
+        query (codes-only scan; value tests in tests/test_pq.py);
+      - pca_reduce (round 3): PCA shrink-before-index transform (variance
+        facet + reduced-dim check; tests in tests/test_reduce.py)."""
     from .operators.ivf import IvfFlat
     from .operators.minhash_lsh import MinHashLSH
+    from .operators.pq import fit_pq
+    from .operators.reduce import fit_pca_reducer
     from .operators.similarity import SrpLsh
     from .operators.vocab import fit_vocabulary, fitted_signatures
 
@@ -2693,9 +2699,27 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ba, "batch_ann",
         F.sum(F.when(F.col("rank") == 1, F.col("doc_id"))), F.avg("jaccard"),
     )
+
+    pqm = fit_pq(corpus, m=8, k=16, sample_rows=50_000)
+    leg_pq = _suite_row(
+        pqm.approx_cosine_topk(pqm.encode(corpus), qvec, n=10), "pq_ann",
+        F.sum("vec_id"), F.sum("adc_score"),
+    )
+
+    pca = fit_pca_reducer(corpus, k=8, sample_rows=None)
+    red = pca.reduce(corpus).select(
+        "vec_id", F.size("embedding_reduced").alias("rdim")
+    )
+    leg_pca = _suite_row(
+        red.withColumn(
+            "var", F.lit(float(round(sum(pca.explained_variance), 6)))
+        ),
+        "pca_reduce", F.sum("rdim"), F.avg("var"),
+    )
     return (
         leg_bk.unionByName(leg_fs).unionByName(leg_128)
         .unionByName(leg_srp).unionByName(leg_ivf).unionByName(leg_ba)
+        .unionByName(leg_pq).unionByName(leg_pca)
     )
 
 
