@@ -29,6 +29,7 @@ from .profile import profile_table
 from .search import bm25_search
 from .temporal import asof_join, range_join_count
 from .textpipe import (
+    blocklist_filter,
     chunk_documents,
     contamination_check,
     duplicated_spans,
@@ -63,6 +64,7 @@ __all__ = [
     "token_frequency_profile",
     "line_dedup",
     "line_filter",
+    "blocklist_filter",
     "chunk_documents",
     "normalize_text",
     "profile_table",

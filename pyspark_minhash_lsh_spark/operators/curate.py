@@ -26,7 +26,7 @@ operators — each stage is the already-tested standalone op, glued lazily.
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Optional
+from typing import TYPE_CHECKING, Optional, Sequence
 
 if TYPE_CHECKING:  # annotation-only: scoring takes any fitted QualityClassifier
     from .classify import QualityClassifier
@@ -54,6 +54,7 @@ _PINNED: list[DataFrame] = []
 #: disposition values, in decision order (first failing rule wins)
 STATUSES = (
     "drop_boilerplate",
+    "drop_blocklist",
     "drop_short",
     "drop_repetition",
     "drop_quality",
@@ -78,6 +79,7 @@ def curate_corpus(
     redact_pii: bool = True,
     unicode_form: Optional[str] = None,
     clean_lines: bool = False,
+    blocklist: Optional[Sequence] = None,
     quality_model: Optional["QualityClassifier"] = None,
     min_model_prob: float = 0.5,
     near_dup_threshold: float = 0.8,
@@ -102,6 +104,10 @@ def curate_corpus(
     line rules (``textpipe.line_filter``) — surviving lines become the
     shipped text, and pages failing the doc-level rules get disposition
     ``drop_boilerplate``. Both are zero-shuffle front stages.
+
+    ``blocklist`` (opt-in, a word list) drops pages containing any
+    blocked token (C4's bad-words rule; normalized-token set match via
+    ``textpipe.blocklist_filter`` — zero-shuffle) as ``drop_blocklist``.
 
     ``quality_model`` (opt-in, a fitted ``classify.QualityClassifier``)
     adds the MODEL-BASED quality gate after the heuristic rules: docs
@@ -136,6 +142,13 @@ def curate_corpus(
             base, form=unicode_form, collapse_whitespace=False,
             text_col="text", output_col="text",
         )
+    blocked = None
+    if blocklist:
+        from .textpipe import blocklist_filter
+
+        blocked = blocklist_filter(base, blocklist).select(
+            "doc_id", (~F.col("keep_doc")).alias("_blocked")
+        )
     boiler = None
     if clean_lines:
         # C4 boilerplate line rules: the surviving-line text is what ships
@@ -154,13 +167,21 @@ def curate_corpus(
         "doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"
     )
     staged = red.join(rep, "doc_id")
+    first_rules = []
     if boiler is not None:
         staged = staged.join(boiler, "doc_id", "left")
-        status = F.when(
-            F.coalesce(F.col("_boiler"), F.lit(False)), F.lit("drop_boilerplate")
-        ).when(F.col("n_tokens") < min_tokens, F.lit("drop_short"))
-    else:
-        status = F.when(F.col("n_tokens") < min_tokens, F.lit("drop_short"))
+        first_rules.append(
+            (F.coalesce(F.col("_boiler"), F.lit(False)), "drop_boilerplate"))
+    if blocked is not None:
+        staged = staged.join(blocked, "doc_id", "left")
+        first_rules.append(
+            (F.coalesce(F.col("_blocked"), F.lit(False)), "drop_blocklist"))
+    status = None
+    for cond, label in first_rules:
+        status = (F.when(cond, F.lit(label)) if status is None
+                  else status.when(cond, F.lit(label)))
+    short = (F.col("n_tokens") < min_tokens, F.lit("drop_short"))
+    status = (F.when(*short) if status is None else status.when(*short))
     status = (
         status
         .when(

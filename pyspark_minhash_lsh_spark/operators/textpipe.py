@@ -44,6 +44,7 @@ __all__ = [
     "top_tokens_per_group",
     "line_dedup",
     "line_filter",
+    "blocklist_filter",
     "chunk_documents",
     "normalize_text",
     "unicode_normalize",
@@ -796,3 +797,34 @@ def normalize_text(
     if collapse_whitespace:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(output_col, c)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    words: "tuple[str, ...] | list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style word-blocklist page filter: flag documents containing ANY
+    blocked token (C4 dropped pages matching the public "bad words" list;
+    the list itself is caller-supplied policy, not engine opinion).
+
+    Matching is against the shared ``tokens()`` normalization (lowercased,
+    punctuation-stripped), so "Word!" and "word" match identically and the
+    check is a set-intersection, not a substring scan — no false hits on
+    words that merely contain a blocked word.
+
+    Returns ``(doc_id, n_blocked, keep_doc)``. Scale shape: the blocklist
+    is constant-size config compiled into an ``array_intersect`` against a
+    LITERAL array — zero shuffle, zero broadcast table, scan speed.
+    """
+    wl = sorted({w.lower() for w in words})
+    blocked = F.array_intersect(
+        tokens(F.col(text_col)),
+        F.array(*[F.lit(w) for w in wl]) if wl else F.array().cast("array<string>"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(blocked).alias("n_blocked"),
+        (F.size(blocked) == 0).alias("keep_doc"),
+    )

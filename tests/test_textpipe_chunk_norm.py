@@ -281,3 +281,65 @@ def test_chunk_documents_properties(spark, n_tok, window, stride):
         for r in out:
             covered.update(range(r.start, r.start + r.n_tokens))
         assert covered == set(range(n_tok))
+
+
+# ---------------------------------------------------------------------------
+# blocklist_filter
+
+
+def test_blocklist_filter_token_match(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import blocklist_filter
+
+    docs = _docs(spark, [
+        (0, "a perfectly Clean document here", "s"),
+        (1, "contains BADWORDX mid sentence.", "s"),   # normalized match
+        (2, "notbadwordx is a different token", "s"),  # substring must NOT hit
+        (3, None, "s"),
+    ])
+    out = {r.doc_id: r for r in blocklist_filter(docs, ["badwordx"]).collect()}
+    assert out[0].keep_doc is True and out[0].n_blocked == 0
+    assert out[1].keep_doc is False and out[1].n_blocked == 1
+    assert out[2].keep_doc is True              # token match, not substring
+    assert out[3].keep_doc is True
+
+
+def test_blocklist_filter_matches_duckdb(spark):
+    import duckdb
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.textpipe import blocklist_filter
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(30)] + ["blocka", "blockb"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(15)), "s")
+            for i in range(60)]
+    docs = _docs(spark, rows)
+    got = {r.doc_id: r.keep_doc
+           for r in blocklist_filter(docs, ["blocka", "blockb"]).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(d, t) for d, t, _ in rows])
+    exp = dict(con.execute(r"""
+        SELECT doc_id, NOT list_has_any(
+          list_filter(string_split(trim(lower(regexp_replace(regexp_replace(
+            text, '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))), ' '), x -> x <> ''),
+          ['blocka', 'blockb'])
+        FROM t
+    """).fetchall())
+    assert got == exp
+
+
+def test_curate_blocklist_disposition(spark):
+    from pyspark_minhash_lsh_spark.operators.curate import curate_corpus
+
+    clean = ("a long enough clean document with plenty of distinct words "
+             "in it to pass every heuristic rule easily today")
+    docs = spark.createDataFrame(
+        [(0, clean), (1, clean.replace("plenty", "badwordx"))],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.status for r in curate_corpus(
+        docs, min_quality=0.0, near_dup_threshold=0.99,
+        blocklist=["badwordx"]).collect()}
+    assert out[1] == "drop_blocklist"
+    assert out[0] == "kept"
