@@ -44,11 +44,15 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def _kmeans(x: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
     """Plain Lloyd with random-point init (deterministic via ``rng``);
-    empty clusters re-seeded from the farthest points."""
+    empty clusters re-seeded from the farthest points. Distances use the
+    ``|x|^2 + |c|^2 - 2 x.c`` GEMM form — an (n, k) matrix, never the
+    (n, k, dsub) broadcast intermediate (which is ~800 MB at the default
+    50k-sample x 256-centroid fit)."""
     k = min(k, len(x))
     cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    x2 = (x ** 2).sum(axis=1)[:, None]
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = x2 + (cent ** 2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
         assign = d2.argmin(axis=1)
         for j in range(k):
             members = x[assign == j]
@@ -79,18 +83,26 @@ class PqModel:
 
         @F.pandas_udf("array<int>")
         def _enc(vs: pd.Series) -> pd.Series:
-            out = []
-            for v in vs:
-                if v is None or len(v) != m * dsub:
-                    out.append(None)
-                    continue
-                x = _normalize(np.asarray(v, dtype=np.float64)[None, :])[0]
-                codes = np.empty(m, dtype=np.int32)
+            # whole-batch vectorization: one GEMM per subspace per Arrow
+            # batch instead of a Python loop per row
+            ok_idx = [i for i, v in enumerate(vs) if v is not None and len(v) == m * dsub]
+            out: list = [None] * len(vs)
+            if ok_idx:
+                X = _normalize(
+                    np.asarray([vs.iloc[i] for i in ok_idx], dtype=np.float64)
+                )
+                codes = np.empty((len(ok_idx), m), dtype=np.int32)
                 for j in range(m):
-                    sub = x[j * dsub:(j + 1) * dsub]
-                    d2 = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
-                    codes[j] = int(d2.argmin())
-                out.append(codes.tolist())
+                    sub = X[:, j * dsub:(j + 1) * dsub]
+                    c = books[j]
+                    d2 = (
+                        (sub ** 2).sum(axis=1)[:, None]
+                        + (c ** 2).sum(axis=1)[None, :]
+                        - 2.0 * (sub @ c.T)
+                    )
+                    codes[:, j] = d2.argmin(axis=1)
+                for row, i in enumerate(ok_idx):
+                    out[i] = codes[row].tolist()
             return pd.Series(out)
 
         return df.withColumn("pq_codes", _enc(F.col(self.emb_col)))
@@ -116,13 +128,13 @@ class PqModel:
 
         @F.pandas_udf("double")
         def _adc(codes: pd.Series) -> pd.Series:
-            out = []
-            for c in codes:
-                if c is None:
-                    out.append(None)
-                else:
-                    cc = np.asarray(c, dtype=np.int64)
-                    out.append(float(table[np.arange(len(cc)), cc].sum()))
+            ok_idx = [i for i, c in enumerate(codes) if c is not None]
+            out: list = [None] * len(codes)
+            if ok_idx:
+                cc = np.asarray([codes.iloc[i] for i in ok_idx], dtype=np.int64)
+                scores = table[np.arange(cc.shape[1])[None, :], cc].sum(axis=1)
+                for row, i in enumerate(ok_idx):
+                    out[i] = float(scores[row])
             return pd.Series(out)
 
         return (
@@ -240,15 +252,19 @@ def _batch_topk(model: PqModel, encoded: DataFrame, qids, qmat, k: int) -> DataF
 
     @F.pandas_udf("array<double>")
     def _adc_all(codes: pd.Series) -> pd.Series:
-        out = []
-        ar = np.arange(tables.shape[1])
-        for c in codes:
-            if c is None:
-                out.append(None)
-            else:
-                cc = np.asarray(c, dtype=np.int64)
-                out.append(tables[:, ar, cc].sum(axis=1).tolist())
-            # tables[:, j, code_j] summed over j — all queries at once
+        # tables[:, j, code_j] summed over j — all queries, whole batch
+        ok_idx = [i for i, c in enumerate(codes) if c is not None]
+        out: list = [None] * len(codes)
+        if ok_idx:
+            cc = np.asarray([codes.iloc[i] for i in ok_idx], dtype=np.int64)
+            ar = np.arange(cc.shape[1])
+            # per query table t (m, k): t[ar, cc] -> (n_rows, m); sum the
+            # subspaces; stack queries -> (n_rows, n_queries)
+            scores = np.stack(
+                [t[ar, cc].sum(axis=1) for t in tables], axis=1
+            )
+            for row, i in enumerate(ok_idx):
+                out[i] = scores[row].tolist()
         return pd.Series(out)
 
     qid_arr = F.array(*[F.lit(q) for q in qids])
