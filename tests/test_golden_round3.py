@@ -1,0 +1,64 @@
+"""Golden-value locks for the round-3 fingerprint kernels — the same drift
+protection ``tests/test_golden.py`` gives the minhash family: if a future
+refactor changes any of these deterministic kernels' OUTPUT (not just its
+cost), a value here moves and the lock fails loudly."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from pyspark_minhash_lsh_spark.operators.multimodal import (
+    _audio_bits,
+    _encode_bmp,
+    _phash_bits,
+)
+from pyspark_minhash_lsh_spark.operators.tokenize import (
+    bpe_segment_word,
+    wordpiece_segment_word,
+)
+
+
+def _pack(bits) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+def _test_image():
+    yy, xx = np.mgrid[0:16, 0:24]
+    return np.stack(
+        [(xx * yy * 3) % 256, ((xx + 3) * (yy + 2)) % 256,
+         ((xx * 2 + 1) * (yy + 5)) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_golden_phash():
+    assert _pack(_phash_bits(_test_image().astype(np.float64))) == \
+        9313281658774444789
+
+
+def test_golden_audio_fingerprint():
+    t = np.arange(1600) / 8000.0
+    x = np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 1200 * t)
+    assert _pack(_audio_bits(x, 8000)) == 2170205185142300190
+
+
+def test_golden_bmp_encoding():
+    assert hashlib.md5(_encode_bmp(_test_image())).hexdigest() == \
+        "0191d159d7912e2b3aaefd9dd77eff55"
+
+
+def test_golden_segmenters():
+    v = {p: i for i, p in enumerate(
+        ["[UNK]", "un", "##want", "##ed", "data", "##bases", "##base"])}
+    assert wordpiece_segment_word("unwanted", v) == ["un", "##want", "##ed"]
+    assert wordpiece_segment_word("databases", v) == ["data", "##bases"]
+    ranks = {("s", "t</w>"): 0, ("e", "st</w>"): 1, ("w", "est</w>"): 2,
+             ("l", "o"): 3}
+    assert bpe_segment_word("lowest", ranks) == ["lo", "west</w>"]
+    ranks[("lo", "west</w>")] = 4
+    assert bpe_segment_word("lowest", ranks) == ["lowest</w>"]
