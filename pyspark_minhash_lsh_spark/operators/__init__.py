@@ -14,7 +14,12 @@ from .sampling import (
     weighted_resample,
 )
 from .corpus_stats import corpus_report, ngram_novelty, source_overlap
-from .classify import QualityClassifier, score_quality, train_quality_classifier
+from .classify import (
+    QualityClassifier,
+    evaluate_quality_classifier,
+    score_quality,
+    train_quality_classifier,
+)
 from .pq import PqModel, build_ivf_pq_index, fit_pq, ivf_pq_topk, pq_topk_batch
 from .reduce import PcaReducer, fit_pca_reducer
 from .tokenize import (
@@ -84,6 +89,7 @@ __all__ = [
     "pq_topk_batch",
     "train_quality_classifier",
     "score_quality",
+    "evaluate_quality_classifier",
     "source_overlap",
     "ngram_novelty",
     "corpus_report",

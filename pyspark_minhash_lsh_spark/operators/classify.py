@@ -40,6 +40,7 @@ from ..functions.text import tokens
 __all__ = [
     "train_quality_classifier",
     "score_quality",
+    "evaluate_quality_classifier",
     "QualityClassifier",
 ]
 
@@ -142,3 +143,49 @@ def score_quality(
 ) -> DataFrame:
     """Functional alias for ``classifier.score`` (operator-style call)."""
     return classifier.score(df, text_col=text_col, id_col=id_col)
+
+
+def evaluate_quality_classifier(
+    classifier: QualityClassifier,
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> dict:
+    """Held-out evaluation of a fitted quality model: returns
+    ``{auc, accuracy, precision, recall, n}`` at ``threshold`` — the
+    numbers a filtering-threshold decision needs. One distributed scoring
+    pass + one confusion aggregate + MLlib's AUC (a sort-based distributed
+    computation); all driver-side outputs are scalars."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    scored = classifier.score(labeled, text_col=text_col, id_col=id_col).join(
+        labeled.select(F.col(id_col).alias("doc_id"),
+                       F.col(label_col).cast("double").alias("label")),
+        "doc_id",
+    )
+    pred = (F.col("prob_good") >= threshold).cast("int")
+    agg = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(((pred == 1) & (F.col("label") == 1)).cast("long")).alias("tp"),
+        F.sum(((pred == 1) & (F.col("label") == 0)).cast("long")).alias("fp"),
+        F.sum(((pred == 0) & (F.col("label") == 1)).cast("long")).alias("fn"),
+        F.sum(((pred == 0) & (F.col("label") == 0)).cast("long")).alias("tn"),
+    ).head()
+    ev = BinaryClassificationEvaluator(
+        rawPredictionCol="raw", labelCol="label", metricName="areaUnderROC"
+    )
+    with_raw = scored.withColumn(
+        "raw", array_to_vector(F.array(1.0 - F.col("prob_good"), F.col("prob_good")))
+    )
+    auc = float(ev.evaluate(with_raw))
+    tp, fp, fn, tn, n = agg.tp, agg.fp, agg.fn, agg.tn, agg.n
+    return {
+        "auc": round(auc, 6),
+        "accuracy": round((tp + tn) / n, 6) if n else 0.0,
+        "precision": round(tp / (tp + fp), 6) if (tp + fp) else 0.0,
+        "recall": round(tp / (tp + fn), 6) if (tp + fn) else 0.0,
+        "n": int(n),
+    }

@@ -384,6 +384,7 @@ def streaming_curate(
     max_dup_token_frac: float = 0.6,
     min_quality: float = 0.4,
     redact_pii: bool = True,
+    blocklist=None,
     quality_model=None,
     min_model_prob: float = 0.5,
 ) -> DataFrame:
@@ -432,8 +433,17 @@ def streaming_curate(
     )
     if quality_model is not None:
         staged = _attach_model_prob(staged, quality_model)
+    status = F.when(F.col("n_tokens") < min_tokens, F.lit("drop_short"))
+    if blocklist:
+        # row-local set intersection against a literal array — stream-legal
+        wl = sorted({w.lower() for w in blocklist})
+        blocked = F.size(F.array_intersect(
+            tokens(F.col("text")), F.array(*[F.lit(w) for w in wl])
+        )) > 0
+        status = F.when(blocked, F.lit("drop_blocklist")).when(
+            F.col("n_tokens") < min_tokens, F.lit("drop_short"))
     status = (
-        F.when(F.col("n_tokens") < min_tokens, F.lit("drop_short"))
+        status
         .when(F.col("dup_token_frac") > max_dup_token_frac, F.lit("drop_repetition"))
         .when(F.col("quality") < min_quality, F.lit("drop_quality"))
     )

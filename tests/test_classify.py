@@ -83,3 +83,15 @@ def test_save_load_parity(spark, fitted, tmp_path):
     a = sorted((r.doc_id, r.prob_good) for r in fitted.score(test).collect())
     b = sorted((r.doc_id, r.prob_good) for r in reloaded.score(test).collect())
     assert a == b
+
+
+def test_evaluate_quality_classifier(spark, fitted):
+    from pyspark_minhash_lsh_spark.operators.classify import (
+        evaluate_quality_classifier,
+    )
+
+    held_out = _corpus(spark, n=80, seed=123)
+    m = evaluate_quality_classifier(fitted, held_out)
+    assert m["n"] == 80
+    assert m["auc"] >= 0.98, m
+    assert m["accuracy"] >= 0.95 and m["precision"] >= 0.9 and m["recall"] >= 0.9

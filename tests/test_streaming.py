@@ -408,3 +408,22 @@ def test_streaming_curate_classifier_gate(spark, tmp_path_factory):
            for r in _run_stream(spark, stream, "curate_clf").collect()}
     assert out[1] == "drop_classifier"
     assert out[0] == "kept"
+
+
+def test_streaming_curate_blocklist(spark, tmp_path_factory):
+    from pyspark_minhash_lsh_spark.streaming import streaming_curate
+
+    src = str(tmp_path_factory.mktemp("blk_src"))
+    spark.createDataFrame(
+        [(0, "a perfectly ordinary clean document with many distinct words"),
+         (1, "this one contains badwordx among other ordinary words here")],
+        "doc_id bigint, text string",
+    ).write.mode("overwrite").parquet(src)
+    stream = streaming_curate(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        min_quality=0.0, min_tokens=3, max_dup_token_frac=1.0,
+        blocklist=["badwordx"],
+    )
+    out = {r.doc_id: r.status
+           for r in _run_stream(spark, stream, "curate_blk").collect()}
+    assert out[1] == "drop_blocklist" and out[0] == "kept"
