@@ -199,11 +199,15 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).count()
                 base_timings[name] = round(time.perf_counter() - t0, 3)
-        # best-of-N like the headline timings (default 2): the first 10x run
+        # best-of-N like the headline timings (default 3): the first 10x run
         # pays whole-stage-codegen JIT for the 10x-specific plan shapes that
         # the 1x base (best-of-2 after warmup) never pays — single-shot
         # ratios compared cold-vs-warm, overstating supra-linearity by 3-4x.
-        runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2")))
+        # Even run 2 still carries cache-materialization cost on the heavy
+        # self-joins (measured q25 at 10x: 46.9s -> 25.3s -> 11.9s, i.e. the
+        # steady-state ratio is ~4.3x, not the 16x a best-of-2 reported);
+        # three runs land on steady state and still fit the 240s budget.
+        runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3")))
         for name in SCALE_QUERIES:
             if time.perf_counter() - started > budget:
                 # never let the scale probe starve the headline bench the
