@@ -7,6 +7,8 @@ from .dedup import (
 from .minhash_lsh import MinHashLSH, MinHashLSHModel
 from .sampling import (
     deterministic_split,
+    dsir_importance_weights,
+    dsir_resample,
     leakage_safe_split,
     per_group_quota,
     per_group_token_budget,
@@ -56,6 +58,8 @@ __all__ = [
     "asof_join",
     "range_join_count",
     "deterministic_split",
+    "dsir_importance_weights",
+    "dsir_resample",
     "per_group_quota",
     "per_group_token_budget",
     "leakage_safe_split",

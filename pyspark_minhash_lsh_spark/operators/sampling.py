@@ -12,6 +12,9 @@ fully oracle-checkable, unlike xxhash64-keyed assignments.
   - ``per_group_quota``     — cap documents per group (C4-style per-domain cap)
   - ``shard_assignment``    — training shard id + stable position within shard
   - ``weighted_resample``   — per-group epoch weights (domain-mixture up/downsample)
+  - ``dsir_importance_weights`` / ``dsir_resample`` — data selection toward a
+    target distribution via hashed-n-gram importance weights (DSIR, Xie et
+    al. 2023), with deterministic Gumbel top-k sampling
 
 Scale posture: the split is a narrow projection (no shuffle at all); quota
 and shard positions are single windows keyed on group/shard — high-cardinality
@@ -32,6 +35,8 @@ __all__ = [
     "shard_assignment",
     "weighted_resample",
     "leakage_safe_split",
+    "dsir_importance_weights",
+    "dsir_resample",
 ]
 
 _BUCKETS = 1 << 32  # 8 hex chars of the md5 digest
@@ -252,3 +257,182 @@ def leakage_safe_split(
         joined, weights=weights, names=names, id_col="component", salt=salt
     )
     return labeled
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"). Public method; no reference
+# counterpart — a north-star training-data operator.
+# ---------------------------------------------------------------------------
+
+#: feature stream pinned by the PREVIOUS dsir call, released at the next call
+#: (same single-call cache lifecycle as operators/setjoin.py).
+_DSIR_PINNED: list[DataFrame] = []
+
+
+def _ngram_feature_stream(
+    df: DataFrame, text_col: str, id_col: str, num_buckets: int
+) -> DataFrame:
+    """``(id, bucket)`` — one row per token (unigram) and one per adjacent
+    token pair (bigram), each hashed into ``[0, num_buckets)``.
+
+    Relational form (posexplode + lead window + native ``xxhash64``), the
+    same codegen-friendly shape as the shingle kernels — no higher-order
+    lambdas, no Python. Unigram and bigram spaces are salted apart so a
+    token and the pair starting at it never alias by construction."""
+    from ..functions.text import tokens
+
+    tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+    ex = tk.select("id", F.posexplode("tk").alias("pos", "tok"))
+    w = Window.partitionBy("id").orderBy("pos")
+    nxt = F.lead("tok", 1).over(w)
+    uni = F.pmod(F.xxhash64(F.lit("u"), F.col("tok")), F.lit(num_buckets))
+    bi = F.when(
+        nxt.isNotNull(),
+        F.pmod(F.xxhash64(F.lit("b"), F.col("tok"), nxt), F.lit(num_buckets)),
+    )
+    # two selects: a generator (explode) and a window expression cannot share
+    # one operator (UNSUPPORTED_EXPR_FOR_OPERATOR)
+    return (
+        ex.select("id", F.array(uni.cast("bigint"), bi.cast("bigint")).alias("_fs"))
+        .select("id", F.explode("_fs").alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 10_000,
+    smoothing: float = 1.0,
+    normalize: bool = False,
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """Per-document log importance weight of each ``raw`` doc toward the
+    ``target`` corpus's hashed-n-gram distribution (DSIR):
+
+        log w(d) = sum over d's unigram+bigram features f of
+                   log p_target(f) - log p_raw(f)
+
+    with Laplace ``smoothing`` on both bucket distributions. High weight =
+    the doc's n-gram profile looks like the target (the small curated
+    corpus); low = it looks like the generic crawl. Returns
+    ``(id_col, log_weight: double, n_features: bigint)`` — one row per raw
+    doc, empty-text docs included with weight 0. ``normalize=True`` divides
+    by the feature count (a per-feature mean log-ratio), removing the
+    length bias the raw sum carries when documents are not length-chunked.
+
+    Scale posture: feature streams are 16-byte ``(id, bucket)`` rows; both
+    bucket-count aggregations are map-side-partial ``groupBy`` on a key
+    space bounded by ``num_buckets``. The weight table is AT MOST
+    ``num_buckets`` rows BY CONSTRUCTION (default 10k, ~160 KB) — the one
+    place a broadcast hint is unconditionally sound, so the per-doc scoring
+    join is map-side with zero shuffle of the corpus-sized feature stream;
+    the only corpus-keyed shuffle is the final per-doc sum. The raw feature
+    stream is referenced twice (raw counts + scoring) and is persisted by
+    default; the previous call's pin is released on entry.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if num_buckets < 2:
+        raise ValueError("num_buckets must be >= 2")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (zero-count buckets)")
+    while _DSIR_PINNED:
+        try:
+            _DSIR_PINNED.pop().unpersist(blocking=False)
+        except Exception:  # previous session already stopped — nothing to free
+            pass
+    feats_r = _ngram_feature_stream(raw, text_col, id_col, num_buckets)
+    if persist_intermediate:
+        feats_r = feats_r.persist(StorageLevel.MEMORY_AND_DISK)
+        _DSIR_PINNED.append(feats_r)
+    feats_t = _ngram_feature_stream(target, text_col, id_col, num_buckets)
+
+    cnt_r = feats_r.groupBy("bucket").agg(F.count("*").alias("c_raw"))
+    cnt_t = feats_t.groupBy("bucket").agg(F.count("*").alias("c_tgt"))
+    tot_r = cnt_r.agg(F.sum("c_raw").alias("t_raw"))   # 1 row
+    tot_t = cnt_t.agg(F.sum("c_tgt").alias("t_tgt"))   # 1 row
+    s, b = float(smoothing), float(num_buckets)
+    wtab = (
+        cnt_t.join(cnt_r, "bucket", "full_outer")
+        .na.fill({"c_raw": 0, "c_tgt": 0})
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("c_tgt") + s) / (F.col("t_tgt") + s * b))
+                - F.log((F.col("c_raw") + s) / (F.col("t_raw") + s * b))
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        feats_r.join(F.broadcast(wtab), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("log_ratio").alias("_lw"),
+            F.count("*").alias("n_features"),
+        )
+    )
+    spine = raw.select(F.col(id_col).alias("id"))
+    lw = F.coalesce(F.col("_lw"), F.lit(0.0))
+    if normalize:
+        lw = F.when(F.col("n_features") > 0, lw / F.col("n_features")).otherwise(F.lit(0.0))
+    return (
+        spine.join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            lw.alias("log_weight"),
+            F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 10_000,
+    smoothing: float = 1.0,
+    normalize: bool = False,
+    temperature: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Select ``n`` documents from ``raw`` distributed toward the target
+    (DSIR's sampling step): Gumbel top-k without replacement with inclusion
+    odds proportional to ``softmax(log_weight / temperature)``.
+
+    The Gumbel perturbation is deterministic — ``-log(-log(u))`` with ``u``
+    the md5 hash fraction of ``salt || id`` — so the selected set is a pure
+    function of the corpora and parameters (stable across runs,
+    partitionings, engines), like every sampler in this module.
+    ``temperature -> 0`` degenerates to the deterministic top-n by weight;
+    large temperature approaches a uniform sample. Returns the selected raw
+    rows plus ``log_weight``.
+
+    The final selection is ``orderBy(key desc).limit(n)`` — Spark plans it
+    as TakeOrderedAndProject (distributed top-k, no global sort, no
+    collect)."""
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0 (use top-n by log_weight directly)")
+    wts = dsir_importance_weights(
+        raw, target, text_col=text_col, id_col=id_col,
+        num_buckets=num_buckets, smoothing=smoothing, normalize=normalize,
+    ).select(id_col, "log_weight")
+    # u in (0, 1]: (bucket + 1) / 2^32 — never 0, so log(u) is finite
+    u = (_hash_bucket(id_col, salt) + 1).cast("double") / F.lit(float(_BUCKETS))
+    gumbel = -F.log(-F.log(u))
+    return (
+        raw.join(wts, id_col)
+        .withColumn("_key", F.col("log_weight") / F.lit(float(temperature)) + gumbel)
+        .orderBy(F.desc("_key"))
+        .limit(n)
+        .drop("_key")
+    )

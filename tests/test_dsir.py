@@ -1,0 +1,105 @@
+"""DSIR-style importance resampling (operators/sampling.py).
+
+Constructed two-domain corpus: "sports" docs and "finance" docs draw from
+disjoint token pools, the target corpus is sports-only — so importance
+weights must separate the domains cleanly and the resample must pull the
+raw corpus toward sports.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_minhash_lsh_spark.operators.sampling import (
+    dsir_importance_weights,
+    dsir_resample,
+)
+
+SPORTS = ["goal", "match", "team", "coach", "league", "score", "season", "striker"]
+FINANCE = ["bond", "yield", "equity", "margin", "asset", "ledger", "audit", "dividend"]
+
+
+def _doc(words, i, n=12):
+    # deterministic pseudo-text: cycle the pool with an offset per doc
+    return " ".join(words[(i + j) % len(words)] for j in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    raw = spark.createDataFrame(
+        [(i, _doc(SPORTS, i)) for i in range(20)]
+        + [(100 + i, _doc(FINANCE, i)) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(1000 + i, _doc(SPORTS, i + 3)) for i in range(10)], ["doc_id", "text"]
+    )
+    return raw, target
+
+
+def test_weights_separate_domains(corpora):
+    raw, target = corpora
+    w = {r.doc_id: r.log_weight for r in dsir_importance_weights(raw, target).collect()}
+    assert len(w) == 40  # one row per raw doc
+    sports = [w[i] for i in range(20)]
+    finance = [w[100 + i] for i in range(20)]
+    # every sports doc outweighs every finance doc (disjoint vocabularies)
+    assert min(sports) > max(finance)
+    # finance features never occur in the target: log-ratio strictly negative
+    assert max(finance) < 0.0
+
+
+def test_empty_text_gets_zero_weight(spark, corpora):
+    _, target = corpora
+    raw = spark.createDataFrame(
+        [(1, "goal match team"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in dsir_importance_weights(raw, target).collect()}
+    assert rows[2].log_weight == 0.0 and rows[2].n_features == 0
+    assert rows[3].log_weight == 0.0 and rows[3].n_features == 0
+    assert rows[1].n_features > 0
+
+
+def test_normalize_removes_length_bias(spark, corpora):
+    _, target = corpora
+    raw = spark.createDataFrame(
+        [(1, _doc(SPORTS, 0, n=6)), (2, _doc(SPORTS, 0, n=60))], ["doc_id", "text"]
+    )
+    norm = {
+        r.doc_id: r.log_weight
+        for r in dsir_importance_weights(raw, target, normalize=True).collect()
+    }
+    # per-feature mean log-ratios of same-domain docs land close together
+    # regardless of a 10x length difference
+    assert abs(norm[1] - norm[2]) < 0.5 * max(abs(norm[1]), abs(norm[2]))
+
+
+def test_resample_pulls_toward_target(corpora):
+    raw, target = corpora
+    picked = dsir_resample(raw, target, n=10).collect()
+    assert len(picked) == 10
+    n_sports = sum(1 for r in picked if r.doc_id < 100)
+    assert n_sports >= 8  # softmax odds overwhelmingly favor the target domain
+    assert {"doc_id", "text", "log_weight"} <= set(picked[0].asDict())
+
+
+def test_resample_deterministic(corpora):
+    raw, target = corpora
+    a = sorted(r.doc_id for r in dsir_resample(raw, target, n=7).collect())
+    b = sorted(r.doc_id for r in dsir_resample(raw, target, n=7).collect())
+    assert a == b
+    # different salt = a different (but still valid-sized) draw
+    c = sorted(r.doc_id for r in dsir_resample(raw, target, n=7, salt="other").collect())
+    assert len(c) == 7
+
+
+def test_parameter_validation(corpora):
+    raw, target = corpora
+    with pytest.raises(ValueError):
+        dsir_importance_weights(raw, target, num_buckets=1)
+    with pytest.raises(ValueError):
+        dsir_importance_weights(raw, target, smoothing=0.0)
+    with pytest.raises(ValueError):
+        dsir_resample(raw, target, n=-1)
+    with pytest.raises(ValueError):
+        dsir_resample(raw, target, n=1, temperature=0.0)
