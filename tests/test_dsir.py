@@ -103,3 +103,20 @@ def test_parameter_validation(corpora):
         dsir_resample(raw, target, n=-1)
     with pytest.raises(ValueError):
         dsir_resample(raw, target, n=1, temperature=0.0)
+
+
+def test_plan_shapes(corpora):
+    raw, target = corpora
+    # scoring join rides the bounded broadcast weight table — the corpus-
+    # sized feature stream must never shuffle for it
+    wplan = (
+        dsir_importance_weights(raw, target)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in wplan
+    # the selection is a distributed top-k, not a global sort
+    splan = (
+        dsir_resample(raw, target, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in splan
