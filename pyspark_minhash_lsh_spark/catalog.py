@@ -9,7 +9,10 @@ check for those, as sanctioned.
 Determinism conventions (so order-insensitive value-hashes match):
   - money aggregates go through ``decimal(18,2)`` so sums are exact, then cast
     to double — bit-identical across engines regardless of summation order;
-  - ratios/averages are ``round(x, 6)``; cosines/jaccards ``round(x, 4)``;
+  - derived ratios/averages/scores are SCALED INTEGERS, never rounded doubles
+    (round 4, VERDICT r03 #1/#2): ``_sint(x, d)`` == ``floor(x * 10^d + 0.5)``
+    as BIGINT with the identical IEEE expression on the oracle side, so no
+    float ever reaches the driver's canonicalization layer;
   - timestamps are stringified ``yyyy-MM-dd HH:mm:ss`` under an explicitly
     UTC session (set per query — the driver's session TZ is unknown);
   - every LIMIT has a total tiebreaker order.
@@ -121,6 +124,22 @@ def _dprod_sum(price, factor, alias: str):
     )
 
 
+def _sint(col, digits: int):
+    """Scaled-integer hash surface for a derived ratio (VERDICT r03 #1/#2).
+
+    ``round(x, d)`` doubles are a driver-canonicalization hazard: the rounded
+    value's decimal ties and float repr are data-dependent and the driver's
+    DuckDB/hash layer resolved one differently from local DuckDB (q78, r03 —
+    rows and schema matched, values matched under strict local comparison,
+    hash did not). The fix is to keep floats out of the hash surface entirely:
+    emit ``floor(x * 10^d + 0.5)`` as BIGINT, with the byte-identical IEEE
+    expression on the oracle side (``CAST(FLOOR((x) * 10^d + 0.5) AS
+    BIGINT)``). Both engines evaluate the same double arithmetic over the
+    same inputs, so the integers agree exactly — no decimal-tie or repr
+    divergence can reach the driver's canonicalization."""
+    return F.floor(col * F.lit(float(10**digits)) + F.lit(0.5)).cast("bigint")
+
+
 # DuckDB-side tokenizer CTE fragments (mirror functions/text.py exactly).
 _DUCK_TOKENS = (
     "list_filter(string_split(trim(lower(regexp_replace(regexp_replace("
@@ -143,7 +162,7 @@ _DUCK_SHINGLES = (
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           CAST(FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -163,7 +182,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("l_quantity"), "sum_qty"),
             _dsum(F.col("l_extendedprice"), "sum_base_price"),
             _dprod_sum(F.col("l_extendedprice"), 1 - F.col("l_discount"), "sum_disc_price"),
-            F.round(
+            _sint(
                 F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*"), 6
             ).alias("avg_qty"),
             F.count("*").alias("count_order"),
@@ -209,7 +228,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_acctbal
+           CAST(FLOOR((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS avg_acctbal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -219,7 +238,7 @@ def q02_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
         _dsum(F.col("c_acctbal"), "total_acctbal"),
-        F.round(F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*"), 6).alias(
+        _sint(F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*"), 6).alias(
             "avg_acctbal"
         ),
     )
@@ -692,7 +711,7 @@ def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
     SELECT id_a, id_b,
-           ROUND(CAST(c AS DOUBLE) / (x.n + y.n - c), 4) AS jaccard
+           CAST(FLOOR((CAST(c AS DOUBLE) / (x.n + y.n - c)) * 10000.0 + 0.5) AS BIGINT) AS jaccard
     FROM common
     JOIN sz x ON x.doc_id = id_a
     JOIN sz y ON y.doc_id = id_b
@@ -708,7 +727,7 @@ def q25_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.setjoin import ngram_jaccard_join
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_join(docs, threshold=0.5, k=DEFAULT_CONFIG.shingle_size)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    return pairs.select("id_a", "id_b", _sint(F.col("jaccard"), 4).alias("jaccard"))
 
 
 # =====================================================================================
@@ -729,7 +748,7 @@ _DUCK_COSINE = """
 @query(
     "q26_cosine_topk",
     oracle=f"""
-    SELECT b.vec_id, ROUND({_DUCK_COSINE}, 4) AS cosine
+    SELECT b.vec_id, CAST(FLOOR(({_DUCK_COSINE}) * 10000.0 + 0.5) AS BIGINT) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
     ORDER BY {_DUCK_COSINE} DESC, b.vec_id ASC
     LIMIT 10
@@ -750,14 +769,15 @@ def q26_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cos.alias("cos_raw"))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", F.round("cos_raw", 4).alias("cosine"))
+        .select("vec_id", _sint(F.col("cos_raw"), 4).alias("cosine"))
     )
 
 
 @query(
     "q27_cosine_near_pairs",
     oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_DUCK_COSINE}, 4) AS cosine
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(FLOOR(({_DUCK_COSINE}) * 10000.0 + 0.5) AS BIGINT) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_DUCK_COSINE} >= 0.4
     """,
@@ -774,7 +794,7 @@ def q27_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos_raw"))
         .filter(F.col("cos_raw") >= 0.4)
-        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
+        .select("id_a", "id_b", _sint(F.col("cos_raw"), 4).alias("cosine"))
     )
 
 
@@ -1179,8 +1199,10 @@ def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY e.doc_id)
     SELECT 'overlap' AS op, source_a AS a, source_b AS b,
            x.n AS k1, y.n AS k2, n_common AS k3,
-           ROUND(CAST(n_common AS DOUBLE) / (x.n + y.n - n_common), 4) AS v1,
-           ROUND(CAST(n_common AS DOUBLE) / LEAST(x.n, y.n), 4) AS v2
+           CAST(FLOOR((CAST(n_common AS DOUBLE) / (x.n + y.n - n_common))
+                * 10000.0 + 0.5) AS BIGINT) AS v1,
+           CAST(FLOOR((CAST(n_common AS DOUBLE) / LEAST(x.n, y.n))
+                * 10000.0 + 0.5) AS BIGINT) AS v2
     FROM common
     JOIN sizes x ON x.source = source_a
     JOIN sizes y ON y.source = source_b
@@ -1189,8 +1211,9 @@ def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR) AS b,
            COALESCE(n_shingles, 0) AS k1, COALESCE(n_novel, 0) AS k2,
            CAST(NULL AS BIGINT) AS k3,
-           ROUND(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS v1,
-           CAST(NULL AS DOUBLE) AS v2
+           CAST(FLOOR((CAST(n_novel AS DOUBLE) / n_shingles)
+                * 1000000.0 + 0.5) AS BIGINT) AS v1,
+           CAST(NULL AS BIGINT) AS v2
     FROM documents d LEFT JOIN nov ON nov.doc_id = d.doc_id
     """,
 )
@@ -1199,11 +1222,12 @@ def q78_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     union — both EXACT set computations, fully oracle-backed:
       - overlap: pairwise distinct-shingle Jaccard + containment between
         sources (``source_overlap``) — which dumps duplicate each other;
-        a=source_a, b=source_b, k1/k2=vocab sizes, k3=shared, v1=jaccard,
-        v2=containment;
+        a=source_a, b=source_b, k1/k2=vocab sizes, k3=shared,
+        v1=jaccard x 10^4, v2=containment x 10^4 (scaled ints, r03 #1);
       - novelty: per-document fraction of shingles first introduced by that
         document (``ngram_novelty``) — mosaic-duplication score no pairwise
-        threshold catches; a=doc_id, k1=n_shingles, k2=n_novel, v1=novelty.
+        threshold catches; a=doc_id, k1=n_shingles, k2=n_novel,
+        v1=novelty x 10^6 (scaled int).
     Default 64-bit hashed shingle keys (counts identical to the oracle's
     string keys barring 2^-64 collisions — the q25 PPJoin posture)."""
     from .operators.corpus_stats import ngram_novelty, source_overlap
@@ -1216,8 +1240,8 @@ def q78_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").alias("k1"),
         F.col("n_b").alias("k2"),
         F.col("n_common").alias("k3"),
-        F.col("jaccard").alias("v1"),
-        F.col("containment").alias("v2"),
+        _sint(F.col("jaccard"), 4).alias("v1"),
+        _sint(F.col("containment"), 4).alias("v2"),
     )
     nv = ngram_novelty(docs).select(
         F.lit("novelty").alias("op"),
@@ -1226,8 +1250,8 @@ def q78_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shingles").alias("k1"),
         F.col("n_novel").alias("k2"),
         F.lit(None).cast("bigint").alias("k3"),
-        F.col("novelty").alias("v1"),
-        F.lit(None).cast("double").alias("v2"),
+        _sint(F.col("novelty"), 6).alias("v1"),
+        F.lit(None).cast("bigint").alias("v2"),
     )
     return ov.unionByName(nv)
 
@@ -1393,8 +1417,8 @@ def _doc_quality_oracle() -> str:
       FROM s),
     q AS (
       SELECT doc_id,
-             ROUND((len_score + tok_len_score + sw_score + uniq_score
-                    + alpha_score) / 5.0, 4) AS quality
+             CAST(FLOOR(((len_score + tok_len_score + sw_score + uniq_score
+                    + alpha_score) / 5.0) * 10000.0 + 0.5) AS BIGINT) AS quality
       FROM c),
     m AS (
       SELECT source,
@@ -1404,21 +1428,21 @@ def _doc_quality_oracle() -> str:
       FROM documents GROUP BY source),
     z AS (
       SELECT d.doc_id,
-             ROUND((CAST(d.n_chars AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
+             CAST(FLOOR(((CAST(d.n_chars AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
                    / sqrt((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
-                          / (m.n - 1)), 6) AS zscore
+                          / (m.n - 1))) * 1000000.0 + 0.5) AS BIGINT) AS zscore
       FROM documents d JOIN m ON d.source = m.source
       WHERE m.n > 1)
     SELECT d.doc_id, d.source,
            bpe.bpe_tokens,
-           ROUND({_duck_stop_ratio('en')}, 6) AS en_stop_ratio,
-           CASE WHEN len(t) > 0
-                THEN ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
-                ELSE 0.0 END AS uniq_ratio,
+           CAST(FLOOR(({_duck_stop_ratio('en')}) * 1000000.0 + 0.5) AS BIGINT) AS en_stop_ratio,
+           CAST(FLOOR((CASE WHEN len(t) > 0
+                THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS uniq_ratio,
            len(t) AS n_tokens,
            q.quality,
            z.zscore,
-           CAST(abs(z.zscore) > 1.8 AS INT) AS is_outlier
+           CAST(abs(z.zscore) > 1800000 AS INT) AS is_outlier
     FROM documents d
     JOIN tok ON tok.doc_id = d.doc_id
     JOIN bpe ON bpe.doc_id = d.doc_id
@@ -1453,10 +1477,10 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         bpe_token_count_estimate(F.col("text")).alias("bpe_tokens"),
-        F.round(stopword_ratio(t, "en"), 6).alias("en_stop_ratio"),
-        F.round(uniq, 6).alias("uniq_ratio"),
+        _sint(stopword_ratio(t, "en"), 6).alias("en_stop_ratio"),
+        _sint(uniq, 6).alias("uniq_ratio"),
         F.size(t).alias("n_tokens"),
-        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        _sint(quality_score(F.col("text")), 4).alias("quality"),
     )
     m = (
         docs.groupBy("source")
@@ -1471,7 +1495,7 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (
         F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
     ) / (F.col("n") - 1)
-    z = F.round((F.col("n_chars").cast("double") - mean) / F.sqrt(var), 6)
+    z = _sint((F.col("n_chars").cast("double") - mean) / F.sqrt(var), 6)
     return (
         base.join(m, "source", "left")
         .select(
@@ -1483,7 +1507,7 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "quality",
             z.alias("zscore"),
-            (F.abs(z) > 1.8).cast("int").alias("is_outlier"),
+            (F.abs(z) > 1800000).cast("int").alias("is_outlier"),
         )
     )
 
@@ -1528,22 +1552,22 @@ def q38_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'profile' AS op, COUNT(DISTINCT p_brand) AS k,
            'p_brand|' || CAST(MIN(p_brand) AS VARCHAR) || '|'
              || CAST(MAX(p_brand) AS VARCHAR) AS s,
-           ROUND(CAST(SUM(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS v
+           CAST(CAST(FLOOR((CAST(SUM(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) AS v
     FROM part
     UNION ALL
     SELECT 'profile' AS op, COUNT(DISTINCT p_size) AS k,
            'p_size|' || CAST(MIN(p_size) AS VARCHAR) || '|'
              || CAST(MAX(p_size) AS VARCHAR) AS s,
-           ROUND(CAST(SUM(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS v
+           CAST(CAST(FLOOR((CAST(SUM(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) AS v
     FROM part
     UNION ALL
     SELECT 'profile' AS op, COUNT(DISTINCT p_type) AS k,
            'p_type|' || CAST(MIN(p_type) AS VARCHAR) || '|'
              || CAST(MAX(p_type) AS VARCHAR) AS s,
-           ROUND(CAST(SUM(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS v
+           CAST(CAST(FLOOR((CAST(SUM(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) AS v
     FROM part
     """,
 )
@@ -1608,7 +1632,10 @@ def q42_relational_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").alias("k"),
         F.concat("column", F.lit("|"), "min_value", F.lit("|"),
                  "max_value").alias("s"),
-        F.col("null_frac").alias("v"),
+        # scaled-int-valued double (the union's v column is double for the
+        # other legs' raw data values): no rounded ratio on the hash surface
+        _sint(F.col("n_nulls").cast("double") / F.col("n_rows"), 6)
+        .cast("double").alias("v"),
     )
     return topn.unionByName(proj).unionByName(inter).unionByName(prof)
 
@@ -1726,21 +1753,26 @@ def q52_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bgc GROUP BY 1)
     SELECT ts.doc_id,
            ts.n_tok AS n_tokens,
-           CASE WHEN ts.n_tok > 0
-                THEN ROUND(CAST(ts.n_tok - ts.n_dist AS DOUBLE) / ts.n_tok, 6)
-                ELSE 0.0 END AS dup_token_frac,
-           CASE WHEN bga.totc IS NOT NULL
-                THEN ROUND(CAST(bga.topc AS DOUBLE) / bga.totc, 6)
-                ELSE 0.0 END AS top_bigram_frac
+           CAST(FLOOR((CASE WHEN ts.n_tok > 0
+                THEN CAST(ts.n_tok - ts.n_dist AS DOUBLE) / ts.n_tok
+                ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS dup_token_frac,
+           CAST(FLOOR((CASE WHEN bga.totc IS NOT NULL
+                THEN CAST(bga.topc AS DOUBLE) / bga.totc
+                ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS top_bigram_frac
     FROM ts LEFT JOIN bga ON ts.doc_id = bga.doc_id
     """,
 )
 def q53_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition facets: duplicate-token-position
-    fraction + most-frequent-bigram occurrence share."""
+    fraction + most-frequent-bigram occurrence share (scaled-int surface)."""
     from .operators.textpipe import repetition_metrics
 
-    return repetition_metrics(_t(spark, sf_dir, "documents"))
+    return repetition_metrics(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        _sint(F.col("dup_token_frac"), 6).alias("dup_token_frac"),
+        _sint(F.col("top_bigram_frac"), 6).alias("top_bigram_frac"),
+    )
 
 
 @query(
@@ -1786,9 +1818,10 @@ def q53_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            COALESCE(per.n_spans, 0) AS n_spans,
            COALESCE(per.n_shared_spans, 0) AS n_shared_spans,
-           COALESCE(CASE WHEN per.n_spans > 0
-                         THEN ROUND(CAST(per.n_shared_spans AS DOUBLE) / per.n_spans, 6)
-                         ELSE 0.0 END, 0.0) AS shared_frac,
+           CAST(FLOOR(COALESCE(CASE WHEN per.n_spans > 0
+                         THEN CAST(per.n_shared_spans AS DOUBLE) / per.n_spans
+                         ELSE 0.0 END, 0.0) * 1000000.0 + 0.5) AS BIGINT)
+             AS shared_frac,
            clean.n_removed,
            clean.cleaned_text
     FROM documents d
@@ -1806,7 +1839,10 @@ def q54_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textpipe import duplicated_spans, remove_duplicated_spans
 
     docs = _t(spark, sf_dir, "documents")
-    det = duplicated_spans(docs, span=10)
+    det = duplicated_spans(docs, span=10).select(
+        "doc_id", "n_spans", "n_shared_spans",
+        _sint(F.col("shared_frac"), 6).alias("shared_frac"),
+    )
     rm = remove_duplicated_spans(docs, span=10).select(
         "doc_id", "n_removed", F.col("text").alias("cleaned_text")
     )
@@ -1831,8 +1867,8 @@ def q54_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM corp JOIN ev ON corp.g = ev.g GROUP BY 1),
     sizes AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM corp GROUP BY 1)
     SELECT hits.doc_id, sizes.n_ngrams, hits.n_contaminated,
-           ROUND(CAST(hits.n_contaminated AS DOUBLE) / sizes.n_ngrams, 6)
-             AS contam_frac
+           CAST(FLOOR((CAST(hits.n_contaminated AS DOUBLE) / sizes.n_ngrams)
+                * 1000000.0 + 0.5) AS BIGINT) AS contam_frac
     FROM hits JOIN sizes ON hits.doc_id = sizes.doc_id
     """,
 )
@@ -1847,6 +1883,9 @@ def q55_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 25),
         docs.filter(F.col("doc_id") < 25),
         n=5,
+    ).select(
+        "doc_id", "n_ngrams", "n_contaminated",
+        _sint(F.col("contam_frac"), 6).alias("contam_frac"),
     )
 
 
@@ -2105,7 +2144,8 @@ def q62_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN dl USING (id)
       CROSS JOIN stats
       GROUP BY 1)
-    SELECT id AS doc_id, ROUND(score, 4) AS score
+    SELECT id AS doc_id,
+           CAST(FLOOR((score) * 10000.0 + 0.5) AS BIGINT) AS score
     FROM sc ORDER BY score DESC, id ASC LIMIT 10
     """,
 )
@@ -2119,7 +2159,7 @@ def q63_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = bm25_search(docs, ["spark", "window", "fast"], k=10)
     return out.select(
-        F.col("id").alias("doc_id"), F.round("score", 4).alias("score")
+        F.col("id").alias("doc_id"), _sint(F.col("score"), 4).alias("score")
     )
 
 
@@ -2400,8 +2440,9 @@ def q67_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof AS (SELECT c, COUNT(*) AS n_types FROM pt GROUP BY 1)
     SELECT CAST(c AS BIGINT) AS occurrences,
            CAST(n_types AS BIGINT) AS n_types,
-           ROUND(CAST(c * n_types AS DOUBLE)
-                 / CAST(SUM(c * n_types) OVER () AS DOUBLE), 6) AS position_frac
+           CAST(FLOOR((CAST(c * n_types AS DOUBLE)
+                 / CAST(SUM(c * n_types) OVER () AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT) AS position_frac
     FROM prof
     """,
 )
@@ -2411,7 +2452,10 @@ def q68_token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-growth estimates; a fat head flags boilerplate)."""
     from .operators.textpipe import token_frequency_profile
 
-    return token_frequency_profile(_t(spark, sf_dir, "documents"))
+    return token_frequency_profile(_t(spark, sf_dir, "documents")).select(
+        "occurrences", "n_types",
+        _sint(F.col("position_frac"), 6).alias("position_frac"),
+    )
 
 
 # q69 mixing weights: chosen with exactly-representable binary fractions so
@@ -2458,10 +2502,10 @@ def q69_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
-           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
-           ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
-           ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+           CAST(FLOOR((quantile_cont(n_chars, 0.25)) * 1000000.0 + 0.5) AS BIGINT) AS p25,
+           CAST(FLOOR((quantile_cont(n_chars, 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS p50,
+           CAST(FLOOR((quantile_cont(n_chars, 0.75)) * 1000000.0 + 0.5) AS BIGINT) AS p75,
+           CAST(FLOOR((quantile_cont(n_chars, 0.95)) * 1000000.0 + 0.5) AS BIGINT) AS p95
     FROM documents
     GROUP BY source
     """,
@@ -2478,7 +2522,7 @@ def q70_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         *[
-            F.round(F.expr(f"percentile(n_chars, {p})"), 6).alias(nm)
+            _sint(F.expr(f"percentile(n_chars, {p})"), 6).alias(nm)
             for p, nm in zip(pct, names)
         ],
     )

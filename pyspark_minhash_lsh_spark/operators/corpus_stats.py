@@ -61,8 +61,8 @@ def source_overlap(
     shares at least one shingle and clears ``min_jaccard``::
 
         source_a, source_b, n_a, n_b, n_common,
-        jaccard     = n_common / (n_a + n_b - n_common)        (round 4)
-        containment = n_common / least(n_a, n_b)               (round 4)
+        jaccard     = n_common / (n_a + n_b - n_common)   (full precision)
+        containment = n_common / least(n_a, n_b)          (full precision)
 
     ``n_a``/``n_b`` are the distinct-shingle vocabulary sizes of each group.
     Containment catches the subset case Jaccard hides: a small dump fully
@@ -120,8 +120,12 @@ def source_overlap(
             "n_a",
             "n_b",
             "n_common",
-            F.round(jac, 4).alias("jaccard"),
-            F.round(F.col("n_common") / F.least("n_a", "n_b"), 4).alias("containment"),
+            # raw full-precision ratios of exact integers — consumers that
+            # need a hashable/display value scale or round downstream
+            # (VERDICT r03 #1: rounded doubles on the driver hash surface
+            # canonicalize non-portably; the catalog now emits scaled ints)
+            jac.alias("jaccard"),
+            (F.col("n_common") / F.least("n_a", "n_b")).alias("containment"),
         )
     )
     if min_jaccard > 0.0:
@@ -144,7 +148,8 @@ def ngram_novelty(
     per input document::
 
         doc_id, n_shingles, n_novel,
-        novelty = n_novel / n_shingles   (round 6; NULL for shingle-less docs)
+        novelty = n_novel / n_shingles   (full precision; NULL for
+                                          shingle-less docs)
 
     The first document scores 1.0 by construction; an exact copy of any
     earlier document scores 0.0. Unlike pairwise near-dup detection this
@@ -182,7 +187,7 @@ def ngram_novelty(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
             F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
-            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+            (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
         )
     )
 
@@ -265,9 +270,15 @@ def corpus_report(
                     F.col("p90").cast("double"),
                     F.col("p99").cast("double"),
                     F.col("n_fp").cast("double"),
+                    # clamp at 0: approx_count_distinct can overestimate
+                    # n_fp above n_docs, which would report a negative dup
+                    # fraction (ADVICE r03)
                     F.round(
-                        (F.col("n_docs") - F.col("n_fp")).cast("double")
-                        / F.greatest(F.col("n_docs"), F.lit(1)), 6),
+                        F.greatest(
+                            F.lit(0.0),
+                            (F.col("n_docs") - F.col("n_fp")).cast("double")
+                            / F.greatest(F.col("n_docs"), F.lit(1)),
+                        ), 6),
                     F.round("q_mean", 6), F.col("q_min"), F.col("q_max"),
                 ),
             )

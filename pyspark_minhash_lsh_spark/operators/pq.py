@@ -33,7 +33,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fit_pq", "PqModel", "build_ivf_pq_index", "ivf_pq_topk", "pq_topk_batch"]
+__all__ = [
+    "fit_pq",
+    "PqModel",
+    "build_ivf_pq_index",
+    "ivf_pq_topk",
+    "pq_topk_batch",
+    "IvfPqIndex",
+]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -44,22 +51,29 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def _kmeans(x: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
     """Plain Lloyd with random-point init (deterministic via ``rng``);
-    empty clusters re-seeded from the farthest points. Distances use the
-    ``|x|^2 + |c|^2 - 2 x.c`` GEMM form — an (n, k) matrix, never the
-    (n, k, dsub) broadcast intermediate (which is ~800 MB at the default
-    50k-sample x 256-centroid fit)."""
+    empty clusters re-seeded from the farthest points — DISTINCT ones, in
+    descending farthest order (ADVICE r03: reseeding several empty clusters
+    from one shared argmax produced duplicate centroids / wasted codewords).
+    Distances use the ``|x|^2 + |c|^2 - 2 x.c`` GEMM form — an (n, k)
+    matrix, never the (n, k, dsub) broadcast intermediate (which is ~800 MB
+    at the default 50k-sample x 256-centroid fit)."""
     k = min(k, len(x))
     cent = x[rng.choice(len(x), size=k, replace=False)].copy()
     x2 = (x ** 2).sum(axis=1)[:, None]
     for _ in range(iters):
         d2 = x2 + (cent ** 2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
         assign = d2.argmin(axis=1)
+        empty = [j for j in range(k) if not (assign == j).any()]
+        if empty:
+            # one farthest point PER empty cluster (take the top-|empty|
+            # by distance-to-nearest-centroid, one each)
+            far = np.argsort(-d2.min(axis=1))[: len(empty)]
+            for j, idx in zip(empty, far):
+                cent[j] = x[idx]
         for j in range(k):
             members = x[assign == j]
             if len(members):
                 cent[j] = members.mean(axis=0)
-            else:
-                cent[j] = x[d2.min(axis=1).argmax()]
     return cent
 
 
@@ -213,10 +227,83 @@ def build_ivf_pq_index(ivf_model, pq_model: PqModel) -> DataFrame:
     """Materialize the IVF-PQ index: ``(id, cell, pq_codes)`` — the slim
     artifact a 100 TB ANN service actually serves from (16-24 bytes per
     vector; the float embeddings stay in cold storage). Feed it to
-    ``ivf_pq_topk`` (cache or write it cell-partitioned so probes prune
-    partitions, same layout trick as ``IvfFlatModel.save_index``)."""
+    ``ivf_pq_topk``, or wrap it in ``IvfPqIndex`` and ``save_index`` it
+    cell-partitioned so probes prune parquet partitions before any scan."""
     enc = pq_model.encode(ivf_model.index)
     return enc.select(F.col(pq_model.id_col), F.col("cell"), F.col("pq_codes"))
+
+
+def _nearest_cells_by_cosine(
+    centroids: "list[list[float]]", query: "list[float]", n_probe: int
+) -> "list[int]":
+    """Rank cells by centroid cosine — byte-for-byte the ranking
+    ``IvfFlatModel._nearest_cells`` produces (zero-norm guard -> -1.0;
+    stable sort keeps cell order on ties)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    cn = np.linalg.norm(c, axis=1)
+    qn = np.linalg.norm(q)
+    cos = np.full(len(c), -1.0)
+    ok = (cn > 0) & (qn > 0)
+    if qn > 0:
+        cos[ok] = (c[ok] @ q) / (cn[ok] * qn)
+    return [int(i) for i in np.argsort(-cos, kind="stable")[:n_probe]]
+
+
+class IvfPqIndex:
+    """The serving-shape IVF-PQ artifact: coarse centroids + PQ codebooks +
+    the ``(id, cell, pq_codes)`` table, with cell-PARTITIONED persistence
+    (VERDICT r03 #6) so an ``n_probe`` query's cell filter prunes parquet
+    partitions before any scan — the FAISS inverted-list layout as a parquet
+    directory, same convention as ``IvfFlatModel.save_index`` /
+    ``SrpLshModel.save_index``."""
+
+    def __init__(self, centroids: "list[list[float]]", pq_model: PqModel,
+                 index: DataFrame):
+        self.centroids = centroids
+        self.pq = pq_model
+        self.index = index
+
+    @classmethod
+    def from_models(cls, ivf_model, pq_model: PqModel) -> "IvfPqIndex":
+        return cls(
+            ivf_model.centroids, pq_model, build_ivf_pq_index(ivf_model, pq_model)
+        )
+
+    def topk(self, query: "list[float]", k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Probe the ``n_probe`` nearest cells, ADC-score only their codes.
+        On a loaded (cell-partitioned) index the ``isin`` filter is a
+        partition filter: unprobed cells are pruned at the file level."""
+        cells = _nearest_cells_by_cosine(self.centroids, query, n_probe)
+        return self.pq.approx_cosine_topk(
+            self.index.filter(F.col("cell").isin(cells)), query, n=k
+        )
+
+    def save_index(self, path: str, mode: str = "overwrite") -> None:
+        """Write ``(id, pq_codes)`` partitioned by ``cell``; centroids and
+        the PQ codebooks ride in underscore-prefixed sidecars the main read
+        ignores."""
+        self.index.write.mode(mode).partitionBy("cell").parquet(path)
+        spark = self.index.sparkSession
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/_centroids")
+        self.pq.save(spark, path.rstrip("/") + "/_pq", mode=mode)
+
+    @classmethod
+    def load_index(cls, spark, path: str) -> "IvfPqIndex":
+        """Rehydrate without re-running any k-means. The returned ``index``
+        is the partition-pruned-capable parquet scan."""
+        pq_model = PqModel.load(spark, path.rstrip("/") + "/_pq")
+        cent_rows = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
+        centroids = [
+            list(r.centroid) for r in sorted(cent_rows, key=lambda r: r.cell)
+        ]
+        index = spark.read.parquet(path).select(
+            pq_model.id_col, "cell", "pq_codes"
+        )
+        return cls(centroids, pq_model, index)
 
 
 def ivf_pq_topk(

@@ -426,8 +426,11 @@ def dsir_resample(
         raw, target, text_col=text_col, id_col=id_col,
         num_buckets=num_buckets, smoothing=smoothing, normalize=normalize,
     ).select(id_col, "log_weight")
-    # u in (0, 1]: (bucket + 1) / 2^32 — never 0, so log(u) is finite
-    u = (_hash_bucket(id_col, salt) + 1).cast("double") / F.lit(float(_BUCKETS))
+    # u in (0, 1) OPEN on both ends: (bucket + 0.5) / 2^32 — never 0 (log(u)
+    # stays finite) and never 1 (bucket = 2^32-1 would otherwise make the
+    # Gumbel key -log(-log(1)) = +inf, unconditionally selecting that doc
+    # regardless of weight — ADVICE r03)
+    u = (_hash_bucket(id_col, salt).cast("double") + F.lit(0.5)) / F.lit(float(_BUCKETS))
     gumbel = -F.log(-F.log(u))
     return (
         raw.join(wts, id_col)

@@ -90,13 +90,16 @@ def repetition_metrics(
         .groupBy("doc_id")
         .agg(F.max("c").alias("topc"), F.sum("c").alias("totc"))
     )
+    # raw full-precision ratios (no round): the catalog hash surface scales
+    # them to integers, and rounding here would re-introduce the decimal-tie
+    # hazard the scaled-int surface exists to remove (VERDICT r03 #2)
     dup = F.when(
         F.col("n_tok") > 0,
-        F.round((F.col("n_tok") - F.col("n_dist")).cast("double") / F.col("n_tok"), 6),
+        (F.col("n_tok") - F.col("n_dist")).cast("double") / F.col("n_tok"),
     ).otherwise(F.lit(0.0))
     top = F.when(
         F.col("totc").isNotNull(),
-        F.round(F.col("topc").cast("double") / F.col("totc"), 6),
+        F.col("topc").cast("double") / F.col("totc"),
     ).otherwise(F.lit(0.0))
     return ts.join(bga, "doc_id", "left").select(
         "doc_id",
@@ -150,7 +153,7 @@ def duplicated_spans(
     )
     frac = F.when(
         F.col("n_spans") > 0,
-        F.round(F.col("n_shared_spans").cast("double") / F.col("n_spans"), 6),
+        F.col("n_shared_spans").cast("double") / F.col("n_spans"),
     ).otherwise(F.lit(0.0))
     ids = df.select(F.col(id_col).alias("doc_id"))
     return (
@@ -300,9 +303,8 @@ def contamination_check(
             "doc_id",
             "n_ngrams",
             "n_contaminated",
-            F.round(
-                F.col("n_contaminated").cast("double") / F.col("n_ngrams"), 6
-            ).alias("contam_frac"),
+            (F.col("n_contaminated").cast("double") / F.col("n_ngrams"))
+            .alias("contam_frac"),
         )
     )
 
@@ -380,7 +382,9 @@ def token_frequency_profile(
     return prof.select(
         F.col("c").alias("occurrences"),
         "n_types",
-        F.round(band / total, 6).alias("position_frac"),
+        # raw ratio (integer-valued doubles sum exactly below 2^53, so the
+        # window total is order-independent); the catalog scales to integer
+        (band / total).alias("position_frac"),
     )
 
 

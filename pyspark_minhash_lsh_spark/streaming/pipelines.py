@@ -392,8 +392,9 @@ def streaming_curate(
     ROW-LOCAL (projection or constant-size model transform) applied to a
     document stream, emitting the same disposition audit as
     ``curate_corpus``: ``(doc_id, text, n_tokens, quality, status)`` with
-    ``status`` in drop_short / drop_repetition / drop_quality /
-    drop_classifier / kept.
+    ``status`` in drop_blocklist (only when a ``blocklist`` is passed; it
+    wins over drop_short, matching the batch ``STATUSES`` order) /
+    drop_short / drop_repetition / drop_quality / drop_classifier / kept.
 
     Differences from the batch pipeline, forced by streaming semantics:
       - the repetition rule uses only the row-local facet

@@ -34,8 +34,8 @@ def test_source_overlap_known_values(spark):
     [r] = source_overlap(docs).collect()
     assert (r.source_a, r.source_b) == ("A", "B")
     assert (r.n_a, r.n_b, r.n_common) == (3, 4, 2)
-    assert r.jaccard == round(2 / 5, 4)
-    assert r.containment == round(2 / 3, 4)
+    assert r.jaccard == 2 / 5
+    assert r.containment == 2 / 3
 
 
 def test_source_overlap_disjoint_pair_absent(spark):
@@ -121,7 +121,7 @@ def test_ngram_novelty_first_copy_mosaic_empty(spark):
     assert rows[0].n_shingles == 3 and rows[0].novelty == 1.0
     assert rows[1].n_shingles == 3 and rows[1].novelty == 0.0
     assert rows[2].n_shingles == 5 and rows[2].n_novel == 3
-    assert rows[2].novelty == round(3 / 5, 6)
+    assert rows[2].novelty == 3 / 5
     assert rows[3].n_shingles == 0 and rows[3].n_novel == 0
     assert rows[3].novelty is None
 

@@ -29,10 +29,10 @@ def test_repetition_metrics_known_values(spark):
     ])
     out = {r.doc_id: r for r in repetition_metrics(docs).collect()}
     assert out[0].n_tokens == 6
-    assert abs(out[0].dup_token_frac - round(4 / 6, 6)) < 1e-9
+    assert abs(out[0].dup_token_frac - 4 / 6) < 1e-9
     assert abs(out[0].top_bigram_frac - 0.6) < 1e-9  # 3 of 5 bigrams
     assert out[1].dup_token_frac == 0.0
-    assert abs(out[1].top_bigram_frac - round(1 / 3, 6)) < 1e-9
+    assert abs(out[1].top_bigram_frac - 1 / 3) < 1e-9
     assert out[2].n_tokens == 0 and out[2].dup_token_frac == 0.0
     assert out[3].top_bigram_frac == 0.0
 

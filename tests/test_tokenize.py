@@ -198,3 +198,85 @@ def test_decode_round_trips(spark):
     plan = lit.select(bpe_decode(F.col("pieces")))._jdf.queryExecution(
     ).optimizedPlan().toString()
     assert "Python" not in plan
+
+
+def _naive_bpe_merges(word_counts, num_merges):
+    """Reference: the O(num_merges x types) recompute form train_bpe used
+    before the incremental pair-index rewrite (VERDICT r03 #4) — kept here
+    as the equivalence oracle for learn_bpe_merges."""
+    from pyspark_minhash_lsh_spark.operators.tokenize import END_OF_WORD
+
+    types = {}
+    for w, c in word_counts.items():
+        if not w:
+            continue
+        syms = tuple(list(w[:-1]) + [w[-1] + END_OF_WORD])
+        types[syms] = types.get(syms, 0) + c
+    merges = []
+    for _ in range(num_merges):
+        pair_counts = {}
+        for syms, c in types.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        merged = a + b
+        new_types = {}
+        for syms, c in types.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_types[t] = new_types.get(t, 0) + c
+        types = new_types
+    return merges
+
+
+def test_learn_bpe_merges_matches_naive_recompute():
+    """The incremental pair-index form is value-identical to the naive
+    recompute on randomized corpora (including heavy repetition, shared
+    prefixes/suffixes, and multi-occurrence pairs like 'aaaa')."""
+    from pyspark_minhash_lsh_spark.operators.tokenize import learn_bpe_merges
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    for trial in range(5):
+        wc = {}
+        for _ in range(200):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            wc[w] = wc.get(w, 0) + rng.randint(1, 50)
+        wc["aaaa"] = 40  # overlapping-pair stress
+        wc["aaaaaa"] = 17
+        assert learn_bpe_merges(wc, 60) == _naive_bpe_merges(wc, 60), trial
+
+
+def test_learn_bpe_merges_scales_to_100k_types():
+    """Perf bound (VERDICT r03 #4 done-criterion): 100k word types, 500
+    merges, well under a minute on the incremental index (the naive
+    recompute form is ~50M type-visits for the same work)."""
+    import time
+
+    from pyspark_minhash_lsh_spark.operators.tokenize import learn_bpe_merges
+
+    rng = random.Random(11)
+    alphabet = "abcdefghijklmnop"
+    wc = {}
+    while len(wc) < 100_000:
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12)))
+        wc.setdefault(w, rng.randint(1, 1000))
+    t0 = time.monotonic()
+    merges = learn_bpe_merges(wc, 500)
+    elapsed = time.monotonic() - t0
+    assert len(merges) == 500
+    assert elapsed < 60, f"incremental merge loop too slow: {elapsed:.1f}s"
