@@ -113,7 +113,14 @@ class MinHashLSH:
         """
         index = self.transform(df, text_col, id_col)
         if persist:
-            index = index.persist()
+            # partition-preserving registration: the index is id-hash
+            # partitioned by its signature aggregation, and the similarity
+            # join's signature-attach joins key on id — an AQE-compiled
+            # cache would hide that placement and re-shuffle (see
+            # session.persist_partition_preserving)
+            from ..session import persist_partition_preserving
+
+            index = persist_partition_preserving(index)
         return MinHashLSHModel(self, df, index, text_col, id_col)
 
 

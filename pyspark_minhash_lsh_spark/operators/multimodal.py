@@ -11,17 +11,19 @@ batch shape) is real and tested. Decode has three tiers:
     + numpy pixel reshaping, WAV is stdlib ``wave``. Real pixels, real PCM,
     real dimensions/duration — full decode->feature->resize paths run
     genuinely in this container (see ``_parse_bmp`` / ``_decode_wav``);
-  - ``codec="jpeg"`` / ``codec="png"`` — REAL compressed decode gated on the
-    OPTIONAL ``Pillow`` package (import-gate at construction, mirroring the
-    xxh128 pattern in functions/hashing.py): where Pillow exists these are
-    full real code paths (decode -> luminance feature, decode -> resize ->
-    re-encode); where it doesn't, construction raises ImportError naming the
-    sanctioned fallback (``codec='bmp'`` / stub). Import-gated test in
-    tests/test_multimodal.py;
-  - ``decode_stub=False`` with no codec — raises ``NotImplementedError`` at
-    the plug point where a PIL/ffmpeg call would decode other COMPRESSED
-    formats (mp3/mp4), unavailable here; the mapInPandas signature is
-    identical, so a production build swaps one function.
+  - compressed formats — REAL decode gated on OPTIONAL packages
+    (import-gate at construction, mirroring the xxh128 pattern in
+    functions/hashing.py): ``codec="jpeg"/"png"`` on ``Pillow``,
+    ``codec="mp3"/"flac"/"ogg"`` on ``soundfile`` (libsndfile),
+    ``codec="mp4"/"mkv"/"webm"`` frame sampling on ``av`` (PyAV/ffmpeg).
+    Where the library exists these are full real code paths (decode ->
+    feature / resize / frame-BMPs feeding the same downstream ops as the
+    uncompressed tiers); where it doesn't, construction raises ImportError
+    naming the sanctioned fallback (``codec='bmp'``/``'wav'``/BMP-reel/
+    stub) on the DRIVER, never inside an executor task. Import-gated tests
+    in tests/test_multimodal.py;
+  - ``decode_stub=False`` with no codec — raises ``NotImplementedError``
+    naming the optional-package codec that would handle the format.
 
 Heavy per-row work (decode, resize, feature extraction) runs via
 ``mapInPandas`` — Arrow-batched, one Python worker per partition, no JVM
@@ -121,12 +123,25 @@ def media_table_from_documents(docs: DataFrame, media_type: str = "image") -> Da
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Plug point for a COMPRESSED-format decoder (PIL.Image.open etc.) —
-    unavailable here. Uncompressed BMP decodes for real via codec='bmp'."""
-    raise NotImplementedError(
-        "compressed image decode requires PIL/opencv, not present in this "
-        "environment; use codec='bmp' (real, library-free) or decode_stub=True"
-    )
+    """Format-sniffing compressed-image decode, REAL when the optional
+    Pillow package exists (same import-gate pattern as ``_pil_pixel_decoder``
+    but without pinning the format — Pillow sniffs the container).
+    Where Pillow is absent the sanctioned fallbacks are named:
+    ``codec='bmp'`` (real, library-free) or ``decode_stub=True``."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "compressed image decode requires the optional 'Pillow' package, "
+            "not present in this environment; use codec='bmp' (real, "
+            "library-free) or decode_stub=True"
+        ) from e
+    import io
+
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 
 #: compressed image formats decodable via the optional PIL dependency
@@ -356,7 +371,23 @@ def extract_image_features(
         def decode(p: bytes) -> np.ndarray:
             return _luma_feature(px_decode(p).astype(np.float64))
     elif codec is None:
-        decode = _decode_stub if decode_stub else _decode_image_real
+        if decode_stub:
+            decode = _decode_stub
+        else:
+            # format-sniffing real decode — fail fast on the DRIVER when the
+            # optional library is missing (the _pil_pixel_decoder gate),
+            # never inside an executor task
+            try:
+                import PIL  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "compressed image decode requires the optional 'Pillow' "
+                    "package, not present in this environment; use "
+                    "codec='bmp' (real, library-free) or decode_stub=True"
+                ) from e
+
+            def decode(p: bytes) -> np.ndarray:
+                return _luma_feature(_decode_image_real(p).astype(np.float64))
     else:
         raise ValueError(
             f"unknown image codec {codec!r} "
@@ -506,6 +537,71 @@ def resize_images(
     return media.select("media_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+#: compressed audio formats decodable via the optional ``soundfile``
+#: (libsndfile) dependency — same import-gate tier as the Pillow codecs
+_SOUNDFILE_CODECS = ("mp3", "flac", "ogg")
+
+
+def _soundfile_decoder(codec: str):
+    """Real compressed-audio decoder gated on the OPTIONAL ``soundfile``
+    package (the ``_pil_pixel_decoder`` pattern: import attempted at
+    CONSTRUCTION time so a missing library fails fast on the driver with the
+    sanctioned fallback named). Returns ``payload -> (samples mono float64,
+    rate)`` — the same contract as ``_decode_wav``, so every downstream
+    feature/fingerprint path works unchanged on mp3/flac/ogg."""
+    try:
+        import soundfile as sf
+    except ImportError as e:
+        raise ImportError(
+            f"codec={codec!r} requires the optional 'soundfile' package, not "
+            "present in this environment; use codec='wav' (real, stdlib) or "
+            "decode_stub=True — the sanctioned modes where soundfile is "
+            "unavailable"
+        ) from e
+
+    import io
+
+    def decode(payload: bytes) -> "tuple[np.ndarray, int]":
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty payload")
+        x, rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+        return x.mean(axis=1), int(rate)  # downmix to mono like _decode_wav
+
+    return decode
+
+
+def _audio_feature_runner(decode):
+    """Shared Arrow-batch runner for container-decoding audio paths: true
+    duration from the container rate + 16-slice RMS-energy feature over the
+    decoded samples."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nbytes, durs, feats = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                x, rate = decode(p)
+                ids.append(mid)
+                nbytes.append(len(p))
+                durs.append(int(len(x) * 1000 / rate))
+                slices = np.array_split(np.asarray(x, dtype=np.float64), _FEATURE_DIM)
+                e = np.array(
+                    [np.sqrt(np.mean(s * s)) if len(s) else 0.0 for s in slices]
+                )
+                norm = np.linalg.norm(e)
+                feats.append(
+                    ((e / norm) if norm > 0 else e).astype(np.float32).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "feature": feats,
+                }
+            )
+
+    return run
+
+
 def extract_audio_features(
     media: DataFrame,
     sample_rate: int = 16_000,
@@ -517,45 +613,31 @@ def extract_audio_features(
     ``codec='wav'`` is a REAL decode via the stdlib ``wave`` module: sample
     rate and channel layout come from the container header, so
     ``duration_ms`` is the true clip duration and the 16-slice RMS-energy
-    feature is computed over genuine samples. Otherwise the stub treats the
-    payload as headerless 16-bit PCM at ``sample_rate``; a production build
-    swaps in ffmpeg/soundfile for compressed codecs, same signature.
+    feature is computed over genuine samples. ``codec='mp3'/'flac'/'ogg'``
+    is the same real path gated on the optional ``soundfile`` package
+    (import-gated like the Pillow image codecs — fails fast on the driver
+    naming the sanctioned fallback when absent). Otherwise the stub treats
+    the payload as headerless 16-bit PCM at ``sample_rate``.
     """
     if codec == "wav":
-        def run_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                ids, nbytes, durs, feats = [], [], [], []
-                for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                    x, rate = _decode_wav(p)
-                    ids.append(mid)
-                    nbytes.append(len(p))
-                    durs.append(int(len(x) * 1000 / rate))
-                    slices = np.array_split(x, _FEATURE_DIM)
-                    e = np.array(
-                        [np.sqrt(np.mean(s * s)) if len(s) else 0.0 for s in slices]
-                    )
-                    norm = np.linalg.norm(e)
-                    feats.append(
-                        ((e / norm) if norm > 0 else e).astype(np.float32).tolist()
-                    )
-                yield pd.DataFrame(
-                    {
-                        "media_id": pd.Series(ids, dtype="int64"),
-                        "n_bytes": pd.Series(nbytes, dtype="int64"),
-                        "duration_ms": pd.Series(durs, dtype="int64"),
-                        "feature": feats,
-                    }
-                )
-
         return media.select("media_id", "payload").mapInPandas(
-            run_wav, schema=AUDIO_FEATURE_SCHEMA
+            _audio_feature_runner(_decode_wav), schema=AUDIO_FEATURE_SCHEMA
+        )
+    if codec in _SOUNDFILE_CODECS:
+        dec = _soundfile_decoder(codec)  # ImportError here if no soundfile
+        return media.select("media_id", "payload").mapInPandas(
+            _audio_feature_runner(dec), schema=AUDIO_FEATURE_SCHEMA
         )
     if codec is not None:
-        raise ValueError(f"unknown audio codec {codec!r} (supported: 'wav')")
+        raise ValueError(
+            f"unknown audio codec {codec!r} "
+            f"(supported: 'wav' + optional {_SOUNDFILE_CODECS})"
+        )
     if not decode_stub:
         raise NotImplementedError(
-            "compressed audio decode requires ffmpeg/soundfile, not present; "
-            "use codec='wav' or decode_stub=True"
+            "compressed audio decode requires the optional 'soundfile' "
+            "package (codec='mp3'/'flac'/'ogg'), not present; use "
+            "codec='wav' or decode_stub=True"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -590,20 +672,106 @@ def extract_audio_features(
     )
 
 
+#: compressed video containers decodable via the optional ``av`` (PyAV /
+#: ffmpeg bindings) dependency — same import-gate tier as Pillow/soundfile
+_PYAV_CODECS = ("mp4", "mkv", "webm")
+
+
+def _pyav_frame_sampler(codec: str, every_n: int, max_frames: int):
+    """Real compressed-video frame sampler gated on the OPTIONAL ``av``
+    package (PyAV — the ffmpeg bindings; the ``_pil_pixel_decoder`` gate
+    pattern: import attempted at CONSTRUCTION time, fails fast on the driver
+    naming the sanctioned fallbacks). Returns ``payload -> [(idx, bmp)]``
+    with each sampled frame re-encoded as a standalone BMP payload so the
+    downstream image ops (``image_phash``, ``extract_image_features(
+    codec='bmp')``, ``video_shot_boundaries``'s hamming chain) consume
+    compressed-video frames exactly like BMP-reel frames."""
+    try:
+        import av
+    except ImportError as e:
+        raise ImportError(
+            f"codec={codec!r} requires the optional 'av' (PyAV/ffmpeg) "
+            "package, not present in this environment; use "
+            "sample_video_frames_real (BMP-reel, library-free) or "
+            "decode_stub=True — the sanctioned modes where PyAV is "
+            "unavailable"
+        ) from e
+
+    import io
+
+    def sample(payload: bytes) -> "list[tuple[int, bytes]]":
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty payload")
+        out = []
+        with av.open(io.BytesIO(payload)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % max(1, every_n):
+                    continue
+                out.append(
+                    (len(out), _encode_bmp(frame.to_ndarray(format="rgb24")))
+                )
+                if len(out) >= max_frames:
+                    break
+        return out
+
+    return sample
+
+
 def sample_video_frames(
-    media: DataFrame, every_n: int = 10, max_frames: int = 8, decode_stub: bool = True
+    media: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    decode_stub: bool = True,
+    codec: Optional[str] = None,
 ) -> DataFrame:
     """(media_id, frame_idx, frame_payload) — frame sampling plumbing.
 
-    The stub slices the payload into ``max_frames`` deterministic chunks
-    standing in for decoded frames; a real implementation replaces the chunker
-    with an ffmpeg/pyav seek loop, same mapInPandas signature, same output
-    schema. Output explodes rows (one per frame) — done inside the Arrow batch,
-    not with a JVM-side explode of pre-decoded frames, so undecoded video bytes
+    ``codec='mp4'/'mkv'/'webm'`` is a REAL decode gated on the optional
+    ``av`` package (PyAV): every ``every_n``-th frame up to ``max_frames``,
+    re-encoded as standalone BMPs (the ``sample_video_frames_real`` output
+    contract, so all downstream frame ops apply unchanged). The BMP-reel
+    container decodes for real without any library via
+    ``sample_video_frames_real``. Otherwise the stub slices the payload into
+    ``max_frames`` deterministic chunks standing in for decoded frames.
+    Output explodes rows (one per frame) — done inside the Arrow batch, not
+    with a JVM-side explode of pre-decoded frames, so undecoded video bytes
     are read exactly once."""
+    if codec in _PYAV_CODECS:
+        sampler = _pyav_frame_sampler(codec, every_n, max_frames)  # ImportError if no av
+
+        def run_av(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, idxs, frames = [], [], []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    try:
+                        sampled = sampler(payload)
+                    except Exception:  # undecodable clip: skip, like the reel path
+                        continue
+                    for i, f in sampled:
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(f)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int32"),
+                        "frame_payload": frames,
+                    }
+                )
+
+        return media.select("media_id", "payload").mapInPandas(
+            run_av, schema=FRAME_SCHEMA
+        )
+    if codec is not None:
+        raise ValueError(
+            f"unknown video codec {codec!r} (supported: optional {_PYAV_CODECS}; "
+            "BMP-reel via sample_video_frames_real)"
+        )
     if not decode_stub:
         raise NotImplementedError(
-            "real frame sampling requires ffmpeg/pyav, not present; use decode_stub=True"
+            "compressed frame sampling requires the optional 'av' (PyAV) "
+            "package (codec='mp4'/'mkv'/'webm'), not present; use "
+            "sample_video_frames_real (BMP-reel) or decode_stub=True"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

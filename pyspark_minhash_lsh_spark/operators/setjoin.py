@@ -37,6 +37,15 @@ __all__ = ["ngram_jaccard_join", "ngram_containment_join"]
 _PINNED: list[DataFrame] = []
 
 
+def _persist_partition_preserving(df: DataFrame) -> DataFrame:
+    """Partition-preserving cache registration (see
+    ``session.persist_partition_preserving`` for the AQE/UnknownPartitioning
+    rationale) at MEMORY_AND_DISK."""
+    from ..session import persist_partition_preserving
+
+    return persist_partition_preserving(df, StorageLevel.MEMORY_AND_DISK)
+
+
 def ngram_jaccard_join(
     df: DataFrame,
     threshold: float = 0.5,
@@ -125,7 +134,9 @@ def ngram_jaccard_join(
     if persist_intermediate:
         # 3 longs/row — cheap to cache, and the plan reads it 4x
         # (frequency, rank, both self-join sides) + the verify arrays.
-        dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+        # Partition-preserving registration: the id-hash placement survives
+        # into every consumer (rank window + verify aggs shuffle-free).
+        dist = _persist_partition_preserving(dist)
         _PINNED.append(dist)
 
     # measured-size broadcast gates (see docstring): each hint keyed on its
@@ -160,7 +171,7 @@ def ngram_jaccard_join(
     if persist_intermediate:
         # lazy: materializes inside the candidate join's own job (both
         # self-join sides share the cached partitions), no extra blocking job
-        prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
+        prefix = _persist_partition_preserving(prefix)
         _PINNED.append(prefix)
 
     # Candidate pruning, all BEFORE the expensive verify lookups:
@@ -275,7 +286,7 @@ def ngram_containment_join(
         .withColumn("n", F.count("*").over(Window.partitionBy("id")))
     )
     if persist_intermediate:
-        dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+        dist = _persist_partition_preserving(dist)
         _PINNED.append(dist)
 
     freq = dist.groupBy("shingle").agg(F.count("*").alias("df_"))

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 
 def get_spark(app_name: str = "pyspark_minhash_lsh_spark", cpus: int | None = None) -> SparkSession:
@@ -32,3 +33,32 @@ def get_spark(app_name: str = "pyspark_minhash_lsh_spark", cpus: int | None = No
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def persist_partition_preserving(
+    df: DataFrame, level: StorageLevel | None = None
+) -> DataFrame:
+    """``persist`` with AQE disabled during cache-plan registration.
+
+    An AQE-compiled cache plan reports UnknownPartitioning to its consumers
+    (the InMemoryRelation wraps an AdaptiveSparkPlan whose partitioning is
+    unresolved at consumer planning time, even under
+    ``canChangeCachedPlanOutputPartitioning=false``), so every downstream
+    window/aggregate/join keyed on the cache's own partitioning key
+    re-shuffles data that is already correctly placed — measured 4 avoidable
+    corpus-scale Exchanges in the PPJoin plan alone (round 4: q25 went from
+    6 unique shuffle exchanges to 2). Registering the cache while AQE is off
+    freezes a plan with a KNOWN hashpartitioning; consumers then elide those
+    exchanges. Only the cache-build pipeline loses AQE (typically a fixed
+    scan->window->agg chain with nothing to re-plan); the outer queries
+    still plan adaptively. Registration is lazy — no job runs here."""
+    spark = df.sparkSession
+    try:
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception:
+        prev = "true"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.persist(level) if level is not None else df.persist()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -271,6 +271,120 @@ def test_pil_codec_import_gate(spark):
     assert len(resized) == 3 and all(r.width == 4 and r.height == 3 for r in resized)
 
 
+def test_soundfile_codec_import_gate(spark):
+    """codec='mp3'/'flac'/'ogg' is gated on the optional soundfile package at
+    CONSTRUCTION time (the Pillow pattern): absent -> ImportError naming the
+    sanctioned wav fallback before any Spark job; present -> a real
+    compressed decode whose duration/features match the wav ground truth."""
+    import pytest as _pytest
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        extract_audio_features,
+        synthetic_wav_media,
+    )
+
+    docs = spark.range(3).select(F.col("id").alias("doc_id"))
+    wav_media = synthetic_wav_media(docs, sample_rate=8_000)
+    try:
+        import soundfile as sf
+        have_sf = True
+    except ImportError:
+        have_sf = False
+
+    if not have_sf:
+        with _pytest.raises(ImportError, match="wav"):
+            extract_audio_features(wav_media, codec="mp3")
+        return
+
+    # soundfile available: re-encode the synthetic WAV clips as FLAC and run
+    # the real compressed path; durations must match the wav-truth exactly
+    # (FLAC is lossless) and features must be close.
+    import io
+
+    import numpy as _np
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import _decode_wav
+
+    rows = wav_media.select("media_id", "payload").collect()
+    flac_rows = []
+    for r in rows:
+        x, rate = _decode_wav(bytes(r.payload))
+        buf = io.BytesIO()
+        sf.write(buf, _np.asarray(x) / 32768.0, rate, format="FLAC")
+        flac_rows.append((r.media_id, buf.getvalue()))
+    flac_media = spark.createDataFrame(flac_rows, "media_id long, payload binary")
+
+    truth = {
+        r.media_id: r.duration_ms
+        for r in extract_audio_features(wav_media, codec="wav").collect()
+    }
+    got = extract_audio_features(flac_media, codec="flac").collect()
+    assert len(got) == 3
+    for r in got:
+        assert r.duration_ms == truth[r.media_id]
+
+
+def test_pyav_codec_import_gate(spark):
+    """codec='mp4' frame sampling is gated on the optional av (PyAV) package
+    at CONSTRUCTION time: absent -> ImportError naming the BMP-reel
+    fallback before any Spark job; present -> real compressed frame decode
+    emitting standalone BMP frame payloads."""
+    import pytest as _pytest
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        sample_video_frames,
+        synthetic_video_media,
+    )
+
+    docs = spark.range(2).select(F.col("id").alias("doc_id"))
+    vids = synthetic_video_media(docs, n_frames=6, scene_cut=3)
+    try:
+        import av  # noqa: F401
+        have_av = True
+    except ImportError:
+        have_av = False
+
+    if not have_av:
+        with _pytest.raises(ImportError, match="BMP-reel"):
+            sample_video_frames(vids, codec="mp4")
+        with _pytest.raises(NotImplementedError, match="av"):
+            sample_video_frames(vids, decode_stub=False)
+        return
+
+    # PyAV available: mux the reel frames into a real mp4 and sample it
+    import io
+
+    import av as _av
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        _parse_bmp,
+        _parse_bmp_reel,
+    )
+
+    rows = vids.select("media_id", "payload").collect()
+    mp4_rows = []
+    for r in rows:
+        frames = _parse_bmp_reel(bytes(r.payload))
+        buf = io.BytesIO()
+        with _av.open(buf, "w", format="mp4") as out:
+            stream = out.add_stream("h264", rate=4)
+            stream.width, stream.height = frames[0].shape[1], frames[0].shape[0]
+            stream.pix_fmt = "yuv420p"
+            for f in frames:
+                for pkt in stream.encode(_av.VideoFrame.from_ndarray(f, format="rgb24")):
+                    out.mux(pkt)
+            for pkt in stream.encode():
+                out.mux(pkt)
+        mp4_rows.append((r.media_id, buf.getvalue()))
+    mp4_media = spark.createDataFrame(mp4_rows, "media_id long, payload binary")
+
+    got = sample_video_frames(mp4_media, codec="mp4", every_n=2, max_frames=3).collect()
+    assert {r.media_id for r in got} == {0, 1}
+    for r in got:
+        px, w, h = _parse_bmp(bytes(r.frame_payload))  # valid standalone BMPs
+        assert px.shape == (h, w, 3)
+
+
 # ---------------------------------------------------------------------------
 # perceptual-hash image dedup (round 3)
 

@@ -58,6 +58,26 @@ MARKERS = [
 ]
 
 
+def _unique_node_count(plan: str, marker: str) -> int:
+    """Count DISTINCT plan nodes for a marker, not substring occurrences:
+    the plan string reprints a cached relation's build subtree at every
+    InMemoryTableScan, so naive counting multiplies each cache-side
+    Exchange by its reference count (q25 printed 13 'Exchanges' for 6 real
+    ones in round 3). Nodes carry a unique [plan_id=N]; fall back to the
+    raw count when a marker line has none."""
+    import re
+
+    ids = set()
+    raw = 0
+    for m in re.finditer(re.escape(marker) + r"[^\n]*", plan):
+        pid = re.search(r"plan_id=(\d+)", m.group(0))
+        if pid:
+            ids.add(pid.group(1))
+        else:
+            raw += 1
+    return len(ids) + raw
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     names = sys.argv[1:] or HEADLINE
@@ -66,7 +86,10 @@ def main() -> None:
     for name in names:
         df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        counts = {m: plan.count(m) for m in MARKERS if plan.count(m)}
+        counts = {
+            m: _unique_node_count(plan, m) for m in MARKERS
+            if _unique_node_count(plan, m)
+        }
         print(f"{name}: {counts}")
         for q, must, must_not in ASSERTIONS:
             if q != name:
