@@ -2557,7 +2557,7 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nine dedup/curation operators end-to-end, one summary row each — rows-only
+    """Ten dedup/curation operators end-to-end, one summary row each — rows-only
     (all are signature/hash dependent; see the suite-curation note above).
     Legs (folding round-2's q34, q39, q50, q51, q65):
       - simhash_bits: relational SimHash fingerprints (bit-sum facets);
@@ -2581,7 +2581,16 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       - leakage_split (round 3): near-dup-aware train/test split — the
         metric pair (distinct components, distinct (component, split)
         pairs) is EQUAL by construction iff no cluster straddles splits
-        (value-level tests in tests/test_sampling.py)."""
+        (value-level tests in tests/test_sampling.py);
+      - corpus_sketch (round 4): mergeable HLL dataset-card state — the
+        batch is sketched in two halves and MERGED (the incremental-ingest
+        path), then estimated; merge==full identity + accuracy bounds in
+        tests/test_corpus_sketches.py."""
+    from .operators.corpus_stats import (
+        estimate_corpus_sketches,
+        merge_corpus_sketches,
+        sketch_corpus,
+    )
     from .operators.curate import curate_corpus
     from .operators.sampling import leakage_safe_split
     from .operators.dedup import (
@@ -2656,11 +2665,20 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.struct("component", "split")),
     )
 
+    sk = merge_corpus_sketches(
+        sketch_corpus(docs.filter(F.col("doc_id") % 2 == 0)),
+        sketch_corpus(docs.filter(F.col("doc_id") % 2 == 1)),
+    )
+    leg_sk = _suite_row(
+        estimate_corpus_sketches(sk), "corpus_sketch",
+        F.sum("distinct_fingerprints"), F.avg("distinct_tokens"),
+    )
+
     return (
         leg_bits.unionByName(leg_pairs).unionByName(leg_edd)
         .unionByName(leg_sdc)
         .unionByName(leg_ndb).unionByName(leg_inc).unionByName(leg_ld)
-        .unionByName(leg_cur).unionByName(leg_lss)
+        .unionByName(leg_cur).unionByName(leg_lss).unionByName(leg_sk)
     )
 
 

@@ -15,7 +15,14 @@ from .sampling import (
     shard_assignment,
     weighted_resample,
 )
-from .corpus_stats import corpus_report, ngram_novelty, source_overlap
+from .corpus_stats import (
+    corpus_report,
+    estimate_corpus_sketches,
+    merge_corpus_sketches,
+    ngram_novelty,
+    sketch_corpus,
+    source_overlap,
+)
 from .classify import (
     QualityClassifier,
     evaluate_quality_classifier,
@@ -97,6 +104,9 @@ __all__ = [
     "source_overlap",
     "ngram_novelty",
     "corpus_report",
+    "sketch_corpus",
+    "merge_corpus_sketches",
+    "estimate_corpus_sketches",
     "semantic_dedup_cells",
     "dedup_profile",
 ]

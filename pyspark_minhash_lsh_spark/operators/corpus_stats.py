@@ -37,7 +37,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
 
-__all__ = ["source_overlap", "ngram_novelty", "corpus_report"]
+__all__ = [
+    "source_overlap",
+    "ngram_novelty",
+    "corpus_report",
+    "sketch_corpus",
+    "merge_corpus_sketches",
+    "estimate_corpus_sketches",
+]
 
 
 def _shingle_col(text: Column, shingle_size: int) -> Column:
@@ -298,3 +305,116 @@ def corpus_report(
         F.round(F.col("c").cast("double") / F.col("n"), 6).alias("value"),
     )
     return rows.unionByName(grp_rows)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable corpus sketches (round 4): incremental dataset-card state.
+#
+# corpus_report answers "what does this corpus look like?" in one scan.
+# At 100 TB the corpus is not re-scanned per release — it arrives in
+# batches (crawl dumps, ingest days). These operators keep the distinct-
+# count state MERGEABLE: each batch reduces to one tiny sketch row per
+# group (HLL sketches + exact sums), and any set of batch sketch tables
+# unions into corpus totals WITHOUT touching the documents again — the
+# aggregate-of-aggregate rollup pattern (q66) applied to distinct counts,
+# which plain counters cannot do. Built on Spark's Apache DataSketches
+# HLL functions (hll_sketch_agg / hll_union_agg / hll_sketch_estimate),
+# so sketch rows written by one job merge in any later job.
+# ---------------------------------------------------------------------------
+
+
+def sketch_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Reduce a document batch to one mergeable sketch row per group::
+
+        grp, n_docs, n_tokens,
+        fp_sketch    (HLL over exact content fingerprints — dedup state),
+        tok_sketch   (HLL over distinct tokens — vocabulary size state)
+
+    Doc-level facets (counts, fingerprint sketch) aggregate straight off
+    the per-doc projection; the token sketch aggregates the exploded token
+    stream, where map-side partial HLLs absorb the heavy lift — only
+    per-group sketches (a few KB each; an HLL at ``lg_k``=12 is ~2.5 KB
+    regardless of input size) ever shuffle, and the final join unites two
+    O(groups)-row tables. Persist the rows per batch;
+    ``merge_corpus_sketches`` unions any number of them.
+    """
+    from ..functions.hashing import content_fingerprint
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    per_doc = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.size(toks).alias("n_tok"),
+        content_fingerprint(toks).alias("fp"),
+        toks.alias("t"),
+    )
+    doc_agg = per_doc.groupBy("grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.expr(f"hll_sketch_agg(fp, {int(lg_k)})").alias("fp_sketch"),
+    )
+    tok_agg = (
+        per_doc.select("grp", F.explode("t").alias("tok"))
+        .groupBy("grp")
+        .agg(F.expr(f"hll_sketch_agg(tok, {int(lg_k)})").alias("tok_sketch"))
+    )
+    return doc_agg.join(tok_agg, "grp", "left").select(
+        "grp", "n_docs", "n_tokens", "fp_sketch", "tok_sketch"
+    )
+
+
+def merge_corpus_sketches(*sketch_dfs: DataFrame) -> DataFrame:
+    """Union any number of batch sketch tables into per-group corpus state
+    — same schema as ``sketch_corpus``, so merging is closed/associative
+    (a merged table merges again with next week's batches). Touches only
+    sketch rows: O(batches x groups) input, O(groups) output, no document
+    rescan."""
+    if not sketch_dfs:
+        raise ValueError("no sketch tables to merge")
+    allb = sketch_dfs[0]
+    for d in sketch_dfs[1:]:
+        allb = allb.unionByName(d)
+    return allb.groupBy("grp").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.expr("hll_union_agg(fp_sketch)").alias("fp_sketch"),
+        F.expr("hll_union_agg(tok_sketch)").alias("tok_sketch"),
+    )
+
+
+def estimate_corpus_sketches(sketches: DataFrame) -> DataFrame:
+    """Readable estimates from a sketch table::
+
+        grp, n_docs, n_tokens, distinct_fingerprints, distinct_tokens,
+        exact_dup_frac = 1 - distinct_fingerprints / n_docs   (clamped >= 0)
+
+    Plus one ``grp='<all>'`` row: global distinct counts from the UNION of
+    the group sketches — cross-group overlap handled correctly, which
+    per-group counters cannot express."""
+    per = sketches.select(
+        "grp", "n_docs", "n_tokens",
+        F.expr("hll_sketch_estimate(fp_sketch)").alias("distinct_fingerprints"),
+        F.expr("hll_sketch_estimate(tok_sketch)").alias("distinct_tokens"),
+    )
+    tot = sketches.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.expr("hll_sketch_estimate(hll_union_agg(fp_sketch))")
+        .alias("distinct_fingerprints"),
+        F.expr("hll_sketch_estimate(hll_union_agg(tok_sketch))")
+        .alias("distinct_tokens"),
+    ).select(F.lit("<all>").alias("grp"), "*")
+    dup = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.col("distinct_fingerprints")
+        / F.greatest(F.col("n_docs"), F.lit(1)).cast("double"),
+    )
+    return per.unionByName(tot).select(
+        "grp", "n_docs", "n_tokens", "distinct_fingerprints",
+        "distinct_tokens", dup.alias("exact_dup_frac"),
+    )

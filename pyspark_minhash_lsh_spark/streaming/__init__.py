@@ -1,6 +1,7 @@
 from .pipelines import (
     hourly_event_stats,
     sliding_event_stats,
+    start_corpus_sketch_stream,
     start_near_dedup_stream,
     streaming_curate,
     streaming_exact_dedup,
@@ -12,6 +13,7 @@ from .pipelines import (
 __all__ = [
     "hourly_event_stats",
     "sliding_event_stats",
+    "start_corpus_sketch_stream",
     "start_near_dedup_stream",
     "streaming_curate",
     "streaming_exact_dedup",

@@ -32,6 +32,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_near_dedup",
     "near_dedup_finalize",
+    "start_corpus_sketch_stream",
     "interval_join",
     "streaming_curate",
 ]
@@ -306,6 +307,56 @@ def start_near_dedup_stream(
             user_fn(near_dedup_finalize(bdf, num_state_bands), bid)
 
     return deduped.writeStream.foreachBatch(fb).start(**start_kwargs)
+
+
+def start_corpus_sketch_stream(
+    docs: DataFrame,
+    sink,
+    text_col: str = "text",
+    group_col: str = "source",
+    lg_k: int = 12,
+    **start_kwargs,
+):
+    """ONE-CALL streaming corpus-sketch ingestion: every micro-batch reduces
+    to O(groups) mergeable HLL sketch rows (``corpus_stats.sketch_corpus``)
+    tagged with ``batch_id``, appended via ``foreachBatch``. The accumulated
+    table rolls up with ``merge_corpus_sketches`` at ANY later time without
+    rescanning documents — the incremental dataset-card pattern on a live
+    ingest stream.
+
+    ``sink``: callable ``(sketch_df, batch_id)`` or a string path (parquet
+    append). Returns the ``StreamingQuery``.
+
+    Why ``foreachBatch``: HLL sketch aggregation is not an incremental
+    streaming aggregate Spark can checkpoint (the sketch column is opaque
+    binary state), but per-batch sketches ARE the natural unit — the merge
+    operator absorbs any batching, so batch boundaries don't change the
+    final estimates (merge==full identity, tests/test_corpus_sketches.py).
+    """
+    from ..operators.corpus_stats import sketch_corpus
+
+    if not docs.isStreaming:
+        raise ValueError(
+            "start_corpus_sketch_stream needs a streaming DataFrame; the "
+            "batch path is sketch_corpus itself"
+        )
+    if callable(sink):
+        user_fn = sink
+    else:
+        path = str(sink)
+
+        def user_fn(bdf: DataFrame, _bid: int) -> None:
+            bdf.write.mode("append").parquet(path)
+
+    def fb(bdf: DataFrame, bid: int) -> None:
+        user_fn(
+            sketch_corpus(
+                bdf, text_col=text_col, group_col=group_col, lg_k=lg_k
+            ).withColumn("batch_id", F.lit(int(bid))),
+            bid,
+        )
+
+    return docs.writeStream.foreachBatch(fb).start(**start_kwargs)
 
 
 def near_dedup_finalize(band_rows: DataFrame, num_state_bands: int) -> DataFrame:

@@ -1,0 +1,138 @@
+"""Mergeable corpus sketches (operators/corpus_stats.py, round 4):
+HLL-estimate accuracy vs exact counts, incremental == full-scan merge
+identity, order insensitivity, parquet round-trip (the real batch
+workflow), and the cross-group union semantics plain counters can't give.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.corpus_stats import (
+    estimate_corpus_sketches,
+    merge_corpus_sketches,
+    sketch_corpus,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(300):
+        # 2 sources; every 5th doc an exact duplicate of doc i-1; shared
+        # vocabulary across sources plus per-source exclusive words
+        src = f"s{i % 2}"
+        if i % 5 == 0 and i > 0:
+            text = f"common words w{(i - 1) % 97} only{(i - 1) % 2} t{(i - 1) // 3}"
+        else:
+            text = f"common words w{i % 97} only{i % 2} t{i // 3}"
+        rows.append((i, text, src))
+    return _docs(spark, rows).cache()
+
+
+def test_estimates_close_to_exact(spark, corpus):
+    sk = sketch_corpus(corpus)
+    est = {r.grp: r for r in estimate_corpus_sketches(sk).collect()}
+
+    from pyspark_minhash_lsh_spark.functions.hashing import content_fingerprint
+    from pyspark_minhash_lsh_spark.functions.text import tokens
+
+    exact = corpus.select(
+        F.col("source").alias("grp"),
+        content_fingerprint(tokens(F.col("text"))).alias("fp"),
+        tokens(F.col("text")).alias("t"),
+    )
+    for grp in ["s0", "s1"]:
+        g = exact.filter(F.col("grp") == grp)
+        n_fp = g.select("fp").distinct().count()
+        n_tok = g.select(F.explode("t")).distinct().count()
+        # HLL at lg_k=12 has ~1.6% relative standard error; allow 5%
+        assert abs(est[grp].distinct_fingerprints - n_fp) <= max(3, 0.05 * n_fp)
+        assert abs(est[grp].distinct_tokens - n_tok) <= max(3, 0.05 * n_tok)
+        assert est[grp].n_docs == g.count()
+    # global row counts distinct across groups (shared tokens counted once)
+    n_tok_all = exact.select(F.explode("t")).distinct().count()
+    assert abs(est["<all>"].distinct_tokens - n_tok_all) <= max(3, 0.05 * n_tok_all)
+    assert est["<all>"].n_docs == 300
+    # sanity: groups share most vocabulary, so the global distinct count is
+    # far below the per-group sum — the thing additive counters get wrong
+    assert est["<all>"].distinct_tokens < (
+        est["s0"].distinct_tokens + est["s1"].distinct_tokens
+    ) * 0.8
+
+
+def test_incremental_merge_equals_full_scan(spark, corpus):
+    """Sketch two batches separately, merge -> estimates IDENTICAL to the
+    single full-scan sketch (HLL union is exact set-union of sketch state,
+    not an approximation on top of an approximation)."""
+    b1 = corpus.filter(F.col("doc_id") < 150)
+    b2 = corpus.filter(F.col("doc_id") >= 150)
+    merged = merge_corpus_sketches(sketch_corpus(b1), sketch_corpus(b2))
+    full = sketch_corpus(corpus)
+
+    def snap(df):
+        return {
+            r.grp: (r.n_docs, r.n_tokens, r.distinct_fingerprints, r.distinct_tokens)
+            for r in estimate_corpus_sketches(df).collect()
+        }
+
+    assert snap(merged) == snap(full)
+
+
+def test_merge_is_order_insensitive_and_reclosable(spark, corpus):
+    b = [
+        sketch_corpus(corpus.filter(F.col("doc_id") % 3 == i)) for i in range(3)
+    ]
+
+    def snap(df):
+        return {
+            r.grp: (r.n_docs, r.distinct_fingerprints, r.distinct_tokens)
+            for r in estimate_corpus_sketches(df).collect()
+        }
+
+    m012 = merge_corpus_sketches(b[0], b[1], b[2])
+    m210 = merge_corpus_sketches(b[2], b[1], b[0])
+    # merged tables merge again (closure): (b0+b1) + b2
+    m_nested = merge_corpus_sketches(merge_corpus_sketches(b[0], b[1]), b[2])
+    assert snap(m012) == snap(m210) == snap(m_nested)
+
+
+def test_parquet_round_trip(spark, corpus, tmp_path):
+    """The actual incremental workflow: each batch WRITES its sketch rows;
+    a later job reads many batch tables and merges — estimates must match
+    the in-memory path."""
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    sketch_corpus(corpus.filter(F.col("doc_id") < 100)).write.parquet(p1)
+    sketch_corpus(corpus.filter(F.col("doc_id") >= 100)).write.parquet(p2)
+    merged = merge_corpus_sketches(spark.read.parquet(p1), spark.read.parquet(p2))
+    full = estimate_corpus_sketches(sketch_corpus(corpus)).collect()
+    got = estimate_corpus_sketches(merged).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, full))
+
+
+def test_dup_frac_and_empty_edge(spark):
+    docs = _docs(spark, [
+        (0, "alpha beta", "a"),
+        (1, "alpha beta", "a"),   # exact dup
+        (2, "", "a"),             # empty doc still counted
+    ])
+    est = {r.grp: r for r in estimate_corpus_sketches(sketch_corpus(docs)).collect()}
+    assert est["a"].n_docs == 3
+    # 2 distinct fingerprints (dup collapses; empty doc has its own) -> frac ~1/3
+    assert 0.0 <= est["a"].exact_dup_frac <= 1.0
+    assert est["a"].exact_dup_frac == pytest.approx(1 / 3, abs=0.05)
+
+
+def test_sketch_rows_are_small(spark, corpus):
+    """The scale contract: one row per group, sketch bytes bounded by lg_k
+    (not by corpus size)."""
+    rows = sketch_corpus(corpus, lg_k=12).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(bytes(r.fp_sketch)) < 16_384
+        assert len(bytes(r.tok_sketch)) < 16_384

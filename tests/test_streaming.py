@@ -427,3 +427,49 @@ def test_streaming_curate_blocklist(spark, tmp_path_factory):
     out = {r.doc_id: r.status
            for r in _run_stream(spark, stream, "curate_blk").collect()}
     assert out[1] == "drop_blocklist" and out[0] == "kept"
+
+
+def test_corpus_sketch_stream_matches_batch(spark, tmp_path):
+    """Streaming sketch ingestion (start_corpus_sketch_stream): per-batch
+    sketch rows accumulated over a replayed multi-file corpus must MERGE to
+    exactly the full-scan batch sketch estimates (batching-invariance of the
+    HLL merge), and the sink must receive only O(groups)-sized frames."""
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import (
+        estimate_corpus_sketches,
+        merge_corpus_sketches,
+        sketch_corpus,
+    )
+    from pyspark_minhash_lsh_spark.streaming import start_corpus_sketch_stream
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 40} common w{i % 7}", f"s{i % 2}") for i in range(200)],
+        "doc_id bigint, text string, source string",
+    )
+    src = str(tmp_path / "docs")
+    # several files so the stream replays as multiple batches when possible
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    got = []
+
+    def sink(bdf, bid):
+        rows = bdf.collect()
+        assert len(rows) <= 2  # O(groups), never O(docs)
+        assert all(r.batch_id == bid for r in rows)
+        got.append(bdf.drop("batch_id"))
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = start_corpus_sketch_stream(stream, sink)
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(got) >= 2  # really incremental (multiple micro-batches)
+    merged = estimate_corpus_sketches(merge_corpus_sketches(*got)).collect()
+    full = estimate_corpus_sketches(sketch_corpus(docs)).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, full))
+
+    # batch input is rejected with the batch-path pointer
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sketch_corpus"):
+        start_corpus_sketch_stream(docs, sink)

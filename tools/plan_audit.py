@@ -44,6 +44,17 @@ ASSERTIONS = [
     ("q67_text_hygiene", ["ArrowEvalPython"], ["Exchange"]),
 ]
 
+#: shuffle budgets locked per query (round 4, after partition-preserving
+#: cache registration): (query, marker, max unique nodes). Audit FAILS if a
+#: code change re-introduces an elided exchange.
+MAX_COUNTS = [
+    ("q30_minhash_signatures", "Exchange hashpartitioning", 1),
+    ("q32_ann_query", "Exchange hashpartitioning", 1),
+    ("q33_similarity_join", "Exchange hashpartitioning", 2),
+    ("q25_ngram_jaccard_pairs", "Exchange hashpartitioning", 3),
+    ("q57_asof_join", "Exchange hashpartitioning", 1),
+]
+
 MARKERS = [
     "Exchange hashpartitioning",
     "BroadcastExchange",
@@ -100,6 +111,12 @@ def main() -> None:
             for m in must_not:
                 if m in plan:
                     failures.append(f"{name}: unexpected {m!r} in plan")
+        for q, marker, cap in MAX_COUNTS:
+            if q == name and _unique_node_count(plan, marker) > cap:
+                failures.append(
+                    f"{name}: {_unique_node_count(plan, marker)} unique "
+                    f"{marker!r} nodes (budget {cap})"
+                )
         if "--full" in sys.argv:
             print(plan)
     if failures:
