@@ -232,9 +232,10 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
             big = big.unionByName(r)
         big.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
 
-        # 300s default: the round-4 probe list grew to 9 entries (dsir /
-        # curate / line_dedup); the guard below still hard-stops overruns
-        budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "300"))
+        # 420s default: the round-4 probe list is 9 entries (dsir / curate /
+        # line_dedup added) and 1x bases are now best-of-3 too; the guard
+        # below still hard-stops overruns (skipped probes report null)
+        budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "420"))
         started = time.perf_counter()
         out: dict[str, dict[str, float]] = {}
         # scale-only queries (e.g. the dedup clusterer) aren't in HEADLINE:
@@ -245,11 +246,21 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
             EXTRA_SCALE[name](spark, d) if name in EXTRA_SCALE
             else QUERIES[name](spark, d)
         )
+        base_runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3")))
         for name in probes:
             if name not in base_timings:
-                t0 = time.perf_counter()
-                run_probe(name, sf_dir).count()
-                base_timings[name] = round(time.perf_counter() - t0, 3)
+                # best-of-N like everything else: a single cold 1x base
+                # (paying import + whole-stage-codegen JIT) against a warm
+                # best-of-3 10x point would systematically UNDERSTATE the
+                # ratio — the inverse of the cold-10x hazard documented
+                # below, and just as capable of hiding a supra-linear stage
+                best = None
+                for _ in range(base_runs):
+                    t0 = time.perf_counter()
+                    run_probe(name, sf_dir).count()
+                    t = round(time.perf_counter() - t0, 3)
+                    best = t if best is None else min(best, t)
+                base_timings[name] = best
         # best-of-N like the headline timings (default 3): the first 10x run
         # pays whole-stage-codegen JIT for the 10x-specific plan shapes that
         # the 1x base (best-of-2 after warmup) never pays — single-shot

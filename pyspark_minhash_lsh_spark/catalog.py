@@ -1432,7 +1432,11 @@ def _doc_quality_oracle() -> str:
                    / sqrt((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
                           / (m.n - 1))) * 1000000.0 + 0.5) AS BIGINT) AS zscore
       FROM documents d JOIN m ON d.source = m.source
-      WHERE m.n > 1)
+      -- variance guard: a zero-variance source would make z NaN/inf, which
+      -- FLOOR->BIGINT hard-errors here and overflows in Spark; such docs
+      -- get NULL zscore on both engines instead
+      WHERE m.n > 1
+        AND (CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.n) > 0)
     SELECT d.doc_id, d.source,
            bpe.bpe_tokens,
            CAST(FLOOR(({_duck_stop_ratio('en')}) * 1000000.0 + 0.5) AS BIGINT) AS en_stop_ratio,
@@ -1490,6 +1494,14 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
         )
         .filter(F.col("n") > 1)
+        # variance guard (mirrors the oracle's WHERE): a zero-variance
+        # source would make z NaN/inf — floor->bigint then diverges between
+        # engines (DuckDB errors, Spark overflows); drop the moment row so
+        # such docs get NULL zscore/is_outlier on both sides
+        .filter(
+            (F.col("s2").cast("double")
+             - F.col("s1").cast("double") * F.col("s1") / F.col("n")) > 0
+        )
     )
     mean = F.col("s1").cast("double") / F.col("n")
     var = (

@@ -346,7 +346,13 @@ def sketch_corpus(
     from ..functions.hashing import content_fingerprint
     from ..functions.text import tokens
 
-    toks = tokens(F.col(text_col))
+    # NULL text is treated as empty text (raw crawl batches carry NULLs):
+    # size(tokens(NULL)) would be -1 under non-ANSI sizeOfNull and corrupt
+    # the n_tokens sum, and a NULL fingerprint would drop out of the HLL
+    # while still counting in n_docs — coalescing first keeps every doc in
+    # both counters (all empty/NULL docs share one fingerprint, which is
+    # the correct dedup semantics for them)
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     per_doc = df.select(
         F.col(group_col).cast("string").alias("grp"),
         F.size(toks).alias("n_tok"),
@@ -396,18 +402,23 @@ def estimate_corpus_sketches(sketches: DataFrame) -> DataFrame:
     Plus one ``grp='<all>'`` row: global distinct counts from the UNION of
     the group sketches — cross-group overlap handled correctly, which
     per-group counters cannot express."""
+    # a group whose docs all tokenize to nothing has a NULL tok_sketch (the
+    # build's left join) — its distinct-token count is 0, not NULL
     per = sketches.select(
         "grp", "n_docs", "n_tokens",
         F.expr("hll_sketch_estimate(fp_sketch)").alias("distinct_fingerprints"),
-        F.expr("hll_sketch_estimate(tok_sketch)").alias("distinct_tokens"),
+        F.coalesce(
+            F.expr("hll_sketch_estimate(tok_sketch)"), F.lit(0)
+        ).alias("distinct_tokens"),
     )
     tot = sketches.agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         F.expr("hll_sketch_estimate(hll_union_agg(fp_sketch))")
         .alias("distinct_fingerprints"),
-        F.expr("hll_sketch_estimate(hll_union_agg(tok_sketch))")
-        .alias("distinct_tokens"),
+        F.coalesce(
+            F.expr("hll_sketch_estimate(hll_union_agg(tok_sketch))"), F.lit(0)
+        ).alias("distinct_tokens"),
     ).select(F.lit("<all>").alias("grp"), "*")
     dup = F.greatest(
         F.lit(0.0),

@@ -77,6 +77,27 @@ class IvfFlat:
         return IvfFlatModel(self, index, centroids, emb_col, id_col)
 
 
+def nearest_cells_by_cosine(
+    centroids: "list[list[float]]", query_vec: "list[float]", n_probe: int
+) -> "list[int]":
+    """Rank centroids by cosine vs the query — pure driver math over n_cells
+    rows (centroids ARE the model; no corpus data involved). Shared by
+    ``IvfFlatModel`` and ``pq.IvfPqIndex`` so both APIs probe BYTE-IDENTICAL
+    cell sets (a reimplementation with different summation order could flip
+    near-tie rankings at the n_probe boundary). Zero-norm centroids rank
+    last (-1.0); ties keep cell order (stable sort)."""
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na > 0 and nb > 0 else -1.0
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda c: -cos(query_vec, centroids[c])
+    )
+    return ranked[:n_probe]
+
+
 class IvfFlatModel:
     def __init__(
         self,
@@ -93,19 +114,7 @@ class IvfFlatModel:
         self.id_col = id_col
 
     def _nearest_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
-        """Rank centroids by cosine vs the query — pure driver math over
-        n_cells rows (centroids ARE the model; no corpus data involved)."""
-        def cos(a, b):
-            dot = sum(x * y for x, y in zip(a, b))
-            na = math.sqrt(sum(x * x for x in a))
-            nb = math.sqrt(sum(x * x for x in b))
-            return dot / (na * nb) if na > 0 and nb > 0 else -1.0
-
-        ranked = sorted(
-            range(len(self.centroids)),
-            key=lambda c: -cos(query_vec, self.centroids[c]),
-        )
-        return ranked[:n_probe]
+        return nearest_cells_by_cosine(self.centroids, query_vec, n_probe)
 
     def approx_cosine_topk(
         self, query_vec: list[float], k: int = 10, n_probe: int = 4

@@ -236,18 +236,13 @@ def build_ivf_pq_index(ivf_model, pq_model: PqModel) -> DataFrame:
 def _nearest_cells_by_cosine(
     centroids: "list[list[float]]", query: "list[float]", n_probe: int
 ) -> "list[int]":
-    """Rank cells by centroid cosine — byte-for-byte the ranking
-    ``IvfFlatModel._nearest_cells`` produces (zero-norm guard -> -1.0;
-    stable sort keeps cell order on ties)."""
-    c = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(query, dtype=np.float64)
-    cn = np.linalg.norm(c, axis=1)
-    qn = np.linalg.norm(q)
-    cos = np.full(len(c), -1.0)
-    ok = (cn > 0) & (qn > 0)
-    if qn > 0:
-        cos[ok] = (c[ok] @ q) / (cn[ok] * qn)
-    return [int(i) for i in np.argsort(-cos, kind="stable")[:n_probe]]
+    """Cell ranking shared with IvfFlat — literally the SAME function
+    (ivf.nearest_cells_by_cosine), so ``IvfPqIndex.topk`` and
+    ``ivf_pq_topk(ivf_model, ...)`` probe byte-identical cell sets; a numpy
+    reimplementation could flip near-tie rankings in the last ulp."""
+    from .ivf import nearest_cells_by_cosine
+
+    return nearest_cells_by_cosine(centroids, query, n_probe)
 
 
 class IvfPqIndex:

@@ -7,9 +7,13 @@ Used by tests and bench; the driver's verify passes its own session into
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
+
+#: serializes persist_partition_preserving's session-conf toggle window
+_PERSIST_LOCK = threading.Lock()
 
 
 def get_spark(app_name: str = "pyspark_minhash_lsh_spark", cpus: int | None = None) -> SparkSession:
@@ -51,14 +55,23 @@ def persist_partition_preserving(
     freezes a plan with a KNOWN hashpartitioning; consumers then elide those
     exchanges. Only the cache-build pipeline loses AQE (typically a fixed
     scan->window->agg chain with nothing to re-plan); the outer queries
-    still plan adaptively. Registration is lazy — no job runs here."""
+    still plan adaptively. Registration is lazy — no job runs here.
+
+    Concurrency: the AQE toggle is a session-global conf, so a query planned
+    by ANOTHER driver thread inside the set/restore window would lose AQE
+    for that one plan. A module lock serializes Python callers (the only
+    users of this helper), and the window contains no job — registration is
+    sub-millisecond. Callers mixing this with concurrent NON-engine planner
+    threads (e.g. a foreign thread pool compiling queries on the same
+    session) should serialize externally."""
     spark = df.sparkSession
-    try:
-        prev = spark.conf.get("spark.sql.adaptive.enabled")
-    except Exception:
-        prev = "true"
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return df.persist(level) if level is not None else df.persist()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _PERSIST_LOCK:
+        try:
+            prev = spark.conf.get("spark.sql.adaptive.enabled")
+        except Exception:
+            prev = "true"
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.persist(level) if level is not None else df.persist()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)

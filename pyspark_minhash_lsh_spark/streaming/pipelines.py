@@ -324,8 +324,14 @@ def start_corpus_sketch_stream(
     rescanning documents — the incremental dataset-card pattern on a live
     ingest stream.
 
-    ``sink``: callable ``(sketch_df, batch_id)`` or a string path (parquet
-    append). Returns the ``StreamingQuery``.
+    ``sink``: callable ``(sketch_df, batch_id)`` or a string path. The path
+    sink writes ``partitionBy("batch_id")`` with DYNAMIC partition
+    overwrite, so foreachBatch's at-least-once replay semantics stay
+    idempotent: a crash-and-rerun of batch N overwrites partition
+    ``batch_id=N`` instead of appending duplicate sketch rows (which would
+    double-count that batch's summed n_docs/n_tokens in
+    ``merge_corpus_sketches``). Callable sinks must provide their own
+    idempotence (key on ``batch_id``). Returns the ``StreamingQuery``.
 
     Why ``foreachBatch``: HLL sketch aggregation is not an incremental
     streaming aggregate Spark can checkpoint (the sketch column is opaque
@@ -346,7 +352,12 @@ def start_corpus_sketch_stream(
         path = str(sink)
 
         def user_fn(bdf: DataFrame, _bid: int) -> None:
-            bdf.write.mode("append").parquet(path)
+            (
+                bdf.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
 
     def fb(bdf: DataFrame, bid: int) -> None:
         user_fn(

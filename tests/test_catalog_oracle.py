@@ -28,3 +28,46 @@ def test_rows_only_runs(spark, name):
     # determinism: second run returns the identical multiset
     rows2 = QUERIES[name](spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2)), name
+
+
+def test_q29_zero_variance_source_is_null_not_divergent(spark, tmp_path):
+    """Review fix (round 4): a source whose docs all share one n_chars has
+    zero variance — the raw z is NaN, and floor->bigint on NaN DIVERGES
+    between engines (DuckDB errors, Spark overflows to 0/MaxLong). Both
+    sides must instead emit NULL zscore/is_outlier for such docs, and the
+    oracle must run without error."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.catalog import ORACLE_SQL, QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "flat", 16),
+            (1, "delta epsilon zeta", "flat", 16),   # same n_chars -> var 0
+            (2, "a a a", "vary", 5),
+            (3, "b b b b b b", "vary", 11),
+        ],
+        "doc_id bigint, text string, source string, n_chars int",
+    ).withColumn("lang", F.lit("en"))
+    d = str(tmp_path / "sf")
+    import os
+    os.makedirs(d, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    srows = {r.doc_id: r for r in QUERIES["q29_doc_quality"](spark, d).collect()}
+    assert srows[0].zscore is None and srows[0].is_outlier is None
+    assert srows[1].zscore is None
+    assert srows[2].zscore is not None and srows[3].zscore is not None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{d}/documents.parquet/*.parquet')"
+    )
+    drows = {r[0]: r for r in con.execute(ORACLE_SQL["q29_doc_quality"]).fetchall()}
+    cols = [c[0] for c in con.execute(
+        ORACLE_SQL["q29_doc_quality"]).description]
+    zi = cols.index("zscore")
+    assert drows[0][zi] is None and drows[1][zi] is None
+    assert drows[2][zi] == srows[2].zscore and drows[3][zi] == srows[3].zscore

@@ -136,3 +136,28 @@ def test_sketch_rows_are_small(spark, corpus):
     for r in rows:
         assert len(bytes(r.fp_sketch)) < 16_384
         assert len(bytes(r.tok_sketch)) < 16_384
+
+
+def test_null_text_and_tokenless_group(spark):
+    """Review fixes (round 4): NULL text must count as an empty doc (not
+    corrupt n_tokens via size(NULL)=-1, not vanish from the fingerprint
+    sketch), and a group with no tokens at all reports distinct_tokens=0,
+    never NULL."""
+    docs = spark.createDataFrame(
+        [(0, None, "a"), (1, "alpha beta", "a"), (2, None, "b"), (3, "", "b")],
+        "doc_id bigint, text string, source string",
+    )
+    sk = sketch_corpus(docs)
+    est = {r.grp: r for r in estimate_corpus_sketches(sk).collect()}
+    assert est["a"].n_docs == 2 and est["a"].n_tokens == 2
+    assert est["b"].n_docs == 2 and est["b"].n_tokens == 0
+    # group b: two empty docs -> ONE shared fingerprint, ZERO tokens (not NULL)
+    assert est["b"].distinct_fingerprints == 1
+    assert est["b"].distinct_tokens == 0
+    assert est["b"].exact_dup_frac == pytest.approx(0.5, abs=0.01)
+    # and the NULL/empty fingerprints merge across groups in <all>
+    assert est["<all>"].distinct_tokens == est["a"].distinct_tokens
+    # merging a token-less group's NULL sketch is safe
+    merged = merge_corpus_sketches(sk, sk)
+    est2 = {r.grp: r for r in estimate_corpus_sketches(merged).collect()}
+    assert est2["b"].distinct_tokens == 0

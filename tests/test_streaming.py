@@ -473,3 +473,43 @@ def test_corpus_sketch_stream_matches_batch(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sketch_corpus"):
         start_corpus_sketch_stream(docs, sink)
+
+
+def test_corpus_sketch_stream_path_sink_replay_idempotent(spark, tmp_path):
+    """The built-in path sink writes partitionBy(batch_id) with dynamic
+    overwrite, so re-processing the same batches (foreachBatch is
+    at-least-once) overwrites rather than appends — merged estimates stay
+    exactly the full-scan values after a full replay."""
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import (
+        estimate_corpus_sketches,
+        merge_corpus_sketches,
+        sketch_corpus,
+    )
+    from pyspark_minhash_lsh_spark.streaming import start_corpus_sketch_stream
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 13}", f"s{i % 2}") for i in range(120)],
+        "doc_id bigint, text string, source string",
+    )
+    src, out = str(tmp_path / "docs"), str(tmp_path / "sketches")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = start_corpus_sketch_stream(stream, out)
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    run_once()  # fresh query, no checkpoint -> replays every batch id
+    again = spark.read.parquet(out)
+    assert again.count() == first  # overwrite, not append
+
+    merged = estimate_corpus_sketches(
+        merge_corpus_sketches(again.drop("batch_id"))
+    ).collect()
+    full = estimate_corpus_sketches(sketch_corpus(docs)).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, full))

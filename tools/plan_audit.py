@@ -97,10 +97,8 @@ def main() -> None:
     for name in names:
         df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        counts = {
-            m: _unique_node_count(plan, m) for m in MARKERS
-            if _unique_node_count(plan, m)
-        }
+        all_counts = {m: _unique_node_count(plan, m) for m in MARKERS}
+        counts = {m: c for m, c in all_counts.items() if c}
         print(f"{name}: {counts}")
         for q, must, must_not in ASSERTIONS:
             if q != name:
@@ -112,10 +110,10 @@ def main() -> None:
                 if m in plan:
                     failures.append(f"{name}: unexpected {m!r} in plan")
         for q, marker, cap in MAX_COUNTS:
-            if q == name and _unique_node_count(plan, marker) > cap:
+            got = all_counts.get(marker, _unique_node_count(plan, marker))
+            if q == name and got > cap:
                 failures.append(
-                    f"{name}: {_unique_node_count(plan, marker)} unique "
-                    f"{marker!r} nodes (budget {cap})"
+                    f"{name}: {got} unique {marker!r} nodes (budget {cap})"
                 )
         if "--full" in sys.argv:
             print(plan)
