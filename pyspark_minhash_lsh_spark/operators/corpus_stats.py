@@ -411,20 +411,26 @@ def estimate_corpus_sketches(sketches: DataFrame) -> DataFrame:
             F.expr("hll_sketch_estimate(tok_sketch)"), F.lit(0)
         ).alias("distinct_tokens"),
     )
+    # the global agg emits one row even over an EMPTY sketch table — make
+    # that row well-formed zeros (a stable shape for empty ingest batches)
     tot = sketches.agg(
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.expr("hll_sketch_estimate(hll_union_agg(fp_sketch))")
-        .alias("distinct_fingerprints"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(
+            F.expr("hll_sketch_estimate(hll_union_agg(fp_sketch))"), F.lit(0)
+        ).alias("distinct_fingerprints"),
         F.coalesce(
             F.expr("hll_sketch_estimate(hll_union_agg(tok_sketch))"), F.lit(0)
         ).alias("distinct_tokens"),
     ).select(F.lit("<all>").alias("grp"), "*")
-    dup = F.greatest(
-        F.lit(0.0),
-        F.lit(1.0) - F.col("distinct_fingerprints")
-        / F.greatest(F.col("n_docs"), F.lit(1)).cast("double"),
-    )
+    dup = F.when(
+        F.col("n_docs") > 0,
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.col("distinct_fingerprints")
+            / F.col("n_docs").cast("double"),
+        ),
+    ).otherwise(F.lit(0.0))
     return per.unionByName(tot).select(
         "grp", "n_docs", "n_tokens", "distinct_fingerprints",
         "distinct_tokens", dup.alias("exact_dup_frac"),

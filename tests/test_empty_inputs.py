@@ -216,3 +216,43 @@ def test_streaming_curate_empty_batch(spark):
     from pyspark_minhash_lsh_spark.streaming import streaming_curate
 
     assert streaming_curate(_empty_docs_src(spark)).count() == 0
+
+
+def test_corpus_sketches_empty(spark):
+    """Round-4 sketch ops on a 0-row batch: well-formed empty sketch table;
+    merging an empty batch with a real one is the identity."""
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import (
+        estimate_corpus_sketches,
+        merge_corpus_sketches,
+        sketch_corpus,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    esk = sketch_corpus(empty)
+    assert esk.count() == 0
+    # the global agg always emits the '<all>' row — all-zeros for empty
+    [allrow] = estimate_corpus_sketches(esk).collect()
+    assert allrow.grp == "<all>" and allrow.n_docs == 0
+    assert allrow.distinct_fingerprints == 0 and allrow.distinct_tokens == 0
+    assert allrow.exact_dup_frac == 0.0
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "s"), (1, "c d", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    sk = sketch_corpus(docs)
+    merged = merge_corpus_sketches(sk, esk)
+    a = sorted(map(tuple, estimate_corpus_sketches(merged).collect()))
+    b = sorted(map(tuple, estimate_corpus_sketches(sk).collect()))
+    assert a == b
+
+
+def test_learn_bpe_merges_empty_and_degenerate():
+    from pyspark_minhash_lsh_spark.operators.tokenize import learn_bpe_merges
+
+    assert learn_bpe_merges({}, 10) == []
+    assert learn_bpe_merges({"": 5}, 10) == []
+    # single repeated char still merges ("a","a</w>") once count >= 2
+    assert learn_bpe_merges({"aa": 3}, 10) == [("a", "a</w>")]
+    # all-hapax words: best pair count < 2 -> no merges
+    assert learn_bpe_merges({"abc": 1, "def": 1}, 10) == []
