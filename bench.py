@@ -248,6 +248,11 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
         )
         base_runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3")))
         for name in probes:
+            if time.perf_counter() - started > budget:
+                # base timing is budgeted too — 9 best-of-N cold 1x runs
+                # could otherwise consume the whole budget before any 10x
+                # probe starts (the probe loop below then reports all-null)
+                break
             if name not in base_timings:
                 # best-of-N like everything else: a single cold 1x base
                 # (paying import + whole-stage-codegen JIT) against a warm

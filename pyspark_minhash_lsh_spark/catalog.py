@@ -1424,7 +1424,9 @@ def _doc_quality_oracle() -> str:
       SELECT source,
              COUNT(*) AS n,
              CAST(SUM(n_chars) AS BIGINT) AS s1,
-             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+             -- square in BIGINT: an INT32 product wraps in Spark / errors
+             -- here for any doc past ~46 KB
+             CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS s2
       FROM documents GROUP BY source),
     z AS (
       SELECT d.doc_id,
@@ -1491,7 +1493,9 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("n_chars").alias("s1"),
-            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+            # square in BIGINT — int32 n_chars*n_chars silently wraps for
+            # docs past ~46 KB under non-ANSI mode
+            F.sum(F.col("n_chars").cast("long") * F.col("n_chars")).alias("s2"),
         )
         .filter(F.col("n") > 1)
         # variance guard (mirrors the oracle's WHERE): a zero-variance

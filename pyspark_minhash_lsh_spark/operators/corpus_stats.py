@@ -369,8 +369,13 @@ def sketch_corpus(
         .groupBy("grp")
         .agg(F.expr(f"hll_sketch_agg(tok, {int(lg_k)})").alias("tok_sketch"))
     )
-    return doc_agg.join(tok_agg, "grp", "left").select(
-        "grp", "n_docs", "n_tokens", "fp_sketch", "tok_sketch"
+    # null-safe on grp: a NULL group key (ungrouped crawl rows) groups into
+    # one row on BOTH sides, but an equi-join would never match it and the
+    # group's token sketch would silently read as empty
+    return doc_agg.join(
+        tok_agg, doc_agg["grp"].eqNullSafe(tok_agg["grp"]), "left"
+    ).select(
+        doc_agg["grp"], "n_docs", "n_tokens", "fp_sketch", "tok_sketch"
     )
 
 

@@ -122,43 +122,24 @@ def media_table_from_documents(docs: DataFrame, media_type: str = "image") -> Da
     )
 
 
-def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Format-sniffing compressed-image decode, REAL when the optional
-    Pillow package exists (same import-gate pattern as ``_pil_pixel_decoder``
-    but without pinning the format — Pillow sniffs the container).
-    Where Pillow is absent the sanctioned fallbacks are named:
-    ``codec='bmp'`` (real, library-free) or ``decode_stub=True``."""
-    try:
-        from PIL import Image
-    except ImportError as e:
-        raise NotImplementedError(
-            "compressed image decode requires the optional 'Pillow' package, "
-            "not present in this environment; use codec='bmp' (real, "
-            "library-free) or decode_stub=True"
-        ) from e
-    import io
-
-    if payload is None or len(payload) == 0:
-        raise ValueError("empty payload")
-    with Image.open(io.BytesIO(payload)) as im:
-        return np.asarray(im.convert("RGB"), dtype=np.uint8)
-
-
 #: compressed image formats decodable via the optional PIL dependency
 _PIL_CODECS = ("jpeg", "png")
 
 
-def _pil_pixel_decoder(codec: str):
+def _pil_pixel_decoder(codec: "Optional[str]"):
     """Real compressed-image decoder gated on the OPTIONAL ``Pillow`` package
     (mirrors the xxh128 import-gate pattern, functions/hashing.py): importing
     is attempted at CONSTRUCTION time so a missing library fails fast on the
     driver with the sanctioned fallback named — never inside an executor
-    task. Returns ``payload -> pixels[h, w, 3] RGB uint8``."""
+    task. ``codec=None`` is the format-sniffing mode (Pillow sniffs the
+    container instead of pinning it). Returns
+    ``payload -> pixels[h, w, 3] RGB uint8``."""
     try:
         from PIL import Image
     except ImportError as e:
+        what = f"codec={codec!r}" if codec else "compressed image decode"
         raise ImportError(
-            f"codec={codec!r} requires the optional 'Pillow' package, not "
+            f"{what} requires the optional 'Pillow' package, not "
             "present in this environment; use codec='bmp' (real, "
             "library-free) or decode_stub=True — the sanctioned modes where "
             "Pillow is unavailable"
@@ -170,7 +151,9 @@ def _pil_pixel_decoder(codec: str):
         if payload is None or len(payload) == 0:
             raise ValueError("empty payload")
         with Image.open(io.BytesIO(payload)) as im:
-            if im.format is None or im.format.lower() != codec:
+            if codec is not None and (
+                im.format is None or im.format.lower() != codec
+            ):
                 raise ValueError(f"payload is {im.format}, expected {codec}")
             return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
@@ -374,20 +357,16 @@ def extract_image_features(
         if decode_stub:
             decode = _decode_stub
         else:
-            # format-sniffing real decode — fail fast on the DRIVER when the
-            # optional library is missing (the _pil_pixel_decoder gate),
-            # never inside an executor task
+            # format-sniffing real decode — the same single construction-time
+            # gate as the pinned-codec path (fails on the DRIVER, never inside
+            # an executor task), surfaced as the documented plug-point error
             try:
-                import PIL  # noqa: F401
+                px_sniff = _pil_pixel_decoder(None)
             except ImportError as e:
-                raise NotImplementedError(
-                    "compressed image decode requires the optional 'Pillow' "
-                    "package, not present in this environment; use "
-                    "codec='bmp' (real, library-free) or decode_stub=True"
-                ) from e
+                raise NotImplementedError(str(e)) from e
 
             def decode(p: bytes) -> np.ndarray:
-                return _luma_feature(_decode_image_real(p).astype(np.float64))
+                return _luma_feature(px_sniff(p).astype(np.float64))
     else:
         raise ValueError(
             f"unknown image codec {codec!r} "

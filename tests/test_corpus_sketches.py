@@ -161,3 +161,20 @@ def test_null_text_and_tokenless_group(spark):
     merged = merge_corpus_sketches(sk, sk)
     est2 = {r.grp: r for r in estimate_corpus_sketches(merged).collect()}
     assert est2["b"].distinct_tokens == 0
+
+
+def test_null_group_key_keeps_token_sketch(spark):
+    """Review fix (round 4): a NULL group key (ungrouped crawl rows) groups
+    into one row on both the doc and token side — an equi-join between them
+    would never match NULL and the group's token sketch silently read as
+    empty. The join is null-safe now."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma", None), (1, "alpha delta", None),
+         (2, "alpha", "a")],
+        "doc_id bigint, text string, source string",
+    )
+    est = {r.grp: r for r in estimate_corpus_sketches(sketch_corpus(docs)).collect()}
+    assert est[None].n_docs == 2 and est[None].n_tokens == 5
+    assert est[None].distinct_tokens == 4  # alpha beta gamma delta
+    assert est["a"].distinct_tokens == 1
+    assert est["<all>"].distinct_tokens == 4

@@ -110,8 +110,12 @@ def main() -> None:
                 if m in plan:
                     failures.append(f"{name}: unexpected {m!r} in plan")
         for q, marker, cap in MAX_COUNTS:
-            got = all_counts.get(marker, _unique_node_count(plan, marker))
-            if q == name and got > cap:
+            if q != name:
+                continue
+            got = all_counts.get(marker)
+            if got is None:
+                got = _unique_node_count(plan, marker)
+            if got > cap:
                 failures.append(
                     f"{name}: {got} unique {marker!r} nodes (budget {cap})"
                 )
