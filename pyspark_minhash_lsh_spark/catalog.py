@@ -1438,7 +1438,44 @@ def _doc_quality_oracle() -> str:
       -- FLOOR->BIGINT hard-errors here and overflows in Spark; such docs
       -- get NULL zscore on both engines instead
       WHERE m.n > 1
-        AND (CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.n) > 0)
+        AND (CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.n) > 0),
+    -- CCNet-style bigram LM (stupid backoff) trained on the trusted slice
+    -- (sources src0-src4), scoring every doc; mirrors operators/lm.py:
+    -- count trims ORDER BY (c DESC, word) LIMIT so the cut is
+    -- deterministic, probabilities are integer-count ratios
+    lref AS (SELECT {_DUCK_TOKENS} AS t FROM documents
+             WHERE source IN ('src0','src1','src2','src3','src4')),
+    ltok AS (SELECT unnest(t) AS w FROM lref),
+    ltot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM ltok),
+    luni AS (SELECT w, COUNT(*) AS c FROM ltok GROUP BY w
+             ORDER BY c DESC, w LIMIT 50000),
+    lbi AS (SELECT w1, w2, c FROM (
+              SELECT r.w1, r.w2, COUNT(*) AS c
+              FROM (SELECT t[i] AS w1, t[i+1] AS w2
+                    FROM lref, unnest(generate_series(1, len(t)-1)) AS g(i)) r
+              JOIN luni a ON a.w = r.w1
+              JOIN luni b ON b.w = r.w2
+              GROUP BY r.w1, r.w2)
+            ORDER BY c DESC, w1, w2 LIMIT 500000),
+    dtr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM tok, unnest(generate_series(1, len(t)-1)) AS g(i)),
+    dsc AS (SELECT d.doc_id,
+              -- empty reference (total=0): NULL scores, never a /0 error
+              CASE WHEN ltot.total > 0 THEN
+                log10(CASE WHEN b.c IS NOT NULL THEN CAST(b.c AS DOUBLE) / u1.c
+                           WHEN u2.c IS NOT NULL
+                           THEN 0.4 * (CAST(u2.c AS DOUBLE) / ltot.total)
+                           ELSE 0.4 * (1.0 / ltot.total) END)
+              ELSE NULL END AS logp
+            FROM dtr d
+            LEFT JOIN lbi b ON b.w1 = d.w1 AND b.w2 = d.w2
+            LEFT JOIN luni u1 ON u1.w = d.w1
+            LEFT JOIN luni u2 ON u2.w = d.w2
+            CROSS JOIN ltot),
+    lm AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+                  CAST(FLOOR((SUM(logp) / COUNT(logp)) * 10000.0 + 0.5) AS BIGINT)
+                    AS lm_logprob
+           FROM dsc GROUP BY doc_id)
     SELECT d.doc_id, d.source,
            bpe.bpe_tokens,
            CAST(FLOOR(({_duck_stop_ratio('en')}) * 1000000.0 + 0.5) AS BIGINT) AS en_stop_ratio,
@@ -1448,12 +1485,15 @@ def _doc_quality_oracle() -> str:
            len(t) AS n_tokens,
            q.quality,
            z.zscore,
-           CAST(abs(z.zscore) > 1800000 AS INT) AS is_outlier
+           CAST(abs(z.zscore) > 1800000 AS INT) AS is_outlier,
+           COALESCE(lm.n_bigrams, 0) AS n_bigrams,
+           lm.lm_logprob
     FROM documents d
     JOIN tok ON tok.doc_id = d.doc_id
     JOIN bpe ON bpe.doc_id = d.doc_id
     JOIN q   ON q.doc_id = d.doc_id
     LEFT JOIN z ON z.doc_id = d.doc_id
+    LEFT JOIN lm ON lm.doc_id = d.doc_id
     """
 
 
@@ -1461,18 +1501,30 @@ def _doc_quality_oracle() -> str:
 def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc curation panel in one pass: BPE-ish token estimate (north-star
     token counting), English stopword density, type/token ratio, token count,
-    the blended C4/Gopher-shaped quality score, and the per-source length
-    z-score with outlier flag. Merged from round-2's q29 + q36 + q37 + q71
-    under the driver's 50-query budget; each facet's arithmetic is unchanged
-    (exact integer ratios evaluated in double in the same order), so the
-    hash-match covers all of them at once. The z-score leg adds the one
-    shuffle (per-source moments) + a 20-row dim join the planner broadcasts."""
+    the blended C4/Gopher-shaped quality score, the per-source length
+    z-score with outlier flag, and (round 4) the CCNet-style bigram-LM
+    fluency score trained on the trusted src0-src4 slice (operators/lm.py).
+    Merged from round-2's q29 + q36 + q37 + q71 under the driver's 50-query
+    budget; each facet's arithmetic is a ratio of exact integers evaluated in
+    double in the same order on both engines, so the hash-match covers all of
+    them at once. The z-score leg adds one shuffle (per-source moments) + a
+    20-row dim join the planner broadcasts; the LM leg adds the two bounded
+    model-count aggs + broadcast scoring joins + one doc-keyed agg."""
     from .functions.text_analysis import (
         bpe_token_count_estimate,
         quality_score,
         stopword_ratio,
     )
+    from .operators.lm import lm_score, train_bigram_lm
     docs = _t(spark, sf_dir, "documents")
+    lm_model = train_bigram_lm(
+        docs.filter(F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    )
+    lm = lm_score(docs, lm_model).select(
+        "doc_id",
+        "n_bigrams",
+        _sint(F.col("avg_logprob"), 4).alias("lm_logprob"),
+    )
     t = tokens(F.col("text"))
     uniq = F.when(
         F.size(t) > 0,
@@ -1514,6 +1566,7 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = _sint((F.col("n_chars").cast("double") - mean) / F.sqrt(var), 6)
     return (
         base.join(m, "source", "left")
+        .join(lm, "doc_id", "left")
         .select(
             "doc_id",
             "source",
@@ -1524,6 +1577,8 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
             z.alias("zscore"),
             (F.abs(z) > 1800000).cast("int").alias("is_outlier"),
+            "n_bigrams",
+            "lm_logprob",
         )
     )
 

@@ -29,6 +29,7 @@ from .classify import (
     score_quality,
     train_quality_classifier,
 )
+from .lm import BigramLm, lm_score, train_bigram_lm
 from .pq import PqModel, build_ivf_pq_index, fit_pq, ivf_pq_topk, pq_topk_batch
 from .reduce import PcaReducer, fit_pca_reducer
 from .tokenize import (
@@ -100,6 +101,9 @@ __all__ = [
     "pq_topk_batch",
     "train_quality_classifier",
     "score_quality",
+    "BigramLm",
+    "train_bigram_lm",
+    "lm_score",
     "evaluate_quality_classifier",
     "source_overlap",
     "ngram_novelty",

@@ -1,0 +1,161 @@
+"""N-gram language-model quality scoring (the CCNet signal): score each
+document's fluency under a bigram LM trained on a trusted reference
+corpus, the classic "does this read like Wikipedia" filter used to rank
+crawl text for LLM training data.
+
+Model: bigram counts with stupid backoff (Brants et al. 2007) — no
+discounting to tune, deterministic, and every probability is a ratio of
+two integer counts, which keeps the scoring SQL-mirrorable for the
+DuckDB oracle::
+
+    p(w2 | w1) = c(w1 w2) / c(w1)          when the bigram is in the model
+               = alpha * c(w2) / total     else, when w2 is a known word
+               = alpha * 1 / total         else (OOV floor)
+
+Design for 100 TB:
+  - TRAINING is two map-side-partial count aggregations over the
+    reference corpus; the model is bounded BY CONSTRUCTION to
+    ``top_unigrams`` + ``max_bigrams`` rows via count-ordered
+    TakeOrderedAndProject (deterministic tiebreak on the words), so the
+    scoring-side broadcasts are unconditionally sound no matter how big
+    the reference corpus is — the same stance as the DSIR weight table
+    (sampling.py).
+  - SCORING is zero-Python and almost zero-shuffle: bigram transitions
+    come from zipping the token array against itself shifted (a
+    projection — no posexplode + window pass over the corpus), then two
+    broadcast joins against the bounded model and ONE doc-keyed
+    aggregation. Corpus text never shuffles; only (doc_id, logprob)
+    pairs reach the agg, and its map-side partial sum reduces them to
+    one row per doc per task.
+
+Reference parity: the reference engine (minhash_utils.py) has no LM
+scorer; this extends the quality-filter family (quality_score,
+classify.py) the way CCNet extends C4-style heuristics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["BigramLm", "train_bigram_lm", "lm_score"]
+
+
+class BigramLm(NamedTuple):
+    """A trained stupid-backoff bigram model: two BOUNDED count tables
+    (broadcastable by construction) + the exact total token count."""
+
+    unigrams: DataFrame  # (w, c) — top `top_unigrams` by count
+    bigrams: DataFrame   # (w1, w2, c) — both words in-vocab, top `max_bigrams`
+    total_tokens: int    # ALL reference tokens (pre-trim), the normalizer
+    alpha: float
+
+
+def _transitions(t):
+    """array<struct> of (w1, w2) adjacent-token pairs — a pure projection
+    (two slices zipped), no explode+window pass."""
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    return F.arrays_zip(
+        F.slice(t, 1, n1).alias("w1"), F.slice(t, 2, n1).alias("w2")
+    )
+
+
+def train_bigram_lm(
+    reference: DataFrame,
+    text_col: str = "text",
+    top_unigrams: int = 50_000,
+    max_bigrams: int = 500_000,
+    alpha: float = 0.4,
+) -> BigramLm:
+    """Count a stupid-backoff bigram model from a trusted reference corpus.
+
+    Unigrams keep the ``top_unigrams`` most frequent words; bigrams keep
+    the ``max_bigrams`` most frequent pairs whose BOTH words are in-vocab
+    (so a bigram hit always has a well-defined prefix count). Both trims
+    order by (count desc, word asc) — a deterministic cut even on count
+    ties. ``total_tokens`` is the untrimmed token count (the unigram
+    backoff normalizer), the one driver-side scalar."""
+    t = tokens(F.col(text_col))
+    toks = reference.select(F.explode(t).alias("w"))
+    total = toks.count()
+    uni = (
+        toks.groupBy("w").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(int(top_unigrams))
+    )
+    pairs = reference.select(F.explode(_transitions(t)).alias("pr")).select(
+        F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+    )
+    bi = (
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"))), "w2")
+        .select("w1", "w2", "c")
+        .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(int(max_bigrams))
+    )
+    return BigramLm(uni, bi, int(total), float(alpha))
+
+
+def lm_score(
+    df: DataFrame,
+    model: BigramLm,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under the model: returns
+    ``(doc_id, n_bigrams, sum_logprob, avg_logprob)`` where the log
+    probabilities are base-10 stupid-backoff transition scores
+    (CCNet ranks by the equivalent perplexity = 10^-avg_logprob; docs
+    with no transitions — empty or single-token — get NULL scores).
+
+    Plan: zip-shifted transition projection -> explode_outer (keeps
+    0-transition docs) -> broadcast joins against the bounded model ->
+    one doc-keyed agg."""
+    t = tokens(F.col(text_col))
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(_transitions(t)).alias("pr"),
+    ).select(
+        "doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+    )
+    uni1 = model.unigrams.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    uni2 = model.unigrams.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    bi = model.bigrams.select("w1", "w2", F.col("c").alias("c12"))
+    alpha = F.lit(model.alpha)
+    if model.total_tokens > 0:
+        total = F.lit(float(model.total_tokens))
+        logp = F.when(
+            F.col("w1").isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            F.log10(
+                F.when(
+                    F.col("c12").isNotNull(),
+                    F.col("c12").cast("double") / F.col("c1"),
+                ).when(
+                    F.col("c2").isNotNull(),
+                    alpha * (F.col("c2").cast("double") / total),
+                ).otherwise(alpha * (F.lit(1.0) / total))
+            )
+        )
+    else:
+        # empty reference: no fluency signal — NULL scores everywhere (the
+        # OOV floor 1/total would divide by zero, a hard error under ANSI)
+        logp = F.lit(None).cast("double")
+    scored = (
+        ex.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni1), "w1", "left")
+        .join(F.broadcast(uni2), "w2", "left")
+        .select("doc_id", F.col("w1").alias("tw"), logp.alias("logp"))
+    )
+    # n_bigrams counts TRANSITIONS (well-defined even with an empty model);
+    # the score divisions stay NULL-safe: count(logp)=0 implies sum is NULL
+    return scored.groupBy("doc_id").agg(
+        F.count("tw").cast("int").alias("n_bigrams"),
+        F.sum("logp").alias("sum_logprob"),
+        (F.sum("logp") / F.count("logp")).alias("avg_logprob"),
+    )

@@ -1,0 +1,116 @@
+"""Bigram stupid-backoff LM quality scoring (operators/lm.py): exact
+hand-computed scores on a tiny corpus, the three backoff tiers, bounded
+deterministic model trims, degenerate docs, and the broadcast plan shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark_minhash_lsh_spark.operators.lm import lm_score, train_bigram_lm
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    ref = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "a dog sat")],
+        "doc_id bigint, text string",
+    )
+    return train_bigram_lm(ref)
+
+
+def test_counts_and_total(model):
+    assert model.total_tokens == 9
+    uni = {r.w: r.c for r in model.unigrams.collect()}
+    assert uni == {"the": 2, "cat": 2, "sat": 2, "a": 1, "dog": 1, "ran": 1}
+    bi = {(r.w1, r.w2): r.c for r in model.bigrams.collect()}
+    assert bi[("the", "cat")] == 2 and bi[("cat", "sat")] == 1
+    assert len(bi) == 5
+
+
+def test_three_backoff_tiers_exact(spark, model):
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "the zebra"), (13, "sat the")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in lm_score(docs, model).collect()}
+    # tier 1: bigram hits — p(cat|the)=2/2, p(sat|cat)=1/2
+    assert out[10].n_bigrams == 2
+    assert out[10].sum_logprob == pytest.approx(math.log10(0.5), abs=1e-12)
+    assert out[10].avg_logprob == pytest.approx(math.log10(0.5) / 2, abs=1e-12)
+    # tier 3: OOV floor — p = alpha * 1/total
+    assert out[11].sum_logprob == pytest.approx(
+        math.log10(0.4 / 9.0), abs=1e-12
+    )
+    # tier 2: known word, unseen bigram — p = alpha * c(w2)/total
+    assert out[13].sum_logprob == pytest.approx(
+        math.log10(0.4 * (2.0 / 9.0)), abs=1e-12
+    )
+
+
+def test_degenerate_docs(spark, model):
+    docs = spark.createDataFrame(
+        [(0, "zebra"), (1, ""), (2, None), (3, "  !!  ")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in lm_score(docs, model).collect()}
+    assert len(out) == 4  # explode_outer keeps transition-less docs
+    for r in out.values():
+        assert r.n_bigrams == 0
+        assert r.sum_logprob is None and r.avg_logprob is None
+
+
+def test_bounded_trims_are_deterministic(spark):
+    ref = spark.createDataFrame(
+        [(0, "b b a a c d e f")], "doc_id bigint, text string"
+    )
+    m = train_bigram_lm(ref, top_unigrams=3, max_bigrams=2)
+    # count desc, word asc: a(2), b(2) beat c/d/e/f(1); c excluded on tie
+    assert sorted(r.w for r in m.unigrams.collect()) == ["a", "b"] + ["c"]
+    # bigrams restricted to in-vocab pairs, then count-desc/word-asc cut
+    bi = [(r.w1, r.w2) for r in m.bigrams.collect()]
+    assert len(bi) == 2
+    for w1, w2 in bi:
+        assert w1 in {"a", "b", "c"} and w2 in {"a", "b", "c"}
+    # total counts EVERY token, not just in-vocab ones
+    assert m.total_tokens == 8
+
+
+def test_fluent_ranks_above_shuffled(spark):
+    """The CCNet point: text that looks like the reference outranks word
+    salad built from the same vocabulary."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    ref = spark.createDataFrame(rows, "doc_id bigint, text string")
+    m = train_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "fox the brown quick")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in lm_score(docs, m).collect()}
+    assert out[0].avg_logprob > out[1].avg_logprob
+
+
+def test_plan_broadcasts_model(spark, model):
+    docs = spark.createDataFrame(
+        [(i, "the cat sat") for i in range(10)], "doc_id bigint, text string"
+    )
+    plan = lm_score(docs, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_empty_reference_model_scores_null(spark):
+    """An empty reference corpus has no fluency signal: scoring under it
+    yields NULL logprobs (never an ANSI divide-by-zero from the 1/total
+    OOV floor), while n_bigrams still counts transitions."""
+    ref = spark.createDataFrame([], "doc_id bigint, text string")
+    m = train_bigram_lm(ref)
+    assert m.total_tokens == 0
+    docs = spark.createDataFrame(
+        [(0, "some actual text here"), (1, "x")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in lm_score(docs, m).collect()}
+    assert out[0].n_bigrams == 3 and out[0].sum_logprob is None
+    assert out[1].n_bigrams == 0 and out[1].avg_logprob is None
