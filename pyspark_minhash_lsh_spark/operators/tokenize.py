@@ -42,6 +42,9 @@ __all__ = [
     "bpe_decode",
     "bpe_segment_word",
     "wordpiece_decode",
+    "train_unigram",
+    "unigram_encode",
+    "unigram_segment_word",
     "UNK_TOKEN",
     "END_OF_WORD",
 ]
@@ -214,6 +217,25 @@ def learn_bpe_merges(
     return merges
 
 
+def _word_counts(
+    df: DataFrame, text_col: str, min_word_freq: int, max_word_types: int
+) -> "dict[str, int]":
+    """The ONE corpus-scale step every subword trainer here shares: a
+    map-side-partial Spark aggregation to ``word -> count``, trimmed to the
+    most frequent ``max_word_types`` types (count desc, word asc — a
+    deterministic cut). Types grow ~O(corpus^0.5) by Heaps' law, so the
+    collected table is bounded regardless of corpus size."""
+    rows = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .where(F.col("c") >= int(min_word_freq))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(int(max_word_types))
+        .collect()
+    )
+    return {r.w: r.c for r in rows}
+
+
 def train_bpe(
     df: DataFrame,
     num_merges: int = 1000,
@@ -238,15 +260,9 @@ def train_bpe(
     ``END_OF_WORD`` marker on the final character, the standard
     word-boundary convention.
     """
-    wc_rows = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .groupBy("w").agg(F.count("*").alias("c"))
-        .where(F.col("c") >= int(min_word_freq))
-        .orderBy(F.desc("c"), F.asc("w"))
-        .limit(int(max_word_types))
-        .collect()
+    return learn_bpe_merges(
+        _word_counts(df, text_col, min_word_freq, max_word_types), num_merges
     )
-    return learn_bpe_merges({r.w: r.c for r in wc_rows}, num_merges)
 
 
 def bpe_segment_word(word: str, ranks: "Mapping[tuple, int]") -> list[str]:
@@ -289,6 +305,194 @@ def bpe_encode(
             pieces: list[str] = []
             for w in (ws if ws is not None else []):
                 pieces.extend(bpe_segment_word(w, ranks))
+            out.append(pieces)
+        return pd.Series(out)
+
+    enc = df.select(
+        F.col(id_col).alias("doc_id"),
+        _encode(tokens(F.col(text_col))).alias("pieces"),
+    )
+    return enc.withColumn("n_tokens", F.size("pieces"))
+
+
+def _word_symbols(word: str) -> "list[str]":
+    """The shared word-boundary convention (BPE parity): per-char symbols
+    with ``END_OF_WORD`` fused onto the final character, so a piece that
+    ends a word carries the marker and ``bpe_decode`` round-trips any
+    segmentation."""
+    return list(word[:-1]) + [word[-1] + END_OF_WORD]
+
+
+def unigram_segment_word(
+    word: str,
+    log_probs: "Mapping[str, float]",
+    max_piece_len: int = 8,
+    floor: float = -100.0,
+) -> "list[str]":
+    """Viterbi segmentation of ONE word under a unigram piece LM
+    (Kudo 2018): the maximum-total-log-prob split into vocabulary pieces.
+    Unknown single symbols fall back to ``floor`` and emit themselves, so
+    encoding is total and decode stays lossless (no [UNK] collapse).
+    Deterministic tiebreak: earlier split point wins (longest final piece).
+    """
+    if not word:
+        return []
+    syms = _word_symbols(word)
+    n = len(syms)
+    best: "list[float | None]" = [0.0] + [None] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        b_score = None
+        b_j = 0
+        for j in range(max(0, i - int(max_piece_len)), i):
+            if best[j] is None:
+                continue
+            piece = "".join(syms[j:i])
+            lp = log_probs.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = floor
+                else:
+                    continue
+            s = best[j] + lp
+            if b_score is None or s > b_score:
+                b_score, b_j = s, j
+        best[i], back[i] = b_score, b_j
+    out: "list[str]" = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append("".join(syms[j:i]))
+        i = j
+    out.reverse()
+    return out
+
+
+def train_unigram(
+    df: DataFrame,
+    vocab_size: int = 8000,
+    text_col: str = "text",
+    min_word_freq: int = 2,
+    max_word_types: int = 100_000,
+    max_piece_len: int = 8,
+    em_iters: int = 2,
+    seed_size: "int | None" = None,
+    keep_frac: float = 0.75,
+) -> "dict[str, float]":
+    """Learn a unigram-LM subword vocabulary (Kudo 2018 — the SentencePiece
+    unigram model), completing the trainer family next to ``train_bpe`` and
+    WordPiece. Same distribution architecture as ``train_bpe``: the ONE
+    corpus-scale step is the shared ``_word_counts`` aggregation; seeding,
+    Viterbi-EM, and pruning then run driver-side over the bounded word-TYPE
+    table (``max_word_types`` defaults tighter than BPE's because EM visits
+    every type per iteration — O(types x word_len x max_piece_len) per
+    pass, all cheap dict ops).
+
+    Seed = the ``seed_size`` (default ``8 x vocab_size``) most frequent
+    substrings up to ``max_piece_len`` symbols, plus every single symbol
+    (mandatory — they keep segmentation total). Each round runs
+    ``em_iters`` Viterbi-EM passes (E: best-split piece counts weighted by
+    word frequency; M: renormalize) then prunes the lowest-expected-count
+    multi-symbol pieces to ``keep_frac`` of the current size, until
+    ``vocab_size`` is reached. Fully deterministic: count-desc /
+    lexicographic tiebreaks everywhere.
+
+    Returns ``piece -> log10 prob`` for ``unigram_encode``. Pieces use the
+    ``END_OF_WORD``-fused symbol convention, so ``bpe_decode`` round-trips
+    the output exactly. ``vocab_size`` is an upper bound, not a target:
+    hard (Viterbi) EM keeps only pieces that win some best split, so a
+    low-diversity corpus yields fewer pieces — each one earning its slot —
+    where SentencePiece's soft-EM would pad with marginal ones."""
+    import math
+
+    wc = _word_counts(df, text_col, min_word_freq, max_word_types)
+    types: "list[tuple[list[str], int]]" = [
+        (_word_symbols(w), int(c)) for w, c in wc.items() if w
+    ]
+    mpl = int(max_piece_len)
+
+    # ---- seed: frequent-substring counts (+ mandatory single symbols)
+    seed_counts: "dict[str, float]" = {}
+    singles: "set[str]" = set()
+    for syms, c in types:
+        n = len(syms)
+        for j in range(n):
+            singles.add(syms[j])
+            piece = ""
+            for i in range(j, min(n, j + mpl)):
+                piece += syms[i]
+                seed_counts[piece] = seed_counts.get(piece, 0.0) + c
+    target_seed = int(seed_size) if seed_size is not None else 8 * int(vocab_size)
+    multi = sorted(
+        ((p, c) for p, c in seed_counts.items() if p not in singles),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(0, target_seed - len(singles))]
+    counts = {p: seed_counts[p] for p in singles}
+    counts.update(dict(multi))
+
+    def _em(cur: "dict[str, float]") -> "dict[str, float]":
+        total = sum(cur.values()) or 1.0
+        logp = {p: math.log10(c / total) for p, c in cur.items() if c > 0}
+        floor = (min(logp.values()) if logp else 0.0) - 10.0
+        new: "dict[str, float]" = {}
+        for syms, c in types:
+            word = "".join(syms)[: -len(END_OF_WORD)] if syms else ""
+            # reconstruct the raw word from symbols (marker fused on last)
+            for piece in unigram_segment_word(word, logp, mpl, floor):
+                new[piece] = new.get(piece, 0.0) + c
+        # singles must survive with SOME mass even when never chosen
+        for s in singles:
+            new.setdefault(s, 0.5)
+        return new
+
+    while True:
+        for _ in range(max(1, int(em_iters))):
+            counts = _em(counts)
+        if len(counts) <= int(vocab_size):
+            break
+        multi_now = sorted(
+            ((p, c) for p, c in counts.items() if p not in singles),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        keep = max(int(vocab_size) - len(singles),
+                   int(len(multi_now) * float(keep_frac)))
+        if keep >= len(multi_now):
+            keep = int(vocab_size) - len(singles)
+        kept = dict(multi_now[: max(0, keep)])
+        kept.update({s: counts[s] for s in singles})
+        if len(kept) >= len(counts):
+            # vocab_size below the mandatory single-symbol floor — the
+            # singles can't be pruned, so this is as small as it gets
+            counts = kept
+            break
+        counts = kept
+
+    total = sum(counts.values()) or 1.0
+    return {p: math.log10(c / total) for p, c in sorted(counts.items())}
+
+
+def unigram_encode(
+    df: DataFrame,
+    log_probs: "Mapping[str, float]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Encode documents with a trained unigram-LM vocabulary: returns
+    ``(doc_id, pieces array<string>, n_tokens)`` — the same scale shape as
+    ``bpe_encode`` (constant-size vocab in the Arrow UDF closure,
+    zero-shuffle projection) and the same decode (``bpe_decode``)."""
+    vocab = dict(log_probs)
+    floor = (min(vocab.values()) if vocab else 0.0) - 10.0
+    mpl = int(max_piece_len)
+
+    @F.pandas_udf("array<string>")
+    def _encode(words: pd.Series) -> pd.Series:
+        out = []
+        for ws in words:
+            pieces: list[str] = []
+            for w in (ws if ws is not None else []):
+                pieces.extend(unigram_segment_word(w, vocab, mpl, floor))
             out.append(pieces)
         return pd.Series(out)
 

@@ -280,3 +280,94 @@ def test_learn_bpe_merges_scales_to_100k_types():
     elapsed = time.monotonic() - t0
     assert len(merges) == 500
     assert elapsed < 60, f"incremental merge loop too slow: {elapsed:.1f}s"
+
+
+# ---- unigram-LM tokenizer (Kudo 2018, SentencePiece unigram model) ------
+
+
+def test_unigram_segment_word_viterbi_exact():
+    """Viterbi picks the max-log-prob split, not the greedy one."""
+    import math
+
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        unigram_segment_word,
+    )
+
+    lp = {
+        "ab": math.log10(0.4),
+        "abc": math.log10(0.01),
+        "c" + "</w>": math.log10(0.3),
+        "abc" + "</w>": math.log10(0.2),
+        "a": math.log10(0.05),
+        "b": math.log10(0.05),
+    }
+    # whole-word piece (0.2) beats ab + c</w> (0.4*0.3=0.12)
+    assert unigram_segment_word("abc", lp) == ["abc</w>"]
+    lp["abc</w>"] = math.log10(0.05)
+    assert unigram_segment_word("abc", lp) == ["ab", "c</w>"]
+    # unknown symbols fall back to themselves at the floor score
+    assert unigram_segment_word("zq", lp) == ["z", "q</w>"]
+    assert unigram_segment_word("", lp) == []
+
+
+def test_train_unigram_learns_words_and_morphemes(spark):
+    from pyspark_minhash_lsh_spark.operators.tokenize import train_unigram
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(30)]
+    rows += [(100 + i, "internationalization internationalism international")
+             for i in range(20)]
+    ref = spark.createDataFrame(rows, "doc_id bigint, text string")
+    v = train_unigram(ref, vocab_size=120, min_word_freq=1)
+    # frequent whole words become single pieces
+    for w in ("the", "quick", "fox", "dog"):
+        assert w + "</w>" in v, w
+    # shared morphology of the 'international*' family is factored out
+    assert any(p.startswith("internat") for p in v), sorted(v)[:20]
+    # deterministic end to end
+    assert v == train_unigram(ref, vocab_size=120, min_word_freq=1)
+    # log-probs normalized-ish: all negative, finite
+    assert all(x < 0 for x in v.values())
+
+
+def test_unigram_encode_round_trips(spark):
+    import pyspark.sql.functions as F
+
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        bpe_decode,
+        train_unigram,
+        unigram_encode,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "pack my box with five dozen liquor jugs") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    v = train_unigram(ref, vocab_size=80, min_word_freq=1)
+    docs = spark.createDataFrame(
+        [(0, "pack the unseen jugs"), (1, ""), (2, None)],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in unigram_encode(docs, v)
+        .select("doc_id", "n_tokens", bpe_decode(F.col("pieces")).alias("txt"))
+        .collect()
+    }
+    # lossless round-trip through the normalizer (incl. OOV word 'unseen'
+    # and OOV-to-the-vocab word 'the')
+    assert out[0].txt == "pack the unseen jugs"
+    assert out[1].txt == "" and out[1].n_tokens == 0
+    assert out[2].txt == "" and out[2].n_tokens == 0
+
+
+def test_train_unigram_vocab_below_singles_floor(spark):
+    """A vocab_size smaller than the single-symbol alphabet can't converge
+    by pruning — the trainer bottoms out at the singles instead of looping."""
+    from pyspark_minhash_lsh_spark.operators.tokenize import train_unigram
+
+    ref = spark.createDataFrame(
+        [(0, "abcdefghij klmnopqrst uvwxyz")], "doc_id bigint, text string"
+    )
+    v = train_unigram(ref, vocab_size=5, min_word_freq=1)
+    # every single symbol survives (j</w>, t</w>, z</w> variants included)
+    assert len(v) >= 26
