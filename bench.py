@@ -182,13 +182,30 @@ def _probe_line_dedup(spark, sf_dir: str):
     return line_dedup(docs.select("doc_id", "text"))
 
 
-#: round-3 heavy operators without catalog-query handles (VERDICT r03 #5):
-#: probed through bench-local callables with the same (spark, sf_dir)
-#: signature the catalog uses.
+def _probe_lm(spark, sf_dir: str):
+    """Bigram-LM fluency scoring probe (round 4): train on a fixed-fraction
+    reference slice (so the model-count aggs scale with the corpus), then
+    score everything — two count aggs + broadcast joins + one doc agg, all
+    of which must scale linearly."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.lm import lm_score, train_bigram_lm
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    model = train_bigram_lm(docs.filter(F.col("doc_id") % 4 == 0))
+    return lm_score(docs, model)
+
+
+#: round-3/4 heavy operators without catalog-query handles (VERDICT r03
+#: #5): probed through bench-local callables with the same
+#: (spark, sf_dir) signature the catalog uses.
 EXTRA_SCALE = {
     "dsir_resample": _probe_dsir,
     "curate": _probe_curate,
     "line_dedup": _probe_line_dedup,
+    "lm_score": _probe_lm,
 }
 
 
@@ -232,9 +249,9 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
             big = big.unionByName(r)
         big.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
 
-        # 420s default: the round-4 probe list is 9 entries (dsir / curate /
-        # line_dedup added) and 1x bases are now best-of-3 too; the guard
-        # below still hard-stops overruns (skipped probes report null)
+        # 420s default: the round-4 probe list is 10 entries (dsir / curate
+        # / line_dedup / lm_score added) and 1x bases are best-of-3 too; the
+        # guard below hard-stops overruns (skipped probes report null)
         budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "420"))
         started = time.perf_counter()
         out: dict[str, dict[str, float]] = {}

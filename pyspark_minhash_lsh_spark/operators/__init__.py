@@ -29,6 +29,7 @@ from .classify import (
     score_quality,
     train_quality_classifier,
 )
+from .bloom import BloomFilter, fit_bloom_filter
 from .lm import BigramLm, lm_score, train_bigram_lm
 from .pq import PqModel, build_ivf_pq_index, fit_pq, ivf_pq_topk, pq_topk_batch
 from .reduce import PcaReducer, fit_pca_reducer
@@ -108,6 +109,8 @@ __all__ = [
     "BigramLm",
     "train_bigram_lm",
     "lm_score",
+    "BloomFilter",
+    "fit_bloom_filter",
     "evaluate_quality_classifier",
     "source_overlap",
     "ngram_novelty",

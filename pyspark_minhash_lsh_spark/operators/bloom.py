@@ -1,0 +1,135 @@
+"""Bloom-filter pre-gate for incremental lake dedup: summarize the lake's
+fingerprint set ONCE into a KB-MB bitset artifact, then test each new
+batch against it at scan speed — so the nightly "is this doc already in
+the 100 TB lake?" check stops shuffling lake-sized key tables.
+
+Spark's internal BloomFilterAggregate isn't SQL-registered, so this is an
+engine-native filter built from registered primitives only, JVM-side on
+BOTH paths (no Python anywhere):
+
+  build:  h1/h2 = pmod(xxhash64(seed, v), ...) -> k Kirsch-Mitzenmacher
+          positions pos_i = (h1 + i*h2) mod m (double hashing — the
+          standard construction, two base hashes give k provably-good
+          probes; all arithmetic stays < 2^40, safe under ANSI overflow
+          checks) -> ONE byte-keyed ``bit_or`` aggregation (map-side
+          partial) -> collect of AT MOST m/8 rows — bounded by the CHOSEN
+          m, never by the corpus.
+  probe:  the bitset ships as one binary literal; each probe is k
+          substr/hex/conv byte lookups + bit tests, a pure codegen'd
+          projection.
+
+A Bloom filter has NO false negatives: a ``contains``=False row is
+PROVABLY absent and can skip the exact check entirely; only the
+``contains``=True slice (true dups + ~fpp false positives) needs the
+authoritative anti-join, whose lake side is then semi-join-pruned to just
+those keys. Sizing: m = -n ln(fpp)/ln(2)^2 bits, k = (m/n) ln 2 — 10M
+items at 1% fpp is ~12 MB and k=7.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["BloomFilter", "fit_bloom_filter"]
+
+
+class BloomFilter(NamedTuple):
+    """An immutable bitset summary of a long-valued key set.
+
+    ``data`` is the packed little-endian-bit bitset (``n_bits/8`` bytes),
+    broadcast to executors as a single binary literal by ``contains``."""
+
+    data: bytes
+    n_bits: int
+    k: int
+    seed: int
+
+    def _positions(self, col: Column) -> "list[Column]":
+        m = F.lit(int(self.n_bits))
+        h1 = F.pmod(F.xxhash64(F.lit(int(self.seed)), col), m)
+        # stride in [1, m-1]: never 0, so the k probes are distinct mod m
+        h2 = F.pmod(F.xxhash64(F.lit(int(self.seed) + 1), col), m - 1) + 1
+        return [F.pmod(h1 + F.lit(i) * h2, m) for i in range(int(self.k))]
+
+    def contains(self, col: Column) -> Column:
+        """Boolean Column: may ``col`` be in the built set? False is a
+        PROOF of absence; True is wrong with probability ~fpp. Pure
+        codegen projection (k byte lookups in the binary literal)."""
+        blob = F.lit(self.data)
+        out = F.lit(True)
+        for pos in self._positions(col):
+            byte = F.conv(
+                F.hex(blob.substr((pos / 8).cast("int") + 1, F.lit(1))), 16, 10
+            ).cast("int")
+            bit = F.pmod(pos, F.lit(8)).cast("int")
+            out = out & (
+                F.call_function("shiftright", byte, bit).bitwiseAND(F.lit(1))
+                == 1
+            )
+        return out
+
+    def save(self, path: str) -> None:
+        """Write the bitset + params sidecar (the SrpLsh/IvfFlat artifact
+        convention) so nightly jobs reuse the lake summary without a
+        rebuild."""
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "bloom.bin"), "wb") as f:
+            f.write(self.data)
+        with open(os.path.join(path, "params.txt"), "w") as f:
+            f.write(f"{self.n_bits} {self.k} {self.seed}\n")
+
+    @classmethod
+    def load(cls, path: str) -> "BloomFilter":
+        with open(os.path.join(path, "params.txt")) as f:
+            n_bits, k, seed = (int(x) for x in f.read().split())
+        with open(os.path.join(path, "bloom.bin"), "rb") as f:
+            data = f.read()
+        return cls(data, n_bits, k, seed)
+
+
+def fit_bloom_filter(
+    df: DataFrame,
+    col: str,
+    expected_items: int,
+    fpp: float = 0.01,
+    seed: int = 1,
+    max_bits: int = 1 << 30,
+) -> BloomFilter:
+    """Build a :class:`BloomFilter` over a LONG column in one aggregation.
+
+    ``expected_items`` sizes the bitset (overshooting costs memory,
+    undershooting raises the realized false-positive rate past ``fpp`` —
+    it never causes false negatives). ``max_bits`` caps the driver-side
+    artifact (2^30 bits = 128 MB) independently of what the caller asks
+    for. The build is corpus-scale-safe: one explode(k) projection + one
+    byte-keyed ``bit_or`` hash aggregate; only <= ``n_bits/8`` (byte_idx,
+    byte) rows are ever collected."""
+    n = max(1, int(expected_items))
+    p = min(max(float(fpp), 1e-9), 0.5)
+    m = int(math.ceil(-n * math.log(p) / (math.log(2) ** 2)))
+    m = max(64, min(int(max_bits), m))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+
+    proto = BloomFilter(b"", m, k, int(seed))
+    c = F.col(col)
+    pos = F.explode(F.array(*proto._positions(c))).alias("pos")
+    rows = (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 8).cast("long").alias("byte_idx"),
+            F.pmod(F.col("pos"), F.lit(8)).cast("int").alias("bit"),
+        )
+        .groupBy("byte_idx")
+        .agg(F.bit_or(F.expr("shiftleft(1, bit)")).alias("byte"))
+        .collect()
+    )
+    data = bytearray(m // 8)
+    for r in rows:
+        data[int(r.byte_idx)] = int(r.byte) & 0xFF
+    return BloomFilter(bytes(data), m, k, int(seed))

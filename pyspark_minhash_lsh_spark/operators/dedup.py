@@ -562,6 +562,8 @@ def incremental_exact_dedup(
     seen_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    seen_bloom=None,
+    seen_fp_col: "str | None" = None,
 ) -> DataFrame:
     """Exact dedup of a NEW batch against an already-ingested corpus — the
     production incremental shape (daily crawl vs. the lake), which full-corpus
@@ -571,22 +573,46 @@ def incremental_exact_dedup(
     batch (min id wins) and (b) absent from ``seen_docs``. Returns the
     surviving rows of ``new_docs`` unchanged.
 
-    ``seen_docs`` only needs ``text_col`` — at scale you pass the persisted
-    fingerprint TABLE of the lake (one 8-byte column; project it, don't
-    recompute): the anti-join then shuffles 8-byte keys on both sides. The
-    in-batch window and the anti-join share the fingerprint key, so AQE
-    plans one fingerprint-keyed exchange per side and text never shuffles.
+    By default ``seen_docs`` carries ``text_col`` and fingerprints are
+    computed on the fly. At scale pass the persisted fingerprint TABLE of
+    the lake instead, naming its 8-byte column via ``seen_fp_col`` (no
+    text rescan): the anti-join then shuffles 8-byte keys on both sides.
+    The in-batch window and the anti-join share the fingerprint key, so
+    AQE plans one fingerprint-keyed exchange per side and text never
+    shuffles.
+
+    ``seen_bloom`` (an ``operators.bloom.BloomFilter`` built over the
+    lake's fingerprint column, reused nightly via ``save``/``load``)
+    upgrades the plan for the |batch| << |lake| regime: rows the filter
+    PROVES unseen (no false negatives) skip the lake entirely, and the
+    anti-join's lake side is first semi-join-pruned by the broadcast
+    maybe-seen key set — so the LAKE IS NEVER SHUFFLED, only scanned.
+    Results are identical with or without the bloom (false positives go
+    through the authoritative anti-join); the bloom only re-routes work.
     """
     fp = content_fingerprint(tokens(F.col(text_col)))
-    seen_fp = seen_docs.select(fp.alias("_fp")).dropDuplicates(["_fp"])
     w = Window.partitionBy("_fp").orderBy(id_col)
-    return (
+    batch = (
         new_docs.withColumn("_fp", fp)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .join(seen_fp, "_fp", "left_anti")
-        .drop("_fp", "_rn")
     )
+    seen_key = F.col(seen_fp_col) if seen_fp_col else fp
+    seen_fp = seen_docs.select(seen_key.alias("_fp")).dropDuplicates(["_fp"])
+    if seen_bloom is None:
+        return batch.join(seen_fp, "_fp", "left_anti").drop("_fp", "_rn")
+    maybe = batch.filter(seen_bloom.contains(F.col("_fp")))
+    fresh = batch.filter(~seen_bloom.contains(F.col("_fp")))
+    # the broadcast encodes the bloom path's contract: the maybe-seen key
+    # set is batch-bounded (and typically ~fpp x batch) — the lake side
+    # streams through the semi join without an Exchange
+    pruned = seen_fp.join(
+        F.broadcast(maybe.select("_fp").dropDuplicates(["_fp"])),
+        "_fp",
+        "left_semi",
+    )
+    survivors = maybe.join(F.broadcast(pruned), "_fp", "left_anti")
+    return fresh.unionByName(survivors).drop("_fp", "_rn")
 
 
 def incremental_near_dedup(

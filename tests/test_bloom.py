@@ -1,0 +1,152 @@
+"""Bloom-filter lake-dedup pre-gate (operators/bloom.py): no false
+negatives ever, realized fpp near target, bounded artifact, save/load,
+and the incremental_exact_dedup bloom path — identical results to the
+plain anti-join with the lake side never shuffled.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.bloom import (
+    BloomFilter,
+    fit_bloom_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    vals = spark.range(10_000).select((F.col("id") * 7919 + 13).alias("v"))
+    return vals, fit_bloom_filter(vals, "v", expected_items=10_000, fpp=0.01)
+
+
+def test_no_false_negatives(spark, built):
+    vals, bf = built
+    assert vals.filter(~bf.contains(F.col("v"))).count() == 0
+
+
+def test_fpp_near_target_and_sized(spark, built):
+    _, bf = built
+    absent = spark.range(20_000).select(
+        (F.col("id") * 104729 + 999_999_937).alias("v")
+    )
+    fp = absent.filter(bf.contains(F.col("v"))).count()
+    assert fp / 20_000 < 0.05  # target 0.01; generous noise margin
+    # artifact bounded by the chosen m, ~1.2 bytes/item at 1% fpp
+    assert len(bf.data) == bf.n_bits // 8 < 20_000
+
+
+def test_deterministic_and_save_load(spark, built, tmp_path):
+    vals, bf = built
+    bf2 = fit_bloom_filter(vals, "v", expected_items=10_000, fpp=0.01)
+    assert bf2 == bf
+    bf.save(str(tmp_path / "bloom"))
+    assert BloomFilter.load(str(tmp_path / "bloom")) == bf
+
+
+def test_empty_build_proves_absence(spark):
+    bf = fit_bloom_filter(
+        spark.range(0).select(F.col("id").alias("v")), "v", expected_items=10
+    )
+    probe = spark.range(100).select(F.col("id").alias("v"))
+    assert probe.filter(bf.contains(F.col("v"))).count() == 0
+
+
+def test_max_bits_cap(spark):
+    vals = spark.range(100).select(F.col("id").alias("v"))
+    bf = fit_bloom_filter(vals, "v", expected_items=10**9, fpp=0.001,
+                          max_bits=1024)
+    assert bf.n_bits == 1024 and len(bf.data) == 128
+    assert vals.filter(~bf.contains(F.col("v"))).count() == 0
+
+
+def _corpora(spark):
+    lake = spark.createDataFrame(
+        [(i, f"lake doc number {i % 300}") for i in range(600)],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        # 40 overlap the lake's content, 30 are in-batch dups, rest new
+        [(1000 + i, f"lake doc number {i}") for i in range(40)]
+        + [(2000 + i, f"fresh content {i % 30}") for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    return lake, batch
+
+
+def test_incremental_dedup_bloom_path_identical(spark):
+    from pyspark_minhash_lsh_spark.functions.hashing import content_fingerprint
+    from pyspark_minhash_lsh_spark.functions.text import tokens
+    from pyspark_minhash_lsh_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    lake, batch = _corpora(spark)
+    lake_fp = lake.select(
+        content_fingerprint(tokens(F.col("text"))).alias("fp")
+    )
+    bf = fit_bloom_filter(lake_fp, "fp", expected_items=1000, fpp=0.01)
+
+    plain = sorted(
+        r.doc_id for r in incremental_exact_dedup(batch, lake).collect()
+    )
+    gated = sorted(
+        r.doc_id
+        for r in incremental_exact_dedup(
+            batch, lake, seen_bloom=bf
+        ).collect()
+    )
+    assert gated == plain and len(plain) == 30  # one per fresh content group
+
+
+def test_incremental_dedup_bloom_never_shuffles_lake(spark):
+    from pyspark_minhash_lsh_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+    from pyspark_minhash_lsh_spark.functions.hashing import content_fingerprint
+    from pyspark_minhash_lsh_spark.functions.text import tokens
+
+    lake, batch = _corpora(spark)
+    lake_fp = lake.select(
+        content_fingerprint(tokens(F.col("text"))).alias("fp")
+    )
+    bf = fit_bloom_filter(lake_fp, "fp", expected_items=1000, fpp=0.01)
+    out = incremental_exact_dedup(batch, lake, seen_bloom=bf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both lake-touching joins are broadcast-side joins: the lake streams,
+    # only the batch's in-batch window pays an Exchange
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_seen_fp_col(spark):
+    """The at-scale contract: pass the lake's persisted fingerprint TABLE
+    (seen_fp_col=) instead of rescanning text — identical survivors."""
+    from pyspark_minhash_lsh_spark.functions.hashing import content_fingerprint
+    from pyspark_minhash_lsh_spark.functions.text import tokens
+    from pyspark_minhash_lsh_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    lake, batch = _corpora(spark)
+    lake_fp = lake.select(
+        content_fingerprint(tokens(F.col("text"))).alias("fp")
+    )
+    bf = fit_bloom_filter(lake_fp, "fp", expected_items=1000, fpp=0.01)
+    base = sorted(
+        r.doc_id for r in incremental_exact_dedup(batch, lake).collect()
+    )
+    via_table = sorted(
+        r.doc_id
+        for r in incremental_exact_dedup(
+            batch, lake_fp, seen_fp_col="fp"
+        ).collect()
+    )
+    via_both = sorted(
+        r.doc_id
+        for r in incremental_exact_dedup(
+            batch, lake_fp, seen_bloom=bf, seen_fp_col="fp"
+        ).collect()
+    )
+    assert via_table == base and via_both == base

@@ -42,6 +42,11 @@ ASSERTIONS = [
     # union: regex redaction, array-filter line rules, Arrow-batch NFC —
     # no Exchange anywhere (the NFC leg's ArrowEvalPython is sanctioned)
     ("q67_text_hygiene", ["ArrowEvalPython"], ["Exchange"]),
+    # the q29 LM leg attaches its bounded model via broadcast (count-ordered
+    # limit tables) and the trim itself plans as TakeOrderedAndProject; the
+    # panel must stay pure-JVM (no Python eval) and never pair-enumerate
+    ("q29_doc_quality", ["BroadcastHashJoin", "TakeOrderedAndProject"],
+     ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"]),
 ]
 
 #: shuffle budgets locked per query (round 4, after partition-preserving
@@ -53,6 +58,9 @@ MAX_COUNTS = [
     ("q33_similarity_join", "Exchange hashpartitioning", 2),
     ("q25_ngram_jaccard_pairs", "Exchange hashpartitioning", 3),
     ("q57_asof_join", "Exchange hashpartitioning", 1),
+    # 2 model-count aggs + bigram pre-agg + doc-score agg + source moments
+    # + the id-keyed panel joins — all slim-payload, id/word-keyed
+    ("q29_doc_quality", "Exchange hashpartitioning", 8),
 ]
 
 MARKERS = [
