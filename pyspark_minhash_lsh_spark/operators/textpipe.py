@@ -41,6 +41,7 @@ __all__ = [
     "pii_redact",
     "token_frequency_profile",
     "unigram_logprob_score",
+    "compression_ratio",
     "top_tokens_per_group",
     "line_dedup",
     "line_filter",
@@ -449,6 +450,58 @@ def unigram_logprob_score(
         "doc_id",
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "logprob",
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the model-free
+    redundancy/gibberish detector training-data pipelines run next to the
+    Gopher repetition rules (Dolma / RedPajama ship it as a quality
+    feature): templated or hugely repetitive pages compress far below
+    natural prose (~0.3-0.4 for English), while random-ish byte soup
+    refuses to compress (ratio near or above 1.0). Filter BOTH tails.
+
+    Returns ``(doc_id, n_bytes, n_compressed, compress_ratio)`` with
+    ``compress_ratio = n_compressed / n_bytes`` (NULL for empty/NULL
+    text). Arrow-batched ``pandas_udf`` over stdlib zlib — a sanctioned
+    escape hatch (SURVEY §2.11): compression is an irreducibly imperative
+    per-payload loop, and the op stays a zero-shuffle projection that
+    composes with any scan (text never leaves its partition)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("struct<n_bytes: int, n_compressed: int>")
+    def _comp(texts: pd.Series) -> pd.DataFrame:
+        nb, nc = [], []
+        for t in texts:
+            if t is None:
+                nb.append(0)
+                nc.append(0)
+                continue
+            raw = t.encode("utf-8")
+            nb.append(len(raw))
+            nc.append(len(zlib.compress(raw, lvl)))
+        return pd.DataFrame({"n_bytes": nb, "n_compressed": nc})
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"), _comp(F.col(text_col)).alias("_c")
+    )
+    return out.select(
+        "doc_id",
+        F.col("_c.n_bytes").alias("n_bytes"),
+        F.col("_c.n_compressed").alias("n_compressed"),
+        F.when(
+            F.col("_c.n_bytes") > 0,
+            F.col("_c.n_compressed").cast("double") / F.col("_c.n_bytes"),
+        ).alias("compress_ratio"),
     )
 
 

@@ -575,3 +575,42 @@ def test_unigram_logprob_matches_duckdb(spark):
             assert g_lp is None
         else:
             assert math.isclose(g_lp, lp, abs_tol=2e-6)
+
+
+def test_compression_ratio(spark):
+    """zlib redundancy signal: repetitive text compresses far better than
+    varied prose, which compresses far better than incompressible noise;
+    closed-form byte counts pin the plumbing."""
+    import random
+    import zlib
+
+    from pyspark_minhash_lsh_spark.operators.textpipe import compression_ratio
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randint(0x21, 0x7E)) for _ in range(2000))
+    varied = " ".join(f"sentence number {i} talks about topic {i*i%97}"
+                      for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (0, "spam " * 500),
+            (1, varied),
+            (2, noise),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    # exact byte counts match local zlib at the same level
+    assert out[1].n_bytes == len(varied.encode())
+    assert out[1].n_compressed == len(zlib.compress(varied.encode(), 6))
+    # ordering: template << prose << noise
+    assert out[0].compress_ratio < out[1].compress_ratio < out[2].compress_ratio
+    assert out[0].compress_ratio < 0.05
+    assert out[2].compress_ratio > 0.7
+    # degenerate docs -> NULL ratio, zero bytes
+    for i in (3, 4):
+        assert out[i].n_bytes == 0 and out[i].compress_ratio is None
+    # zero-shuffle projection
+    plan = compression_ratio(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" in plan
