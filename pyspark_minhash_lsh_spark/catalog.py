@@ -2628,9 +2628,9 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ten dedup/curation operators end-to-end, one summary row each — rows-only
-    (all are signature/hash dependent; see the suite-curation note above).
-    Legs (folding round-2's q34, q39, q50, q51, q65):
+    """Eleven dedup/curation operators end-to-end, one summary row each —
+    rows-only (all are signature/hash dependent; see the suite-curation
+    note above). Legs (folding round-2's q34, q39, q50, q51, q65):
       - simhash_bits: relational SimHash fingerprints (bit-sum facets);
       - simhash_pairs: Manku block-combination banded pairs, hamming <= 3;
       - embedding_dedup: SRP candidates -> exact cosine -> components;
@@ -2641,6 +2641,9 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (stream==batch equality is tested in tests/test_streaming.py);
       - incremental_near_dedup: constructed batch vs seen corpus (exact twin
         q64 is oracle-backed);
+      - bloom_gate (round 4): the q64 dedup through the Bloom pre-gate +
+        fingerprint-table path (operators/bloom.py — lake scanned, never
+        shuffled; result-identity and plan tests in tests/test_bloom.py);
       - line_dedup: C4-style global line dedup over constructed two-line
         super-docs (every line occurs in exactly two docs, so the keep-first
         policy is exercised corpus-wide; value-level oracle in
@@ -2713,6 +2716,23 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = incremental_near_dedup(new, seen, threshold=0.5)
     leg_inc = _suite_row(inc, "incremental_near_dedup", F.sum("doc_id"), F.max("doc_id"))
 
+    # bloom_gate (round 4): the same batch-vs-lake exact dedup as the
+    # oracle-backed q64, but through the Bloom pre-gate + fingerprint-table
+    # path — the lake is scanned, never shuffled (plan assertions in
+    # tests/test_bloom.py; result identity with the plain path is tested
+    # there too, so one summary row suffices here)
+    from .functions.hashing import content_fingerprint
+    from .operators.bloom import fit_bloom_filter
+    from .operators.dedup import incremental_exact_dedup
+    seen_fp_tab = seen.select(
+        content_fingerprint(tokens(F.col("text"))).alias("fp")
+    )
+    bloom = fit_bloom_filter(seen_fp_tab, "fp", expected_items=1000)
+    bg = incremental_exact_dedup(
+        new, seen_fp_tab, seen_bloom=bloom, seen_fp_col="fp"
+    )
+    leg_bg = _suite_row(bg, "bloom_gate", F.sum("doc_id"), F.max("doc_id"))
+
     a = docs.select("doc_id", F.col("text").alias("t1"))
     b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t2"))
     sup = a.join(b, "doc_id").select(
@@ -2748,7 +2768,8 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         leg_bits.unionByName(leg_pairs).unionByName(leg_edd)
         .unionByName(leg_sdc)
-        .unionByName(leg_ndb).unionByName(leg_inc).unionByName(leg_ld)
+        .unionByName(leg_ndb).unionByName(leg_inc).unionByName(leg_bg)
+        .unionByName(leg_ld)
         .unionByName(leg_cur).unionByName(leg_lss).unionByName(leg_sk)
     )
 
