@@ -45,6 +45,7 @@ __all__ = [
     "train_unigram",
     "unigram_encode",
     "unigram_segment_word",
+    "tokenizer_report",
     "UNK_TOKEN",
     "END_OF_WORD",
 ]
@@ -501,6 +502,62 @@ def unigram_encode(
         _encode(tokens(F.col(text_col))).alias("pieces"),
     )
     return enc.withColumn("n_tokens", F.size("pieces"))
+
+
+def tokenizer_report(
+    encoded: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: "str | None" = "source",
+) -> DataFrame:
+    """Evaluate a tokenization (any ``*_encode`` output) the way tokenizer
+    choices are actually compared: per-group fertility and compression::
+
+        group, n_docs, n_words, n_subwords,
+        fertility       (subword tokens per whitespace word — lower is
+                         better; 1.0 = every word is one piece),
+        chars_per_token (text chars per subword — higher = better
+                         compression of the byte budget),
+        unk_frac        (fraction of subwords that are [UNK]; NULL when the
+                         encoding has no n_unk column, e.g. BPE/unigram,
+                         which are total by construction)
+
+    ``encoded`` needs ``(doc_id, n_tokens)`` (+ optional ``n_unk``) — the
+    shape every encoder here emits. Plan: id-keyed join of two slim
+    per-doc tables -> one group agg; text stays in its scan projection.
+    ``group_col=None`` reports a single ``<all>`` row."""
+    # NULL text counts as an empty doc in both facets (sketch_corpus stance)
+    t = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    doc_side = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.lit("<all>") if group_col is None else F.col(group_col).cast("string")).alias("grp"),
+        F.size(t).alias("_words"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_chars"),
+    )
+    enc_cols = ["doc_id", F.col("n_tokens").alias("_subwords")]
+    has_unk = "n_unk" in encoded.columns
+    if has_unk:
+        enc_cols.append(F.col("n_unk").alias("_unk"))
+    enc_side = encoded.select(*enc_cols)
+    j = doc_side.join(enc_side, "doc_id")
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("_words").alias("n_words"),
+        F.sum("_subwords").alias("n_subwords"),
+        (F.sum("_subwords").cast("double")
+         / F.nullif(F.sum("_words"), F.lit(0)).cast("double")).alias("fertility"),
+        (F.sum("_chars").cast("double")
+         / F.nullif(F.sum("_subwords"), F.lit(0)).cast("double")).alias("chars_per_token"),
+    ]
+    if has_unk:
+        aggs.append(
+            (F.sum("_unk").cast("double")
+             / F.nullif(F.sum("_subwords"), F.lit(0)).cast("double")).alias("unk_frac")
+        )
+    else:
+        aggs.append(F.lit(None).cast("double").alias("unk_frac"))
+    return j.groupBy("grp").agg(*aggs)
 
 
 def bpe_decode(pieces):

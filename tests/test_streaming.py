@@ -513,3 +513,41 @@ def test_corpus_sketch_stream_path_sink_replay_idempotent(spark, tmp_path):
     ).collect()
     full = estimate_corpus_sketches(sketch_corpus(docs)).collect()
     assert sorted(map(tuple, merged)) == sorted(map(tuple, full))
+
+
+def test_lm_score_on_stream_matches_batch(spark, tmp_path):
+    """lm_score is stateless given a trained model (broadcast joins + one
+    agg), so it composes with Structured Streaming directly: scoring a
+    file-source stream must equal the batch twin row-for-row."""
+    from pyspark_minhash_lsh_spark.operators.lm import lm_score, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i % 7} jumps") for i in range(40)]
+        + [(100, "zz qq unseen words")],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "lmsrc")
+    docs.write.mode("overwrite").parquet(src)
+    model = train_bigram_lm(spark.read.parquet(src))
+
+    batch = {
+        r.doc_id: r for r in lm_score(spark.read.parquet(src), model).collect()
+    }
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    # complete mode: the doc-keyed agg is the stateful sink
+    q = (
+        lm_score(stream, model)
+        .writeStream.format("memory").queryName("lmstream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.table("lmstream").collect()}
+    assert set(got) == set(batch)
+    for k in batch:
+        assert got[k].n_bigrams == batch[k].n_bigrams
+        if batch[k].sum_logprob is None:
+            assert got[k].sum_logprob is None
+        else:
+            assert got[k].sum_logprob == pytest.approx(
+                batch[k].sum_logprob, abs=1e-9
+            )

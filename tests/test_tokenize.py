@@ -371,3 +371,42 @@ def test_train_unigram_vocab_below_singles_floor(spark):
     v = train_unigram(ref, vocab_size=5, min_word_freq=1)
     # every single symbol survives (j</w>, t</w>, z</w> variants included)
     assert len(v) >= 26
+
+
+def test_tokenizer_report_known_values(spark):
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        tokenizer_report,
+        unigram_encode,
+        wordpiece_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb", "s1"),      # 2 words, 5 chars
+            (1, "aa", "s1"),         # 1 word, 2 chars
+            (2, "cc dd ee", "s2"),   # 3 words, 8 chars
+            (3, None, "s2"),         # empty doc
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    # WordPiece vocab covering aa/bb wholly, cc by chars; dd/ee -> [UNK]
+    vocab = {"aa": 0, "bb": 1, "c": 2, "##c": 3, "[UNK]": 4}
+    enc = wordpiece_encode(docs, vocab)
+    rep = {r.grp: r for r in tokenizer_report(enc, docs).collect()}
+    # s1: 3 words -> 3 pieces (aa, bb, aa): fertility 1.0, 7 chars / 3
+    assert rep["s1"].n_words == 3 and rep["s1"].n_subwords == 3
+    assert rep["s1"].fertility == pytest.approx(1.0)
+    assert rep["s1"].chars_per_token == pytest.approx(7 / 3)
+    assert rep["s1"].unk_frac == pytest.approx(0.0)
+    # s2: cc -> (c, ##c), dd -> UNK, ee -> UNK = 4 subwords, 2 unk
+    assert rep["s2"].n_words == 3 and rep["s2"].n_subwords == 4
+    assert rep["s2"].unk_frac == pytest.approx(0.5)
+    assert rep["s2"].n_docs == 2  # the NULL doc is counted, contributes 0
+
+    # total encoders (no n_unk column) -> unk_frac NULL; <all> grouping
+    v = {"a": -1.0, "aa</w>": -0.5}
+    enc2 = unigram_encode(docs.select("doc_id", "text"), v)
+    rep2 = {r.grp: r for r in tokenizer_report(enc2, docs, group_col=None).collect()}
+    assert list(rep2) == ["<all>"]
+    assert rep2["<all>"].unk_frac is None
+    assert rep2["<all>"].n_words == 6
