@@ -1472,9 +1472,12 @@ def _doc_quality_oracle() -> str:
             LEFT JOIN luni u1 ON u1.w = d.w1
             LEFT JOIN luni u2 ON u2.w = d.w2
             CROSS JOIN ltot),
+    -- per-TRANSITION scaled int, then exact integer SUM: a double SUM's
+    -- partial-combine order differs between engines (the q78/r03 hash
+    -- hazard); this form is order-independent by construction
     lm AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
-                  CAST(FLOOR((SUM(logp) / COUNT(logp)) * 10000.0 + 0.5) AS BIGINT)
-                    AS lm_logprob
+                  CAST(SUM(CAST(FLOOR(logp * 1000000.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS lm_logprob
            FROM dsc GROUP BY doc_id)
     SELECT d.doc_id, d.source,
            bpe.bpe_tokens,
@@ -1520,10 +1523,12 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm_model = train_bigram_lm(
         docs.filter(F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
     )
-    lm = lm_score(docs, lm_model).select(
+    lm = lm_score(docs, lm_model, scaled_digits=6).select(
         "doc_id",
         "n_bigrams",
-        _sint(F.col("avg_logprob"), 4).alias("lm_logprob"),
+        # exact integer sum of per-transition scaled logprobs — no float
+        # aggregate reaches the driver's hash surface
+        F.col("sum_logprob_sint").alias("lm_logprob"),
     )
     t = tokens(F.col("text"))
     uniq = F.when(

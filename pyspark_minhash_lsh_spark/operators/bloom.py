@@ -49,29 +49,46 @@ class BloomFilter(NamedTuple):
     k: int
     seed: int
 
-    def _positions(self, col: Column) -> "list[Column]":
+    def _positions(self, col: Column) -> Column:
+        """array<bigint> of the k probe positions. Built as a transform
+        over sequence(0, k-1) so the base hashes (and through them the
+        input expression — often a full fingerprint computation) appear
+        ONCE each in the plan, not once per probe."""
         m = F.lit(int(self.n_bits))
         h1 = F.pmod(F.xxhash64(F.lit(int(self.seed)), col), m)
         # stride in [1, m-1]: never 0, so the k probes are distinct mod m
         h2 = F.pmod(F.xxhash64(F.lit(int(self.seed) + 1), col), m - 1) + 1
-        return [F.pmod(h1 + F.lit(i) * h2, m) for i in range(int(self.k))]
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(int(self.k) - 1)),
+            lambda i: F.pmod(h1 + i * h2, m),
+        )
 
     def contains(self, col: Column) -> Column:
         """Boolean Column: may ``col`` be in the built set? False is a
         PROOF of absence; True is wrong with probability ~fpp. Pure
-        codegen projection (k byte lookups in the binary literal)."""
+        codegen projection: ONE bitset literal probed at k byte offsets
+        inside a forall lambda (the literal and the input expression each
+        appear once in the plan, however many probes run)."""
+        if len(self.data) * 8 != int(self.n_bits):
+            # a substr past the end would read as NULL and silently drop
+            # rows from BOTH branches of a bloom-gated dedup — fail loudly
+            raise ValueError(
+                f"corrupt bloom bitset: {len(self.data)} bytes for "
+                f"{self.n_bits} bits (expected {self.n_bits // 8})"
+            )
         blob = F.lit(self.data)
-        out = F.lit(True)
-        for pos in self._positions(col):
+
+        def _bit(pos: Column) -> Column:
             byte = F.conv(
                 F.hex(blob.substr((pos / 8).cast("int") + 1, F.lit(1))), 16, 10
             ).cast("int")
             bit = F.pmod(pos, F.lit(8)).cast("int")
-            out = out & (
+            return (
                 F.call_function("shiftright", byte, bit).bitwiseAND(F.lit(1))
                 == 1
             )
-        return out
+
+        return F.forall(self._positions(col), _bit)
 
     def save(self, path: str) -> None:
         """Write the bitset + params sidecar (the SrpLsh/IvfFlat artifact
@@ -89,6 +106,13 @@ class BloomFilter(NamedTuple):
             n_bits, k, seed = (int(x) for x in f.read().split())
         with open(os.path.join(path, "bloom.bin"), "rb") as f:
             data = f.read()
+        if len(data) * 8 != n_bits:
+            # truncated/partial artifact (interrupted copy): probing it
+            # would silently misroute rows — refuse at load time
+            raise ValueError(
+                f"corrupt bloom artifact at {path}: {len(data)} bytes for "
+                f"{n_bits} bits (expected {n_bits // 8})"
+            )
         return cls(data, n_bits, k, seed)
 
 
@@ -107,29 +131,38 @@ def fit_bloom_filter(
     it never causes false negatives). ``max_bits`` caps the driver-side
     artifact (2^30 bits = 128 MB) independently of what the caller asks
     for. The build is corpus-scale-safe: one explode(k) projection + one
-    byte-keyed ``bit_or`` hash aggregate; only <= ``n_bits/8`` (byte_idx,
-    byte) rows are ever collected."""
+    WORD-keyed ``bit_or`` hash aggregate; at most ``n_bits/64``
+    (word_idx, word) rows reach the driver, Arrow-batched — ~2x the
+    artifact's own bytes (an optimally-sized bloom has ~half its bits
+    set, so nearly every 64-bit word is non-zero; a byte-keyed collect of
+    Python Row objects would cost ~50x the artifact)."""
+    import numpy as np
+
     n = max(1, int(expected_items))
     p = min(max(float(fpp), 1e-9), 0.5)
     m = int(math.ceil(-n * math.log(p) / (math.log(2) ** 2)))
     m = max(64, min(int(max_bits), m))
-    m = (m + 7) // 8 * 8
+    m = (m + 63) // 64 * 64
     k = max(1, round(m / n * math.log(2)))
 
     proto = BloomFilter(b"", m, k, int(seed))
-    c = F.col(col)
-    pos = F.explode(F.array(*proto._positions(c))).alias("pos")
-    rows = (
+    pos = F.explode(proto._positions(F.col(col))).alias("pos")
+    pdf = (
         df.select(pos)
         .select(
-            (F.col("pos") / 8).cast("long").alias("byte_idx"),
-            F.pmod(F.col("pos"), F.lit(8)).cast("int").alias("bit"),
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("bit"),
         )
-        .groupBy("byte_idx")
-        .agg(F.bit_or(F.expr("shiftleft(1, bit)")).alias("byte"))
-        .collect()
+        .groupBy("word_idx")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("word"))
+        .toPandas()
     )
-    data = bytearray(m // 8)
-    for r in rows:
-        data[int(r.byte_idx)] = int(r.byte) & 0xFF
-    return BloomFilter(bytes(data), m, k, int(seed))
+    words = np.zeros(m // 64, dtype=np.uint64)
+    if len(pdf):
+        words[pdf["word_idx"].to_numpy(dtype=np.int64)] = (
+            pdf["word"].to_numpy(dtype=np.int64).view(np.uint64)
+        )
+    # little-endian word bytes: byte j of word w covers bits 64w+8j..+7,
+    # exactly the pos -> (pos//8, pos%8) layout contains() probes
+    data = words.astype("<u8").tobytes()
+    return BloomFilter(data, m, k, int(seed))

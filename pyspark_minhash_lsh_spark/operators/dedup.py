@@ -557,6 +557,11 @@ def simhash_dedup(
     return _label_output(df, comp, id_col, score_col)
 
 
+#: slim (_fp-materialized) batch pinned by the PREVIOUS bloom-gated call,
+#: released (non-blocking) on the next — the curate/setjoin._PINNED lifecycle
+_BLOOM_PINNED: "list[DataFrame]" = []
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     seen_docs: DataFrame,
@@ -601,8 +606,23 @@ def incremental_exact_dedup(
     seen_fp = seen_docs.select(seen_key.alias("_fp")).dropDuplicates(["_fp"])
     if seen_bloom is None:
         return batch.join(seen_fp, "_fp", "left_anti").drop("_fp", "_rn")
-    maybe = batch.filter(seen_bloom.contains(F.col("_fp")))
-    fresh = batch.filter(~seen_bloom.contains(F.col("_fp")))
+    # persist the deduped batch before probing: a filter on _fp would
+    # otherwise be pushed below the projection, substituting the full
+    # tokenize+fingerprint expression into the probe's base hashes and
+    # re-deriving it for every row of BOTH branches; the cache (slim,
+    # batch-bounded — the bloom path's documented regime) materializes
+    # _fp once and the probes become byte lookups over a stored column.
+    # Previous call's pin released lazily (the curate/setjoin lifecycle).
+    while _BLOOM_PINNED:
+        try:
+            _BLOOM_PINNED.pop().unpersist(blocking=False)
+        except Exception:  # previous session already stopped
+            pass
+    batch = batch.persist()
+    _BLOOM_PINNED.append(batch)
+    probe = seen_bloom.contains(F.col("_fp"))
+    maybe = batch.filter(probe)
+    fresh = batch.filter(~probe)
     # the broadcast encodes the bloom path's contract: the maybe-seen key
     # set is batch-bounded (and typically ~fpp x batch) — the lake side
     # streams through the semi join without an Exchange

@@ -44,6 +44,11 @@ from ..functions.text import tokens
 
 __all__ = ["BigramLm", "train_bigram_lm", "lm_score"]
 
+#: word-count table pinned by the PREVIOUS train call (the model's uni/bi
+#: tables read it), released non-blocking on the next — the
+#: curate/setjoin._PINNED lifecycle
+_PINNED: "list[DataFrame]" = []
+
 
 class BigramLm(NamedTuple):
     """A trained stupid-backoff bigram model: two BOUNDED count tables
@@ -78,12 +83,22 @@ def train_bigram_lm(
     (so a bigram hit always has a well-defined prefix count). Both trims
     order by (count desc, word asc) — a deterministic cut even on count
     ties. ``total_tokens`` is the untrimmed token count (the unigram
-    backoff normalizer), the one driver-side scalar."""
+    backoff normalizer), derived by re-aggregating the persisted
+    word-count table (vocabulary-sized by Heaps' law) — the reference
+    corpus itself is scanned exactly TWICE (unigram counts, bigram
+    counts), never a third time for the total."""
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist(blocking=False)
+        except Exception:  # previous session already stopped
+            pass
     t = tokens(F.col(text_col))
     toks = reference.select(F.explode(t).alias("w"))
-    total = toks.count()
+    word_counts = toks.groupBy("w").agg(F.count("*").alias("c")).persist()
+    _PINNED.append(word_counts)
+    total = word_counts.agg(F.sum("c")).head()[0] or 0
     uni = (
-        toks.groupBy("w").agg(F.count("*").alias("c"))
+        word_counts
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(int(top_unigrams))
     )
@@ -106,12 +121,20 @@ def lm_score(
     model: BigramLm,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scaled_digits: "int | None" = None,
 ) -> DataFrame:
     """Score documents under the model: returns
     ``(doc_id, n_bigrams, sum_logprob, avg_logprob)`` where the log
     probabilities are base-10 stupid-backoff transition scores
     (CCNet ranks by the equivalent perplexity = 10^-avg_logprob; docs
     with no transitions — empty or single-token — get NULL scores).
+
+    ``scaled_digits`` adds a ``sum_logprob_sint`` column: each
+    TRANSITION's logprob rounded to a scaled BIGINT before summing, so
+    the per-doc total is an exact integer independent of float summation
+    order — the engine-comparable form (a double SUM's partial-combine
+    order differs between engines/runs, a hash-divergence hazard; see
+    PLANS.md "de-float the oracle hash surface").
 
     Plan: zip-shifted transition projection -> explode_outer (keeps
     0-transition docs) -> broadcast joins against the bounded model ->
@@ -154,8 +177,16 @@ def lm_score(
     )
     # n_bigrams counts TRANSITIONS (well-defined even with an empty model);
     # the score divisions stay NULL-safe: count(logp)=0 implies sum is NULL
-    return scored.groupBy("doc_id").agg(
+    aggs = [
         F.count("tw").cast("int").alias("n_bigrams"),
         F.sum("logp").alias("sum_logprob"),
         (F.sum("logp") / F.count("logp")).alias("avg_logprob"),
-    )
+    ]
+    if scaled_digits is not None:
+        scale = F.lit(float(10 ** int(scaled_digits)))
+        aggs.append(
+            F.sum(
+                F.floor(F.col("logp") * scale + F.lit(0.5)).cast("bigint")
+            ).alias("sum_logprob_sint")
+        )
+    return scored.groupBy("doc_id").agg(*aggs)

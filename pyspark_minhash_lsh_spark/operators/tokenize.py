@@ -472,20 +472,35 @@ def train_unigram(
     return {p: math.log10(c / total) for p, c in sorted(counts.items())}
 
 
+def _piece_symbol_len(piece: str) -> int:
+    """Length of a piece in SYMBOLS (the marker fuses onto the final
+    character, so ``ab</w>`` is two symbols)."""
+    if piece.endswith(END_OF_WORD):
+        return max(1, len(piece) - len(END_OF_WORD))
+    return len(piece)
+
+
 def unigram_encode(
     df: DataFrame,
     log_probs: "Mapping[str, float]",
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_piece_len: int = 8,
+    max_piece_len: "int | None" = None,
 ) -> DataFrame:
     """Encode documents with a trained unigram-LM vocabulary: returns
     ``(doc_id, pieces array<string>, n_tokens)`` — the same scale shape as
     ``bpe_encode`` (constant-size vocab in the Arrow UDF closure,
-    zero-shuffle projection) and the same decode (``bpe_decode``)."""
+    zero-shuffle projection) and the same decode (``bpe_decode``).
+
+    ``max_piece_len`` defaults to the LONGEST piece in the vocabulary, so
+    a model trained with a wider window than the old default can never
+    silently lose its long pieces to a too-narrow Viterbi window."""
     vocab = dict(log_probs)
     floor = (min(vocab.values()) if vocab else 0.0) - 10.0
-    mpl = int(max_piece_len)
+    if max_piece_len is None:
+        mpl = max((_piece_symbol_len(p) for p in vocab), default=1)
+    else:
+        mpl = int(max_piece_len)
 
     @F.pandas_udf("array<string>")
     def _encode(words: pd.Series) -> pd.Series:

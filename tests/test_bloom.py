@@ -150,3 +150,21 @@ def test_incremental_dedup_seen_fp_col(spark):
         ).collect()
     )
     assert via_table == base and via_both == base
+
+
+def test_corrupt_bitset_fails_loudly(spark, built, tmp_path):
+    """Review fix (round 4): a truncated bitset previously made contains()
+    read NULL past the end — rows dropped from BOTH dedup branches with no
+    error. Probing or loading a wrong-length artifact now raises."""
+    import os
+
+    _, bf = built
+    bad = BloomFilter(bf.data[: len(bf.data) // 2], bf.n_bits, bf.k, bf.seed)
+    with pytest.raises(ValueError, match="corrupt"):
+        bad.contains(F.lit(1))
+    d = str(tmp_path / "bloom")
+    bf.save(d)
+    with open(os.path.join(d, "bloom.bin"), "wb") as f:
+        f.write(bf.data[: len(bf.data) // 2])
+    with pytest.raises(ValueError, match="corrupt"):
+        BloomFilter.load(d)

@@ -410,3 +410,23 @@ def test_tokenizer_report_known_values(spark):
     assert list(rep2) == ["<all>"]
     assert rep2["<all>"].unk_frac is None
     assert rep2["<all>"].n_words == 6
+
+
+def test_unigram_encode_derives_window_from_vocab(spark):
+    """Review fix (round 4): a model trained with a wider max_piece_len
+    than the encoder's old fixed default must still use its long pieces —
+    the Viterbi window now defaults to the longest vocab piece."""
+    import pyspark.sql.functions as F
+
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    rows = [(i, "extraordinarily common phrase") for i in range(25)]
+    ref = spark.createDataFrame(rows, "doc_id bigint, text string")
+    v = train_unigram(ref, vocab_size=200, min_word_freq=1, max_piece_len=20)
+    assert "extraordinarily</w>" in v  # a 15-symbol piece was learned
+    enc = unigram_encode(ref.limit(1), v)
+    pieces = enc.select(F.explode("pieces").alias("p")).collect()
+    assert any(r.p == "extraordinarily</w>" for r in pieces)
