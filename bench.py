@@ -182,6 +182,26 @@ def _probe_line_dedup(spark, sf_dir: str):
     return line_dedup(docs.select("doc_id", "text"))
 
 
+def _probe_ivf_pq(spark, sf_dir: str):
+    """IVF-PQ serving-path probe (round 4): coarse-quantizer fit (bounded
+    sample), full-corpus PQ encode (the linear stage under test), then a
+    cell-pruned ADC top-10. Output is fixed-size, so the timing tracks the
+    encode+scan work, which must scale linearly with the corpus."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+    from pyspark_minhash_lsh_spark.operators.pq import IvfPqIndex, fit_pq
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    ivf = IvfFlat(n_cells=16, seed=1).fit(emb, persist=False)
+    pqm = fit_pq(emb, m=8, k=16, sample_rows=50_000)
+    idx = IvfPqIndex.from_models(ivf, pqm)
+    return idx.topk(qvec, k=10, n_probe=4)
+
+
 def _probe_lm(spark, sf_dir: str):
     """Bigram-LM fluency scoring probe (round 4): train on a fixed-fraction
     reference slice (so the model-count aggs scale with the corpus), then
@@ -206,6 +226,7 @@ EXTRA_SCALE = {
     "curate": _probe_curate,
     "line_dedup": _probe_line_dedup,
     "lm_score": _probe_lm,
+    "ivf_pq": _probe_ivf_pq,
 }
 
 
@@ -249,9 +270,35 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
             big = big.unionByName(r)
         big.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
 
-        # 420s default: the round-4 probe list is 10 entries (dsir / curate
-        # / line_dedup / lm_score added) and 1x bases are best-of-3 too; the
-        # guard below hard-stops overruns (skipped probes report null)
+        # embeddings replicate too (for the fixed-output ANN probes: work
+        # scales with the corpus, the top-k result does not). A small
+        # per-replica offset on dim 0 keeps replicas from being byte-equal;
+        # cross-replica vectors stay NEAR-identical, which is fine for
+        # top-k timing probes but would distort pair-dedup probes — none of
+        # the embedding-dedup ops are probed against this table.
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        vstride = emb.agg(F.max("vec_id")).head()[0] + 1
+        ereps = [
+            emb.select(
+                (F.col("vec_id") + F.lit(i * vstride)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: (x + F.when(j == 0, F.lit(float(i)) * 1e-4)
+                                  .otherwise(F.lit(0.0))).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+            for i in range(factor)
+        ]
+        ebig = ereps[0]
+        for r in ereps[1:]:
+            ebig = ebig.unionByName(r)
+        ebig.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+
+        # 420s default: the round-4 probe list is 11 entries (dsir / curate
+        # / line_dedup / lm_score / ivf_pq added) and 1x bases are
+        # best-of-3 too; the guard below hard-stops overruns (skipped
+        # probes report null)
         budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "420"))
         started = time.perf_counter()
         out: dict[str, dict[str, float]] = {}
