@@ -2633,9 +2633,13 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eleven dedup/curation operators end-to-end, one summary row each —
+    """Twelve dedup/curation operators end-to-end, one summary row each —
     rows-only (all are signature/hash dependent; see the suite-curation
-    note above). Legs (folding round-2's q34, q39, q50, q51, q65):
+    note above). Legs (folding round-2's q34, q39, q50, q51, q65, and —
+    round 4 — q38's clustering, whose driver slot moved to the q79
+    tokenize suite; q38 itself stays registered for the bench scale probe):
+      - minhash_dedup: MinHash-LSH near-dup clustering with
+        pointer-doubling connected components (the former q38 row);
       - simhash_bits: relational SimHash fingerprints (bit-sum facets);
       - simhash_pairs: Manku block-combination banded pairs, hamming <= 3;
       - embedding_dedup: SRP candidates -> exact cosine -> components;
@@ -2675,6 +2679,7 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import (
         embedding_dedup,
         incremental_near_dedup,
+        minhash_dedup,
         semantic_dedup_cells,
         simhash_near_pairs,
     )
@@ -2682,6 +2687,13 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.pipelines import streaming_near_dedup
 
     docs = _t(spark, sf_dir, "documents")
+    md = minhash_dedup(docs, threshold=0.8)
+    leg_md = _suite_row(
+        md, "minhash_dedup",
+        F.sum(F.col("is_representative").cast("bigint")),
+        F.countDistinct("component"),
+    )
+
     bits = simhash_bits_df(docs, tokens(F.col("text"))).select(
         "doc_id",
         F.aggregate("bits", F.lit(0), lambda a, b: a + b).alias("bits_set"),
@@ -2771,7 +2783,8 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        leg_bits.unionByName(leg_pairs).unionByName(leg_edd)
+        leg_md.unionByName(leg_bits).unionByName(leg_pairs)
+        .unionByName(leg_edd)
         .unionByName(leg_sdc)
         .unionByName(leg_ndb).unionByName(leg_inc).unionByName(leg_bg)
         .unionByName(leg_ld)
@@ -2959,6 +2972,79 @@ def q76_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q79_tokenize_suite")
+def q79_tokenize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization + text-quality signals end-to-end, one summary
+    row each — rows-only (imperative segmentation / zlib are not
+    SQL-expressible; value-level checks live in tests/test_tokenize.py and
+    tests/test_textpipe.py). Round 4: takes q38's driver slot (its
+    clustering moved into q74's minhash_dedup leg; q38 stays registered
+    for the bench scale probe — the q30/_BENCH_ONLY precedent). Legs:
+      - wordpiece: BERT greedy segmentation over a corpus-derived vocab
+        (top-500 tokens + char + ##char pieces) — token/UNK facets;
+      - bpe_round_trip: train_bpe(300 merges) -> encode -> native decode,
+        counting exact round-trips against the normalized text (must be
+        ALL docs — encode is total);
+      - unigram_round_trip: train_unigram (Viterbi-EM) -> encode -> same
+        decode identity;
+      - tokenizer_report: per-source fertility/compression table over the
+        unigram encoding;
+      - compression_ratio: per-doc zlib redundancy signal (corpus facets).
+    All deterministic: count-ordered trims and seeded content only."""
+    from .operators.textpipe import compression_ratio
+    from .operators.tokenize import (
+        bpe_decode,
+        bpe_encode,
+        tokenizer_report,
+        train_bpe,
+        train_unigram,
+        unigram_encode,
+        wordpiece_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    norm = F.array_join(tokens(F.col("text")), " ")
+
+    top = [
+        r.w
+        for r in base.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w")).limit(500).collect()
+    ]
+    chars = sorted({c for w in top for c in w})
+    vocab = top + chars + ["##" + c for c in chars]
+    wp = wordpiece_encode(base, vocab)
+    leg_wp = _suite_row(wp, "wordpiece", F.sum("n_tokens"), F.sum("n_unk"))
+
+    merges = train_bpe(base, num_merges=300)
+    bp = bpe_encode(base, merges)
+    brt = bp.join(base, "doc_id").select(
+        (bpe_decode(F.col("pieces")) == norm).cast("bigint").alias("ok")
+    )
+    leg_bpe = _suite_row(brt, "bpe_round_trip", F.sum("ok"), F.avg("ok"))
+
+    uv = train_unigram(base, vocab_size=2000, min_word_freq=1)
+    un = unigram_encode(base, uv)
+    urt = un.join(base, "doc_id").select(
+        "n_tokens",
+        (bpe_decode(F.col("pieces")) == norm).cast("bigint").alias("ok"),
+    )
+    leg_uni = _suite_row(urt, "unigram_round_trip", F.sum("ok"), F.sum("n_tokens"))
+
+    rep = tokenizer_report(un, docs)
+    leg_rep = _suite_row(rep, "tokenizer_report", F.sum("n_subwords"), F.avg("fertility"))
+
+    cr = compression_ratio(base)
+    leg_cr = _suite_row(
+        cr, "compression_ratio", F.sum("n_compressed"), F.avg("compress_ratio")
+    )
+    return (
+        leg_wp.unionByName(leg_bpe).unionByName(leg_uni)
+        .unionByName(leg_rep).unionByName(leg_cr)
+    )
+
+
 # =====================================================================================
 # Curated driver-facing order (round 3).
 #
@@ -3028,17 +3114,19 @@ _CURATED_ORDER = [
     # -- block 3: rows-only (hash-dependent) + suites ------------------------------
     "q32_ann_query",
     "q33_similarity_join",
-    "q38_minhash_dedup",
     "q74_dedup_suite",
     "q75_ann_index_suite",
     "q76_multimodal_suite",
+    "q79_tokenize_suite",
 ]
 
-#: Registered and benched (bench.py HEADLINE) but NOT in the driver's 50-row
-#: correctness budget: q30's signature math is driver-exercised through
-#: q32/q33/q38/q75, and its permutation family is now ORACLE-checked via the
-#: md5-family twin q77 — the stronger check replaces the rows-only row.
-_BENCH_ONLY = ["q30_minhash_signatures"]
+#: Registered and benched (bench.py HEADLINE / SCALE_QUERIES) but NOT in the
+#: driver's 50-row correctness budget: q30's signature math is
+#: driver-exercised through q32/q33/q75, and its permutation family is
+#: ORACLE-checked via the md5-family twin q77; q38's clustering (round 4)
+#: is driver-exercised through q74's minhash_dedup leg — each stronger or
+#: equal check replaces the standalone rows-only row, freeing the slot.
+_BENCH_ONLY = ["q30_minhash_signatures", "q38_minhash_dedup"]
 
 assert sorted(_CURATED_ORDER + _BENCH_ONLY) == sorted(QUERIES), (
     "curated order out of sync with registrations: "
