@@ -24,6 +24,11 @@ PROVABLY absent and can skip the exact check entirely; only the
 authoritative anti-join, whose lake side is then semi-join-pruned to just
 those keys. Sizing: m = -n ln(fpp)/ln(2)^2 bits, k = (m/n) ln 2 — 10M
 items at 1% fpp is ~12 MB and k=7.
+
+Reference parity: the reference engine has no incremental or lake-scale
+surface at all (its corpus is a single in-memory text file,
+minhash_pyspark.py:449-477) — this is north-star infrastructure for the
+ingest-daily-against-100TB regime.
 """
 
 from __future__ import annotations
