@@ -168,3 +168,22 @@ def test_corrupt_bitset_fails_loudly(spark, built, tmp_path):
         f.write(bf.data[: len(bf.data) // 2])
     with pytest.raises(ValueError, match="corrupt"):
         BloomFilter.load(d)
+
+
+def test_randomized_membership_property(spark):
+    """Property fuzz: for random value sets, EVERY inserted value probes
+    True (no false negatives, the filter's contract) and the realized
+    false-positive rate stays within a loose multiple of the target."""
+    import random
+
+    rng = random.Random(31)
+    for trial in range(3):
+        vals = sorted({rng.randint(-2**62, 2**62) for _ in range(2000)})
+        df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+        bf = fit_bloom_filter(df, "v", expected_items=2000, fpp=0.02)
+        assert df.filter(~bf.contains(F.col("v"))).count() == 0, trial
+        probe_vals = sorted({rng.randint(-2**62, 2**62) for _ in range(4000)}
+                            - set(vals))
+        probe = spark.createDataFrame([(v,) for v in probe_vals], "v bigint")
+        fp = probe.filter(bf.contains(F.col("v"))).count()
+        assert fp / len(probe_vals) < 0.10, (trial, fp)

@@ -114,3 +114,72 @@ def test_empty_reference_model_scores_null(spark):
     out = {r.doc_id: r for r in lm_score(docs, m).collect()}
     assert out[0].n_bigrams == 3 and out[0].sum_logprob is None
     assert out[1].n_bigrams == 0 and out[1].avg_logprob is None
+
+
+def test_randomized_pure_python_parity(spark):
+    """Fuzz the whole train+score path against an independent pure-Python
+    implementation (the BPE naive-vs-incremental precedent): random small
+    corpora, exact count tables, logprob agreement to 1e-9."""
+    import math
+    import random
+    import re
+
+    def py_tokens(text):
+        cleaned = re.sub(r"[^\w\s]", " ", text or "")
+        return [t for t in re.sub(r"\s+", " ", cleaned).lower().strip().split(" ") if t]
+
+    rng = random.Random(23)
+    words = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        ref_rows = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 9))))
+            for i in range(25)
+        ]
+        doc_rows = [
+            (100 + i, " ".join(rng.choice(words + ["zz"]) for _ in range(rng.randint(0, 6))))
+            for i in range(15)
+        ]
+        ref = spark.createDataFrame(ref_rows, "doc_id bigint, text string")
+        docs = spark.createDataFrame(doc_rows, "doc_id bigint, text string")
+        top_u, max_b, alpha = 8, 20, 0.4
+        m = train_bigram_lm(ref, top_unigrams=top_u, max_bigrams=max_b, alpha=alpha)
+
+        # pure-Python twin
+        uni, bi, total = {}, {}, 0
+        for _, t in ref_rows:
+            ts = py_tokens(t)
+            total += len(ts)
+            for w in ts:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ts, ts[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        keep_u = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:top_u])
+        keep_b = dict(
+            sorted(
+                ((p, c) for p, c in bi.items()
+                 if p[0] in keep_u and p[1] in keep_u),
+                key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+            )[:max_b]
+        )
+        assert m.total_tokens == total, trial
+        assert {r.w: r.c for r in m.unigrams.collect()} == keep_u, trial
+        assert {(r.w1, r.w2): r.c for r in m.bigrams.collect()} == keep_b, trial
+
+        got = {r.doc_id: r for r in lm_score(docs, m).collect()}
+        for did, t in doc_rows:
+            ts = py_tokens(t)
+            exp = 0.0
+            n = max(0, len(ts) - 1)
+            for a, b in zip(ts, ts[1:]):
+                if (a, b) in keep_b:
+                    exp += math.log10(keep_b[(a, b)] / keep_u[a])
+                elif b in keep_u:
+                    exp += math.log10(alpha * (keep_u[b] / total))
+                else:
+                    exp += math.log10(alpha * (1.0 / total))
+            assert got[did].n_bigrams == n, (trial, did)
+            if n == 0:
+                assert got[did].sum_logprob is None
+            else:
+                assert got[did].sum_logprob == pytest.approx(exp, abs=1e-9), (
+                    trial, did)

@@ -430,3 +430,51 @@ def test_unigram_encode_derives_window_from_vocab(spark):
     enc = unigram_encode(ref.limit(1), v)
     pieces = enc.select(F.explode("pieces").alias("p")).collect()
     assert any(r.p == "extraordinarily</w>" for r in pieces)
+
+
+def test_unigram_random_round_trip_property(spark):
+    """Property fuzz: ANY text round-trips through unigram encode+decode to
+    its normalized form, whatever vocabulary was learned (single symbols
+    are mandatory and OOV symbols emit themselves)."""
+    import random
+    import re
+
+    import pyspark.sql.functions as F
+
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        bpe_decode,
+        train_unigram,
+        unigram_encode,
+    )
+
+    def py_norm(text):
+        cleaned = re.sub(r"[^\w\s]", " ", text or "")
+        return " ".join(
+            t for t in re.sub(r"\s+", " ", cleaned).lower().strip().split(" ") if t
+        )
+
+    rng = random.Random(41)
+    alphabet = "abcdef"
+    ref_rows = [
+        (i, " ".join("".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10)))
+                     for _ in range(rng.randint(1, 8))))
+        for i in range(40)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id bigint, text string")
+    v = train_unigram(ref, vocab_size=300, min_word_freq=1)
+    # probe docs: mix of in-distribution, OOV chars, punctuation, empties
+    probe_rows = [
+        (0, "abc xyz!! 123"),
+        (1, ""),
+        (2, None),
+        (3, "  multiple   spaces  and CAPS  "),
+    ] + [(10 + i, t) for i, (_, t) in enumerate(ref_rows[:10])]
+    probe = spark.createDataFrame(probe_rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r.txt
+        for r in unigram_encode(probe, v)
+        .select("doc_id", bpe_decode(F.col("pieces")).alias("txt"))
+        .collect()
+    }
+    for did, t in probe_rows:
+        assert out[did] == py_norm(t), (did, t, out[did])
