@@ -2989,8 +2989,17 @@ def q79_tokenize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode identity;
       - tokenizer_report: per-source fertility/compression table over the
         unigram encoding;
-      - compression_ratio: per-doc zlib redundancy signal (corpus facets).
+      - compression_ratio: per-doc zlib redundancy signal (corpus facets);
+      - cm_heavy_hitters: count-min frequency sketch built in two halves
+        and MERGED (the incremental-ingest path), then point-estimating
+        the exact top-20 tokens — the f1 facet is the summed estimate,
+        which must be >= (and here, collision-free, ==) the exact counts.
     All deterministic: count-ordered trims and seeded content only."""
+    from .operators.corpus_stats import (
+        estimate_token_counts,
+        merge_count_sketches,
+        sketch_token_counts,
+    )
     from .operators.textpipe import compression_ratio
     from .operators.tokenize import (
         bpe_decode,
@@ -3039,9 +3048,19 @@ def q79_tokenize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg_cr = _suite_row(
         cr, "compression_ratio", F.sum("n_compressed"), F.avg("compress_ratio")
     )
+
+    cm = merge_count_sketches(
+        sketch_token_counts(base.filter(F.col("doc_id") % 2 == 0)),
+        sketch_token_counts(base.filter(F.col("doc_id") % 2 == 1)),
+    )
+    cands = spark.createDataFrame([(t,) for t in top[:20]], "token string")
+    est = estimate_token_counts(cm, cands)
+    leg_cm = _suite_row(
+        est, "cm_heavy_hitters", F.sum("est_count"), F.avg("est_count")
+    )
     return (
         leg_wp.unionByName(leg_bpe).unionByName(leg_uni)
-        .unionByName(leg_rep).unionByName(leg_cr)
+        .unionByName(leg_rep).unionByName(leg_cr).unionByName(leg_cm)
     )
 
 

@@ -44,6 +44,9 @@ __all__ = [
     "sketch_corpus",
     "merge_corpus_sketches",
     "estimate_corpus_sketches",
+    "sketch_token_counts",
+    "merge_count_sketches",
+    "estimate_token_counts",
 ]
 
 
@@ -439,4 +442,104 @@ def estimate_corpus_sketches(sketches: DataFrame) -> DataFrame:
     return per.unionByName(tot).select(
         "grp", "n_docs", "n_tokens", "distinct_fingerprints",
         "distinct_tokens", dup.alias("exact_dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable token-FREQUENCY state (the counting twin of the
+# HLL distinct sketches above). Answers "how often does token X appear across
+# all ingested batches?" in O(depth x width) space per batch, however large
+# the vocabulary grows — the piece a running dataset card needs that exact
+# count tables can't give incrementally without unbounded state.
+# ---------------------------------------------------------------------------
+
+
+def sketch_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 5,
+    width: int = 8192,
+    seed: int = 1,
+) -> DataFrame:
+    """Reduce a batch to a count-min sketch of its token frequencies:
+    ``(d, cell, c)`` rows, AT MOST ``depth x width`` of them by
+    construction (Cormode & Muthukrishnan 2005). One explode + one
+    cell-keyed map-side-partial aggregate; estimates are conservative
+    (``estimate >= true`` always; overshoot <= e*N/width with prob
+    ``1 - e^-depth``). Persist rows per batch; ``merge_count_sketches``
+    unions any number of them. ``depth``/``width``/``seed`` must match
+    across batches and at estimate time."""
+    w = F.lit(int(width))
+    tok = df.select(
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("t")
+    )
+    rows = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(depth) - 1)),
+                lambda d: F.struct(
+                    d.cast("int").alias("d"),
+                    F.pmod(
+                        F.xxhash64(F.lit(int(seed)) + d, F.col("t")), w
+                    ).cast("int").alias("cell"),
+                ),
+            )
+        ).alias("dc")
+    )
+    return (
+        rows.groupBy(F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def merge_count_sketches(*sketch_dfs: DataFrame) -> DataFrame:
+    """Union count-min sketch tables built with the SAME depth/width/seed —
+    cellwise sum, closed and associative like ``merge_corpus_sketches``.
+    O(batches x depth x width) input, O(depth x width) output."""
+    if not sketch_dfs:
+        raise ValueError("no sketch tables to merge")
+    allb = sketch_dfs[0]
+    for d in sketch_dfs[1:]:
+        allb = allb.unionByName(d)
+    return allb.groupBy("d", "cell").agg(F.sum("c").alias("c"))
+
+
+def estimate_token_counts(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    token_col: str = "token",
+    depth: int = 5,
+    width: int = 8192,
+    seed: int = 1,
+) -> DataFrame:
+    """Point-estimate each candidate token's corpus frequency from the
+    sketch: ``min`` over the depth rows of the counter at that token's
+    cell (``(token, est_count)``; the classic CM query, conservative
+    overestimate). ``candidates`` is any bounded token table — the
+    standard pairing is per-batch exact top-k candidate sets (each
+    bounded) merged across batches, with the sketch providing the GLOBAL
+    count no single batch knows. The join is a broadcast of the
+    depth x width sketch against the candidate stream: missing cells read
+    as 0 (a token hashing only to untouched cells provably never
+    appeared)."""
+    w = F.lit(int(width))
+    toks = candidates.select(F.col(token_col).alias("token"))
+    probes = toks.select(
+        "token",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(depth) - 1)),
+                lambda d: F.struct(
+                    d.cast("int").alias("d"),
+                    F.pmod(
+                        F.xxhash64(F.lit(int(seed)) + d, F.col("token")), w
+                    ).cast("int").alias("cell"),
+                ),
+            )
+        ).alias("dc"),
+    ).select("token", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+    joined = probes.join(F.broadcast(sketch), ["d", "cell"], "left")
+    return (
+        joined.groupBy("token")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )

@@ -1,0 +1,95 @@
+"""Count-min token-frequency sketches (operators/corpus_stats.py, round
+4): conservative-overestimate property, exactness at generous width,
+merge==full-scan identity, bounded row count, zero for never-seen tokens.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.corpus_stats import (
+    estimate_token_counts,
+    merge_count_sketches,
+    sketch_token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(200):
+        # zipfy: w0 everywhere, w1 every 2nd doc, ..., plus a unique token
+        toks = ["w0"]
+        if i % 2 == 0:
+            toks.append("w1")
+        if i % 5 == 0:
+            toks.append("w5")
+        toks.append(f"u{i}")
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+def _exact(corpus):
+    return {
+        r.t: r.c
+        for r in corpus.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t").agg(F.count("*").alias("c")).collect()
+    }
+
+
+def test_conservative_and_exact_at_width(spark, corpus):
+    sk = sketch_token_counts(corpus, depth=5, width=4096)
+    assert sk.count() <= 5 * 4096  # bounded by construction
+    exact = _exact(corpus)
+    cands = spark.createDataFrame([(t,) for t in exact], "token string")
+    est = {
+        r.token: r.est_count
+        for r in estimate_token_counts(sk, cands, depth=5, width=4096).collect()
+    }
+    for t, c in exact.items():
+        assert est[t] >= c, t  # NEVER underestimates
+    # 204 distinct tokens in 4096 cells x 5 rows: collisions are rare enough
+    # that at least the heavy hitters are exact
+    for t in ("w0", "w1", "w5"):
+        assert est[t] == exact[t], t
+
+
+def test_merge_equals_full_scan(spark, corpus):
+    d, w = 4, 1024
+    full = sketch_token_counts(corpus, depth=d, width=w)
+    halves = merge_count_sketches(
+        sketch_token_counts(corpus.filter(F.col("doc_id") % 2 == 0), depth=d, width=w),
+        sketch_token_counts(corpus.filter(F.col("doc_id") % 2 == 1), depth=d, width=w),
+    )
+    a = {(r.d, r.cell): r.c for r in full.collect()}
+    b = {(r.d, r.cell): r.c for r in halves.collect()}
+    assert a == b  # cellwise identical: merge is exact, not approximate
+
+
+def test_unseen_token_reads_zero(spark, corpus):
+    """A token hashing only to untouched cells is provably absent — with a
+    sparse sketch most unseen tokens estimate exactly 0."""
+    sk = sketch_token_counts(corpus, depth=5, width=8192)
+    cands = spark.createDataFrame(
+        [(f"never{i}",) for i in range(50)], "token string"
+    )
+    est = [r.est_count for r in estimate_token_counts(sk, cands, depth=5, width=8192).collect()]
+    assert len(est) == 50
+    assert sum(1 for e in est if e == 0) >= 40  # most read straight zero
+
+
+def test_parquet_round_trip_and_null_text(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, None), (2, "")], "doc_id bigint, text string"
+    )
+    sk = sketch_token_counts(docs, depth=3, width=64)
+    p = str(tmp_path / "cm")
+    sk.write.parquet(p)
+    back = spark.read.parquet(p)
+    cands = spark.createDataFrame([("a",), ("b",), ("c",)], "token string")
+    est = {
+        r.token: r.est_count
+        for r in estimate_token_counts(back, cands, depth=3, width=64).collect()
+    }
+    assert est["a"] >= 2 and est["b"] >= 1
