@@ -3011,29 +3011,29 @@ def q79_tokenize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_encode,
     )
 
+    from .operators.tokenize import _word_counts
+
     docs = _t(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text")
     norm = F.array_join(tokens(F.col("text")), " ")
 
-    top = [
-        r.w
-        for r in base.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .groupBy("w").agg(F.count("*").alias("c"))
-        .orderBy(F.desc("c"), F.asc("w")).limit(500).collect()
-    ]
+    # ONE corpus-scale word-count aggregation feeds the wordpiece vocab
+    # AND both trainers (review r04: three copies of the same agg before)
+    wc = _word_counts(base, "text", min_word_freq=1, max_word_types=1_000_000)
+    top = list(wc)[:500]  # _word_counts collects in (count desc, word) order
     chars = sorted({c for w in top for c in w})
     vocab = top + chars + ["##" + c for c in chars]
     wp = wordpiece_encode(base, vocab)
     leg_wp = _suite_row(wp, "wordpiece", F.sum("n_tokens"), F.sum("n_unk"))
 
-    merges = train_bpe(base, num_merges=300)
+    merges = train_bpe(base, num_merges=300, word_counts=wc)
     bp = bpe_encode(base, merges)
     brt = bp.join(base, "doc_id").select(
         (bpe_decode(F.col("pieces")) == norm).cast("bigint").alias("ok")
     )
     leg_bpe = _suite_row(brt, "bpe_round_trip", F.sum("ok"), F.avg("ok"))
 
-    uv = train_unigram(base, vocab_size=2000, min_word_freq=1)
+    uv = train_unigram(base, vocab_size=2000, min_word_freq=1, word_counts=wc)
     un = unigram_encode(base, uv)
     urt = un.join(base, "doc_id").select(
         "n_tokens",

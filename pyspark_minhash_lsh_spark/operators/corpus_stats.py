@@ -454,6 +454,21 @@ def estimate_corpus_sketches(sketches: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _cm_cells(value: Column, depth: int, width: int, seed: int) -> Column:
+    """array<struct<d,cell>> of a value's count-min cells — the ONE hash
+    surface shared by the builder and the prober (a drifted copy would
+    silently desynchronize every estimate)."""
+    w = F.lit(int(width))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(depth) - 1)),
+        lambda d: F.struct(
+            d.cast("int").alias("d"),
+            F.pmod(F.xxhash64(F.lit(int(seed)) + d, value), w)
+            .cast("int").alias("cell"),
+        ),
+    )
+
+
 def sketch_token_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -467,24 +482,14 @@ def sketch_token_counts(
     cell-keyed map-side-partial aggregate; estimates are conservative
     (``estimate >= true`` always; overshoot <= e*N/width with prob
     ``1 - e^-depth``). Persist rows per batch; ``merge_count_sketches``
-    unions any number of them. ``depth``/``width``/``seed`` must match
-    across batches and at estimate time."""
-    w = F.lit(int(width))
+    unions any number of them. ``width``/``seed`` must match across
+    batches and at estimate time (``estimate_token_counts`` derives and
+    validates the depth from the sketch itself)."""
     tok = df.select(
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("t")
     )
     rows = tok.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(int(depth) - 1)),
-                lambda d: F.struct(
-                    d.cast("int").alias("d"),
-                    F.pmod(
-                        F.xxhash64(F.lit(int(seed)) + d, F.col("t")), w
-                    ).cast("int").alias("cell"),
-                ),
-            )
-        ).alias("dc")
+        F.explode(_cm_cells(F.col("t"), depth, width, seed)).alias("dc")
     )
     return (
         rows.groupBy(F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
@@ -508,7 +513,6 @@ def estimate_token_counts(
     sketch: DataFrame,
     candidates: DataFrame,
     token_col: str = "token",
-    depth: int = 5,
     width: int = 8192,
     seed: int = 1,
 ) -> DataFrame:
@@ -518,25 +522,38 @@ def estimate_token_counts(
     overestimate). ``candidates`` is any bounded token table — the
     standard pairing is per-batch exact top-k candidate sets (each
     bounded) merged across batches, with the sketch providing the GLOBAL
-    count no single batch knows. The join is a broadcast of the
-    depth x width sketch against the candidate stream: missing cells read
-    as 0 (a token hashing only to untouched cells provably never
-    appeared)."""
-    w = F.lit(int(width))
-    toks = candidates.select(F.col(token_col).alias("token"))
+    count no single batch knows; NULL candidate tokens are dropped (a
+    NULL would otherwise probe arbitrary real cells and report a phantom
+    count). The join is a broadcast of the depth x width sketch against
+    the candidate stream: missing cells read as 0 (a token hashing only
+    to untouched cells provably never appeared).
+
+    The DEPTH is derived from the sketch itself and the cell bound is
+    validated against ``width`` (one bounded driver read of the
+    depth x width table) — a probe built with mismatched parameters would
+    otherwise left-join to nothing and report every real token as 0,
+    inverting the never-underestimate contract. ``seed`` mismatches
+    cannot be detected from the rows; keep it with the artifact."""
+    hdr = sketch.agg(
+        F.max("d").alias("maxd"), F.max("cell").alias("maxcell")
+    ).head()
+    if hdr.maxd is None:
+        # empty sketch: nothing was ever inserted — every estimate is a
+        # provable 0, with any probe depth; use 1 probe row
+        depth = 1
+    else:
+        depth = int(hdr.maxd) + 1
+        if int(hdr.maxcell) >= int(width):
+            raise ValueError(
+                f"sketch has cells up to {hdr.maxcell} but width={width} — "
+                "parameter mismatch with the build"
+            )
+    toks = candidates.select(F.col(token_col).alias("token")).filter(
+        F.col("token").isNotNull()
+    )
     probes = toks.select(
         "token",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(int(depth) - 1)),
-                lambda d: F.struct(
-                    d.cast("int").alias("d"),
-                    F.pmod(
-                        F.xxhash64(F.lit(int(seed)) + d, F.col("token")), w
-                    ).cast("int").alias("cell"),
-                ),
-            )
-        ).alias("dc"),
+        F.explode(_cm_cells(F.col("token"), depth, width, seed)).alias("dc"),
     ).select("token", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
     joined = probes.join(F.broadcast(sketch), ["d", "cell"], "left")
     return (

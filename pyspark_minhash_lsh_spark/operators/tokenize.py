@@ -243,6 +243,7 @@ def train_bpe(
     min_word_freq: int = 1,
     max_word_types: int = 1_000_000,
     text_col: str = "text",
+    word_counts: "Mapping[str, int] | None" = None,
 ) -> "list[tuple[str, str]]":
     """Learn a BPE merge list (Sennrich et al. 2016) from a corpus.
 
@@ -261,9 +262,11 @@ def train_bpe(
     ``END_OF_WORD`` marker on the final character, the standard
     word-boundary convention.
     """
-    return learn_bpe_merges(
-        _word_counts(df, text_col, min_word_freq, max_word_types), num_merges
-    )
+    if word_counts is None:
+        # pass a precomputed word_counts (one _word_counts call) to share
+        # the corpus-scale aggregation across several trainers
+        word_counts = _word_counts(df, text_col, min_word_freq, max_word_types)
+    return learn_bpe_merges(word_counts, num_merges)
 
 
 def bpe_segment_word(word: str, ranks: "Mapping[tuple, int]") -> list[str]:
@@ -379,6 +382,7 @@ def train_unigram(
     em_iters: int = 2,
     seed_size: "int | None" = None,
     keep_frac: float = 0.75,
+    word_counts: "Mapping[str, int] | None" = None,
 ) -> "dict[str, float]":
     """Learn a unigram-LM subword vocabulary (Kudo 2018 — the SentencePiece
     unigram model), completing the trainer family next to ``train_bpe`` and
@@ -406,7 +410,11 @@ def train_unigram(
     where SentencePiece's soft-EM would pad with marginal ones."""
     import math
 
-    wc = _word_counts(df, text_col, min_word_freq, max_word_types)
+    wc = (
+        word_counts
+        if word_counts is not None
+        else _word_counts(df, text_col, min_word_freq, max_word_types)
+    )
     types: "list[tuple[list[str], int]]" = [
         (_word_symbols(w), int(c)) for w, c in wc.items() if w
     ]

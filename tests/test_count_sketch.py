@@ -45,7 +45,7 @@ def test_conservative_and_exact_at_width(spark, corpus):
     cands = spark.createDataFrame([(t,) for t in exact], "token string")
     est = {
         r.token: r.est_count
-        for r in estimate_token_counts(sk, cands, depth=5, width=4096).collect()
+        for r in estimate_token_counts(sk, cands, width=4096).collect()
     }
     for t, c in exact.items():
         assert est[t] >= c, t  # NEVER underestimates
@@ -74,7 +74,7 @@ def test_unseen_token_reads_zero(spark, corpus):
     cands = spark.createDataFrame(
         [(f"never{i}",) for i in range(50)], "token string"
     )
-    est = [r.est_count for r in estimate_token_counts(sk, cands, depth=5, width=8192).collect()]
+    est = [r.est_count for r in estimate_token_counts(sk, cands, width=8192).collect()]
     assert len(est) == 50
     assert sum(1 for e in est if e == 0) >= 40  # most read straight zero
 
@@ -90,6 +90,32 @@ def test_parquet_round_trip_and_null_text(spark, tmp_path):
     cands = spark.createDataFrame([("a",), ("b",), ("c",)], "token string")
     est = {
         r.token: r.est_count
-        for r in estimate_token_counts(back, cands, depth=3, width=64).collect()
+        for r in estimate_token_counts(back, cands, width=64).collect()
     }
     assert est["a"] >= 2 and est["b"] >= 1
+
+
+def test_parameter_mismatch_and_null_candidates(spark, corpus):
+    """Review fixes (round 4): estimate derives the depth from the sketch
+    (a mismatched probe depth previously read every real token as 0,
+    inverting the never-underestimate contract), a too-small width raises
+    instead of silently zeroing, and NULL candidate tokens are dropped
+    rather than probing arbitrary real cells."""
+    sk = sketch_token_counts(corpus, depth=3, width=1024)
+    exact = _exact(corpus)
+    cands = spark.createDataFrame(
+        [("w0",), (None,)], "token string"
+    )
+    est = {r.token: r.est_count
+           for r in estimate_token_counts(sk, cands, width=1024).collect()}
+    assert est["w0"] >= exact["w0"]          # depth derived, not defaulted
+    assert None not in est                   # NULL candidate dropped
+    with pytest.raises(ValueError, match="width"):
+        estimate_token_counts(sk, cands, width=16).collect()
+    # empty sketch: every estimate is a provable zero, no depth to derive
+    empty = sketch_token_counts(
+        spark.createDataFrame([], "doc_id bigint, text string")
+    )
+    est0 = {r.token: r.est_count
+            for r in estimate_token_counts(empty, cands, width=1024).collect()}
+    assert est0 == {"w0": 0}
