@@ -2,6 +2,7 @@ from .pipelines import (
     hourly_event_stats,
     sliding_event_stats,
     start_corpus_sketch_stream,
+    start_token_count_stream,
     start_near_dedup_stream,
     streaming_curate,
     streaming_exact_dedup,
@@ -14,6 +15,7 @@ __all__ = [
     "hourly_event_stats",
     "sliding_event_stats",
     "start_corpus_sketch_stream",
+    "start_token_count_stream",
     "start_near_dedup_stream",
     "streaming_curate",
     "streaming_exact_dedup",

@@ -33,6 +33,7 @@ __all__ = [
     "streaming_near_dedup",
     "near_dedup_finalize",
     "start_corpus_sketch_stream",
+    "start_token_count_stream",
     "interval_join",
     "streaming_curate",
 ]
@@ -341,11 +342,54 @@ def start_corpus_sketch_stream(
     """
     from ..operators.corpus_stats import sketch_corpus
 
+    return _start_sketch_stream(
+        docs,
+        sink,
+        lambda bdf: sketch_corpus(
+            bdf, text_col=text_col, group_col=group_col, lg_k=lg_k
+        ),
+        "start_corpus_sketch_stream needs a streaming DataFrame; the "
+        "batch path is sketch_corpus itself",
+        **start_kwargs,
+    )
+
+
+def start_token_count_stream(
+    docs: DataFrame,
+    sink,
+    text_col: str = "text",
+    depth: int = 5,
+    width: int = 8192,
+    seed: int = 1,
+    **start_kwargs,
+):
+    """Streaming twin of ``corpus_stats.sketch_token_counts``: every
+    micro-batch reduces to at most ``depth x width`` count-min rows tagged
+    with ``batch_id`` — the token-FREQUENCY counterpart of
+    ``start_corpus_sketch_stream``'s HLL distinct state, with the same
+    sink contract (callable or replay-idempotent partitioned path) and the
+    same merge-absorbs-batching guarantee (``merge_count_sketches`` is an
+    exact cellwise sum, so batch boundaries never change estimates)."""
+    from ..operators.corpus_stats import sketch_token_counts
+
+    return _start_sketch_stream(
+        docs,
+        sink,
+        lambda bdf: sketch_token_counts(
+            bdf, text_col=text_col, depth=depth, width=width, seed=seed
+        ),
+        "start_token_count_stream needs a streaming DataFrame; the batch "
+        "path is sketch_token_counts itself",
+        **start_kwargs,
+    )
+
+
+def _start_sketch_stream(docs, sink, make_sketch, not_streaming_msg, **start_kwargs):
+    """Shared foreachBatch scaffolding for the per-batch sketch sinks: tag
+    with ``batch_id``, write replay-idempotently (dynamic partition
+    overwrite on the batch_id partition) or hand to a callable sink."""
     if not docs.isStreaming:
-        raise ValueError(
-            "start_corpus_sketch_stream needs a streaming DataFrame; the "
-            "batch path is sketch_corpus itself"
-        )
+        raise ValueError(not_streaming_msg)
     if callable(sink):
         user_fn = sink
     else:
@@ -360,12 +404,7 @@ def start_corpus_sketch_stream(
             )
 
     def fb(bdf: DataFrame, bid: int) -> None:
-        user_fn(
-            sketch_corpus(
-                bdf, text_col=text_col, group_col=group_col, lg_k=lg_k
-            ).withColumn("batch_id", F.lit(int(bid))),
-            bid,
-        )
+        user_fn(make_sketch(bdf).withColumn("batch_id", F.lit(int(bid))), bid)
 
     return docs.writeStream.foreachBatch(fb).start(**start_kwargs)
 

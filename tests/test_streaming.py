@@ -551,3 +551,48 @@ def test_lm_score_on_stream_matches_batch(spark, tmp_path):
             assert got[k].sum_logprob == pytest.approx(
                 batch[k].sum_logprob, abs=1e-9
             )
+
+
+def test_token_count_stream_matches_batch(spark, tmp_path):
+    """Streaming count-min ingestion (start_token_count_stream): per-batch
+    CM rows accumulated over a replayed multi-file corpus must MERGE to the
+    cellwise-identical full-scan sketch (the exact-sum guarantee), and the
+    sink only ever sees bounded depth x width frames."""
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import (
+        merge_count_sketches,
+        sketch_token_counts,
+    )
+    from pyspark_minhash_lsh_spark.streaming import start_token_count_stream
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 40} common w{i % 7}") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    got = []
+
+    def sink(bdf, bid):
+        rows = bdf.collect()
+        assert len(rows) <= 3 * 256  # bounded by depth x width
+        assert all(r.batch_id == bid for r in rows)
+        got.append(bdf.drop("batch_id"))
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = start_token_count_stream(stream, sink, depth=3, width=256)
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(got) >= 2
+    merged = {(r.d, r.cell): r.c for r in merge_count_sketches(*got).collect()}
+    full = {
+        (r.d, r.cell): r.c
+        for r in sketch_token_counts(docs, depth=3, width=256).collect()
+    }
+    assert merged == full  # cellwise identical — batching never matters
+
+    with pytest.raises(ValueError, match="sketch_token_counts"):
+        start_token_count_stream(docs, sink)
