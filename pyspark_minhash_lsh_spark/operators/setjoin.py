@@ -54,11 +54,15 @@ def ngram_jaccard_join(
     id_col: str = "doc_id",
     persist_intermediate: bool = True,
     broadcast_max_rows: int | None = None,
+    with_counts: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with EXACT shingle-set Jaccard >= threshold.
 
     Returns ``(id_a, id_b, jaccard: double)`` — same semantics as the naive
     quadratic join, verified against the DuckDB oracle (catalog q25).
+    ``with_counts`` adds the exact integers behind the ratio —
+    ``(n_common, n_a, n_b)`` — so hash-surface consumers can derive a
+    scaled-integer jaccard with zero floating-point (catalog ``_ratio_sint``).
 
     ``persist_intermediate`` caches (``persist(MEMORY_AND_DISK)``) the
     shingle table and the prefix index: the plan references them up to 6x
@@ -225,12 +229,16 @@ def ngram_jaccard_join(
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("h_a", "h_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+    out_cols = ["id_a", "id_b", "jaccard"]
+    if with_counts:
+        out_cols += ["n_common", "n_a", "n_b"]
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("n_common", inter.cast("bigint"))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= t)
-        .select("id_a", "id_b", "jaccard")
+        .select(*out_cols)
     )
 
 

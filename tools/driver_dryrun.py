@@ -3,7 +3,7 @@
 DuckDB twin and report per-query row-count / schema / value-hash matches —
 the same three checks CORRECTNESS_r{N}.json records.
 
-Usage: python tools/driver_dryrun.py [out.json]
+Usage: python tools/driver_dryrun.py [out.json] [--only q78,q01]
 """
 
 from __future__ import annotations
@@ -51,6 +51,13 @@ def main() -> None:
 
     spark = get_spark("driver_dryrun")
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    only = None
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        prefixes = sys.argv[i + 1].split(",")
+        del sys.argv[i:i + 2]
+        only = {n for n in qs if any(n.startswith(p) for p in prefixes)}
+        qs = {n: f for n, f in qs.items() if n in only}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
