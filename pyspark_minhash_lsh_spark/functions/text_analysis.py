@@ -18,10 +18,12 @@ from .text import tokens
 
 __all__ = [
     "STOPWORDS",
+    "stopword_hits",
     "stopword_ratio",
     "language_scores",
     "language_id",
     "quality_score",
+    "quality_score_x10k",
     "bpe_token_count_estimate",
 ]
 
@@ -43,10 +45,17 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def stopword_hits(toks: Column, lang: str = "en") -> Column:
+    """Integer count of tokens that are ``lang`` stopwords — the exact
+    numerator behind ``stopword_ratio``, exposed so engine-comparable
+    surfaces can stay in pure integer arithmetic (catalog ``_ratio_sint``)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
 def stopword_ratio(toks: Column, lang: str = "en") -> Column:
     """Fraction of tokens that are ``lang`` stopwords (0.0 for empty docs)."""
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    hits = stopword_hits(toks, lang)
     return F.when(
         F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")
     ).otherwise(F.lit(0.0))
@@ -63,14 +72,27 @@ def language_scores(toks: Column) -> Column:
 def language_id(toks: Column, min_ratio: float = 0.05) -> Column:
     """Best-scoring language code, or ``'und'`` if no language clears
     ``min_ratio`` stopword density. Ties break by language-code order
-    (deterministic: strict ``>`` keeps the earlier code)."""
+    (deterministic: strict ``>`` keeps the earlier code).
+
+    The argmax runs in PURE INTEGER arithmetic (round 5): every candidate
+    ratio shares the denominator ``size(toks)``, so ``s_new > s_best`` is
+    ``hits_new > hits_best`` exactly, and the entry threshold
+    ``hits/T > min_ratio`` cross-multiplies against the rational form of
+    ``min_ratio`` (``Fraction.limit_denominator`` — 0.05 -> 1/20). No
+    float division can reach a comparison, so the result is bit-identical
+    across engines by construction (the q78 lesson applied to argmax)."""
+    from fractions import Fraction
+
+    r = Fraction(float(min_ratio)).limit_denominator(1_000_000)
+    t_len = F.size(toks).cast("bigint")
     best_code = F.lit("und")
-    best_score = F.lit(float(min_ratio))
+    # running best as hits*den; entry threshold in the same scale is T*num
+    best_scaled = t_len * F.lit(r.numerator).cast("bigint")
     for code in STOPWORDS:
-        s = stopword_ratio(toks, code)
-        gt = s > best_score
+        hs = stopword_hits(toks, code).cast("bigint") * F.lit(r.denominator)
+        gt = hs > best_scaled
         best_code = F.when(gt, F.lit(code)).otherwise(best_code)
-        best_score = F.when(gt, s).otherwise(best_score)
+        best_scaled = F.when(gt, hs).otherwise(best_scaled)
     return best_code
 
 
@@ -121,6 +143,72 @@ def quality_score(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
     return (len_score + tok_len_score + sw_score + uniq_score + alpha_score) / 5.0
+
+
+def _int_div(num: Column, den: Column) -> Column:
+    """64-bit integer division (Spark ``div`` — truncation toward zero,
+    matching DuckDB ``//`` for the non-negative operands used here)."""
+    return F.call_function("div", num.cast("bigint"), den.cast("bigint"))
+
+
+def _comp_x1e8(num: Column, den: Column) -> Column:
+    """round-half-up(num/den * 10^8) in pure integers; den must be > 0."""
+    return _int_div(num.cast("bigint") * F.lit(200_000_000) + den, den * F.lit(2))
+
+
+def quality_score_x10k(text: Column) -> Column:
+    """``quality_score`` as a scaled BIGINT (x 10^4) computed with ZERO
+    floating-point (round 5, VERDICT r04 #2).
+
+    Same five components and piecewise bands as ``quality_score`` — every
+    band boundary compares integer cross-products (``mean_tok_len >= 3`` is
+    ``sum_len >= 3*n_tok``), each component is rounded to a x10^8 integer
+    via exact integer division, and the blend is a second exact integer
+    rounding down to x10^4. The two-stage rounding can differ from the
+    one-stage double blend in the final digit, so this is a distinct,
+    engine-exact variant — use it on any cross-engine hash surface; keep
+    ``quality_score`` for in-Spark ranking where a raw double is fine."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length(text).cast("bigint")
+    one = F.lit(100_000_000).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+
+    len_c = (
+        F.when(n_chars < 50, _comp_x1e8(n_chars, F.lit(50)))
+        .when(
+            n_chars > 5000,
+            _comp_x1e8(F.greatest(zero, F.lit(25000) - n_chars), F.lit(20000)),
+        )
+        .otherwise(one)
+    )
+
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    )
+    tok_c = (
+        F.when(n_tok == 0, zero)
+        .when(sum_len < 3 * n_tok, _comp_x1e8(sum_len, 3 * n_tok))
+        .when(sum_len <= 10 * n_tok, one)
+        .otherwise(_comp_x1e8(F.greatest(zero, 20 * n_tok - sum_len), 10 * n_tok))
+    )
+
+    hits = stopword_hits(toks, "en").cast("bigint")
+    sw_c = F.when(n_tok == 0, zero).otherwise(
+        _comp_x1e8(F.least(n_tok, 10 * hits), n_tok)
+    )
+
+    n_dist = F.size(F.array_distinct(toks)).cast("bigint")
+    uniq_c = F.when(n_tok == 0, zero).otherwise(
+        _comp_x1e8(F.least(3 * n_tok, 10 * n_dist), 3 * n_tok)
+    )
+
+    nonspace = F.length(F.regexp_replace(text, r"\s+", "")).cast("bigint")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("bigint")
+    alpha_c = F.when(nonspace > 0, _comp_x1e8(alpha, nonspace)).otherwise(zero)
+
+    total = len_c + tok_c + sw_c + uniq_c + alpha_c
+    return _int_div(total * 2 + F.lit(50_000), F.lit(100_000))
 
 
 def bpe_token_count_estimate(text: Column) -> Column:

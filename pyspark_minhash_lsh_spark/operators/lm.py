@@ -122,6 +122,7 @@ def lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     scaled_digits: "int | None" = None,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Score documents under the model: returns
     ``(doc_id, n_bigrams, sum_logprob, avg_logprob)`` where the log
@@ -135,6 +136,17 @@ def lm_score(
     order — the engine-comparable form (a double SUM's partial-combine
     order differs between engines/runs, a hash-divergence hazard; see
     PLANS.md "de-float the oracle hash surface").
+
+    ``with_counts`` adds the PURE-INTEGER routing/count facets (round 5):
+    ``n_hits`` / ``n_backoff`` / ``n_oov`` (transitions scored by the
+    bigram table, the unigram backoff, and the OOV floor respectively)
+    and ``sum_c12`` / ``sum_c1`` / ``sum_c2`` (exact sums of the model
+    counts each routing consumed; 0 when no transition took that path).
+    Together they pin the trained model AND the per-transition backoff
+    decisions without any transcendental on a hash surface — log10 is
+    only 1-ulp accurate across libm implementations, so even the
+    term-rounded ``sum_logprob_sint`` is data-dependently hazardous for
+    cross-engine comparison (ADVICE r04).
 
     Plan: zip-shifted transition projection -> explode_outer (keeps
     0-transition docs) -> broadcast joins against the bounded model ->
@@ -173,7 +185,10 @@ def lm_score(
         ex.join(F.broadcast(bi), ["w1", "w2"], "left")
         .join(F.broadcast(uni1), "w1", "left")
         .join(F.broadcast(uni2), "w2", "left")
-        .select("doc_id", F.col("w1").alias("tw"), logp.alias("logp"))
+        .select(
+            "doc_id", F.col("w1").alias("tw"), logp.alias("logp"),
+            "c12", "c1", "c2",
+        )
     )
     # n_bigrams counts TRANSITIONS (well-defined even with an empty model);
     # the score divisions stay NULL-safe: count(logp)=0 implies sum is NULL
@@ -189,4 +204,22 @@ def lm_score(
                 F.floor(F.col("logp") * scale + F.lit(0.5)).cast("bigint")
             ).alias("sum_logprob_sint")
         )
+    if with_counts:
+        is_hit = F.col("c12").isNotNull()
+        is_back = F.col("c12").isNull() & F.col("c2").isNotNull() & F.col("tw").isNotNull()
+        is_oov = (
+            F.col("tw").isNotNull() & F.col("c12").isNull() & F.col("c2").isNull()
+        )
+        zero = F.lit(0).cast("bigint")
+        aggs += [
+            F.sum(is_hit.cast("bigint")).alias("n_hits"),
+            F.sum(is_back.cast("bigint")).alias("n_backoff"),
+            F.sum(is_oov.cast("bigint")).alias("n_oov"),
+            F.coalesce(F.sum(F.when(is_hit, F.col("c12"))), zero)
+            .cast("bigint").alias("sum_c12"),
+            F.coalesce(F.sum(F.when(is_hit, F.col("c1"))), zero)
+            .cast("bigint").alias("sum_c1"),
+            F.coalesce(F.sum(F.when(is_back, F.col("c2"))), zero)
+            .cast("bigint").alias("sum_c2"),
+        ]
     return scored.groupBy("doc_id").agg(*aggs)

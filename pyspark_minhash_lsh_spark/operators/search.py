@@ -38,6 +38,7 @@ def bm25_search(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_stats: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents by Okapi BM25 over the normalized token stream.
 
@@ -45,6 +46,13 @@ def bm25_search(
     ``query_terms`` are matched post-normalization (lowercased); idf uses the
     standard ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form, so scores are
     always positive and rank-stable.
+
+    ``with_stats`` adds the exact integer retrieval facets behind the score
+    — ``(sum_tf, n_terms, dl)`` (total query-term frequency, number of
+    distinct matched query terms, document token length) — so
+    engine-comparable surfaces can pin the postings/df/dl pipeline without
+    putting the transcendental ``ln`` score (a 1-ulp libm hazard plus a
+    float-sum combine-order hazard) on a hash surface.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -77,13 +85,20 @@ def bm25_search(
     )
     contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
 
+    aggs = [F.sum("_c").alias("score")]
+    if with_stats:
+        aggs += [
+            F.sum("tf").cast("bigint").alias("sum_tf"),
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.max("dl").cast("bigint").alias("dl"),
+        ]
     return (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "id")
         .crossJoin(F.broadcast(stats))
         .withColumn("_c", contrib)
         .groupBy("id")
-        .agg(F.sum("_c").alias("score"))
+        .agg(*aggs)
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )

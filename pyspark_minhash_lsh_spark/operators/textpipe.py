@@ -58,7 +58,8 @@ def repetition_metrics(
 ) -> DataFrame:
     """Within-document repetition facets (Gopher-style quality filters).
 
-    Returns ``(doc_id, n_tokens, dup_token_frac, top_bigram_frac)``:
+    Returns ``(doc_id, n_tokens, n_distinct, top_bigram_count, n_bigrams,
+    dup_token_frac, top_bigram_frac)``:
 
       - ``dup_token_frac``  — fraction of token *positions* occupied by a
         token that already occurred (1 - distinct/total); Gopher's
@@ -66,6 +67,11 @@ def repetition_metrics(
       - ``top_bigram_frac`` — occurrence share of the single most frequent
         token bigram (Gopher's top-2-gram fraction). Counts positions, not
         distinct bigrams — repetition is exactly what must NOT be deduped.
+
+    The integer count columns behind the two ratios are exposed so
+    hash-surface consumers can derive scaled-integer ratios with zero
+    floating-point (catalog ``_ratio_sint``); ``top_bigram_count`` /
+    ``n_bigrams`` are 0 for docs with < 2 tokens.
 
     Token facets come straight off the token array (no explode); bigram
     counts are relational: posexplode -> lead() window -> two aggregations,
@@ -105,6 +111,9 @@ def repetition_metrics(
     return ts.join(bga, "doc_id", "left").select(
         "doc_id",
         F.col("n_tok").alias("n_tokens"),
+        F.col("n_dist").cast("bigint").alias("n_distinct"),
+        F.coalesce(F.col("topc"), F.lit(0)).cast("bigint").alias("top_bigram_count"),
+        F.coalesce(F.col("totc"), F.lit(0)).cast("bigint").alias("n_bigrams"),
         dup.alias("dup_token_frac"),
         top.alias("top_bigram_frac"),
     )
@@ -362,9 +371,11 @@ def token_frequency_profile(
 
     The hapax band (``occurrences = 1``) drives vocabulary-growth estimates
     (Good-Turing mass); a fat head band signals boilerplate. Returns
-    ``(occurrences, n_types, position_frac)`` — small output (one row per
-    distinct count value), so it's a safe driver-side profile at any corpus
-    size.
+    ``(occurrences, n_types, total_positions, position_frac)`` — small
+    output (one row per distinct count value), so it's a safe driver-side
+    profile at any corpus size. ``total_positions`` is the exact corpus
+    token-position total (the ratio's integer denominator, exposed so the
+    catalog hash surface can scale without floating-point).
 
     Plan: explode -> token-keyed count (map-side partial agg does the heavy
     lifting: high-cardinality key, combine before shuffle) -> tiny
@@ -378,14 +389,15 @@ def token_frequency_profile(
         ex.groupBy("tok").agg(F.count("*").alias("c"))
         .groupBy("c").agg(F.count("*").alias("n_types"))
     )
-    band = (F.col("c") * F.col("n_types")).cast("double")
+    band = (F.col("c") * F.col("n_types")).cast("bigint")
     total = F.sum(band).over(Window.partitionBy(F.lit(1)))
     return prof.select(
         F.col("c").alias("occurrences"),
         "n_types",
-        # raw ratio (integer-valued doubles sum exactly below 2^53, so the
-        # window total is order-independent); the catalog scales to integer
-        (band / total).alias("position_frac"),
+        total.alias("total_positions"),
+        # raw ratio of the exact integers (the catalog derives its scaled
+        # integer straight from the bigint columns instead)
+        (band.cast("double") / total.cast("double")).alias("position_frac"),
     )
 
 

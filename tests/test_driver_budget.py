@@ -64,6 +64,37 @@ def test_driver_budget_is_exactly_50():
     assert set(ORACLE_SQL) <= set(DRIVER_QUERIES)
 
 
+#: the ONLY queries still sanctioned to use the IEEE-evaluating ``_sint``
+#: (float * 10^d + 0.5): cosine similarity over float embeddings, which has
+#: no integer formulation. Every COUNT-ratio surface must use ``_ratio_sint``
+#: (pure 64-bit integer rounding — round 5, VERDICT r04 #2); reintroducing
+#: ``_sint`` over a division of counts brings back the q78 driver-divergence
+#: class that stayed red for two rounds.
+SINT_ALLOW = {"q26_cosine_topk", "q27_cosine_near_pairs"}
+
+
+def test_sint_only_on_sanctioned_float_surfaces():
+    """Source-level pin of the round-5 pure-integer stance: scan catalog.py
+    and assert `_sint(` is called only inside the SINT_ALLOW queries (the
+    float-native cosine pair) — no new count-ratio may route through IEEE
+    arithmetic on its way to the driver's hash layer."""
+    import inspect
+
+    import pyspark_minhash_lsh_spark.catalog as cat
+
+    scope, offenders = None, []
+    for line in inspect.getsource(cat).splitlines():
+        if line.startswith("def "):
+            scope = line[4:].split("(")[0]
+        if "_sint(" in line and "_ratio_sint" not in line and "_duck_rsint" not in line:
+            if scope and scope.startswith("q") and scope not in SINT_ALLOW:
+                offenders.append(f"{scope}: {line.strip()}")
+    assert not offenders, (
+        "_sint (IEEE float scaling) used outside the sanctioned cosine "
+        f"queries — use _ratio_sint integer rounding instead: {offenders}"
+    )
+
+
 def test_oracle_hash_surface_has_no_derived_floats(spark):
     """Compile every oracle-backed driver query (analysis only, no jobs) and
     assert no float/double column outside the exact-decimal/raw-data
