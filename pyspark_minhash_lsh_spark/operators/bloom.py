@@ -61,8 +61,18 @@ class BloomFilter(NamedTuple):
         ONCE each in the plan, not once per probe."""
         m = F.lit(int(self.n_bits))
         h1 = F.pmod(F.xxhash64(F.lit(int(self.seed)), col), m)
-        # stride in [1, m-1]: never 0, so the k probes are distinct mod m
-        h2 = F.pmod(F.xxhash64(F.lit(int(self.seed) + 1), col), m - 1) + 1
+        # ODD stride in [1, m-1] (round 5, ADVICE r04): a merely-nonzero
+        # stride can collapse probes because m is a multiple of 64 — e.g.
+        # h2 = m/2 alternates between two positions, quietly raising the
+        # realized fpp above the sized target. An odd h2 shares no factor
+        # with m's power-of-two part (>= 64), so the first i with
+        # i*h2 % m == 0 is >= 64 > k (k <= ~45 for any fpp >= 1e-9): all k
+        # probes are genuinely distinct. No-false-negative safety was never
+        # affected (build and probe share this exact expression).
+        h2 = (
+            F.pmod(F.xxhash64(F.lit(int(self.seed) + 1), col),
+                   F.lit(int(self.n_bits) // 2)) * 2 + 1
+        )
         return F.transform(
             F.sequence(F.lit(0), F.lit(int(self.k) - 1)),
             lambda i: F.pmod(h1 + i * h2, m),

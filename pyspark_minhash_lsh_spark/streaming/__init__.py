@@ -1,3 +1,9 @@
+from .metrics import (
+    attach_state_metrics,
+    state_metrics_rows,
+    write_state_metrics,
+    STATE_METRICS_SCHEMA,
+)
 from .pipelines import (
     hourly_event_stats,
     sliding_event_stats,
@@ -12,6 +18,10 @@ from .pipelines import (
 )
 
 __all__ = [
+    "attach_state_metrics",
+    "state_metrics_rows",
+    "write_state_metrics",
+    "STATE_METRICS_SCHEMA",
     "hourly_event_stats",
     "sliding_event_stats",
     "start_corpus_sketch_stream",

@@ -1,0 +1,144 @@
+"""Streaming state-size observability (round 5, VERDICT r04 #7).
+
+``streaming_near_dedup``'s state is 8-24 bytes per document per watermark
+horizon BY DESIGN — but a design bound is not an alarm. A 100 TB operator
+needs the REALIZED state size per micro-batch (a mis-set watermark, a
+stuck-source event-time, or a hot band key all show up as monotone state
+growth long before an executor OOM does). Structured Streaming already
+measures this — every ``StreamingQueryProgress`` carries per-operator
+``stateOperators`` entries (rows held, bytes used, rows added/removed this
+batch) — this module just turns them into the engine's row/sink contract:
+
+  - ``state_metrics_rows(query)`` — parse ``recentProgress`` into flat
+    dict rows (deterministic post-hoc poll; no listener thread);
+  - ``write_state_metrics(query, sink)`` — append those rows to the same
+    sink shapes the streaming pipelines use (callable or parquet path);
+  - ``attach_state_metrics(spark, sink)`` — a ``StreamingQueryListener``
+    that streams the rows out live per completed batch, for continuous
+    jobs where a post-hoc poll never runs.
+
+No new state, no extra jobs: the metrics come from the progress objects
+the engine produces anyway (driver-side, O(operators) per batch).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Optional, Union
+
+__all__ = [
+    "state_metrics_rows",
+    "write_state_metrics",
+    "attach_state_metrics",
+    "STATE_METRICS_SCHEMA",
+]
+
+#: schema of one metrics row (per query progress event x stateful operator)
+STATE_METRICS_SCHEMA = (
+    "query_id string, run_id string, batch_id bigint, operator_idx int, "
+    "operator string, state_rows bigint, state_bytes bigint, "
+    "rows_updated bigint, rows_removed bigint, event_timestamp string"
+)
+
+
+def _progress_dicts(query) -> "list[dict]":
+    """``recentProgress`` as plain dicts across PySpark versions (objects
+    expose ``.json``; older versions hand dicts back directly)."""
+    out = []
+    for p in query.recentProgress:
+        if isinstance(p, dict):
+            out.append(p)
+        else:
+            out.append(json.loads(p.json))
+    return out
+
+
+def _rows_from_progress(p: dict) -> "list[dict]":
+    rows = []
+    for i, op in enumerate(p.get("stateOperators") or []):
+        rows.append({
+            "query_id": str(p.get("id")),
+            "run_id": str(p.get("runId")),
+            "batch_id": int(p.get("batchId", -1)),
+            "operator_idx": int(i),
+            "operator": str(op.get("operatorName", "")),
+            "state_rows": int(op.get("numRowsTotal", 0)),
+            "state_bytes": int(op.get("memoryUsedBytes", 0)),
+            "rows_updated": int(op.get("numRowsUpdated", 0)),
+            "rows_removed": int(op.get("numRowsRemoved", 0)),
+            "event_timestamp": str(p.get("timestamp", "")),
+        })
+    return rows
+
+
+def state_metrics_rows(query) -> "list[dict]":
+    """One flat dict row per (progress event, stateful operator) from the
+    query's retained ``recentProgress`` (default 100 batches — raise
+    ``spark.sql.streaming.numRecentProgressUpdates`` to retain more).
+    Batches without stateful operators contribute no rows."""
+    rows = []
+    for p in _progress_dicts(query):
+        rows.extend(_rows_from_progress(p))
+    return rows
+
+
+def write_state_metrics(
+    query,
+    sink: "Union[str, Callable]",
+    spark=None,
+) -> int:
+    """Append the query's retained state metrics to ``sink`` — the same
+    contract as the pipeline sinks: a callable receiving a DataFrame, or a
+    string path (parquet append). Returns the number of metrics rows
+    written. Call after ``processAllAvailable()`` or on any cadence; rows
+    carry (run_id, batch_id) so replays/overlaps dedupe downstream."""
+    rows = state_metrics_rows(query)
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark("state_metrics")
+    df = spark.createDataFrame(
+        [tuple(r.values()) for r in rows] or [], STATE_METRICS_SCHEMA
+    )
+    if callable(sink):
+        sink(df)
+    else:
+        df.write.mode("append").parquet(str(sink))
+    return len(rows)
+
+
+def attach_state_metrics(
+    spark,
+    sink: Callable[["list[dict]"], None],
+    query_id: Optional[str] = None,
+):
+    """Register a ``StreamingQueryListener`` that calls ``sink(rows)`` with
+    the flat metrics rows of every COMPLETED batch (live alarm path for
+    continuous jobs). ``query_id`` filters to one query; default all.
+    Returns the listener — pass it to ``spark.streams.removeListener`` to
+    detach. The sink runs on the driver's listener thread: keep it O(rows)
+    cheap (append to a log/queue; do not launch Spark jobs from it)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _StateMetricsListener(StreamingQueryListener):
+        def onQueryStarted(self, event):  # pragma: no cover - no-op
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            if query_id is not None and str(d.get("id")) != str(query_id):
+                return
+            rows = _rows_from_progress(d)
+            if rows:
+                sink(rows)
+
+        def onQueryIdle(self, event):  # pragma: no cover - no-op
+            pass
+
+        def onQueryTerminated(self, event):  # pragma: no cover - no-op
+            pass
+
+    listener = _StateMetricsListener()
+    spark.streams.addListener(listener)
+    return listener

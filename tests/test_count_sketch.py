@@ -119,3 +119,72 @@ def test_parameter_mismatch_and_null_candidates(spark, corpus):
     est0 = {r.token: r.est_count
             for r in estimate_token_counts(empty, cands, width=1024).collect()}
     assert est0 == {"w0": 0}
+
+
+# ---- round 5: artifact params sidecar + one-call heavy hitters -------------
+
+
+def test_artifact_round_trip_validates_params(spark, corpus, tmp_path):
+    """save/load keeps (depth, width, seed) with the rows; estimates off the
+    loaded artifact use exactly the build params (ADVICE r04: a probe width
+    LARGER than the build width passed the one-sided row check and reported
+    est_count=0 for real tokens — impossible through the artifact)."""
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import (
+        CountMinSketch,
+        load_count_sketch,
+    )
+
+    sk = CountMinSketch.build(corpus, depth=4, width=512, seed=7)
+    path = str(tmp_path / "cm")
+    sk.save(path)
+    loaded = load_count_sketch(spark, path)
+    assert (loaded.depth, loaded.width, loaded.seed) == (4, 512, 7)
+
+    exact = _exact(corpus)
+    cands = spark.createDataFrame([(t,) for t in ("w0", "w1", "w5")], "token string")
+    est = {r.token: r.est_count for r in loaded.estimate(cands).collect()}
+    for t in ("w0", "w1", "w5"):
+        assert est[t] >= exact[t], t
+
+    # param-mismatched merge refuses loudly
+    other = CountMinSketch.build(corpus, depth=4, width=1024, seed=7)
+    with pytest.raises(ValueError, match="param mismatch"):
+        loaded.merge(other)
+
+    # depth drift between rows and params refuses loudly
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import CountMinSketch as CMS
+    bad = CMS(loaded.rows, depth=6, width=512, seed=7)
+    with pytest.raises(ValueError, match="depth"):
+        bad.estimate(cands).collect()
+
+
+def test_heavy_hitters_finds_cross_batch_hitter(spark):
+    """The VERDICT r04 #6 scenario: a token that is below every single
+    batch's top-k but #1 globally must surface — the per-batch candidate
+    sets are wider than k (candidate_k), and the merged sketch supplies the
+    global count no batch knows."""
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import heavy_hitters
+
+    # 4 batches; each batch has 6 'local' tokens with count 10 (its top-6)
+    # and the cross-batch token 'zz' with count 4 (rank 7 locally, below
+    # k=3 and even below top-6) -> globally zz has 16, beating every local
+    # token's 10.
+    batches = []
+    for b in range(4):
+        rows = []
+        did = 0
+        for j in range(6):
+            for _ in range(10):
+                rows.append((did, f"b{b}tok{j}")); did += 1
+        for _ in range(4):
+            rows.append((did, "zz")); did += 1
+        batches.append(spark.createDataFrame(rows, "doc_id bigint, text string"))
+
+    top = heavy_hitters(batches, k=3, depth=5, width=2048, candidate_k=8)
+    rows = top.collect()
+    assert rows[0].token == "zz" and rows[0].est_count >= 16, rows
+    assert len(rows) == 3
+    # and with candidate_k too narrow (== k), zz is invisible in every
+    # batch's candidates — documents why candidate_k > k is the default
+    top_narrow = heavy_hitters(batches, k=3, depth=5, width=2048, candidate_k=3)
+    assert all(r.token != "zz" for r in top_narrow.collect())
