@@ -1,0 +1,204 @@
+"""Execute the import-gated Pillow decode branches with a test double
+(VERDICT r04 #4).
+
+multimodal.py's jpeg/png ('pinned-codec') and format-sniffing paths are real
+code behind ``_pil_pixel_decoder``'s construction-time import gate — and
+Pillow is absent in this environment, so those decode lambdas had ZERO
+runtime coverage (any bug there was invisible to the suite). This module
+installs a minimal PIL double into ``sys.modules`` that honors the exact
+surface the gate consumes — ``Image.open(BytesIO) -> context manager`` with
+``.format``, ``.convert('RGB')`` and array conversion — and drives the
+previously-dormant lambdas end-to-end through ``extract_image_features``'s
+real ``mapInPandas`` plumbing (the double classes live at test-module level
+so executor workers unpickle them by reference, no PIL needed anywhere).
+
+The double DECODES REAL CONTAINERS for the formats it claims: BMP payloads
+via the engine's own ``_parse_bmp``, and a JPEG-marker-framed raw-RGB
+payload (SOI + APP0 'JFIF' + dims + pixels + EOI) built by
+``_encode_fake_jpeg`` below — honest enough that format sniffing, the
+pinned-codec mismatch error, and the pixel math all execute for real.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+from pyspark_minhash_lsh_spark.operators.multimodal import _parse_bmp
+
+# ---------------------------------------------------------------------------
+# fake-JPEG container: real JPEG framing markers around uncompressed RGB
+# ---------------------------------------------------------------------------
+
+_SOI = b"\xff\xd8"
+_EOI = b"\xff\xd9"
+
+
+def _encode_fake_jpeg(pixels: np.ndarray) -> bytes:
+    """JPEG-framed raw RGB: SOI, APP0/'JFIF', a private APPn with (h, w),
+    the pixel bytes, EOI. Sniffable as JPEG by its magic; decodable by the
+    double without a DCT pipeline."""
+    h, w, _ = pixels.shape
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x02" + b"\x00" * 6
+    appn = b"\xff\xee" + struct.pack(">HHH", 6, h, w)
+    return _SOI + app0 + appn + pixels.astype(np.uint8).tobytes() + _EOI
+
+
+class _FakeImage:
+    """The slice of PIL.Image.Image the gated decode lambda touches."""
+
+    def __init__(self, fmt: str, pixels: np.ndarray):
+        self.format = fmt
+        self._px = pixels
+
+    def convert(self, mode: str) -> "_FakeImage":
+        assert mode == "RGB", mode
+        return self
+
+    def __array__(self, dtype=None, copy=None):
+        return self._px if dtype is None else self._px.astype(dtype)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def _fake_open(fp) -> _FakeImage:
+    payload = fp.read() if hasattr(fp, "read") else bytes(fp)
+    if payload.startswith(b"BM"):
+        px, _w, _h = _parse_bmp(payload)
+        return _FakeImage("BMP", px.astype(np.uint8))
+    if payload.startswith(_SOI):
+        i = payload.index(b"\xff\xee")
+        h, w = struct.unpack(">HH", payload[i + 4:i + 8])
+        body = payload[i + 8:-2]
+        return _FakeImage(
+            "JPEG", np.frombuffer(body, np.uint8).reshape(h, w, 3)
+        )
+    raise ValueError("unrecognized container")
+
+
+class _FakeImageNS:
+    """Stands in for the ``PIL.Image`` module object. A CLASS, not a
+    ModuleType: the gated decode closure captures it, and cloudpickle
+    serializes a class by reference to THIS importable test module — a fake
+    ModuleType named 'PIL.Image' would make executor workers try
+    ``import PIL`` and die."""
+
+    open = staticmethod(_fake_open)
+
+
+@pytest.fixture()
+def fake_pil(monkeypatch):
+    import types
+
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = _FakeImageNS
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    yield
+
+
+def _jpeg_media(spark, n=6):
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(i)
+        px = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+        rows.append((i, bytearray(_encode_fake_jpeg(px))))
+    return spark.createDataFrame(rows, "media_id bigint, payload binary")
+
+
+def test_pinned_jpeg_branch_executes(spark, fake_pil):
+    """codec='jpeg' — the multimodal.py pinned-codec lambda (formerly
+    dormant) runs through real mapInPandas and emits true luma features."""
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    media = _jpeg_media(spark)
+    out = extract_image_features(media, codec="jpeg").collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.n_bytes > 30
+        f = np.asarray(r.feature)
+        # L2-normalized 16-bin luma histogram over 8x12=96 pixels
+        assert f.shape == (16,)
+        assert abs(float(np.linalg.norm(f)) - 1.0) < 1e-5
+
+    # determinism: same payloads -> identical features
+    again = extract_image_features(media, codec="jpeg").collect()
+    assert [r.feature for r in sorted(out, key=lambda r: r.media_id)] == [
+        r.feature for r in sorted(again, key=lambda r: r.media_id)
+    ]
+
+
+def test_pinned_codec_rejects_wrong_container(spark, fake_pil):
+    """The format-mismatch guard inside the gated lambda: BMP payloads under
+    codec='jpeg' must fail loudly, not decode as the wrong format."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        extract_image_features,
+        synthetic_bmp_media,
+    )
+
+    docs = spark.range(3).select(F.col("id").alias("doc_id"))
+    media = synthetic_bmp_media(docs, width=8, height=6)
+    with pytest.raises(Exception, match="expected jpeg"):
+        extract_image_features(media, codec="jpeg").collect()
+
+
+def test_sniff_branch_mixes_containers(spark, fake_pil):
+    """codec=None + decode_stub=False — the format-SNIFFING lambda decodes a
+    mixed BMP/JPEG column, agreeing with the library-free BMP path on the
+    BMP rows (same pixels -> same luma histogram)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        extract_image_features,
+        synthetic_bmp_media,
+    )
+
+    docs = spark.range(3).select(F.col("id").alias("doc_id"))
+    bmp = synthetic_bmp_media(docs, width=8, height=6).select(
+        "media_id", "payload"
+    )
+    jpg = _jpeg_media(spark, n=3).withColumn(
+        "media_id", F.col("media_id") + 100
+    )
+    mixed = bmp.unionByName(jpg)
+    sniffed = {
+        r.media_id: r.feature
+        for r in extract_image_features(
+            mixed, decode_stub=False, codec=None
+        ).collect()
+    }
+    assert len(sniffed) == 6
+    # BMP rows must match the library-free real-decode path exactly
+    bmp_real = {
+        r.media_id: r.feature
+        for r in extract_image_features(bmp, codec="bmp").collect()
+    }
+    for mid, feat in bmp_real.items():
+        assert sniffed[mid] == feat, mid
+
+
+def test_gate_still_fails_loudly_without_the_double(spark):
+    """With no PIL anywhere, the construction-time gate raises the
+    documented plug-point errors (the sanctioned-tier contract)."""
+    if "PIL" in sys.modules:  # the real library appeared: gate can't fire
+        pytest.skip("Pillow present")
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    media = _jpeg_media(spark, n=1)
+    with pytest.raises(ImportError, match="Pillow"):
+        extract_image_features(media, codec="jpeg")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        extract_image_features(media, decode_stub=False, codec=None)
