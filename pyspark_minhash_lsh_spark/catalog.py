@@ -2736,11 +2736,14 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twelve dedup/curation operators end-to-end, one summary row each —
+    """Thirteen dedup/curation operators end-to-end, one summary row each —
     rows-only (all are signature/hash dependent; see the suite-curation
     note above). Legs (folding round-2's q34, q39, q50, q51, q65, and —
     round 4 — q38's clustering, whose driver slot moved to the q79
-    tokenize suite; q38 itself stays registered for the bench scale probe):
+    tokenize suite; q38 itself stays registered for the bench scale probe;
+    round 5 adds quantile_sketch, the DDSketch-style mergeable log-bucket
+    histogram answering doc-length percentiles from two merged halves —
+    see the inline comment at the leg):
       - minhash_dedup: MinHash-LSH near-dup clustering with
         pointer-doubling connected components (the former q38 row);
       - simhash_bits: relational SimHash fingerprints (bit-sum facets);
@@ -2885,6 +2888,29 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("distinct_fingerprints"), F.avg("distinct_tokens"),
     )
 
+    # quantile_sketch (round 5): DDSketch-style log-bucket histogram built
+    # in two halves and MERGED (exact integer cellwise sum), answering
+    # doc-length percentiles without rescanning — the distribution member
+    # of the mergeable-sketch family beside the HLL leg above. f1 = total
+    # docs in the merged rows (must equal the corpus), f2 = estimated p95
+    # (within 2^(1/16) of exact; value property in test_quantile_sketch.py)
+    from .operators.corpus_stats import (
+        estimate_quantiles,
+        merge_value_histograms,
+        sketch_value_histogram,
+    )
+
+    qh = merge_value_histograms(
+        sketch_value_histogram(docs.filter(F.col("doc_id") % 2 == 0), "n_chars"),
+        sketch_value_histogram(docs.filter(F.col("doc_id") % 2 == 1), "n_chars"),
+    )
+    tot = qh.agg(F.sum("n").alias("n_docs"))
+    leg_qh = _suite_row(
+        estimate_quantiles(qh, [0.5, 0.95]).crossJoin(F.broadcast(tot)),
+        "quantile_sketch",
+        F.max("n_docs"), F.max("est"),
+    )
+
     return (
         leg_md.unionByName(leg_bits).unionByName(leg_pairs)
         .unionByName(leg_edd)
@@ -2892,6 +2918,7 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg_ndb).unionByName(leg_inc).unionByName(leg_bg)
         .unionByName(leg_ld)
         .unionByName(leg_cur).unionByName(leg_lss).unionByName(leg_sk)
+        .unionByName(leg_qh)
     )
 
 
@@ -3159,16 +3186,15 @@ def q79_tokenize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       - tokenizer_report: per-source fertility/compression table over the
         unigram encoding;
       - compression_ratio: per-doc zlib redundancy signal (corpus facets);
-      - cm_heavy_hitters: count-min frequency sketch built in two halves
-        and MERGED (the incremental-ingest path), then point-estimating
-        the exact top-20 tokens — the f1 facet is the summed estimate,
-        which must be >= (and here, collision-free, ==) the exact counts.
+      - cm_heavy_hitters: the ONE-CALL ``corpus_stats.heavy_hitters``
+        (round 5, VERDICT r04 #6) over the corpus split into two batches —
+        per-batch count-min sketches + exact per-batch candidate sets,
+        merged sketch supplying the global top-20 estimates; the f1 facet
+        is the summed estimate, >= (and here, collision-free, ==) the
+        exact counts. Parameter plumbing (depth/width/seed equality) is
+        handled inside the packaged API.
     All deterministic: count-ordered trims and seeded content only."""
-    from .operators.corpus_stats import (
-        estimate_token_counts,
-        merge_count_sketches,
-        sketch_token_counts,
-    )
+    from .operators.corpus_stats import heavy_hitters
     from .operators.textpipe import compression_ratio
     from .operators.tokenize import (
         bpe_decode,
@@ -3218,14 +3244,15 @@ def q79_tokenize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         cr, "compression_ratio", F.sum("n_compressed"), F.avg("compress_ratio")
     )
 
-    cm = merge_count_sketches(
-        sketch_token_counts(base.filter(F.col("doc_id") % 2 == 0)),
-        sketch_token_counts(base.filter(F.col("doc_id") % 2 == 1)),
+    hh = heavy_hitters(
+        [
+            base.filter(F.col("doc_id") % 2 == 0),
+            base.filter(F.col("doc_id") % 2 == 1),
+        ],
+        k=20,
     )
-    cands = spark.createDataFrame([(t,) for t in top[:20]], "token string")
-    est = estimate_token_counts(cm, cands)
     leg_cm = _suite_row(
-        est, "cm_heavy_hitters", F.sum("est_count"), F.avg("est_count")
+        hh, "cm_heavy_hitters", F.sum("est_count"), F.avg("est_count")
     )
     return (
         leg_wp.unionByName(leg_bpe).unionByName(leg_uni)

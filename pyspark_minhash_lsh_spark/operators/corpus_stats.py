@@ -51,6 +51,9 @@ __all__ = [
     "save_count_sketch",
     "load_count_sketch",
     "heavy_hitters",
+    "sketch_value_histogram",
+    "merge_value_histograms",
+    "estimate_quantiles",
 ]
 
 
@@ -718,3 +721,112 @@ def heavy_hitters(
         cands = cands.unionByName(batch_top(b))
     est = sk.estimate(cands.distinct(), token_col="token")
     return est.orderBy(F.desc("est_count"), F.asc("token")).limit(int(k))
+
+
+# ---------------------------------------------------------------------------
+# Log-bucket quantile sketch (round 5): the PERCENTILE member of the
+# mergeable-sketch family (HLL = distincts, count-min = frequencies, this =
+# distributions). Same contract as its siblings: each batch reduces to a
+# bounded row set, merge is an exact cellwise integer sum (closed,
+# associative, replay-friendly), and estimates come from the merged rows
+# with a bounded RELATIVE error — the DDSketch recipe (Masson, Rim & Lee,
+# VLDB 2019), which Spark's approx_percentile (a rank sketch with bounded
+# RANK error) does not expose as a persistable, batch-mergeable table.
+# ---------------------------------------------------------------------------
+
+#: buckets per octave (powers of two); relative error <= 2^(1/bpo) - 1
+_HIST_BPO_DEFAULT = 16
+
+
+#: bucket index reserved for x <= 0 — far below any log bucket (values in
+#: (0, 1) produce NEGATIVE indices, so 0 would sort mid-range, not first)
+_HIST_ZERO_BUCKET = -(1 << 30)
+
+
+def _hist_bucket(col: Column, bpo: int) -> Column:
+    """Log-bucket index of a non-negative value: the zero sentinel for
+    x <= 0, else ``floor(log2(x) * bpo) + 1`` — every bucket spans a
+    2^(1/bpo) ratio, so any value in a bucket is within that factor of the
+    bucket's geometric representative. For 64-bit longs the index is
+    bounded by 64*bpo + 1: the sketch can never exceed ~2k rows per group
+    at bpo=16 even with sub-1.0 doubles in play."""
+    return F.when(col <= 0, F.lit(_HIST_ZERO_BUCKET)).otherwise(
+        (F.floor(F.log(2.0, col.cast("double")) * F.lit(int(bpo))) + 1)
+        .cast("int")
+    )
+
+
+def sketch_value_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "tuple[str, ...] | list[str]" = (),
+    buckets_per_octave: int = _HIST_BPO_DEFAULT,
+) -> DataFrame:
+    """Reduce a batch to a log-bucket histogram of a non-negative numeric
+    column: ``(*group_cols, bucket, n)`` — at most ``64*bpo + 2`` rows per
+    group whatever the data volume. One projection + one map-side-partial
+    aggregate; NULL values are dropped (they carry no magnitude)."""
+    g = [F.col(c) for c in group_cols]
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, _hist_bucket(F.col(value_col), buckets_per_octave).alias("bucket"))
+        .groupBy(*g, "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_value_histograms(*hists: DataFrame) -> DataFrame:
+    """Exact cellwise-sum merge of histograms built with the SAME
+    buckets_per_octave and group columns — closed and associative, so any
+    batch/stream/partial-merge order yields identical rows."""
+    if not hists:
+        raise ValueError("no histograms to merge")
+    allb = hists[0]
+    for h in hists[1:]:
+        allb = allb.unionByName(h)
+    keys = [c for c in allb.columns if c not in ("n",)]
+    return allb.groupBy(*keys).agg(F.sum("n").alias("n"))
+
+
+def estimate_quantiles(
+    hist: DataFrame,
+    probs: "list[float]",
+    group_cols: "tuple[str, ...] | list[str]" = (),
+    buckets_per_octave: int = _HIST_BPO_DEFAULT,
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram: for each group and
+    each ``p``, the geometric midpoint of the first bucket whose cumulative
+    count reaches ``ceil(p * total)``. Guarantee: the TRUE quantile lies in
+    that bucket, so the estimate is within a factor ``2^(1/bpo)`` of it
+    (~4.4% at bpo=16) — relative-error quantiles, the property rank
+    sketches don't give. Returns ``(*group_cols, p, est)``.
+
+    Plan: per-group window cumsum over the SKETCH rows (bounded: <= 64*bpo
+    rows per group — never data-sized), cross-joined with the tiny probs
+    dim, one min-aggregate."""
+    from pyspark.sql import Window as _W
+
+    g = list(group_cols)
+    bpo = int(buckets_per_octave)
+    w = _W.partitionBy(*[F.col(c) for c in g]).orderBy("bucket")
+    cum = hist.select(
+        *g, "bucket", "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(_W.partitionBy(*[F.col(c) for c in g])).alias("total"),
+    )
+    pdim = hist.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    # rank of quantile p: ceil(p * total), floored at 1
+    rank = F.greatest(F.ceil(F.col("p") * F.col("total")), F.lit(1))
+    # geometric midpoint of bucket b (bucket b spans [2^((b-1)/bpo), 2^(b/bpo)))
+    est = F.when(F.col("bucket") == _HIST_ZERO_BUCKET, F.lit(0.0)).otherwise(
+        F.pow(F.lit(2.0), (F.col("bucket").cast("double") - 0.5) / F.lit(float(bpo)))
+    )
+    return (
+        cum.crossJoin(F.broadcast(pdim))
+        .filter(F.col("cum") >= rank)
+        .groupBy(*g, "p")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(*g, "p", est.alias("est"))
+    )

@@ -9,6 +9,7 @@ from .pipelines import (
     sliding_event_stats,
     start_corpus_sketch_stream,
     start_token_count_stream,
+    start_value_histogram_stream,
     start_near_dedup_stream,
     streaming_curate,
     streaming_exact_dedup,
@@ -26,6 +27,7 @@ __all__ = [
     "sliding_event_stats",
     "start_corpus_sketch_stream",
     "start_token_count_stream",
+    "start_value_histogram_stream",
     "start_near_dedup_stream",
     "streaming_curate",
     "streaming_exact_dedup",

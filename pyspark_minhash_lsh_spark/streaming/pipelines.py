@@ -384,6 +384,38 @@ def start_token_count_stream(
     )
 
 
+def start_value_histogram_stream(
+    df: DataFrame,
+    sink,
+    value_col: str,
+    group_cols: "tuple[str, ...] | list[str]" = (),
+    buckets_per_octave: int = 16,
+    **start_kwargs,
+):
+    """Streaming twin of ``corpus_stats.sketch_value_histogram`` — the
+    PERCENTILE member of the streaming-sketch family (HLL distincts /
+    count-min frequencies / log-bucket distributions). Every micro-batch
+    reduces to <= ``64*bpo + 2`` histogram rows per group tagged with
+    ``batch_id``; the accumulated table rolls up with
+    ``merge_value_histograms`` (exact integer cellwise sum — batch
+    boundaries never change the quantile estimates) and answers
+    ``estimate_quantiles`` at any time without rescanning the stream. Same
+    sink contract as the sibling sketch streams (callable or
+    replay-idempotent batch_id-partitioned path)."""
+    from ..operators.corpus_stats import sketch_value_histogram
+
+    return _start_sketch_stream(
+        df,
+        sink,
+        lambda bdf: sketch_value_histogram(
+            bdf, value_col, group_cols, buckets_per_octave=buckets_per_octave
+        ),
+        "start_value_histogram_stream needs a streaming DataFrame; the "
+        "batch path is sketch_value_histogram itself",
+        **start_kwargs,
+    )
+
+
 def _start_sketch_stream(docs, sink, make_sketch, not_streaming_msg, **start_kwargs):
     """Shared foreachBatch scaffolding for the per-batch sketch sinks: tag
     with ``batch_id``, write replay-idempotently (dynamic partition

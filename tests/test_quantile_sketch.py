@@ -1,0 +1,128 @@
+"""Log-bucket quantile sketch (round 5): bounded rows, exact merge
+identity, relative-error quantile guarantee, grouped estimates, zero/NULL
+handling — the percentile member of the mergeable-sketch family (HLL
+distincts / count-min frequencies / this distributions; DDSketch recipe,
+Masson, Rim & Lee, VLDB 2019)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.corpus_stats import (
+    estimate_quantiles,
+    merge_value_histograms,
+    sketch_value_histogram,
+)
+
+BPO = 16
+REL = 2 ** (1 / BPO)  # bucket width ratio: estimates within this factor
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, "a" if i % 3 else "b", int(math.exp(rng.uniform(0, 10))))
+        for i in range(4000)
+    ]
+    return spark.createDataFrame(rows, "id bigint, grp string, v bigint").cache()
+
+
+def _exact_quantile(vals, p):
+    s = sorted(vals)
+    return s[min(len(s) - 1, max(0, math.ceil(p * len(s)) - 1))]
+
+
+def test_bounded_rows_and_exact_counts(spark, values):
+    h = sketch_value_histogram(values, "v", buckets_per_octave=BPO)
+    rows = h.collect()
+    assert len(rows) <= 64 * BPO + 2
+    assert sum(r.n for r in rows) == values.count()
+
+
+def test_merge_equals_full_scan(spark, values):
+    full = sketch_value_histogram(values, "v", buckets_per_octave=BPO)
+    parts = [
+        sketch_value_histogram(
+            values.filter(F.col("id") % 3 == i), "v", buckets_per_octave=BPO
+        )
+        for i in range(3)
+    ]
+    merged = merge_value_histograms(*parts)
+    a = sorted((r.bucket, r.n) for r in full.collect())
+    b = sorted((r.bucket, r.n) for r in merged.collect())
+    assert a == b  # exact integer identity, any merge order
+
+
+def test_quantiles_within_relative_error(spark, values):
+    vals = [r.v for r in values.select("v").collect()]
+    h = sketch_value_histogram(values, "v", buckets_per_octave=BPO)
+    probs = [0.1, 0.5, 0.9, 0.99]
+    est = {r.p: r.est for r in estimate_quantiles(h, probs, buckets_per_octave=BPO).collect()}
+    for p in probs:
+        true = _exact_quantile(vals, p)
+        # true quantile lies in the chosen bucket -> estimate within one
+        # bucket-width factor of it
+        assert true / REL <= est[p] <= true * REL, (p, true, est[p])
+
+
+def test_grouped_quantiles(spark, values):
+    h = sketch_value_histogram(values, "v", ["grp"], buckets_per_octave=BPO)
+    out = estimate_quantiles(h, [0.5], ["grp"], buckets_per_octave=BPO).collect()
+    assert {r.grp for r in out} == {"a", "b"}
+    for r in out:
+        vals = [x.v for x in values.filter(F.col("grp") == r.grp).collect()]
+        true = _exact_quantile(vals, 0.5)
+        assert true / REL <= r.est <= true * REL, (r.grp, true, r.est)
+
+
+def test_zero_and_null_handling(spark):
+    df = spark.createDataFrame(
+        [(0,), (0,), (0,), (None,), (8,)], "v int"
+    )
+    h = sketch_value_histogram(df, "v", buckets_per_octave=BPO)
+    # NULL dropped; three zeros in the sentinel bucket + one real value
+    assert sum(r.n for r in h.collect()) == 4
+    est = {r.p: r.est for r in estimate_quantiles(h, [0.5, 1.0], buckets_per_octave=BPO).collect()}
+    assert est[0.5] == 0.0  # majority zeros -> zero bucket wins the median
+    assert 8 / REL <= est[1.0] <= 8 * REL
+
+
+def test_fractional_values_sort_above_zero(spark):
+    """Values in (0,1) land in NEGATIVE log buckets; the zero sentinel must
+    still rank strictly below them or quantile order inverts."""
+    df = spark.createDataFrame([(0.0,), (0.25,), (0.5,), (4.0,)], "v double")
+    h = sketch_value_histogram(df, "v", buckets_per_octave=BPO)
+    est = {r.p: r.est for r in estimate_quantiles(h, [0.25, 1.0], buckets_per_octave=BPO).collect()}
+    assert est[0.25] == 0.0  # the single zero is the p25 of 4 values
+    assert 4 / REL <= est[1.0] <= 4 * REL
+
+
+def test_stream_accumulated_merge_equals_full_scan(spark, values, tmp_path):
+    """Streaming twin: per-batch histogram rows accumulated through the
+    batch_id-partitioned sink merge to EXACTLY the full-scan histogram
+    (integer cellwise identity — batch boundaries never change quantiles)."""
+    from pyspark_minhash_lsh_spark.streaming import start_value_histogram_stream
+
+    src, sink = str(tmp_path / "src"), str(tmp_path / "sink")
+    values.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(values.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_value_histogram_stream(stream, sink, "v", buckets_per_octave=BPO)
+    q.processAllAvailable()
+    q.stop()
+
+    acc = spark.read.parquet(sink)
+    assert acc.select("batch_id").distinct().count() > 1  # real multi-batch run
+    merged = merge_value_histograms(acc.drop("batch_id"))
+    full = sketch_value_histogram(values, "v", buckets_per_octave=BPO)
+    assert sorted((r.bucket, r.n) for r in merged.collect()) == sorted(
+        (r.bucket, r.n) for r in full.collect()
+    )
