@@ -384,6 +384,90 @@ def start_token_count_stream(
     )
 
 
+def start_heavy_hitters_stream(
+    docs: DataFrame,
+    sink: str,
+    text_col: str = "text",
+    depth: int = 5,
+    width: int = 8192,
+    seed: int = 1,
+    candidate_k: int = 80,
+    **start_kwargs,
+):
+    """Streaming twin of ``corpus_stats.heavy_hitters`` (round 5): every
+    micro-batch writes BOTH halves of the heavy-hitters state —
+
+      - ``<sink>/sketch``     — count-min rows (<= depth x width per batch),
+      - ``<sink>/candidates`` — the batch's exact top-``candidate_k``
+        tokens (wider than any final k so a token globally heavy but below
+        every single batch's top-k still enters the candidate union),
+
+    each ``batch_id``-partitioned with dynamic partition overwrite
+    (replay-idempotent, the sibling sketch-stream contract), plus a
+    ``_params`` sidecar written once so ``finalize_heavy_hitters`` can
+    never probe with drifted (depth, width, seed) — the CountMinSketch
+    artifact discipline extended to the stream. ``sink`` must be a path
+    (two coordinated tables); wrap your own ``foreachBatch`` for custom
+    sinks. Returns the ``StreamingQuery``."""
+    from ..functions.text import tokens as _tok
+    from ..operators.corpus_stats import sketch_token_counts
+
+    if not docs.isStreaming:
+        raise ValueError(
+            "start_heavy_hitters_stream needs a streaming DataFrame; the "
+            "batch path is corpus_stats.heavy_hitters itself"
+        )
+    base = str(sink).rstrip("/")
+    docs.sparkSession.createDataFrame(
+        [(int(depth), int(width), int(seed), int(candidate_k))],
+        "depth int, width int, seed int, candidate_k int",
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/_params")
+
+    def fb(bdf: DataFrame, bid: int) -> None:
+        sk = sketch_token_counts(
+            bdf, text_col=text_col, depth=depth, width=width, seed=seed
+        ).withColumn("batch_id", F.lit(int(bid)))
+        cand = (
+            bdf.select(
+                F.explode(_tok(F.coalesce(F.col(text_col), F.lit("")))).alias("token")
+            )
+            .groupBy("token").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("token"))
+            .limit(int(candidate_k))
+            .select("token")
+            .withColumn("batch_id", F.lit(int(bid)))
+        )
+        for df, sub in ((sk, "/sketch"), (cand, "/candidates")):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(base + sub)
+            )
+
+    return docs.writeStream.foreachBatch(fb).start(**start_kwargs)
+
+
+def finalize_heavy_hitters(spark, sink: str, k: int = 20) -> DataFrame:
+    """Roll up a ``start_heavy_hitters_stream`` sink at ANY time: merge the
+    accumulated per-batch sketches (exact cellwise sum), union the
+    candidate sets, estimate each candidate's GLOBAL frequency, return the
+    top-``k`` ``(token, est_count)`` — without rescanning a single
+    document. Parameters come from the sink's own ``_params`` sidecar and
+    are validated against the sketch rows (``CountMinSketch.estimate``)."""
+    from ..operators.corpus_stats import CountMinSketch, merge_count_sketches
+
+    base = str(sink).rstrip("/")
+    p = spark.read.parquet(base + "/_params").head()
+    rows = merge_count_sketches(
+        spark.read.parquet(base + "/sketch").select("d", "cell", "c")
+    )
+    sk = CountMinSketch(rows, p.depth, p.width, p.seed)
+    cands = spark.read.parquet(base + "/candidates").select("token").distinct()
+    est = sk.estimate(cands, token_col="token")
+    return est.orderBy(F.desc("est_count"), F.asc("token")).limit(int(k))
+
+
 def start_value_histogram_stream(
     df: DataFrame,
     sink,

@@ -31,11 +31,10 @@ def test_rows_only_runs(spark, name):
 
 
 def test_q29_zero_variance_source_is_null_not_divergent(spark, tmp_path):
-    """Review fix (round 4): a source whose docs all share one n_chars has
-    zero variance — the raw z is NaN, and floor->bigint on NaN DIVERGES
-    between engines (DuckDB errors, Spark overflows to 0/MaxLong). Both
-    sides must instead emit NULL zscore/is_outlier for such docs, and the
-    oracle must run without error."""
+    """Review fix (round 4, re-pinned for the round-5 integer surface): a
+    source whose docs all share one n_chars has zero variance — both sides
+    must emit NULL z facets (z_centered/is_outlier) for such docs instead
+    of a NaN-derived divergence, and the oracle must run without error."""
     import duckdb
     from pyspark.sql import functions as F
 
@@ -56,9 +55,9 @@ def test_q29_zero_variance_source_is_null_not_divergent(spark, tmp_path):
     docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
 
     srows = {r.doc_id: r for r in QUERIES["q29_doc_quality"](spark, d).collect()}
-    assert srows[0].zscore is None and srows[0].is_outlier is None
-    assert srows[1].zscore is None
-    assert srows[2].zscore is not None and srows[3].zscore is not None
+    assert srows[0].z_centered is None and srows[0].is_outlier is None
+    assert srows[1].z_centered is None
+    assert srows[2].z_centered is not None and srows[3].z_centered is not None
 
     con = duckdb.connect()
     con.execute(
@@ -68,6 +67,7 @@ def test_q29_zero_variance_source_is_null_not_divergent(spark, tmp_path):
     drows = {r[0]: r for r in con.execute(ORACLE_SQL["q29_doc_quality"]).fetchall()}
     cols = [c[0] for c in con.execute(
         ORACLE_SQL["q29_doc_quality"]).description]
-    zi = cols.index("zscore")
+    zi = cols.index("z_centered")
     assert drows[0][zi] is None and drows[1][zi] is None
-    assert drows[2][zi] == srows[2].zscore and drows[3][zi] == srows[3].zscore
+    assert drows[2][zi] == srows[2].z_centered
+    assert drows[3][zi] == srows[3].z_centered

@@ -188,3 +188,54 @@ def test_heavy_hitters_finds_cross_batch_hitter(spark):
     # batch's candidates — documents why candidate_k > k is the default
     top_narrow = heavy_hitters(batches, k=3, depth=5, width=2048, candidate_k=3)
     assert all(r.token != "zz" for r in top_narrow.collect())
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
+    """start_heavy_hitters_stream + finalize == the batch heavy_hitters on
+    the same batch split, including the cross-batch hitter below every
+    single batch's top-k — with the (depth, width, seed) plumbing carried
+    by the sink's own _params sidecar."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import heavy_hitters
+    from pyspark_minhash_lsh_spark.streaming import (
+        finalize_heavy_hitters,
+        start_heavy_hitters_stream,
+    )
+
+    batches = []
+    for b in range(4):
+        rows, did = [], 0
+        for j in range(6):
+            for _ in range(10):
+                rows.append((did, f"b{b}tok{j}")); did += 1
+        for _ in range(4):
+            rows.append((did, "zz")); did += 1
+        batches.append(spark.createDataFrame(rows, "doc_id bigint, text string"))
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "hh")
+    # one parquet file per batch -> maxFilesPerTrigger=1 replays the exact
+    # batch split through the stream
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = start_heavy_hitters_stream(
+        stream, sink, depth=5, width=2048, candidate_k=8
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = finalize_heavy_hitters(spark, sink, k=3).collect()
+    want = heavy_hitters(batches, k=3, depth=5, width=2048, candidate_k=8).collect()
+    assert [(r.token, r.est_count) for r in got] == [
+        (r.token, r.est_count) for r in want
+    ]
+    assert got[0].token == "zz" and got[0].est_count >= 16
+
+    # params sidecar round-trips and guards the probe surface
+    p = spark.read.parquet(sink + "/_params").head()
+    assert (p.depth, p.width, p.seed, p.candidate_k) == (5, 2048, 1, 8)
