@@ -138,9 +138,11 @@ def source_overlap(
             "n_b",
             "n_common",
             # raw full-precision ratios of exact integers — consumers that
-            # need a hashable/display value scale or round downstream
-            # (VERDICT r03 #1: rounded doubles on the driver hash surface
-            # canonicalize non-portably; the catalog now emits scaled ints)
+            # need a hashable/display value scale or round downstream.
+            # Engine-comparable surfaces must NOT use these doubles at all:
+            # after two driver-red rounds, catalog q78 emits ONLY the
+            # integer counts (n_a/n_b/n_common determine both ratios);
+            # derive scaled ints via catalog._ratio_sint if you need them
             jac.alias("jaccard"),
             (F.col("n_common") / F.least("n_a", "n_b")).alias("containment"),
         )

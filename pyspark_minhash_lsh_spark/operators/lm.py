@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["BigramLm", "train_bigram_lm", "lm_score"]
+__all__ = ["BigramLm", "train_bigram_lm", "lm_score", "save_bigram_lm", "load_bigram_lm"]
 
 #: word-count table pinned by the PREVIOUS train call (the model's uni/bi
 #: tables read it), released non-blocking on the next — the
@@ -223,3 +223,33 @@ def lm_score(
             .cast("bigint").alias("sum_c2"),
         ]
     return scored.groupBy("doc_id").agg(*aggs)
+
+
+def save_bigram_lm(model: BigramLm, path: str, mode: str = "overwrite") -> None:
+    """Persist a trained stupid-backoff model: the two bounded count tables
+    as parquet plus a one-row ``_params`` sidecar carrying the normalizer
+    and backoff weight — train once on the trusted corpus, score any later
+    ingest without retraining (the index-artifact convention: PqModel /
+    BloomFilter / CountMinSketch)."""
+    base = path.rstrip("/")
+    model.unigrams.select("w", "c").write.mode(mode).parquet(base + "/unigrams")
+    model.bigrams.select("w1", "w2", "c").write.mode(mode).parquet(base + "/bigrams")
+    spark = model.unigrams.sparkSession
+    spark.createDataFrame(
+        [(int(model.total_tokens), float(model.alpha))],
+        "total_tokens bigint, alpha double",
+    ).coalesce(1).write.mode(mode).parquet(base + "/_params")
+
+
+def load_bigram_lm(spark, path: str) -> BigramLm:
+    """Rehydrate a saved model. The loaded tables are plain parquet scans —
+    still bounded (the trainer's count-ordered trims decided their size),
+    so ``lm_score``'s broadcasts stay unconditionally sound."""
+    base = path.rstrip("/")
+    p = spark.read.parquet(base + "/_params").head()
+    return BigramLm(
+        spark.read.parquet(base + "/unigrams"),
+        spark.read.parquet(base + "/bigrams"),
+        int(p.total_tokens),
+        float(p.alpha),
+    )

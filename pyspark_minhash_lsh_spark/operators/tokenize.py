@@ -48,6 +48,12 @@ __all__ = [
     "tokenizer_report",
     "UNK_TOKEN",
     "END_OF_WORD",
+    "save_bpe_merges",
+    "load_bpe_merges",
+    "save_unigram_vocab",
+    "load_unigram_vocab",
+    "save_wordpiece_vocab",
+    "load_wordpiece_vocab",
 ]
 
 UNK_TOKEN = "[UNK]"
@@ -606,3 +612,56 @@ def wordpiece_decode(token_ids, vocab: "Mapping[str, int] | Sequence[str]"):
     piece_arr = F.array(*[F.lit(p if p is not None else "") for p in inv])
     pieces = F.transform(token_ids, lambda i: F.element_at(piece_arr, i + 1))
     return F.regexp_replace(F.array_join(pieces, " "), " ##", "")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer artifact persistence (round 5): train once on the cluster, save
+# the bounded model, encode everywhere — the same parquet + params-sidecar
+# convention as the index artifacts (PqModel/IvfFlat/Bloom/CountMinSketch).
+# All three model shapes are bounded by construction (merge lists, piece
+# tables, vocab lists), so each persists as one small parquet table whose
+# ORDER is carried explicitly in a rank/idx column (parquet row order is not
+# a contract; merge priority and vocab ids are).
+# ---------------------------------------------------------------------------
+
+
+def save_bpe_merges(spark, merges: "Sequence[tuple[str, str]]", path: str,
+                    mode: str = "overwrite") -> None:
+    """Persist an ordered BPE merge list as ``(rank, left, right)`` rows."""
+    rows = [(i, p[0], p[1]) for i, p in enumerate(merges)]
+    spark.createDataFrame(
+        rows or [], "rank int, left string, right string"
+    ).coalesce(1).write.mode(mode).parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> "list[tuple[str, str]]":
+    rows = spark.read.parquet(path).collect()
+    return [(r.left, r.right) for r in sorted(rows, key=lambda r: r.rank)]
+
+
+def save_unigram_vocab(spark, vocab: "Mapping[str, float]", path: str,
+                       mode: str = "overwrite") -> None:
+    """Persist a unigram-LM vocabulary as ``(piece, logp)`` rows — parquet
+    doubles round-trip IEEE-exactly, so reloaded Viterbi segmentations are
+    bit-identical to the trainer's."""
+    spark.createDataFrame(
+        list(vocab.items()) or [], "piece string, logp double"
+    ).coalesce(1).write.mode(mode).parquet(path)
+
+
+def load_unigram_vocab(spark, path: str) -> "dict[str, float]":
+    return {r.piece: r.logp for r in spark.read.parquet(path).collect()}
+
+
+def save_wordpiece_vocab(spark, vocab: "Sequence[str]", path: str,
+                         mode: str = "overwrite") -> None:
+    """Persist a WordPiece vocab as ``(idx, piece)`` rows — idx IS the
+    token id surface, so the explicit column keeps ids stable."""
+    spark.createDataFrame(
+        [(i, p) for i, p in enumerate(vocab)] or [], "idx int, piece string"
+    ).coalesce(1).write.mode(mode).parquet(path)
+
+
+def load_wordpiece_vocab(spark, path: str) -> "list[str]":
+    rows = spark.read.parquet(path).collect()
+    return [r.piece for r in sorted(rows, key=lambda r: r.idx)]

@@ -183,3 +183,38 @@ def test_randomized_pure_python_parity(spark):
             else:
                 assert got[did].sum_logprob == pytest.approx(exp, abs=1e-9), (
                     trial, did)
+
+
+def test_bigram_lm_save_load_scores_identically(spark, tmp_path):
+    """Round 5: the persisted model (count tables + _params sidecar) must
+    reproduce the in-memory model's scores exactly — counts are integers
+    and the normalizer/alpha ride the sidecar, so reloaded scoring is
+    bit-identical."""
+    from pyspark_minhash_lsh_spark.operators.lm import (
+        lm_score,
+        load_bigram_lm,
+        save_bigram_lm,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat ran") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "a dog barks"), (2, "")],
+        "doc_id bigint, text string",
+    )
+    m = train_bigram_lm(ref)
+    path = str(tmp_path / "lm")
+    save_bigram_lm(m, path)
+    m2 = load_bigram_lm(spark, path)
+    assert (m2.total_tokens, m2.alpha) == (m.total_tokens, m.alpha)
+
+    def rows(model):
+        return sorted(
+            (r.doc_id, r.n_bigrams, r.sum_logprob, r.sum_c12, r.sum_c2)
+            for r in lm_score(docs, model, with_counts=True).collect()
+        )
+
+    assert rows(m) == rows(m2)

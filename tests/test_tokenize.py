@@ -478,3 +478,60 @@ def test_unigram_random_round_trip_property(spark):
     }
     for did, t in probe_rows:
         assert out[did] == py_norm(t), (did, t, out[did])
+
+
+# ---- round 5: tokenizer artifact persistence -------------------------------
+
+
+def test_tokenizer_artifacts_round_trip(spark, tmp_path):
+    """save/load for all three tokenizer model shapes: the reloaded model
+    must encode IDENTICALLY to the trained one (order/priority carried in
+    explicit rank/idx columns, unigram log-probs IEEE-exact through
+    parquet doubles)."""
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        bpe_encode,
+        load_bpe_merges,
+        load_unigram_vocab,
+        load_wordpiece_vocab,
+        save_bpe_merges,
+        save_unigram_vocab,
+        save_wordpiece_vocab,
+        train_bpe,
+        train_unigram,
+        unigram_encode,
+        wordpiece_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over lazy dog number {i} again")
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+
+    merges = train_bpe(docs, num_merges=50, min_word_freq=1)
+    save_bpe_merges(spark, merges, str(tmp_path / "bpe"))
+    assert load_bpe_merges(spark, str(tmp_path / "bpe")) == merges
+    a = {r.doc_id: r.pieces for r in bpe_encode(docs, merges).collect()}
+    b = {
+        r.doc_id: r.pieces
+        for r in bpe_encode(
+            docs, load_bpe_merges(spark, str(tmp_path / "bpe"))
+        ).collect()
+    }
+    assert a == b
+
+    uv = train_unigram(docs, vocab_size=200, min_word_freq=1)
+    save_unigram_vocab(spark, uv, str(tmp_path / "uni"))
+    lv = load_unigram_vocab(spark, str(tmp_path / "uni"))
+    assert lv == uv  # IEEE-exact double round-trip
+    ua = {r.doc_id: r.pieces for r in unigram_encode(docs, uv).collect()}
+    ub = {r.doc_id: r.pieces for r in unigram_encode(docs, lv).collect()}
+    assert ua == ub
+
+    vocab = ["the", "quick", "fox", "##s", "a", "##gain"]
+    save_wordpiece_vocab(spark, vocab, str(tmp_path / "wp"))
+    lw = load_wordpiece_vocab(spark, str(tmp_path / "wp"))
+    assert lw == vocab  # ids (positions) preserved exactly
+    wa = {r.doc_id: r.token_ids for r in wordpiece_encode(docs, vocab).collect()}
+    wb = {r.doc_id: r.token_ids for r in wordpiece_encode(docs, lw).collect()}
+    assert wa == wb

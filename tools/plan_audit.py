@@ -25,6 +25,14 @@ HEADLINE = [
     "q33_similarity_join",
     "q57_asof_join",
     "q63_bm25_search",
+    # round 5: every query with a shape assertion or budget is ALWAYS
+    # audited (previously q29/q67/q78's assertions only fired when named
+    # explicitly on the command line)
+    "q28_language_id",
+    "q29_doc_quality",
+    "q67_text_hygiene",
+    "q70_length_percentiles",
+    "q78_corpus_overlap",
 ]
 
 #: hard shape assertions backing PLANS.md claims (audit FAILS on regression).
@@ -61,6 +69,12 @@ MAX_COUNTS = [
     # 2 model-count aggs + bigram pre-agg + doc-score agg + source moments
     # + the id-keyed panel joins — all slim-payload, id/word-keyed
     ("q29_doc_quality", "Exchange hashpartitioning", 8),
+    # round 5: language-ID argmax is a pure projection + one count agg
+    ("q28_language_id", "Exchange hashpartitioning", 1),
+    # round 5: integer percentiles = one source-keyed sorted-array agg
+    ("q70_length_percentiles", "Exchange hashpartitioning", 1),
+    # postings tf agg + dl agg + term df agg + final doc-score agg
+    ("q63_bm25_search", "Exchange hashpartitioning", 4),
 ]
 
 MARKERS = [
