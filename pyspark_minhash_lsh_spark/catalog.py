@@ -3062,22 +3062,13 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(srp_top, ["query_id", "vec_id"]), "srp_recall",
         F.countDistinct("query_id"), F.count("*") / F.lit(50.0),
     )
-    # two-stage PQ serving: ADC top-100 candidates -> exact-cosine rerank
+    # two-stage PQ serving via the packaged batch refine (round 5):
+    # ADC top-100 candidates -> exact-cosine rerank -> top-10 per query
     pq_r = fit_pq(rc, m=8, k=16, sample_rows=50_000)
-    pq_cand = pq_topk_batch(
-        pq_r, pq_r.encode(rc), rq, k=100, query_emb_col="q_emb"
+    pq_top = pq_topk_batch(
+        pq_r, pq_r.encode(rc), rq, k=10, query_emb_col="q_emb",
+        refine=100, embeddings=rc,
     ).select("query_id", "vec_id")
-    pq_top = (
-        pq_cand.join(rc, "vec_id")
-        .join(F.broadcast(rq), "query_id")
-        .select(
-            "query_id", "vec_id",
-            _cos(F.col("embedding"), F.col("q_emb")).alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id")
-    )
     leg_rp = _suite_row(
         exact.join(pq_top, ["query_id", "vec_id"]), "pq_recall",
         F.countDistinct("query_id"), F.count("*") / F.lit(50.0),

@@ -453,6 +453,8 @@ def pq_topk_batch(
     k: int = 10,
     query_emb_col: str | None = None,
     query_id_col: str = "query_id",
+    refine: "int | None" = None,
+    embeddings: "DataFrame | None" = None,
 ) -> DataFrame:
     """Batched ADC top-k: every query in ``queries`` against an
     ``encode``-d table in ONE scan — the PQ twin of the SRP/IVF batch
@@ -463,7 +465,19 @@ def pq_topk_batch(
     batches (hundreds to low thousands of queries), not query-corpora;
     join-style workloads belong to the SRP/IVF batch paths. Each encoded
     row is scored against all queries in one numpy gather, so the corpus
-    is still scanned exactly once regardless of batch size."""
+    is still scanned exactly once regardless of batch size.
+
+    ``refine=c`` is the batch form of the two-stage serving pattern
+    (``refine_topk``): take the top-c ADC candidates PER QUERY, join the
+    bounded (n_queries x c)-row candidate set back to the raw
+    ``embeddings`` (required with refine — codes don't hold floats),
+    re-rank by exact cosine per query, return top-k. Candidates and the
+    query batch both broadcast; the embedding corpus shuffles nothing.
+    Output gains a ``cosine`` column and ``rank`` re-numbers by it."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+
     emb = query_emb_col or pq_model.emb_col
     rows = queries.select(F.col(query_id_col), F.col(emb)).collect()
     if not rows:
@@ -473,4 +487,29 @@ def pq_topk_batch(
     if qmat.shape[1] != pq_model.m * pq_model.dsub:
         raise ValueError(
             f"query dim {qmat.shape[1]} != model dim {pq_model.m * pq_model.dsub}")
-    return _batch_topk(pq_model, encoded, qids, qmat, k)
+    adc = _batch_topk(pq_model, encoded, qids, qmat, max(refine, k) if refine else k)
+    if not refine:
+        return adc
+    if embeddings is None:
+        raise ValueError(
+            "refine requires the raw embeddings table (pq codes don't "
+            "hold the float vectors)"
+        )
+    qe = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(emb).alias("_q_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(pq_model.id_col)
+    )
+    return (
+        F.broadcast(adc.select("query_id", pq_model.id_col, "adc_score"))
+        .join(embeddings, pq_model.id_col)
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id", pq_model.id_col, "adc_score",
+            cosine_similarity(F.col(pq_model.emb_col), F.col("_q_emb"))
+            .alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

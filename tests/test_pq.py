@@ -170,3 +170,53 @@ def test_pq_topk_batch_matches_single(spark, corpus, model, encoded):
                 model.approx_cosine_topk(encoded, full[p], n=6).collect())
         ]
         assert sorted(got[p]) == single, p
+
+
+def test_pq_topk_batch_refine_matches_manual_rerank(spark):
+    """Round 5: pq_topk_batch(refine=c) == the hand-rolled two-stage
+    pipeline (ADC top-c per query -> exact-cosine rerank -> top-k), with
+    the candidate/query joins broadcast and no corpus shuffle."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.functions.vectors import cosine_similarity
+    from pyspark_minhash_lsh_spark.operators.pq import fit_pq, pq_topk_batch
+
+    rng = random.Random(3)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)],
+        "vec_id bigint, embedding array<float>",
+    ).cache()
+    queries = spark.createDataFrame(
+        [(100 + i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(4)],
+        "query_id bigint, q_emb array<float>",
+    )
+    pq = fit_pq(corpus, m=4, k=8, sample_rows=10_000)
+    enc = pq.encode(corpus)
+
+    refined = pq_topk_batch(
+        pq, enc, queries, k=5, query_emb_col="q_emb",
+        refine=50, embeddings=corpus,
+    )
+    plan = refined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+    cand = pq_topk_batch(pq, enc, queries, k=50, query_emb_col="q_emb")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    manual = (
+        cand.select("query_id", "vec_id")
+        .join(corpus, "vec_id")
+        .join(queries, "query_id")
+        .select(
+            "query_id", "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    got = sorted((r.query_id, r.rank, r.vec_id) for r in refined.collect())
+    want = sorted((r.query_id, r.rank, r.vec_id) for r in manual.collect())
+    assert got == want and len(got) == 20
+    assert {"adc_score", "cosine"} <= set(refined.columns)
