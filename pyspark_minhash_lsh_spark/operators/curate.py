@@ -59,6 +59,7 @@ STATUSES = (
     "drop_repetition",
     "drop_quality",
     "drop_entropy",
+    "drop_fluency",
     "drop_classifier",
     "drop_exact_dup",
     "drop_near_dup",
@@ -76,6 +77,8 @@ def curate_corpus(
     min_quality: float = 0.4,
     max_logprob: Optional[float] = None,
     logprob_reference: Optional[DataFrame] = None,
+    lm_model: Optional["BigramLm"] = None,
+    min_lm_avg_logprob: Optional[float] = None,
     redact_pii: bool = True,
     unicode_form: Optional[str] = None,
     clean_lines: bool = False,
@@ -119,6 +122,15 @@ def curate_corpus(
     ``drop_entropy``. The unigram model fits on ``logprob_reference`` when
     given (a trusted clean corpus), else self-scores on the redacted input;
     cost is one extra token-keyed agg + join, only when enabled.
+
+    ``lm_model`` + ``min_lm_avg_logprob`` (opt-in, round 5) add the CCNet
+    FLUENCY gate after the entropy rule: docs whose mean stupid-backoff
+    bigram log10-prob under the trained ``BigramLm`` (``lm.train_bigram_lm``
+    on a trusted corpus, or ``lm.load_bigram_lm``) falls below the floor
+    become ``drop_fluency`` — the "reads like the reference corpus" filter
+    the unigram entropy gate approximates. Scoring is the bounded-broadcast
+    ``lm_score`` plan (zero corpus shuffle); transition-less docs score
+    NULL and are never dropped by this rule.
 
     Filter order is cost order: length/repetition/quality are scan-speed
     (one doc-keyed agg for the bigram facet), so at 100 TB the LSH stage —
@@ -200,6 +212,15 @@ def curate_corpus(
         staged = staged.join(lp, "doc_id", "left")
         status = status.when(
             F.col("logprob") > float(max_logprob), F.lit("drop_entropy")
+        )
+    if lm_model is not None and min_lm_avg_logprob is not None:
+        from .lm import lm_score
+
+        ls = lm_score(red, lm_model).select("doc_id", "avg_logprob")
+        staged = staged.join(ls, "doc_id", "left")
+        status = status.when(
+            F.col("avg_logprob") < float(min_lm_avg_logprob),
+            F.lit("drop_fluency"),
         )
     if quality_model is not None:
         mp = quality_model.score(red).select("doc_id", "prob_good")

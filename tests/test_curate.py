@@ -197,3 +197,35 @@ def test_curate_classifier_gate(spark):
         quality_model=model).collect()}
     assert out[1] == "drop_classifier"
     assert out[0] == "kept"
+
+
+def test_lm_fluency_gate(spark):
+    """Round 5: the CCNet bigram-LM gate — gibberish (OOV-floor scores)
+    drops as drop_fluency; text matching the trusted reference passes; docs
+    without transitions are never dropped by this rule."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.curate import curate_corpus
+    from pyspark_minhash_lsh_spark.operators.lm import train_bigram_lm
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog near the river bank")
+         for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    fluent = "the quick brown fox jumps over the lazy dog " * 3
+    gibberish = "zxqv wkjh qpzm vbnx lkfd zxqv wkjh qpzm vbnx lkfd " * 2
+    docs = spark.createDataFrame(
+        [(0, fluent), (1, gibberish)], "doc_id bigint, text string"
+    )
+    lm = train_bigram_lm(ref)
+    out = {
+        r.doc_id: r.status
+        for r in curate_corpus(
+            docs, lm_model=lm, min_lm_avg_logprob=-2.0,
+            min_quality=0.0, min_tokens=1,
+            max_dup_token_frac=1.0, max_top_bigram_frac=1.0,
+        ).collect()
+    }
+    assert out[0] == "kept", out
+    assert out[1] == "drop_fluency", out
