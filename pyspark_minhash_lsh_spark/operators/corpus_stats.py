@@ -217,6 +217,8 @@ def corpus_report(
     id_col: str = "doc_id",
     group_col: str = "source",
     exact_distinct: bool = False,
+    languages: bool = False,
+    top_tokens: int = 0,
 ) -> DataFrame:
     """Dataset-card summary in one operator: the numbers a corpus release
     ships with, as a tall ``(section, key, value)`` frame.
@@ -227,7 +229,13 @@ def corpus_report(
                   (approx_count_distinct by default — the scale path;
                   ``exact_distinct=True`` for oracle-grade numbers);
       - quality:  mean/min/max heuristic quality score;
-      - groups:   doc share per ``group_col`` value (top 20 by count).
+      - groups:   doc share per ``group_col`` value (top 20 by count);
+      - languages (opt-in, round 5): doc share per predicted language
+        (``text_analysis.language_id`` — pure-integer argmax, one extra
+        count agg over the same scan);
+      - tokens (opt-in, round 5): the ``top_tokens`` most frequent tokens
+        with their corpus-position share — the boilerplate/head readout
+        (one explode + token-keyed count, TakeOrdered to the card).
 
     Plan: one scan computes every per-doc projection; a single global
     aggregate + one small group aggregate produce the report. All outputs
@@ -316,7 +324,37 @@ def corpus_report(
         F.coalesce(F.col("grp"), F.lit("<null>")).alias("key"),
         F.round(F.col("c").cast("double") / F.col("n"), 6).alias("value"),
     )
-    return rows.unionByName(grp_rows)
+    out = rows.unionByName(grp_rows)
+    if languages:
+        from ..functions.text_analysis import language_id
+
+        lang = (
+            df.select(language_id(tokens(F.col(text_col))).alias("lang"))
+            .groupBy("lang").agg(F.count("*").alias("c"))
+        )
+        lang_rows = lang.crossJoin(per_doc.agg(F.count("*").alias("n"))).select(
+            F.lit("languages").alias("section"),
+            F.col("lang").alias("key"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias("value"),
+        )
+        out = out.unionByName(lang_rows)
+    if top_tokens:
+        tok_counts = (
+            df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+            .groupBy("t").agg(F.count("*").alias("c"))
+        )
+        total_pos = tok_counts.agg(F.sum("c").alias("tot"))
+        tok_rows = (
+            tok_counts.orderBy(F.desc("c"), F.asc("t")).limit(int(top_tokens))
+            .crossJoin(F.broadcast(total_pos))
+            .select(
+                F.lit("tokens").alias("section"),
+                F.col("t").alias("key"),
+                F.round(F.col("c").cast("double") / F.col("tot"), 6).alias("value"),
+            )
+        )
+        out = out.unionByName(tok_rows)
+    return out
 
 
 # ---------------------------------------------------------------------------

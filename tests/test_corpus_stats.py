@@ -330,3 +330,29 @@ def test_corpus_report_matches_duckdb(spark):
             "SELECT COUNT(*) FROM t WHERE source = ?", [f"s{s}"]
         ).fetchone()[0] / n_docs
         assert abs(rep[("groups", f"s{s}")] - round(frac, 6)) < 1e-9
+
+
+def test_corpus_report_language_and_token_sections(spark):
+    """Round 5 card sections: language shares (integer-argmax language_id)
+    and top-token position shares."""
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import corpus_report
+
+    en = "the cat is on the mat and it is warm for the dog"
+    es = "la casa de el perro y el gato en la calle con un amigo mas"
+    docs = spark.createDataFrame(
+        [(i, en if i % 2 else es, "src0") for i in range(10)],
+        "doc_id bigint, text string, source string",
+    )
+    rows = corpus_report(docs, languages=True, top_tokens=3).collect()
+    langs = {r.key: r.value for r in rows if r.section == "languages"}
+    assert langs == {"en": 0.5, "es": 0.5}, langs
+    toks = [(r.key, r.value) for r in rows if r.section == "tokens"]
+    assert len(toks) == 3
+    # 'the'(3/doc) and 'el'/'la' lead; shares positive, sorted desc
+    vals = [v for _, v in toks]
+    assert vals == sorted(vals, reverse=True) and all(v > 0 for v in vals)
+    keys = {k for k, _ in toks}
+    assert "the" in keys or "el" in keys
+    # opt-out: no new sections by default
+    base = {r.section for r in corpus_report(docs).collect()}
+    assert "languages" not in base and "tokens" not in base
