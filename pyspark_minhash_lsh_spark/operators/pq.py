@@ -298,6 +298,80 @@ class IvfPqIndex:
             id_col=self.pq.id_col, emb_col=self.pq.emb_col,
         )
 
+    def topk_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        query_emb_col: "str | None" = None,
+        query_id_col: str = "query_id",
+        refine: "int | None" = None,
+        embeddings: "DataFrame | None" = None,
+    ) -> DataFrame:
+        """Batch IVF-PQ serving: ONE pruned scan answers every query.
+
+        The query batch collects to the driver (serving-sized), cells rank
+        per query over the coarse centroids (the same
+        ``_nearest_cells_by_cosine`` as single-query ``topk`` — identical
+        probe sets), the index scans ONLY the union of probed cells (a
+        partition filter on a loaded cell-partitioned index), the batched
+        Arrow ADC pass scores those rows against all queries at once, and a
+        literal query->cells map keeps each query's candidates to its own
+        probed cells before the per-query top-k window — per-query results
+        are EXACTLY the single-query ``topk``'s. ``refine=c`` adds the
+        batch exact-cosine rerank (requires ``embeddings``; the
+        ``pq_topk_batch`` refine plan — broadcast candidates, no corpus
+        shuffle). Returns ``(query_id, id, adc_score[, cosine], rank)``."""
+        emb = query_emb_col or self.pq.emb_col
+        rows = queries.select(F.col(query_id_col), F.col(emb)).collect()
+        if not rows:
+            raise ValueError("empty query batch")
+        qids = [r[0] for r in rows]
+        raw = [[float(x) for x in r[1]] for r in rows]
+        qmat = _normalize(np.asarray(raw, dtype=np.float64))
+        # rank cells from the RAW queries — byte-identical probe sets with
+        # the single-query topk (ranking the normalized copy could flip a
+        # near-tie cell order in the last ulp)
+        qcells = {
+            qid: _nearest_cells_by_cosine(self.centroids, q, n_probe)
+            for qid, q in zip(qids, raw)
+        }
+        union_cells = sorted({c for cs in qcells.values() for c in cs})
+        pruned = self.index.filter(F.col("cell").isin(union_cells))
+        adc = _batch_topk(
+            self.pq, pruned, qids, qmat,
+            max(refine, k) if refine else k, qcells=qcells,
+        )
+        if not refine:
+            return adc
+        if embeddings is None:
+            raise ValueError(
+                "refine requires the raw embeddings table (the IVF-PQ "
+                "artifact stores pq_codes only)"
+            )
+        from pyspark.sql import Window
+
+        from ..functions.vectors import cosine_similarity
+
+        qe = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(emb).alias("_q_emb")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc(self.pq.id_col)
+        )
+        return (
+            F.broadcast(adc.select("query_id", self.pq.id_col, "adc_score"))
+            .join(embeddings, self.pq.id_col)
+            .join(F.broadcast(qe), "query_id")
+            .select(
+                "query_id", self.pq.id_col, "adc_score",
+                cosine_similarity(F.col(self.pq.emb_col), F.col("_q_emb"))
+                .alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     def save_index(self, path: str, mode: str = "overwrite") -> None:
         """Write ``(id, pq_codes)`` partitioned by ``cell``; centroids and
         the PQ codebooks ride in underscore-prefixed sidecars the main read
@@ -393,9 +467,23 @@ def ivf_pq_topk(
     )
 
 
-def _batch_topk(model: PqModel, encoded: DataFrame, qids, qmat, k: int) -> DataFrame:
+def _batch_topk(
+    model: PqModel,
+    encoded: DataFrame,
+    qids,
+    qmat,
+    k: int,
+    qcells: "dict | None" = None,
+) -> DataFrame:
     """Shared batched-ADC core: score every encoded row against every query
-    in one Arrow pass, explode per query, WindowGroupLimit the top-k."""
+    in one Arrow pass, explode per query, WindowGroupLimit the top-k.
+
+    ``qcells`` (query_id -> iterable of probed cell ids) restricts each
+    query's candidates to ITS OWN probed cells (the IVF-PQ batch path):
+    rows are scored against all queries in the one Arrow pass over the
+    union-of-cells scan, then a literal query->cells map filters
+    (query, row) pairs BEFORE the per-query top-k window — a row from a
+    cell only some queries probed never leaks into the others' top-k."""
     from pyspark.sql import Window
 
     tables = np.stack([
@@ -424,19 +512,31 @@ def _batch_topk(model: PqModel, encoded: DataFrame, qids, qmat, k: int) -> DataF
         return pd.Series(out)
 
     qid_arr = F.array(*[F.lit(q) for q in qids])
+    carry = ["cell"] if qcells is not None else []
     scored = (
         encoded.select(
-            F.col(model.id_col), _adc_all(F.col("pq_codes")).alias("_s")
+            F.col(model.id_col), *carry, _adc_all(F.col("pq_codes")).alias("_s")
         )
         .where(F.col("_s").isNotNull())
         .select(
-            F.col(model.id_col), F.posexplode("_s").alias("_qi", "adc_score")
+            F.col(model.id_col), *carry,
+            F.posexplode("_s").alias("_qi", "adc_score"),
         )
         .select(
             F.element_at(qid_arr, F.col("_qi") + 1).alias("query_id"),
-            F.col(model.id_col), F.col("adc_score"),
+            F.col(model.id_col), *carry, F.col("adc_score"),
         )
     )
+    if qcells is not None:
+        # literal query_id -> probed-cells map (serving-sized batch): keep
+        # only (query, row) pairs from cells that query actually probed
+        pairs = []
+        for qid, cells in qcells.items():
+            pairs += [F.lit(qid), F.array(*[F.lit(int(c)) for c in sorted(cells)])]
+        cell_map = F.create_map(*pairs)
+        scored = scored.filter(
+            F.array_contains(F.element_at(cell_map, F.col("query_id")), F.col("cell"))
+        ).drop("cell")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc(model.id_col)
     )

@@ -185,3 +185,47 @@ def test_topk_scores_match_full_adc(spark, corpus, saved_index):
     }
     for vid, s in got.items():
         assert math.isclose(s, full[vid], rel_tol=1e-12), vid
+
+
+def test_topk_batch_matches_single_query_and_prunes(spark, corpus, saved_index):
+    """Round 5 batch serving: per-query results equal the single-query topk
+    exactly (same cell probe sets, per-query cell confinement), the scan is
+    pruned to the union of probed cells, and refine composes."""
+    _, path = saved_index
+    loaded = IvfPqIndex.load_index(spark, path)
+    qs = [
+        (100, [1.0] + [0.0] * (DIM - 1)),
+        (101, [0.0, 1.0] + [0.0] * (DIM - 2)),
+        (102, [0.0, 0.0, 1.0] + [0.0] * (DIM - 3)),
+    ]
+    queries = spark.createDataFrame(qs, "query_id bigint, q_emb array<float>")
+
+    batch = loaded.topk_batch(queries, k=5, n_probe=2, query_emb_col="q_emb")
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, round(r.adc_score, 9)))
+    for qid, q in qs:
+        single = [
+            (i + 1, r.vec_id, round(r.adc_score, 9))
+            for i, r in enumerate(loaded.topk(q, k=5, n_probe=2).collect())
+        ]
+        assert sorted(got[qid]) == single, qid
+
+    # pruning: the batch plan carries the union-of-cells partition filter
+    from pyspark_minhash_lsh_spark.operators.pq import _nearest_cells_by_cosine
+    union = set()
+    for _, q in qs:
+        union |= set(_nearest_cells_by_cosine(loaded.centroids, q, 2))
+    pruned = loaded.index.filter(F.col("cell").isin(sorted(union)))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # refine composes on the batch path
+    refined = loaded.topk_batch(
+        queries, k=5, n_probe=8, query_emb_col="q_emb",
+        refine=50, embeddings=corpus,
+    )
+    rows = refined.collect()
+    assert {r.query_id for r in rows} == {100, 101, 102}
+    assert all(1 <= r.rank <= 5 for r in rows)
+    assert {"adc_score", "cosine"} <= set(refined.columns)
