@@ -34,6 +34,8 @@ __all__ = [
     "per_group_token_budget",
     "shard_assignment",
     "weighted_resample",
+    "temperature_mix_weights",
+    "temperature_resample",
     "leakage_safe_split",
     "dsir_importance_weights",
     "dsir_resample",
@@ -438,4 +440,65 @@ def dsir_resample(
         .orderBy(F.desc("_key"))
         .limit(n)
         .drop("_key")
+    )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    temperature: float,
+    group_col: str = "source",
+    target_total: "float | None" = None,
+) -> "dict[str, float]":
+    """Temperature-flattened mixing weights (round 5): the multilingual /
+    multi-domain pretraining standard (mBERT/XLM-R style). Group sampling
+    probabilities are flattened from the natural shares ``p_g`` to
+    ``q_g = p_g^(1/T) / sum p^(1/T)`` — ``T = 1`` keeps natural
+    proportions, ``T -> inf`` approaches uniform, ``T < 1`` sharpens.
+    Returns a ``weights`` dict for ``weighted_resample`` where
+    ``w_g = q_g / p_g * scale``: feeding it through keeps the expected
+    TOTAL row count at ``target_total`` (default: the input size) while
+    redistributing mass toward small groups.
+
+    Scale shape: the only corpus-scale work is one group-count aggregate
+    (|groups| rows to the driver — sources/domains/languages are bounded);
+    the weight math is driver-side; the resample itself stays the
+    zero-shuffle ``weighted_resample`` projection."""
+    t = float(temperature)
+    if t <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("c")).collect()
+        if r[0] is not None
+    }
+    total = sum(counts.values())
+    if not total:
+        return {}
+    flat = {g: (c / total) ** (1.0 / t) for g, c in counts.items()}
+    z = sum(flat.values())
+    tgt = float(target_total) if target_total is not None else float(total)
+    return {
+        g: (flat[g] / z) * tgt / counts[g]
+        for g in counts
+    }
+
+
+def temperature_resample(
+    df: DataFrame,
+    temperature: float,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    target_total: "float | None" = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """One-call temperature mixing: ``temperature_mix_weights`` +
+    ``weighted_resample``. Adds the ``epoch`` copy index like the base
+    resampler; expected output size ~= ``target_total`` (default: input
+    size), with small groups upsampled toward the flattened distribution."""
+    w = temperature_mix_weights(
+        df, temperature, group_col=group_col, target_total=target_total
+    )
+    return weighted_resample(
+        df, w, default_weight=0.0, group_col=group_col,
+        id_col=id_col, salt=salt,
     )

@@ -214,3 +214,58 @@ def test_leakage_safe_split_co_assigns_near_dups(spark):
         assert a[0] == b[0], f"twin pair {d} LEAKED across splits"
     # both splits actually used
     assert {v[0] for v in got.values()} == {"train", "test"}
+
+
+# ---- round 5: temperature mixing -------------------------------------------
+
+
+def test_temperature_mix_weights_math(spark):
+    """T=1 returns all-ones (natural mix preserved); T->inf flattens toward
+    uniform (small groups upweighted, large downweighted); expected total
+    stays at the input size."""
+    from pyspark_minhash_lsh_spark.operators.sampling import (
+        temperature_mix_weights,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    w1 = temperature_mix_weights(docs, temperature=1.0)
+    assert abs(w1["big"] - 1.0) < 1e-12 and abs(w1["small"] - 1.0) < 1e-12
+
+    w5 = temperature_mix_weights(docs, temperature=5.0)
+    assert w5["small"] > 1.0 > w5["big"], w5
+    # expected total preserved: sum over groups of count*weight == total
+    exp_total = 900 * w5["big"] + 100 * w5["small"]
+    assert abs(exp_total - 1000) < 1e-6
+
+    # T -> inf: q uniform -> small group weight approaches total/(G*count)
+    winf = temperature_mix_weights(docs, temperature=1e9)
+    assert abs(winf["small"] - 1000 / (2 * 100)) < 1e-3
+    assert abs(winf["big"] - 1000 / (2 * 900)) < 1e-3
+
+
+def test_temperature_resample_realized_counts(spark):
+    """The realized resample tracks the flattened expectation (exact to the
+    md5-bucket construction) and stays deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.sampling import (
+        temperature_mix_weights,
+        temperature_resample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_resample(docs, temperature=3.0)
+    got = {
+        r.source: r.c
+        for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    w = temperature_mix_weights(docs, temperature=3.0)
+    assert abs(got["big"] - 900 * w["big"]) <= 30      # ~binomial noise
+    assert abs(got["small"] - 100 * w["small"]) <= 15
+    again = temperature_resample(docs, temperature=3.0)
+    assert sorted((r.doc_id, r.epoch) for r in out.collect()) == sorted(
+        (r.doc_id, r.epoch) for r in again.collect()
+    )
