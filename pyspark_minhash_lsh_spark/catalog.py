@@ -149,10 +149,16 @@ def _ratio_sint(num, den, digits: int, empty=None):
     disagree on a double division even when local DuckDB and Spark agree
     (rows/schema green, hash red, two rounds running). For a ratio of two
     BIGINT counts the float is unnecessary: round-half-up(num/den * 10^d) ==
-    (2*num*10^d + den) div (2*den) exactly, in 64-bit integers. Spark ``div``
-    and DuckDB ``//`` both truncate toward zero (verified), and num/den >= 0
-    here, so the engines agree BY CONSTRUCTION — no ulp, tie, or
-    FMA-contraction hazard can exist.
+    floor((2*num*10^d + den) / (2*den)) exactly, in 64-bit integers. The
+    floor division is built as ``div(t - pmod(t, m), m)`` (Spark) /
+    ``(t - ((t % m) + m) % m) // m`` (DuckDB) because the engines' native
+    integer divisions truncate toward zero — correct for the non-negative
+    common case but round-half-TOWARD-ZERO for negative ratios (review
+    r05: ``_ratio_sint(-14, 10, 0)`` must be -1, not 0; q02's avg_acctbal
+    can legitimately go negative). With explicit floor semantics the
+    round-half-up identity holds for EVERY sign, the two constructions are
+    value-identical by the same algebra, and the engines agree BY
+    CONSTRUCTION — no ulp, tie, or FMA-contraction hazard can exist.
 
     ``den <= 0`` yields ``empty`` (default NULL; pass ``0`` for the
     empty-doc-scores-zero convention). Overflow guard: requires
@@ -160,17 +166,21 @@ def _ratio_sint(num, den, digits: int, empty=None):
     ANSI mode makes any violation a loud error, never a silent wrap."""
     n, d = num.cast("bigint"), den.cast("bigint")
     scale = F.lit(2 * 10**digits).cast("bigint")
-    val = F.call_function("div", n * scale + d, d * F.lit(2).cast("bigint"))
+    t = n * scale + d
+    m = d * F.lit(2).cast("bigint")
+    val = F.call_function("div", t - F.pmod(t, m), m)
     fallback = F.lit(empty).cast("bigint")
     return F.when(d > 0, val).otherwise(fallback)
 
 
 def _duck_rsint(num: str, den: str, digits: int, empty: str = "NULL") -> str:
-    """DuckDB twin of ``_ratio_sint`` — byte-identical integer arithmetic."""
+    """DuckDB twin of ``_ratio_sint`` — identical floor-division algebra."""
     s = 2 * 10**digits
+    t = f"(CAST({num} AS BIGINT) * {s} + ({den}))"
+    m = f"(2 * CAST({den} AS BIGINT))"
     return (
-        f"CASE WHEN ({den}) > 0 THEN (CAST({num} AS BIGINT) * {s} + ({den})) "
-        f"// (2 * CAST({den} AS BIGINT)) ELSE {empty} END"
+        f"CASE WHEN ({den}) > 0 THEN "
+        f"({t} - (({t} % {m}) + {m}) % {m}) // {m} ELSE {empty} END"
     )
 
 
@@ -196,7 +206,7 @@ _DUCK_SHINGLES = (
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc_price,
-           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) * 2000000 + COUNT(*) * 100) // (2 * COUNT(*) * 100) AS avg_qty,
+           ((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) * 2000000 + COUNT(*) * 100) - (((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) * 2000000 + COUNT(*) * 100) % (2 * COUNT(*) * 100)) + (2 * COUNT(*) * 100)) % (2 * COUNT(*) * 100)) // (2 * COUNT(*) * 100) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -265,7 +275,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
-           (CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) * 2000000 + COUNT(*) * 100) // (2 * COUNT(*) * 100) AS avg_acctbal
+           ((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) * 2000000 + COUNT(*) * 100) - (((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) * 2000000 + COUNT(*) * 100) % (2 * COUNT(*) * 100)) + (2 * COUNT(*) * 100)) % (2 * COUNT(*) * 100)) // (2 * COUNT(*) * 100) AS avg_acctbal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -2276,9 +2286,14 @@ def q62_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfq AS (SELECT term, COUNT(*) AS df_ FROM tf GROUP BY 1),
     sc AS (
       SELECT tf.id,
-             SUM( ln(1.0 + (stats.n_docs - dfq.df_ + 0.5) / (dfq.df_ + 0.5))
+             -- order-independent rank key: per-TERM x10^6 rounded ints,
+             -- summed exactly (mirrors bm25_search's _score_key; a float
+             -- SUM's combine order differs between engines)
+             CAST(SUM(CAST(FLOOR(
+                  ln(1.0 + (stats.n_docs - dfq.df_ + 0.5) / (dfq.df_ + 0.5))
                   * (tf.tf * 2.2)
-                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score,
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                  * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_key,
              CAST(SUM(tf.tf) AS BIGINT) AS sum_tf,
              CAST(COUNT(*) AS BIGINT) AS n_terms,
              CAST(MAX(dl.dl) AS BIGINT) AS dl
@@ -2288,7 +2303,7 @@ def q62_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN stats
       GROUP BY 1)
     SELECT id AS doc_id, sum_tf, n_terms, dl
-    FROM sc ORDER BY score DESC, id ASC LIMIT 10
+    FROM sc ORDER BY score_key DESC, id ASC LIMIT 10
     """,
 )
 def q63_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2661,7 +2676,7 @@ def _duck_pct_x20(p20: int, nm: str) -> str:
     "q70_length_percentiles",
     oracle=f"""
     WITH a AS (SELECT source, COUNT(*) AS n, list_sort(list(n_chars)) AS arr
-               FROM documents GROUP BY source)
+               FROM documents WHERE n_chars IS NOT NULL GROUP BY source)
     SELECT source, n AS n_docs,
            {_duck_pct_x20(5, "p25_x20")},
            {_duck_pct_x20(10, "p50_x20")},
@@ -2682,7 +2697,11 @@ def q70_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs, acc)`` — same plan shape (one agg), sketch-mergeable, no
     per-group sort."""
     docs = _t(spark, sf_dir, "documents")
-    grouped = docs.groupBy("source").agg(
+    # NULL guard (review r05): collect_list drops NULLs while count(*)
+    # counts them — one NULL n_chars would desynchronize rank vs array
+    # length (ANSI index error here, shifted indices in DuckDB's
+    # NULL-keeping list()). Filter identically on both engines instead.
+    grouped = docs.filter(F.col("n_chars").isNotNull()).groupBy("source").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sort_array(F.collect_list("n_chars")).alias("arr"),
     )

@@ -105,20 +105,38 @@ class BloomFilter(NamedTuple):
 
         return F.forall(self._positions(col), _bit)
 
+    #: hash-surface version written into the artifact. v2 = round-5 ODD
+    #: stride (h2 = 2*pmod(...)+1); v1 artifacts were built with the old
+    #: h2 = pmod(..., m-1)+1 probes — the SAME key lights different bits,
+    #: so probing a v1 bitset with v2 code would produce FALSE NEGATIVES
+    #: (silently breaking the proof-of-absence contract). Load refuses
+    #: version mismatches loudly instead.
+    HASH_VERSION = 2
+
     def save(self, path: str) -> None:
         """Write the bitset + params sidecar (the SrpLsh/IvfFlat artifact
         convention) so nightly jobs reuse the lake summary without a
-        rebuild."""
+        rebuild. The sidecar carries the probe-expression HASH_VERSION."""
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "bloom.bin"), "wb") as f:
             f.write(self.data)
         with open(os.path.join(path, "params.txt"), "w") as f:
-            f.write(f"{self.n_bits} {self.k} {self.seed}\n")
+            f.write(f"{self.n_bits} {self.k} {self.seed} v{self.HASH_VERSION}\n")
 
     @classmethod
     def load(cls, path: str) -> "BloomFilter":
         with open(os.path.join(path, "params.txt")) as f:
-            n_bits, k, seed = (int(x) for x in f.read().split())
+            parts = f.read().split()
+        version = int(parts[3][1:]) if len(parts) > 3 else 1
+        if version != cls.HASH_VERSION:
+            raise ValueError(
+                f"bloom artifact at {path} was built with probe-hash "
+                f"version {version}, this engine probes with version "
+                f"{cls.HASH_VERSION} — the same key lights different bits, "
+                "so loading it would produce false negatives; rebuild the "
+                "filter from the source keys"
+            )
+        n_bits, k, seed = (int(x) for x in parts[:3])
         with open(os.path.join(path, "bloom.bin"), "rb") as f:
             data = f.read()
         if len(data) * 8 != n_bits:

@@ -231,11 +231,15 @@ def corpus_report(
       - quality:  mean/min/max heuristic quality score;
       - groups:   doc share per ``group_col`` value (top 20 by count);
       - languages (opt-in, round 5): doc share per predicted language
-        (``text_analysis.language_id`` — pure-integer argmax, one extra
-        count agg over the same scan);
+        (``text_analysis.language_id`` — pure-integer argmax). The lang
+        column rides the SAME per-doc projection as every other facet, so
+        enabling it adds one tiny group aggregate, not a second corpus
+        scan/tokenize pass;
       - tokens (opt-in, round 5): the ``top_tokens`` most frequent tokens
-        with their corpus-position share — the boilerplate/head readout
-        (one explode + token-keyed count, TakeOrdered to the card).
+        with their corpus-position share — the boilerplate/head readout.
+        This one genuinely re-reads the text (token-position counting
+        needs an explode, a different shape from the per-doc projection):
+        one extra scan + token-keyed count, only when requested.
 
     Plan: one scan computes every per-doc projection; a single global
     aggregate + one small group aggregate produce the report. All outputs
@@ -247,14 +251,19 @@ def corpus_report(
     from ..functions.text_analysis import quality_score
 
     toks = tokens(F.col(text_col))
-    per_doc = df.select(
+    per_doc_cols = [
         F.col(id_col).alias("doc_id"),
         F.col(group_col).cast("string").alias("grp"),
         F.size(toks).alias("n_tok"),
         F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars"),
         F.round(quality_score(F.coalesce(F.col(text_col), F.lit(""))), 6).alias("q"),
         content_fingerprint(toks).alias("fp"),
-    )
+    ]
+    if languages:
+        from ..functions.text_analysis import language_id
+
+        per_doc_cols.append(language_id(toks).alias("lang"))
+    per_doc = df.select(*per_doc_cols)
     ndistinct = (
         F.countDistinct("fp") if exact_distinct
         else F.approx_count_distinct("fp")
@@ -326,12 +335,7 @@ def corpus_report(
     )
     out = rows.unionByName(grp_rows)
     if languages:
-        from ..functions.text_analysis import language_id
-
-        lang = (
-            df.select(language_id(tokens(F.col(text_col))).alias("lang"))
-            .groupBy("lang").agg(F.count("*").alias("c"))
-        )
+        lang = per_doc.groupBy("lang").agg(F.count("*").alias("c"))
         lang_rows = lang.crossJoin(per_doc.agg(F.count("*").alias("n"))).select(
             F.lit("languages").alias("section"),
             F.col("lang").alias("key"),

@@ -349,27 +349,11 @@ class IvfPqIndex:
                 "refine requires the raw embeddings table (the IVF-PQ "
                 "artifact stores pq_codes only)"
             )
-        from pyspark.sql import Window
-
-        from ..functions.vectors import cosine_similarity
-
         qe = queries.select(
             F.col(query_id_col).alias("query_id"), F.col(emb).alias("_q_emb")
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cosine"), F.asc(self.pq.id_col)
-        )
-        return (
-            F.broadcast(adc.select("query_id", self.pq.id_col, "adc_score"))
-            .join(embeddings, self.pq.id_col)
-            .join(F.broadcast(qe), "query_id")
-            .select(
-                "query_id", self.pq.id_col, "adc_score",
-                cosine_similarity(F.col(self.pq.emb_col), F.col("_q_emb"))
-                .alias("cosine"),
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+        return _batch_refine(
+            adc, embeddings, qe, k, self.pq.id_col, self.pq.emb_col
         )
 
     def save_index(self, path: str, mode: str = "overwrite") -> None:
@@ -430,6 +414,38 @@ def refine_topk(
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def _batch_refine(
+    adc: DataFrame,
+    embeddings: DataFrame,
+    qe: DataFrame,
+    k: int,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Shared batch exact-cosine rerank (the single plan behind
+    ``pq_topk_batch(refine=...)`` and ``IvfPqIndex.topk_batch(refine=...)``
+    — review r05: one implementation, not three drifting copies):
+    broadcast the bounded per-query ADC candidates and the query batch
+    onto the embedding scan, exact cosine, per-query row_number <= k.
+    ``qe`` is ``(query_id, _q_emb)``."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        F.broadcast(adc.select("query_id", id_col, "adc_score"))
+        .join(embeddings, id_col)
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id", id_col, "adc_score",
+            cosine_similarity(F.col(emb_col), F.col("_q_emb")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -574,10 +590,6 @@ def pq_topk_batch(
     re-rank by exact cosine per query, return top-k. Candidates and the
     query batch both broadcast; the embedding corpus shuffles nothing.
     Output gains a ``cosine`` column and ``rank`` re-numbers by it."""
-    from pyspark.sql import Window
-
-    from ..functions.vectors import cosine_similarity
-
     emb = query_emb_col or pq_model.emb_col
     rows = queries.select(F.col(query_id_col), F.col(emb)).collect()
     if not rows:
@@ -598,18 +610,4 @@ def pq_topk_batch(
     qe = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(emb).alias("_q_emb")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc(pq_model.id_col)
-    )
-    return (
-        F.broadcast(adc.select("query_id", pq_model.id_col, "adc_score"))
-        .join(embeddings, pq_model.id_col)
-        .join(F.broadcast(qe), "query_id")
-        .select(
-            "query_id", pq_model.id_col, "adc_score",
-            cosine_similarity(F.col(pq_model.emb_col), F.col("_q_emb"))
-            .alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _batch_refine(adc, embeddings, qe, k, pq_model.id_col, pq_model.emb_col)

@@ -85,7 +85,22 @@ def bm25_search(
     )
     contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
 
-    aggs = [F.sum("_c").alias("score")]
+    aggs = [
+        F.sum("_c").alias("score"),
+        # ORDER-INDEPENDENT ranking key (review r05): a float SUM's
+        # combine order varies with partitioning (within one engine) and
+        # between engines, so ranking by the raw double score makes top-k
+        # MEMBERSHIP at the rank-k boundary nondeterministic even though
+        # the score values look fine. Rounding each TERM's contribution to
+        # a x10^6 integer and summing exactly makes the ranking key a
+        # deterministic function of the per-term doubles — the residual
+        # hazard is only a per-term libm ulp landing on a rounding
+        # boundary (the sanctioned transcendental class), never
+        # combine-order. The raw double score is still returned for users.
+        F.sum(
+            F.floor(F.col("_c") * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+        ).alias("_score_key"),
+    ]
     if with_stats:
         aggs += [
             F.sum("tf").cast("bigint").alias("sum_tf"),
@@ -99,6 +114,7 @@ def bm25_search(
         .withColumn("_c", contrib)
         .groupBy("id")
         .agg(*aggs)
-        .orderBy(F.desc("score"), F.asc("id"))
+        .orderBy(F.desc("_score_key"), F.asc("id"))
         .limit(k)
+        .drop("_score_key")
     )

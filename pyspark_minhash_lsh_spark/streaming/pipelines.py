@@ -418,10 +418,28 @@ def start_heavy_hitters_stream(
             "batch path is corpus_stats.heavy_hitters itself"
         )
     base = str(sink).rstrip("/")
-    docs.sparkSession.createDataFrame(
-        [(int(depth), int(width), int(seed), int(candidate_k))],
-        "depth int, width int, seed int, candidate_k int",
-    ).coalesce(1).write.mode("overwrite").parquet(base + "/_params")
+    spark = docs.sparkSession
+    want = (int(depth), int(width), int(seed), int(candidate_k))
+    try:
+        have = spark.read.parquet(base + "/_params").head()
+        have = (have.depth, have.width, have.seed, have.candidate_k)
+    except Exception:  # no sidecar yet: first start on this sink
+        have = None
+    if have is None:
+        spark.createDataFrame(
+            [want], "depth int, width int, seed int, candidate_k int"
+        ).coalesce(1).write.mode("overwrite").parquet(base + "/_params")
+    elif have != want:
+        # a restart with drifted params would mix sketch rows hashed under
+        # different (width, seed) moduli — undetectable from the rows
+        # (review r05: only the shrink direction of a width change is
+        # catchable later), so refuse at start, never at estimate
+        raise ValueError(
+            f"heavy-hitters sink at {base} was built with (depth, width, "
+            f"seed, candidate_k)={have}; restarting with {want} would mix "
+            "incompatible sketch rows — use a fresh sink or the original "
+            "parameters"
+        )
 
     def fb(bdf: DataFrame, bid: int) -> None:
         sk = sketch_token_counts(

@@ -239,3 +239,28 @@ def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
     # params sidecar round-trips and guards the probe surface
     p = spark.read.parquet(sink + "/_params").head()
     assert (p.depth, p.width, p.seed, p.candidate_k) == (5, 2048, 1, 8)
+
+
+def test_heavy_hitters_stream_refuses_param_drift_on_restart(spark, tmp_path):
+    """Review r05: a restart with changed width/seed on the same sink would
+    mix sketch rows hashed under different moduli — undetectable from the
+    rows. The stream must refuse at start against the existing sidecar."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.streaming import start_heavy_hitters_stream
+
+    docs = spark.createDataFrame(
+        [(0, "a b c")], "doc_id bigint, text string"
+    )
+    src = str(tmp_path / "src"); sink = str(tmp_path / "hh")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = start_heavy_hitters_stream(stream, sink, width=2048)
+    q.processAllAvailable(); q.stop()
+
+    stream2 = spark.readStream.schema(docs.schema).parquet(src)
+    with pytest.raises(ValueError, match="incompatible sketch rows"):
+        start_heavy_hitters_stream(stream2, sink, width=4096)
+    # same params restart is fine
+    q3 = start_heavy_hitters_stream(stream2, sink, width=2048)
+    q3.processAllAvailable(); q3.stop()
