@@ -356,6 +356,46 @@ class IvfPqIndex:
             adc, embeddings, qe, k, self.pq.id_col, self.pq.emb_col
         )
 
+    def encode_new(self, embeddings: DataFrame) -> DataFrame:
+        """Incremental ingest (round 5): turn NEW vectors into index rows
+        with the FROZEN model — cells assigned by Euclidean argmin against
+        the stored coarse centroids (the same rule MLlib KMeans.transform
+        applied to the original corpus, so old and new rows live under one
+        consistent cell geometry) and codes from the frozen PQ codebooks.
+        Arrow-batched; NULL/empty embeddings are excluded (same contract
+        as ``IvfFlat.fit``). Returns ``(id, cell, pq_codes)``.
+
+        Standard serving trade-off: the quantizers do NOT retrain here —
+        distribution drift degrades cell balance/ADC accuracy gradually
+        and is fixed by an offline refit + reindex, never by mutating a
+        live artifact's hash/codebook surface (the Bloom v1/v2 lesson)."""
+        cents = np.asarray(self.centroids, dtype=np.float64)
+        id_col, emb_col = self.pq.id_col, self.pq.emb_col
+
+        @F.pandas_udf("int")
+        def _cell(embs: pd.Series) -> pd.Series:
+            out = []
+            for e in embs:
+                v = np.asarray(e, dtype=np.float64)
+                out.append(int(((cents - v) ** 2).sum(axis=1).argmin()))
+            return pd.Series(out)
+
+        clean = embeddings.where(
+            F.col(emb_col).isNotNull() & (F.size(emb_col) > 0)
+        )
+        enc = self.pq.encode(clean.withColumn("cell", _cell(F.col(emb_col))))
+        return enc.select(F.col(id_col), F.col("cell"), F.col("pq_codes"))
+
+    def append_index(self, embeddings: DataFrame, path: str) -> None:
+        """``encode_new`` + append into an existing ``save_index`` layout:
+        new rows land inside their cell's partition directory (dynamic
+        append — existing partitions gain files, none are rewritten), so a
+        subsequent ``load_index`` serves old + new vectors with the same
+        partition-pruned probes. Sidecars are untouched (frozen model)."""
+        self.encode_new(embeddings).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(path)
+
     def save_index(self, path: str, mode: str = "overwrite") -> None:
         """Write ``(id, pq_codes)`` partitioned by ``cell``; centroids and
         the PQ codebooks ride in underscore-prefixed sidecars the main read

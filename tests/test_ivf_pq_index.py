@@ -229,3 +229,50 @@ def test_topk_batch_matches_single_query_and_prunes(spark, corpus, saved_index):
     assert {r.query_id for r in rows} == {100, 101, 102}
     assert all(1 <= r.rank <= 5 for r in rows)
     assert {"adc_score", "cosine"} <= set(refined.columns)
+
+
+def test_incremental_add_serves_new_vectors(spark, corpus, saved_index, tmp_path):
+    """Round 5 incremental ingest: encode_new assigns cells by Euclidean
+    argmin against the FROZEN centroids (the KMeans.transform rule), and
+    append_index makes the new vectors servable through load_index with
+    the same pruned probes — no quantizer retrain, sidecars untouched."""
+    import shutil
+
+    import numpy as np
+
+    idx, orig_path = saved_index
+    path = str(tmp_path / "index")
+    shutil.copytree(orig_path, path)
+    loaded = IvfPqIndex.load_index(spark, path)
+    n_before = loaded.index.count()
+
+    rng = random.Random(99)
+    new_rows = []
+    for i in range(20):
+        base = [0.0] * DIM
+        base[i % 4] = 1.0
+        new_rows.append(
+            (10_000 + i, [float(b + rng.gauss(0, 0.15)) for b in base])
+        )
+    new_emb = spark.createDataFrame(new_rows, "vec_id bigint, embedding array<float>")
+
+    enc = loaded.encode_new(new_emb)
+    got_cells = {r.vec_id: r.cell for r in enc.collect()}
+    cents = np.asarray(loaded.centroids)
+    for vid, emb in new_rows:
+        want = int(((cents - np.asarray(emb)) ** 2).sum(axis=1).argmin())
+        assert got_cells[vid] == want, vid
+
+    loaded.append_index(new_emb, path)
+    served = IvfPqIndex.load_index(spark, path)
+    assert served.index.count() == n_before + 20
+    # a query AT a new vector must retrieve it (exact-code self match ranks
+    # at/near the top of its probed cells)
+    q = list(new_rows[0][1])
+    top = [r.vec_id for r in served.topk(q, k=5, n_probe=8).collect()]
+    assert 10_000 in top, top
+    # NULL/empty embeddings excluded, not errored
+    bad = spark.createDataFrame(
+        [(1, None), (2, [])], "vec_id bigint, embedding array<float>"
+    )
+    assert loaded.encode_new(bad).count() == 0
