@@ -218,7 +218,50 @@ def _probe_lm(spark, sf_dir: str):
     return lm_score(docs, model)
 
 
-#: round-3/4 heavy operators without catalog-query handles (VERDICT r03
+def _probe_heavy_hitters(spark, sf_dir: str):
+    """One-call heavy hitters probe (round 5): two per-batch count-min
+    sketches + exact candidate TakeOrdereds + merged global estimate.
+    Output is fixed (k=20), sketch/candidate state is bounded by
+    construction — the timed work is the two token-explode scans, which
+    must scale linearly."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import heavy_hitters
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return heavy_hitters(
+        [docs.filter(F.col("doc_id") % 2 == 0),
+         docs.filter(F.col("doc_id") % 2 == 1)],
+        k=20,
+    )
+
+
+def _probe_quantile_sketch(spark, sf_dir: str):
+    """Mergeable quantile-sketch probe (round 5): two half-corpus log-bucket
+    histograms (bounded rows per group), exact cellwise merge, per-source
+    p50/p95 estimates. Output is O(sources); the timed work is the two
+    scans — linear by construction."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import (
+        estimate_quantiles,
+        merge_value_histograms,
+        sketch_value_histogram,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    h = merge_value_histograms(
+        sketch_value_histogram(docs.filter(F.col("doc_id") % 2 == 0),
+                               "n_chars", ["source"]),
+        sketch_value_histogram(docs.filter(F.col("doc_id") % 2 == 1),
+                               "n_chars", ["source"]),
+    )
+    return estimate_quantiles(h, [0.5, 0.95], ["source"])
+
+
+#: round-3/4/5 heavy operators without catalog-query handles (VERDICT r03
 #: #5): probed through bench-local callables with the same
 #: (spark, sf_dir) signature the catalog uses.
 EXTRA_SCALE = {
@@ -227,6 +270,8 @@ EXTRA_SCALE = {
     "line_dedup": _probe_line_dedup,
     "lm_score": _probe_lm,
     "ivf_pq": _probe_ivf_pq,
+    "heavy_hitters": _probe_heavy_hitters,
+    "quantile_sketch": _probe_quantile_sketch,
 }
 
 
