@@ -20,12 +20,42 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
 
-__all__ = ["IvfFlat"]
+__all__ = ["IvfFlat", "assign_cells"]
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: "list[list[float]]",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to FROZEN coarse centroids by Euclidean argmin — the
+    exact rule MLlib ``KMeans.transform`` applied at fit time, so rows
+    assigned here are geometrically consistent with an existing index
+    (the incremental-ingest primitive shared by ``IvfFlatModel.append_index``
+    and ``IvfPqIndex.encode_new``). Arrow-batched; NULL/empty embeddings
+    are excluded (the ``IvfFlat.fit`` contract). Appends a ``cell`` column."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def _cell(embs: pd.Series) -> pd.Series:
+        out = []
+        for e in embs:
+            v = np.asarray(e, dtype=np.float64)
+            out.append(int(((cents - v) ** 2).sum(axis=1).argmin()))
+        return pd.Series(out)
+
+    clean = embeddings.where(
+        F.col(emb_col).isNotNull() & (F.size(emb_col) > 0)
+    )
+    return clean.withColumn("cell", _cell(F.col(emb_col)))
 
 
 class IvfFlat:
@@ -164,6 +194,20 @@ class IvfFlatModel:
         index = spark.read.parquet(path).select(p.id_col, p.emb_col, "cell")
         return cls(IvfFlat(n_cells=p.n_cells, seed=p.seed), index, centroids,
                    p.emb_col, p.id_col)
+
+    def append_index(self, embeddings: DataFrame, path: str) -> None:
+        """Incremental ingest (round 5): assign NEW vectors to the FROZEN
+        centroids (``assign_cells`` — the KMeans.transform rule the
+        original corpus was assigned with) and append them into an
+        existing ``save_index`` layout: new files land inside their cell's
+        partition directory, nothing is rewritten, and a subsequent
+        ``load_index`` serves old + new vectors with the same pruned
+        probes. Centroid drift is an offline refit + reindex by design —
+        never a live-artifact mutation (the PQ/Bloom artifact stance)."""
+        rows = assign_cells(embeddings, self.centroids, self.emb_col)
+        rows.select(self.id_col, self.emb_col, "cell").write.mode(
+            "append"
+        ).partitionBy("cell").parquet(path)
 
     def approx_cosine_topk_batch(
         self,

@@ -369,22 +369,14 @@ class IvfPqIndex:
         distribution drift degrades cell balance/ADC accuracy gradually
         and is fixed by an offline refit + reindex, never by mutating a
         live artifact's hash/codebook surface (the Bloom v1/v2 lesson)."""
-        cents = np.asarray(self.centroids, dtype=np.float64)
-        id_col, emb_col = self.pq.id_col, self.pq.emb_col
+        from .ivf import assign_cells
 
-        @F.pandas_udf("int")
-        def _cell(embs: pd.Series) -> pd.Series:
-            out = []
-            for e in embs:
-                v = np.asarray(e, dtype=np.float64)
-                out.append(int(((cents - v) ** 2).sum(axis=1).argmin()))
-            return pd.Series(out)
-
-        clean = embeddings.where(
-            F.col(emb_col).isNotNull() & (F.size(emb_col) > 0)
+        enc = self.pq.encode(
+            assign_cells(embeddings, self.centroids, self.pq.emb_col)
         )
-        enc = self.pq.encode(clean.withColumn("cell", _cell(F.col(emb_col))))
-        return enc.select(F.col(id_col), F.col("cell"), F.col("pq_codes"))
+        return enc.select(
+            F.col(self.pq.id_col), F.col("cell"), F.col("pq_codes")
+        )
 
     def append_index(self, embeddings: DataFrame, path: str) -> None:
         """``encode_new`` + append into an existing ``save_index`` layout:

@@ -262,12 +262,21 @@ def start_near_dedup_stream(
     rows_per_band: int = 4,
     num_state_bands: int = 1,
     lake_index: DataFrame | None = None,
+    state_metrics_sink=None,
     **start_kwargs,
 ):
     """ONE-CALL streaming near-dedup: wires ``streaming_near_dedup`` and (in
     multi-band mode) ``near_dedup_finalize`` together and starts the query.
     ``lake_index`` adds the stream-vs-lake anti-join (see
     ``streaming_near_dedup``).
+
+    ``state_metrics_sink`` (opt-in, round 5) attaches a live
+    ``StreamingQueryListener`` scoped to THIS query that forwards each
+    completed batch's dedup-state metrics rows (rows held, bytes, updates
+    — see ``streaming/metrics.py``) to the callable — the state-growth
+    alarm wired into the same call that starts the operator. The listener
+    is registered on the session; detach with
+    ``spark.streams.removeListener(query._state_metrics_listener)``.
 
     ``sink`` receives each micro-batch of fully-deduped DOCUMENT rows (band
     columns already collapsed): either a callable ``(batch_df, batch_id)``
@@ -307,7 +316,15 @@ def start_near_dedup_stream(
         def fb(bdf: DataFrame, bid: int) -> None:
             user_fn(near_dedup_finalize(bdf, num_state_bands), bid)
 
-    return deduped.writeStream.foreachBatch(fb).start(**start_kwargs)
+    query = deduped.writeStream.foreachBatch(fb).start(**start_kwargs)
+    if state_metrics_sink is not None:
+        from .metrics import attach_state_metrics
+
+        listener = attach_state_metrics(
+            docs.sparkSession, state_metrics_sink, query_id=str(query.id)
+        )
+        query._state_metrics_listener = listener
+    return query
 
 
 def start_corpus_sketch_stream(

@@ -63,3 +63,54 @@ def test_ivf_sampled_training(spark):
     assert [(r.vec_id, round(r.cosine, 6)) for r in got] == [
         (r.vec_id, round(r.cosine, 6)) for r in want
     ]
+
+
+def test_ivf_flat_append_index_serves_new_vectors(spark, tmp_path):
+    """Round 5 incremental ingest for IVF-Flat: assign_cells matches the
+    frozen-centroid Euclidean argmin and appended vectors are served by
+    load_index with the same pruned probes."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat, IvfFlatModel
+
+    rng = random.Random(7)
+    dim = 8
+    rows = []
+    for i in range(200):
+        base = [0.0] * dim
+        base[i % 4] = 1.0
+        rows.append((i, [float(b + rng.gauss(0, 0.1)) for b in base]))
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    model = IvfFlat(n_cells=4, seed=2).fit(corpus, persist=False)
+    path = str(tmp_path / "ivf")
+    model.save_index(path)
+    loaded = IvfFlatModel.load_index(spark, path)
+
+    new_rows = [
+        (10_000 + i, [float((1.0 if j == i % 4 else 0.0) + rng.gauss(0, 0.1))
+                      for j in range(dim)])
+        for i in range(10)
+    ]
+    new_emb = spark.createDataFrame(new_rows, "vec_id bigint, embedding array<float>")
+    from pyspark_minhash_lsh_spark.operators.ivf import assign_cells
+    got = {r.vec_id: r.cell for r in
+           assign_cells(new_emb, loaded.centroids).collect()}
+    cents = np.asarray(loaded.centroids)
+    for vid, emb in new_rows:
+        want = int(((cents - np.asarray(emb)) ** 2).sum(axis=1).argmin())
+        assert got[vid] == want, vid
+
+    loaded.append_index(new_emb, path)
+    served = IvfFlatModel.load_index(spark, path)
+    assert served.index.count() == 210
+    q = list(new_rows[0][1])
+    top = [r[0] for r in served.approx_cosine_topk(q, k=3, n_probe=4).collect()]
+    assert 10_000 in top, top
+    # NULL/empty excluded
+    bad = spark.createDataFrame(
+        [(1, None), (2, [])], "vec_id bigint, embedding array<float>"
+    )
+    assert assign_cells(bad, loaded.centroids).count() == 0

@@ -108,3 +108,30 @@ def test_listener_streams_metrics_live(spark):
         assert all(r["state_rows"] >= 0 for r in live)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_state_metrics_sink_wired_into_one_call_dedup(spark):
+    """The opt-in state_metrics_sink on start_near_dedup_stream delivers
+    this query's per-batch state rows without any separate wiring."""
+    from pyspark_minhash_lsh_spark.streaming import start_near_dedup_stream
+
+    docs = _docs(spark, n=12)
+    live: "list[dict]" = []
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        docs.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = start_near_dedup_stream(
+            stream, lambda b, _i: b.count(), num_state_bands=1,
+            state_metrics_sink=live.extend,
+        )
+        try:
+            q.processAllAvailable()
+            deadline = time.time() + 30
+            while not live and time.time() < deadline:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            spark.streams.removeListener(q._state_metrics_listener)
+    assert live and all(r["query_id"] == str(q.id) for r in live)
+    assert all(r["state_rows"] >= 0 for r in live)
