@@ -36,6 +36,8 @@ from ..functions.text import tokens
 __all__ = [
     "wordpiece_encode",
     "wordpiece_segment_word",
+    "train_wordpiece",
+    "learn_wordpiece_vocab",
     "train_bpe",
     "learn_bpe_merges",
     "bpe_encode",
@@ -665,3 +667,128 @@ def save_wordpiece_vocab(spark, vocab: "Sequence[str]", path: str,
 def load_wordpiece_vocab(spark, path: str) -> "list[str]":
     rows = spark.read.parquet(path).collect()
     return [r.piece for r in sorted(rows, key=lambda r: r.idx)]
+
+
+def learn_wordpiece_vocab(
+    word_counts: "Mapping[str, int]",
+    vocab_size: int,
+) -> "list[str]":
+    """Driver-side WordPiece vocabulary learning (Schuster & Nakajima 2012
+    — the BERT trainer, round 5), completing the trainer family next to
+    Sennrich BPE and the Kudo unigram model.
+
+    Identical incremental machinery to ``learn_bpe_merges`` (pair->types
+    inverted index; each merge rewrites only the types containing the
+    pair) with the two WordPiece differences:
+
+      - symbols use the BERT ``##`` continuation convention (first char
+        bare, the rest ``##c``), so learned pieces feed
+        ``wordpiece_encode`` directly;
+      - merges are chosen by LIKELIHOOD gain, not raw frequency:
+        ``score(a,b) = count(ab) / (count(a) * count(b))`` — merge the
+        pair whose joint occurrence is most surprising given its parts.
+        Symbol counts are maintained incrementally alongside pair counts;
+        scores compare as exact cross-multiplied integers (no float ties).
+
+    Returns the vocab list: single symbols first (count desc, symbol asc
+    — deterministic), then merged pieces in merge order, capped at
+    ``vocab_size``. Stops early when no pair occurs at least twice."""
+    types: "dict[int, tuple[tuple, int]]" = {}
+    agg: "dict[tuple, int]" = {}
+    for w, c in word_counts.items():
+        if not w:
+            continue
+        syms = tuple([w[0]] + ["##" + ch for ch in w[1:]])
+        agg[syms] = agg.get(syms, 0) + int(c)
+
+    pair_counts: "dict[tuple, int]" = {}
+    pair_index: "dict[tuple, set]" = {}
+    sym_counts: "dict[str, int]" = {}
+    for tid, (syms, c) in enumerate(agg.items()):
+        types[tid] = (syms, c)
+        for s in syms:
+            sym_counts[s] = sym_counts.get(s, 0) + c
+        for p in _adjacent_pairs(syms):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_index.setdefault(p, set()).add(tid)
+
+    singles = sorted(sym_counts, key=lambda s: (-sym_counts[s], s))
+    merged_pieces: "list[str]" = []
+    budget = int(vocab_size) - len(singles)
+    while budget > 0 and pair_counts:
+        # likelihood score c_ab/(c_a*c_b): exact integer cross-compare —
+        # c1/d1 > c2/d2 <=> c1*d2 > c2*d1 (all positive); lexicographically
+        # smaller pair wins exact ties, so the scan is fully deterministic
+        best, best_den = None, None
+        for p, c_ab in pair_counts.items():
+            den = sym_counts[p[0]] * sym_counts[p[1]]
+            if best is None:
+                best, best_den = (p, c_ab), den
+                continue
+            lhs = c_ab * best_den
+            rhs = best[1] * den
+            if lhs > rhs or (lhs == rhs and p < best[0]):
+                best, best_den = (p, c_ab), den
+        if best is None or best[1] < 2:
+            break
+        a, b = best[0]
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merged_pieces.append(merged)
+        budget -= 1
+        for tid in list(pair_index.get((a, b), ())):
+            syms, c = types[tid]
+            for s in syms:
+                left = sym_counts[s] - c
+                if left > 0:
+                    sym_counts[s] = left
+                else:
+                    sym_counts.pop(s, None)
+            for p in _adjacent_pairs(syms):
+                left = pair_counts[p] - c
+                if left > 0:
+                    pair_counts[p] = left
+                else:
+                    pair_counts.pop(p, None)
+                s = pair_index.get(p)
+                if s is not None:
+                    s.discard(tid)
+                    if not s:
+                        pair_index.pop(p, None)
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new = tuple(out)
+            types[tid] = (new, c)
+            for s in new:
+                sym_counts[s] = sym_counts.get(s, 0) + c
+            for p in _adjacent_pairs(new):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_index.setdefault(p, set()).add(tid)
+        if (a, b) in pair_counts:  # defensive: the merged pair must be gone
+            pair_counts.pop((a, b), None)
+    return singles[: int(vocab_size)] + merged_pieces
+
+
+def train_wordpiece(
+    df: DataFrame,
+    vocab_size: int = 8000,
+    min_word_freq: int = 1,
+    max_word_types: int = 1_000_000,
+    text_col: str = "text",
+    word_counts: "Mapping[str, int] | None" = None,
+) -> "list[str]":
+    """Learn a WordPiece vocabulary from a corpus — the same distribution
+    architecture as ``train_bpe``/``train_unigram``: ONE shared corpus-scale
+    ``_word_counts`` aggregation, then driver-side likelihood-merge learning
+    over the bounded word-type table (``learn_wordpiece_vocab``). The
+    returned list feeds ``wordpiece_encode`` / ``save_wordpiece_vocab``
+    directly (``##`` continuation convention)."""
+    if word_counts is None:
+        word_counts = _word_counts(df, text_col, min_word_freq, max_word_types)
+    return learn_wordpiece_vocab(word_counts, vocab_size)

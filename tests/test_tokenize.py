@@ -535,3 +535,62 @@ def test_tokenizer_artifacts_round_trip(spark, tmp_path):
     wa = {r.doc_id: r.token_ids for r in wordpiece_encode(docs, vocab).collect()}
     wb = {r.doc_id: r.token_ids for r in wordpiece_encode(docs, lw).collect()}
     assert wa == wb
+
+
+# ---- round 5: WordPiece trainer --------------------------------------------
+
+
+def test_wordpiece_trainer_likelihood_vs_frequency():
+    """The WordPiece selection rule: likelihood c_ab/(c_a*c_b), not raw
+    frequency. Construct counts where the most FREQUENT pair has ubiquitous
+    parts (low score) and a rarer pair has exclusive parts (score 1) — the
+    frequency rule (BPE) and the likelihood rule (WordPiece) must disagree."""
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        learn_bpe_merges,
+        learn_wordpiece_vocab,
+    )
+
+    # 'ab' pair occurs 20x but 'a' and 'b' occur 60x each (all over);
+    # 'xy' occurs 5x and x/y occur ONLY together (score 1/5 vs 20/3600)
+    wc = {"ab": 20, "ax": 20, "bx": 20, "ba": 20, "xy": 5}
+    # BPE (frequency): some 'a'/'b' pair first, never xy
+    bpe_first = learn_bpe_merges(wc, 1)[0]
+    assert bpe_first != ("x", "##y")
+    # WordPiece (likelihood): xy first
+    vocab = learn_wordpiece_vocab(wc, vocab_size=100)
+    merged = [p for p in vocab if len(p.replace("##", "")) > 1]
+    assert merged[0] == "xy", (merged, vocab)
+
+
+def test_train_wordpiece_end_to_end(spark, tmp_path):
+    """train_wordpiece -> wordpiece_encode round trip: learned pieces carry
+    the ## convention, cover the training corpus with low UNK, and the
+    reloaded vocab encodes identically (save/load integration)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        load_wordpiece_vocab,
+        save_wordpiece_vocab,
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "unaffordable unbearable unbeatable rewind replay rerun")
+         for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    vocab = train_wordpiece(docs, vocab_size=60, min_word_freq=1)
+    assert any(p.startswith("##") for p in vocab)
+    assert len(vocab) <= 60 and len(set(vocab)) == len(vocab)
+    out = wordpiece_encode(docs, vocab)
+    stats = out.agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_unk").alias("u")
+    ).head()
+    assert stats.u == 0, "trained vocab must cover its own corpus"
+
+    save_wordpiece_vocab(spark, vocab, str(tmp_path / "wp"))
+    lv = load_wordpiece_vocab(spark, str(tmp_path / "wp"))
+    a = {r.doc_id: r.token_ids for r in out.collect()}
+    b = {r.doc_id: r.token_ids for r in wordpiece_encode(docs, lv).collect()}
+    assert a == b
