@@ -3186,8 +3186,10 @@ def q79_tokenize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_textpipe.py). Round 4: takes q38's driver slot (its
     clustering moved into q74's minhash_dedup leg; q38 stays registered
     for the bench scale probe — the q30/_BENCH_ONLY precedent). Legs:
-      - wordpiece: BERT greedy segmentation over a corpus-derived vocab
-        (top-500 tokens + char + ##char pieces) — token/UNK facets;
+      - wordpiece: the TRAINED WordPiece path (round 5 —
+        ``train_wordpiece`` likelihood-scored merges over the shared word
+        counts) -> BERT greedy segmentation; token/UNK facets (UNK must
+        be 0: a trained vocab covers its own corpus);
       - bpe_round_trip: train_bpe(300 merges) -> encode -> native decode,
         counting exact round-trips against the normalized text (must be
         ALL docs — encode is total);
@@ -3212,6 +3214,7 @@ def q79_tokenize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenizer_report,
         train_bpe,
         train_unigram,
+        train_wordpiece,
         unigram_encode,
         wordpiece_encode,
     )
@@ -3222,12 +3225,10 @@ def q79_tokenize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", "text")
     norm = F.array_join(tokens(F.col("text")), " ")
 
-    # ONE corpus-scale word-count aggregation feeds the wordpiece vocab
-    # AND both trainers (review r04: three copies of the same agg before)
+    # ONE corpus-scale word-count aggregation feeds ALL THREE trainers
+    # (review r04: three copies of the same agg before)
     wc = _word_counts(base, "text", min_word_freq=1, max_word_types=1_000_000)
-    top = list(wc)[:500]  # _word_counts collects in (count desc, word) order
-    chars = sorted({c for w in top for c in w})
-    vocab = top + chars + ["##" + c for c in chars]
+    vocab = train_wordpiece(base, vocab_size=2000, word_counts=wc)
     wp = wordpiece_encode(base, vocab)
     leg_wp = _suite_row(wp, "wordpiece", F.sum("n_tokens"), F.sum("n_unk"))
 
