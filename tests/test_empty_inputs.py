@@ -256,3 +256,89 @@ def test_learn_bpe_merges_empty_and_degenerate():
     assert learn_bpe_merges({"aa": 3}, 10) == [("a", "a</w>")]
     # all-hapax words: best pair count < 2 -> no merges
     assert learn_bpe_merges({"abc": 1, "def": 1}, 10) == []
+
+
+# ---- round 5 operators ------------------------------------------------------
+
+
+def test_quantile_sketch_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import (
+        estimate_quantiles,
+        merge_value_histograms,
+        sketch_value_histogram,
+    )
+
+    empty = spark.createDataFrame([], "v bigint")
+    h = sketch_value_histogram(empty, "v")
+    assert h.count() == 0
+    assert estimate_quantiles(h, [0.5]).count() == 0
+    assert merge_value_histograms(h, h).count() == 0
+
+
+def test_heavy_hitters_empty_batches(spark):
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import heavy_hitters
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert heavy_hitters([empty, empty], k=5).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no batches"):
+        heavy_hitters([], k=5)
+
+
+def test_temperature_mix_empty_and_invalid(spark):
+    import pytest as _pytest
+
+    from pyspark_minhash_lsh_spark.operators.sampling import (
+        temperature_mix_weights,
+        temperature_resample,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, source string")
+    assert temperature_mix_weights(empty, 2.0) == {}
+    assert temperature_resample(empty, 2.0).count() == 0
+    docs = spark.createDataFrame([(0, "a")], "doc_id bigint, source string")
+    with _pytest.raises(ValueError, match="temperature"):
+        temperature_mix_weights(docs, 0.0)
+
+
+def test_wordpiece_trainer_degenerate():
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        learn_wordpiece_vocab,
+    )
+
+    assert learn_wordpiece_vocab({}, 100) == []
+    assert learn_wordpiece_vocab({"": 5}, 100) == []
+    # hapax-only corpus: singles survive, no merge clears count >= 2
+    v = learn_wordpiece_vocab({"ab": 1, "cd": 1}, 100)
+    assert set(v) == {"a", "c", "##b", "##d"}
+    # vocab_size caps the single-symbol list deterministically
+    v2 = learn_wordpiece_vocab({"ab": 3}, 1)
+    assert len(v2) >= 1  # singles kept (count desc, sym asc), budget <= 0
+
+
+def test_bm25_with_stats_no_matches(spark):
+    from pyspark_minhash_lsh_spark.operators.search import bm25_search
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id bigint, text string"
+    )
+    out = bm25_search(docs, ["zzz"], k=5, with_stats=True)
+    assert out.count() == 0
+
+
+def test_ivf_pq_batch_empty_queries(spark):
+    import pytest as _pytest
+
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+    from pyspark_minhash_lsh_spark.operators.pq import IvfPqIndex, fit_pq
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0, 0.5]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    ivf = IvfFlat(n_cells=2, seed=1).fit(corpus, persist=False)
+    pq = fit_pq(corpus, m=2, k=4, sample_rows=1000)
+    idx = IvfPqIndex.from_models(ivf, pq)
+    empty_q = spark.createDataFrame([], "query_id bigint, q_emb array<float>")
+    with _pytest.raises(ValueError, match="empty query batch"):
+        idx.topk_batch(empty_q, query_emb_col="q_emb")
