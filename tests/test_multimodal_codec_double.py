@@ -202,3 +202,88 @@ def test_gate_still_fails_loudly_without_the_double(spark):
         extract_image_features(media, codec="jpeg")
     with pytest.raises(NotImplementedError, match="Pillow"):
         extract_image_features(media, decode_stub=False, codec=None)
+
+
+# ---------------------------------------------------------------------------
+# soundfile double: the audio twin of the PIL double — executes the gated
+# mp3/flac/ogg decode lambda (multimodal._soundfile_decoder) for real.
+# ---------------------------------------------------------------------------
+
+_FLAC_MAGIC = b"fLaC"
+
+
+def _encode_fake_flac(samples: np.ndarray, rate: int) -> bytes:
+    """FLAC-magic-framed raw container: 'fLaC' + rate + float64 mono
+    samples — sniffable by its magic, decodable without a DSP library."""
+    return _FLAC_MAGIC + struct.pack(">I", rate) + samples.astype("<f8").tobytes()
+
+
+class _FakeSoundFileNS:
+    """The slice of the soundfile module the gated lambda touches:
+    ``read(file_like, dtype=..., always_2d=True) -> (ndarray, rate)``."""
+
+    @staticmethod
+    def read(fp, dtype="float64", always_2d=True):
+        payload = fp.read()
+        if not payload.startswith(_FLAC_MAGIC):
+            raise ValueError("unrecognized container")
+        rate = struct.unpack(">I", payload[4:8])[0]
+        x = np.frombuffer(payload[8:], dtype="<f8").astype(dtype)
+        return (x[:, None] if always_2d else x), rate
+
+
+@pytest.fixture()
+def fake_soundfile(monkeypatch):
+    # the CLASS goes straight into sys.modules (CPython binds whatever
+    # object lives there on `import soundfile as sf`): the gated closure
+    # then captures a class pickled by reference to this importable test
+    # module — a ModuleType would make executor workers import soundfile
+    monkeypatch.setitem(sys.modules, "soundfile", _FakeSoundFileNS)
+    yield
+
+
+def test_soundfile_branch_matches_wav_path(spark, fake_soundfile):
+    """codec='flac' (formerly dormant) through real mapInPandas: the same
+    tone decoded via the gated soundfile lambda must produce the same
+    duration and (scale-invariant) energy features as the library-free WAV
+    path."""
+    import wave
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rate, n = 8000, 4000
+    t = np.arange(n) / rate
+    tone = np.sin(2 * np.pi * 440 * t)
+
+    flac_rows = [(0, bytearray(_encode_fake_flac(tone, rate)))]
+    flac = spark.createDataFrame(flac_rows, "media_id bigint, payload binary")
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(rate)
+        w.writeframes((tone * 32767).astype("<i2").tobytes())
+    wav = spark.createDataFrame(
+        [(0, bytearray(buf.getvalue()))], "media_id bigint, payload binary"
+    )
+
+    f_row = extract_audio_features(flac, codec="flac").head()
+    w_row = extract_audio_features(wav, codec="wav").head()
+    assert f_row.duration_ms == w_row.duration_ms == 500
+    ff, wf = np.asarray(f_row.feature), np.asarray(w_row.feature)
+    assert np.allclose(ff, wf, atol=1e-4), (ff, wf)
+
+
+def test_soundfile_gate_without_double(spark):
+    if "soundfile" in sys.modules:
+        pytest.skip("soundfile present")
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    media = spark.createDataFrame(
+        [(0, bytearray(b"fLaC1234"))], "media_id bigint, payload binary"
+    )
+    with pytest.raises(ImportError, match="soundfile"):
+        extract_audio_features(media, codec="flac")
