@@ -287,3 +287,99 @@ def test_soundfile_gate_without_double(spark):
     )
     with pytest.raises(ImportError, match="soundfile"):
         extract_audio_features(media, codec="flac")
+
+
+# ---------------------------------------------------------------------------
+# PyAV double: the video member — executes the gated mp4/mkv/webm frame
+# sampler (multimodal._pyav_frame_sampler) against the engine's own BMP-reel
+# container, so the decoded pixels are real.
+# ---------------------------------------------------------------------------
+
+
+class _FakeAvFrame:
+    def __init__(self, px: np.ndarray):
+        self._px = px
+
+    def to_ndarray(self, format: str):
+        assert format == "rgb24", format
+        return self._px
+
+
+class _FakeAvContainer:
+    def __init__(self, frames):
+        self._frames = frames
+
+    def decode(self, video=0):
+        for px in self._frames:
+            yield _FakeAvFrame(px)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _FakeAvNS:
+    """The slice of PyAV the gated sampler touches: ``open(BytesIO) ->
+    container`` context manager with ``.decode(video=0)`` frames exposing
+    ``.to_ndarray('rgb24')``. Decodes the engine's BMP-reel container."""
+
+    @staticmethod
+    def open(fp):
+        from pyspark_minhash_lsh_spark.operators.multimodal import (
+            _parse_bmp_reel,
+        )
+
+        return _FakeAvContainer(_parse_bmp_reel(fp.read()))
+
+
+@pytest.fixture()
+def fake_pyav(monkeypatch):
+    monkeypatch.setitem(sys.modules, "av", _FakeAvNS)
+    yield
+
+
+def test_pyav_branch_matches_reel_path(spark, fake_pyav):
+    """codec='mp4' (formerly dormant) through real mapInPandas: sampled
+    frames must be byte-identical BMP payloads to the library-free
+    sample_video_frames_real path over the same reels."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        sample_video_frames,
+        sample_video_frames_real,
+        synthetic_video_media,
+    )
+
+    docs = spark.range(4).select(F.col("id").alias("doc_id"))
+    vids = synthetic_video_media(docs, n_frames=6, scene_cut=3)
+    via_av = {
+        (r.media_id, r.frame_idx): bytes(r.frame_payload)
+        for r in sample_video_frames(
+            vids, codec="mp4", every_n=2, max_frames=3
+        ).collect()
+    }
+    via_reel = {
+        (r.media_id, r.frame_idx): bytes(r.frame_payload)
+        for r in sample_video_frames_real(
+            vids, every_n=2, max_frames=3
+        ).collect()
+    }
+    assert via_av and via_av == via_reel
+
+
+def test_pyav_gate_without_double(spark):
+    if "av" in sys.modules:
+        pytest.skip("PyAV present")
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.multimodal import (
+        sample_video_frames,
+        synthetic_video_media,
+    )
+
+    docs = spark.range(1).select(F.col("id").alias("doc_id"))
+    vids = synthetic_video_media(docs, n_frames=4, scene_cut=2)
+    with pytest.raises(ImportError, match="PyAV"):
+        sample_video_frames(vids, codec="mp4")
