@@ -112,3 +112,48 @@ def test_oracle_hash_surface_has_no_derived_floats(spark):
         "derived float columns on the oracle hash surface (use catalog._sint "
         f"scaled integers instead): {offenders}"
     )
+
+
+def test_ratio_sint_cross_engine_property(spark):
+    """Property check of the round-5 pure-integer ratio surface: for random
+    (num, den, digits) — including negatives and zero dens — Spark's
+    _ratio_sint, DuckDB's _duck_rsint, and exact Fraction round-half-up
+    agree EXACTLY. This is the identity the whole catalog sweep rests on."""
+    import random
+    from fractions import Fraction
+
+    import duckdb
+
+    from pyspark_minhash_lsh_spark.catalog import _duck_rsint, _ratio_sint
+
+    rng = random.Random(13)
+    cases = []
+    for _ in range(300):
+        digits = rng.choice([0, 2, 4, 6])
+        den = rng.choice([0, 1, 2, 3, 7, 10, 997, 10_000, 1_000_000])
+        num = rng.randint(-10_000_000, 10_000_000)
+        cases.append((num, den, digits))
+    # adversarial exact-half ties, both signs
+    cases += [(1, 2, 0), (-1, 2, 0), (3, 2, 0), (-3, 2, 0),
+              (5, 4, 0), (-5, 4, 0), (-14, 10, 0), (14, 10, 0)]
+
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(cases, "num bigint, den bigint, digits int")
+    got_spark = {}
+    for d in sorted({c[2] for c in cases}):
+        part = df.filter(F.col("digits") == d).select(
+            "num", "den", _ratio_sint(F.col("num"), F.col("den"), d).alias("v")
+        )
+        for r in part.collect():
+            got_spark[(r.num, r.den, d)] = r.v
+
+    con = duckdb.connect()
+    for num, den, digits in cases:
+        expr = _duck_rsint(str(num), str(den), digits)
+        got_duck = con.execute(f"SELECT {expr}").fetchone()[0]
+        want = (
+            None if den <= 0
+            else (Fraction(num, den) * 10**digits + Fraction(1, 2)).__floor__()
+        )
+        key = (num, den, digits)
+        assert got_spark[key] == got_duck == want, (key, got_spark[key], got_duck, want)
