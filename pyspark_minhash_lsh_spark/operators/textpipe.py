@@ -46,6 +46,8 @@ __all__ = [
     "line_dedup",
     "line_filter",
     "blocklist_filter",
+    "html_to_text",
+    "filter_by_domain",
     "chunk_documents",
     "normalize_text",
     "unicode_normalize",
@@ -896,4 +898,102 @@ def blocklist_filter(
         F.col(id_col).alias("doc_id"),
         F.size(blocked).alias("n_blocked"),
         (F.size(blocked) == 0).alias("keep_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Raw-crawl ingest helpers (round 5): the two steps between "WARC bytes" and
+# the document table every other operator here consumes.
+# ---------------------------------------------------------------------------
+
+#: elements whose CONTENT must be dropped, not just the tags (scripts,
+#: styles, head metadata) — the difference between text extraction and
+#: tag stripping
+_HTML_DROP_CONTENT = ("script", "style", "head", "noscript", "template")
+
+
+def html_to_text(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    output_col: str = "text",
+) -> DataFrame:
+    """Light-weight HTML -> text extraction: the ingest step before every
+    curation operator in this package (a C4-style pipeline starts from
+    markup, not clean text). NOT a browser — a deterministic, zero-shuffle
+    text extractor in the trafilatura/jusText spirit at the cheap tier:
+
+      1. drop ``<script>/<style>/<head>/...`` CONTENT (not just tags);
+      2. drop comments and the remaining tags, turning block-level closers
+         (``p, div, li, br, h1-6, tr``) into newlines so line structure
+         survives for ``line_filter``;
+      3. unescape HTML entities (named + numeric — Arrow-batched
+         ``html.unescape``, the one step Java regex can't express);
+      4. collapse runs of blank lines / spaces.
+
+    Everything except the entity unescape is native Java-regex projection
+    (codegen, scan speed); NULL html yields an empty string. Pair with
+    ``line_filter``/``blocklist_filter``/``curate_corpus`` downstream."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    # (?is): case-insensitive, dot-matches-newline — content-dropping tags
+    for tag in _HTML_DROP_CONTENT:
+        h = F.regexp_replace(h, f"(?is)<{tag}\\b.*?</{tag}\\s*>", " ")
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
+    # block-level boundaries become newlines BEFORE generic tag strip
+    h = F.regexp_replace(
+        h, r"(?i)</?(p|div|li|ul|ol|table|tr|h[1-6]|section|article|blockquote)\b[^>]*>|<br\s*/?>",
+        "\n",
+    )
+    h = F.regexp_replace(h, r"(?s)<[^>]+>", " ")
+
+    @F.pandas_udf("string")
+    def _unescape(s: pd.Series) -> pd.Series:
+        import html as _html
+
+        return s.map(lambda x: _html.unescape(x) if x is not None else "")
+
+    t = _unescape(h)
+    t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")       # collapse spaces
+    t = F.regexp_replace(t, r" ?\n ?", "\n")               # trim around newlines
+    t = F.regexp_replace(t, r"\n{2,}", "\n")               # collapse blank lines
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.trim(t).alias(output_col)
+    )
+
+
+def filter_by_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    blocked_domains: "Sequence[str] | None" = None,
+    allowed_domains: "Sequence[str] | None" = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL/domain page filter (the crawl-hygiene rule next to the C4
+    bad-words filter): extract the registrable host with the native
+    ``parse_url`` expression and match it — including subdomains — against
+    a blocklist (drop) or an allowlist (keep only). Returns
+    ``(doc_id, host, keep_doc)``; both lists are config-sized literal
+    arrays compiled into the plan (no join, no broadcast, zero shuffle).
+    A NULL/unparseable URL keeps the doc under a blocklist (no evidence to
+    drop) and drops it under an allowlist (no evidence to keep)."""
+    if (blocked_domains is None) == (allowed_domains is None):
+        raise ValueError(
+            "pass exactly one of blocked_domains / allowed_domains"
+        )
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    domains = [d.lower().lstrip(".") for d in (blocked_domains or allowed_domains)]
+    arr = F.array(*[F.lit(d) for d in domains])
+    # host matches domain d iff host == d or host endswith "." + d
+    matched = F.exists(
+        arr,
+        lambda d: (host == d) | host.endswith(F.concat(F.lit("."), d)),
+    )
+    keep = (
+        F.when(host.isNull(), F.lit(blocked_domains is not None))
+        .otherwise(~matched if blocked_domains is not None else matched)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        host.alias("host"),
+        keep.alias("keep_doc"),
     )

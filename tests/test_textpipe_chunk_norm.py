@@ -343,3 +343,94 @@ def test_curate_blocklist_disposition(spark):
         blocklist=["badwordx"]).collect()}
     assert out[1] == "drop_blocklist"
     assert out[0] == "kept"
+
+
+# ---- round 5: raw-crawl ingest (html_to_text / filter_by_domain) -----------
+
+
+def test_html_to_text_extraction(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import html_to_text
+
+    html = (
+        "<html><head><title>IGNORED</title><style>p{color:red}</style></head>"
+        "<body><script>var x = 'IGNORED';</script>"
+        "<h1>Title &amp; More</h1>"
+        "<p>First paragraph with <b>bold</b> text.</p>"
+        "<!-- IGNORED comment --><div>Second &lt;block&gt;</div>"
+        "<ul><li>item one</li><li>item two</li></ul></body></html>"
+    )
+    docs = spark.createDataFrame([(0, html), (1, None), (2, "plain text")],
+                                 "doc_id bigint, html string")
+    out = {r.doc_id: r.text for r in html_to_text(docs).collect()}
+    assert "IGNORED" not in out[0]
+    assert "Title & More" in out[0]
+    assert "First paragraph with bold text." in out[0]
+    assert "Second <block>" in out[0]
+    lines = out[0].split("\n")
+    assert "item one" in lines and "item two" in lines  # block tags -> lines
+    assert out[1] == ""            # NULL html -> empty string, no error
+    assert out[2] == "plain text"  # tag-free input passes through
+
+
+def test_html_to_text_feeds_line_filter(spark):
+    """The ingest composition the docstring promises: html -> text ->
+    C4 line rules, end to end."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        html_to_text,
+        line_filter,
+    )
+
+    html = (
+        "<body><p>This is a real sentence that survives the filter.</p>"
+        "<p>Another full sentence with enough words to keep here.</p>"
+        "<div>menu</div></body>"
+    )
+    docs = spark.createDataFrame([(0, html)], "doc_id bigint, html string")
+    txt = html_to_text(docs)
+    kept = line_filter(txt, min_kept_lines=1).head()
+    assert kept.keep_doc
+    assert "menu" not in kept.text  # short no-punct line dropped by C4 rules
+
+
+def test_filter_by_domain_block_and_allow(spark):
+    import pytest as _pytest
+
+    from pyspark_minhash_lsh_spark.operators.textpipe import filter_by_domain
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://spam.example.com/page?q=1"),
+            (1, "http://sub.deep.spam.example.com/x"),
+            (2, "https://good.org/a"),
+            (3, "https://notspam.example.org/b"),  # suffix but not subdomain
+            (4, None),
+        ],
+        "doc_id bigint, url string",
+    )
+    blocked = {r.doc_id: r.keep_doc for r in filter_by_domain(
+        docs, blocked_domains=["spam.example.com"]).collect()}
+    assert blocked == {0: False, 1: False, 2: True, 3: True, 4: True}
+
+    allowed = {r.doc_id: r.keep_doc for r in filter_by_domain(
+        docs, allowed_domains=["good.org"]).collect()}
+    assert allowed == {0: False, 1: False, 2: True, 3: False, 4: False}
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        filter_by_domain(docs)
+    with _pytest.raises(ValueError, match="exactly one"):
+        filter_by_domain(docs, blocked_domains=["a"], allowed_domains=["b"])
+
+
+def test_ingest_ops_zero_shuffle(spark):
+    """Both ingest ops are pure projections (the scan-speed contract)."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        filter_by_domain,
+        html_to_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "<p>x</p>", "https://a.b/c")], "doc_id bigint, html string, url string"
+    )
+    for out in (html_to_text(docs), filter_by_domain(docs, blocked_domains=["z.q"])):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
