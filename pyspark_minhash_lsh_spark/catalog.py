@@ -2528,8 +2528,55 @@ _Q67_JS_LINE = "enable javascript now"
              CAST(length(aug) AS BIGINT) AS m2,
              CAST(CASE WHEN nfc_normalize(aug) <> aug THEN 1 ELSE 0 END
                   AS BIGINT) AS m3
-      FROM naug)
+      FROM naug),
+    haug AS (
+      SELECT doc_id,
+             '<html><head><title>T</title><style>p,div,li</style></head><body>'
+             || '<script>var d=' || CAST(doc_id AS VARCHAR) || ';</script>'
+             || '<h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || '</h1>'
+             || '<p>' || text || '</p>'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '<ul><li>alpha item</li><li>beta item</li></ul>'
+                     ELSE '' END
+             || '<!-- hidden --></body></html>' AS h
+      FROM documents),
+    hstrip AS (
+      SELECT doc_id, h,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+          '(?is)<script\\b.*?</script\\s*>', ' ', 'g'),
+          '(?is)<style\\b.*?</style\\s*>', ' ', 'g'),
+          '(?is)<head\\b.*?</head\\s*>', ' ', 'g'),
+          '(?is)<noscript\\b.*?</noscript\\s*>', ' ', 'g'),
+          '(?is)<template\\b.*?</template\\s*>', ' ', 'g') AS t1
+      FROM haug),
+    hblk AS (
+      SELECT doc_id, h,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t1, '(?s)<!--.*?-->', ' ', 'g'),
+            '(?i)</?(p|div|li|ul|ol|table|tr|h[1-6]|section|article|blockquote)\\b[^>]*>|<br\\s*/?>',
+            chr(10), 'g'),
+          '(?s)<[^>]+>', ' ', 'g') AS t2
+      FROM hstrip),
+    hclean AS (
+      SELECT doc_id, h,
+        trim(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(replace(t2, '&amp;', '&'),
+                             '[ \\t\\x0b\\f\\r]+', ' ', 'g'),
+              ' ?\\n ?', chr(10), 'g'),
+            '\\n{{2,}}', chr(10), 'g')
+        ) AS text
+      FROM hblk),
+    html AS (
+      SELECT 'html' AS leg, doc_id, text,
+             CAST(length(text) AS BIGINT) AS m1,
+             CAST(length(h) AS BIGINT) AS m2,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS m3
+      FROM hclean)
     SELECT * FROM pii UNION ALL SELECT * FROM lines UNION ALL SELECT * FROM norm
+    UNION ALL SELECT * FROM html
     """,
 )
 def q67_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2547,7 +2594,13 @@ def q67_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
       - norm:  Unicode NFC (``textpipe.normalize_text`` Arrow path) over
         text carrying decomposed/ligature suffixes; DuckDB's
         ``nfc_normalize`` is the independent oracle — ``m1``/``m2``
-        codepoint lengths after/before, ``m3`` changed flag.
+        codepoint lengths after/before, ``m3`` changed flag;
+      - html (round 5): ``textpipe.html_to_text`` over a constructed page
+        (head/style/script content, entities, block structure, a comment,
+        per-id list items) — ``text`` is the FULL extracted string
+        value-checked by the oracle's replay of the same RE2/Java-common
+        regex chain, ``m1``/``m2`` extracted/raw lengths, ``m3`` line
+        count (block closers must become newlines).
     """
     from .operators.textpipe import line_filter, normalize_text, pii_redact
 
@@ -2590,7 +2643,30 @@ def q67_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("m2"),
         (F.col("norm_text") != F.col("text")).cast("bigint").alias("m3"),
     )
-    return red.unionByName(lines).unionByName(norm)
+    from .operators.textpipe import html_to_text
+
+    haug = F.concat(
+        F.lit("<html><head><title>T</title><style>p,div,li</style></head><body>"),
+        F.lit("<script>var d="), F.col("doc_id").cast("string"), F.lit(";</script>"),
+        F.lit("<h1>Doc &amp; "), F.col("doc_id").cast("string"), F.lit("</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("<ul><li>alpha item</li><li>beta item</li></ul>"),
+        ).otherwise(F.lit("")),
+        F.lit("<!-- hidden --></body></html>"),
+    )
+    hdf = docs.select("doc_id", haug.alias("html"))
+    # keep_cols carries the raw html through the extraction projection so
+    # the length facet needs no re-join — the leg stays Exchange-free like
+    # the rest of the suite (plan-asserted in tools/plan_audit.py)
+    hleg = html_to_text(hdf, keep_cols=("html",)).select(
+        F.lit("html").alias("leg"), "doc_id", "text",
+        F.length("text").cast("bigint").alias("m1"),
+        F.length("html").cast("bigint").alias("m2"),
+        F.size(F.split(F.col("text"), "\n")).cast("bigint").alias("m3"),
+    )
+    return red.unionByName(lines).unionByName(norm).unionByName(hleg)
 
 
 @query(

@@ -917,6 +917,7 @@ def html_to_text(
     html_col: str = "html",
     id_col: str = "doc_id",
     output_col: str = "text",
+    keep_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Light-weight HTML -> text extraction: the ingest step before every
     curation operator in this package (a C4-style pipeline starts from
@@ -932,7 +933,9 @@ def html_to_text(
       4. collapse runs of blank lines / spaces.
 
     Everything except the entity unescape is native Java-regex projection
-    (codegen, scan speed); NULL html yields an empty string. Pair with
+    (codegen, scan speed); NULL html yields an empty string. ``keep_cols``
+    passes named input columns through unchanged (e.g. the raw html or a
+    url column) so downstream projections never need a re-join. Pair with
     ``line_filter``/``blocklist_filter``/``curate_corpus`` downstream."""
     h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
     # (?is): case-insensitive, dot-matches-newline — content-dropping tags
@@ -957,7 +960,9 @@ def html_to_text(
     t = F.regexp_replace(t, r" ?\n ?", "\n")               # trim around newlines
     t = F.regexp_replace(t, r"\n{2,}", "\n")               # collapse blank lines
     return df.select(
-        F.col(id_col).alias("doc_id"), F.trim(t).alias(output_col)
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        F.trim(t).alias(output_col),
     )
 
 
