@@ -157,3 +157,24 @@ def test_ratio_sint_cross_engine_property(spark):
         )
         key = (num, den, digits)
         assert got_spark[key] == got_duck == want, (key, got_spark[key], got_duck, want)
+
+
+def test_oracle_sql_has_no_stray_control_characters():
+    """Regression trap for the f-string escape hazard (round 5, found live:
+    '\\b' in an oracle f-string evaluates to BACKSPACE and '{2,}' to a
+    formatted tuple — the regex silently never matches and the leg diverges
+    or, worse, matches trivially). Every compiled oracle must be pure
+    printable SQL: any control character except newline/tab means an escape
+    leaked through evaluation."""
+    for name, sql in ORACLE_SQL.items():
+        bad = sorted({
+            hex(ord(ch)) for ch in sql if ord(ch) < 32 and ch not in "\n\t"
+        })
+        assert not bad, (
+            f"{name}: control characters {bad} in compiled oracle SQL — "
+            "double the backslashes / escape the braces in the f-string"
+        )
+        assert "(2,)" not in sql and "(3,)" not in sql, (
+            f"{name}: formatted tuple artifact in oracle SQL — escape "
+            "regex quantifier braces as {{n,}}"
+        )
