@@ -2337,17 +2337,46 @@ def q63_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen AS (SELECT DISTINCT array_to_string({_DUCK_TOKENS}, ' ') AS key
              FROM documents WHERE doc_id < 250),
     first AS (SELECT doc_id, key FROM tokn
-              QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id) = 1)
-    SELECT doc_id FROM first WHERE key NOT IN (SELECT key FROM seen)
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id) = 1),
+    dedup AS (SELECT 'dedup' AS leg, doc_id, 'kept' AS status FROM first
+              WHERE key NOT IN (SELECT key FROM seen)),
+    old_snap AS (SELECT doc_id, array_to_string({_DUCK_TOKENS}, ' ') AS key
+                 FROM documents WHERE doc_id < 400),
+    new_snap AS (SELECT doc_id, array_to_string({_DUCK_TOKENS}, ' ') AS key
+                 FROM (SELECT doc_id,
+                              CASE WHEN doc_id < 150
+                                   THEN text || ' edited snapshot v2'
+                                   ELSE text END AS text
+                       FROM documents WHERE doc_id >= 100)),
+    diff AS (SELECT 'diff' AS leg,
+                    COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                    CASE WHEN o.doc_id IS NULL THEN 'added'
+                         WHEN n.doc_id IS NULL THEN 'removed'
+                         WHEN o.key = n.key THEN 'unchanged'
+                         ELSE 'changed' END AS status
+             FROM old_snap o FULL JOIN new_snap n ON o.doc_id = n.doc_id)
+    SELECT leg, doc_id, status FROM dedup
+    UNION ALL SELECT leg, doc_id, status FROM diff
     """,
 )
 def q64_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental exact dedup: a new batch (docs >= 250, plus copies of 5
-    seen docs under fresh ids at +10000 and +20000 to construct real
-    cross-batch and in-batch duplicates — the testdata has no natural exact
-    dups) deduped against the seen corpus (docs < 250). The copies must all
-    drop; the genuinely-new docs must all survive."""
-    from .operators.dedup import incremental_exact_dedup
+    """Incremental-lake maintenance pair, tagged union of two legs.
+
+    'dedup': incremental exact dedup — a new batch (docs >= 250, plus
+    copies of 5 seen docs under fresh ids at +10000 and +20000 to
+    construct real cross-batch and in-batch duplicates — the testdata has
+    no natural exact dups) deduped against the seen corpus (docs < 250).
+    The copies must all drop; the genuinely-new docs must all survive.
+
+    'diff' (round 5): ``snapshot_diff`` — the lake-audit companion. Old
+    snapshot = docs < 400; new snapshot = docs >= 100 with the text of
+    100..149 edited (a marker suffix appended IDENTICALLY on both
+    engines), so every status is exercised: 0..99 removed, 100..149
+    changed, 150..399 unchanged, 400+ added. The engine compares 64-bit
+    content fingerprints; the oracle compares the normalized token
+    strings those fingerprints key on — the hash-match proves the
+    fingerprint equality relation matches text-level equality."""
+    from .operators.dedup import incremental_exact_dedup, snapshot_diff
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     seen = docs.filter(F.col("doc_id") < 250)
@@ -2356,7 +2385,22 @@ def q64_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup2 = seen.filter(F.col("doc_id") < 5).withColumn(
         "doc_id", F.col("doc_id") + 20000)
     new = docs.filter(F.col("doc_id") >= 250).unionByName(dup1).unionByName(dup2)
-    return incremental_exact_dedup(new, seen).select("doc_id")
+    dedup_leg = incremental_exact_dedup(new, seen).select(
+        F.lit("dedup").alias("leg"), "doc_id", F.lit("kept").alias("status")
+    )
+
+    old_snap = docs.filter(F.col("doc_id") < 400)
+    new_snap = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < 150,
+            F.concat(F.col("text"), F.lit(" edited snapshot v2")),
+        ).otherwise(F.col("text")),
+    )
+    diff_leg = snapshot_diff(old_snap, new_snap).select(
+        F.lit("diff").alias("leg"), "doc_id", "status"
+    )
+    return dedup_leg.unionByName(diff_leg)
 
 
 @query(
@@ -2454,6 +2498,36 @@ _DUCK_NORM_SUFFIX = (
 #: 'lorem ipsum' line on every 7th id — exercises every C4 rule.
 _Q67_KEEP_LINE = "A clean line with six words here."
 _Q67_JS_LINE = "enable javascript now"
+
+
+def _duck_canon_url(var: str) -> str:
+    """DuckDB (RE2) twin of ``textpipe.canonicalize_url`` applied to one
+    list element ``var`` — inlined per call site because DuckDB lambdas
+    have no local bindings. Char-for-char the same regex chain the engine
+    compiles (cross-engine identity is separately pinned by
+    tests/test_url_ops.py::test_canonicalize_url_matches_duckdb_twin)."""
+    u = f"regexp_replace(trim({var}), '#.*$', '')"
+    pfx = f"regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)"
+    cpfx = (
+        f"regexp_replace(regexp_replace(lower({pfx}), "
+        "'^(http://[^:/?#]+):80$', '\\1'), "
+        "'^(https://[^:/?#]+):443$', '\\1')"
+    )
+    rest = f"substr({u}, len({pfx}) + 1)"
+    rest = (
+        f"regexp_replace({rest}, "
+        "'(?i)([?&])(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid)(=[^&]*)?', "
+        "'\\1', 'g')"
+    )
+    rest = (
+        f"regexp_replace(regexp_replace(regexp_replace({rest}, "
+        "'&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]$', '')"
+    )
+    fu = f"(CASE WHEN {pfx} = '' THEN {u} ELSE {cpfx} || {rest} END)"
+    return (
+        f"regexp_replace({fu}, "
+        "'^([a-z][a-z0-9+.\\-]*://[^/?#]+)/$', '\\1')"
+    )
 
 
 @query(
@@ -2574,9 +2648,35 @@ _Q67_JS_LINE = "enable javascript now"
              CAST(length(text) AS BIGINT) AS m1,
              CAST(length(h) AS BIGINT) AS m2,
              CAST(len(string_split(text, chr(10))) AS BIGINT) AS m3
-      FROM hclean)
+      FROM hclean),
+    lhtml AS (
+      SELECT doc_id,
+             '<p><a href="HTTPS://Example.COM:443/Docs/' || CAST(doc_id AS VARCHAR)
+             || '/?utm_source=feed&page=' || CAST(doc_id % 5 AS VARCHAR)
+             || '&utm_medium=rss#sec-' || CAST(doc_id % 3 AS VARCHAR)
+             || '">a</a><a href="http://Mirror.example.org:80/post/'
+             || CAST(doc_id % 7 AS VARCHAR)
+             || '/">b</a><a href="https://cdn.example.net/static/app.js?v='
+             || CAST(doc_id % 11 AS VARCHAR) || '">c</a></p>' AS h
+      FROM documents),
+    lraw AS (
+      SELECT doc_id,
+             regexp_extract_all(h, '(?i)href\\s*=\\s*"([^"]+)"', 1) AS raws
+      FROM lhtml),
+    links AS (
+      SELECT 'links' AS leg, doc_id,
+             array_to_string(
+               list_transform(raws, u -> {_duck_canon_url('u')}), chr(10)
+             ) AS text,
+             CAST(len(raws) AS BIGINT) AS m1,
+             CAST(len(list_distinct(
+               list_transform(raws, u -> {_duck_canon_url('u')})
+             )) AS BIGINT) AS m2,
+             CAST(len(list_filter(raws, u -> {_duck_canon_url('u')} <> u))
+                  AS BIGINT) AS m3
+      FROM lraw)
     SELECT * FROM pii UNION ALL SELECT * FROM lines UNION ALL SELECT * FROM norm
-    UNION ALL SELECT * FROM html
+    UNION ALL SELECT * FROM html UNION ALL SELECT * FROM links
     """,
 )
 def q67_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2600,7 +2700,16 @@ def q67_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         per-id list items) — ``text`` is the FULL extracted string
         value-checked by the oracle's replay of the same RE2/Java-common
         regex chain, ``m1``/``m2`` extracted/raw lengths, ``m3`` line
-        count (block closers must become newlines).
+        count (block closers must become newlines);
+      - links (round 5): href extraction + ``textpipe.canonicalize_url``
+        over three constructed anchors per doc (mixed-case host, default
+        ports, utm/tracking params, a fragment, one already-canonical
+        URL) — ``text`` the FULL newline-joined canonical URL list
+        (oracle: ``_duck_canon_url`` RE2 twin), ``m1`` anchors found,
+        ``m2`` distinct canonical URLs, ``m3`` URLs changed by
+        canonicalization (must be exactly 2 per doc). The exploded
+        frontier form (``extract_links``) is pytest-covered; this leg
+        stays a zero-Exchange projection like the rest of the suite.
     """
     from .operators.textpipe import line_filter, normalize_text, pii_redact
 
@@ -2666,7 +2775,42 @@ def q67_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("html").cast("bigint").alias("m2"),
         F.size(F.split(F.col("text"), "\n")).cast("bigint").alias("m3"),
     )
-    return red.unionByName(lines).unionByName(norm).unionByName(hleg)
+    from .operators.textpipe import canonicalize_url
+
+    did = F.col("doc_id").cast("string")
+    laug2 = F.concat(
+        F.lit('<p><a href="HTTPS://Example.COM:443/Docs/'), did,
+        F.lit("/?utm_source=feed&page="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_medium=rss#sec-"), (F.col("doc_id") % 3).cast("string"),
+        F.lit('">a</a><a href="http://Mirror.example.org:80/post/'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('/">b</a><a href="https://cdn.example.net/static/app.js?v='),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit('">c</a></p>'),
+    )
+    raws = F.regexp_extract_all(laug2, F.lit(r'(?i)href\s*=\s*"([^"]+)"'), F.lit(1))
+    lnk = docs.select("doc_id", raws.alias("raws")).select(
+        "doc_id", "raws",
+        F.transform(F.col("raws"), lambda u: canonicalize_url(u)).alias("canon"),
+    )
+    links = lnk.select(
+        F.lit("links").alias("leg"), "doc_id",
+        F.array_join("canon", "\n").alias("text"),
+        F.size("raws").cast("bigint").alias("m1"),
+        F.size(F.array_distinct("canon")).cast("bigint").alias("m2"),
+        F.aggregate(
+            F.zip_with(
+                F.col("raws"), F.col("canon"),
+                lambda a, b: (a != b).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("m3"),
+    )
+    return (
+        red.unionByName(lines).unionByName(norm)
+        .unionByName(hleg).unionByName(links)
+    )
 
 
 @query(

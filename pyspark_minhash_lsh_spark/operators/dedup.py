@@ -45,6 +45,7 @@ __all__ = [
     "simhash_dedup",
     "incremental_exact_dedup",
     "incremental_near_dedup",
+    "snapshot_diff",
 ]
 
 
@@ -708,4 +709,55 @@ def incremental_near_dedup(
     dropped = vs_seen.unionByName(vs_batch).dropDuplicates(["_nid"])
     return new_docs.join(
         dropped.withColumnRenamed("_nid", id_col), id_col, "left_anti"
+    )
+
+
+def snapshot_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    old_fp_col: "str | None" = None,
+    new_fp_col: "str | None" = None,
+) -> DataFrame:
+    """Content-level diff between two corpus snapshots — the lake-audit
+    companion to ``incremental_exact_dedup`` (what changed between
+    yesterday's lake and today's?). Returns one row per id present in
+    either snapshot: ``(id_col, status)`` with status in
+    ``{'added', 'removed', 'changed', 'unchanged'}``, decided by the
+    64-bit content fingerprint over NORMALIZED tokens, so
+    formatting/punctuation-only edits count as 'unchanged' exactly like
+    the dedup operators treat them as duplicates.
+
+    Scale shape: each side is projected to ``(id, fingerprint)`` BEFORE
+    the join — document text never shuffles; the single full-outer join
+    moves 16-byte rows hash-partitioned by id (no skew: ids are unique
+    per side by contract). At lake scale pass the persisted fingerprint
+    TABLES instead of raw text (name the 8-byte column via
+    ``old_fp_col`` / ``new_fp_col``) and no text is scanned at all; the
+    same tables serve ``incremental_exact_dedup(seen_fp_col=...)``, so
+    one nightly fingerprint projection feeds both the dedup gate and the
+    audit diff.
+    """
+
+    def fp_side(df: DataFrame, fp_col: "str | None", out: str) -> DataFrame:
+        key = (
+            F.col(fp_col)
+            if fp_col
+            else content_fingerprint(tokens(F.col(text_col)))
+        )
+        return df.select(F.col(id_col), key.alias(out))
+
+    o = fp_side(old_docs, old_fp_col, "_ofp")
+    n = fp_side(new_docs, new_fp_col, "_nfp")
+    status = (
+        F.when(F.col("_ofp").isNull(), F.lit("added"))
+        .when(F.col("_nfp").isNull(), F.lit("removed"))
+        .when(F.col("_ofp") == F.col("_nfp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    # join on the column NAME so the key coalesces across the full outer
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(F.col(id_col), status.alias("status"))
     )

@@ -48,6 +48,8 @@ __all__ = [
     "blocklist_filter",
     "html_to_text",
     "filter_by_domain",
+    "extract_links",
+    "canonicalize_url",
     "chunk_documents",
     "normalize_text",
     "unicode_normalize",
@@ -1002,3 +1004,75 @@ def filter_by_domain(
         host.alias("host"),
         keep.alias("keep_doc"),
     )
+
+
+#: tracking query parameters stripped by ``canonicalize_url`` — the
+#: conventional analytics/click-id set; extend per deployment.
+TRACKING_PARAMS = ("utm_[^=&]*", "fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def canonicalize_url(col) -> "F.Column":
+    """URL canonicalization as a pure codegen Column expression — the
+    crawl-frontier/dedup key normalizer (two spellings of one page must
+    collide BEFORE the URL-dedup aggregate, or the corpus keeps both):
+
+      1. trim + drop the ``#fragment`` (client-side only);
+      2. lowercase the ``scheme://host[:port]`` prefix (case-insensitive
+         per RFC 3986) — path/query case is preserved;
+      3. strip default ports (``http://...:80``, ``https://...:443``);
+      4. strip tracking query params (``TRACKING_PARAMS``: utm_*, fbclid,
+         gclid, msclkid, mc_eid), then repair separators (``?&`` runs,
+         trailing ``?``/``&``);
+      5. drop a bare root-path trailing slash (``http://h/`` == ``http://h``).
+
+    Strings without an absolute ``scheme://host`` prefix (relative URLs,
+    junk) pass through steps 1 and 4's no-ops unchanged. Every step is a
+    Java-regex/RE2-common-subset projection — no UDF, no shuffle; the
+    catalog q67 'links' leg replays the identical chain in DuckDB as the
+    value oracle."""
+    u = F.trim(col.cast("string"))
+    u = F.regexp_replace(u, r"#.*$", "")
+    prefix = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    canon_prefix = F.lower(prefix)
+    canon_prefix = F.regexp_replace(canon_prefix, r"^(http://[^:/?#]+):80$", "$1")
+    canon_prefix = F.regexp_replace(canon_prefix, r"^(https://[^:/?#]+):443$", "$1")
+    rest = u.substr(F.length(prefix) + F.lit(1), F.length(u))
+    params = "|".join(TRACKING_PARAMS)
+    rest = F.regexp_replace(rest, r"(?i)([?&])(" + params + r")(=[^&]*)?", "$1")
+    rest = F.regexp_replace(rest, r"&{2,}", "&")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    full = F.when(prefix == "", u).otherwise(F.concat(canon_prefix, rest))
+    return F.regexp_replace(full, r"^([a-z][a-z0-9+.\-]*://[^/?#]+)/$", "$1")
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Outlink extraction for the crawl frontier: pull every
+    ``href="..."``/``href='...'`` target out of raw markup and (by
+    default) canonicalize it. Returns ``(doc_id, link_pos, url)`` — one
+    row per anchor, ``link_pos`` the 0-based document-order position
+    within its quote style (double-quoted anchors first, then
+    single-quoted; a deterministic total order either way).
+
+    Zero-shuffle: ``regexp_extract_all`` + ``posexplode`` is a generate
+    projection — payload html never leaves its input partition, and the
+    typical consumer (frontier dedup: ``groupBy(url).agg(...)`` or an
+    anti-join against the crawled-set) shuffles only the extracted URL
+    strings. Feed ``filter_by_domain`` with the output for scope rules."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    urls = F.concat(
+        F.regexp_extract_all(h, F.lit(r'(?i)href\s*=\s*"([^"]+)"'), F.lit(1)),
+        F.regexp_extract_all(h, F.lit(r"(?i)href\s*=\s*'([^']+)'"), F.lit(1)),
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(urls).alias("link_pos", "url"),
+    )
+    if canonicalize:
+        out = out.withColumn("url", canonicalize_url(F.col("url")))
+    return out

@@ -97,3 +97,54 @@ def test_incremental_near_dedup_accepts_prebuilt_index(spark):
         r.doc_id for r in incremental_near_dedup(new, seen_docs, threshold=0.5).collect()
     )
     assert via_idx == via_docs == [11]
+
+
+def test_snapshot_diff_statuses(spark):
+    from pyspark_minhash_lsh_spark.operators.dedup import snapshot_diff
+
+    old = _df(spark, [
+        (1, "alpha beta gamma"),
+        (2, "delta epsilon zeta"),
+        (3, "eta theta iota"),
+    ])
+    new = _df(spark, [
+        (2, "Delta, EPSILON zeta!"),   # normalizes identically -> unchanged
+        (3, "eta theta iota REVISED"), # content edit -> changed
+        (4, "kappa lambda mu"),        # new id -> added
+    ])                                  # id 1 absent -> removed
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_fingerprint_tables(spark):
+    """Lake-scale mode: both sides are persisted fingerprint tables — no
+    text column anywhere, same statuses."""
+    from pyspark_minhash_lsh_spark.functions.hashing import content_fingerprint
+    from pyspark_minhash_lsh_spark.functions.text import tokens
+    from pyspark_minhash_lsh_spark.operators.dedup import snapshot_diff
+
+    old = _df(spark, [(1, "alpha beta"), (2, "gamma delta")])
+    new = _df(spark, [(2, "gamma delta"), (5, "fresh doc")])
+    fp = content_fingerprint(tokens(F.col("text")))
+    old_fp = old.select("doc_id", fp.alias("fp"))
+    new_fp = new.select("doc_id", fp.alias("fp"))
+    out = {
+        r.doc_id: r.status
+        for r in snapshot_diff(
+            old_fp, new_fp, old_fp_col="fp", new_fp_col="fp"
+        ).collect()
+    }
+    assert out == {1: "removed", 2: "unchanged", 5: "added"}
+
+
+def test_snapshot_diff_no_text_in_exchange(spark):
+    """The full-outer join must move (id, fingerprint) rows only — the
+    text column is projected away before any Exchange."""
+    from pyspark_minhash_lsh_spark.operators.dedup import snapshot_diff
+
+    old = _df(spark, [(1, "alpha beta gamma")])
+    new = _df(spark, [(1, "alpha beta gamma")])
+    plan = snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)

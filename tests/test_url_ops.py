@@ -1,0 +1,126 @@
+"""URL ingest operators (operators/textpipe.py: extract_links,
+canonicalize_url) — crawl-frontier extraction + the URL-dedup key
+normalizer. Driver-visible via the q67 'links' leg (oracle-backed)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.textpipe import (
+    canonicalize_url,
+    extract_links,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonicalize_url_known_values(spark):
+    cases = {
+        # host+scheme lowercased, path case preserved
+        "HTTPS://Example.COM/Path/To": "https://example.com/Path/To",
+        # default ports stripped (scheme-matched only)
+        "http://example.com:80/a": "http://example.com/a",
+        "https://example.com:443/a": "https://example.com/a",
+        "http://example.com:8080/a": "http://example.com:8080/a",
+        "http://example.com:443/a": "http://example.com:443/a",
+        # fragment dropped
+        "https://example.com/a#sec-2": "https://example.com/a",
+        # tracking params stripped, separators repaired
+        "https://e.com/a?utm_source=x": "https://e.com/a",
+        "https://e.com/a?utm_source=x&page=2": "https://e.com/a?page=2",
+        "https://e.com/a?page=2&utm_medium=rss": "https://e.com/a?page=2",
+        "https://e.com/a?utm_a=1&utm_b=2&q=z": "https://e.com/a?q=z",
+        "https://e.com/a?gclid=abc&fbclid=def": "https://e.com/a",
+        # non-tracking params untouched (utmost is not utm_*)
+        "https://e.com/a?utmost=1": "https://e.com/a?utmost=1",
+        # bare root slash dropped; deeper trailing slash kept
+        "http://Example.com/": "http://example.com",
+        "http://example.com/a/": "http://example.com/a/",
+        # relative / junk pass through (minus fragment)
+        "/relative/path#x": "/relative/path",
+        "  not a url  ": "not a url",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_canonicalize_url_matches_duckdb_twin(spark):
+    """Cross-engine identity: DuckDB (RE2) replays the exact regex chain the
+    engine compiles (Java regex) — the q67 'links' oracle pattern."""
+    urls = [
+        "HTTPS://Example.COM:443/Docs/7/?utm_source=feed&page=2&utm_medium=rss#s",
+        "http://Mirror.example.org:80/post/3/",
+        "https://cdn.example.net/static/app.js?v=9",
+        "https://e.com/?fbclid=zz",
+        "ftp://Files.Example.com/Pub/",
+        "/rel?utm_source=x",
+    ]
+    got = _canon(spark, urls)
+    rows = duckdb.sql(
+        """
+        WITH u0 AS (SELECT unnest($urls) AS raw),
+        s1 AS (SELECT regexp_replace(trim(raw), '#.*$', '') AS u FROM u0),
+        s2 AS (SELECT u,
+                 regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) AS pfx
+               FROM s1),
+        s3 AS (SELECT u, pfx,
+                 regexp_replace(regexp_replace(lower(pfx),
+                   '^(http://[^:/?#]+):80$', '\\1'),
+                   '^(https://[^:/?#]+):443$', '\\1') AS cpfx,
+                 substr(u, len(pfx) + 1) AS rest
+               FROM s2),
+        s4 AS (SELECT u, pfx, cpfx,
+                 regexp_replace(rest,
+                   '(?i)([?&])(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid)(=[^&]*)?',
+                   '\\1', 'g') AS rest
+               FROM s3),
+        s5 AS (SELECT u, pfx, cpfx,
+                 regexp_replace(regexp_replace(regexp_replace(rest,
+                   '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]$', '') AS rest
+               FROM s4),
+        s6 AS (SELECT CASE WHEN pfx = '' THEN u ELSE cpfx || rest END AS fu
+               FROM s5)
+        SELECT regexp_replace(fu,
+                 '^([a-z][a-z0-9+.\\-]*://[^/?#]+)/$', '\\1') AS c
+        FROM s6
+        """,
+        params={"urls": urls},
+    ).fetchall()
+    assert got == [r[0] for r in rows]
+
+
+def test_extract_links_order_and_canonicalization(spark):
+    html = (
+        '<a href="HTTPS://E.com/a?utm_source=x&p=1">x</a>'
+        "<a href='http://e.org:80/b/'>y</a>"
+        '<a href="https://e.net/c#frag">z</a>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id bigint, html string")
+    out = extract_links(df).orderBy("link_pos").collect()
+    # double-quoted anchors first (document order), then single-quoted
+    assert [(r.link_pos, r.url) for r in out] == [
+        (0, "https://e.com/a?p=1"),
+        (1, "https://e.net/c"),
+        (2, "http://e.org/b/"),
+    ]
+
+
+def test_extract_links_raw_mode_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, '<a href="HTTP://E.com/#f">x</a>'), (2, None), (3, "no links")],
+        "doc_id bigint, html string",
+    )
+    out = extract_links(df, canonicalize=False).collect()
+    assert [(r.doc_id, r.url) for r in out] == [(1, "HTTP://E.com/#f")]
+
+
+def test_extract_links_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, '<a href="http://e.com">x</a>')],
+                               "doc_id bigint, html string")
+    plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
