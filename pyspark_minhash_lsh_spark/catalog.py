@@ -2819,26 +2819,95 @@ def q67_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (SELECT {_DUCK_TOKENS} AS t FROM documents),
     ex AS (SELECT unnest(t) AS tok FROM tok),
     pt AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY 1),
-    prof AS (SELECT c, COUNT(*) AS n_types FROM pt GROUP BY 1)
-    SELECT CAST(c AS BIGINT) AS occurrences,
-           CAST(n_types AS BIGINT) AS n_types,
-           {_duck_rsint("c * n_types", "SUM(CAST(c * n_types AS BIGINT)) OVER ()", 6)}
-             AS position_frac
-    FROM prof
+    prof AS (SELECT c, COUNT(*) AS n_types FROM pt GROUP BY 1),
+    zipf AS (
+      SELECT 'zipf' AS leg, CAST(c AS VARCHAR) AS tok_key,
+             CAST(c AS BIGINT) AS n1,
+             CAST(n_types AS BIGINT) AS n2,
+             {_duck_rsint("c * n_types", "SUM(CAST(c * n_types AS BIGINT)) OVER ()", 6)}
+               AS v
+      FROM prof),
+    old_snap AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    new_snap AS (SELECT doc_id,
+                        CASE WHEN doc_id < 150
+                             THEN text || ' edited snapshot v2'
+                             ELSE text END AS text
+                 FROM documents WHERE doc_id >= 100),
+    ocnt AS (SELECT token, COUNT(*) AS n_old
+             FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM old_snap)
+             GROUP BY 1),
+    ncnt AS (SELECT token, COUNT(*) AS n_new
+             FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM new_snap)
+             GROUP BY 1),
+    tot AS (SELECT
+      (SELECT COALESCE(SUM(len({_DUCK_TOKENS})), 0) FROM old_snap) AS t_old,
+      (SELECT COALESCE(SUM(len({_DUCK_TOKENS})), 0) FROM new_snap) AS t_new),
+    jn AS (SELECT COALESCE(o.token, n.token) AS token,
+                  COALESCE(o.n_old, 0) AS n_old,
+                  COALESCE(n.n_new, 0) AS n_new
+           FROM ocnt o FULL JOIN ncnt n ON o.token = n.token),
+    dr AS (SELECT token, n_old, n_new,
+                  CAST(n_new AS BIGINT) * t_old
+                    - CAST(n_old AS BIGINT) * t_new AS dnum,
+                  CAST(t_old AS BIGINT) * t_new AS dden
+           FROM jn CROSS JOIN tot),
+    drift AS (SELECT 'drift' AS leg, token AS tok_key,
+                     CAST(n_old AS BIGINT) AS n1,
+                     CAST(n_new AS BIGINT) AS n2,
+                     {_duck_rsint("dnum", "dden", 6)} AS v
+              FROM dr ORDER BY abs(dnum) DESC, token ASC LIMIT 50)
+    SELECT * FROM zipf UNION ALL SELECT * FROM drift
     """,
 )
 def q68_token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus Zipf profile: frequency-of-frequencies over the token
-    vocabulary plus each band's share of token positions (hapax mass drives
-    vocabulary-growth estimates; a fat head flags boilerplate)."""
+    """Corpus distribution profile, tagged union of two legs.
+
+    'zipf': frequency-of-frequencies over the token vocabulary plus each
+    band's share of token positions (hapax mass drives vocabulary-growth
+    estimates; a fat head flags boilerplate) — ``tok_key`` the occurrence
+    band as a string, ``n1``/``n2`` the band/count, ``v`` the scaled
+    position share.
+
+    'drift' (round 5): ``corpus_stats.corpus_drift`` top-50 movers between
+    the SAME two snapshots q64's diff leg audits (old = docs < 400; new =
+    docs >= 100 with 100..149 edited) — ``tok_key`` the token, ``n1``/
+    ``n2`` the exact per-side counts, ``v`` the scaled share delta
+    ``_ratio_sint(n_new*t_old - n_old*t_new, t_old*t_new, 6)``. Ranking
+    and top-k membership use the exact integer key (abs numerator desc,
+    token asc), so the 50-row boundary is engine-independent; the scaled
+    delta is pure-integer end-to-end (the r05 hash-surface stance)."""
+    from .operators.corpus_stats import corpus_drift
     from .operators.textpipe import token_frequency_profile
 
-    return token_frequency_profile(_t(spark, sf_dir, "documents")).select(
-        "occurrences", "n_types",
+    docs = _t(spark, sf_dir, "documents")
+    zipf = token_frequency_profile(docs).select(
+        F.lit("zipf").alias("leg"),
+        F.col("occurrences").cast("string").alias("tok_key"),
+        F.col("occurrences").cast("bigint").alias("n1"),
+        F.col("n_types").cast("bigint").alias("n2"),
         _ratio_sint(
             F.col("occurrences") * F.col("n_types"), F.col("total_positions"), 6
-        ).alias("position_frac"),
+        ).alias("v"),
     )
+    base = docs.select("doc_id", "text")
+    old_snap = base.filter(F.col("doc_id") < 400)
+    new_snap = base.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < 150,
+            F.concat(F.col("text"), F.lit(" edited snapshot v2")),
+        ).otherwise(F.col("text")),
+    )
+    drift = corpus_drift(old_snap, new_snap, top_k=50).select(
+        F.lit("drift").alias("leg"),
+        F.col("token").alias("tok_key"),
+        F.col("n_old").alias("n1"),
+        F.col("n_new").alias("n2"),
+        _ratio_sint(
+            F.col("share_delta_num"), F.col("t_old") * F.col("t_new"), 6
+        ).alias("v"),
+    )
+    return zipf.unionByName(drift)
 
 
 # q69 mixing weights: chosen with exactly-representable binary fractions so

@@ -40,6 +40,7 @@ from ..functions.text import shingles, tokens
 __all__ = [
     "source_overlap",
     "ngram_novelty",
+    "corpus_drift",
     "corpus_report",
     "sketch_corpus",
     "merge_corpus_sketches",
@@ -209,6 +210,76 @@ def ngram_novelty(
             (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
         )
     )
+
+
+def corpus_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots — the
+    dataset-card regression check run before swapping a training mix to a
+    new crawl dump (did the new snapshot's language/boilerplate balance
+    move?). Returns one row per token in either snapshot::
+
+        token, n_old, n_new, t_old, t_new,          (exact BIGINT counts)
+        share_delta_num = n_new*t_old - n_old*t_new (exact BIGINT)
+        share_delta     = share_delta_num / (t_old*t_new)   (convenience
+                          double == share_new - share_old; NOT for hash
+                          surfaces — scale share_delta_num instead)
+
+    ``top_k`` keeps the k largest movers by the EXACT integer key
+    ``(abs(share_delta_num) DESC, token ASC)`` — a deterministic total
+    order, so top-k membership is engine- and combine-order-independent
+    (the q63/BM25 ranking stance).
+
+    Scale shape: one token-keyed count aggregate per side (map-side
+    partial combine; 8-byte-ish rows, never documents), totals as two
+    single-row aggregates broadcast via crossJoin (the sanctioned 1-row
+    dim pattern), one full-outer join on the token — the only
+    corpus-sized shuffle key, high-cardinality by construction — and a
+    TakeOrderedAndProject when ``top_k`` is set."""
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias(out))
+        )
+
+    def total(df: DataFrame, out: str) -> DataFrame:
+        return df.agg(
+            F.coalesce(
+                F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)
+            ).cast("bigint").alias(out)
+        )
+
+    j = (
+        counts(old_docs, "n_old")
+        .join(counts(new_docs, "n_new"), "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+    )
+    totals = total(old_docs, "t_old").crossJoin(total(new_docs, "t_new"))
+    num = F.col("n_new") * F.col("t_old") - F.col("n_old") * F.col("t_new")
+    den = F.col("t_old") * F.col("t_new")
+    out = j.crossJoin(F.broadcast(totals)).select(
+        "token", "n_old", "n_new", "t_old", "t_new",
+        num.alias("share_delta_num"),
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("share_delta"),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.abs(F.col("share_delta_num")).desc(), F.col("token").asc()
+        ).limit(int(top_k))
+    return out
 
 
 def corpus_report(

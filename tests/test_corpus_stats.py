@@ -356,3 +356,96 @@ def test_corpus_report_language_and_token_sections(spark):
     # opt-out: no new sections by default
     base = {r.section for r in corpus_report(docs).collect()}
     assert "languages" not in base and "tokens" not in base
+
+
+# ---------------------------------------------------------------------------
+# corpus_drift (round 5): token-distribution shift between snapshots
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_drift_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import corpus_drift
+
+    old = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id bigint, text string"
+    )  # counts: a2 b2 c1, t_old=5
+    new = spark.createDataFrame(
+        [(1, "a b"), (2, "b c c d")], "doc_id bigint, text string"
+    )  # counts: a1 b2 c2 d1, t_new=6
+    rows = {r.token: r for r in corpus_drift(old, new).collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    r = rows["a"]
+    assert (r.n_old, r.n_new, r.t_old, r.t_new) == (2, 1, 5, 6)
+    # share delta: 1/6 - 2/5 = (1*5 - 2*6)/30 = -7/30
+    assert r.share_delta_num == -7
+    assert abs(r.share_delta - (-7 / 30)) < 1e-12
+    assert rows["d"].n_old == 0 and rows["d"].share_delta_num == 5
+    assert rows["b"].share_delta_num == 2 * 5 - 2 * 6  # -2
+
+
+def test_corpus_drift_top_k_exact_integer_order(spark):
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import corpus_drift
+
+    old = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a b"), (2, "b c c d")], "doc_id bigint, text string"
+    )
+    got = [r.token for r in corpus_drift(old, new, top_k=3).collect()]
+    # |dnum|: a=7, d=5, c=4, b=2 -> top3 in exact-integer order
+    assert got == ["a", "d", "c"]
+
+
+def test_corpus_drift_empty_sides(spark):
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import corpus_drift
+
+    docs = spark.createDataFrame([(1, "x y")], "doc_id bigint, text string")
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    # empty new side: every token is a pure removal; share_delta NULL (den 0)
+    rows = {r.token: r for r in corpus_drift(docs, empty).collect()}
+    assert rows["x"].n_new == 0 and rows["x"].t_new == 0
+    assert rows["x"].share_delta is None
+    assert corpus_drift(empty, empty).count() == 0
+
+
+def test_corpus_drift_matches_duckdb(spark):
+    import duckdb as _dd
+
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import corpus_drift
+
+    random.seed(405)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    mk = lambda n: [
+        (i, " ".join(random.choices(vocab, k=random.randint(1, 8))))
+        for i in range(n)
+    ]
+    old = spark.createDataFrame(mk(30), "doc_id bigint, text string")
+    new = spark.createDataFrame(mk(25), "doc_id bigint, text string")
+    got = sorted(
+        (r.token, r.n_old, r.n_new, r.share_delta_num)
+        for r in corpus_drift(old, new).collect()
+    )
+    con = _dd.connect()
+    con.execute("CREATE TABLE o(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO o VALUES (?, ?)", old.collect())
+    con.execute("CREATE TABLE n(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO n VALUES (?, ?)", new.collect())
+    ref = con.execute("""
+      WITH oc AS (SELECT unnest(string_split(text, ' ')) AS token FROM o),
+      nc AS (SELECT unnest(string_split(text, ' ')) AS token FROM n),
+      ocnt AS (SELECT token, COUNT(*) AS n_old FROM oc GROUP BY 1),
+      ncnt AS (SELECT token, COUNT(*) AS n_new FROM nc GROUP BY 1),
+      tot AS (SELECT (SELECT COUNT(*) FROM oc) AS t_old,
+                     (SELECT COUNT(*) FROM nc) AS t_new),
+      jn AS (SELECT COALESCE(o.token, n.token) AS token,
+                    COALESCE(o.n_old, 0) AS n_old,
+                    COALESCE(n.n_new, 0) AS n_new
+             FROM ocnt o FULL JOIN ncnt n ON o.token = n.token)
+      SELECT token, n_old, n_new,
+             CAST(n_new AS BIGINT)*t_old - CAST(n_old AS BIGINT)*t_new
+      FROM jn CROSS JOIN tot ORDER BY 1
+    """).fetchall()
+    assert got == [tuple(r) for r in ref]
