@@ -104,8 +104,10 @@ def minhash_signature(
     component, so estimated Jaccard vs any real doc is 0).
     """
     a, b = permutation_constants(num_hashes, seed)
-    a_arr = F.array(*[F.lit(v).cast("bigint") for v in a])
-    b_arr = F.array(*[F.lit(v).cast("bigint") for v in b])
+    # one parsed array literal per constant family instead of 2*num_hashes
+    # lit().cast() py4j round-trips (~0.4 s of driver time per query plan)
+    a_arr = F.expr("array(" + ", ".join(f"{v}L" for v in a) + ")")
+    b_arr = F.expr("array(" + ", ".join(f"{v}L" for v in b) + ")")
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
@@ -146,20 +148,16 @@ def minhash_signatures_df(
     """
     a, b = permutation_constants(num_hashes, seed)
     ex = df.select(F.col(id_col), F.explode_outer(base_hashes).alias("_h"))
-    aggs = [
-        F.min(F.pmod(F.lit(a[i]) * F.col("_h") + F.lit(b[i]), F.lit(_P))).alias(f"_m{i}")
+    # single parsed expression instead of ~1k py4j calls — see the fused
+    # index path (minhash_index_df) for the measurement; values identical
+    parts = ", ".join(
+        f"coalesce(min(pmod({a[i]}L * _h + {b[i]}L, {_P}L)), {_EMPTY_SENTINEL}L)"
         for i in range(num_hashes)
-    ]
-    sentinel = F.lit(_EMPTY_SENTINEL).cast("bigint")
+    )
     return (
         ex.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            F.col(id_col),
-            F.array(
-                *[F.coalesce(F.col(f"_m{i}"), sentinel) for i in range(num_hashes)]
-            ).alias(out_col),
-        )
+        .agg(F.expr(f"array({parts})").alias(out_col))
+        .select(F.col(id_col), F.col(out_col))
     )
 
 
@@ -246,20 +244,21 @@ def minhash_index_df(
             F.pmod(sh * _SHINGLE_COMBINE + nxt, F.lit(_P)),
         )
     shingled = ex.select(F.col(id_col), sh.alias("_sh"))
-    aggs = [
-        F.min(F.pmod(F.lit(a[i]) * F.col("_sh") + F.lit(b[i]), F.lit(_P))).alias(f"_m{i}")
+    # The 100 min-aggregates are built as ONE SQL string parsed JVM-side:
+    # constructing them as nested Column objects costs ~1k py4j round-trips
+    # (~1.3-2.6 s of pure driver time per plan — measured round 5, the
+    # single largest contributor to q30/q32 bench wall), while one F.expr
+    # call parses the same tree in milliseconds. Values are byte-identical
+    # (golden-signature locks + parity tests pin this); min() skips NULLs,
+    # so empty/short docs still collapse to the sentinel signature.
+    parts = ", ".join(
+        f"coalesce(min(pmod({a[i]}L * _sh + {b[i]}L, {_P}L)), {_EMPTY_SENTINEL}L)"
         for i in range(num_hashes)
-    ]
-    sentinel = F.lit(_EMPTY_SENTINEL).cast("bigint")
+    )
     return (
         shingled.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            F.col(id_col),
-            F.array(
-                *[F.coalesce(F.col(f"_m{i}"), sentinel) for i in range(num_hashes)]
-            ).alias(out_col),
-        )
+        .agg(F.expr(f"array({parts})").alias(out_col))
+        .select(F.col(id_col), F.col(out_col))
     )
 
 
@@ -416,20 +415,18 @@ def minhash_signatures_df_128(
     mirroring the +inf init at minhash_utils.py:66-79).
     """
     ex = df.select(F.col(id_col), F.explode_outer(shingle_col).alias("_s"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_s")))).alias(f"_m{i}")
+    # single parsed expression instead of ~1k py4j calls — see the fused
+    # index path (minhash_index_df); the '|' separator and sentinel are
+    # plain ASCII, safe inside the SQL string literal
+    sentinel = "g" * 32
+    parts = ", ".join(
+        f"coalesce(min(md5(concat('{i}|', _s))), '{sentinel}')"
         for i in range(num_hashes)
-    ]
-    sentinel = F.lit("g" * 32)
+    )
     return (
         ex.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            F.col(id_col),
-            F.array(
-                *[F.coalesce(F.col(f"_m{i}"), sentinel) for i in range(num_hashes)]
-            ).alias(out_col),
-        )
+        .agg(F.expr(f"array({parts})").alias(out_col))
+        .select(F.col(id_col), F.col(out_col))
     )
 
 

@@ -56,23 +56,16 @@ def fit_vocabulary(
     )
 
 
-def _idx_min_aggs(num_hashes: int, seed: int) -> list[Column]:
-    """Per-permutation min aggregates over the joined ``idx`` column."""
+def _idx_signature_agg(num_hashes: int, seed: int, out_col: str) -> Column:
+    """All per-permutation min aggregates over the joined ``idx`` column,
+    assembled into one parsed array expression (single py4j call — the same
+    fusion as ``hashing.minhash_index_df``; values identical)."""
     a, b = permutation_constants(num_hashes, seed)
-    return [
-        F.min(F.pmod(F.lit(a[i]) * F.col("idx") + F.lit(b[i]), F.lit(_P))).alias(f"_m{i}")
+    parts = ", ".join(
+        f"coalesce(min(pmod({a[i]}L * idx + {b[i]}L, {_P}L)), {_EMPTY_SENTINEL}L)"
         for i in range(num_hashes)
-    ]
-
-
-def _assemble(grouped: DataFrame, id_col: str, num_hashes: int, out_col: str) -> DataFrame:
-    sentinel = F.lit(_EMPTY_SENTINEL).cast("bigint")
-    return grouped.select(
-        F.col(id_col),
-        F.array(
-            *[F.coalesce(F.col(f"_m{i}"), sentinel) for i in range(num_hashes)]
-        ).alias(out_col),
     )
+    return F.expr(f"array({parts})").alias(out_col)
 
 
 def fitted_signatures(
@@ -103,9 +96,10 @@ def fitted_signatures(
         F.explode_outer(shingles(tokens(F.col(text_col)), k)).alias("shingle"),
     )
     joined = ex.join(vocab, "shingle", "left")
-    return _assemble(
-        joined.groupBy(id_col).agg(*_idx_min_aggs(num_hashes, seed)),
-        id_col, num_hashes, out_col,
+    return (
+        joined.groupBy(id_col)
+        .agg(_idx_signature_agg(num_hashes, seed, out_col))
+        .select(F.col(id_col), F.col(out_col))
     )
 
 
