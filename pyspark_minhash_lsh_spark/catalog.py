@@ -1398,31 +1398,102 @@ def _duck_lang_case() -> str:
     return f"CASE WHEN {mx} <= len(t) THEN 'und' {whens} END"
 
 
+#: q28 'script' leg augmentation: doc_id-selected suffixes covering every
+#: non-Latin SCRIPT_CLASSES range (the synthetic docs are pure ASCII). The
+#: single source of truth is this tuple — the engine embeds the strings, the
+#: oracle rebuilds THE SAME strings from their codepoints via chr(), so both
+#: engines profile byte-identical input (the q67 'norm' leg pattern).
+_SCRIPT_SUFFIXES = (
+    " привет",      # cyrillic
+    " αβγ",         # greek
+    " 你好世界",     # cjk
+    " مرحبا",       # arabic
+    " שלום",        # hebrew
+    " नमस्ते",      # devanagari
+    " 안녕 カナ",    # hangul + kana
+    "",              # identity
+)
+
+
+def _duck_script_suffix() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN {' || '.join(f'chr({ord(ch)})' for ch in s)}"
+        for i, s in enumerate(_SCRIPT_SUFFIXES)
+        if s
+    )
+    return f"CASE doc_id % {len(_SCRIPT_SUFFIXES)} {whens} ELSE '' END"
+
+
 def _lang_oracle() -> str:
-    from .functions.text_analysis import STOPWORDS
+    from .functions.text_analysis import SCRIPT_CLASSES, STOPWORDS
+
     hits = ", ".join(f"{_duck_stop_hits(c)} AS h_{c}" for c in STOPWORDS)
+    cls_count = {
+        name: f"SUM(len(text) - len(regexp_replace(text, '[{ranges}]', '', 'g')))"
+        for name, ranges in SCRIPT_CLASSES.items()
+    }
+    legs = " UNION ALL ".join(
+        f"SELECT 'script' AS leg, '{name}' AS item, CAST({expr} AS BIGINT) AS n FROM saug"
+        for name, expr in cls_count.items()
+    )
+    other = " - ".join(["SUM(len(text))"] + list(cls_count.values()))
     return f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
-         r AS (SELECT doc_id, t, {hits} FROM tok)
-    SELECT {_duck_lang_case()} AS pred_lang, COUNT(*) AS n_docs
-    FROM r GROUP BY 1
+         r AS (SELECT doc_id, t, {hits} FROM tok),
+    lang AS (
+      SELECT 'lang' AS leg, {_duck_lang_case()} AS item,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM r GROUP BY 2),
+    saug AS (SELECT doc_id, text || {_duck_script_suffix()} AS text
+             FROM documents)
+    SELECT * FROM lang
+    UNION ALL {legs}
+    UNION ALL SELECT 'script' AS leg, 'other' AS item,
+                     CAST({other} AS BIGINT) AS n FROM saug
     """
 
 
 @query("q28_language_id", oracle=_lang_oracle())
 def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID distribution (stopword-density argmax). The loop
-    in language_id and the oracle's greatest/CASE chain implement the same
-    strict-> argmax with dict-order tiebreak, in PURE INTEGER arithmetic on
-    both engines (hits*20 vs len(t) — all ratios share the token-count
-    denominator, so no float division exists anywhere; round 5)."""
-    from .functions.text_analysis import language_id
+    """Language/script evidence pair, tagged union (``leg, item, n``).
+
+    'lang': heuristic language-ID distribution (stopword-density argmax).
+    The loop in language_id and the oracle's greatest/CASE chain implement
+    the same strict-> argmax with dict-order tiebreak, in PURE INTEGER
+    arithmetic on both engines (hits*20 vs len(t) — all ratios share the
+    token-count denominator, so no float division exists anywhere; round 5).
+
+    'script' (round 5): corpus-wide per-class codepoint totals from
+    ``text_analysis.script_counts`` over text augmented with doc_id-selected
+    multiscript suffixes (every SCRIPT_CLASSES range exercised; suffixes are
+    rebuilt from codepoints via chr() on the oracle side so the input is
+    byte-identical). Counts use EXPLICIT \\x{{...}} ranges shared verbatim
+    by Java regex and RE2 — no engine Unicode-property tables on the hash
+    surface."""
+    from .functions.text_analysis import language_id, script_counts
+
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select(language_id(tokens(F.col("text"))).alias("pred_lang"))
-        .groupBy("pred_lang")
-        .agg(F.count("*").alias("n_docs"))
+    lang = (
+        docs.select(language_id(tokens(F.col("text"))).alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.lit("lang").alias("leg"), "item", "n")
     )
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _SCRIPT_SUFFIXES]),
+        (F.col("doc_id") % len(_SCRIPT_SUFFIXES) + 1).cast("int"),
+    )
+    script = (
+        docs.select(
+            F.explode(script_counts(F.concat(F.col("text"), sfx))).alias(
+                "item", "cnt"
+            )
+        )
+        .groupBy("item")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .select(F.lit("script").alias("leg"), "item", "n")
+    )
+    return lang.unionByName(script)
 
 
 def _doc_quality_oracle() -> str:

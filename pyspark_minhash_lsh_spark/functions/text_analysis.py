@@ -25,7 +25,54 @@ __all__ = [
     "quality_score",
     "quality_score_x10k",
     "bpe_token_count_estimate",
+    "SCRIPT_CLASSES",
+    "script_counts",
 ]
+
+#: Unicode script/char classes as EXPLICIT codepoint ranges (BMP), shared
+#: verbatim by the Spark (Java regex) and DuckDB (RE2) sides — both dialects
+#: accept ``\x{XXXX}`` class escapes, and explicit ranges make the counts
+#: independent of either engine's Unicode property tables (a ``\p{Latin}``
+#: table can drift between unicode versions; a range can't). Whitespace is
+#: spelled explicitly because Java's ``\s`` includes U+000B and RE2's does
+#: not. Classes are pairwise disjoint, so ``other`` = total - sum.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "A-Za-z\\x{00C0}-\\x{024F}",
+    "digit": "0-9",
+    "cyrillic": "\\x{0400}-\\x{04FF}",
+    "greek": "\\x{0370}-\\x{03FF}",
+    "arabic": "\\x{0600}-\\x{06FF}",
+    "hebrew": "\\x{0590}-\\x{05FF}",
+    "devanagari": "\\x{0900}-\\x{097F}",
+    "cjk": "\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}",
+    "kana": "\\x{3040}-\\x{30FF}",
+    "hangul": "\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}",
+    "whitespace": " \\t\\n\\f\\r",
+}
+
+
+def script_counts(text: Column) -> Column:
+    """Per-script codepoint counts as a ``map<string,bigint>`` — the script-mix
+    evidence next to ``language_id``'s stopword evidence (a page claiming
+    ``en`` but 60% CJK codepoints is mislabeled; a high ``other`` share flags
+    mojibake/binary junk). One codegen projection: each class count is
+    ``length(text) - length(regexp_replace(text, '[class]', ''))`` over the
+    shared ``SCRIPT_CLASSES`` ranges; ``other`` closes the partition so the
+    values always sum to ``length(text)``. Zero shuffle, scan speed."""
+    t = F.coalesce(text.cast("string"), F.lit(""))
+    entries = []
+    counted = []
+    for name, ranges in SCRIPT_CLASSES.items():
+        c = (F.length(t) - F.length(F.regexp_replace(t, f"[{ranges}]", ""))).cast(
+            "bigint"
+        )
+        entries.extend([F.lit(name), c])
+        counted.append(c)
+    other = F.length(t).cast("bigint")
+    for c in counted:
+        other = other - c
+    entries.extend([F.lit("other"), other])
+    return F.create_map(*entries)
 
 #: Tiny per-language function-word lists (top closed-class words). Enough for a
 #: coarse heuristic language ID over clean text; NOT a general detector.

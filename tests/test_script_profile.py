@@ -1,0 +1,75 @@
+"""Unicode script/char-class profile (functions/text_analysis.py:
+script_counts) — explicit-range codepoint counting shared verbatim with the
+DuckDB oracle (q28 'script' leg)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.functions.text_analysis import (
+    SCRIPT_CLASSES,
+    script_counts,
+)
+
+MIXED = [
+    "Hello мир 123",                      # latin 5, cyrillic 3, digit 3, ws 2
+    "你好 world αβ",   # cjk 2, latin 5, greek 2, ws 2
+    "अह 가 あ abc",    # devanagari 2, hangul 1, kana 1
+    "ال א té",       # arabic 2, hebrew 1, latin(ext) 2
+    "",                                   # empty
+    "~~~",                                # all 'other'
+]
+
+
+def _rows(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [
+        r.m for r in df.select(script_counts(F.col("text")).alias("m")).collect()
+    ]
+
+
+def test_script_counts_known_values(spark):
+    m = _rows(spark, MIXED)
+    assert m[0]["latin"] == 5 and m[0]["cyrillic"] == 3 and m[0]["digit"] == 3
+    assert m[0]["whitespace"] == 2 and m[0]["other"] == 0
+    assert m[1]["cjk"] == 2 and m[1]["greek"] == 2 and m[1]["latin"] == 5
+    assert m[2]["devanagari"] == 2 and m[2]["hangul"] == 1 and m[2]["kana"] == 1
+    assert m[3]["arabic"] == 2 and m[3]["hebrew"] == 1 and m[3]["latin"] == 2
+    assert all(v == 0 for v in m[4].values())
+    assert m[5]["other"] == 3
+
+
+def test_script_counts_partition_sums_to_length(spark):
+    for m, t in zip(_rows(spark, MIXED), MIXED):
+        assert sum(m.values()) == len(t), t
+        assert all(v >= 0 for v in m.values()), t
+
+
+def test_script_counts_null_text(spark):
+    df = spark.createDataFrame([(None,)], "text string")
+    m = df.select(script_counts(F.col("text")).alias("m")).collect()[0].m
+    assert all(v == 0 for v in m.values())
+
+
+def test_script_counts_matches_duckdb_ranges(spark):
+    """The identical \\x{...} range classes evaluated by DuckDB's RE2 must
+    produce the same counts — the q28 'script' leg contract."""
+    got = _rows(spark, MIXED)
+    con = duckdb.connect()
+    for m, t in zip(got, MIXED):
+        for name, ranges in SCRIPT_CLASSES.items():
+            (ref,) = con.execute(
+                "SELECT len(?) - len(regexp_replace(?, ?, '', 'g'))",
+                [t, t, f"[{ranges}]"],
+            ).fetchone()
+            assert m[name] == ref, (name, t)
+
+
+def test_script_counts_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([("abc",)], "text string")
+    plan = (
+        df.select(script_counts(F.col("text")).alias("m"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

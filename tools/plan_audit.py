@@ -69,8 +69,11 @@ MAX_COUNTS = [
     # 2 model-count aggs + bigram pre-agg + doc-score agg + source moments
     # + the id-keyed panel joins — all slim-payload, id/word-keyed
     ("q29_doc_quality", "Exchange hashpartitioning", 8),
-    # round 5: language-ID argmax is a pure projection + one count agg
-    ("q28_language_id", "Exchange hashpartitioning", 1),
+    # round 5: language-ID argmax projection + one count agg, plus the
+    # 'script' leg's class-count agg — both aggs group on tiny enumerated
+    # keys (6 langs / 12 classes) with map-side combine, so each exchange
+    # moves <= |classes| x |partitions| rows regardless of corpus size
+    ("q28_language_id", "Exchange hashpartitioning", 2),
     # round 5: integer percentiles = one source-keyed sorted-array agg
     ("q70_length_percentiles", "Exchange hashpartitioning", 1),
     # postings tf agg + dl agg + term df agg + final doc-score agg
