@@ -1787,6 +1787,19 @@ def q38_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((CAST(SUM(CASE WHEN p_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                  * 2000000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) AS v
     FROM part
+    UNION ALL
+    SELECT 'fuzzy' AS op, k, s, v FROM (
+      WITH fz AS (
+        SELECT doc_id, substr(text, 1, 12) AS s FROM documents
+        UNION ALL
+        SELECT doc_id + 50000,
+               substr(substr(text, 1, 12), 1, (doc_id % 5 + 1) - 1)
+                 || substr(substr(text, 1, 12), (doc_id % 5 + 1) + 1)
+        FROM documents WHERE doc_id < 20)
+      SELECT a.doc_id AS k, CAST(b.doc_id AS VARCHAR) AS s,
+             CAST(levenshtein(a.s, b.s) AS DOUBLE) AS v
+      FROM fz a JOIN fz b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.s, b.s) <= 1)
     """,
 )
 def q42_relational_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1801,7 +1814,12 @@ def q42_relational_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       - profile: ``operators/profile.py::profile_table`` per-column
         null/distinct/min/max validation stats (exact-distinct mode so the
         oracle can reproduce; production default is HLL approx) — encoded
-        as ``k=n_distinct, s=column|min|max, v=null_frac``.
+        as ``k=n_distinct, s=column|min|max, v=null_frac``;
+      - fuzzy (round 5): ``operators/fuzzy.py::edit_distance_join`` over
+        12-char doc prefixes plus 20 single-deletion typo copies — the
+        deletion-neighborhood blocked join must return EXACTLY the pairs
+        the oracle's brute-force all-pairs levenshtein finds (k=id_a,
+        s=id_b, v=dist — integer-valued, exact in double).
     """
     topn = (
         _t(spark, sf_dir, "orders")
@@ -1855,7 +1873,29 @@ def q42_relational_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio_sint(F.col("n_nulls"), F.col("n_rows"), 6)
         .cast("double").alias("v"),
     )
-    return topn.unionByName(proj).unionByName(inter).unionByName(prof)
+    from .operators.fuzzy import edit_distance_join
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.substring(F.col("text"), 1, 12).alias("t"))
+    typo = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.expr(
+            "concat(substring(t, 1, cast(doc_id % 5 as int)), "
+            "substring(t, cast(doc_id % 5 + 2 as int), 12))"
+        ).alias("t"),
+    )
+    fz = edit_distance_join(
+        base.unionByName(typo), string_col="t", max_dist=1
+    ).select(
+        F.lit("fuzzy").alias("op"),
+        F.col("id_a").alias("k"),
+        F.col("id_b").cast("string").alias("s"),
+        F.col("dist").cast("double").alias("v"),
+    )
+    return (
+        topn.unionByName(proj).unionByName(inter)
+        .unionByName(prof).unionByName(fz)
+    )
 
 
 @query(

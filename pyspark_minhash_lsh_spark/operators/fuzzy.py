@@ -1,0 +1,116 @@
+"""Edit-distance (fuzzy) joins: character-level near-match candidate
+generation + exact Levenshtein verification.
+
+The character-edit companion to the token-set similarity joins
+(``setjoin.py`` n-gram Jaccard / containment): entity resolution over short
+strings — titles, names, product codes, URLs — where one typo, not a token
+swap, separates duplicates. Not in the reference (its similarity stack is
+MinHash-only); a SURVEY.md north-star addition.
+
+Candidate generation is the deletion-neighborhood (SymSpell) scheme: two
+strings within Levenshtein distance ``k`` (unit-cost insert / delete /
+substitute) always share at least one string in their ``<= k``-deletion
+neighborhoods, so an equi-join on hashed deletion variants finds every true
+pair — no all-pairs stage, and the guarantee is exact (the classic
+counting argument: align an optimal edit script and delete the touched
+positions from both sides). Exact ``levenshtein`` (JVM codegen) then prunes
+false candidates.
+
+Scale shape: a string of length L yields O(L) variants at k=1 and O(L^2)
+at k=2 — bounded because the operator targets SHORT strings (the entity
+key, not document bodies). The only corpus-sized shuffle is the variant-
+hash equi-join, whose 8-byte keys are near-uniform by construction; the
+strings ride along (bounded length by contract) so no re-join is needed.
+A pre-filter on length difference > k removes the cheapest false
+candidates before the Levenshtein runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["deletion_variants", "edit_distance_join"]
+
+
+def deletion_variants(s: Column, max_dist: int = 1) -> Column:
+    """All distinct strings reachable from ``s`` by deleting up to
+    ``max_dist`` characters (including ``s`` itself) — the SymSpell
+    candidate key set, as a native higher-order expression (zero Python).
+
+    ``max_dist`` is capped at 2: the neighborhood is O(L^max_dist) and the
+    operator's contract is short entity strings."""
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+
+    def dels1(x: Column) -> Column:
+        # one array element per deleted position; empty array for ""
+        return F.when(
+            F.length(x) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(x)),
+                lambda i: F.concat(
+                    F.substring(x, F.lit(1), i - 1),
+                    F.substring(x, i + 1, F.length(x)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = F.coalesce(s.cast("string"), F.lit(""))
+    d1 = dels1(base)
+    variants = F.concat(F.array(base), d1)
+    if max_dist == 2:
+        d2 = F.flatten(F.transform(d1, dels1))
+        variants = F.concat(variants, d2)
+    return F.array_distinct(variants)
+
+
+def edit_distance_join(
+    df_a: DataFrame,
+    df_b: "DataFrame | None" = None,
+    string_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` — exact result,
+    never all-pairs.
+
+    Self-join when ``df_b`` is None (returns ``id_a < id_b`` once per
+    pair); two-table join otherwise. Output: ``(id_a, id_b, dist)`` with
+    ``dist`` the exact integer edit distance — integer-only, hash-surface
+    safe. Pair completeness is guaranteed by the deletion-neighborhood
+    property; pair exactness by the final ``levenshtein`` filter
+    (cross-checked against a brute-force DuckDB oracle in
+    tests/test_fuzzy.py and the q42 'fuzzy' leg).
+    """
+
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{tag}"),
+            F.col(string_col).cast("string").alias(f"s_{tag}"),
+        ).select(
+            f"id_{tag}",
+            f"s_{tag}",
+            F.explode(
+                deletion_variants(F.col(f"s_{tag}"), max_dist)
+            ).alias("_v"),
+        ).select(
+            f"id_{tag}", f"s_{tag}", F.xxhash64("_v").alias("_vh")
+        )
+
+    a = keyed(df_a, "a")
+    b = keyed(df_b if df_b is not None else df_a, "b")
+    pairs = a.join(b, "_vh")
+    if df_b is None:
+        pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        pairs.select("id_a", "s_a", "id_b", "s_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(
+            (F.abs(F.length("s_a") - F.length("s_b")) <= max_dist)
+            & (F.levenshtein("s_a", "s_b") <= max_dist)
+        )
+    )
+    return pairs.select(
+        "id_a", "id_b", F.levenshtein("s_a", "s_b").cast("bigint").alias("dist")
+    )

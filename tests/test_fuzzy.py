@@ -1,0 +1,105 @@
+"""Edit-distance join (operators/fuzzy.py): deletion-neighborhood candidate
+completeness + exact Levenshtein verification, cross-checked against a
+brute-force DuckDB oracle. Driver-visible via the q59 'fuzzy' leg."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.fuzzy import (
+    deletion_variants,
+    edit_distance_join,
+)
+
+
+def _variants(spark, s, k):
+    df = spark.createDataFrame([(s,)], "s string")
+    return df.select(
+        deletion_variants(F.col("s"), k).alias("v")
+    ).collect()[0].v
+
+
+def test_deletion_variants_k1(spark):
+    assert sorted(_variants(spark, "abc", 1)) == ["ab", "abc", "ac", "bc"]
+    assert _variants(spark, "", 1) == [""]
+    assert sorted(_variants(spark, "aa", 1)) == ["a", "aa"]  # distinct
+
+
+def test_deletion_variants_k2(spark):
+    got = set(_variants(spark, "abcd", 2))
+    import itertools
+    want = {"abcd"}
+    for r in (3, 2):
+        want |= {"".join(c) for c in itertools.combinations("abcd", r)}
+    assert got == want
+
+
+def test_deletion_variants_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        deletion_variants(F.col("s"), 3)
+
+
+def test_edit_distance_join_known_pairs(spark):
+    rows = [
+        (1, "spark engine"),
+        (2, "spark enigne"),   # transposition = 2 unit edits from 1
+        (3, "spark engin"),    # 1 deletion from 1
+        (4, "sparkle"),        # far from all
+        (5, "spark engine"),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.dist for r in edit_distance_join(df).collect()}
+    assert got[(1, 3)] == 1 and got[(1, 5)] == 0 and got[(3, 5)] == 1
+    # 2 is 'engine' vs 'engine': one transposition = 2 unit edits -> k=1 misses
+    assert (1, 2) not in got
+    k2 = {(r.id_a, r.id_b): r.dist
+          for r in edit_distance_join(df, max_dist=2).collect()}
+    assert k2[(1, 2)] == 2
+    assert (2, 3) not in k2  # 'enigne' vs 'engin' is distance 3
+
+
+def test_edit_distance_join_two_tables(spark):
+    a = spark.createDataFrame([(1, "alpha")], "doc_id bigint, text string")
+    b = spark.createDataFrame(
+        [(10, "alpha"), (11, "alphq"), (12, "beta")],
+        "doc_id bigint, text string",
+    )
+    got = sorted((r.id_a, r.id_b, r.dist)
+                 for r in edit_distance_join(a, b).collect())
+    assert got == [(1, 10, 0), (1, 11, 1)]
+
+
+@pytest.mark.parametrize("seed,k", [(1, 1), (2, 1), (3, 2)])
+def test_edit_distance_join_matches_bruteforce_duckdb(spark, seed, k):
+    """Completeness + exactness vs an all-pairs levenshtein oracle."""
+    random.seed(seed)
+    alphabet = "abcd"
+    rows = [
+        (i, "".join(random.choices(alphabet, k=random.randint(0, 7))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, max_dist=k).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    ref = con.execute(f"""
+        SELECT a.id, b.id, levenshtein(a.s, b.s)
+        FROM t a JOIN t b ON a.id < b.id
+        WHERE levenshtein(a.s, b.s) <= {k}
+        ORDER BY 1, 2
+    """).fetchall()
+    assert got == [tuple(r) for r in ref]
+
+
+def test_edit_distance_join_no_cartesian_plan(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "ac")], "doc_id bigint, text string")
+    plan = edit_distance_join(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
