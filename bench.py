@@ -261,6 +261,68 @@ def _probe_quantile_sketch(spark, sf_dir: str):
     return estimate_quantiles(h, [0.5, 0.95], ["source"])
 
 
+def _probe_snapshot_diff(spark, sf_dir: str):
+    """Lake-audit probe (round 5): old = ids not divisible by 10, new = all
+    ids with every 7th doc's text edited — all four statuses exercised,
+    output rows == corpus rows (linear by construction); the timed work is
+    two fingerprint projections + one id-keyed full-outer join."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.dedup import snapshot_diff
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" probe edit")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
+def _probe_corpus_drift(spark, sf_dir: str):
+    """Drift probe (round 5): even-id vs odd-id snapshots, top-100 movers.
+    Work = two token count aggs + one full-outer token join over the whole
+    corpus; output fixed at 100 (TakeOrderedAndProject)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.corpus_stats import corpus_drift
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return corpus_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=100,
+    )
+
+
+def _probe_fuzzy_join(spark, sf_dir: str):
+    """Edit-distance join probe (round 5): entity key = 'doc_id:8-char text
+    prefix' (the id prefix keeps the scale replicas' near-identical texts
+    from pairing across replicas), one injected single-deletion typo per 50
+    docs. Injected pairs scale linearly; the timed work is the deletion-
+    variant explode + variant-hash join over every key."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.fuzzy import edit_distance_join
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.substring(F.col("text"), 1, 8),
+        ).alias("t"),
+    )
+    typo = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(10**9)).alias("doc_id"),
+        F.expr("concat(substring(t, 1, 2), substring(t, 4, length(t)))").alias("t"),
+    )
+    return edit_distance_join(base.unionByName(typo), string_col="t", max_dist=1)
+
+
 #: round-3/4/5 heavy operators without catalog-query handles (VERDICT r03
 #: #5): probed through bench-local callables with the same
 #: (spark, sf_dir) signature the catalog uses.
@@ -272,6 +334,9 @@ EXTRA_SCALE = {
     "ivf_pq": _probe_ivf_pq,
     "heavy_hitters": _probe_heavy_hitters,
     "quantile_sketch": _probe_quantile_sketch,
+    "snapshot_diff": _probe_snapshot_diff,
+    "corpus_drift": _probe_corpus_drift,
+    "fuzzy_join": _probe_fuzzy_join,
 }
 
 
@@ -340,11 +405,11 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
             ebig = ebig.unionByName(r)
         ebig.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
 
-        # 420s default: the round-4 probe list is 11 entries (dsir / curate
-        # / line_dedup / lm_score / ivf_pq added) and 1x bases are
-        # best-of-3 too; the guard below hard-stops overruns (skipped
-        # probes report null)
-        budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "420"))
+        # 480s default: the probe list is 16 entries (round 5 added
+        # heavy_hitters / quantile_sketch / snapshot_diff / corpus_drift /
+        # fuzzy_join) and 1x bases are best-of-3 too; the guard below
+        # hard-stops overruns (skipped probes report null)
+        budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "480"))
         started = time.perf_counter()
         out: dict[str, dict[str, float]] = {}
         # scale-only queries (e.g. the dedup clusterer) aren't in HEADLINE:

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["deletion_variants", "edit_distance_join"]
+__all__ = ["deletion_variants", "edit_distance_join", "fuzzy_dedup"]
 
 
 def deletion_variants(s: Column, max_dist: int = 1) -> Column:
@@ -113,4 +113,37 @@ def edit_distance_join(
     )
     return pairs.select(
         "id_a", "id_b", F.levenshtein("s_a", "s_b").cast("bigint").alias("dist")
+    )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    string_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 1,
+) -> DataFrame:
+    """One-call typo-distance dedup over an entity-key column: chains of
+    single-edit variants collapse to one representative (min id), exactly
+    like ``minhash_dedup``'s near-dup clusters. Returns
+    ``(id, component, is_representative)`` for every input row.
+
+    Composition: ``edit_distance_join`` (exact pair set, blocked) ->
+    ``connected_components`` (pointer doubling, O(log diameter) rounds) ->
+    min-id representative. Rows with no fuzzy partner are their own
+    component. The same scale posture as the parts: no all-pairs stage,
+    edges carry ids only."""
+    from .dedup import connected_components
+
+    edges = edit_distance_join(
+        df, string_col=string_col, id_col=id_col, max_dist=max_dist
+    )
+    comp = connected_components(edges)
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_representative", F.col(id_col) == F.col("component"))
     )

@@ -342,3 +342,29 @@ def test_ivf_pq_batch_empty_queries(spark):
     empty_q = spark.createDataFrame([], "query_id bigint, q_emb array<float>")
     with _pytest.raises(ValueError, match="empty query batch"):
         idx.topk_batch(empty_q, query_emb_col="q_emb")
+
+
+def test_snapshot_diff_empty_sides(spark):
+    from pyspark_minhash_lsh_spark.operators.dedup import snapshot_diff
+
+    empty = _empty_docs(spark)
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    assert snapshot_diff(empty, empty).count() == 0
+    out = {r.doc_id: r.status for r in snapshot_diff(empty, docs).collect()}
+    assert out == {1: "added"}
+    out = {r.doc_id: r.status for r in snapshot_diff(docs, empty).collect()}
+    assert out == {1: "removed"}
+
+
+def test_edit_distance_join_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.fuzzy import edit_distance_join
+
+    assert edit_distance_join(_empty_docs(spark)).count() == 0
+
+
+def test_extract_links_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import extract_links
+
+    empty = spark.createDataFrame([], "doc_id bigint, html string")
+    out = extract_links(empty)
+    assert out.count() == 0 and out.columns == ["doc_id", "link_pos", "url"]

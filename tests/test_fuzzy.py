@@ -103,3 +103,30 @@ def test_edit_distance_join_no_cartesian_plan(spark):
     df = spark.createDataFrame([(1, "ab"), (2, "ac")], "doc_id bigint, text string")
     plan = edit_distance_join(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_fuzzy_dedup_chain_collapses(spark):
+    from pyspark_minhash_lsh_spark.operators.fuzzy import fuzzy_dedup
+
+    rows = [
+        (1, "abcdef"),
+        (2, "abcdef"),   # dup of 1
+        (3, "abcdex"),   # 1 sub from 1/2
+        (4, "abcdexy"),  # 1 insert from 3 (2 from 1 -> chained in)
+        (9, "zzzzzz"),   # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.component, r.is_representative)
+           for r in fuzzy_dedup(df).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False) and out[3] == (1, False) and out[4] == (1, False)
+    assert out[9] == (9, True)
+
+
+def test_fuzzy_dedup_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.fuzzy import fuzzy_dedup
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    out = fuzzy_dedup(empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "component", "is_representative"]

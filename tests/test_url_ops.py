@@ -124,3 +124,57 @@ def test_extract_links_zero_shuffle_plan(spark):
                                "doc_id bigint, html string")
     plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_canonicalize_url_randomized_twin(spark):
+    """Randomized cross-engine identity over adversarial URL shapes —
+    hardens the q67 'links' oracle hash surface."""
+    import random
+
+    random.seed(405)
+    hosts = ["Example.COM", "e.org", "CDN.Example.NET", "x.y.z.example.com"]
+    schemes = ["http", "HTTPS", "ftp", "HTTP"]
+    params = ["utm_source=a", "utm_x", "fbclid=1", "gclid=2", "page=3",
+              "q=hello", "UTM_MEDIUM=rss", "mc_eid=9", "v=1.2"]
+    urls = []
+    for _ in range(120):
+        s = random.choice(schemes)
+        h = random.choice(hosts)
+        port = random.choice(["", ":80", ":443", ":8080"])
+        path = random.choice(["", "/", "/A/b", "/x/"])
+        qs = "&".join(random.sample(params, random.randint(0, 4)))
+        frag = random.choice(["", "#f", "#sec-2"])
+        urls.append(f"{s}://{h}{port}{path}{'?' + qs if qs else ''}{frag}")
+    urls += ["", "   ", "nonsense", "//protocol-relative/x", "a b c"]
+    got = _canon(spark, urls)
+    rows = duckdb.sql(
+        """
+        WITH u0 AS (SELECT unnest($urls) AS raw),
+        s1 AS (SELECT regexp_replace(trim(raw), '#.*$', '') AS u FROM u0),
+        s2 AS (SELECT u,
+                 regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) AS pfx
+               FROM s1),
+        s3 AS (SELECT u, pfx,
+                 regexp_replace(regexp_replace(lower(pfx),
+                   '^(http://[^:/?#]+):80$', '\\1'),
+                   '^(https://[^:/?#]+):443$', '\\1') AS cpfx,
+                 substr(u, len(pfx) + 1) AS rest
+               FROM s2),
+        s4 AS (SELECT u, pfx, cpfx,
+                 regexp_replace(rest,
+                   '(?i)([?&])(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid)(=[^&]*)?',
+                   '\\1', 'g') AS rest
+               FROM s3),
+        s5 AS (SELECT u, pfx, cpfx,
+                 regexp_replace(regexp_replace(regexp_replace(rest,
+                   '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]$', '') AS rest
+               FROM s4),
+        s6 AS (SELECT CASE WHEN pfx = '' THEN u ELSE cpfx || rest END AS fu
+               FROM s5)
+        SELECT regexp_replace(fu,
+                 '^([a-z][a-z0-9+.\\-]*://[^/?#]+)/$', '\\1') AS c
+        FROM s6
+        """,
+        params={"urls": urls},
+    ).fetchall()
+    assert got == [r[0] for r in rows]
