@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
 
-__all__ = ["IvfFlat", "assign_cells"]
+__all__ = ["IvfFlat", "assign_cells", "reindex_ivf_flat"]
 
 
 def assign_cells(
@@ -267,3 +267,67 @@ class IvfFlatModel:
 
     def unpersist(self) -> None:
         self.index.unpersist()
+
+    def cell_stats(self) -> DataFrame:
+        """One-row cell-occupancy summary — the reindex alarm signal (see
+        ``reindex_ivf_flat``): ``(n_cells_used, n_vectors, min_cell,
+        max_cell, imbalance_x1000)`` with imbalance = hottest cell over
+        the ideal even share, scaled-integer (pure ``div``, hash-safe).
+        One count aggregate over the index; at scale the input is the
+        cell-partitioned parquet, so this is a metadata-light scan."""
+        return _model_cell_stats(self)
+
+
+def _model_cell_stats(model: "IvfFlatModel") -> DataFrame:
+    counts = model.index.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    return counts.agg(
+        F.count("*").alias("n_cells_used"),
+        F.sum("n_vectors").alias("n_vectors"),
+        F.min("n_vectors").alias("min_cell"),
+        F.max("n_vectors").alias("max_cell"),
+        # imbalance x1000: max cell over the ideal even share, pure-integer
+        # (div by zero impossible: at least one cell row exists to aggregate)
+        F.expr(
+            "div(max(n_vectors) * 1000 * count(*), sum(n_vectors))"
+        ).alias("imbalance_x1000"),
+    )
+
+
+def reindex_ivf_flat(
+    spark,
+    path: str,
+    dest_path: str,
+    n_cells: "int | None" = None,
+    train_fraction: float = 1.0,
+    seed: "int | None" = None,
+) -> "IvfFlatModel":
+    """Offline rebalance of a saved IVF-Flat index — the maintenance step
+    the incremental-ingest contract defers to (``append_index`` freezes
+    centroids BY DESIGN; after enough drifted appends, cells skew and the
+    n_probe cost model degrades). Loads the full stored index (old +
+    appended vectors), refits the coarse quantizer from the stored
+    embeddings themselves (optionally resized via ``n_cells`` / sampled
+    via ``train_fraction`` — the FAISS retrain recipe), and writes a fresh
+    ``save_index`` layout at ``dest_path``. Write-to-new-path + swap is
+    deliberate: the live artifact is never mutated (the PQ/Bloom artifact
+    stance), so serving can cut over atomically and roll back for free.
+
+    When to run it: ``IvfFlatModel.cell_stats()`` emits
+    ``imbalance_x1000`` (hottest cell vs the ideal even share, scaled
+    integer) — alarm past ~3000 and schedule the reindex. Work = one
+    stored-index scan + distributed KMeans + one partitioned write; no
+    raw-corpus rescan."""
+    old = IvfFlatModel.load_index(spark, path)
+    quantizer = IvfFlat(
+        n_cells=int(n_cells) if n_cells is not None else old.ivf.n_cells,
+        seed=int(seed) if seed is not None else old.ivf.seed,
+    )
+    fresh = quantizer.fit(
+        old.index.select(old.id_col, old.emb_col),
+        emb_col=old.emb_col,
+        id_col=old.id_col,
+        persist=False,
+        train_fraction=train_fraction,
+    )
+    fresh.save_index(dest_path)
+    return fresh

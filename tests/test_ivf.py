@@ -114,3 +114,93 @@ def test_ivf_flat_append_index_serves_new_vectors(spark, tmp_path):
         [(1, None), (2, [])], "vec_id bigint, embedding array<float>"
     )
     assert assign_cells(bad, loaded.centroids).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round 5 (second session): cell skew observability + offline reindex
+# ---------------------------------------------------------------------------
+
+
+def _clustered_vectors(rng, n, dim, center):
+    import numpy as np
+
+    return (np.asarray(center, dtype=float)
+            + rng.normal(0, 0.05, size=(n, dim))).tolist()
+
+
+def test_cell_stats_and_reindex_rebalances(spark, tmp_path):
+    import numpy as np
+
+    from pyspark_minhash_lsh_spark.operators.ivf import (
+        IvfFlat,
+        IvfFlatModel,
+        reindex_ivf_flat,
+    )
+
+    rng = np.random.default_rng(405)
+    dim = 8
+    base = [(i, [float(x) for x in v]) for i, v in enumerate(
+        _clustered_vectors(rng, 60, dim, [1.0] + [0.0] * (dim - 1))
+        + _clustered_vectors(rng, 60, dim, [0.0, 1.0] + [0.0] * (dim - 2)))]
+    df = spark.createDataFrame(base, "vec_id bigint, embedding array<float>")
+    model = IvfFlat(n_cells=4, seed=1).fit(df, persist=False)
+    path = str(tmp_path / "ivf")
+    model.save_index(path)
+
+    # drifted appends: a NEW cluster the frozen centroids never saw — all
+    # 120 land in whichever existing cell is nearest -> skew
+    drift = [(1000 + i, [float(x) for x in v]) for i, v in enumerate(
+        _clustered_vectors(rng, 120, dim, [0.0, 0.0, 5.0] + [0.0] * (dim - 3)))]
+    loaded = IvfFlatModel.load_index(spark, path)
+    loaded.append_index(
+        spark.createDataFrame(drift, "vec_id bigint, embedding array<float>"),
+        path,
+    )
+    skewed = IvfFlatModel.load_index(spark, path)
+    before = skewed.cell_stats().head()
+    assert before.n_vectors == 240
+
+    fresh = reindex_ivf_flat(spark, path, str(tmp_path / "ivf2"))
+    after = fresh.cell_stats().head()
+    assert after.n_vectors == 240
+    # the refit quantizer gives the drift cluster its own centroid(s):
+    # hottest-cell share must strictly improve
+    assert after.imbalance_x1000 < before.imbalance_x1000
+
+    # retrieval on the reindexed artifact: full probe == exact brute force
+    served = IvfFlatModel.load_index(spark, str(tmp_path / "ivf2"))
+    q = [0.0, 0.0, 5.0] + [0.0] * (dim - 3)
+    got = [r.vec_id for r in served.approx_cosine_topk(
+        q, k=5, n_probe=served.ivf.n_cells).collect()]
+    from pyspark.sql import functions as F
+    from pyspark_minhash_lsh_spark.functions.vectors import cosine_similarity
+    qc = F.array(*[F.lit(float(x)) for x in q]).cast("array<float>")
+    allrows = spark.createDataFrame(base + drift,
+                                    "vec_id bigint, embedding array<float>")
+    brute = [r.vec_id for r in allrows.select(
+        "vec_id", cosine_similarity(F.col("embedding"), qc).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id")).limit(5).collect()]
+    assert got == brute
+
+
+def test_reindex_resize_n_cells(spark, tmp_path):
+    import numpy as np
+
+    from pyspark_minhash_lsh_spark.operators.ivf import (
+        IvfFlat,
+        IvfFlatModel,
+        reindex_ivf_flat,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(
+        rng.normal(0, 1, size=(80, 6)).tolist())]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    IvfFlat(n_cells=2, seed=1).fit(df, persist=False).save_index(
+        str(tmp_path / "a"))
+    fresh = reindex_ivf_flat(spark, str(tmp_path / "a"), str(tmp_path / "b"),
+                             n_cells=8)
+    assert fresh.ivf.n_cells == 8 and len(fresh.centroids) == 8
+    reloaded = IvfFlatModel.load_index(spark, str(tmp_path / "b"))
+    assert reloaded.ivf.n_cells == 8
+    assert reloaded.index.count() == 80
