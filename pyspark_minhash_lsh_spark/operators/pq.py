@@ -40,6 +40,7 @@ __all__ = [
     "ivf_pq_topk",
     "pq_topk_batch",
     "IvfPqIndex",
+    "reindex_ivf_pq",
 ]
 
 
@@ -643,3 +644,45 @@ def pq_topk_batch(
         F.col(query_id_col).alias("query_id"), F.col(emb).alias("_q_emb")
     )
     return _batch_refine(adc, embeddings, qe, k, pq_model.id_col, pq_model.emb_col)
+
+
+def reindex_ivf_pq(
+    spark,
+    path: str,
+    dest_path: str,
+    embeddings: DataFrame,
+    n_cells: "int | None" = None,
+    m: "int | None" = None,
+    k: "int | None" = None,
+    seed: int = 41,
+) -> "IvfPqIndex":
+    """Offline refit + rebuild of a saved IVF-PQ artifact — the maintenance
+    step ``append_index``'s frozen-model contract defers to (same lifecycle
+    as ``ivf.reindex_ivf_flat``). PQ codes are lossy, so retraining needs
+    the RAW embedding table (the cold-storage corpus the artifact was
+    built from — the same table ``refine=`` reranks against); pass it as
+    ``embeddings``. The coarse quantizer and codebooks refit from scratch
+    (sizes default to the stored artifact's: cells from the centroid
+    sidecar, m/k from the codebook shape), the whole table re-encodes, and
+    a FRESH ``save_index`` layout lands at ``dest_path`` — the live
+    artifact is never mutated; serving swaps atomically."""
+    from .ivf import IvfFlat
+
+    old = IvfPqIndex.load_index(spark, path)
+    books = old.pq.codebooks
+    ivf_model = IvfFlat(
+        n_cells=int(n_cells) if n_cells is not None else len(old.centroids),
+        seed=seed,
+    ).fit(embeddings, emb_col=old.pq.emb_col, id_col=old.pq.id_col,
+          persist=False)
+    pq_model = fit_pq(
+        embeddings,
+        m=int(m) if m is not None else books.shape[0],
+        k=int(k) if k is not None else books.shape[1],
+        emb_col=old.pq.emb_col,
+        id_col=old.pq.id_col,
+        seed=seed,
+    )
+    fresh = IvfPqIndex.from_models(ivf_model, pq_model)
+    fresh.save_index(dest_path)
+    return fresh

@@ -276,3 +276,39 @@ def test_incremental_add_serves_new_vectors(spark, corpus, saved_index, tmp_path
         [(1, None), (2, [])], "vec_id bigint, embedding array<float>"
     )
     assert loaded.encode_new(bad).count() == 0
+
+
+def test_reindex_ivf_pq_round_trip(spark, tmp_path):
+    """Offline PQ refit from the raw table: fresh artifact serves the same
+    corpus with sizes inherited from the stored sidecars, and retrieval
+    still finds the planted near-duplicate first."""
+    import numpy as np
+
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+    from pyspark_minhash_lsh_spark.operators.pq import (
+        IvfPqIndex,
+        fit_pq,
+        reindex_ivf_pq,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    vecs = rng.normal(0, 1, size=(120, dim))
+    vecs[7] = vecs[3] + rng.normal(0, 0.01, size=dim)  # planted near-dup
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs.tolist())]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    ivf = IvfFlat(n_cells=4, seed=3).fit(emb, persist=False)
+    pq = fit_pq(emb, m=4, k=16)
+    path = str(tmp_path / "pq_a")
+    IvfPqIndex.from_models(ivf, pq).save_index(path)
+
+    fresh = reindex_ivf_pq(spark, path, str(tmp_path / "pq_b"), emb)
+    assert len(fresh.centroids) == 4
+    assert fresh.pq.codebooks.shape[:2] == (4, 16)
+    served = IvfPqIndex.load_index(spark, str(tmp_path / "pq_b"))
+    assert served.index.count() == 120
+    got = [r.vec_id for r in served.topk(
+        [float(x) for x in vecs[3]], k=2,
+        n_probe=4, refine=20, embeddings=emb).collect()]
+    assert set(got) == {3, 7}
