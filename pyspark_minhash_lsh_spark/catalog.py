@@ -3155,14 +3155,15 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirteen dedup/curation operators end-to-end, one summary row each —
+    """Fourteen dedup/curation operators end-to-end, one summary row each —
     rows-only (all are signature/hash dependent; see the suite-curation
     note above). Legs (folding round-2's q34, q39, q50, q51, q65, and —
     round 4 — q38's clustering, whose driver slot moved to the q79
     tokenize suite; q38 itself stays registered for the bench scale probe;
     round 5 adds quantile_sketch, the DDSketch-style mergeable log-bucket
-    histogram answering doc-length percentiles from two merged halves —
-    see the inline comment at the leg):
+    histogram answering doc-length percentiles from two merged halves,
+    and fuzzy_dedup, the edit-distance clustering composition — see the
+    inline comments at those legs):
       - minhash_dedup: MinHash-LSH near-dup clustering with
         pointer-doubling connected components (the former q38 row);
       - simhash_bits: relational SimHash fingerprints (bit-sum facets);
@@ -3330,6 +3331,29 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_docs"), F.max("est"),
     )
 
+    # fuzzy_dedup (round 5): typo-distance clustering over 12-char doc
+    # prefixes + injected single-deletion copies — the character-edit dedup
+    # beside the token/embedding legs above (the underlying pair set is
+    # ORACLE-checked on q42's fuzzy leg; this leg runs the composed
+    # dedup: join -> components -> representative). f1 = surviving
+    # representatives, f2 = distinct components.
+    from .operators.fuzzy import fuzzy_dedup
+
+    fz_base = docs.select("doc_id", F.substring(F.col("text"), 1, 12).alias("t"))
+    fz_typo = fz_base.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 70000).alias("doc_id"),
+        F.expr(
+            "concat(substring(t, 1, cast(doc_id % 6 as int)), "
+            "substring(t, cast(doc_id % 6 + 2 as int), 12))"
+        ).alias("t"),
+    )
+    fzd = fuzzy_dedup(fz_base.unionByName(fz_typo), string_col="t")
+    leg_fz = _suite_row(
+        fzd, "fuzzy_dedup",
+        F.sum(F.col("is_representative").cast("bigint")),
+        F.countDistinct("component"),
+    )
+
     return (
         leg_md.unionByName(leg_bits).unionByName(leg_pairs)
         .unionByName(leg_edd)
@@ -3337,7 +3361,7 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg_ndb).unionByName(leg_inc).unionByName(leg_bg)
         .unionByName(leg_ld)
         .unionByName(leg_cur).unionByName(leg_lss).unionByName(leg_sk)
-        .unionByName(leg_qh)
+        .unionByName(leg_qh).unionByName(leg_fz)
     )
 
 
@@ -3373,7 +3397,9 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         are near-random (top cosines 0.25-0.28, dozens of near-ties), so
         single-stage recall is structurally low — the two-stage number is
         the production-relevant one. Upgrades q75 from "the index paths
-        run" to "they retrieve correctly" under the driver's check."""
+        run" to "they retrieve correctly" under the driver's check;
+      - cell_stats (round 5): IVF occupancy/imbalance summary — the
+        maintenance alarm feeding ``reindex_ivf_flat``."""
     from .operators.ivf import IvfFlat
     from .operators.minhash_lsh import MinHashLSH
     from .operators.pq import fit_pq
@@ -3493,11 +3519,20 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("query_id"), F.count("*") / F.lit(50.0),
     )
 
+    # cell_stats (round 5): the reindex alarm signal over the same IVF
+    # model the ivf_ann leg queries — n_rows=1 summary, f1 = indexed
+    # vectors, f2 = scaled hottest-cell imbalance (reindex_ivf_flat is the
+    # repair step; rebalance property in tests/test_ivf.py)
+    leg_cs = _suite_row(
+        ivf.cell_stats(), "cell_stats",
+        F.max("n_vectors"), F.max("imbalance_x1000"),
+    )
+
     return (
         leg_bk.unionByName(leg_fs).unionByName(leg_128)
         .unionByName(leg_srp).unionByName(leg_ivf).unionByName(leg_ba)
         .unionByName(leg_pq).unionByName(leg_pca)
-        .unionByName(leg_rs).unionByName(leg_rp)
+        .unionByName(leg_rs).unionByName(leg_rp).unionByName(leg_cs)
     )
 
 
