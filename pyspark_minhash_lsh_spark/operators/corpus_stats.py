@@ -225,7 +225,8 @@ def corpus_drift(
     move?). Returns one row per token in either snapshot::
 
         token, n_old, n_new, t_old, t_new,          (exact BIGINT counts)
-        share_delta_num = n_new*t_old - n_old*t_new (exact BIGINT)
+        share_delta_num = n_new*t_old - n_old*t_new (exact DECIMAL(38,0) —
+                          int64 cross products overflow at ~3e9 tokens/side)
         share_delta     = share_delta_num / (t_old*t_new)   (convenience
                           double == share_new - share_old; NOT for hash
                           surfaces — scale share_delta_num instead)
@@ -266,8 +267,15 @@ def corpus_drift(
         )
     )
     totals = total(old_docs, "t_old").crossJoin(total(new_docs, "t_new"))
-    num = F.col("n_new") * F.col("t_old") - F.col("n_old") * F.col("t_new")
-    den = F.col("t_old") * F.col("t_new")
+    # cross products in DECIMAL(38,0): exact to 1e38, so the operator stays
+    # correct (loud ANSI overflow never fires) at 100 TB token totals where
+    # int64 would overflow at ~3e9 tokens per side (n*t > 2^63)
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n_new").cast(dec) * F.col("t_old").cast(dec)
+        - F.col("n_old").cast(dec) * F.col("t_new").cast(dec)
+    ).cast(dec)
+    den = (F.col("t_old").cast(dec) * F.col("t_new").cast(dec)).cast(dec)
     out = j.crossJoin(F.broadcast(totals)).select(
         "token", "n_old", "n_new", "t_old", "t_new",
         num.alias("share_delta_num"),
