@@ -78,3 +78,64 @@ def test_full_pipeline(spark, raw, tmp_path_factory):
     assert {r.doc_id for r in back.select("doc_id").collect()} == {
         r.doc_id for r in train.select("doc_id").collect()
     }
+
+
+def test_crawl_ingest_pipeline(spark, raw):
+    """Raw-crawl ingest front end (round 5): synthetic markup pages with
+    urls -> html_to_text -> filter_by_domain -> extract_links (frontier) ->
+    canonicalize_url dedup key -> curate. Composes every ingest operator
+    end-to-end ahead of the existing curate/split/shard chain."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators import curate_corpus
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        canonicalize_url,
+        extract_links,
+        filter_by_domain,
+        html_to_text,
+    )
+
+    n_raw = raw.count()
+    pages = raw.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>x</style></head><body><p>'),
+            F.col("text"),
+            F.lit('</p><a href="HTTPS://Example.COM:443/next/'),
+            F.col("doc_id").cast("string"),
+            F.lit('?utm_source=crawl">n</a>'),
+            F.lit("<script>var x=1;</script></body></html>"),
+        ).alias("html"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("https://spam.example.net/p"))
+        .otherwise(F.lit("https://Good.example.org/p")).alias("url"),
+    ).cache()
+
+    # 1. domain scope rule: every 4th page is on the blocked domain
+    scope = filter_by_domain(pages, blocked_domains=["spam.example.net"])
+    keep_ids = scope.filter("keep_doc").select("doc_id")
+    assert scope.count() == n_raw
+    assert keep_ids.count() == n_raw - (n_raw + 3) // 4
+
+    in_scope = pages.join(keep_ids, "doc_id")
+
+    # 2. markup -> text: script/style gone, the body text survives
+    texts = html_to_text(in_scope)
+    assert texts.filter(F.col("text").contains("var x=1")).count() == 0
+    assert texts.filter(F.length("text") > 0).count() == keep_ids.count()
+
+    # 3. frontier: one canonical outlink per page, tracking params stripped
+    frontier = extract_links(in_scope)
+    assert frontier.count() == keep_ids.count()
+    assert frontier.filter(F.col("url").contains("utm_")).count() == 0
+    assert frontier.filter(
+        F.col("url").startswith("https://example.com/next/")
+    ).count() == keep_ids.count()
+    # canonicalize_url as the frontier-dedup key: idempotent
+    twice = frontier.select(canonicalize_url(F.col("url")).alias("u2"), "url")
+    assert twice.filter(F.col("u2") != F.col("url")).count() == 0
+
+    # 4. the extracted text feeds the standard curation chain
+    cur = curate_corpus(texts.select("doc_id", "text"), min_tokens=3)
+    assert cur.count() == keep_ids.count()
+    assert cur.filter("status = 'kept'").count() > 0
