@@ -1,0 +1,118 @@
+"""WARC source (sources/readers.py: read_warc) — stdlib WARC/1.0 framing
+parser over Spark's binaryFile source, plain + per-record-gzip forms, wired
+into the crawl-ingest chain (html_to_text)."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.sources.readers import read_warc
+
+
+def _record(warc_type: str, headers: dict, body: bytes) -> bytes:
+    head = [b"WARC/1.0", f"WARC-Type: {warc_type}".encode()]
+    for k, v in headers.items():
+        head.append(f"{k}: {v}".encode())
+    head.append(b"Content-Length: " + str(len(body)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def _http_response(html: bytes, ctype=b"text/html; charset=utf-8") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+        + b"\r\nServer: t\r\n\r\n" + html
+    )
+
+
+HTML1 = b"<html><body><p>alpha beta gamma.</p></body></html>"
+HTML2 = b"<html><body><p>delta epsilon.</p></body></html>"
+
+
+def _warc_bytes() -> bytes:
+    return (
+        _record("warcinfo", {"WARC-Record-ID": "<urn:i>"}, b"software: t\r\n")
+        + _record(
+            "response",
+            {"WARC-Record-ID": "<urn:r1>",
+             "WARC-Target-URI": "https://a.example.com/x"},
+            _http_response(HTML1),
+        )
+        + _record(
+            "request",
+            {"WARC-Record-ID": "<urn:q1>",
+             "WARC-Target-URI": "https://a.example.com/x"},
+            b"GET /x HTTP/1.1\r\nHost: a.example.com\r\n\r\n",
+        )
+        + _record(
+            "response",
+            {"WARC-Record-ID": "<urn:r2>",
+             "WARC-Target-URI": "https://b.example.org/y"},
+            _http_response(HTML2),
+        )
+    )
+
+
+def test_read_warc_plain(spark, tmp_path):
+    p = tmp_path / "seg.warc"
+    p.write_bytes(_warc_bytes())
+    out = read_warc(spark, str(tmp_path)).orderBy("record_id").collect()
+    assert [r.record_id for r in out] == ["<urn:r1>", "<urn:r2>"]
+    r1 = out[0]
+    assert r1.warc_type == "response"
+    assert r1.target_uri == "https://a.example.com/x"
+    assert r1.http_status == 200
+    assert r1.content_type == "text/html; charset=utf-8"
+    assert bytes(r1.payload) == HTML1
+
+
+def test_read_warc_gzip_members(spark, tmp_path):
+    """Common Crawl ships one gzip MEMBER per record, concatenated."""
+    raw = _warc_bytes()
+    # split into per-record members at each WARC/ boundary
+    idxs = []
+    pos = 0
+    while True:
+        pos = raw.find(b"WARC/1.0", pos)
+        if pos < 0:
+            break
+        idxs.append(pos)
+        pos += 1
+    chunks = [raw[a:b] for a, b in zip(idxs, idxs[1:] + [len(raw)])]
+    gz = b"".join(gzip.compress(c) for c in chunks)
+    (tmp_path / "seg.warc.gz").write_bytes(gz)
+    out = read_warc(spark, str(tmp_path)).orderBy("record_id").collect()
+    assert [r.record_id for r in out] == ["<urn:r1>", "<urn:r2>"]
+    assert bytes(out[1].payload) == HTML2
+
+
+def test_read_warc_include_types_and_raw_http(spark, tmp_path):
+    (tmp_path / "seg.warc").write_bytes(_warc_bytes())
+    all_types = read_warc(
+        spark, str(tmp_path),
+        include_types=("warcinfo", "request", "response"),
+        strip_http=False,
+    ).collect()
+    by_type = {}
+    for r in all_types:
+        by_type.setdefault(r.warc_type, []).append(r)
+    assert len(by_type["response"]) == 2 and len(by_type["request"]) == 1
+    # strip_http=False keeps the full HTTP message and no lifted status
+    assert bytes(by_type["response"][0].payload).startswith(b"HTTP/1.1 200")
+    assert by_type["response"][0].http_status is None
+    assert by_type["warcinfo"][0].record_id == "<urn:i>"
+
+
+def test_read_warc_feeds_html_to_text(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.textpipe import html_to_text
+
+    (tmp_path / "seg.warc").write_bytes(_warc_bytes())
+    pages = read_warc(spark, str(tmp_path)).select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    # html_to_text trims SPACES only (oracle-mirrored contract); strip the
+    # block-boundary newlines here
+    texts = {r.text.strip() for r in html_to_text(pages).collect()}
+    assert texts == {"alpha beta gamma.", "delta epsilon."}
