@@ -130,3 +130,45 @@ def test_fuzzy_dedup_empty(spark):
     out = fuzzy_dedup(empty)
     assert out.count() == 0
     assert out.columns == ["doc_id", "component", "is_representative"]
+
+
+def test_edit_distance_join_randomized_completeness(spark):
+    """Completeness property: for random (s, t) pairs constructed by
+    applying <= k unit edits to s, the blocked join must ALWAYS find the
+    pair (deletion-neighborhood guarantee) — 40 cases per k in one join."""
+    import random
+
+    alphabet = "abcdefg"
+
+    def apply_edits(s, k, rng):
+        for _ in range(k):
+            ops = ["sub", "del"] if s else []
+            ops.append("ins")
+            op = rng.choice(ops)
+            i = rng.randrange(len(s) + (op == "ins"))
+            if op == "ins":
+                s = s[:i] + rng.choice(alphabet) + s[i:]
+            elif op == "del":
+                s = s[:i] + s[i + 1:]
+            else:
+                s = s[:i] + rng.choice(alphabet) + s[i + 1:]
+        return s
+
+    from pyspark_minhash_lsh_spark.operators.fuzzy import edit_distance_join
+
+    for k in (1, 2):
+        rng = random.Random(100 + k)
+        a_rows, b_rows = [], []
+        for i in range(40):
+            s = "".join(rng.choices(alphabet, k=rng.randint(1, 10)))
+            t = apply_edits(s, k, rng)
+            a_rows.append((i, s))
+            b_rows.append((i, t))
+        a = spark.createDataFrame(a_rows, "doc_id bigint, text string")
+        b = spark.createDataFrame(b_rows, "doc_id bigint, text string")
+        found = {
+            (r.id_a, r.id_b)
+            for r in edit_distance_join(a, b, max_dist=k).collect()
+        }
+        missing = [i for i in range(40) if (i, i) not in found]
+        assert not missing, f"k={k}: pairs not found for ids {missing}"
