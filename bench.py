@@ -262,17 +262,18 @@ def _probe_quantile_sketch(spark, sf_dir: str):
 
 
 def _probe_snapshot_diff(spark, sf_dir: str):
-    """Lake-audit probe (round 5): old = ids not divisible by 10, new = all
-    ids with every 7th doc's text edited — all four statuses exercised,
-    output rows == corpus rows (linear by construction); the timed work is
-    two fingerprint projections + one id-keyed full-outer join."""
+    """Lake-audit probe (round 5): old = ids not divisible by 10, new =
+    ids not divisible by 13 with every 7th doc's text edited — all four
+    statuses exercised (%10-only ids are added, %13-only removed),
+    output rows ~= corpus rows (linear by construction); the timed work
+    is two fingerprint projections + one id-keyed full-outer join."""
     from pyspark.sql import functions as F
 
     from pyspark_minhash_lsh_spark.operators.dedup import snapshot_diff
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
-    new = docs.select(
+    new = docs.filter(F.col("doc_id") % 13 != 0).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 7 == 0,

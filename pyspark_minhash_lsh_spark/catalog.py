@@ -2612,11 +2612,13 @@ _Q67_JS_LINE = "enable javascript now"
 
 
 def _duck_canon_url(var: str) -> str:
-    """DuckDB (RE2) twin of ``textpipe.canonicalize_url`` applied to one
-    list element ``var`` — inlined per call site because DuckDB lambdas
-    have no local bindings. Char-for-char the same regex chain the engine
-    compiles (cross-engine identity is separately pinned by
-    tests/test_url_ops.py::test_canonicalize_url_matches_duckdb_twin)."""
+    """DuckDB twin of ``textpipe.canonicalize_url`` applied to one list
+    element ``var`` — inlined per call site because DuckDB lambdas have no
+    local bindings. Same algorithm step for step, including the
+    NAME-level (split-based) tracking-param strip — regex-prefix matching
+    corrupted e.g. ``gclid_src`` (round-5 review) and a blanket separator
+    repair mangled legal ``&`` in paths. Cross-engine identity is pinned
+    by tests/test_url_ops.py (which imports THIS builder)."""
     u = f"regexp_replace(trim({var}), '#.*$', '')"
     pfx = f"regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)"
     cpfx = (
@@ -2625,16 +2627,21 @@ def _duck_canon_url(var: str) -> str:
         "'^(https://[^:/?#]+):443$', '\\1')"
     )
     rest = f"substr({u}, len({pfx}) + 1)"
-    rest = (
-        f"regexp_replace({rest}, "
-        "'(?i)([?&])(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid)(=[^&]*)?', "
-        "'\\1', 'g')"
+    qpos = f"instr({rest}, '?')"
+    pathp = f"(CASE WHEN {qpos} = 0 THEN {rest} ELSE substr({rest}, 1, {qpos} - 1) END)"
+    qq = f"(CASE WHEN {qpos} = 0 THEN '' ELSE substr({rest}, {qpos} + 1) END)"
+    kept = (
+        f"list_filter(string_split({qq}, '&'), p -> p <> '' AND NOT ("
+        "starts_with(lower(string_split(p, '=')[1]), 'utm_') OR "
+        "lower(string_split(p, '=')[1]) IN "
+        "('fbclid','gclid','msclkid','mc_eid')))"
     )
-    rest = (
-        f"regexp_replace(regexp_replace(regexp_replace({rest}, "
-        "'&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]$', '')"
+    rest2 = (
+        f"(CASE WHEN len({kept}) > 0 "
+        f"THEN {pathp} || '?' || array_to_string({kept}, '&') "
+        f"ELSE {pathp} END)"
     )
-    fu = f"(CASE WHEN {pfx} = '' THEN {u} ELSE {cpfx} || {rest} END)"
+    fu = f"(CASE WHEN {pfx} = '' THEN {u} ELSE {cpfx} || {rest2} END)"
     return (
         f"regexp_replace({fu}, "
         "'^([a-z][a-z0-9+.\\-]*://[^/?#]+)/$', '\\1')"

@@ -103,16 +103,17 @@ def edit_distance_join(
     pairs = a.join(b, "_vh")
     if df_b is None:
         pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
-    pairs = (
-        pairs.select("id_a", "s_a", "id_b", "s_b")
+    # the O(1) length pre-filter runs BEFORE the pair-dedup shuffle (prunable
+    # candidates never shuffle), and the O(L^2) levenshtein is computed once
+    # per surviving pair (round-5 review: it was evaluated in both the
+    # filter and the output projection)
+    return (
+        pairs.filter(F.abs(F.length("s_a") - F.length("s_b")) <= max_dist)
+        .select("id_a", "s_a", "id_b", "s_b")
         .dropDuplicates(["id_a", "id_b"])
-        .filter(
-            (F.abs(F.length("s_a") - F.length("s_b")) <= max_dist)
-            & (F.levenshtein("s_a", "s_b") <= max_dist)
-        )
-    )
-    return pairs.select(
-        "id_a", "id_b", F.levenshtein("s_a", "s_b").cast("bigint").alias("dist")
+        .withColumn("dist", F.levenshtein("s_a", "s_b").cast("bigint"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
     )
 
 

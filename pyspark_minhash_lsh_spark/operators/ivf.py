@@ -280,15 +280,21 @@ class IvfFlatModel:
 
 def _model_cell_stats(model: "IvfFlatModel") -> DataFrame:
     counts = model.index.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    # imbalance is measured against the CONFIGURED n_cells, not the number
+    # of non-empty cells (round-5 review): an index whose vectors sit
+    # evenly in 2 of 10 cells is imbalance 5000, not a "perfect" 1000 —
+    # empty cells produce no groupBy rows, so count(*) would hide exactly
+    # the skew the alarm exists to catch
+    n_cells = int(model.ivf.n_cells)
     return counts.agg(
         F.count("*").alias("n_cells_used"),
         F.sum("n_vectors").alias("n_vectors"),
         F.min("n_vectors").alias("min_cell"),
         F.max("n_vectors").alias("max_cell"),
-        # imbalance x1000: max cell over the ideal even share, pure-integer
-        # (div by zero impossible: at least one cell row exists to aggregate)
+        # x1000, pure-integer (div by zero impossible: at least one cell
+        # row exists for the aggregate to see)
         F.expr(
-            "div(max(n_vectors) * 1000 * count(*), sum(n_vectors))"
+            f"div(max(n_vectors) * 1000 * {n_cells}, sum(n_vectors))"
         ).alias("imbalance_x1000"),
     )
 

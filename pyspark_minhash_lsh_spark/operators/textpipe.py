@@ -1007,8 +1007,21 @@ def filter_by_domain(
 
 
 #: tracking query parameters stripped by ``canonicalize_url`` — the
-#: conventional analytics/click-id set; extend per deployment.
-TRACKING_PARAMS = ("utm_[^=&]*", "fbclid", "gclid", "msclkid", "mc_eid")
+#: conventional analytics/click-id set; extend per deployment. Prefixes
+#: match any param whose NAME starts with them; names match exactly
+#: (case-insensitive) — never as prefixes, so e.g. ``gclid_src`` survives.
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAM_NAMES = ("fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def _is_tracking_param(p) -> "F.Column":
+    """True for a raw ``name[=value]`` query segment whose NAME is a
+    tracking param (exact-name or prefix match, case-insensitive)."""
+    nm = F.lower(F.split(p, "=").getItem(0))
+    hit = nm.isin(*TRACKING_PARAM_NAMES)
+    for pre in TRACKING_PARAM_PREFIXES:
+        hit = hit | nm.startswith(pre)
+    return hit
 
 
 def canonicalize_url(col) -> "F.Column":
@@ -1020,9 +1033,11 @@ def canonicalize_url(col) -> "F.Column":
       2. lowercase the ``scheme://host[:port]`` prefix (case-insensitive
          per RFC 3986) — path/query case is preserved;
       3. strip default ports (``http://...:80``, ``https://...:443``);
-      4. strip tracking query params (``TRACKING_PARAMS``: utm_*, fbclid,
-         gclid, msclkid, mc_eid), then repair separators (``?&`` runs,
-         trailing ``?``/``&``);
+      4. rewrite the QUERY STRING param-wise: split on ``&``, drop empty
+         segments and tracking params (exact names fbclid/gclid/msclkid/
+         mc_eid + the utm_ prefix — a NAME-level match, so ``gclid_src``
+         is never corrupted), rejoin, and drop a now-empty ``?``. The
+         path is untouched (``&`` is a legal path character, RFC 3986);
       5. drop a bare root-path trailing slash (``http://h/`` == ``http://h``).
 
     Strings without an absolute ``scheme://host`` prefix (relative URLs,
@@ -1037,11 +1052,19 @@ def canonicalize_url(col) -> "F.Column":
     canon_prefix = F.regexp_replace(canon_prefix, r"^(http://[^:/?#]+):80$", "$1")
     canon_prefix = F.regexp_replace(canon_prefix, r"^(https://[^:/?#]+):443$", "$1")
     rest = u.substr(F.length(prefix) + F.lit(1), F.length(u))
-    params = "|".join(TRACKING_PARAMS)
-    rest = F.regexp_replace(rest, r"(?i)([?&])(" + params + r")(=[^&]*)?", "$1")
-    rest = F.regexp_replace(rest, r"&{2,}", "&")
-    rest = F.regexp_replace(rest, r"\?&", "?")
-    rest = F.regexp_replace(rest, r"[?&]$", "")
+    qpos = F.instr(rest, "?")
+    path_part = F.when(qpos == 0, rest).otherwise(rest.substr(F.lit(1), qpos - 1))
+    q_part = F.when(qpos == 0, F.lit("")).otherwise(
+        rest.substr(qpos + 1, F.length(rest))
+    )
+    kept = F.filter(
+        F.split(q_part, "&"),
+        lambda p: (p != "") & ~_is_tracking_param(p),
+    )
+    rest = F.when(
+        F.size(kept) > 0,
+        F.concat(path_part, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(path_part)
     full = F.when(prefix == "", u).otherwise(F.concat(canon_prefix, rest))
     return F.regexp_replace(full, r"^([a-z][a-z0-9+.\-]*://[^/?#]+)/$", "$1")
 

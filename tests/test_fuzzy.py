@@ -1,6 +1,6 @@
 """Edit-distance join (operators/fuzzy.py): deletion-neighborhood candidate
 completeness + exact Levenshtein verification, cross-checked against a
-brute-force DuckDB oracle. Driver-visible via the q59 'fuzzy' leg."""
+brute-force DuckDB oracle. Driver-visible via the q42 'fuzzy' leg."""
 
 from __future__ import annotations
 

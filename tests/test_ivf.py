@@ -204,3 +204,22 @@ def test_reindex_resize_n_cells(spark, tmp_path):
     reloaded = IvfFlatModel.load_index(spark, str(tmp_path / "b"))
     assert reloaded.ivf.n_cells == 8
     assert reloaded.index.count() == 80
+
+
+def test_cell_stats_counts_empty_cells_in_imbalance(spark):
+    """Round-5 review: the divisor is the CONFIGURED n_cells — vectors
+    sitting evenly in 2 of 10 cells must read as imbalance 5000, not a
+    'perfect' 1000 (empty cells produce no groupBy rows)."""
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat, IvfFlatModel
+
+    rows = [(i, [float(i)], i % 2) for i in range(20)]  # cells 0 and 1 only
+    index = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, cell int"
+    )
+    model = IvfFlatModel(
+        IvfFlat(n_cells=10, seed=1), index,
+        [[0.0]] * 10, "embedding", "vec_id",
+    )
+    s = model.cell_stats().head()
+    assert s.n_cells_used == 2 and s.n_vectors == 20
+    assert s.imbalance_x1000 == 5000

@@ -1,6 +1,7 @@
 """URL ingest operators (operators/textpipe.py: extract_links,
 canonicalize_url) — crawl-frontier extraction + the URL-dedup key
-normalizer. Driver-visible via the q67 'links' leg (oracle-backed)."""
+normalizer. Driver-visible via the q67 'links' leg (oracle-backed); the
+DuckDB twin tested here is the SAME builder the oracle uses."""
 
 from __future__ import annotations
 
@@ -8,6 +9,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
+from pyspark_minhash_lsh_spark.catalog import _duck_canon_url
 from pyspark_minhash_lsh_spark.operators.textpipe import (
     canonicalize_url,
     extract_links,
@@ -17,6 +19,15 @@ from pyspark_minhash_lsh_spark.operators.textpipe import (
 def _canon(spark, urls):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     return [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+
+
+def _duck_canon(urls):
+    rows = duckdb.sql(
+        "SELECT " + _duck_canon_url("raw") + " AS c "
+        "FROM (SELECT unnest($urls) AS raw)",
+        params={"urls": urls},
+    ).fetchall()
+    return [r[0] for r in rows]
 
 
 def test_canonicalize_url_known_values(spark):
@@ -36,8 +47,19 @@ def test_canonicalize_url_known_values(spark):
         "https://e.com/a?page=2&utm_medium=rss": "https://e.com/a?page=2",
         "https://e.com/a?utm_a=1&utm_b=2&q=z": "https://e.com/a?q=z",
         "https://e.com/a?gclid=abc&fbclid=def": "https://e.com/a",
-        # non-tracking params untouched (utmost is not utm_*)
+        "https://e.com/a?UTM_SOURCE=x&q=1": "https://e.com/a?q=1",
+        # NAME-level matching (round-5 review): longer names that merely
+        # START with a tracking literal are NOT tracking params
+        "https://e.com/a?gclid_src=aw": "https://e.com/a?gclid_src=aw",
+        "https://e.com/a?fbclidx=1": "https://e.com/a?fbclidx=1",
         "https://e.com/a?utmost=1": "https://e.com/a?utmost=1",
+        # bare (valueless) tracking param
+        "https://e.com/a?utm_x&q=1": "https://e.com/a?q=1",
+        # '&' is a legal PATH character — never rewritten (round-5 review)
+        "https://e.com/a&&b": "https://e.com/a&&b",
+        "https://e.com/a&": "https://e.com/a&",
+        # empty query segments dropped
+        "https://e.com/a?&&q=1&": "https://e.com/a?q=1",
         # bare root slash dropped; deeper trailing slash kept
         "http://Example.com/": "http://example.com",
         "http://example.com/a/": "http://example.com/a/",
@@ -50,48 +72,19 @@ def test_canonicalize_url_known_values(spark):
 
 
 def test_canonicalize_url_matches_duckdb_twin(spark):
-    """Cross-engine identity: DuckDB (RE2) replays the exact regex chain the
-    engine compiles (Java regex) — the q67 'links' oracle pattern."""
+    """Cross-engine identity against the SAME _duck_canon_url builder the
+    q67 oracle interpolates."""
     urls = [
         "HTTPS://Example.COM:443/Docs/7/?utm_source=feed&page=2&utm_medium=rss#s",
         "http://Mirror.example.org:80/post/3/",
         "https://cdn.example.net/static/app.js?v=9",
         "https://e.com/?fbclid=zz",
+        "https://e.com/a?gclid_src=aw&utm_x",
+        "https://e.com/a&&b?x=1",
         "ftp://Files.Example.com/Pub/",
         "/rel?utm_source=x",
     ]
-    got = _canon(spark, urls)
-    rows = duckdb.sql(
-        """
-        WITH u0 AS (SELECT unnest($urls) AS raw),
-        s1 AS (SELECT regexp_replace(trim(raw), '#.*$', '') AS u FROM u0),
-        s2 AS (SELECT u,
-                 regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) AS pfx
-               FROM s1),
-        s3 AS (SELECT u, pfx,
-                 regexp_replace(regexp_replace(lower(pfx),
-                   '^(http://[^:/?#]+):80$', '\\1'),
-                   '^(https://[^:/?#]+):443$', '\\1') AS cpfx,
-                 substr(u, len(pfx) + 1) AS rest
-               FROM s2),
-        s4 AS (SELECT u, pfx, cpfx,
-                 regexp_replace(rest,
-                   '(?i)([?&])(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid)(=[^&]*)?',
-                   '\\1', 'g') AS rest
-               FROM s3),
-        s5 AS (SELECT u, pfx, cpfx,
-                 regexp_replace(regexp_replace(regexp_replace(rest,
-                   '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]$', '') AS rest
-               FROM s4),
-        s6 AS (SELECT CASE WHEN pfx = '' THEN u ELSE cpfx || rest END AS fu
-               FROM s5)
-        SELECT regexp_replace(fu,
-                 '^([a-z][a-z0-9+.\\-]*://[^/?#]+)/$', '\\1') AS c
-        FROM s6
-        """,
-        params={"urls": urls},
-    ).fetchall()
-    assert got == [r[0] for r in rows]
+    assert _canon(spark, urls) == _duck_canon(urls)
 
 
 def test_extract_links_order_and_canonicalization(spark):
@@ -135,46 +128,17 @@ def test_canonicalize_url_randomized_twin(spark):
     hosts = ["Example.COM", "e.org", "CDN.Example.NET", "x.y.z.example.com"]
     schemes = ["http", "HTTPS", "ftp", "HTTP"]
     params = ["utm_source=a", "utm_x", "fbclid=1", "gclid=2", "page=3",
-              "q=hello", "UTM_MEDIUM=rss", "mc_eid=9", "v=1.2"]
+              "q=hello", "UTM_MEDIUM=rss", "mc_eid=9", "v=1.2",
+              "gclid_src=aw", "fbclidx=7", "utmost=0", ""]
     urls = []
-    for _ in range(120):
+    for _ in range(150):
         s = random.choice(schemes)
         h = random.choice(hosts)
         port = random.choice(["", ":80", ":443", ":8080"])
-        path = random.choice(["", "/", "/A/b", "/x/"])
-        qs = "&".join(random.sample(params, random.randint(0, 4)))
+        path = random.choice(["", "/", "/A/b", "/x/", "/a&b", "/a&"])
+        qs = "&".join(random.sample(params, random.randint(0, 5)))
         frag = random.choice(["", "#f", "#sec-2"])
         urls.append(f"{s}://{h}{port}{path}{'?' + qs if qs else ''}{frag}")
-    urls += ["", "   ", "nonsense", "//protocol-relative/x", "a b c"]
-    got = _canon(spark, urls)
-    rows = duckdb.sql(
-        """
-        WITH u0 AS (SELECT unnest($urls) AS raw),
-        s1 AS (SELECT regexp_replace(trim(raw), '#.*$', '') AS u FROM u0),
-        s2 AS (SELECT u,
-                 regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) AS pfx
-               FROM s1),
-        s3 AS (SELECT u, pfx,
-                 regexp_replace(regexp_replace(lower(pfx),
-                   '^(http://[^:/?#]+):80$', '\\1'),
-                   '^(https://[^:/?#]+):443$', '\\1') AS cpfx,
-                 substr(u, len(pfx) + 1) AS rest
-               FROM s2),
-        s4 AS (SELECT u, pfx, cpfx,
-                 regexp_replace(rest,
-                   '(?i)([?&])(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid)(=[^&]*)?',
-                   '\\1', 'g') AS rest
-               FROM s3),
-        s5 AS (SELECT u, pfx, cpfx,
-                 regexp_replace(regexp_replace(regexp_replace(rest,
-                   '&{2,}', '&', 'g'), '\\?&', '?', 'g'), '[?&]$', '') AS rest
-               FROM s4),
-        s6 AS (SELECT CASE WHEN pfx = '' THEN u ELSE cpfx || rest END AS fu
-               FROM s5)
-        SELECT regexp_replace(fu,
-                 '^([a-z][a-z0-9+.\\-]*://[^/?#]+)/$', '\\1') AS c
-        FROM s6
-        """,
-        params={"urls": urls},
-    ).fetchall()
-    assert got == [r[0] for r in rows]
+    urls += ["", "   ", "nonsense", "//protocol-relative/x", "a b c",
+             "https://e.com/?", "https://e.com/?&"]
+    assert _canon(spark, urls) == _duck_canon(urls)
