@@ -21,6 +21,7 @@ __all__ = [
     "read_csv_corpus",
     "read_json_corpus",
     "read_warc",
+    "stream_warc",
     "TESTDATA_TABLES",
 ]
 
@@ -224,4 +225,57 @@ def read_warc(
         .load(path)
         .select("path", "content")
     )
+    return files.mapInPandas(parse, schema=_WARC_SCHEMA)
+
+
+#: binaryFile's fixed schema, spelled explicitly: the streaming file source
+#: requires a user schema (no inference on streams)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length bigint, content binary"
+)
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    include_types: "tuple[str, ...]" = ("response",),
+    strip_http: bool = True,
+    max_files_per_trigger: "int | None" = None,
+) -> DataFrame:
+    """Streaming twin of ``read_warc`` — the CONTINUOUS crawl-ingest front
+    door: new ``*.warc``/``*.warc.gz`` segments landing in ``path`` flow
+    through the same stdlib framing parse into a Structured Streaming
+    DataFrame (same output schema), ready for ``html_to_text`` ->
+    curation -> a checkpointed sink. File-level exactly-once comes from
+    the file source's checkpoint; records parse deterministically, so
+    replays are idempotent rows. ``max_files_per_trigger`` bounds batch
+    size (segments are ~1 GB each — the unit of work at crawl scale).
+    Tested stream == batch in tests/test_warc_source.py."""
+    import gzip
+
+    import pandas as pd
+
+    types = tuple(include_types)
+    strip = bool(strip_http)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for name, data in zip(pdf["path"], pdf["content"]):
+                raw = bytes(data)
+                if name.endswith(".gz"):
+                    raw = gzip.decompress(raw)
+                rows.extend(_parse_warc_bytes(name, raw, types, strip))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_file", "record_id", "warc_type", "target_uri",
+                    "content_type", "http_status", "payload",
+                ],
+            )
+
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
     return files.mapInPandas(parse, schema=_WARC_SCHEMA)

@@ -116,3 +116,45 @@ def test_read_warc_feeds_html_to_text(spark, tmp_path):
     # block-boundary newlines here
     texts = {r.text.strip() for r in html_to_text(pages).collect()}
     assert texts == {"alpha beta gamma.", "delta epsilon."}
+
+
+def test_stream_warc_matches_batch_and_picks_up_new_files(spark, tmp_path):
+    """stream == batch on the same directory, and a persistent checkpoint
+    picks up ONLY the segment that landed after the first trigger."""
+    from pyspark_minhash_lsh_spark.sources.readers import stream_warc
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    (seg_dir / "a.warc").write_bytes(_warc_bytes())
+
+    def run_trigger():
+        q = (
+            stream_warc(spark, str(seg_dir))
+            .selectExpr("record_id", "target_uri",
+                        "cast(payload as string) AS html")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_trigger()
+    got = {r.record_id for r in spark.read.parquet(out_dir).collect()}
+    batch = {r.record_id for r in read_warc(spark, str(seg_dir)).collect()}
+    assert got == batch == {"<urn:r1>", "<urn:r2>"}
+
+    # a new segment lands; the checkpointed stream ingests only its records
+    extra = _record(
+        "response",
+        {"WARC-Record-ID": "<urn:r3>",
+         "WARC-Target-URI": "https://c.example.net/z"},
+        _http_response(b"<html><body><p>zeta eta.</p></body></html>"),
+    )
+    (seg_dir / "b.warc").write_bytes(extra)
+    run_trigger()
+    got2 = {r.record_id for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {"<urn:r1>", "<urn:r2>", "<urn:r3>"}
