@@ -57,6 +57,7 @@ STATUSES = (
     "drop_blocklist",
     "drop_short",
     "drop_repetition",
+    "drop_script",
     "drop_quality",
     "drop_entropy",
     "drop_fluency",
@@ -75,6 +76,7 @@ def curate_corpus(
     max_dup_token_frac: float = 0.6,
     max_top_bigram_frac: float = 0.3,
     min_quality: float = 0.4,
+    max_other_script_frac: Optional[float] = None,
     max_logprob: Optional[float] = None,
     logprob_reference: Optional[DataFrame] = None,
     lm_model: Optional["BigramLm"] = None,
@@ -111,6 +113,13 @@ def curate_corpus(
     ``blocklist`` (opt-in, a word list) drops pages containing any
     blocked token (C4's bad-words rule; normalized-token set match via
     ``textpipe.blocklist_filter`` — zero-shuffle) as ``drop_blocklist``.
+
+    ``max_other_script_frac`` (opt-in, round 5) adds the MOJIBAKE gate:
+    docs where more than this fraction of non-whitespace codepoints fall
+    outside every ``text_analysis.SCRIPT_CLASSES`` range (the ``other``
+    class — encoding damage, binary junk, symbol floods) become
+    ``drop_script``. One extra zero-shuffle projection
+    (``script_counts``), placed with the scan-speed rules.
 
     ``quality_model`` (opt-in, a fitted ``classify.QualityClassifier``)
     adds the MODEL-BASED quality gate after the heuristic rules: docs
@@ -194,15 +203,27 @@ def curate_corpus(
                   else status.when(cond, F.lit(label)))
     short = (F.col("n_tokens") < min_tokens, F.lit("drop_short"))
     status = (F.when(*short) if status is None else status.when(*short))
-    status = (
-        status
-        .when(
-            (F.col("dup_token_frac") > max_dup_token_frac)
-            | (F.col("top_bigram_frac") > max_top_bigram_frac),
-            F.lit("drop_repetition"),
-        )
-        .when(F.col("quality") < min_quality, F.lit("drop_quality"))
+    status = status.when(
+        (F.col("dup_token_frac") > max_dup_token_frac)
+        | (F.col("top_bigram_frac") > max_top_bigram_frac),
+        F.lit("drop_repetition"),
     )
+    if max_other_script_frac is not None:
+        from ..functions.text_analysis import script_counts
+
+        sc_m = script_counts(F.col("text"))
+        nonws = F.length("text") - F.element_at(sc_m, F.lit("whitespace"))
+        ofrac = F.when(
+            nonws > 0,
+            F.element_at(sc_m, F.lit("other")).cast("double")
+            / nonws.cast("double"),
+        ).otherwise(F.lit(0.0))
+        staged = staged.withColumn("_other_frac", ofrac)
+        status = status.when(
+            F.col("_other_frac") > float(max_other_script_frac),
+            F.lit("drop_script"),
+        )
+    status = status.when(F.col("quality") < min_quality, F.lit("drop_quality"))
     if max_logprob is not None:
         from .textpipe import unigram_logprob_score
 

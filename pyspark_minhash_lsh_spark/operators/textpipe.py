@@ -50,6 +50,7 @@ __all__ = [
     "filter_by_domain",
     "extract_links",
     "canonicalize_url",
+    "frontier_new_urls",
     "chunk_documents",
     "normalize_text",
     "unicode_normalize",
@@ -1099,3 +1100,37 @@ def extract_links(
     if canonicalize:
         out = out.withColumn("url", canonicalize_url(F.col("url")))
     return out
+
+
+def frontier_new_urls(
+    pages: DataFrame,
+    crawled_urls: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-frontier discovery: the NEW canonical URLs a batch of fetched
+    pages links to — ``extract_links`` (already canonicalized) ->
+    first-discovery per URL within the batch (min (doc_id, link_pos)) ->
+    anti-join against the already-crawled set, itself canonicalized with
+    the SAME normalizer so spelling variants of a crawled page can never
+    re-enter the frontier. Returns ``(url, doc_id, link_pos)`` — one row
+    per new URL, attributed to its first discoverer.
+
+    Scale shape: the dedup window and the anti-join both key on the
+    canonical url string (high-cardinality), so this is the standard
+    incremental shape (``incremental_exact_dedup`` on url keys); the
+    crawled set ships as ``(url)`` rows only."""
+    links = extract_links(pages, html_col=html_col, id_col=id_col)
+    w = Window.partitionBy("url").orderBy("doc_id", "link_pos")
+    firsts = (
+        links.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    crawled = crawled_urls.select(
+        canonicalize_url(F.col(url_col)).alias("url")
+    ).dropDuplicates(["url"])
+    return firsts.join(crawled, "url", "left_anti").select(
+        "url", "doc_id", "link_pos"
+    )

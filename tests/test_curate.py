@@ -229,3 +229,27 @@ def test_lm_fluency_gate(spark):
     }
     assert out[0] == "kept", out
     assert out[1] == "drop_fluency", out
+
+
+def test_curate_script_gate_drops_mojibake(spark):
+    """Round 5: max_other_script_frac drops symbol-flood/mojibake pages
+    (every non-whitespace codepoint outside SCRIPT_CLASSES) and leaves
+    ordinary punctuation-bearing prose alone; gate off by default."""
+    from pyspark_minhash_lsh_spark.operators.curate import curate_corpus
+
+    rows = [
+        (1, "A perfectly ordinary sentence, with punctuation and length "
+            "enough to pass every other scan rule in the pipeline."),
+        (2, "alpha beta gamma delta epsilon zeta "
+            "####$$$$%%%%^^^^&&&&****(((())))____++++====~~~~||||"
+            "####$$$$%%%%^^^^&&&&****(((())))____++++====~~~~||||"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.status
+           for r in curate_corpus(df, min_tokens=2,
+                                  max_other_script_frac=0.5).collect()}
+    assert out[2] == "drop_script"
+    assert out[1] == "kept"
+    # off by default: the junk doc falls to some OTHER rule, never script
+    off = {r.doc_id: r.status for r in curate_corpus(df, min_tokens=2).collect()}
+    assert off[2] != "drop_script"

@@ -142,3 +142,24 @@ def test_canonicalize_url_randomized_twin(spark):
     urls += ["", "   ", "nonsense", "//protocol-relative/x", "a b c",
              "https://e.com/?", "https://e.com/?&"]
     assert _canon(spark, urls) == _duck_canon(urls)
+
+
+def test_frontier_new_urls(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import frontier_new_urls
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<a href="https://e.com/a">x</a>'
+                '<a href="HTTPS://E.com/b#f">y</a>'),
+            (2, '<a href="https://e.com/b?utm_source=z">dup-discovery</a>'
+                '<a href="https://e.com/c">new</a>'),
+        ],
+        "doc_id bigint, html string",
+    )
+    # crawled set spelled differently from the link spellings on purpose
+    crawled = spark.createDataFrame(
+        [("https://E.COM/a?utm_medium=x",)], "url string"
+    )
+    out = {(r.url, r.doc_id) for r in frontier_new_urls(pages, crawled).collect()}
+    # /a is crawled (variant spelling collides); /b discovered FIRST by doc 1
+    assert out == {("https://e.com/b", 1), ("https://e.com/c", 2)}
