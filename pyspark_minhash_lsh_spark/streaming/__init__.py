@@ -4,6 +4,7 @@ from .metrics import (
     write_state_metrics,
     STATE_METRICS_SCHEMA,
 )
+from .fuzzy import fuzzy_dedup_finalize, streaming_fuzzy_dedup
 from .pipelines import (
     hourly_event_stats,
     sliding_event_stats,
@@ -37,5 +38,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_near_dedup",
     "near_dedup_finalize",
+    "streaming_fuzzy_dedup",
+    "fuzzy_dedup_finalize",
     "interval_join",
 ]

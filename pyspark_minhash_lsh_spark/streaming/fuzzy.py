@@ -1,0 +1,193 @@
+"""Streaming edit-distance dedup: exact Levenshtein suppression over an
+unbounded stream via deletion-variant state keys + applyInPandasWithState.
+
+The streaming twin of ``operators.fuzzy``: a document is dropped when an
+EARLIER arrival within the watermark horizon is within Levenshtein distance
+``max_dist`` of its entity key. Unlike the MinHash band keys in
+``streaming_near_dedup`` (where a key match IS the drop rule), a deletion-
+variant collision is only a CANDIDATE — two strings sharing a ``<=k``-
+deletion variant can be up to ``2k`` apart — so the state must VERIFY:
+each variant key's state holds the (id, string, event-time) entries of the
+docs that produced it, and arrivals are checked with an exact in-worker
+Levenshtein against exactly those candidates. Completeness is the same
+pigeonhole guarantee as the batch join (true pairs always share a variant);
+exactness is the verify.
+
+Policy matches ``incremental_near_dedup``'s conservative chaining: every
+arrival enters the state whether or not it survived, so a doc dropped
+against X still kills later near-matches of itself.
+
+State size: one entry list per variant key, entries expiring with the
+watermark (pruned on update, state removed on event-time timeout);
+``max_entries_per_key`` caps pathological hot keys (the ``max_bucket_size``
+guard's streaming sibling — oldest entries win, matching first-arrival
+semantics). Strings are short entity keys by the fuzzy-family contract.
+
+A doc emits one row per variant with its ``matched`` verdict; all rows of
+a doc land in the same micro-batch (the explode happens inside it), so the
+``fuzzy_dedup_finalize`` reduction is per-batch-safe — wire it into
+``foreachBatch`` (tested stream == batch twin in tests/test_fuzzy_stream.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.fuzzy import deletion_variants
+
+__all__ = ["streaming_fuzzy_dedup", "fuzzy_dedup_finalize"]
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("s", StringType(), True),
+        StructField("ts", TimestampType(), False),
+        StructField("matched", BooleanType(), False),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType()), False),
+        StructField("strs", ArrayType(StringType()), False),
+        StructField("ts_ms", ArrayType(LongType()), False),
+    ]
+)
+
+
+def _lev_le(a: str, b: str, k: int) -> bool:
+    """Exact ``levenshtein(a, b) <= k`` with row-min early exit."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        if min(cur) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def _make_fn(max_dist: int, horizon_ms: int, max_entries: int):
+    def fn(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        rows = []
+        for pdf in pdfs:
+            for did, s, ts in zip(pdf["doc_id"], pdf["s"], pdf["ts"]):
+                rows.append(
+                    (int(did), "" if s is None else str(s), pd.Timestamp(ts))
+                )
+        if not rows:
+            return
+        rows.sort(key=lambda r: (r[2].value, r[0]))
+
+        if state.exists:
+            ids, strs, tss = (list(x) for x in state.get)
+        else:
+            ids, strs, tss = [], [], []
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0 and tss:
+            live = [i for i, t in enumerate(tss) if t >= wm - horizon_ms]
+            ids = [ids[i] for i in live]
+            strs = [strs[i] for i in live]
+            tss = [tss[i] for i in live]
+
+        out_id, out_s, out_ts, out_m = [], [], [], []
+        for did, s, ts in rows:
+            matched = any(_lev_le(s, s2, max_dist) for s2 in strs)
+            out_id.append(did)
+            out_s.append(s)
+            out_ts.append(ts)
+            out_m.append(bool(matched))
+            ids.append(did)
+            strs.append(s)
+            tss.append(ts.value // 1_000_000)
+        if len(ids) > max_entries:  # hot-key cap: oldest (first-arrival) win
+            ids, strs, tss = ids[:max_entries], strs[:max_entries], tss[:max_entries]
+
+        state.update((ids, strs, tss))
+        state.setTimeoutTimestamp(max(tss) + horizon_ms)
+        yield pd.DataFrame(
+            {"doc_id": out_id, "s": out_s, "ts": out_ts, "matched": out_m}
+        )
+
+    return fn
+
+
+def streaming_fuzzy_dedup(
+    docs: DataFrame,
+    string_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    max_dist: int = 1,
+    horizon_minutes: int = 60,
+    max_entries_per_key: int = 64,
+) -> DataFrame:
+    """Per-(doc, variant) match verdicts for a stream — reduce with
+    ``fuzzy_dedup_finalize`` inside ``foreachBatch`` to get survivors.
+
+    Input needs ``(id_col, string_col, ts_col)``; the watermark is set to
+    ``horizon_minutes`` (state lives exactly one horizon). Works only on
+    streaming DataFrames (the state store requires the streaming engine);
+    the batch twin — "drop a doc iff ANY earlier arrival is within
+    ``max_dist``" — is ``edit_distance_join`` filtered to earlier
+    partners (tested equal)."""
+    src = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(string_col).cast("string").alias("s"),
+            F.col(ts_col).alias("ts"),
+        )
+        .withColumn("_v", F.explode(deletion_variants(F.col("s"), max_dist)))
+        .withWatermark("ts", f"{int(horizon_minutes)} minutes")
+    )
+    return src.groupBy("_v").applyInPandasWithState(
+        _make_fn(max_dist, int(horizon_minutes) * 60_000, int(max_entries_per_key)),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def fuzzy_dedup_finalize(verdicts: DataFrame) -> DataFrame:
+    """Reduce per-(doc, variant) verdicts to surviving docs — apply per
+    micro-batch (all of a doc's variant rows share its batch):
+    a doc survives iff NO variant found an earlier near-match."""
+    return (
+        verdicts.groupBy("doc_id")
+        .agg(
+            F.max(F.col("matched").cast("int")).alias("_m"),
+            F.first("s").alias("s"),
+            F.max("ts").alias("ts"),
+        )
+        .where(F.col("_m") == 0)
+        .select("doc_id", "s", "ts")
+    )

@@ -1,0 +1,108 @@
+"""Streaming edit-distance dedup (streaming/fuzzy.py): exact Levenshtein
+suppression with deletion-variant state keys — stream == batch twin, cross-
+batch suppression, horizon expiry."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.streaming.fuzzy import (
+    fuzzy_dedup_finalize,
+    streaming_fuzzy_dedup,
+)
+
+T0 = "2024-01-01 00:00:00"
+
+
+def _mk(spark, rows):
+    base = F.unix_timestamp(F.to_timestamp(F.lit(T0)))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "offset_s"])
+    return df.select(
+        "doc_id", "text", F.timestamp_seconds(base + F.col("offset_s")).alias("ts")
+    )
+
+
+def _run_stream(spark, src_dir, name, horizon_minutes=60, max_dist=1):
+    schema = "doc_id bigint, text string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    verdicts = streaming_fuzzy_dedup(
+        stream, horizon_minutes=horizon_minutes, max_dist=max_dist
+    )
+    survivors = []
+
+    def sink(batch, _bid):
+        survivors.extend(
+            (r.doc_id, r.s) for r in fuzzy_dedup_finalize(batch).collect()
+        )
+
+    q = (
+        verdicts.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(src_dir) + f"_ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return sorted(survivors)
+
+
+def _batch_twin(spark, rows, max_dist=1):
+    """Batch twin of the streaming policy: drop a doc iff ANY earlier
+    arrival (ts, then id order) is within max_dist."""
+    from pyspark_minhash_lsh_spark.operators.fuzzy import edit_distance_join
+
+    df = _mk(spark, rows)
+    pairs = edit_distance_join(df, max_dist=max_dist)
+    order = {r.doc_id: (r.ts, r.doc_id) for r in df.collect()}
+    dropped = set()
+    for r in pairs.collect():
+        a, b = r.id_a, r.id_b
+        later = b if order[a] < order[b] else a
+        dropped.add(later)
+    return sorted(
+        (r.doc_id, r.text) for r in df.collect() if r.doc_id not in dropped
+    )
+
+
+def test_streaming_fuzzy_dedup_matches_batch_twin(spark, tmp_path):
+    batch1 = [
+        (1, "spark engine", 0),
+        (2, "spark engin", 10),    # 1 del from 1 -> dropped
+        (3, "corpus dedup", 20),
+        (4, "sparkle", 30),        # far from everything -> kept
+    ]
+    batch2 = [
+        (5, "spark engine", 100),  # exact dup of 1, within horizon -> dropped
+        (6, "corpus dedupe", 110), # 1 ins from 3 -> dropped
+        (7, "wholly new key", 120),
+        (8, "spark enginX", 130),  # 1 sub from DROPPED 2 -> chained drop
+    ]
+    src = tmp_path / "segs"
+    _mk(spark, batch1).coalesce(1).write.mode("append").parquet(str(src))
+    _mk(spark, batch2).coalesce(1).write.mode("append").parquet(str(src))
+
+    got = _run_stream(spark, src, "twin")
+    assert got == _batch_twin(spark, batch1 + batch2)
+    # spot-check the interesting verdicts
+    kept_ids = {i for i, _ in got}
+    assert kept_ids == {1, 3, 4, 7}
+
+
+def test_streaming_fuzzy_dedup_horizon_expiry(spark, tmp_path):
+    """A duplicate arriving AFTER the horizon passes survives (state for
+    the original expired). The watermark lags one micro-batch, so a middle
+    batch advances it past doc 1's horizon before the duplicate arrives."""
+    early = [(1, "alpha beta", 0)]
+    advancer = [(9, "wholly unrelated key", 86400)]  # +1 day
+    late = [(2, "alpha beta", 2 * 86400)]            # +2 days
+    src = tmp_path / "segs"
+    for batch in (early, advancer, late):
+        _mk(spark, batch).coalesce(1).write.mode("append").parquet(str(src))
+    got = _run_stream(spark, src, "expiry", horizon_minutes=60)
+    assert got == [
+        (1, "alpha beta"), (2, "alpha beta"), (9, "wholly unrelated key")
+    ]
