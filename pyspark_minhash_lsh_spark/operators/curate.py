@@ -209,14 +209,23 @@ def curate_corpus(
         F.lit("drop_repetition"),
     )
     if max_other_script_frac is not None:
-        from ..functions.text_analysis import script_counts
+        from ..functions.text_analysis import SCRIPT_CLASSES
 
-        sc_m = script_counts(F.col("text"))
-        nonws = F.length("text") - F.element_at(sc_m, F.lit("whitespace"))
+        # two regex passes, not the full 12-class script_counts map (this
+        # is the scan-speed rule stage): SCRIPT_CLASSES are pairwise
+        # disjoint, so 'other' = what survives removing EVERY class char,
+        # and non-whitespace = what survives removing the whitespace class
+        all_ranges = "".join(SCRIPT_CLASSES.values())
+        other = F.length(
+            F.regexp_replace(F.col("text"), f"[{all_ranges}]", "")
+        )
+        nonws = F.length(
+            F.regexp_replace(
+                F.col("text"), "[" + SCRIPT_CLASSES["whitespace"] + "]", ""
+            )
+        )
         ofrac = F.when(
-            nonws > 0,
-            F.element_at(sc_m, F.lit("other")).cast("double")
-            / nonws.cast("double"),
+            nonws > 0, other.cast("double") / nonws.cast("double")
         ).otherwise(F.lit(0.0))
         staged = staged.withColumn("_other_frac", ofrac)
         status = status.when(

@@ -1102,26 +1102,70 @@ def extract_links(
     return out
 
 
+_ABS_URL_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
 def frontier_new_urls(
     pages: DataFrame,
     crawled_urls: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
     url_col: str = "url",
+    base_url_col: "str | None" = None,
 ) -> DataFrame:
     """Crawl-frontier discovery: the NEW canonical URLs a batch of fetched
-    pages links to — ``extract_links`` (already canonicalized) ->
+    pages links to — href extraction -> base resolution -> canonical key ->
     first-discovery per URL within the batch (min (doc_id, link_pos)) ->
     anti-join against the already-crawled set, itself canonicalized with
     the SAME normalizer so spelling variants of a crawled page can never
     re-enter the frontier. Returns ``(url, doc_id, link_pos)`` — one row
     per new URL, attributed to its first discoverer.
 
+    ``base_url_col`` names the PAGE-URL column on ``pages``: with it,
+    protocol-relative (``//h/p``) and root-relative (``/p``) hrefs resolve
+    against the page's scheme/origin before canonicalization (round-5
+    review: without resolution, ``/about`` on two different sites collided
+    to one uncrawlable frontier key). Hrefs that are neither absolute nor
+    resolvable that way (path-relative, ``#fragment``, ``mailto:``-less
+    junk) are EXCLUDED — a frontier key must dereference; without
+    ``base_url_col`` only absolute ``scheme://`` hrefs qualify.
+
     Scale shape: the dedup window and the anti-join both key on the
     canonical url string (high-cardinality), so this is the standard
     incremental shape (``incremental_exact_dedup`` on url keys); the
     crawled set ships as ``(url)`` rows only."""
-    links = extract_links(pages, html_col=html_col, id_col=id_col)
+    links = extract_links(
+        pages, html_col=html_col, id_col=id_col, canonicalize=False
+    )
+    raw = F.col("url")
+    if base_url_col is not None:
+        base = pages.select(
+            F.col(id_col).alias("doc_id"), F.col(base_url_col).alias("_base")
+        )
+        links = links.join(base, "doc_id")
+        scheme = F.regexp_extract(F.col("_base"), r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+        origin = F.regexp_extract(
+            F.col("_base"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0
+        )
+        resolved = (
+            F.when(raw.rlike(_ABS_URL_RE), raw)
+            .when(
+                raw.startswith("//") & (scheme != ""),
+                F.concat(scheme, F.lit(":"), raw),
+            )
+            .when(
+                raw.startswith("/") & (origin != ""),
+                F.concat(origin, raw),
+            )
+            .otherwise(F.lit(None).cast("string"))
+        )
+    else:
+        resolved = F.when(raw.rlike(_ABS_URL_RE), raw)
+    links = (
+        links.withColumn("url", canonicalize_url(resolved))
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        .select("doc_id", "link_pos", "url")
+    )
     w = Window.partitionBy("url").orderBy("doc_id", "link_pos")
     firsts = (
         links.withColumn("_rn", F.row_number().over(w))

@@ -15,7 +15,22 @@ exactness is the verify.
 
 Policy matches ``incremental_near_dedup``'s conservative chaining: every
 arrival enters the state whether or not it survived, so a doc dropped
-against X still kills later near-matches of itself.
+against X still kills later near-matches of itself. PRECEDENCE IS ARRIVAL
+ORDER — the streaming-dedup convention (identical to
+``dropDuplicatesWithinWatermark`` and ``streaming_near_dedup``): event-time
+ordering holds within a micro-batch (rows are sorted), but a late-arriving
+row with an earlier event time defers to already-processed arrivals. The
+batch-twin equality tested in tests/test_fuzzy_stream.py therefore assumes
+event-time-ordered arrival; out-of-order arrivals are still horizon-scoped
+exactly (see below), just ordered by arrival. NULL keys are coerced to ''
+AT THE OPERATOR INPUT (visible in the output ``s`` column) so state,
+verify, and emission all agree on one value.
+
+Matches are HORIZON-SCOPED PER ARRIVAL: a candidate only kills a row when
+``|row_ts - entry_ts| <= horizon``. State entries are RETAINED one horizon
+past the watermark so late rows can still be checked against them, but
+retention never widens the match window (an entry almost two horizons
+older than an on-time row is retained yet cannot match it).
 
 State size: one entry list per variant key, entries expiring with the
 watermark (pruned on update, state removed on event-time timeout);
@@ -121,7 +136,11 @@ def _make_fn(max_dist: int, horizon_ms: int, max_entries: int):
 
         out_id, out_s, out_ts, out_m = [], [], [], []
         for did, s, ts in rows:
-            matched = any(_lev_le(s, s2, max_dist) for s2 in strs)
+            row_ms = ts.value // 1_000_000
+            matched = any(
+                abs(row_ms - t2) <= horizon_ms and _lev_le(s, s2, max_dist)
+                for s2, t2 in zip(strs, tss)
+            )
             out_id.append(did)
             out_s.append(s)
             out_ts.append(ts)
@@ -154,15 +173,18 @@ def streaming_fuzzy_dedup(
     ``fuzzy_dedup_finalize`` inside ``foreachBatch`` to get survivors.
 
     Input needs ``(id_col, string_col, ts_col)``; the watermark is set to
-    ``horizon_minutes`` (state lives exactly one horizon). Works only on
-    streaming DataFrames (the state store requires the streaming engine);
-    the batch twin — "drop a doc iff ANY earlier arrival is within
-    ``max_dist``" — is ``edit_distance_join`` filtered to earlier
-    partners (tested equal)."""
+    ``horizon_minutes``, matches are horizon-scoped per arrival, and state
+    is retained one horizon past the watermark for late rows (see the
+    module docstring). Works only on streaming DataFrames (the state store
+    requires the streaming engine); the batch twin — "drop a doc iff ANY
+    earlier arrival is within ``max_dist``" — is ``edit_distance_join``
+    filtered to earlier partners (tested equal for in-order streams)."""
     src = (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.col(string_col).cast("string").alias("s"),
+            # NULL keys coerced to '' HERE so the variant keys, the state
+            # entries, and the emitted s column are all the same value
+            F.coalesce(F.col(string_col).cast("string"), F.lit("")).alias("s"),
             F.col(ts_col).alias("ts"),
         )
         .withColumn("_v", F.explode(deletion_variants(F.col("s"), max_dist)))

@@ -106,3 +106,18 @@ def test_streaming_fuzzy_dedup_horizon_expiry(spark, tmp_path):
     assert got == [
         (1, "alpha beta"), (2, "alpha beta"), (9, "wholly unrelated key")
     ]
+
+
+def test_streaming_fuzzy_dedup_match_window_is_horizon_scoped(spark, tmp_path):
+    """Round-5 review: retention (one horizon past the watermark, for late
+    rows) must never WIDEN the match window — a duplicate arriving 90 min
+    after the original (horizon 60) survives even though the original's
+    state entry is still retained."""
+    b1 = [(1, "alpha beta", 0)]
+    b2 = [(9, "wholly unrelated key", 50 * 60)]   # advances wm to -10min
+    b3 = [(2, "alpha beta", 90 * 60)]             # 90min after doc 1
+    src = tmp_path / "segs"
+    for batch in (b1, b2, b3):
+        _mk(spark, batch).coalesce(1).write.mode("append").parquet(str(src))
+    got = _run_stream(spark, src, "window", horizon_minutes=60)
+    assert (2, "alpha beta") in got and (1, "alpha beta") in got

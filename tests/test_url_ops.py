@@ -163,3 +163,32 @@ def test_frontier_new_urls(spark):
     out = {(r.url, r.doc_id) for r in frontier_new_urls(pages, crawled).collect()}
     # /a is crawled (variant spelling collides); /b discovered FIRST by doc 1
     assert out == {("https://e.com/b", 1), ("https://e.com/c", 2)}
+
+
+def test_frontier_new_urls_resolves_relative_links(spark):
+    """Round-5 review: root-/protocol-relative hrefs resolve against the
+    PAGE url (no cross-site '/about' collisions); unresolvable hrefs are
+    excluded (a frontier key must dereference)."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import frontier_new_urls
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<a href="/about">a</a><a href="//cdn.x.net/lib.js">b</a>'
+                '<a href="#top">frag</a><a href="rel/path">rel</a>',
+             "https://site-x.com/home"),
+            (2, '<a href="/about">a</a>', "https://site-y.org/p"),
+        ],
+        "doc_id bigint, html string, url string",
+    )
+    crawled = spark.createDataFrame([("https://nothing.example/",)], "url string")
+    out = {(r.url, r.doc_id)
+           for r in frontier_new_urls(pages, crawled,
+                                      base_url_col="url").collect()}
+    assert out == {
+        ("https://site-x.com/about", 1),
+        ("https://cdn.x.net/lib.js", 1),
+        ("https://site-y.org/about", 2),
+    }
+    # without a base column, only absolute hrefs qualify
+    out2 = frontier_new_urls(pages, crawled).collect()
+    assert out2 == []
