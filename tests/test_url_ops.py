@@ -192,3 +192,27 @@ def test_frontier_new_urls_resolves_relative_links(spark):
     # without a base column, only absolute hrefs qualify
     out2 = frontier_new_urls(pages, crawled).collect()
     assert out2 == []
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canonicalize_url is a DEDUP KEY, so it must be idempotent —
+    canon(canon(x)) == canon(x) over the adversarial corpus."""
+    import random
+
+    random.seed(406)
+    hosts = ["Example.COM", "e.org"]
+    params = ["utm_source=a", "utm_x", "fbclid=1", "page=3", "gclid_src=aw", ""]
+    urls = []
+    for _ in range(80):
+        port = random.choice(["", ":80", ":443", ":8080"])
+        path = random.choice(["", "/", "/A/b", "/x/", "/a&b"])
+        qs = "&".join(random.sample(params, random.randint(0, 4)))
+        frag = random.choice(["", "#f"])
+        urls.append(
+            f"{random.choice(['http','HTTPS'])}://{random.choice(hosts)}"
+            f"{port}{path}{'?' + qs if qs else ''}{frag}"
+        )
+    urls += ["", "  x  ", "/rel?utm_x", "https://e.com/?", "https://e.com/"]
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    assert twice == once
