@@ -29,6 +29,7 @@ __all__ = [
     "write_csv",
     "write_bucketed_table",
     "write_training_shards",
+    "write_jsonl_shards",
 ]
 
 
@@ -189,3 +190,37 @@ def write_csv(
     _prepare(df, coalesce_to, None).option("header", str(header).lower()).mode(
         mode
     ).csv(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    mode: str = "overwrite",
+    compression: "Optional[str]" = "gzip",
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """``write_training_shards`` with a JSON-LINES surface — the interop
+    format most LLM data tooling consumes directly (one JSON object per
+    line, optionally ``*.json.gz``). Identical layout contract: md5 shard
+    membership + stable in-shard order, ONE shuffle, no global sort,
+    byte-identical re-runs on the same ``(corpus, salt)``; one directory
+    per shard under ``shard_id=N/``. Prefer parquet shards
+    (``write_training_shards``) when the reader is Spark again — JSONL
+    trades scan speed and types for tool compatibility."""
+    from ..operators.sampling import shard_assignment
+
+    sharded = shard_assignment(df, n_shards, id_col=id_col, salt=salt)
+    out = (
+        sharded.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_pos")
+        .drop("shard_pos")
+    )
+    w = out.write
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.partitionBy("shard_id").mode(mode).json(path)

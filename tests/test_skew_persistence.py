@@ -342,3 +342,51 @@ def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     assert l1 != l3
     # within-shard order is the hash order, NOT id order (shuffled)
     assert any(ids != sorted(ids) for ids in l1.values())
+
+
+def test_write_jsonl_shards_round_trip(spark, tmp_path):
+    """JSONL interop writer: one shard_id=N/ dir per shard, real
+    json-lines inside (gzip), membership identical to shard_assignment,
+    byte-identical across re-runs on the same (corpus, salt)."""
+    import glob
+    import gzip as _gzip
+    import json as _json
+
+    from pyspark_minhash_lsh_spark.operators.sampling import shard_assignment
+    from pyspark_minhash_lsh_spark.sources.sinks import write_jsonl_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_jsonl_shards(docs, p1, n_shards=4)
+    write_jsonl_shards(docs, p2, n_shards=4)
+
+    dirs = sorted(glob.glob(p1 + "/shard_id=*"))
+    assert [d.split("=")[-1] for d in dirs] == ["0", "1", "2", "3"]
+    # real gzip JSONL inside
+    f = glob.glob(dirs[0] + "/*.json.gz")[0]
+    lines = _gzip.decompress(open(f, "rb").read()).decode().splitlines()
+    assert all(_json.loads(ln)["text"].startswith("doc text ") for ln in lines)
+
+    back = spark.read.json(p1 + "/shard_id=*")
+    got = {(r.doc_id, int(r.shard_id)) for r in
+           back.withColumn("shard_id",
+                           F.regexp_extract(F.input_file_name(),
+                                            r"shard_id=(\d+)", 1)).collect()}
+    want = {(r.doc_id, r.shard_id)
+            for r in shard_assignment(docs, 4).collect()}
+    assert got == want
+
+    # reproducible layout: the two runs are byte-identical per shard
+    def shard_bytes(root):
+        out = {}
+        for d in sorted(glob.glob(root + "/shard_id=*")):
+            blob = b"".join(
+                _gzip.decompress(open(f, "rb").read())
+                for f in sorted(glob.glob(d + "/*.json.gz"))
+            )
+            out[d.split("=")[-1]] = blob
+        return out
+
+    assert shard_bytes(p1) == shard_bytes(p2)
