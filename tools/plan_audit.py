@@ -33,6 +33,10 @@ HEADLINE = [
     "q67_text_hygiene",
     "q70_length_percentiles",
     "q78_corpus_overlap",
+    # round-5 second session: reshaped tagged unions frozen too
+    "q42_relational_ops",
+    "q64_incremental_dedup",
+    "q68_token_frequency_profile",
 ]
 
 #: hard shape assertions backing PLANS.md claims (audit FAILS on regression).
@@ -78,6 +82,16 @@ MAX_COUNTS = [
     ("q70_length_percentiles", "Exchange hashpartitioning", 1),
     # postings tf agg + dl agg + term df agg + final doc-score agg
     ("q63_bm25_search", "Exchange hashpartitioning", 4),
+    # round-5 second session, reshaped tagged unions:
+    # q42: top-n + intersect + the fuzzy variant-hash join (ids+short
+    # strings only; profile/projection legs are scan-side)
+    ("q42_relational_ops", "Exchange hashpartitioning", 3),
+    # q64: dedup leg fingerprint window/anti + diff leg's id-keyed
+    # full-outer over (id, fingerprint) projections
+    ("q64_incremental_dedup", "Exchange hashpartitioning", 4),
+    # q68: zipf double-agg + drift's two token-count aggs + token join
+    # (1-row totals broadcast; no corpus-sized extra exchange)
+    ("q68_token_frequency_profile", "Exchange hashpartitioning", 4),
 ]
 
 MARKERS = [
