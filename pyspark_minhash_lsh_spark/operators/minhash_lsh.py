@@ -301,8 +301,18 @@ class MinHashLSHModel:
         threshold: float = 0.5,
         max_bucket_size: Optional[int] = None,
         broadcast_max_rows: Optional[int] = None,
+        min_band_matches: int = 1,
     ) -> DataFrame:
         """All pairs (id_a < id_b) with estimated Jaccard >= threshold.
+
+        ``min_band_matches`` = the collision-counting LSH join (C2Net,
+        ICDE'19): require a candidate pair to agree on >= c bands instead
+        of any one. P(candidate) goes from 1-(1-s^r)^b to P(Binomial(b,
+        s^r) >= c) — a sharper S-curve that suppresses the low-similarity
+        false candidates which dominate verify traffic at scale. Costs
+        NOTHING extra: the pair-dedup shuffle becomes a pair-keyed count
+        aggregate with map-side combine (same key, same exchange). Default
+        1 = classic any-band candidates.
 
         The reference never materializes this (SURVEY.md §2.4) — it is the
         north-star addition mirroring MLlib's ``approxSimilarityJoin``:
@@ -356,12 +366,20 @@ class MinHashLSHModel:
 
         a = exploded.select(F.col("bucket"), F.col(self.id_col).alias("id_a"))
         b = exploded.select(F.col("bucket"), F.col(self.id_col).alias("id_b"))
-        pairs = (
-            a.join(b, on="bucket", how="inner")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
+        raw_pairs = a.join(b, on="bucket", how="inner").filter(
+            F.col("id_a") < F.col("id_b")
         )
+        if min_band_matches > 1:
+            pairs = (
+                raw_pairs.groupBy("id_a", "id_b")
+                .agg(F.count_distinct("bucket").alias("_nb"))
+                .filter(F.col("_nb") >= int(min_band_matches))
+                .select("id_a", "id_b")
+            )
+        else:
+            pairs = raw_pairs.select("id_a", "id_b").dropDuplicates(
+                ["id_a", "id_b"]
+            )
         sigs = self.index.select(F.col(self.id_col), F.col("signature"))
         sa = sigs.select(F.col(self.id_col).alias("id_a"), F.col("signature").alias("sig_a"))
         sb = sigs.select(F.col(self.id_col).alias("id_b"), F.col("signature").alias("sig_b"))

@@ -400,3 +400,31 @@ def test_dedup_profile_histogram(spark):
     assert rows[1].removal_frac == 0.0
     # total removal = (2-1) + (3-1) = 3 of 8 docs
     assert round(sum(r.removal_frac for r in rows.values()), 6) == round(3 / 8, 6)
+
+
+def test_similarity_join_collision_counting(spark):
+    """C2Net-style min_band_matches: c=2 candidates are a subset of c=1,
+    an exact-duplicate pair (agrees on every band) survives any c <=
+    num_bands, and c > num_bands empties the join."""
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy cat again and again"),
+        (4, "entirely different content about streaming corpora and joins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    model = MinHashLSH().fit(docs, persist=False)
+    p1 = {(r.id_a, r.id_b) for r in model.approx_similarity_join(0.3).collect()}
+    p2 = {(r.id_a, r.id_b)
+          for r in model.approx_similarity_join(0.3, min_band_matches=2).collect()}
+    nb = model.config.num_bands
+    pall = {(r.id_a, r.id_b)
+            for r in model.approx_similarity_join(
+                0.3, min_band_matches=nb).collect()}
+    pnone = model.approx_similarity_join(
+        0.3, min_band_matches=nb + 1).count()
+    assert (1, 2) in p1 and (1, 2) in p2 and (1, 2) in pall
+    assert p2 <= p1
+    assert pnone == 0
