@@ -202,8 +202,18 @@ class SrpLshModel:
         min_cosine: float = 0.8,
         max_bucket_size: Optional[int] = None,
         broadcast_max_rows: Optional[int] = None,
+        min_table_matches: int = 1,
     ) -> DataFrame:
         """All candidate pairs sharing >= 1 SRP bucket with cosine >= threshold.
+
+        ``min_table_matches`` = collision counting (C2Net, ICDE'19 — the
+        SRP sibling of ``approx_similarity_join(min_band_matches=)``):
+        require agreement in >= c of the ``num_tables`` hash tables. With
+        per-table collision probability p = (1 - theta/pi)^num_planes the
+        candidate curve sharpens from 1-(1-p)^T to P(Binomial(T, p) >= c),
+        suppressing low-cosine false candidates before the exact-cosine
+        verify at no extra cost (the pair-dedup shuffle becomes a
+        pair-keyed count on the same key). Default 1 = classic any-table.
 
         Explode keys -> id-only self-equi-join on key (the shuffle moves
         16-byte (key, id) rows, never embeddings) -> dedupe pairs -> attach
@@ -229,12 +239,18 @@ class SrpLshModel:
             ex = ex.join(F.broadcast(hot), "key", "left_anti")
         a = ex.select("key", F.col(self.id_col).alias("id_a"))
         b = ex.select("key", F.col(self.id_col).alias("id_b"))
-        pairs = (
-            a.join(b, "key")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        raw_pairs = a.join(b, "key").filter(F.col("id_a") < F.col("id_b"))
+        if min_table_matches > 1:
+            pairs = (
+                raw_pairs.groupBy("id_a", "id_b")
+                .agg(F.count_distinct("key").alias("_nt"))
+                .filter(F.col("_nt") >= int(min_table_matches))
+                .select("id_a", "id_b")
+            )
+        else:
+            pairs = raw_pairs.select("id_a", "id_b").dropDuplicates(
+                ["id_a", "id_b"]
+            )
         embs = self.index.select(F.col(self.id_col), F.col(self.emb_col))
         ea = embs.select(F.col(self.id_col).alias("id_a"), F.col(self.emb_col).alias("emb_a"))
         eb = embs.select(F.col(self.id_col).alias("id_b"), F.col(self.emb_col).alias("emb_b"))

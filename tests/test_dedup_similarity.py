@@ -428,3 +428,27 @@ def test_similarity_join_collision_counting(spark):
     assert (1, 2) in p1 and (1, 2) in p2 and (1, 2) in pall
     assert p2 <= p1
     assert pnone == 0
+
+
+def test_srp_pairs_collision_counting(spark):
+    """SRP sibling of min_band_matches: c=2 subset of c=1, identical
+    vectors (agree in every table) survive c=num_tables, c>num_tables
+    empties."""
+    import numpy as np
+
+    from pyspark_minhash_lsh_spark.operators.similarity import SrpLsh
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(0, 1, size=(30, 8)).tolist()
+    vecs.append(list(vecs[0]))  # vec 30 == vec 0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    m = SrpLsh(num_planes=4, num_tables=8).fit(emb, persist=False)
+    p1 = {(r.id_a, r.id_b) for r in m.approx_similarity_pairs(0.0).collect()}
+    p2 = {(r.id_a, r.id_b)
+          for r in m.approx_similarity_pairs(0.0, min_table_matches=2).collect()}
+    pall = {(r.id_a, r.id_b)
+            for r in m.approx_similarity_pairs(0.0, min_table_matches=8).collect()}
+    assert (0, 30) in p1 and (0, 30) in p2 and (0, 30) in pall
+    assert p2 <= p1
+    assert m.approx_similarity_pairs(0.0, min_table_matches=9).count() == 0
