@@ -259,6 +259,7 @@ def minhash_dedup(
     threshold: float = 0.8,
     config: MinHashLSHConfig = DEFAULT_CONFIG,
     max_bucket_size: Optional[int] = None,
+    min_band_matches: int = 1,
     max_iter: int = 10,
     score_col: Optional[str] = None,
 ) -> DataFrame:
@@ -272,7 +273,8 @@ def minhash_dedup(
     model = MinHashLSH(config).fit(df, text_col=text_col, id_col=id_col, persist=True)
     try:
         edges = model.approx_similarity_join(
-            threshold=threshold, max_bucket_size=max_bucket_size
+            threshold=threshold, max_bucket_size=max_bucket_size,
+            min_band_matches=min_band_matches
         ).select("id_a", "id_b")
         comp = connected_components(edges, max_iter=max_iter)
         out = _label_output(df, comp, id_col, score_col)
@@ -318,6 +320,7 @@ def embedding_dedup(
     num_tables: int = 4,
     seed: int = 1,
     max_bucket_size: Optional[int] = None,
+    min_table_matches: int = 1,
     max_iter: int = 10,
     score_col: Optional[str] = None,
 ) -> DataFrame:
@@ -339,7 +342,8 @@ def embedding_dedup(
     )
     try:
         edges = model.approx_similarity_pairs(
-            min_cosine=min_cosine, max_bucket_size=max_bucket_size
+            min_cosine=min_cosine, max_bucket_size=max_bucket_size,
+            min_table_matches=min_table_matches
         ).select("id_a", "id_b")
         comp = connected_components(edges, max_iter=max_iter)
         # materialize before unpersisting the index
