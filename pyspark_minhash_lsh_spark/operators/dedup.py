@@ -259,9 +259,9 @@ def minhash_dedup(
     threshold: float = 0.8,
     config: MinHashLSHConfig = DEFAULT_CONFIG,
     max_bucket_size: Optional[int] = None,
-    min_band_matches: int = 1,
     max_iter: int = 10,
     score_col: Optional[str] = None,
+    min_band_matches: int = 1,
 ) -> DataFrame:
     """Near-duplicate clustering: MinHash-LSH similarity join -> connected
     components -> ``(id, component, is_representative)``.
@@ -320,9 +320,9 @@ def embedding_dedup(
     num_tables: int = 4,
     seed: int = 1,
     max_bucket_size: Optional[int] = None,
-    min_table_matches: int = 1,
     max_iter: int = 10,
     score_col: Optional[str] = None,
+    min_table_matches: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate clustering (semantic dedup).
 

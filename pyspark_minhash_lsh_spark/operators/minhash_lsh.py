@@ -370,9 +370,15 @@ class MinHashLSHModel:
             F.col("id_a") < F.col("id_b")
         )
         if min_band_matches > 1:
+            # plain count, not count_distinct: each (pair, bucket) row is
+            # unique by construction (band keys are xxhash64(band_idx,
+            # slice) — distinct per doc to the same essentially-certain
+            # standard as the candidate condition itself), and
+            # count_distinct would plan a SECOND pair-keyed exchange
+            # (partial dedup then count; review r05 — verified 2 vs 1)
             pairs = (
                 raw_pairs.groupBy("id_a", "id_b")
-                .agg(F.count_distinct("bucket").alias("_nb"))
+                .agg(F.count(F.lit(1)).alias("_nb"))
                 .filter(F.col("_nb") >= int(min_band_matches))
                 .select("id_a", "id_b")
             )

@@ -241,9 +241,13 @@ class SrpLshModel:
         b = ex.select("key", F.col(self.id_col).alias("id_b"))
         raw_pairs = a.join(b, "key").filter(F.col("id_a") < F.col("id_b"))
         if min_table_matches > 1:
+            # plain count: srp_keys are table*2^num_planes + bits, so a
+            # vector's keys are STRUCTURALLY distinct across tables —
+            # count_distinct would only add a second pair-keyed exchange
+            # (review r05)
             pairs = (
                 raw_pairs.groupBy("id_a", "id_b")
-                .agg(F.count_distinct("key").alias("_nt"))
+                .agg(F.count(F.lit(1)).alias("_nt"))
                 .filter(F.col("_nt") >= int(min_table_matches))
                 .select("id_a", "id_b")
             )

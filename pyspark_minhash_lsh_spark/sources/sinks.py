@@ -110,6 +110,35 @@ def write_orc(
     w.mode(mode).save(path)
 
 
+def _sharded_writer(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str,
+    salt: str,
+    compression: "Optional[str]",
+    max_records_per_file: Optional[int],
+    drop_pos: bool = False,
+):
+    """Shared shard layout (ONE copy of the contract both shard writers
+    promise): md5 shard membership + stable in-shard order, one shuffle
+    (the repartition), a LOCAL sort, no global sort."""
+    from ..operators.sampling import shard_assignment
+
+    sharded = shard_assignment(df, n_shards, id_col=id_col, salt=salt)
+    out = (
+        sharded.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_pos")
+    )
+    if drop_pos:
+        out = out.drop("shard_pos")
+    w = out.write
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    return w
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -136,16 +165,9 @@ def write_training_shards(
     ``salt`` for a fresh permutation. Readers stream shard files in parquet
     row order; rows arrive hash-shuffled without any reader-side sort.
     """
-    from ..operators.sampling import shard_assignment
-
-    sharded = shard_assignment(df, n_shards, id_col=id_col, salt=salt)
-    out = (
-        sharded.repartition(n_shards, "shard_id")
-        .sortWithinPartitions("shard_pos")
+    w = _sharded_writer(
+        df, n_shards, id_col, salt, compression, max_records_per_file
     )
-    w = out.write.option("compression", compression)
-    if max_records_per_file:
-        w = w.option("maxRecordsPerFile", int(max_records_per_file))
     w.partitionBy("shard_id").mode(mode).parquet(path)
 
 
@@ -210,17 +232,13 @@ def write_jsonl_shards(
     per shard under ``shard_id=N/``. Prefer parquet shards
     (``write_training_shards``) when the reader is Spark again — JSONL
     trades scan speed and types for tool compatibility."""
-    from ..operators.sampling import shard_assignment
-
-    sharded = shard_assignment(df, n_shards, id_col=id_col, salt=salt)
-    out = (
-        sharded.repartition(n_shards, "shard_id")
-        .sortWithinPartitions("shard_pos")
-        .drop("shard_pos")
+    w = _sharded_writer(
+        df, n_shards, id_col, salt, compression, max_records_per_file,
+        drop_pos=True,
     )
-    w = out.write
-    if compression:
-        w = w.option("compression", compression)
-    if max_records_per_file:
-        w = w.option("maxRecordsPerFile", int(max_records_per_file))
-    w.partitionBy("shard_id").mode(mode).json(path)
+    # explicit null keys: Spark's JSON writer silently OMITS null-valued
+    # fields by default, producing ragged JSONL — exactly wrong for an
+    # interop export whose consumers index fields uniformly (review r05)
+    w.option("ignoreNullFields", "false").partitionBy("shard_id").mode(
+        mode
+    ).json(path)

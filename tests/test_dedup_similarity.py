@@ -452,3 +452,29 @@ def test_srp_pairs_collision_counting(spark):
     assert (0, 30) in p1 and (0, 30) in p2 and (0, 30) in pall
     assert p2 <= p1
     assert m.approx_similarity_pairs(0.0, min_table_matches=9).count() == 0
+
+
+def test_collision_counting_adds_no_exchange(spark):
+    """Review r05: the c>1 path must plan the SAME number of unique hash
+    exchanges as the classic pair-dedup (plain count, not count_distinct)."""
+    import re
+
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with shared words") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    model = MinHashLSH().fit(docs, persist=False)
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ids = set()
+        for m in re.finditer(r"(?m)^.*Exchange hashpartitioning.*$", plan):
+            pid = re.search(r"plan_id=(\d+)", m.group(0))
+            ids.add(pid.group(1) if pid else m.group(0))
+        return len(ids)
+
+    base = n_exchanges(model.approx_similarity_join(0.5))
+    counted = n_exchanges(model.approx_similarity_join(0.5, min_band_matches=2))
+    assert counted == base

@@ -390,3 +390,26 @@ def test_write_jsonl_shards_round_trip(spark, tmp_path):
         return out
 
     assert shard_bytes(p1) == shard_bytes(p2)
+
+
+def test_write_jsonl_shards_keeps_null_fields(spark, tmp_path):
+    """Review r05: interop JSONL must emit explicit null keys, not ragged
+    lines (Spark's writer omits null fields by default)."""
+    import glob
+    import gzip as _gzip
+    import json as _json
+
+    from pyspark_minhash_lsh_spark.sources.sinks import write_jsonl_shards
+
+    docs = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "web")],
+        "doc_id bigint, text string, source string",
+    )
+    p = str(tmp_path / "j")
+    write_jsonl_shards(docs, p, n_shards=1)
+    lines = []
+    for f in glob.glob(p + "/shard_id=*/*.json.gz"):
+        lines += _gzip.decompress(open(f, "rb").read()).decode().splitlines()
+    objs = [_json.loads(ln) for ln in lines]
+    assert all("source" in o for o in objs)
+    assert {o["doc_id"]: o["source"] for o in objs} == {1: None, 2: "web"}
