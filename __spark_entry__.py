@@ -15,7 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from pyspark_minhash_lsh_spark.catalog import DRIVER_QUERIES, ORACLE_SQL  # noqa: E402
+from pyspark_minhash_lsh_spark.catalog import (  # noqa: E402
+    DRIVER_ORACLE_SQL,
+    DRIVER_QUERIES,
+)
 from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH  # noqa: E402
 
 
@@ -37,4 +40,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return dict(DRIVER_ORACLE_SQL)

@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql.types import DoubleType, FloatType
 
 from pyspark_minhash_lsh_spark.catalog import (
+    DRIVER_ORACLE_SQL,
     DRIVER_QUERIES,
     ORACLE_SQL,
     QUERIES,
@@ -60,8 +61,10 @@ def test_driver_budget_is_exactly_50():
     for name, fn in DRIVER_QUERIES.items():
         assert callable(fn), name
         assert name in QUERIES, name
-    # oracles only exist for driver-visible queries
-    assert set(ORACLE_SQL) <= set(DRIVER_QUERIES)
+    # the driver-facing oracle dict covers only driver-visible queries, and
+    # every registered oracle belongs to a registered query
+    assert set(DRIVER_ORACLE_SQL) <= set(DRIVER_QUERIES)
+    assert set(ORACLE_SQL) <= set(QUERIES)
 
 
 #: the ONLY queries still sanctioned to use the IEEE-evaluating ``_sint``
@@ -103,7 +106,7 @@ def test_oracle_hash_surface_has_no_derived_floats(spark):
         pytest.skip(f"testdata not present: {SF_DIR}")
     offenders = []
     for name in ORACLE_SQL:
-        df = DRIVER_QUERIES[name](spark, SF_DIR)
+        df = QUERIES[name](spark, SF_DIR)
         allowed = EXACT_DOUBLE_ALLOW.get(name, set())
         for f in df.schema.fields:
             if isinstance(f.dataType, (DoubleType, FloatType)) and f.name not in allowed:

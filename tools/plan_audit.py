@@ -37,6 +37,7 @@ HEADLINE = [
     "q42_relational_ops",
     "q64_incremental_dedup",
     "q68_token_frequency_profile",
+    "q85_diag_drift",
 ]
 
 #: hard shape assertions backing PLANS.md claims (audit FAILS on regression).
@@ -89,9 +90,12 @@ MAX_COUNTS = [
     # q64: dedup leg fingerprint window/anti + diff leg's id-keyed
     # full-outer over (id, fingerprint) projections
     ("q64_incremental_dedup", "Exchange hashpartitioning", 4),
-    # q68: zipf double-agg + drift's two token-count aggs + token join
-    # (1-row totals broadcast; no corpus-sized extra exchange)
-    ("q68_token_frequency_profile", "Exchange hashpartitioning", 4),
+    # q68 (r06, zipf-only revert): token-count agg + count-keyed reagg
+    ("q68_token_frequency_profile", "Exchange hashpartitioning", 2),
+    # drift shape (moved from q68's union to the q85 diagnostic): two
+    # token-count aggs + the full-outer token join (1-row totals broadcast;
+    # no corpus-sized extra exchange)
+    ("q85_diag_drift", "Exchange hashpartitioning", 4),
 ]
 
 MARKERS = [
