@@ -58,7 +58,20 @@ def script_counts(text: Column) -> Column:
     mojibake/binary junk). One codegen projection: each class count is
     ``length(text) - length(regexp_replace(text, '[class]', ''))`` over the
     shared ``SCRIPT_CLASSES`` ranges; ``other`` closes the partition so the
-    values always sum to ``length(text)``. Zero shuffle, scan speed."""
+    values always sum to ``length(text)``. Zero shuffle, scan speed.
+
+    BMP-only contract (ADVICE r05): Spark's ``length()`` counts UTF-16 code
+    units while DuckDB's ``len()`` counts codepoints, so any NON-BMP
+    character (emoji, supplementary-plane CJK) counts 2 toward ``other``
+    here and 1 in a DuckDB twin. All ``SCRIPT_CLASSES`` ranges are BMP by
+    construction, so the named-class counts agree cross-engine; only the
+    ``other`` residual (and the total) diverges when supplementary-plane
+    text appears. Treat ``other`` as a code-unit count on Spark surfaces,
+    and keep non-BMP text off any cross-engine oracle built on it (the q28
+    script leg's synthetic corpus is BMP-only). Downstream, ``drop_script``
+    gates on the other-FRACTION — a supplementary-plane emoji inflates that
+    fraction slightly faster on the Spark side, a conservative (stricter)
+    direction for a junk gate."""
     t = F.coalesce(text.cast("string"), F.lit(""))
     entries = []
     counted = []

@@ -119,7 +119,11 @@ def curate_corpus(
     outside every ``text_analysis.SCRIPT_CLASSES`` range (the ``other``
     class — encoding damage, binary junk, symbol floods) become
     ``drop_script``. One extra zero-shuffle projection
-    (``script_counts``), placed with the scan-speed rules.
+    (``script_counts``), placed with the scan-speed rules. Counts are
+    UTF-16 code units (the ``script_counts`` BMP-only contract): a
+    supplementary-plane character (emoji, rare CJK) adds 2 to ``other``,
+    nudging the gate stricter — acceptable for a junk gate; don't build a
+    cross-engine oracle on the other-fraction of non-BMP text.
 
     ``quality_model`` (opt-in, a fitted ``classify.QualityClassifier``)
     adds the MODEL-BASED quality gate after the heuristic rules: docs

@@ -328,6 +328,13 @@ class IvfPqIndex:
         if not rows:
             raise ValueError("empty query batch")
         qids = [r[0] for r in rows]
+        if len(set(qids)) != len(qids):
+            # fail loud (the empty-batch stance): duplicate ids would collapse
+            # to one probe-cell set in the qcells dict while BOTH embeddings
+            # still ADC-score, silently mixing two queries' candidates under
+            # one result group (ADVICE r05)
+            dupes = sorted({q for q in qids if qids.count(q) > 1})
+            raise ValueError(f"duplicate query ids in batch: {dupes}")
         raw = [[float(x) for x in r[1]] for r in rows]
         qmat = _normalize(np.asarray(raw, dtype=np.float64))
         # rank cells from the RAW queries — byte-identical probe sets with

@@ -459,6 +459,15 @@ def temperature_mix_weights(
     TOTAL row count at ``target_total`` (default: the input size) while
     redistributing mass toward small groups.
 
+    NULL-group contract (ADVICE r05): rows with a NULL ``group_col`` are
+    EXCLUDED from the weight map — and because ``temperature_resample``
+    feeds the map through ``weighted_resample`` with ``default_weight=0.0``,
+    those rows are dropped from the mixed output entirely. Missing source
+    labels are a labeling bug to fix upstream, not a mixture component; if
+    NULL-labeled documents should participate, coalesce the column to a
+    sentinel group first (``F.coalesce(col, F.lit("<unlabeled>"))``) so
+    they mix at their natural share.
+
     Scale shape: the only corpus-scale work is one group-count aggregate
     (|groups| rows to the driver — sources/domains/languages are bounded);
     the weight math is driver-side; the resample itself stays the
@@ -494,7 +503,9 @@ def temperature_resample(
     """One-call temperature mixing: ``temperature_mix_weights`` +
     ``weighted_resample``. Adds the ``epoch`` copy index like the base
     resampler; expected output size ~= ``target_total`` (default: input
-    size), with small groups upsampled toward the flattened distribution."""
+    size), with small groups upsampled toward the flattened distribution.
+    Rows with a NULL ``group_col`` are DROPPED (``default_weight=0.0`` —
+    see the NULL-group contract on ``temperature_mix_weights``)."""
     w = temperature_mix_weights(
         df, temperature, group_col=group_col, target_total=target_total
     )

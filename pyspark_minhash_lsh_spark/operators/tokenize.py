@@ -721,6 +721,14 @@ def learn_wordpiece_vocab(
         # smaller pair wins exact ties, so the scan is fully deterministic
         best, best_den = None, None
         for p, c_ab in pair_counts.items():
+            if c_ab < 2:
+                # singleton pairs often MAXIMIZE the likelihood score (a
+                # hapax word with two globally-unique symbols scores the
+                # theoretical max 1.0) — scanning them and then breaking on
+                # the count check terminated training with zero merges on
+                # realistic corpora (ADVICE r05). Ineligible, not terminal:
+                # skip them and keep scanning for count>=2 pairs.
+                continue
             den = sym_counts[p[0]] * sym_counts[p[1]]
             if best is None:
                 best, best_den = (p, c_ab), den
@@ -729,7 +737,7 @@ def learn_wordpiece_vocab(
             rhs = best[1] * den
             if lhs > rhs or (lhs == rhs and p < best[0]):
                 best, best_den = (p, c_ab), den
-        if best is None or best[1] < 2:
+        if best is None:  # no pair occurs at least twice -> converged
             break
         a, b = best[0]
         merged = a + (b[2:] if b.startswith("##") else b)

@@ -230,6 +230,15 @@ def test_topk_batch_matches_single_query_and_prunes(spark, corpus, saved_index):
     assert all(1 <= r.rank <= 5 for r in rows)
     assert {"adc_score", "cosine"} <= set(refined.columns)
 
+    # duplicate query ids fail loud (ADVICE r05): the qcells dict would
+    # collapse the probe sets while both embeddings still score, silently
+    # mixing two queries' candidates under one id
+    dup = spark.createDataFrame(
+        [qs[0], (100, qs[1][1])], "query_id bigint, q_emb array<float>"
+    )
+    with pytest.raises(ValueError, match="duplicate query ids.*100"):
+        loaded.topk_batch(dup, k=5, n_probe=2, query_emb_col="q_emb")
+
 
 def test_incremental_add_serves_new_vectors(spark, corpus, saved_index, tmp_path):
     """Round 5 incremental ingest: encode_new assigns cells by Euclidean

@@ -562,6 +562,29 @@ def test_wordpiece_trainer_likelihood_vs_frequency():
     assert merged[0] == "xy", (merged, vocab)
 
 
+def test_wordpiece_trainer_skips_singleton_pairs():
+    """ADVICE r05 fix: a hapax word whose two symbols are globally unique
+    scores the theoretical likelihood max 1.0 with pair count 1 — the old
+    argmax picked it and then TERMINATED on the count<2 check, producing a
+    singles-only vocab while count>=2 pairs remained. Singleton pairs must
+    be ineligible (skipped), not terminal."""
+    from pyspark_minhash_lsh_spark.operators.tokenize import (
+        learn_wordpiece_vocab,
+    )
+
+    # 'qz' is a hapax with exclusive symbols (score 1/1 = 1.0, count 1);
+    # 'ab' occurs 50x with parts occurring only together (score 1/50)
+    wc = {"qz": 1, "ab": 50}
+    vocab = learn_wordpiece_vocab(wc, vocab_size=100)
+    merged = [p for p in vocab if len(p.replace("##", "")) > 1]
+    assert "ab" in merged, (merged, vocab)
+    assert "qz" not in merged  # count-1 pair never merges
+
+    # degenerate corpus of only hapaxes: converges with zero merges, no loop
+    vocab2 = learn_wordpiece_vocab({"qz": 1, "wv": 1}, vocab_size=100)
+    assert [p for p in vocab2 if len(p.replace("##", "")) > 1] == []
+
+
 def test_train_wordpiece_end_to_end(spark, tmp_path):
     """train_wordpiece -> wordpiece_encode round trip: learned pieces carry
     the ## convention, cover the training corpus with low UNK, and the
