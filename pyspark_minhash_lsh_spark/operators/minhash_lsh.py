@@ -439,6 +439,61 @@ class MinHashLSHModel:
         self.index.unpersist()
 
     # -- persistence -------------------------------------------------------------------
+
+    #: params sidecar schema — rides in an underscore-prefixed subdir the
+    #: main parquet read ignores (the IvfFlatModel ``_params`` pattern)
+    _PARAMS_SCHEMA = (
+        "shingle_size int, num_hashes int, num_bands int, rows_per_band int, "
+        "num_buckets int, band_local_buckets boolean, seed int, "
+        "text_col string, id_col string"
+    )
+
+    def _params_tuple(self) -> tuple:
+        c = self.lsh.config
+        return (
+            c.shingle_size, c.num_hashes, c.num_bands, c.rows_per_band,
+            c.num_buckets, bool(c.band_local_buckets), c.seed,
+            self.text_col, self.id_col,
+        )
+
+    def _read_saved_params(self, path: str):
+        """The saved artifact's params row, or None for a pre-sidecar layout."""
+        spark = self.index.sparkSession
+        try:
+            return spark.read.parquet(path.rstrip("/") + "/_params").head()
+        except Exception:
+            return None
+
+    def _check_saved_params(self, path: str) -> None:
+        """Refuse config drift against a saved layout (the artifact-versioning
+        stance shared by the Bloom/CM sidecars): appending rows hashed under a
+        DIFFERENT permutation family or banding would silently corrupt the
+        candidate space — every query would keep returning rows, just wrong
+        ones. A missing sidecar (pre-round-6 artifact) is also a refusal:
+        re-save once with the current version to stamp it."""
+        saved = self._read_saved_params(path)
+        if saved is None:
+            raise ValueError(
+                f"no _params sidecar under {path!r} — artifact predates the "
+                "config stamp; re-save it once (save_index) with a model of "
+                "the known-correct config before appending"
+            )
+        names = [f.split()[0] for f in self._PARAMS_SCHEMA.split(", ")]
+        mine = dict(zip(names, self._params_tuple()))
+        theirs = {n: getattr(saved, n) for n in names}
+        diffs = {n: (theirs[n], mine[n]) for n in names if theirs[n] != mine[n]}
+        if diffs:
+            raise ValueError(
+                "saved index config mismatch (saved != model): "
+                + ", ".join(f"{n}: {a!r} != {b!r}" for n, (a, b) in diffs.items())
+            )
+
+    def _write_params(self, path: str) -> None:
+        spark = self.index.sparkSession
+        spark.createDataFrame([self._params_tuple()], self._PARAMS_SCHEMA)\
+            .coalesce(1).write.mode("overwrite")\
+            .parquet(path.rstrip("/") + "/_params")
+
     def save_index(
         self, path: str, partition_by_band0: bool = False, mode: str = "overwrite"
     ) -> None:
@@ -448,15 +503,59 @@ class MinHashLSHModel:
         ``partition_by_band0=True`` additionally partitions the layout by the
         first band's bucket — at warehouse scale that lets a band-0 candidate
         lookup prune partitions before scanning. ``mode='append'`` adds this
-        model's rows to an existing saved index — pair with a batch-only
-        model (``MinHashLSH().fit(batch)``) to persist an ``add_documents``
-        ingest without rewriting the corpus-sized index."""
+        model's rows to an existing saved index (config-checked against the
+        sidecar when one exists); for batch ingest prefer ``append_index``,
+        which computes batch-only signatures in one call. A ``_params``
+        sidecar stamps the config so later appends can refuse drift."""
+        if mode == "append":
+            saved = self._read_saved_params(path)
+            if saved is not None:
+                self._check_saved_params(path)
         out = self.index
         if partition_by_band0:
             out = out.withColumn("band0", F.element_at("bucket_ids", 1))
             out.write.mode(mode).partitionBy("band0").parquet(path)
         else:
             out.write.mode(mode).parquet(path)
+        self._write_params(path)
+
+    def append_index(self, new_docs: DataFrame, path: str) -> "MinHashLSHModel":
+        """Incremental ingest for a SAVED text index — the LSH twin of
+        ``IvfFlatModel.append_index``/``IvfPqIndex.append_index`` (round 6,
+        VERDICT r05 #5): a daily-crawl deployment appends each new dump into
+        the served artifact instead of rebuilding or hand-unioning parquet.
+
+        Signatures are computed for the BATCH ONLY with this model's frozen
+        config/permutations (the ``add_documents`` math — batch-sized cost,
+        not corpus-sized), the ``_params`` sidecar is checked so config
+        drift is refused loudly, and the batch rows land as new files inside
+        the existing ``save_index`` layout (inside their ``band0=``
+        partition directories when the artifact is band-partitioned —
+        nothing existing is rewritten). A subsequent ``load_index`` serves
+        old + new documents identically to a rebuild-from-union (tested).
+        Returns the updated in-memory model (immutable lineage, like
+        ``add_documents``) so the live session serves the batch too.
+
+        Assumes fresh batch ids (the append contract of ``add_documents``);
+        dedup against the lake first (``incremental_near_dedup``) when
+        ingest can replay documents."""
+        self._check_saved_params(path)
+        spark = self.index.sparkSession
+        band0_layout = "band0" in spark.read.parquet(path).columns
+        batch_index = self.lsh.transform(new_docs, self.text_col, self.id_col)
+        out = batch_index
+        if band0_layout:
+            out = out.withColumn("band0", F.element_at("bucket_ids", 1))
+            out.write.mode("append").partitionBy("band0").parquet(path)
+        else:
+            out.write.mode("append").parquet(path)
+        return MinHashLSHModel(
+            self.lsh,
+            self.corpus.unionByName(new_docs, allowMissingColumns=True),
+            self.index.unionByName(batch_index),
+            self.text_col,
+            self.id_col,
+        )
 
     @classmethod
     def load_index(
@@ -465,11 +564,38 @@ class MinHashLSHModel:
         path: str,
         corpus: DataFrame,
         lsh: "MinHashLSH" = None,
-        text_col: str = "text",
-        id_col: str = "doc_id",
+        text_col: "str | None" = None,
+        id_col: "str | None" = None,
     ) -> "MinHashLSHModel":
         """Rehydrate a saved index. ``corpus`` is still needed for result-text
-        joins; the signature pipeline is NOT recomputed."""
+        joins; the signature pipeline is NOT recomputed.
+
+        When the artifact carries a ``_params`` sidecar (round 6), the saved
+        config/columns are the defaults — a loader no longer has to remember
+        which ``MinHashLSHConfig`` built the artifact (passing a wrong one
+        silently broke query-side signature math before). Explicit ``lsh``/
+        ``text_col``/``id_col`` arguments still win; pre-sidecar artifacts
+        fall back to the legacy defaults."""
+        saved = None
+        try:
+            saved = spark.read.parquet(path.rstrip("/") + "/_params").head()
+        except Exception:
+            pass
+        if saved is not None:
+            if lsh is None:
+                lsh = MinHashLSH(MinHashLSHConfig(
+                    shingle_size=saved.shingle_size,
+                    num_hashes=saved.num_hashes,
+                    num_bands=saved.num_bands,
+                    rows_per_band=saved.rows_per_band,
+                    num_buckets=saved.num_buckets,
+                    band_local_buckets=saved.band_local_buckets,
+                    seed=saved.seed,
+                ))
+            text_col = text_col or saved.text_col
+            id_col = id_col or saved.id_col
+        text_col = text_col or "text"
+        id_col = id_col or "doc_id"
         cols = [id_col, "signature", "bucket_ids"]
         loaded = spark.read.parquet(path)
         if "band_keys" in loaded.columns:
