@@ -341,13 +341,15 @@ def pii_redact(
     text_col: str = "text",
     id_col: str = "doc_id",
     patterns: "tuple[tuple[str, str], ...]" = PII_PATTERNS,
+    keep_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Scrub personally-identifiable spans from document text — the release
     hygiene pass every public training corpus runs (C4 and RefinedWeb both
     ship with PII scrubbed).
 
-    Returns ``(doc_id, redacted_text, n_<kind>...)`` — the text with each
-    match replaced by ``<KIND>`` plus a per-kind match count. Counts are
+    Returns ``(doc_id, redacted_text, <keep_cols>..., n_<kind>...)`` — the
+    text with each match replaced by ``<KIND>`` plus a per-kind match count
+    (``keep_cols`` pass through unchanged, the ``html_to_text`` contract). Counts are
     taken on the text AS EACH PATTERN SEES IT (after earlier patterns'
     replacements), so an email's host is never double-counted as an IPv4;
     pattern order in ``patterns`` is therefore part of the contract.
@@ -356,7 +358,11 @@ def pii_redact(
     zero-shuffle, composes with any scan. At 100 TB this runs at scan speed;
     there is nothing to partition or broadcast.
     """
-    out = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("redacted_text"))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("redacted_text"),
+        *[F.col(c) for c in keep_cols],
+    )
     counts = []
     for kind, pat in patterns:
         out = out.withColumn(f"n_{kind}", F.regexp_count("redacted_text", F.lit(pat)))
@@ -364,7 +370,7 @@ def pii_redact(
             "redacted_text", F.regexp_replace("redacted_text", pat, f"<{kind.upper()}>")
         )
         counts.append(f"n_{kind}")
-    return out.select("doc_id", "redacted_text", *counts)
+    return out.select("doc_id", "redacted_text", *keep_cols, *counts)
 
 
 def token_frequency_profile(

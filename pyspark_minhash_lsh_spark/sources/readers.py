@@ -108,9 +108,33 @@ def read_json_corpus(
 #: mapInPandas output schema for ``read_warc``
 _WARC_SCHEMA = (
     "warc_file string, record_id string, warc_type string, "
-    "target_uri string, content_type string, http_status int, "
-    "payload binary"
+    "warc_date timestamp, target_uri string, content_type string, "
+    "http_status int, payload binary"
 )
+
+#: column order matching ``_WARC_SCHEMA`` (shared by batch + stream parse)
+_WARC_COLUMNS = [
+    "warc_file", "record_id", "warc_type", "warc_date", "target_uri",
+    "content_type", "http_status", "payload",
+]
+
+
+def _parse_warc_date(s: "str | None"):
+    """``WARC-Date`` header (ISO-8601, usually ``...Z``) -> naive-UTC
+    datetime, or None when absent/malformed — the record's EVENT TIME, so
+    streaming consumers watermark on crawl time instead of arrival time
+    (round 6; Common Crawl replays segments hours after capture)."""
+    if not s:
+        return None
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(s.strip().replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 def _parse_warc_bytes(name: str, data: bytes, include_types, strip_http: bool):
@@ -167,6 +191,7 @@ def _parse_warc_bytes(name: str, data: bytes, include_types, strip_http: bool):
                 "warc_file": name,
                 "record_id": headers.get("warc-record-id", ""),
                 "warc_type": wtype,
+                "warc_date": _parse_warc_date(headers.get("warc-date")),
                 "target_uri": headers.get("warc-target-uri"),
                 "content_type": ctype,
                 "http_status": status,
@@ -187,45 +212,26 @@ def read_warc(
     including the per-record concatenated-member form Common Crawl ships)
     via Spark's ``binaryFile`` source and parses the WARC/1.0 framing in
     an Arrow-batched ``mapInPandas`` (stdlib-only, no warcio dependency).
-    Returns ``(warc_file, record_id, warc_type, target_uri, content_type,
-    http_status, payload binary)``; with ``strip_http`` (default) a
-    response record's payload is the HTTP BODY (the html), with the status
-    and Content-Type lifted into columns.
+    Returns ``(warc_file, record_id, warc_type, warc_date timestamp,
+    target_uri, content_type, http_status, payload binary)``; with
+    ``strip_http`` (default) a response record's payload is the HTTP BODY
+    (the html), with the status and Content-Type lifted into columns.
+    ``warc_date`` is the record's capture time (the ``WARC-Date`` header,
+    naive UTC) — the event-time column streaming consumers watermark on.
 
     Scale shape: ``binaryFile`` is deliberately file-per-task (WARC is not
     line-splittable; gzip members make offset splitting unsafe without an
     index) — Common Crawl segments are ~1 GB, the standard unit of work.
     Parse output is exploded rows, so ``repartition`` after this reader to
     rebalance before heavy downstream operators."""
-    import gzip
-
-    import pandas as pd
-
-    types = tuple(include_types)
-    strip = bool(strip_http)
-
-    def parse(batches):
-        for pdf in batches:
-            rows = []
-            for name, data in zip(pdf["path"], pdf["content"]):
-                raw = bytes(data)
-                if name.endswith(".gz"):
-                    raw = gzip.decompress(raw)
-                rows.extend(_parse_warc_bytes(name, raw, types, strip))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "warc_file", "record_id", "warc_type", "target_uri",
-                    "content_type", "http_status", "payload",
-                ],
-            )
-
     files = (
         spark.read.format("binaryFile")
         .load(path)
         .select("path", "content")
     )
-    return files.mapInPandas(parse, schema=_WARC_SCHEMA)
+    return files.mapInPandas(
+        _make_warc_parse(include_types, strip_http), schema=_WARC_SCHEMA
+    )
 
 
 #: binaryFile's fixed schema, spelled explicitly: the streaming file source
@@ -251,6 +257,19 @@ def stream_warc(
     replays are idempotent rows. ``max_files_per_trigger`` bounds batch
     size (segments are ~1 GB each — the unit of work at crawl scale).
     Tested stream == batch in tests/test_warc_source.py."""
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _make_warc_parse(include_types, strip_http), schema=_WARC_SCHEMA
+    )
+
+
+def _make_warc_parse(include_types, strip_http: bool):
+    """The shared Arrow-batch WARC parse closure for ``read_warc`` /
+    ``stream_warc`` (one implementation — the batch and streaming twins
+    cannot drift)."""
     import gzip
 
     import pandas as pd
@@ -266,16 +285,6 @@ def stream_warc(
                 if name.endswith(".gz"):
                     raw = gzip.decompress(raw)
                 rows.extend(_parse_warc_bytes(name, raw, types, strip))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "warc_file", "record_id", "warc_type", "target_uri",
-                    "content_type", "http_status", "payload",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=_WARC_COLUMNS)
 
-    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    files = reader.load(path).select("path", "content")
-    return files.mapInPandas(parse, schema=_WARC_SCHEMA)
+    return parse
