@@ -3706,7 +3706,10 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         the production-relevant one. Upgrades q75 from "the index paths
         run" to "they retrieve correctly" under the driver's check;
       - cell_stats (round 5): IVF occupancy/imbalance summary — the
-        maintenance alarm feeding ``reindex_ivf_flat``."""
+        maintenance alarm feeding ``reindex_ivf_flat``;
+      - sq_ann (round 6): scalar int8 lake-tier retrieval — quantized
+        cosine top-10 straight on the code column (operators/quantize.py;
+        error bounds + recall floor in tests/test_quantize.py)."""
     from .operators.ivf import IvfFlat
     from .operators.minhash_lsh import MinHashLSH
     from .operators.pq import fit_pq
@@ -3835,11 +3838,27 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_vectors"), F.max("imbalance_x1000"),
     )
 
+    # sq_ann (round 6): the int8 lake tier — corpus-max scalar fit,
+    # quantize, integer-dot cosine top-10 on the codes (no float column in
+    # the scan; scale cancels out of cosine). f1 = summed retrieved ids,
+    # f2 = summed quantized cosine (agrees with exact cosine to int8
+    # tolerance — bounds + recall floor in tests/test_quantize.py)
+    from .operators.quantize import fit_scalar_quantizer, quantize_embeddings
+    from .operators.quantize import quantized_cosine_topk
+
+    s = fit_scalar_quantizer(corpus)
+    qcorpus = quantize_embeddings(corpus, s).select("vec_id", "qembedding")
+    leg_sq = _suite_row(
+        quantized_cosine_topk(qcorpus, qvec, s, k=10), "sq_ann",
+        F.sum("vec_id"), F.sum("cosine"),
+    )
+
     return (
         leg_bk.unionByName(leg_fs).unionByName(leg_128)
         .unionByName(leg_srp).unionByName(leg_ivf).unionByName(leg_ba)
         .unionByName(leg_pq).unionByName(leg_pca)
         .unionByName(leg_rs).unionByName(leg_rp).unionByName(leg_cs)
+        .unionByName(leg_sq)
     )
 
 

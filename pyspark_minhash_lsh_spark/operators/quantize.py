@@ -1,0 +1,169 @@
+"""Scalar int8 embedding quantization — the storage tier under the ANN stack.
+
+At 100 TB the embedding column is routinely the widest column in the lake:
+``float32 x 768`` dims is ~3 KB/row before encoding. Symmetric per-tensor
+int8 quantization cuts that 4x at ~0.5% cosine error, keeps the column
+servable by every vector operator in this package (dequantize is a
+zero-shuffle projection), and — because cosine is scale-invariant — the
+QUANTIZED vectors rank candidates directly: ``cos(q(x), q(y))`` needs no
+rescaling at all, so the int8 column is itself a brute-force/rerank tier,
+not just cold storage.
+
+Where it sits next to the existing index family:
+  - IVF-PQ (``pq.py``) is the *index* compression: 8-64 bytes/vector,
+    approximate ADC scores, needs a trained codebook artifact.
+  - Scalar int8 is the *lake* compression: dim bytes/vector, near-exact
+    scores, one corpus-max scalar as the whole model — the right tier for
+    the raw embeddings table that PQ refits from, the rerank stage reads,
+    and snapshots diff against.
+
+All three ops are zero-shuffle projections (plan-asserted in tests); the
+fit is one corpus aggregate returning a single float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "fit_scalar_quantizer",
+    "quantize_embeddings",
+    "dequantize_embeddings",
+    "quantized_cosine_topk",
+]
+
+#: symmetric int8 code range. -128 is deliberately unused (standard
+#: symmetric quantization): the code space stays sign-symmetric, so
+#: negating a vector negates its codes exactly.
+_QMAX = 127
+
+
+def fit_scalar_quantizer(df: DataFrame, emb_col: str = "embedding") -> float:
+    """Symmetric per-tensor scale ``s = max|x| / 127`` over the corpus.
+
+    One aggregate over a zero-shuffle projection (``array_max`` of
+    per-element ``abs`` — partial max combines map-side; 8 bytes per
+    partition reach the driver). The returned float IS the entire model:
+    version it next to the quantized table (a different corpus max means
+    re-quantization, the PQ-artifact refit stance).
+
+    Raises on an empty/all-NULL/all-zero corpus — a zero scale would
+    quantize everything to the zero vector and every cosine downstream
+    would be NULL; fail loud at fit time instead.
+    """
+    m = df.agg(
+        F.max(F.array_max(F.transform(F.col(emb_col), lambda x: F.abs(x))))
+    ).head()[0]
+    if m is None or float(m) <= 0.0:
+        raise ValueError(
+            f"cannot fit a scalar quantizer: max|{emb_col}| is {m!r} "
+            "(empty corpus or all-zero embeddings)"
+        )
+    return float(m) / _QMAX
+
+
+def _q(x: Column, scale: float) -> Column:
+    # round-half-up to the nearest code, clamped to the symmetric range;
+    # floor(x/s + 0.5) matches the engine-wide rounding convention
+    code = F.floor(x / F.lit(float(scale)) + F.lit(0.5))
+    return F.greatest(
+        F.lit(-_QMAX), F.least(F.lit(_QMAX), code)
+    ).cast("tinyint")
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    scale: float,
+    emb_col: str = "embedding",
+    out_col: str = "qembedding",
+) -> DataFrame:
+    """Add ``out_col: array<tinyint>`` — the int8 codes of ``emb_col``
+    under ``scale`` (from ``fit_scalar_quantizer``). Zero-shuffle
+    projection; write the result (usually WITHOUT the float column) as the
+    4x-smaller lake table. Out-of-range values (a vector that arrived
+    after the fit and exceeds the corpus max) clamp to ±127 — re-fit and
+    re-quantize when drift monitoring says the max moved materially."""
+    if float(scale) <= 0.0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    return df.withColumn(
+        out_col, F.transform(F.col(emb_col), lambda x: _q(x, scale))
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    scale: float,
+    q_col: str = "qembedding",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse projection: ``array<float>`` reconstruction ``code * s``.
+    Elementwise error is bounded by ``s/2`` (round-half-up), so downstream
+    float operators (IVF assignment, PQ refit, exact rerank) see the same
+    geometry to ~1 part in 254 of the corpus max."""
+    if float(scale) <= 0.0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col), lambda c: (c.cast("float") * F.lit(float(scale)))
+        ),
+    )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_vec,
+    scale: float,
+    k: int = 10,
+    q_col: str = "qembedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k DIRECTLY on the int8 column — no
+    dequantize pass, no float column in the scan.
+
+    Cosine is scale-invariant, so ``cos(q(x), q(y))`` approximates
+    ``cos(x, y)`` with no rescaling: the dot product and both norms are
+    exact INTEGER arithmetic over the codes (codes are |c| <= 127, so a
+    dot of dims < 2^47 dimensions fits int64 — ANSI-safe), with one float
+    division + sqrt at the end. The query vector is quantized driver-side
+    with the SAME corpus scale. Plan: zero-shuffle projection ->
+    ``TakeOrderedAndProject`` (asserted in tests).
+
+    This is the lake-tier retrieval/rerank path; for sublinear candidate
+    generation put SRP/IVF in front and use this as the scoring stage.
+    """
+    import math
+
+    if float(scale) <= 0.0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    qcodes = [
+        max(-_QMAX, min(_QMAX, math.floor(float(x) / float(scale) + 0.5)))
+        for x in query_vec
+    ]
+    qnorm = math.sqrt(sum(c * c for c in qcodes))
+    if qnorm == 0.0:
+        raise ValueError("query vector quantizes to all-zero under this scale")
+    qlit = F.array(*[F.lit(int(c)) for c in qcodes])
+    idot = F.aggregate(
+        F.zip_with(
+            F.col(q_col), qlit, lambda a, b: a.cast("bigint") * b.cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    inorm2 = F.aggregate(
+        F.transform(F.col(q_col), lambda a: a.cast("bigint") * a.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cos = F.when(
+        inorm2 > 0,
+        idot.cast("double") / (F.sqrt(inorm2.cast("double")) * F.lit(qnorm)),
+    )
+    return (
+        df.select(F.col(id_col), cos.alias("cosine"))
+        .where(F.col("cosine").isNotNull())
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(int(k))
+    )

@@ -1,0 +1,165 @@
+"""Scalar int8 embedding quantization (operators/quantize.py, round 6):
+the 4x lake-storage tier under the ANN stack — round-trip error bound,
+scale-free quantized cosine, recall floor vs exact retrieval, zero-shuffle
+plans, and the fail-loud contracts."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.quantize import (
+    dequantize_embeddings,
+    fit_scalar_quantizer,
+    quantize_embeddings,
+    quantized_cosine_topk,
+)
+
+DIM = 16
+
+
+def _corpus(spark, n=200, seed=7):
+    rng = random.Random(seed)
+    # three well-separated clusters + noise, the test-suite ANN staple
+    centers = [[4.0 if d == c * 5 else 0.5 for d in range(DIM)] for c in range(3)]
+    rows = []
+    for i in range(n):
+        c = centers[i % 3]
+        rows.append((i, [float(x + rng.gauss(0, 0.25)) for x in c]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_round_trip_error_bounded_and_schema(spark):
+    emb = _corpus(spark)
+    s = fit_scalar_quantizer(emb)
+    q = quantize_embeddings(emb, s)
+    assert dict(q.dtypes)["qembedding"] == "array<tinyint>"
+
+    back = dequantize_embeddings(q, s, out_col="emb2")
+    err = back.select(
+        F.array_max(
+            F.zip_with("embedding", "emb2", lambda a, b: F.abs(a - b))
+        ).alias("e")
+    ).agg(F.max("e")).head()[0]
+    # round-half-up: elementwise reconstruction error <= s/2 (+ float slack)
+    assert err <= s / 2 + 1e-6
+
+    # codes cover the symmetric range and never hit -128
+    lo, hi = q.select(
+        F.min(F.array_min("qembedding")), F.max(F.array_max("qembedding"))
+    ).head()
+    assert -127 <= lo and hi <= 127
+
+
+def test_quantized_cosine_matches_exact_and_recall(spark):
+    emb = _corpus(spark)
+    s = fit_scalar_quantizer(emb)
+    q = quantize_embeddings(emb, s).select("vec_id", "qembedding")
+
+    query = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).head().embedding]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qcorpus = q.filter(F.col("vec_id") != 0)
+
+    from pyspark_minhash_lsh_spark.functions.vectors import cosine_similarity
+    exact = corpus.select(
+        "vec_id",
+        cosine_similarity(
+            F.col("embedding"), F.array(*[F.lit(x) for x in query])
+        ).alias("cosine"),
+    ).orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10).collect()
+    got = quantized_cosine_topk(qcorpus, query, s, k=10).collect()
+
+    # per-pair cosine agrees to quantization tolerance...
+    exact_by_id = {r.vec_id: r.cosine for r in exact}
+    for r in got:
+        if r.vec_id in exact_by_id:
+            assert abs(r.cosine - exact_by_id[r.vec_id]) < 0.02
+    # ...and the retrieved set is essentially the exact set (clustered data:
+    # int8 noise cannot demote a same-cluster neighbor out of the top-10)
+    overlap = len({r.vec_id for r in got} & set(exact_by_id))
+    assert overlap >= 8, (overlap, got, exact)
+
+
+def test_plans_are_zero_shuffle(spark):
+    emb = _corpus(spark, n=50)
+    s = fit_scalar_quantizer(emb)
+    q = quantize_embeddings(emb, s)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    plan2 = dequantize_embeddings(q, s)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan2
+    topk = quantized_cosine_topk(
+        q.select("vec_id", "qembedding"), [1.0] * DIM, s, k=5
+    )
+    plan3 = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan3
+    assert "Exchange hashpartitioning" not in plan3
+
+
+def test_parquet_footprint_shrinks(spark, tmp_path):
+    """The point of the tier: the int8 column's parquet footprint is well
+    under half the float column's for the same vectors."""
+    import pathlib
+
+    emb = _corpus(spark, n=500)
+    s = fit_scalar_quantizer(emb)
+    fdir, qdir = str(tmp_path / "f32"), str(tmp_path / "i8")
+    emb.select("vec_id", "embedding").write.parquet(fdir)
+    quantize_embeddings(emb, s).select("vec_id", "qembedding").write.parquet(qdir)
+
+    def _bytes(d):
+        return sum(p.stat().st_size
+                   for p in pathlib.Path(d).rglob("*.parquet"))
+
+    assert _bytes(qdir) < 0.6 * _bytes(fdir), (_bytes(qdir), _bytes(fdir))
+
+
+def test_fail_loud_contracts(spark):
+    zero = spark.createDataFrame(
+        [(0, [0.0] * DIM)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="all-zero"):
+        fit_scalar_quantizer(zero)
+    emb = _corpus(spark, n=20)
+    with pytest.raises(ValueError, match="scale"):
+        quantize_embeddings(emb, 0.0)
+    with pytest.raises(ValueError, match="scale"):
+        dequantize_embeddings(emb, -1.0)
+    s = fit_scalar_quantizer(emb)
+    q = quantize_embeddings(emb, s).select("vec_id", "qembedding")
+    with pytest.raises(ValueError, match="all-zero"):
+        quantized_cosine_topk(q, [0.0] * DIM, s)
+
+    # out-of-range values clamp (post-fit drift), never overflow/error
+    drift = spark.createDataFrame(
+        [(900, [1e6] * DIM)], "vec_id bigint, embedding array<float>"
+    )
+    codes = quantize_embeddings(drift, s).head().qembedding
+    assert all(c == 127 for c in codes)
+
+
+def test_int_dot_is_exact(spark):
+    """The quantized cosine's integer dot/norms are exact: recompute one
+    row's cosine in Python over the same codes and match to float print
+    precision."""
+    emb = _corpus(spark, n=10)
+    s = fit_scalar_quantizer(emb)
+    q = quantize_embeddings(emb, s).select("vec_id", "qembedding")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
+    got = {r.vec_id: r.cosine
+           for r in quantized_cosine_topk(q, query, s, k=10).collect()}
+
+    qcodes = [max(-127, min(127, math.floor(x / s + 0.5))) for x in query]
+    rows = {r.vec_id: list(r.qembedding) for r in q.collect()}
+    for vid, codes in rows.items():
+        dot = sum(a * b for a, b in zip(codes, qcodes))
+        na = math.sqrt(sum(a * a for a in codes))
+        nb = math.sqrt(sum(b * b for b in qcodes))
+        want = dot / (na * nb)
+        if vid in got:
+            assert got[vid] == pytest.approx(want, abs=1e-12), vid
