@@ -3849,7 +3849,7 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = fit_scalar_quantizer(corpus)
     qcorpus = quantize_embeddings(corpus, s).select("vec_id", "qembedding")
     leg_sq = _suite_row(
-        quantized_cosine_topk(qcorpus, qvec, s, k=10), "sq_ann",
+        quantized_cosine_topk(qcorpus, qvec, k=10), "sq_ann",
         F.sum("vec_id"), F.sum("cosine"),
     )
 

@@ -10,7 +10,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine_similarity", "l2_distance"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine_similarity",
+    "l2_distance",
+    "normalize_vector",
+    "truncate_vector",
+]
 
 
 def dot(vec_a: Column, vec_b: Column) -> Column:
@@ -32,3 +39,33 @@ def cosine_similarity(vec_a: Column, vec_b: Column) -> Column:
 def l2_distance(vec_a: Column, vec_b: Column) -> Column:
     diffs = F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") - y.cast("double"))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d))
+
+
+def normalize_vector(vec: Column) -> Column:
+    """Unit-L2 copy of the vector (``array<double>``); NULL for a zero
+    vector (ANSI-safe — the cosine convention above). Pre-normalizing an
+    embedding table once turns every downstream cosine into a plain dot
+    product — at 100 TB that halves the per-pair flops of the brute-force
+    and rerank stages, and it is what the int8 quantization tier
+    (operators/quantize.py) wants as input so the corpus max is ~1."""
+    n = l2_norm(vec)
+    return F.when(
+        n > 0, F.transform(vec, lambda x: x.cast("double") / n)
+    )
+
+
+def truncate_vector(vec: Column, dim: int, renormalize: bool = True) -> Column:
+    """Matryoshka truncation (Kusupati et al. 2022): keep the first ``dim``
+    dims of an MRL-trained embedding (``array<double>``), re-normalized by
+    default so cosine stays calibrated. The cheap storage/recall dial next
+    to PCA (trained rotation, reduce.py) and int8 (precision, quantize.py):
+    a 4x dim cut is a 4x scan/shuffle cut on every vector operator
+    downstream. Raises at analysis time on ``dim < 1``; vectors SHORTER
+    than ``dim`` pass through unchanged (slice semantics), so mixed-width
+    corpora fail loudly in the ops that zip widths, not silently here."""
+    if int(dim) < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    sliced = F.slice(vec, 1, int(dim))
+    if not renormalize:
+        return F.transform(sliced, lambda x: x.cast("double"))
+    return normalize_vector(sliced)

@@ -557,6 +557,66 @@ class MinHashLSHModel:
             self.id_col,
         )
 
+    @staticmethod
+    def compact_index(
+        spark,
+        path: str,
+        dest_path: str,
+        rows_per_file: int = 1_000_000,
+        partition_by_band0: "bool | None" = None,
+    ) -> int:
+        """Offline small-file compaction of a saved index — the maintenance
+        step ``append_index`` defers to (the ``reindex_ivf_flat`` stance for
+        the LSH family): every appended crawl batch lands as >= 1 new
+        parquet file, and after months of daily ingests the artifact
+        becomes a many-small-files scan where per-file open/footer cost
+        dominates. Reads the stored rows (signatures are NOT recomputed),
+        rewrites them at ``dest_path`` in ``ceil(rows / rows_per_file)``
+        output partitions, preserves the ``band0=`` partitioned layout when
+        the source has one (override with ``partition_by_band0``), and
+        carries the ``_params`` config sidecar through verbatim — a
+        pre-sidecar artifact is refused (re-save once to stamp it, the
+        ``append_index`` contract). Write-to-new-path + atomic cutover,
+        never an in-place mutation: serving rolls back for free.
+
+        Content-preserving by design: compaction never dedups or reorders
+        semantics — ids replayed by a buggy ingest are an upstream dedup
+        problem (``incremental_near_dedup``), not a compaction side
+        effect. Returns the row count written (cheap verification handle:
+        compare with the source count before cutover)."""
+        sidecar = path.rstrip("/") + "/_params"
+        try:
+            params = spark.read.parquet(sidecar)
+            params.head()
+        except Exception:
+            raise ValueError(
+                f"no _params sidecar under {path!r} — artifact predates the "
+                "config stamp; re-save it once (save_index) before compacting"
+            )
+        loaded = spark.read.parquet(path)
+        band0 = (
+            ("band0" in loaded.columns)
+            if partition_by_band0 is None
+            else bool(partition_by_band0)
+        )
+        data = loaded.select(*[c for c in loaded.columns if c != "band0"])
+        n = data.count()
+        parts = max(1, -(-n // int(rows_per_file)))
+        if band0:
+            out = data.withColumn("band0", F.element_at("bucket_ids", 1))
+            # repartition ON the layout key: each task then holds few band0
+            # values, so files-per-partition-dir stays ~1 instead of
+            # parts x |band0 dirs|
+            out.repartition(parts, "band0").write.mode("overwrite").partitionBy(
+                "band0"
+            ).parquet(dest_path)
+        else:
+            data.repartition(parts).write.mode("overwrite").parquet(dest_path)
+        params.coalesce(1).write.mode("overwrite").parquet(
+            dest_path.rstrip("/") + "/_params"
+        )
+        return n
+
     @classmethod
     def load_index(
         cls,

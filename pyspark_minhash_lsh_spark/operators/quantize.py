@@ -114,7 +114,6 @@ def dequantize_embeddings(
 def quantized_cosine_topk(
     df: DataFrame,
     query_vec,
-    scale: float,
     k: int = 10,
     q_col: str = "qembedding",
     id_col: str = "vec_id",
@@ -122,12 +121,17 @@ def quantized_cosine_topk(
     """Brute-force cosine top-k DIRECTLY on the int8 column — no
     dequantize pass, no float column in the scan.
 
-    Cosine is scale-invariant, so ``cos(q(x), q(y))`` approximates
-    ``cos(x, y)`` with no rescaling: the dot product and both norms are
-    exact INTEGER arithmetic over the codes (codes are |c| <= 127, so a
-    dot of dims < 2^47 dimensions fits int64 — ANSI-safe), with one float
-    division + sqrt at the end. The query vector is quantized driver-side
-    with the SAME corpus scale. Plan: zero-shuffle projection ->
+    Cosine is scale-invariant, so codes under ANY per-vector scale rank
+    identically to the vectors they encode: the dot product and both
+    norms are exact INTEGER arithmetic over the codes (|c| <= 127, so a
+    dot fits int64 up to 2^47 dims — ANSI-safe), with one float division
+    + sqrt at the end. The query is therefore quantized driver-side with
+    its OWN symmetric scale ``max|query|/127`` — full 8-bit resolution
+    regardless of how the query's magnitude compares to the corpus max
+    (quantizing the query with the CORPUS scale and clamping would
+    distort its DIRECTION whenever a component exceeds the corpus max:
+    a 4:1 spike clamps toward 2:1 and the ranking flips — regression
+    test covers it). Plan: zero-shuffle projection ->
     ``TakeOrderedAndProject`` (asserted in tests).
 
     This is the lake-tier retrieval/rerank path; for sublinear candidate
@@ -135,15 +139,17 @@ def quantized_cosine_topk(
     """
     import math
 
-    if float(scale) <= 0.0:
-        raise ValueError(f"scale must be > 0, got {scale}")
+    qmax = max((abs(float(x)) for x in query_vec), default=0.0)
+    if qmax <= 0.0:
+        raise ValueError("query vector is empty or all-zero")
+    qscale = qmax / _QMAX
     qcodes = [
-        max(-_QMAX, min(_QMAX, math.floor(float(x) / float(scale) + 0.5)))
+        max(-_QMAX, min(_QMAX, math.floor(float(x) / qscale + 0.5)))
         for x in query_vec
     ]
     qnorm = math.sqrt(sum(c * c for c in qcodes))
-    if qnorm == 0.0:
-        raise ValueError("query vector quantizes to all-zero under this scale")
+    if qnorm == 0.0:  # unreachable given qmax > 0; defensive
+        raise ValueError("query vector quantizes to all-zero")
     qlit = F.array(*[F.lit(int(c)) for c in qcodes])
     idot = F.aggregate(
         F.zip_with(

@@ -39,6 +39,7 @@ __all__ = [
     "contamination_check",
     "pack_documents",
     "pii_redact",
+    "redact_credit_cards",
     "token_frequency_profile",
     "unigram_logprob_score",
     "compression_ratio",
@@ -334,6 +335,79 @@ PII_PATTERNS: "tuple[tuple[str, str], ...]" = (
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
 )
+
+#: isolated run of 13-19 digits with optional single space/dash separators —
+#: the PAN candidate shape. The trailing ``\b`` + leading ``\b`` mean a
+#: longer digit run (>19) can never match even partially, so candidates are
+#: whole isolated runs only; Luhn validation then separates real card
+#: numbers from order ids and timestamps.
+_CC_CANDIDATE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def redact_credit_cards(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: "Sequence[str]" = (),
+    replacement: str = "<CREDIT_CARD>",
+) -> DataFrame:
+    """Luhn-VALIDATED credit-card (PAN) redaction — the release-hygiene gate
+    a bare regex cannot express (round 6): a 16-digit order id and a real
+    card number are the same regex shape, and redacting every long digit
+    run destroys legitimate content. Candidates (isolated 13-19 digit runs,
+    space/dash separators allowed) are extracted, checked against the Luhn
+    mod-10 checksum as an EXACT integer fold over the digit string, and
+    only checksum-valid runs are replaced. ~90% of random digit runs fail
+    Luhn, so false redactions drop ~10x vs the regex alone.
+
+    Returns ``(doc_id, redacted_text, <keep_cols>..., n_credit_card)`` —
+    the ``pii_redact`` contract; compose them::
+
+        pii_redact(redact_credit_cards(df).withColumnRenamed(
+            "redacted_text", "text"))
+
+    Kept OUT of ``PII_PATTERNS`` deliberately: the default pattern tuple is
+    an ordered cross-engine contract (oracle-checked), and Luhn is a fold,
+    not a pattern — callers opt in. One caveat, documented rather than
+    hidden: replacement is by literal substring, so a validated run that
+    also occurs verbatim elsewhere in the SAME document is replaced there
+    too (both occurrences are the same PAN — over-redaction, the safe
+    direction).
+
+    Zero-shuffle single projection: ``regexp_extract_all`` -> per-candidate
+    integer Luhn fold (``aggregate`` over the digit positions, pure int
+    arithmetic, ANSI-safe) -> literal-replace fold over the validated
+    array. Scan speed at any corpus size."""
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    cands = F.regexp_extract_all(t, F.lit(_CC_CANDIDATE), 0)
+
+    def luhn_valid(c):
+        ds = F.regexp_replace(c, r"[^0-9]", "")
+        n = F.length(ds)
+        # offset from the RIGHT (0-based) = n - i; double every odd offset,
+        # subtracting 9 when the doubled digit overflows (= summing digits)
+        digit = lambda i: F.ascii(F.substring(ds, i, 1)) - F.lit(48)  # noqa: E731
+        total = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                (n - i) % 2 == 1,
+                F.when(digit(i) >= 5, digit(i) * 2 - 9).otherwise(digit(i) * 2),
+            ).otherwise(digit(i)),
+        )
+        return total % 10 == 0
+
+    valid = F.filter(cands, luhn_valid)
+    red = F.aggregate(
+        valid, t, lambda acc, c: F.replace(acc, c, F.lit(replacement))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        red.alias("redacted_text"),
+        *[F.col(c) for c in keep_cols],
+        F.size(valid).alias("n_credit_card"),
+    )
 
 
 def pii_redact(

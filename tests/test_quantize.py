@@ -71,7 +71,7 @@ def test_quantized_cosine_matches_exact_and_recall(spark):
             F.col("embedding"), F.array(*[F.lit(x) for x in query])
         ).alias("cosine"),
     ).orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10).collect()
-    got = quantized_cosine_topk(qcorpus, query, s, k=10).collect()
+    got = quantized_cosine_topk(qcorpus, query, k=10).collect()
 
     # per-pair cosine agrees to quantization tolerance...
     exact_by_id = {r.vec_id: r.cosine for r in exact}
@@ -94,7 +94,7 @@ def test_plans_are_zero_shuffle(spark):
     ).executedPlan().toString()
     assert "Exchange" not in plan2
     topk = quantized_cosine_topk(
-        q.select("vec_id", "qembedding"), [1.0] * DIM, s, k=5
+        q.select("vec_id", "qembedding"), [1.0] * DIM, k=5
     )
     plan3 = topk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan3
@@ -133,7 +133,7 @@ def test_fail_loud_contracts(spark):
     s = fit_scalar_quantizer(emb)
     q = quantize_embeddings(emb, s).select("vec_id", "qembedding")
     with pytest.raises(ValueError, match="all-zero"):
-        quantized_cosine_topk(q, [0.0] * DIM, s)
+        quantized_cosine_topk(q, [0.0] * DIM)
 
     # out-of-range values clamp (post-fit drift), never overflow/error
     drift = spark.createDataFrame(
@@ -152,9 +152,10 @@ def test_int_dot_is_exact(spark):
     q = quantize_embeddings(emb, s).select("vec_id", "qembedding")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
     got = {r.vec_id: r.cosine
-           for r in quantized_cosine_topk(q, query, s, k=10).collect()}
+           for r in quantized_cosine_topk(q, query, k=10).collect()}
 
-    qcodes = [max(-127, min(127, math.floor(x / s + 0.5))) for x in query]
+    qscale = max(abs(x) for x in query) / 127
+    qcodes = [max(-127, min(127, math.floor(x / qscale + 0.5))) for x in query]
     rows = {r.vec_id: list(r.qembedding) for r in q.collect()}
     for vid, codes in rows.items():
         dot = sum(a * b for a, b in zip(codes, qcodes))
@@ -163,3 +164,99 @@ def test_int_dot_is_exact(spark):
         want = dot / (na * nb)
         if vid in got:
             assert got[vid] == pytest.approx(want, abs=1e-12), vid
+
+
+# ---- round 6: embedding toolkit companions (functions/vectors.py) ----------
+
+
+def test_normalize_and_truncate_vector(spark):
+    from pyspark_minhash_lsh_spark.functions.vectors import (
+        cosine_similarity,
+        l2_norm,
+        normalize_vector,
+        truncate_vector,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [3.0, 4.0, 0.0, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),      # zero vector -> NULL
+            (2, [1.0, 1.0, 1.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in df.select(
+        "vec_id",
+        normalize_vector(F.col("embedding")).alias("u"),
+        l2_norm(normalize_vector(F.col("embedding"))).alias("n"),
+        truncate_vector(F.col("embedding"), 2).alias("t2"),
+        truncate_vector(F.col("embedding"), 2, renormalize=False).alias("t2raw"),
+    ).collect()}
+    assert out[0].u == pytest.approx([0.6, 0.8, 0.0, 0.0])
+    assert out[0].n == pytest.approx(1.0)
+    assert out[1].u is None and out[1].n is None
+    # truncation keeps the first dims; renormalized to unit length
+    assert out[0].t2 == pytest.approx([0.6, 0.8])
+    assert out[0].t2raw == pytest.approx([3.0, 4.0])
+    assert out[2].t2 == pytest.approx([math.sqrt(0.5), math.sqrt(0.5)])
+    # zero-vector truncation stays NULL under renormalize
+    assert out[1].t2 is None and out[1].t2raw == [0.0, 0.0]
+
+    # truncated cosine approximates full cosine on concentrated vectors
+    a = F.array(*[F.lit(x) for x in [1.0, 0.9, 0.01, 0.01]])
+    got = df.filter(F.col("vec_id") == 0).select(
+        cosine_similarity(
+            truncate_vector(F.col("embedding"), 2),
+            truncate_vector(a, 2),
+        ).alias("c2"),
+        cosine_similarity(F.col("embedding"), a).alias("c4"),
+    ).head()
+    assert abs(got.c2 - got.c4) < 0.01
+
+    with pytest.raises(ValueError, match="dim"):
+        truncate_vector(F.col("embedding"), 0)
+
+    # zero-shuffle projections
+    plan = df.select(
+        normalize_vector(F.col("embedding")),
+        truncate_vector(F.col("embedding"), 2),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_truncate_then_quantize_pipeline(spark):
+    """The storage dial stack composes: matryoshka truncate -> normalize
+    (inside truncate) -> int8 quantize; recall vs full-dim exact top-10
+    stays high on clustered data."""
+    emb = _corpus(spark, n=120)
+    from pyspark_minhash_lsh_spark.functions.vectors import (
+        cosine_similarity,
+        truncate_vector,
+    )
+
+    half = emb.select(
+        "vec_id", truncate_vector(F.col("embedding"), DIM // 2).alias("embedding")
+    ).where(F.col("embedding").isNotNull())
+    s = fit_scalar_quantizer(half)
+    q = quantize_embeddings(half, s).select("vec_id", "qembedding")
+
+    query_full = [float(x) for x in
+                  emb.filter(F.col("vec_id") == 0).head().embedding]
+    qtrunc = query_full[: DIM // 2]
+    got = {r.vec_id for r in quantized_cosine_topk(
+        q.filter(F.col("vec_id") != 0), qtrunc, k=10).collect()}
+
+    exact = {r.vec_id for r in emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        cosine_similarity(
+            F.col("embedding"), F.array(*[F.lit(x) for x in query_full])
+        ).alias("c"),
+    ).orderBy(F.desc("c"), F.asc("vec_id")).limit(10).collect()}
+    # the query is a cluster-0 member (spike at dim 0, inside the kept
+    # half): exact retrieval returns only cluster-0 neighbors, and the
+    # truncated int8 path must preserve that CLUSTER-level recall. The
+    # fine within-cluster order is noise in the dropped dims, so exact
+    # top-10 overlap is not guaranteed — only a floor.
+    assert all(v % 3 == 0 for v in exact), exact
+    assert all(v % 3 == 0 for v in got), got
+    assert len(got & exact) >= 3, (got, exact)

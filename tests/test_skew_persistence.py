@@ -322,6 +322,64 @@ def test_append_index_equals_rebuild_from_union(spark, tmp_path):
     assert pa == {k: v[0] for k, v in b.items()}
 
 
+def test_compact_index_after_appends(spark, tmp_path):
+    """Round 6: compact_index rewrites a many-small-files artifact into
+    few files, content-identical, sidecar carried, layout preserved."""
+    import os
+    import pathlib
+
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "idx")
+    dest = str(tmp_path / "idx_compact")
+    model = MinHashLSH().fit(docs.filter(F.col("doc_id") < 40), persist=False)
+    model.save_index(path)
+    m = model
+    for lo in (40, 55, 70):  # three daily appends -> many small files
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 15))
+        m = m.append_index(batch, path)
+
+    def _files(d):
+        return [p for p in pathlib.Path(d).rglob("*.parquet")
+                if "_params" not in str(p)]
+
+    n_before = len(_files(path))
+    assert n_before >= 4  # every append added at least one file
+
+    n = MinHashLSHModel.compact_index(spark, path, dest)
+    assert n == 85
+    assert len(_files(dest)) < n_before
+    a = {r.doc_id: list(r.signature) for r in spark.read.parquet(path).collect()}
+    b = {r.doc_id: list(r.signature) for r in spark.read.parquet(dest).collect()}
+    assert a == b
+
+    # the compacted artifact is a full citizen: load serves, append accepts
+    loaded = MinHashLSHModel.load_index(
+        spark, dest, docs.filter(F.col("doc_id") < 85)
+    )
+    assert loaded.index.count() == 85
+    loaded.append_index(
+        docs.filter((F.col("doc_id") >= 85) & (F.col("doc_id") < 90)), dest
+    )
+    assert spark.read.parquet(dest).count() == 90
+
+    # band0 layout: partition dirs preserved through compaction
+    bpath, bdest = str(tmp_path / "b_idx"), str(tmp_path / "b_compact")
+    model.save_index(bpath, partition_by_band0=True)
+    MinHashLSHModel.compact_index(spark, bpath, bdest)
+    assert any(d.startswith("band0=") for d in os.listdir(bdest))
+    ba = {r.doc_id: list(r.signature)
+          for r in spark.read.parquet(bdest).collect()}
+    assert set(ba) == set(range(40))
+
+    # pre-sidecar artifact refused
+    bare = str(tmp_path / "bare2")
+    model.index.write.parquet(bare)
+    with pytest.raises(ValueError, match="_params sidecar"):
+        MinHashLSHModel.compact_index(spark, bare, str(tmp_path / "x"))
+
+
 def test_load_index_rehydrates_config_from_sidecar(spark, tmp_path):
     """A non-default config saved with the artifact must come back without
     the loader restating it — the query-side signature math (band keys,

@@ -614,3 +614,101 @@ def test_compression_ratio(spark):
     # zero-shuffle projection
     plan = compression_ratio(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "ArrowEvalPython" in plan
+
+
+# ---- round 6: Luhn-validated credit-card redaction -------------------------
+
+
+def test_redact_credit_cards_luhn_gate(spark):
+    """Only checksum-VALID card numbers are redacted: a 16-digit order id
+    with a bad Luhn digit survives verbatim (the reason this is a fold,
+    not a PII_PATTERNS regex)."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        redact_credit_cards,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "pay with 4111111111111111 now"),          # valid Visa test PAN
+            (1, "card 4111 1111 1111 1111 thanks"),        # separated, valid
+            (2, "order id 4111111111111112 shipped"),      # bad checksum
+            (3, "amex 378282246310005 on file"),           # 15-digit valid
+            (4, "serial 1234567890123456789012 long"),     # 22 digits: no match
+            (5, "twice 4111111111111111 and 4111111111111111"),
+            (6, None),
+            (7, "short 1234567890123 run"),                # 13 digits, invalid
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_credit_cards(docs).collect()}
+    assert out[0].redacted_text == "pay with <CREDIT_CARD> now"
+    assert out[0].n_credit_card == 1
+    assert out[1].redacted_text == "card <CREDIT_CARD> thanks"
+    assert out[2].redacted_text == "order id 4111111111111112 shipped"
+    assert out[2].n_credit_card == 0
+    assert out[3].redacted_text == "amex <CREDIT_CARD> on file"
+    assert out[4].redacted_text == "serial 1234567890123456789012 long"
+    assert out[5].redacted_text == "twice <CREDIT_CARD> and <CREDIT_CARD>"
+    assert out[5].n_credit_card == 2
+    assert out[6].redacted_text == "" and out[6].n_credit_card == 0
+    assert out[7].n_credit_card == 0
+
+
+def test_redact_credit_cards_matches_python_luhn(spark):
+    """Randomized cross-check: the Spark integer fold agrees with a
+    reference Python Luhn on 200 random 13-19 digit runs."""
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        redact_credit_cards,
+    )
+
+    def luhn(s):
+        ds = [int(c) for c in s][::-1]
+        t = 0
+        for i, d in enumerate(ds):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            t += d
+        return t % 10 == 0
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        n = rng.randint(13, 19)
+        s = "".join(str(rng.randint(0, 9)) for _ in range(n))
+        rows.append((i, f"x {s} y", luhn(s)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.n_credit_card
+           for r in redact_credit_cards(df).collect()}
+    for i, _, valid in rows:
+        assert got[i] == (1 if valid else 0), (i, rows[i])
+
+
+def test_redact_credit_cards_composes_and_zero_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        pii_redact,
+        redact_credit_cards,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "mail a@b.com card 5500000000000004 end", "u")],
+        "doc_id bigint, text string, extra string",
+    )
+    cc = redact_credit_cards(docs, keep_cols=("extra",))
+    assert cc.columns == ["doc_id", "redacted_text", "extra", "n_credit_card"]
+    both = pii_redact(
+        cc.withColumnRenamed("redacted_text", "text"), keep_cols=("extra",)
+    ).head()
+    assert both.redacted_text == "mail <EMAIL> card <CREDIT_CARD> end"
+    assert both.n_email == 1 and both.extra == "u"
+
+    plan = redact_credit_cards(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
