@@ -11,7 +11,14 @@ from .hashing import (
     simhash_bits,
 )
 from .text import normalized_text, shingles, token_count, tokens
-from .vectors import cosine_similarity, dot, l2_distance, l2_norm
+from .vectors import (
+    cosine_similarity,
+    dot,
+    l2_distance,
+    l2_norm,
+    normalize_vector,
+    truncate_vector,
+)
 
 __all__ = [
     "bucket_overlap_ratio",
@@ -23,6 +30,7 @@ __all__ = [
     "l2_norm",
     "lsh_buckets",
     "minhash_signature",
+    "normalize_vector",
     "normalized_text",
     "shingle_hashes",
     "shingles",
@@ -30,4 +38,5 @@ __all__ = [
     "simhash_bits",
     "token_count",
     "tokens",
+    "truncate_vector",
 ]

@@ -571,28 +571,44 @@ class MinHashLSHModel:
         parquet file, and after months of daily ingests the artifact
         becomes a many-small-files scan where per-file open/footer cost
         dominates. Reads the stored rows (signatures are NOT recomputed),
-        rewrites them at ``dest_path`` in ``ceil(rows / rows_per_file)``
-        output partitions, preserves the ``band0=`` partitioned layout when
+        rewrites them at ``dest_path`` in ``~ceil(rows / rows_per_file)``
+        files (``maxRecordsPerFile`` bounds every file even when one band0
+        value is hot), preserves the ``band0=`` partitioned layout when
         the source has one (override with ``partition_by_band0``), and
         carries the ``_params`` config sidecar through verbatim — a
         pre-sidecar artifact is refused (re-save once to stamp it, the
-        ``append_index`` contract). Write-to-new-path + atomic cutover,
-        never an in-place mutation: serving rolls back for free.
+        ``append_index`` contract).
+
+        Cutover contract: this writes to a NEW path and the CALLER repoints
+        serving at ``dest_path`` only after this returns — never an
+        in-place mutation, so rollback is free. A crash mid-compaction
+        leaves ``dest_path`` partial (possibly data without its sidecar —
+        ``load_index`` on such a dir would silently fall back to default
+        config); that is harmless precisely because an unreturned dest must
+        never be served. The sidecar is read back and the written row count
+        re-counted from ``dest_path`` (parquet metadata only) before
+        returning, so a successful return certifies a complete, servable
+        artifact.
 
         Content-preserving by design: compaction never dedups or reorders
         semantics — ids replayed by a buggy ingest are an upstream dedup
         problem (``incremental_near_dedup``), not a compaction side
-        effect. Returns the row count written (cheap verification handle:
-        compare with the source count before cutover)."""
+        effect. Returns the row count of the COMPACTED artifact (counted
+        at dest, not the source pre-count, so a concurrent append racing
+        the rewrite can't make the returned number lie about dest)."""
+        from pyspark.errors import AnalysisException
+
         sidecar = path.rstrip("/") + "/_params"
         try:
             params = spark.read.parquet(sidecar)
             params.head()
-        except Exception:
+        except AnalysisException as e:
+            # only a MISSING sidecar means pre-stamp; transient IO errors
+            # propagate as themselves
             raise ValueError(
                 f"no _params sidecar under {path!r} — artifact predates the "
                 "config stamp; re-save it once (save_index) before compacting"
-            )
+            ) from e
         loaded = spark.read.parquet(path)
         band0 = (
             ("band0" in loaded.columns)
@@ -600,22 +616,28 @@ class MinHashLSHModel:
             else bool(partition_by_band0)
         )
         data = loaded.select(*[c for c in loaded.columns if c != "band0"])
-        n = data.count()
-        parts = max(1, -(-n // int(rows_per_file)))
+        # parquet count() is metadata-only (footer row counts) — cheap even
+        # on a many-small-files source
+        parts = max(1, -(-data.count() // int(rows_per_file)))
         if band0:
             out = data.withColumn("band0", F.element_at("bucket_ids", 1))
             # repartition ON the layout key: each task then holds few band0
             # values, so files-per-partition-dir stays ~1 instead of
-            # parts x |band0 dirs|
-            out.repartition(parts, "band0").write.mode("overwrite").partitionBy(
-                "band0"
-            ).parquet(dest_path)
+            # parts x |band0 dirs|; maxRecordsPerFile still splits a hot
+            # band0 value into rows_per_file-sized files within its task
+            out.repartition(parts, "band0").write.mode("overwrite").option(
+                "maxRecordsPerFile", int(rows_per_file)
+            ).partitionBy("band0").parquet(dest_path)
         else:
-            data.repartition(parts).write.mode("overwrite").parquet(dest_path)
+            data.repartition(parts).write.mode("overwrite").option(
+                "maxRecordsPerFile", int(rows_per_file)
+            ).parquet(dest_path)
         params.coalesce(1).write.mode("overwrite").parquet(
             dest_path.rstrip("/") + "/_params"
         )
-        return n
+        # completeness certification: both halves readable at dest
+        assert spark.read.parquet(dest_path.rstrip("/") + "/_params").head()
+        return spark.read.parquet(dest_path).count()
 
     @classmethod
     def load_index(

@@ -114,6 +114,8 @@ def dequantize_embeddings(
 def quantized_cosine_topk(
     df: DataFrame,
     query_vec,
+    *,  # keyword-only: the scale param was REMOVED from this slot — a stale
+    # 3-positional call must fail loudly, not bind a float scale to k
     k: int = 10,
     q_col: str = "qembedding",
     id_col: str = "vec_id",
@@ -122,7 +124,8 @@ def quantized_cosine_topk(
     dequantize pass, no float column in the scan.
 
     Cosine is scale-invariant, so codes under ANY per-vector scale rank
-    identically to the vectors they encode: the dot product and both
+    the same as the vectors they encode up to quantization rounding (the
+    per-pair error bound is pinned by test): the dot product and both
     norms are exact INTEGER arithmetic over the codes (|c| <= 127, so a
     dot fits int64 up to 2^47 dims — ANSI-safe), with one float division
     + sqrt at the end. The query is therefore quantized driver-side with

@@ -336,12 +336,16 @@ PII_PATTERNS: "tuple[tuple[str, str], ...]" = (
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
 )
 
-#: isolated run of 13-19 digits with optional single space/dash separators —
-#: the PAN candidate shape. The trailing ``\b`` + leading ``\b`` mean a
-#: longer digit run (>19) can never match even partially, so candidates are
-#: whole isolated runs only; Luhn validation then separates real card
-#: numbers from order ids and timestamps.
-_CC_CANDIDATE = r"\b(?:\d[ -]?){12,18}\d\b"
+#: MAXIMAL isolated digit run with optional single space/dash separators —
+#: the PAN candidate shape. The run body is POSSESSIVE (``*+``): the engine
+#: can never backtrack to a shorter prefix to satisfy the boundary
+#: lookarounds, so a 28-digit spaced serial is extracted as ONE 28-digit
+#: candidate (then dropped by the 13-19 length filter in Spark), never as a
+#: redactable 19-digit prefix. Lookarounds keep candidates isolated: not
+#: glued to a word character on either side, and not the tail of a longer
+#: separated run (``(?<!\d[ -])``). Length filtering happens in Spark, not
+#: the regex, precisely so no partial match of a longer run can ever exist.
+_CC_CANDIDATE = r"(?<!\w)(?<!\d[ -])\d(?:[ -]?\d)*+(?!\w)"
 
 
 def redact_credit_cards(
@@ -361,25 +365,35 @@ def redact_credit_cards(
     Luhn, so false redactions drop ~10x vs the regex alone.
 
     Returns ``(doc_id, redacted_text, <keep_cols>..., n_credit_card)`` —
-    the ``pii_redact`` contract; compose them::
+    the ``pii_redact`` contract, including NULL semantics (NULL text
+    propagates to NULL ``redacted_text`` and NULL count, so operator order
+    in a composition never changes null-vs-empty downstream); compose::
 
         pii_redact(redact_credit_cards(df).withColumnRenamed(
             "redacted_text", "text"))
 
     Kept OUT of ``PII_PATTERNS`` deliberately: the default pattern tuple is
     an ordered cross-engine contract (oracle-checked), and Luhn is a fold,
-    not a pattern — callers opt in. One caveat, documented rather than
-    hidden: replacement is by literal substring, so a validated run that
-    also occurs verbatim elsewhere in the SAME document is replaced there
-    too (both occurrences are the same PAN — over-redaction, the safe
-    direction).
+    not a pattern — callers opt in. Candidates are MAXIMAL isolated runs
+    (see ``_CC_CANDIDATE``) length-filtered to 13-19 digits in Spark, so a
+    longer serial/IBAN-style run is never partially matched; replacement is
+    digit-boundary-guarded (``(?<!\\d)...(?!\\d)``), so a validated PAN
+    that happens to appear as the INTERIOR of a longer digit run elsewhere
+    in the document is left alone there.
 
     Zero-shuffle single projection: ``regexp_extract_all`` -> per-candidate
     integer Luhn fold (``aggregate`` over the digit positions, pure int
-    arithmetic, ANSI-safe) -> literal-replace fold over the validated
-    array. Scan speed at any corpus size."""
-    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
-    cands = F.regexp_extract_all(t, F.lit(_CC_CANDIDATE), 0)
+    arithmetic, ANSI-safe) -> boundary-guarded ``regexp_replace`` fold over
+    the validated array. Scan speed at any corpus size."""
+    t = F.col(text_col).cast("string")
+    # regexp_replace's replacement is a Java template: escape \ and $ so a
+    # caller-supplied replacement string is always literal
+    repl = replacement.replace("\\", "\\\\").replace("$", "\\$")
+    runs = F.regexp_extract_all(t, F.lit(_CC_CANDIDATE), 0)
+    cands = F.filter(
+        runs,
+        lambda c: F.length(F.regexp_replace(c, r"[^0-9]", "")).between(13, 19),
+    )
 
     def luhn_valid(c):
         ds = F.regexp_replace(c, r"[^0-9]", "")
@@ -400,7 +414,16 @@ def redact_credit_cards(
 
     valid = F.filter(cands, luhn_valid)
     red = F.aggregate(
-        valid, t, lambda acc, c: F.replace(acc, c, F.lit(replacement))
+        valid,
+        t,
+        # candidates contain only digits/space/dash — no regex metachars —
+        # so the candidate itself is a safe pattern body; the digit
+        # lookarounds stop interior-of-longer-run rewrites
+        lambda acc, c: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"(?<!\d)"), c, F.lit(r"(?!\d)")),
+            F.lit(repl),
+        ),
     )
     return df.select(
         F.col(id_col).alias("doc_id"),

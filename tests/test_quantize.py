@@ -166,6 +166,47 @@ def test_int_dot_is_exact(spark):
             assert got[vid] == pytest.approx(want, abs=1e-12), vid
 
 
+def test_query_spike_beyond_corpus_max_keeps_ranking(spark):
+    """Regression pin for query-own-scale quantization: a query with a
+    component LARGER than the corpus max must keep the exact ranking.
+    Under the old corpus-scale scheme that component clamps at the corpus
+    max, distorting the query's DIRECTION (a 4:1 spike flattens) and
+    flipping the top-1; with the query quantized under its own symmetric
+    scale the direction survives at full 8-bit resolution."""
+    from pyspark_minhash_lsh_spark.functions.vectors import cosine_similarity
+
+    # corpus values all in [-1, 1]; two anchors: one aligned with the
+    # spike direction, one aligned with the flat direction
+    rows = [
+        (0, [1.0] + [0.25] * (DIM - 1)),   # spike-ish doc
+        (1, [1.0] * DIM),                  # flat doc
+    ]
+    rng = random.Random(3)
+    for i in range(2, 40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(DIM)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    s = fit_scalar_quantizer(emb)
+    assert s <= 1.0 / 127 + 1e-9  # corpus max is 1: the spike exceeds it
+    q = quantize_embeddings(emb, s).select("vec_id", "qembedding")
+
+    query = [8.0] + [0.5] * (DIM - 1)  # 8x the corpus max on dim 0
+    exact = [r.vec_id for r in emb.select(
+        "vec_id",
+        cosine_similarity(
+            F.col("embedding"), F.array(*[F.lit(x) for x in query])
+        ).alias("c"),
+    ).orderBy(F.desc("c"), F.asc("vec_id")).limit(5).collect()]
+    got = [r.vec_id for r in quantized_cosine_topk(q, query, k=5).collect()]
+    assert got[0] == exact[0] == 0, (got, exact)
+    # top-5 agrees up to quantization rounding at the 5th-place boundary
+    assert len(set(got) & set(exact)) >= 4, (got, exact)
+
+    # and the API is stale-call-safe: the removed positional scale slot
+    # cannot silently bind to k
+    with pytest.raises(TypeError):
+        quantized_cosine_topk(q, query, s)  # noqa — intentional legacy call
+
+
 # ---- round 6: embedding toolkit companions (functions/vectors.py) ----------
 
 

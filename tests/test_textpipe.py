@@ -650,8 +650,40 @@ def test_redact_credit_cards_luhn_gate(spark):
     assert out[4].redacted_text == "serial 1234567890123456789012 long"
     assert out[5].redacted_text == "twice <CREDIT_CARD> and <CREDIT_CARD>"
     assert out[5].n_credit_card == 2
-    assert out[6].redacted_text == "" and out[6].n_credit_card == 0
+    # NULL text propagates (the pii_redact contract), never coerces to ""
+    assert out[6].redacted_text is None and out[6].n_credit_card is None
     assert out[7].n_credit_card == 0
+
+
+def test_redact_credit_cards_never_partial_matches_long_runs(spark):
+    """A separated run LONGER than 19 digits must never be partially
+    redacted, even when a 13-19 digit prefix of it passes Luhn; and a
+    validated PAN occurring as the INTERIOR of a longer digit run
+    elsewhere in the doc is left alone there (digit-boundary replace)."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        redact_credit_cards,
+    )
+
+    # "1234 5678 9012 3452" passes Luhn as a 16-digit prefix; the full
+    # spaced run is 28 digits and must survive whole
+    long_sep = "1234 5678 9012 3452 7890 1234 end"
+    inner = "card 4111111111111111 serial 00004111111111111111000"
+    glued = "ref abc4111111111111111 tail"
+    docs = spark.createDataFrame(
+        [(0, f"serial {long_sep}"), (1, inner), (2, glued)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_credit_cards(docs).collect()}
+    assert out[0].redacted_text == f"serial {long_sep}"
+    assert out[0].n_credit_card == 0
+    # the standalone PAN is redacted; the 23-digit serial containing the
+    # same digit substring is untouched
+    assert out[1].redacted_text == (
+        "card <CREDIT_CARD> serial 00004111111111111111000"
+    )
+    assert out[1].n_credit_card == 1
+    # digits glued to a word are not isolated runs
+    assert out[2].redacted_text == glued and out[2].n_credit_card == 0
 
 
 def test_redact_credit_cards_matches_python_luhn(spark):
