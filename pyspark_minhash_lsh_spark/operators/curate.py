@@ -290,6 +290,12 @@ def curate_corpus(
         F.lit("drop_exact_dup").alias("status"),
     )
     exact_keeps = after_exact.where(F.col("_keep_exact")).drop("_keep_exact")
+    # the near-dup stage reads this frame ~3x (signature fit, label join,
+    # final output) and each read would otherwise re-run the exact-dedup
+    # shuffle agg + join above the persisted rules table — persist the slim
+    # survivor frame once (lazy; measured ~2.5s of the sf0.1 wall)
+    exact_keeps = exact_keeps.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(exact_keeps)
 
     nd = minhash_dedup(
         exact_keeps,

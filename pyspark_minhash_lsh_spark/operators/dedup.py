@@ -108,8 +108,24 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 10,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
-    """Connected components by min-label propagation + pointer doubling.
+    """Connected components by min-label propagation + pointer doubling,
+    with a size-gated driver union-find fast path.
+
+    **Fast path**: after materializing the (symmetrized) edge table its
+    exact size is known for free; at or below ``driver_edge_limit`` edges
+    the whole labeling is solved driver-side with path-halving union-find
+    (O(E alpha)) instead of O(log diameter) rounds of distributed joins.
+    Near-dup edge sets are tiny relative to the corpus (pairs, not docs —
+    a 100 TB corpus at a sane threshold yields millions of edges, and the
+    default bound is ~32 MB of id pairs), while each distributed round
+    costs 2 shuffle joins + a checkpoint + a probe action; below the bound
+    the loop is pure scheduler overhead. This is the same bounded-pull
+    stance as the tokenizer type tables and IVF centroids: the COLLECTED
+    object is provably small, the corpus never moves. Above the bound the
+    distributed fixpoint below runs unchanged — set
+    ``driver_edge_limit=0`` to force it.
 
     ``edges`` is an undirected edge list; returns ``(id, component)`` where
     ``component`` is the minimum node id reachable. Each round does two
@@ -140,8 +156,14 @@ def connected_components(
     # materialize the edge table ONCE: every round joins against it, and
     # without truncation each round would re-execute the full edge-producing
     # lineage (for the dedup callers that is the entire LSH/PPJoin/SRP
-    # similarity join — O(rounds) recomputation, measured ~2x end-to-end)
-    sym = sym.localCheckpoint(eager=True)
+    # similarity join — O(rounds) recomputation, measured ~2x end-to-end).
+    # Pre-partition on the per-round join key first: LogicalRDD preserves
+    # the checkpointed plan's outputPartitioning, so every round's
+    # sym-vs-labels join exchanges only the (node-sized) label side, never
+    # the (edge-sized) edge table again.
+    sym = sym.repartition(F.col("b")).localCheckpoint(eager=True)
+    if sym.count() <= int(driver_edge_limit):  # count over the checkpointed
+        return _driver_union_find(sym)         # RDD — no recomputation
     nodes = sym.select(F.col("a").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
 
@@ -157,6 +179,7 @@ def connected_components(
             F.least(
                 F.col("component"), F.coalesce("nbr_component", F.col("component"))
             ).alias("component"),
+            F.col("component").alias("_old"),
         )
         # pointer doubling: follow my label's label (left join is defensive —
         # every label is a node id, so the parent row always exists)
@@ -165,19 +188,68 @@ def connected_components(
         )
         new_labels = (
             propagated.join(parents, "component", "left")
-            .select("id", F.coalesce("_grand", F.col("component")).alias("component"))
+            .select(
+                "id",
+                F.coalesce("_grand", F.col("component")).alias("component"),
+                # convergence flag carried THROUGH the round instead of an
+                # old-vs-new shuffle join afterwards: the probe below is a
+                # plain scan-aggregate of the already-checkpointed table
+                (F.coalesce("_grand", F.col("component")) != F.col("_old"))
+                .alias("_chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum(F.col("_chg").cast("long"))).head()[0]
+        labels = new_labels.drop("_chg")
+        if not changed:
             break
-    return labels
+    return labels.select("id", "component")
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Exact components of a SMALL materialized symmetric edge table
+    ``(a, b)`` via path-halving union-find; returns ``(id, component)``
+    with component = min member id (the ``connected_components``
+    contract). Only called under ``driver_edge_limit`` — the collected
+    pairs are bounded by construction."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = sym.sparkSession
+    a_field = sym.schema["a"]
+    schema = StructType(
+        [
+            StructField("id", a_field.dataType, False),
+            StructField("component", a_field.dataType, False),
+        ]
+    )
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.collect():
+        x, y = row[0], row[1]
+        for v in (x, y):
+            if v not in parent:
+                parent[v] = v
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[ry] = rx
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        if m is None or v < m:
+            comp_min[r] = v
+    rows = [(v, comp_min[find(v)]) for v in parent]
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
 
 
 def _label_output(

@@ -21,23 +21,46 @@ from pyspark_minhash_lsh_spark.functions.vectors import cosine_similarity
 
 def test_connected_components_chain_and_islands(spark):
     # chain 1-2-3-4, pair 10-11, singleton edge-less nodes absent from edges
+    # — identical answers from the driver union-find fast path (default)
+    # and the distributed fixpoint (forced with driver_edge_limit=0)
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
     got = {r.id: r.component for r in connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert got == want
+    dist = {r.id: r.component
+            for r in connected_components(edges, driver_edge_limit=0).collect()}
+    assert dist == want
 
 
 def test_connected_components_long_chain_log_rounds(spark):
     """Pointer doubling: a diameter-200 chain must resolve within max_iter=10
     rounds (2^10 >> 200). Pure 1-hop min-propagation would need ~200 rounds,
-    so this fails if the doubling step regresses."""
+    so this fails if the doubling step regresses. driver_edge_limit=0 forces
+    the distributed path — the thing under test."""
     n = 200
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
     )
-    got = {r.id: r.component for r in connected_components(edges, max_iter=10).collect()}
+    got = {r.id: r.component for r in connected_components(
+        edges, max_iter=10, driver_edge_limit=0).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_paths_agree_randomized(spark):
+    """Property: on a random graph the driver union-find and the
+    distributed fixpoint produce identical labelings (string ids too)."""
+    import random
+
+    rng = random.Random(17)
+    edges_py = [(f"n{rng.randint(0, 120)}", f"n{rng.randint(0, 120)}")
+                for _ in range(150)]
+    edges = spark.createDataFrame(edges_py, ["id_a", "id_b"])
+    fast = {r.id: r.component for r in connected_components(edges).collect()}
+    dist = {r.id: r.component
+            for r in connected_components(edges, driver_edge_limit=0).collect()}
+    assert fast == dist and len(fast) > 0
 
 
 def test_exact_dedup_groups(spark):
