@@ -47,7 +47,13 @@ def normalize_vector(vec: Column) -> Column:
     embedding table once turns every downstream cosine into a plain dot
     product — at 100 TB that halves the per-pair flops of the brute-force
     and rerank stages, and it is what the int8 quantization tier
-    (operators/quantize.py) wants as input so the corpus max is ~1."""
+    (operators/quantize.py) wants as input so the corpus max is ~1.
+
+    PERF: the divide's lambda captures the norm EXPRESSION, and interpreted
+    HOF eval re-evaluates captured expressions per element — O(d^2) per
+    row. Fine for ad-hoc exprs and tests; on a corpus-scale column use
+    ``operators.reduce.normalize_embeddings``, which stages the norm as an
+    attribute first (same values, O(d))."""
     n = l2_norm(vec)
     return F.when(
         n > 0, F.transform(vec, lambda x: x.cast("double") / n)
@@ -62,7 +68,9 @@ def truncate_vector(vec: Column, dim: int, renormalize: bool = True) -> Column:
     a 4x dim cut is a 4x scan/shuffle cut on every vector operator
     downstream. Raises at analysis time on ``dim < 1``; vectors SHORTER
     than ``dim`` pass through unchanged (slice semantics), so mixed-width
-    corpora fail loudly in the ops that zip widths, not silently here."""
+    corpora fail loudly in the ops that zip widths, not silently here.
+    Corpus-scale: prefer ``operators.reduce.truncate_embeddings`` (staged
+    renormalize — see ``normalize_vector``'s PERF note)."""
     if int(dim) < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     sliced = F.slice(vec, 1, int(dim))

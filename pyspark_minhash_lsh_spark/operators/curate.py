@@ -42,7 +42,7 @@ from .textpipe import (
     line_filter,
     normalize_text,
     pii_redact,
-    repetition_metrics,
+    with_repetition_metrics,
 )
 
 __all__ = ["curate_corpus"]
@@ -188,10 +188,10 @@ def curate_corpus(
         )
     else:
         red = base
-    rep = repetition_metrics(red).select(
-        "doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"
-    )
-    staged = red.join(rep, "doc_id")
+    # repetition facets appended as staged zero-shuffle projections
+    # (round 6): no doc-keyed join, so the document text reaches the
+    # persist below without ever shuffling
+    staged = with_repetition_metrics(red)
     first_rules = []
     if boiler is not None:
         staged = staged.join(boiler, "doc_id", "left")

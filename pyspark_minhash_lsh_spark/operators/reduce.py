@@ -27,7 +27,70 @@ from pyspark.ml.feature import PCA, PCAModel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fit_pca_reducer", "PcaReducer"]
+__all__ = [
+    "fit_pca_reducer",
+    "PcaReducer",
+    "normalize_embeddings",
+    "truncate_embeddings",
+]
+
+
+def normalize_embeddings(
+    df: DataFrame, emb_col: str = "embedding", output_col: Optional[str] = None
+) -> DataFrame:
+    """Unit-L2-normalize an embedding column (``array<double>``; a zero
+    vector becomes NULL) as a STAGED zero-shuffle projection.
+
+    This is the corpus-scale form of ``functions.vectors.normalize_vector``
+    — and the staging is the point: higher-order functions evaluate
+    interpreted, and a lambda capturing an outer EXPRESSION re-evaluates
+    it per element, so the Column form's ``transform(vec, x / l2_norm(vec))``
+    recomputes the full norm for EVERY dimension (O(d^2) per row; measured
+    23x on the analogous textpipe fold). Here the norm is materialized as
+    a real column first, so the divide captures a plain attribute.
+    Pre-normalizing once turns every downstream cosine into a dot product."""
+    out = output_col or emb_col
+    base = [F.col(c) for c in df.columns]
+    v = F.col(emb_col)
+    norm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    s0 = df.select(*base, norm.alias("_nrm"))
+    unit = F.when(
+        F.col("_nrm") > 0,
+        F.transform(v, lambda x: x.cast("double") / F.col("_nrm")),
+    )
+    keep = [F.col(c) for c in df.columns if c != out]
+    return s0.select(*keep, unit.alias(out))
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    dim: int,
+    emb_col: str = "embedding",
+    output_col: Optional[str] = None,
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al. 2022) of an embedding column
+    to its first ``dim`` dims, re-normalized by default so cosine stays
+    calibrated — the df-level, staged form of
+    ``functions.vectors.truncate_vector`` (same O(d^2) capture rationale
+    as ``normalize_embeddings``). The cheap storage/recall dial next to
+    PCA (trained rotation, above) and int8 (precision, quantize.py)."""
+    if int(dim) < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    out = output_col or emb_col
+    sliced = df.select(
+        *[F.col(c) for c in df.columns if c != out],
+        F.transform(
+            F.slice(F.col(emb_col), 1, int(dim)), lambda x: x.cast("double")
+        ).alias(out),
+    )
+    if not renormalize:
+        return sliced
+    return normalize_embeddings(sliced, emb_col=out, output_col=out)
 
 
 class PcaReducer:

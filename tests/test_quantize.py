@@ -265,6 +265,57 @@ def test_normalize_and_truncate_vector(spark):
     assert "Exchange" not in plan
 
 
+def test_staged_embedding_ops_match_column_forms(spark):
+    """normalize_embeddings / truncate_embeddings (staged, O(d) — the
+    corpus-scale forms) must agree with the Column expressions they
+    restage, including zero-vector NULLs, and plan with no Exchange."""
+    from pyspark_minhash_lsh_spark.functions.vectors import (
+        normalize_vector,
+        truncate_vector,
+    )
+    from pyspark_minhash_lsh_spark.operators.reduce import (
+        normalize_embeddings,
+        truncate_embeddings,
+    )
+
+    emb = _corpus(spark, n=40).union(
+        spark.createDataFrame(
+            [(999, [0.0] * DIM)], "vec_id bigint, embedding array<float>"
+        )
+    )
+    a = {r.vec_id: r.embedding for r in
+         normalize_embeddings(emb).collect()}
+    b = {r.vec_id: r.u for r in emb.select(
+        "vec_id", normalize_vector(F.col("embedding")).alias("u")).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        if b[k] is None:
+            assert a[k] is None and k == 999
+        else:
+            assert a[k] == pytest.approx(b[k], abs=1e-12), k
+
+    ta = {r.vec_id: r.embedding for r in
+          truncate_embeddings(emb, DIM // 2).collect()}
+    tb = {r.vec_id: r.t for r in emb.select(
+        "vec_id",
+        truncate_vector(F.col("embedding"), DIM // 2).alias("t")).collect()}
+    for k in ta:
+        if tb[k] is None:
+            assert ta[k] is None
+        else:
+            assert ta[k] == pytest.approx(tb[k], abs=1e-12), k
+
+    # output_col keeps the original column; plans stay zero-shuffle
+    both = truncate_embeddings(emb, 4, output_col="emb4", renormalize=False)
+    assert both.columns == ["vec_id", "embedding", "emb4"]
+    plan = normalize_embeddings(emb)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError, match="dim"):
+        truncate_embeddings(emb, 0)
+
+
 def test_truncate_then_quantize_pipeline(spark):
     """The storage dial stack composes: matryoshka truncate -> normalize
     (inside truncate) -> int8 quantize; recall vs full-dim exact top-10

@@ -37,6 +37,67 @@ def test_repetition_metrics_known_values(spark):
     assert out[3].top_bigram_frac == 0.0
 
 
+def test_repetition_metrics_matches_reference_and_zero_shuffle(spark):
+    """Round 6: the sorted-array-fold rewrite must match a Python
+    reference (relational semantics: top bigram multiplicity / total
+    bigram positions) on random dup-heavy docs, and plan with no
+    Exchange (the point of the rewrite)."""
+    import random
+    import re
+
+    rng = random.Random(5)
+    vocab = ["a", "b", "c", "dd", "e"]
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)), "s"))
+    rows += [(100, None, "s"), (101, "  ", "s"), (102, "one", "s")]
+    docs = _docs(spark, rows)
+    got = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+
+    def ref(text):
+        toks = re.findall(r"\S+", (text or "").lower())
+        n = len(toks)
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        topc = max((bgs.count(x) for x in set(bgs)), default=0)
+        return (n, len(set(toks)), topc, max(n - 1, 0),
+                (n - len(set(toks))) / n if n else 0.0,
+                topc / (n - 1) if n >= 2 else 0.0)
+
+    for i, text, _ in rows:
+        r = got[i]
+        n, nd, topc, nb, dup, top = ref(text)
+        assert (r.n_tokens, r.n_distinct, r.top_bigram_count,
+                r.n_bigrams) == (n, nd, topc, nb), (i, text)
+        assert abs(r.dup_token_frac - dup) < 1e-12, (i, text)
+        assert abs(r.top_bigram_frac - top) < 1e-12, (i, text)
+
+    plan = repetition_metrics(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_with_repetition_metrics_appends_and_validates(spark):
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        with_repetition_metrics,
+    )
+
+    docs = _docs(spark, [(0, "a b a b a b", "s")])
+    out = with_repetition_metrics(docs)
+    assert out.columns == ["doc_id", "text", "source",
+                           "n_tokens", "dup_token_frac", "top_bigram_frac"]
+    r = out.head()
+    assert r.n_tokens == 6 and r.text == "a b a b a b" and r.source == "s"
+    assert abs(r.top_bigram_frac - 0.6) < 1e-12
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown repetition metric"):
+        with_repetition_metrics(docs, cols=("nope",))
+
+
 def test_duplicated_spans_cross_doc(spark):
     shared = " ".join(f"w{i}" for i in range(10))        # one exact 10-token span
     docs = _docs(spark, [

@@ -92,6 +92,9 @@ MAX_COUNTS = [
     ("q64_incremental_dedup", "Exchange hashpartitioning", 4),
     # q68 (r06, zipf-only revert): token-count agg + count-keyed reagg
     ("q68_token_frequency_profile", "Exchange hashpartitioning", 2),
+    # r06: repetition facets became a staged zero-shuffle projection
+    # (sorted-bigram-run fold) — lock the elided explode/window/agg path out
+    ("q53_repetition_metrics", "Exchange hashpartitioning", 0),
     # drift shape (moved from q68's union to the q85 diagnostic): two
     # token-count aggs + the full-outer token join (1-row totals broadcast;
     # no corpus-sized extra exchange)
