@@ -56,17 +56,36 @@ def shingles(toks: Column, k: int = 2) -> Column:
     Parity: reference ``minhash_utils.py:6-20`` emits k-tuples; we join with a
     single space (tokens contain no spaces post-split, so the mapping is
     injective) so native hash functions apply directly (SURVEY.md §1.4).
-    Documents with fewer than ``k`` tokens yield an empty array — the
-    ``F.when`` guard matters because ``sequence(0, n)`` with ``n < 0`` counts
-    *down* rather than erroring.
+    Documents with fewer than ``k`` tokens yield an empty array.
+
+    CAPTURE-FREE by construction (round 6): built as ``k-1`` chained
+    ``zip_with`` concatenations of the array against its own shifts — the
+    lambdas touch only their element variables, never ``toks``. The
+    previous form (``transform(sequence, i -> concat_ws(slice(toks, ...)))``)
+    captured ``toks`` inside the lambda, and interpreted HOF eval
+    re-evaluates captured expressions PER ELEMENT — a caller passing
+    ``shingles(tokens(text))`` re-tokenized the document once per window,
+    O(n^2) regex work per doc. Here ``toks`` is referenced only as
+    zip_with/slice INPUTS (evaluated once per row), so unstaged call sites
+    are safe. NULL token elements (impossible from ``tokens``) drop their
+    windows rather than being skipped inside one.
     """
-    n = F.size(toks)
     if k == 1:
         return F.array_distinct(toks)
-    windows = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    n = F.size(toks)
+    acc = toks
+    for j in range(1, int(k)):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        # zip_with pads the shorter side with NULL -> trailing (incomplete)
+        # windows become NULL and are filtered below
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        )
+    windows = F.filter(acc, lambda x: x.isNotNull())
     return F.when(n >= k, F.array_distinct(windows)).otherwise(
         F.array().cast("array<string>")
     )
