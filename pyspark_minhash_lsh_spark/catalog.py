@@ -3462,14 +3462,15 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fourteen dedup/curation operators end-to-end, one summary row each —
+    """Fifteen dedup/curation operators end-to-end, one summary row each —
     rows-only (all are signature/hash dependent; see the suite-curation
     note above). Legs (folding round-2's q34, q39, q50, q51, q65, and —
     round 4 — q38's clustering, whose driver slot moved to the q79
     tokenize suite; q38 itself stays registered for the bench scale probe;
     round 5 adds quantile_sketch, the DDSketch-style mergeable log-bucket
     histogram answering doc-length percentiles from two merged halves,
-    and fuzzy_dedup, the edit-distance clustering composition — see the
+    and fuzzy_dedup, the edit-distance clustering composition; round 6
+    adds cc_redact, the Luhn-gated credit-card redaction — see the
     inline comments at those legs):
       - minhash_dedup: MinHash-LSH near-dup clustering with
         pointer-doubling connected components (the former q38 row);
@@ -3661,6 +3662,28 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("component"),
     )
 
+    # cc_redact (round 6): Luhn-gated PAN redaction — docs get a synthetic
+    # suffix: every 3rd doc a checksum-VALID test PAN (redacted), every
+    # 3rd+1 a checksum-INVALID 16-digit run (must survive). f1 = total
+    # validated redactions (== count of %3==0 docs — would inflate if the
+    # invalid runs ever matched), f2 = mean redacted length. Deterministic;
+    # value-level tests in tests/test_textpipe.py.
+    from .operators.textpipe import redact_credit_cards
+
+    ccd = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" pay 4111111111111111 ok"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" ref 4111111111111112 ok"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    leg_cc = _suite_row(
+        redact_credit_cards(ccd), "cc_redact",
+        F.sum("n_credit_card"), F.avg(F.length("redacted_text")),
+    )
+
     return (
         leg_md.unionByName(leg_bits).unionByName(leg_pairs)
         .unionByName(leg_edd)
@@ -3668,7 +3691,7 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg_ndb).unionByName(leg_inc).unionByName(leg_bg)
         .unionByName(leg_ld)
         .unionByName(leg_cur).unionByName(leg_lss).unionByName(leg_sk)
-        .unionByName(leg_qh).unionByName(leg_fz)
+        .unionByName(leg_qh).unionByName(leg_fz).unionByName(leg_cc)
     )
 
 
