@@ -1350,6 +1350,12 @@ def q78_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collision would fail locally too).
 # =====================================================================================
 
+#: SYNC NOTE: q64's oracle embeds this same 400/100/150 split inline with
+#: tokenized keys (its CTEs predate this helper). Its SHAPE is left alone —
+#: q64 is a driver-green oracle row and the driver-green discipline forbids
+#: reshaping proven oracle text mid-round — but any change to the split
+#: constants must be made BOTH here and in q64's oracle. The Spark sides
+#: all share _diag_snapshots, so they cannot drift.
 _DIAG_SNAP_SQL = f"""
     old_snap AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
     new_snap AS (SELECT doc_id,
@@ -2855,14 +2861,11 @@ def q64_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dedup").alias("leg"), "doc_id", F.lit("kept").alias("status")
     )
 
-    old_snap = docs.filter(F.col("doc_id") < 400)
-    new_snap = docs.filter(F.col("doc_id") >= 100).withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") < 150,
-            F.concat(F.col("text"), F.lit(" edited snapshot v2")),
-        ).otherwise(F.col("text")),
-    )
+    # the ONE snapshot construction shared with the q85/q86 drift
+    # diagnostics (round-6 review catch: three hand-synced copies of the
+    # 400/100/150 split constants; now Spark sides share this helper and
+    # both oracles interpolate _DIAG_SNAP_SQL)
+    old_snap, new_snap = _diag_snapshots(docs)
     diff_leg = snapshot_diff(old_snap, new_snap).select(
         F.lit("diff").alias("leg"), "doc_id", "status"
     )
@@ -4139,7 +4142,11 @@ _CURATED_ORDER = [
 #: ROUND ONLY (VERDICT r05 #1 — the q80-q86 diagnostics need slots inside
 #: the 50 budget): q02/q09/q11/q14/q66/q70 were driver-green in r05 with
 #: unchanged operators since, and q33's exact oracle twin q25 stays curated;
-#: all seven still run under pytest's full oracle sweep and bench.py.
+#: all seven still run under pytest's full oracle sweep
+#: (tests/test_catalog_oracle.py iterates ORACLE_SQL, which keeps every
+#: oracle); q30/q33/q38 additionally run in bench.py's headline/scale
+#: sets, while q02/q09/q11/q14/q66/q70 are pytest-only for the parking
+#: round (sub-second relational queries with no bench role).
 #: Restore them when the diagnostics retire.
 _BENCH_ONLY = [
     "q30_minhash_signatures",

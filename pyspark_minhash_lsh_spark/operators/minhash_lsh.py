@@ -456,22 +456,30 @@ class MinHashLSHModel:
             self.text_col, self.id_col,
         )
 
-    def _read_saved_params(self, path: str):
-        """The saved artifact's params row, or None for a pre-sidecar layout."""
-        spark = self.index.sparkSession
+    @staticmethod
+    def _read_params_row(spark, path: str):
+        """The saved artifact's params row, or None for a pre-sidecar
+        layout — the ONE sidecar-read implementation (save/append/load/
+        compact all route here so the layout can never drift per-caller)."""
         try:
             return spark.read.parquet(path.rstrip("/") + "/_params").head()
         except Exception:
             return None
 
-    def _check_saved_params(self, path: str) -> None:
+    def _read_saved_params(self, path: str):
+        return self._read_params_row(self.index.sparkSession, path)
+
+    def _check_saved_params(self, path: str, saved=False) -> None:
         """Refuse config drift against a saved layout (the artifact-versioning
         stance shared by the Bloom/CM sidecars): appending rows hashed under a
         DIFFERENT permutation family or banding would silently corrupt the
         candidate space — every query would keep returning rows, just wrong
         ones. A missing sidecar (pre-round-6 artifact) is also a refusal:
-        re-save once with the current version to stamp it."""
-        saved = self._read_saved_params(path)
+        re-save once with the current version to stamp it. Pass ``saved``
+        (a params row or None) when the caller already read the sidecar —
+        avoids a second parquet read per append."""
+        if saved is False:
+            saved = self._read_saved_params(path)
         if saved is None:
             raise ValueError(
                 f"no _params sidecar under {path!r} — artifact predates the "
@@ -506,11 +514,13 @@ class MinHashLSHModel:
         model's rows to an existing saved index (config-checked against the
         sidecar when one exists); for batch ingest prefer ``append_index``,
         which computes batch-only signatures in one call. A ``_params``
-        sidecar stamps the config so later appends can refuse drift."""
+        sidecar stamps the config so later appends can refuse drift;
+        appending onto a PRE-SIDECAR artifact is refused outright (round-6
+        review catch: silently re-stamping a mixed-config artifact with
+        THIS model's config would launder exactly the drift the sidecar
+        exists to catch — overwrite-save it once to stamp it first)."""
         if mode == "append":
-            saved = self._read_saved_params(path)
-            if saved is not None:
-                self._check_saved_params(path)
+            self._check_saved_params(path)
         out = self.index
         if partition_by_band0:
             out = out.withColumn("band0", F.element_at("bucket_ids", 1))
@@ -658,11 +668,7 @@ class MinHashLSHModel:
         silently broke query-side signature math before). Explicit ``lsh``/
         ``text_col``/``id_col`` arguments still win; pre-sidecar artifacts
         fall back to the legacy defaults."""
-        saved = None
-        try:
-            saved = spark.read.parquet(path.rstrip("/") + "/_params").head()
-        except Exception:
-            pass
+        saved = cls._read_params_row(spark, path)
         if saved is not None:
             if lsh is None:
                 lsh = MinHashLSH(MinHashLSHConfig(

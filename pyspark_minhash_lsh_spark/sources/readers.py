@@ -120,10 +120,17 @@ _WARC_COLUMNS = [
 
 
 def _parse_warc_date(s: "str | None"):
-    """``WARC-Date`` header (ISO-8601, usually ``...Z``) -> naive-UTC
+    """``WARC-Date`` header (ISO-8601, usually ``...Z``) -> TZ-AWARE UTC
     datetime, or None when absent/malformed — the record's EVENT TIME, so
     streaming consumers watermark on crawl time instead of arrival time
-    (round 6; Common Crawl replays segments hours after capture)."""
+    (round 6; Common Crawl replays segments hours after capture).
+
+    Aware, not naive (round-6 review catch): a naive datetime crossing the
+    Arrow boundary is interpreted in ``spark.sql.session.timeZone``, so a
+    non-UTC session would shift every capture time by the session offset —
+    skewing the crawl_curate watermark. An aware UTC datetime pins the
+    instant regardless of session timezone. A dateless header (no tz
+    designator) is UTC by the WARC 1.0 spec."""
     if not s:
         return None
     from datetime import datetime, timezone
@@ -132,9 +139,9 @@ def _parse_warc_date(s: "str | None"):
         dt = datetime.fromisoformat(s.strip().replace("Z", "+00:00"))
     except ValueError:
         return None
-    if dt.tzinfo is not None:
-        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
-    return dt
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
 
 
 def _parse_warc_bytes(name: str, data: bytes, include_types, strip_http: bool):

@@ -214,7 +214,23 @@ def streaming_near_dedup(
             return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
                 ["band_key"]
             )
-        return keyed.dropDuplicates(["band_key"])
+        # batch twin: FIRST-ARRIVAL (by ts, then full-row tiebreak) per band
+        # key, exactly like the multi-band batch path below — a bare
+        # dropDuplicates keeps an ARBITRARY row, so batch replay output
+        # would depend on task completion order and diverge from the
+        # streamed run's first-capture-wins (crawl_curate's documented
+        # contract; review catch round 6)
+        from pyspark.sql import Window
+
+        order_cols = [c for c in keyed.columns if c not in ("band_key", ts_col)]
+        w = Window.partitionBy("band_key").orderBy(
+            F.asc(ts_col), *[F.asc(c) for c in order_cols]
+        )
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     banded = (
         docs.withColumn("_sig", sig)

@@ -177,13 +177,24 @@ def test_crawl_curate_incremental_against_lake(spark, tmp_path):
 def test_warc_date_parses_iso_variants(spark, tmp_path):
     from pyspark_minhash_lsh_spark.sources.readers import _parse_warc_date
 
-    assert str(_parse_warc_date("2024-01-01T00:00:00Z")) == "2024-01-01 00:00:00"
+    from datetime import timezone
+
+    # TZ-AWARE UTC (round 6): a naive datetime would be reinterpreted in
+    # spark.sql.session.timeZone at the Arrow boundary — aware pins the
+    # instant for any session timezone
+    got = _parse_warc_date("2024-01-01T00:00:00Z")
+    assert got.tzinfo == timezone.utc
+    assert str(got) == "2024-01-01 00:00:00+00:00"
     assert str(_parse_warc_date("2024-01-01T01:02:03.500Z")) == (
-        "2024-01-01 01:02:03.500000"
+        "2024-01-01 01:02:03.500000+00:00"
     )
     # explicit offset normalizes to UTC
     assert str(_parse_warc_date("2024-01-01T02:00:00+02:00")) == (
-        "2024-01-01 00:00:00"
+        "2024-01-01 00:00:00+00:00"
+    )
+    # tz-less header: UTC by the WARC 1.0 spec, still aware
+    assert str(_parse_warc_date("2024-01-01T03:00:00")) == (
+        "2024-01-01 03:00:00+00:00"
     )
     assert _parse_warc_date(None) is None
     assert _parse_warc_date("") is None

@@ -380,6 +380,24 @@ def test_compact_index_after_appends(spark, tmp_path):
         MinHashLSHModel.compact_index(spark, bare, str(tmp_path / "x"))
 
 
+def test_save_index_append_refuses_pre_sidecar(spark, tmp_path):
+    """Round-6 review catch: mode='append' onto a sidecar-less artifact
+    must refuse (it previously appended unchecked and then STAMPED the
+    mixed-config artifact with the appender's config — laundering the
+    drift the sidecar exists to catch)."""
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    model = MinHashLSH().fit(docs.filter(F.col("doc_id") < 20), persist=False)
+    bare = str(tmp_path / "bare_idx")
+    model.index.write.parquet(bare)  # no _params sidecar
+    with pytest.raises(ValueError, match="_params sidecar"):
+        MinHashLSH().fit(
+            docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30)),
+            persist=False,
+        ).save_index(bare, mode="append")
+
+
 def test_load_index_rehydrates_config_from_sidecar(spark, tmp_path):
     """A non-default config saved with the artifact must come back without
     the loader restating it — the query-side signature math (band keys,

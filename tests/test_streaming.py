@@ -118,6 +118,26 @@ def test_near_dedup_distinct_docs_survive(spark):
     assert out.count() == n_base
 
 
+def test_near_dedup_single_band_batch_keeps_first_arrival(spark):
+    """Round-6 review catch: the single-band BATCH path previously used a
+    bare dropDuplicates (arbitrary winner, task-order dependent) — it must
+    keep the EARLIEST-ts row per band key, matching both the multi-band
+    batch path and the streamed first-capture-wins contract crawl_curate
+    documents."""
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta", "2024-01-01 00:00:10"),
+        (2, "alpha beta gamma delta epsilon zeta", "2024-01-01 00:00:02"),
+        (7, "alpha beta gamma delta epsilon zeta", "2024-01-01 00:00:07"),
+        (5, "totally different tokens here now ok", "2024-01-01 00:00:05"),
+    ]
+    src = spark.createDataFrame(rows, ["doc_id", "text", "s"]).select(
+        "doc_id", "text", F.to_timestamp("s").alias("ts")
+    )
+    out = streaming_near_dedup(src).collect()
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [2, 5], kept  # earliest capture of the dup group wins
+
+
 def test_near_dedup_multiband_batch(spark):
     src, n_base, n_dups = _synthetic_docs(spark)
     out = streaming_near_dedup(src.select("text", "ts"), num_state_bands=8)
