@@ -1,5 +1,10 @@
 from .readers import TESTDATA_TABLES, read_table, read_text_corpus
-from .sinks import write_csv, write_parquet
+from .sinks import (
+    write_csv,
+    write_parquet,
+    write_zordered_parquet,
+    zorder_dataframe,
+)
 
 __all__ = [
     "TESTDATA_TABLES",
@@ -7,4 +12,6 @@ __all__ = [
     "read_text_corpus",
     "write_parquet",
     "write_csv",
+    "write_zordered_parquet",
+    "zorder_dataframe",
 ]

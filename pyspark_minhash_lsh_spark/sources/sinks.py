@@ -30,6 +30,8 @@ __all__ = [
     "write_bucketed_table",
     "write_training_shards",
     "write_jsonl_shards",
+    "zorder_dataframe",
+    "write_zordered_parquet",
 ]
 
 
@@ -198,6 +200,141 @@ def write_bucketed_table(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.mode(mode).saveAsTable(table)
+
+
+def _z_bucket(col: str, dt: str, bits: int, mn, mx):
+    """Scale one column into an integer bucket in ``[0, 2^bits)`` that
+    PRESERVES ORDER (the property z-ordering needs; a hash would destroy
+    locality). Numeric/timestamp/boolean columns min-max scale linearly
+    (``mn``/``mx`` from the caller's single stats agg); string columns map
+    their first 4 UTF-8 bytes big-endian (lexicographic prefix order
+    survives). NULLs land in bucket 0."""
+    from pyspark.sql import functions as F
+
+    top = (1 << bits) - 1
+    if dt == "string":
+        # first 4 bytes as an unsigned int via hex; rpad so short strings
+        # compare by prefix (''-> 0); then take the top `bits` bits
+        pref = F.conv(
+            F.rpad(F.substring(F.hex(F.col(col)), 1, 8), 8, "0"), 16, 10
+        ).cast("bigint")
+        # bits > 32: the 32-bit prefix already fits — no shift (max(0,...)
+        # guards the negative-shift case)
+        return F.coalesce(
+            F.call_function("shiftright", pref, F.lit(max(0, 32 - bits))),
+            F.lit(0),
+        ).cast("bigint")
+    if mn is None or mx is None or mx <= mn:
+        return F.lit(0).cast("bigint")
+    scale = float(top) / (mx - mn)
+    raw = F.floor((F.col(col).cast("double") - F.lit(mn)) * F.lit(scale))
+    return F.coalesce(
+        F.least(F.lit(top), F.greatest(F.lit(0), raw)), F.lit(0)
+    ).cast("bigint")
+
+
+def zorder_dataframe(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_bits: int = 16,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Re-lay ``df`` along a Z-order (Morton) curve over ``cols`` — the
+    multi-column data-skipping layout (Delta/Iceberg ``OPTIMIZE ZORDER BY``
+    re-expressed on open Spark).
+
+    ``sort_within_partitions`` on one column makes that column's row-group
+    min/max stats narrow but leaves every OTHER filter column spanning the
+    full domain. Interleaving the bits of each column's order-preserving
+    bucket (``_z_bucket``) into one Morton value and range-partitioning +
+    sorting on it makes every file a small HYPERCUBE of the value space:
+    row-group stats are narrow on ALL z-columns at once, so scans filtering
+    on any of them (or any combination) skip most files — the standard
+    layout for an events table queried by both user and time, or an
+    embedding lake queried by (cell, shard).
+
+    Cost at write time: ONE min/max stats agg over the numeric z-columns
+    plus ONE range shuffle — exactly what any global sort pays; re-layout
+    is a maintenance write like ``compact_index``. The interleave
+    expression is built as a single ``F.expr`` string (the py4j
+    plan-construction lesson). Bits are capped so the Morton value fits a
+    BIGINT: ``num_bits * len(cols) <= 63``.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    if not 2 <= len(cols) <= 8:
+        raise ValueError(f"zorder needs 2-8 columns, got {len(cols)}")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"zorder columns not in DataFrame: {missing}")
+    num_bits = int(num_bits)
+    if num_bits < 1 or num_bits * len(cols) > 63:
+        raise ValueError(
+            f"num_bits * len(cols) must be in [1, 63], got "
+            f"{num_bits} * {len(cols)}"
+        )
+    dts = dict(df.dtypes)
+    numeric = [c for c in cols if dts[c] != "string"]
+    stats = {}
+    if numeric:
+        row = df.agg(
+            *[
+                f(F.col(c).cast("double")).alias(f"{tag}_{i}")
+                for i, c in enumerate(numeric)
+                for tag, f in (("mn", F.min), ("mx", F.max))
+            ]
+        ).head()
+        for i, c in enumerate(numeric):
+            stats[c] = (row[f"mn_{i}"], row[f"mx_{i}"])
+    staged = df.select(
+        "*",
+        *[
+            _z_bucket(c, dts[c], num_bits, *stats.get(c, (None, None))).alias(
+                f"_zb{i}"
+            )
+            for i, c in enumerate(cols)
+        ],
+    )
+    # Morton interleave as ONE parsed expression: bit b of column c lands at
+    # position b*ncols + c
+    n = len(cols)
+    terms = [
+        f"(shiftleft(shiftright(_zb{c}, {b}) & 1, {b * n + c}))"
+        for b in range(num_bits)
+        for c in range(n)
+    ]
+    zval = F.expr(" + ".join(terms)).alias("_zval")
+    out = staged.select("*", zval)
+    parts = [F.col("_zval")]
+    if num_partitions:
+        laid = out.repartitionByRange(int(num_partitions), *parts)
+    else:
+        laid = out.repartitionByRange(*parts)
+    return laid.sortWithinPartitions("_zval").drop(
+        "_zval", *[f"_zb{i}" for i in range(n)]
+    )
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_by: Sequence[str],
+    num_bits: int = 16,
+    num_partitions: Optional[int] = None,
+    mode: str = "overwrite",
+    max_records_per_file: Optional[int] = None,
+    compression: str = "zstd",
+) -> None:
+    """``zorder_dataframe`` + parquet write: every output file covers a
+    small hypercube of the ``zorder_by`` value space, so filters on ANY
+    z-column prune at footer level (per-file span property asserted in
+    tests/test_skew_persistence.py)."""
+    laid = zorder_dataframe(df, zorder_by, num_bits, num_partitions)
+    w = laid.write.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.mode(mode).parquet(path)
 
 
 def write_csv(
