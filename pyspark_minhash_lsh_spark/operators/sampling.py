@@ -36,6 +36,8 @@ __all__ = [
     "weighted_resample",
     "temperature_mix_weights",
     "temperature_resample",
+    "excess_loss_mix_weights",
+    "excess_loss_resample",
     "leakage_safe_split",
     "dsir_importance_weights",
     "dsir_resample",
@@ -508,6 +510,96 @@ def temperature_resample(
     see the NULL-group contract on ``temperature_mix_weights``)."""
     w = temperature_mix_weights(
         df, temperature, group_col=group_col, target_total=target_total
+    )
+    return weighted_resample(
+        df, w, default_weight=0.0, group_col=group_col,
+        id_col=id_col, salt=salt,
+    )
+
+
+def excess_loss_mix_weights(
+    df: DataFrame,
+    loss_col: str,
+    ref_loss_col: "str | None" = None,
+    group_col: str = "source",
+    step_size: float = 1.0,
+    smoothing: float = 0.0,
+    target_total: "float | None" = None,
+) -> "dict[str, float]":
+    """Excess-loss (DoReMi-style, Xie et al. 2023) domain reweighting —
+    the loss-aware member of the mixing family (natural shares /
+    temperature / DSIR / this): domains where the proxy model's loss
+    exceeds the reference's are UNDER-TRAINED, and get more sampling mass.
+
+    One multiplicative step of the DoReMi update, as a one-call batch
+    operator over a per-document loss table (``lm.lm_score`` or
+    ``textpipe.unigram_logprob_score`` produce suitable inputs):
+
+      ``excess_g = max(0, mean(loss) - mean(ref_loss))`` per domain
+      (``ref_loss_col=None`` uses the GLOBAL mean loss as the baseline, so
+      harder-than-average domains gain);
+      ``q_g proportional-to p_g * exp(step_size * excess_g)``, then
+      smoothed toward uniform: ``q = (1-smoothing)*q + smoothing/|G|``
+      (DoReMi's uniform-mixing regularizer — ``smoothing=1`` is uniform,
+      ``0`` is the pure update; ``step_size=0`` or zero excess everywhere
+      is the natural-share identity).
+
+    Returns the ``weighted_resample`` weight dict under the same
+    expected-total convention and NULL-group contract as
+    ``temperature_mix_weights``. Scale shape: one group-mean aggregate
+    (|domains| rows to the driver); everything after is driver math."""
+    if float(step_size) < 0:
+        raise ValueError(f"step_size must be >= 0, got {step_size}")
+    s = float(smoothing)
+    if not 0.0 <= s <= 1.0:
+        raise ValueError(f"smoothing must be in [0, 1], got {smoothing}")
+    import math
+
+    aggs = [F.count("*").alias("c"), F.avg(F.col(loss_col)).alias("l")]
+    if ref_loss_col is not None:
+        aggs.append(F.avg(F.col(ref_loss_col)).alias("r"))
+    rows = [
+        r for r in df.groupBy(group_col).agg(*aggs).collect()
+        if r[0] is not None and r["l"] is not None
+    ]
+    if not rows:
+        return {}
+    total = sum(r["c"] for r in rows)
+    if ref_loss_col is not None:
+        baseline = {r[0]: (r["r"] if r["r"] is not None else r["l"]) for r in rows}
+    else:
+        gmean = sum(r["l"] * r["c"] for r in rows) / total
+        baseline = {r[0]: gmean for r in rows}
+    q = {
+        r[0]: (r["c"] / total)
+        * math.exp(float(step_size) * max(0.0, r["l"] - baseline[r[0]]))
+        for r in rows
+    }
+    z = sum(q.values())
+    n_g = len(q)
+    q = {g: (1.0 - s) * (v / z) + s / n_g for g, v in q.items()}
+    counts = {r[0]: r["c"] for r in rows}
+    tgt = float(target_total) if target_total is not None else float(total)
+    return {g: q[g] * tgt / counts[g] for g in q}
+
+
+def excess_loss_resample(
+    df: DataFrame,
+    loss_col: str,
+    ref_loss_col: "str | None" = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    step_size: float = 1.0,
+    smoothing: float = 0.0,
+    target_total: "float | None" = None,
+    salt: str = "doremi",
+) -> DataFrame:
+    """One-call excess-loss mixing: ``excess_loss_mix_weights`` +
+    ``weighted_resample`` (zero-shuffle md5 projection; NULL-group rows
+    drop per the shared contract)."""
+    w = excess_loss_mix_weights(
+        df, loss_col, ref_loss_col=ref_loss_col, group_col=group_col,
+        step_size=step_size, smoothing=smoothing, target_total=target_total,
     )
     return weighted_resample(
         df, w, default_weight=0.0, group_col=group_col,

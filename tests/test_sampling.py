@@ -269,3 +269,83 @@ def test_temperature_resample_realized_counts(spark):
     assert sorted((r.doc_id, r.epoch) for r in out.collect()) == sorted(
         (r.doc_id, r.epoch) for r in again.collect()
     )
+
+
+def test_excess_loss_mix_weights_math(spark):
+    """DoReMi-style reweighting (round 6): zero excess = natural-share
+    identity; a harder domain gains mass monotonically in step_size;
+    smoothing=1 is uniform; expected total preserved; explicit reference
+    column beats the global-mean baseline."""
+    import math
+
+    from pyspark_minhash_lsh_spark.operators.sampling import (
+        excess_loss_mix_weights,
+    )
+
+    rows = (
+        [(i, "easy", 1.0, 1.0) for i in range(600)]
+        + [(i + 600, "hard", 3.0, 1.0) for i in range(300)]
+        + [(i + 900, "mid", 2.0, 2.0) for i in range(100)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, loss double, ref double"
+    )
+
+    # step_size=0: natural shares -> every weight 1.0 (identity resample)
+    w0 = excess_loss_mix_weights(docs, "loss", step_size=0.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in w0.values()), w0
+
+    # global-mean baseline: 'hard' (3.0 > mean 1.7) gains, 'easy' loses
+    w1 = excess_loss_mix_weights(docs, "loss", step_size=1.0)
+    assert w1["hard"] > 1.0 > w1["easy"]
+    # expected total preserved: sum over groups of count*weight == total
+    assert abs(600 * w1["easy"] + 300 * w1["hard"] + 100 * w1["mid"] - 1000) < 1e-6
+
+    # monotone in step_size
+    w2 = excess_loss_mix_weights(docs, "loss", step_size=2.0)
+    assert w2["hard"] > w1["hard"]
+
+    # explicit reference: mid has ZERO excess (2.0 vs ref 2.0) and must not
+    # gain; hard's excess is exactly 2.0
+    wr = excess_loss_mix_weights(docs, "loss", ref_loss_col="ref", step_size=1.0)
+    p = {"easy": 0.6, "hard": 0.3, "mid": 0.1}
+    qraw = {"easy": 0.6, "hard": 0.3 * math.exp(2.0), "mid": 0.1}
+    z = sum(qraw.values())
+    for g in p:
+        assert abs(wr[g] - (qraw[g] / z) * 1000 / (p[g] * 1000)) < 1e-9, g
+
+    # smoothing=1: uniform shares regardless of losses
+    wu = excess_loss_mix_weights(docs, "loss", step_size=5.0, smoothing=1.0)
+    got = {g: round(wu[g] * p[g] * 1000 / 1000, 9) for g in p}
+    assert all(abs(v - 1 / 3) < 1e-9 for v in got.values()), got
+
+    import pytest
+
+    with pytest.raises(ValueError, match="step_size"):
+        excess_loss_mix_weights(docs, "loss", step_size=-1)
+    with pytest.raises(ValueError, match="smoothing"):
+        excess_loss_mix_weights(docs, "loss", smoothing=2.0)
+
+
+def test_excess_loss_resample_end_to_end(spark):
+    from pyspark_minhash_lsh_spark.operators.sampling import (
+        excess_loss_mix_weights,
+        excess_loss_resample,
+    )
+
+    rows = [(i, "a" if i < 800 else "b", 1.0 if i < 800 else 4.0)
+            for i in range(1000)] + [(9999, None, 9.0)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, loss double")
+    out = excess_loss_resample(docs, "loss", step_size=0.5)
+    got = {r.source: r.c for r in
+           out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    w = excess_loss_mix_weights(docs, "loss", step_size=0.5)
+    assert abs(got["a"] - 800 * w["a"]) <= 30
+    assert abs(got["b"] - 200 * w["b"]) <= 20
+    # NULL-group rows drop (shared contract)
+    assert None not in got
+    # deterministic
+    again = excess_loss_resample(docs, "loss", step_size=0.5)
+    assert sorted((r.doc_id, r.epoch) for r in out.collect()) == sorted(
+        (r.doc_id, r.epoch) for r in again.collect()
+    )
