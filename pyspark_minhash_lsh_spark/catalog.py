@@ -3735,7 +3735,12 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         maintenance alarm feeding ``reindex_ivf_flat``;
       - sq_ann (round 6): scalar int8 lake-tier retrieval — quantized
         cosine top-10 straight on the code column (operators/quantize.py;
-        error bounds + recall floor in tests/test_quantize.py)."""
+        error bounds + recall floor in tests/test_quantize.py);
+      - mrl_sq_ann (round 6): the composed storage-dial stack —
+        matryoshka truncate to half dims (reduce.truncate_embeddings,
+        staged renormalize) -> int8 quantize -> integer-dot top-10 with
+        the truncated query (8x smaller scan bytes than float; recall
+        behavior pinned in tests/test_quantize.py)."""
     from .operators.ivf import IvfFlat
     from .operators.minhash_lsh import MinHashLSH
     from .operators.pq import fit_pq
@@ -3879,12 +3884,27 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vec_id"), F.sum("cosine"),
     )
 
+    # mrl_sq_ann (round 6): the full storage-dial stack — matryoshka
+    # truncate to half dims (staged renormalize) -> int8 quantize ->
+    # integer-dot top-k with the correspondingly truncated query. 8x
+    # smaller scan bytes than the float column; deterministic row.
+    from .operators.reduce import truncate_embeddings
+
+    dim = len(qvec)
+    half = truncate_embeddings(corpus, dim // 2)
+    s2 = fit_scalar_quantizer(half)
+    hcorpus = quantize_embeddings(half, s2).select("vec_id", "qembedding")
+    leg_mrl = _suite_row(
+        quantized_cosine_topk(hcorpus, qvec[: dim // 2], k=10), "mrl_sq_ann",
+        F.sum("vec_id"), F.sum("cosine"),
+    )
+
     return (
         leg_bk.unionByName(leg_fs).unionByName(leg_128)
         .unionByName(leg_srp).unionByName(leg_ivf).unionByName(leg_ba)
         .unionByName(leg_pq).unionByName(leg_pca)
         .unionByName(leg_rs).unionByName(leg_rp).unionByName(leg_cs)
-        .unionByName(leg_sq)
+        .unionByName(leg_sq).unionByName(leg_mrl)
     )
 
 
