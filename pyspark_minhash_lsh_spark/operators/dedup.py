@@ -114,18 +114,26 @@ def connected_components(
     with a size-gated driver union-find fast path.
 
     **Fast path**: after materializing the (symmetrized) edge table its
-    exact size is known for free; at or below ``driver_edge_limit`` edges
-    the whole labeling is solved driver-side with path-halving union-find
-    (O(E alpha)) instead of O(log diameter) rounds of distributed joins.
-    Near-dup edge sets are tiny relative to the corpus (pairs, not docs —
-    a 100 TB corpus at a sane threshold yields millions of edges, and the
-    default bound is ~32 MB of id pairs), while each distributed round
-    costs 2 shuffle joins + a checkpoint + a probe action; below the bound
-    the loop is pure scheduler overhead. This is the same bounded-pull
-    stance as the tokenizer type tables and IVF centroids: the COLLECTED
-    object is provably small, the corpus never moves. Above the bound the
+    exact size is known for free; at or below ``driver_edge_limit`` INPUT
+    edges (the gate halves the symmetrized count) the whole labeling is
+    solved driver-side with path-halving union-find (O(E alpha)) instead
+    of O(log diameter) rounds of distributed joins. Near-dup edge sets are
+    tiny relative to the corpus (pairs, not docs — a 100 TB corpus at a
+    sane threshold yields millions of edges; at the default 2M-edge bound
+    the Arrow-collected id arrays are tens to a few hundred MB driver-side
+    depending on id width, plus the union-find dict — size the limit to
+    your driver), while each distributed round costs 2 shuffle joins + a
+    checkpoint + a probe action; below the bound the loop is pure
+    scheduler overhead. This is the same bounded-pull stance as the
+    tokenizer type tables and IVF centroids: the COLLECTED object is
+    provably bounded, the corpus never moves. Above the bound the
     distributed fixpoint below runs unchanged — set
     ``driver_edge_limit=0`` to force it.
+
+    Edges with a NULL endpoint are dropped up front on BOTH paths (a NULL
+    id never equi-joins in the distributed rounds anyway; the explicit
+    filter makes the driver path agree instead of crashing on an
+    unorderable None).
 
     ``edges`` is an undirected edge list; returns ``(id, component)`` where
     ``component`` is the minimum node id reachable. Each round does two
@@ -150,6 +158,7 @@ def connected_components(
     action per round over the (edge-sized, not corpus-sized) label table.
     """
     spark = edges.sparkSession
+    edges = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -162,8 +171,10 @@ def connected_components(
     # sym-vs-labels join exchanges only the (node-sized) label side, never
     # the (edge-sized) edge table again.
     sym = sym.repartition(F.col("b")).localCheckpoint(eager=True)
-    if sym.count() <= int(driver_edge_limit):  # count over the checkpointed
-        return _driver_union_find(sym)         # RDD — no recomputation
+    # sym holds BOTH directions, so halve before comparing to the limit —
+    # the gate is in INPUT edges (count over the checkpointed RDD: free)
+    if sym.count() <= 2 * int(driver_edge_limit):
+        return _driver_union_find(sym)
     nodes = sym.select(F.col("a").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
 
@@ -211,7 +222,10 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
     ``(a, b)`` via path-halving union-find; returns ``(id, component)``
     with component = min member id (the ``connected_components``
     contract). Only called under ``driver_edge_limit`` — the collected
-    pairs are bounded by construction."""
+    pairs are bounded by construction. Collection goes through Arrow
+    (``toPandas`` -> plain Python lists), far lighter than building Row
+    objects for the same pairs; NULL endpoints were filtered by the
+    caller, so no NaN coercion can corrupt integer ids."""
     from pyspark.sql.types import StructField, StructType
 
     spark = sym.sparkSession
@@ -232,8 +246,8 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in sym.collect():
-        x, y = row[0], row[1]
+    pdf = sym.toPandas()
+    for x, y in zip(pdf["a"].tolist(), pdf["b"].tolist()):
         for v in (x, y):
             if v not in parent:
                 parent[v] = v

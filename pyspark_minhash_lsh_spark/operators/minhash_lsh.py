@@ -460,10 +460,16 @@ class MinHashLSHModel:
     def _read_params_row(spark, path: str):
         """The saved artifact's params row, or None for a pre-sidecar
         layout — the ONE sidecar-read implementation (save/append/load/
-        compact all route here so the layout can never drift per-caller)."""
+        compact all route here so the layout can never drift per-caller).
+        Only a MISSING sidecar maps to None: a transient IO/permission
+        error propagates as itself, so a loader can never silently fall
+        back to default config because of a network blip (round-6 review
+        catch, same stance as compact_index)."""
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(path.rstrip("/") + "/_params").head()
-        except Exception:
+        except AnalysisException:
             return None
 
     def _read_saved_params(self, path: str):
@@ -518,9 +524,24 @@ class MinHashLSHModel:
         appending onto a PRE-SIDECAR artifact is refused outright (round-6
         review catch: silently re-stamping a mixed-config artifact with
         THIS model's config would launder exactly the drift the sidecar
-        exists to catch — overwrite-save it once to stamp it first)."""
+        exists to catch — overwrite-save it once to stamp it first).
+        Appending to a path with NO artifact at all (first run of an
+        idempotent always-append ingest job) simply creates it."""
         if mode == "append":
-            self._check_saved_params(path)
+            saved = self._read_saved_params(path)
+            if saved is None:
+                from pyspark.errors import AnalysisException
+
+                spark = self.index.sparkSession
+                try:
+                    spark.read.parquet(path).schema
+                    data_exists = True
+                except AnalysisException:
+                    data_exists = False  # fresh path: append == create
+                if data_exists:
+                    self._check_saved_params(path, saved=None)  # refuse
+            else:
+                self._check_saved_params(path, saved=saved)
         out = self.index
         if partition_by_band0:
             out = out.withColumn("band0", F.element_at("bucket_ids", 1))
@@ -645,8 +666,13 @@ class MinHashLSHModel:
         params.coalesce(1).write.mode("overwrite").parquet(
             dest_path.rstrip("/") + "/_params"
         )
-        # completeness certification: both halves readable at dest
-        assert spark.read.parquet(dest_path.rstrip("/") + "/_params").head()
+        # completeness certification: both halves readable at dest — an
+        # explicit raise, not an assert (asserts vanish under python -O
+        # and this check IS the docstring's servability guarantee)
+        if spark.read.parquet(dest_path.rstrip("/") + "/_params").head() is None:
+            raise RuntimeError(
+                f"compaction wrote an empty _params sidecar at {dest_path!r}"
+            )
         return spark.read.parquet(dest_path).count()
 
     @classmethod

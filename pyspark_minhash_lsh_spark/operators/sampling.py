@@ -555,7 +555,14 @@ def excess_loss_mix_weights(
         raise ValueError(f"smoothing must be in [0, 1], got {smoothing}")
     import math
 
-    aggs = [F.count("*").alias("c"), F.avg(F.col(loss_col)).alias("l")]
+    aggs = [
+        F.count("*").alias("c"),
+        # scored (non-NULL-loss) count: the global-mean baseline must
+        # weight each group's mean by the rows that PRODUCED it, or a
+        # group with unscored rows skews every other group's excess
+        F.count(F.col(loss_col)).alias("cl"),
+        F.avg(F.col(loss_col)).alias("l"),
+    ]
     if ref_loss_col is not None:
         aggs.append(F.avg(F.col(ref_loss_col)).alias("r"))
     rows = [
@@ -568,7 +575,8 @@ def excess_loss_mix_weights(
     if ref_loss_col is not None:
         baseline = {r[0]: (r["r"] if r["r"] is not None else r["l"]) for r in rows}
     else:
-        gmean = sum(r["l"] * r["c"] for r in rows) / total
+        scored = sum(r["cl"] for r in rows)
+        gmean = sum(r["l"] * r["cl"] for r in rows) / scored
         baseline = {r[0]: gmean for r in rows}
     q = {
         r[0]: (r["c"] / total)

@@ -397,15 +397,28 @@ PII_PATTERNS: "tuple[tuple[str, str], ...]" = (
 )
 
 #: MAXIMAL isolated digit run with optional single space/dash separators —
-#: the PAN candidate shape. The run body is POSSESSIVE (``*+``): the engine
-#: can never backtrack to a shorter prefix to satisfy the boundary
-#: lookarounds, so a 28-digit spaced serial is extracted as ONE 28-digit
-#: candidate (then dropped by the 13-19 length filter in Spark), never as a
-#: redactable 19-digit prefix. Lookarounds keep candidates isolated: not
-#: glued to a word character on either side, and not the tail of a longer
-#: separated run (``(?<!\d[ -])``). Length filtering happens in Spark, not
-#: the regex, precisely so no partial match of a longer run can ever exist.
+#: the SEPARATED PAN candidate shape. The run body is POSSESSIVE (``*+``):
+#: the engine can never backtrack to a shorter prefix to satisfy the
+#: boundary lookarounds, so a 28-digit spaced serial is extracted as ONE
+#: 28-digit candidate (then dropped by the 13-19 length filter in Spark),
+#: never as a redactable 19-digit prefix. Lookarounds keep candidates
+#: isolated: not glued to a word character on either side, and not the
+#: tail of a longer separated run (``(?<!\d[ -])``). Length filtering
+#: happens in Spark, not the regex, precisely so no partial match of a
+#: longer run can ever exist.
 _CC_CANDIDATE = r"(?<!\w)(?<!\d[ -])\d(?:[ -]?\d)*+(?!\w)"
+
+#: CONTIGUOUS 13-19 digit segment with no digit/word char on either side —
+#: the second candidate family (round-6 review catch): inside a LONGER
+#: separated run ("4111111111111111 1234", a PAN with its CVV beside it)
+#: the maximal-run family merges PAN+CVV into one 20-digit candidate and
+#: the length filter drops it, leaking the PAN. This family catches the
+#: contiguous PAN segment itself; the two families are DISJOINT (this one
+#: is separator-free, the filtered maximal runs below require a
+#: separator), so occurrence counts never double. The lookarounds make a
+#: >19-digit contiguous run unmatchable even partially (every shorter
+#: start/end sits against another digit).
+_CC_PLAIN = r"(?<!\w)\d{13,19}(?!\w)"
 
 
 def redact_credit_cards(
@@ -434,9 +447,13 @@ def redact_credit_cards(
 
     Kept OUT of ``PII_PATTERNS`` deliberately: the default pattern tuple is
     an ordered cross-engine contract (oracle-checked), and Luhn is a fold,
-    not a pattern — callers opt in. Candidates are MAXIMAL isolated runs
-    (see ``_CC_CANDIDATE``) length-filtered to 13-19 digits in Spark, so a
-    longer serial/IBAN-style run is never partially matched; replacement is
+    not a pattern — callers opt in. Candidates come from two DISJOINT
+    families: separator-CONTAINING maximal runs length-filtered to 13-19
+    digits (``_CC_CANDIDATE`` — "4111 1111 1111 1111"; a longer spaced
+    serial is one over-length candidate, never partially matched) and
+    isolated CONTIGUOUS 13-19 digit segments (``_CC_PLAIN`` — catches a
+    PAN sitting next to its CVV/last-4 inside a longer separated run,
+    which the maximal family alone would merge and drop). Replacement is
     digit-boundary-guarded (``(?<!\\d)...(?!\\d)``), so a validated PAN
     that happens to appear as the INTERIOR of a longer digit run elsewhere
     in the document is left alone there.
@@ -450,10 +467,13 @@ def redact_credit_cards(
     # caller-supplied replacement string is always literal
     repl = replacement.replace("\\", "\\\\").replace("$", "\\$")
     runs = F.regexp_extract_all(t, F.lit(_CC_CANDIDATE), 0)
-    cands = F.filter(
+    sep_cands = F.filter(
         runs,
-        lambda c: F.length(F.regexp_replace(c, r"[^0-9]", "")).between(13, 19),
+        lambda c: F.length(F.regexp_replace(c, r"[^0-9]", "")).between(13, 19)
+        & (F.length(F.regexp_replace(c, r"[0-9]", "")) > 0),
     )
+    plain_cands = F.regexp_extract_all(t, F.lit(_CC_PLAIN), 0)
+    cands = F.concat(sep_cands, plain_cands)
 
     def luhn_valid(c):
         ds = F.regexp_replace(c, r"[^0-9]", "")

@@ -63,6 +63,21 @@ def test_connected_components_paths_agree_randomized(spark):
     assert fast == dist and len(fast) > 0
 
 
+def test_connected_components_null_endpoints_dropped_both_paths(spark):
+    """Edges with a NULL endpoint are dropped identically on the driver
+    and distributed paths (round-6 review catch: the driver union-find
+    crashed on an unorderable None)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (5, 6)],
+        "id_a bigint, id_b bigint",
+    )
+    want = {1: 1, 2: 1, 5: 5, 6: 5}
+    fast = {r.id: r.component for r in connected_components(edges).collect()}
+    dist = {r.id: r.component
+            for r in connected_components(edges, driver_edge_limit=0).collect()}
+    assert fast == want and dist == want
+
+
 def test_exact_dedup_groups(spark):
     rows = [
         (1, "The cat sat on the mat."),

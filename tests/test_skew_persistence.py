@@ -397,6 +397,18 @@ def test_save_index_append_refuses_pre_sidecar(spark, tmp_path):
             persist=False,
         ).save_index(bare, mode="append")
 
+    # ...but append to a path with NO artifact at all simply creates it
+    # (first run of an idempotent always-append ingest job)
+    fresh = str(tmp_path / "fresh_idx")
+    model.save_index(fresh, mode="append")
+    assert spark.read.parquet(fresh).count() == 20
+    # and is stamped: the second append validates and succeeds
+    MinHashLSH().fit(
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25)),
+        persist=False,
+    ).save_index(fresh, mode="append")
+    assert spark.read.parquet(fresh).count() == 25
+
 
 def test_load_index_rehydrates_config_from_sidecar(spark, tmp_path):
     """A non-default config saved with the artifact must come back without

@@ -747,6 +747,35 @@ def test_redact_credit_cards_never_partial_matches_long_runs(spark):
     assert out[2].redacted_text == glued and out[2].n_credit_card == 0
 
 
+def test_redact_credit_cards_pan_beside_other_digit_runs(spark):
+    """Round-6 review catch: a PAN next to a separate digit run (CVV,
+    last-4, a second card) must still be redacted — the maximal-run
+    family alone merged them into one over-length candidate and leaked
+    the PAN; the contiguous-segment family catches it."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        redact_credit_cards,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "card 4111111111111111 1234 ok"),               # PAN + CVV-ish
+            (1, "cards 4111111111111111 5500005555555559 two"),  # two PANs
+            (2, "id 4111111111111112 1234 nope"),                # invalid PAN
+            (3, "x 999 4111111111111111 22 y"),                  # PAN mid-run
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_credit_cards(docs).collect()}
+    assert out[0].redacted_text == "card <CREDIT_CARD> 1234 ok"
+    assert out[0].n_credit_card == 1
+    assert out[1].redacted_text == "cards <CREDIT_CARD> <CREDIT_CARD> two"
+    assert out[1].n_credit_card == 2
+    assert out[2].redacted_text == "id 4111111111111112 1234 nope"
+    assert out[2].n_credit_card == 0
+    assert out[3].redacted_text == "x 999 <CREDIT_CARD> 22 y"
+    assert out[3].n_credit_card == 1
+
+
 def test_redact_credit_cards_matches_python_luhn(spark):
     """Randomized cross-check: the Spark integer fold agrees with a
     reference Python Luhn on 200 random 13-19 digit runs."""
