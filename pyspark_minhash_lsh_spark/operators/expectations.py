@@ -1,0 +1,209 @@
+"""Data-quality constraint checks — the verification gate a pipeline runs
+before promoting an output table (training shards, a compacted index, a
+curated corpus) to consumers.
+
+Deequ-style (AWS Deequ / Great Expectations re-expressed on plain Spark
+aggregates): a declarative list of constraints compiles into ONE
+whole-table aggregation pass — every row-level rule becomes a
+``sum(violation_flag)`` term in the same ``agg()``, so checking ten rules
+costs the same scan as checking one. Only two rule families need more
+than the shared scan, and each documents its exact extra cost:
+``unique`` adds a ``count_distinct`` to the same agg (a second shuffle
+level inside the one job), and ``fk`` runs one broadcast-able anti-join
+count per rule (the referenced dimension is usually small; at warehouse
+scale point it at the dimension's key column only).
+
+The report is a small DataFrame — one row per constraint — so it can be
+unioned across tables, written next to the artifact as an audit sidecar,
+or asserted on driver-side (``assert_constraints`` raises with the full
+failure list). No reference-counterpart (the reference has no data-quality
+surface); engine-added per the round-6 pipeline-completeness pass.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "not_null",
+    "unique",
+    "in_range",
+    "values_in",
+    "matches",
+    "size_between",
+    "satisfies",
+    "fk",
+    "check_constraints",
+    "assert_constraints",
+]
+
+
+def _rule(kind: str, column: str, detail: str, **kw) -> dict:
+    return {"kind": kind, "column": column, "detail": detail, **kw}
+
+
+def not_null(column: str, max_null_frac: float = 0.0) -> dict:
+    """At most ``max_null_frac`` of rows may be NULL in ``column``
+    (0.0 = strictly no NULLs)."""
+    return _rule(
+        "not_null", column, f"null_frac <= {max_null_frac}",
+        threshold=float(max_null_frac),
+        flag=lambda: F.col(column).isNull(),
+    )
+
+
+def unique(column: str) -> dict:
+    """``column`` values are pairwise distinct (NULLs excluded from the
+    comparison, the SQL UNIQUE convention). Adds a ``count_distinct`` to
+    the shared agg."""
+    return _rule("unique", column, "count == count_distinct")
+
+
+def in_range(column: str, lo, hi, max_violation_frac: float = 0.0) -> dict:
+    """Non-NULL values fall in ``[lo, hi]`` (inclusive)."""
+    return _rule(
+        "in_range", column, f"in [{lo}, {hi}]",
+        threshold=float(max_violation_frac),
+        flag=lambda: F.col(column).isNotNull()
+        & (~F.col(column).between(F.lit(lo), F.lit(hi))),
+    )
+
+
+def values_in(column: str, allowed: Sequence, max_violation_frac: float = 0.0) -> dict:
+    """Non-NULL values come from the ``allowed`` literal set."""
+    arr = F.array(*[F.lit(v) for v in allowed])
+    return _rule(
+        "values_in", column, f"in {{{', '.join(map(str, allowed))}}}",
+        threshold=float(max_violation_frac),
+        flag=lambda: F.col(column).isNotNull() & ~F.array_contains(arr, F.col(column)),
+    )
+
+
+def matches(column: str, pattern: str, min_match_frac: float = 1.0) -> dict:
+    """At least ``min_match_frac`` of non-NULL values fully match the Java
+    regex ``pattern`` (NULLs count as non-matching rows against the
+    fraction's denominator of ALL rows — a mostly-NULL column should not
+    pass a format check by vacuity)."""
+    return _rule(
+        "matches", column, f"rlike {pattern!r} frac >= {min_match_frac}",
+        threshold=1.0 - float(min_match_frac),
+        flag=lambda: ~F.coalesce(
+            F.regexp_like(F.col(column), F.lit(pattern)), F.lit(False)
+        ),
+    )
+
+
+def satisfies(name: str, predicate: Column, max_violation_frac: float = 0.0) -> dict:
+    """Arbitrary row-level boolean ``predicate`` holds (NULL predicate
+    counts as a violation — fail-closed)."""
+    return _rule(
+        "satisfies", name, "predicate holds",
+        threshold=float(max_violation_frac),
+        flag=lambda: ~F.coalesce(predicate, F.lit(False)),
+    )
+
+
+def size_between(lo: int, hi: Optional[int] = None) -> dict:
+    """Total row count in ``[lo, hi]`` (``hi=None`` = unbounded above) —
+    the empty-output / runaway-join tripwire."""
+    return _rule("size_between", "*", f"count in [{lo}, {hi if hi is not None else 'inf'}]",
+                 lo=int(lo), hi=None if hi is None else int(hi))
+
+
+def fk(column: str, ref: DataFrame, ref_column: str) -> dict:
+    """Every non-NULL ``column`` value exists in ``ref[ref_column]``
+    (referential integrity). One anti-join count per rule — pass a
+    key-only projection of the dimension so the join side broadcasts."""
+    return _rule("fk", column, f"references {ref_column}", ref=ref,
+                 ref_column=ref_column)
+
+
+def check_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
+    """Evaluate every constraint; return one report row per check:
+
+    ``(check, column, constraint, status, observed, threshold)``
+
+      - ``status``   — 'pass' | 'fail';
+      - ``observed`` — the measured violation fraction (row rules), the
+        duplicate count (``unique``), the row count (``size_between``),
+        or the orphan count (``fk``);
+      - ``threshold``— the allowed bound the observation was compared to.
+
+    All row-level rules + uniques share ONE aggregation job; each ``fk``
+    adds one anti-join count. The report is collected driver-side (one
+    row per rule) and returned as a small DataFrame so callers can union
+    reports across tables or write them as an audit sidecar."""
+    checks = list(checks)
+    if not checks:
+        raise ValueError("no constraints given")
+    spark = df.sparkSession
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(checks):
+        if c["kind"] in ("not_null", "in_range", "values_in", "matches", "satisfies"):
+            aggs.append(
+                F.sum(c["flag"]().cast("bigint")).alias(f"_v{i}")
+            )
+        elif c["kind"] == "unique":
+            aggs.append(F.count(F.col(c["column"])).alias(f"_c{i}"))
+            aggs.append(F.count_distinct(F.col(c["column"])).alias(f"_d{i}"))
+    row = df.agg(*aggs).head()
+    n = row["_n"]
+
+    out = []
+    for i, c in enumerate(checks):
+        kind, col, detail = c["kind"], c["column"], c["detail"]
+        if kind in ("not_null", "in_range", "values_in", "matches", "satisfies"):
+            viol = row[f"_v{i}"] or 0
+            frac = (viol / n) if n else 0.0
+            ok = frac <= c["threshold"] + 1e-12
+            out.append((kind, col, detail, "pass" if ok else "fail",
+                        float(frac), float(c["threshold"])))
+        elif kind == "unique":
+            dupes = (row[f"_c{i}"] or 0) - (row[f"_d{i}"] or 0)
+            out.append((kind, col, detail, "pass" if dupes == 0 else "fail",
+                        float(dupes), 0.0))
+        elif kind == "size_between":
+            ok = n >= c["lo"] and (c["hi"] is None or n <= c["hi"])
+            out.append((kind, col, detail, "pass" if ok else "fail",
+                        float(n), float(c["lo"])))
+        elif kind == "fk":
+            orphans = (
+                df.select(F.col(col).alias("_k"))
+                .where(F.col("_k").isNotNull())
+                .join(
+                    c["ref"].select(F.col(c["ref_column"]).alias("_k")).distinct(),
+                    "_k",
+                    "left_anti",
+                )
+                .count()
+            )
+            out.append((kind, col, detail, "pass" if orphans == 0 else "fail",
+                        float(orphans), 0.0))
+        else:  # pragma: no cover - _rule constructors enumerate the kinds
+            raise ValueError(f"unknown constraint kind: {kind}")
+    return spark.createDataFrame(
+        out,
+        "check string, column string, constraint string, status string, "
+        "observed double, threshold double",
+    )
+
+
+def assert_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
+    """``check_constraints`` that RAISES on any failure (the CI/pipeline
+    gate form), listing every failed rule in the message; returns the
+    full report when everything passes."""
+    report = check_constraints(df, checks)
+    failed = [
+        f"{r.check}({r.column}): {r.constraint} — observed {r.observed}"
+        for r in report.collect()
+        if r.status == "fail"
+    ]
+    if failed:
+        raise AssertionError(
+            "constraint check failed:\n  " + "\n  ".join(failed)
+        )
+    return report
