@@ -3465,7 +3465,7 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fifteen dedup/curation operators end-to-end, one summary row each —
+    """Sixteen dedup/curation operators end-to-end, one summary row each —
     rows-only (all are signature/hash dependent; see the suite-curation
     note above). Legs (folding round-2's q34, q39, q50, q51, q65, and —
     round 4 — q38's clustering, whose driver slot moved to the q79
@@ -3473,8 +3473,9 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 5 adds quantile_sketch, the DDSketch-style mergeable log-bucket
     histogram answering doc-length percentiles from two merged halves,
     and fuzzy_dedup, the edit-distance clustering composition; round 6
-    adds cc_redact, the Luhn-gated credit-card redaction — see the
-    inline comments at those legs):
+    adds cc_redact, the Luhn-gated credit-card redaction, and
+    constraints, the single-scan data-quality gate — see the inline
+    comments at those legs):
       - minhash_dedup: MinHash-LSH near-dup clustering with
         pointer-doubling connected components (the former q38 row);
       - simhash_bits: relational SimHash fingerprints (bit-sum facets);
@@ -3687,6 +3688,31 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_credit_card"), F.avg(F.length("redacted_text")),
     )
 
+    # constraints (round 6): the single-scan data-quality gate over the
+    # raw documents table — deterministic statuses (pass counts in f1,
+    # observed-fraction sum in f2). The pre-promotion audit every shipped
+    # artifact runs; value-level tests in tests/test_expectations.py.
+    from .operators.expectations import (
+        check_constraints,
+        in_range,
+        not_null,
+        size_between,
+        unique,
+    )
+
+    rep = check_constraints(docs, [
+        not_null("doc_id"),
+        not_null("text", max_null_frac=0.5),
+        unique("doc_id"),
+        in_range("n_chars", 0, 10_000_000),
+        size_between(1),
+    ])
+    leg_qc = _suite_row(
+        rep, "constraints",
+        F.sum((F.col("status") == "pass").cast("bigint")),
+        F.sum("observed"),
+    )
+
     return (
         leg_md.unionByName(leg_bits).unionByName(leg_pairs)
         .unionByName(leg_edd)
@@ -3695,6 +3721,7 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg_ld)
         .unionByName(leg_cur).unionByName(leg_lss).unionByName(leg_sk)
         .unionByName(leg_qh).unionByName(leg_fz).unionByName(leg_cc)
+        .unionByName(leg_qc)
     )
 
 
