@@ -82,9 +82,6 @@ def test_single_scan_for_row_rules(spark):
     """All row-level rules + uniques compile into ONE aggregation job —
     the plan has exactly one scan of the input."""
     df = _table(spark)
-    import io
-    from contextlib import redirect_stdout
-
     # count scans via the agg the checker builds: build the same agg and
     # assert one Exchange level (partial+final agg over one scan)
     aggs = [F.count(F.lit(1)).alias("n"),
