@@ -23,6 +23,7 @@ __all__ = [
     "language_scores",
     "language_id",
     "quality_score",
+    "quality_score_from",
     "quality_score_x10k",
     "bpe_token_count_estimate",
     "SCRIPT_CLASSES",
@@ -167,8 +168,22 @@ def quality_score(text: Column) -> Column:
 
     Deterministic, unit-weighted; tune weights per-corpus. Mirrors the shape of
     C4/Gopher-style quality filters, minus the model-based parts.
+
+    PERF: this convenience form re-derives ``tokens(text)`` at each of its
+    ~5 array references — interpreted HOF inputs are not common-subexpr
+    eliminated, so each reference re-runs the tokenize regex chain per row
+    (measured ~3x the staged cost at sf0.1). In a pipeline that already
+    stages a token column (``with_repetition_metrics``), use
+    ``quality_score_from(text, F.col(staged_toks))`` — identical values.
     """
-    toks = tokens(text)
+    return quality_score_from(text, tokens(text))
+
+
+def quality_score_from(text: Column, toks: Column) -> Column:
+    """``quality_score`` with the token array supplied by the caller —
+    pass a STAGED attribute column to pay tokenization once per row (see
+    the PERF note above). Values are identical to ``quality_score`` by
+    construction (same expressions, same blend)."""
     n_tok = F.size(toks)
     n_chars = F.length(text)
 

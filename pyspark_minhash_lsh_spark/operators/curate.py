@@ -35,7 +35,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, MinHashLSHConfig
-from ..functions.text_analysis import quality_score
+from ..functions.text_analysis import quality_score  # noqa: F401 — re-export
+# (kept importable as operators.curate.quality_score for callers/tests;
+# curate itself computes quality via the STAGED quality_score_from path
+# inside with_repetition_metrics)
 from .dedup import exact_dedup, minhash_dedup
 from .textpipe import (
     PII_PATTERNS,
@@ -188,10 +191,12 @@ def curate_corpus(
         )
     else:
         red = base
-    # repetition facets appended as staged zero-shuffle projections
-    # (round 6): no doc-keyed join, so the document text reaches the
-    # persist below without ever shuffling
-    staged = with_repetition_metrics(red)
+    # repetition facets + quality appended as staged zero-shuffle
+    # projections (round 6): no doc-keyed join (text never shuffles before
+    # the persist), and quality shares the SAME staged token column as the
+    # facets — the convenience quality_score(text) form re-tokenizes per
+    # array reference (~3x the rules-stage cost, measured)
+    staged = with_repetition_metrics(red, quality_col="_quality_raw")
     first_rules = []
     if boiler is not None:
         staged = staged.join(boiler, "doc_id", "left")
@@ -264,7 +269,7 @@ def curate_corpus(
         )
     scored = (
         staged
-        .withColumn("quality", F.round(quality_score(F.col("text")), 6))
+        .withColumn("quality", F.round(F.col("_quality_raw"), 6))
         .withColumn("status", status.otherwise(F.lit(None).cast("string")))
         .select("doc_id", "text", "n_tokens", "quality", "status")
     )

@@ -119,11 +119,18 @@ def with_repetition_metrics(
     df: DataFrame,
     text_col: str = "text",
     cols: "Sequence[str]" = ("n_tokens", "dup_token_frac", "top_bigram_frac"),
+    quality_col: "str | None" = None,
 ) -> DataFrame:
     """Append the requested ``repetition_metrics`` facet columns to ``df``
     as staged zero-shuffle projections (no doc-keyed join — the form
     ``curate_corpus`` composes). See ``repetition_metrics`` for the
     algorithm and the staging rationale (HOF lambda capture).
+
+    ``quality_col`` (opt-in) additionally emits
+    ``text_analysis.quality_score`` under that name, computed from the
+    SAME staged token column — the convenience Column form re-tokenizes
+    per array reference (~3x slower; see quality_score's PERF note), so a
+    pipeline that wants both facets and quality should get them here.
 
     Raw full-precision ratios (no round): the catalog hash surface scales
     them to integers, and rounding here would re-introduce the decimal-tie
@@ -182,7 +189,14 @@ def with_repetition_metrics(
     unknown = [c for c in cols if c not in exprs]
     if unknown:
         raise ValueError(f"unknown repetition metric column(s): {unknown}")
-    return s2.select(*base, *[exprs[c].alias(c) for c in cols])
+    extra = []
+    if quality_col is not None:
+        from ..functions.text_analysis import quality_score_from
+
+        extra.append(
+            quality_score_from(F.col(text_col), t).alias(quality_col)
+        )
+    return s2.select(*base, *[exprs[c].alias(c) for c in cols], *extra)
 
 
 def duplicated_spans(
