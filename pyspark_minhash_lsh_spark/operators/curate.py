@@ -35,10 +35,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, MinHashLSHConfig
-from ..functions.text_analysis import quality_score  # noqa: F401 — re-export
-# (kept importable as operators.curate.quality_score for callers/tests;
-# curate itself computes quality via the STAGED quality_score_from path
-# inside with_repetition_metrics)
 from .dedup import exact_dedup, minhash_dedup
 from .textpipe import (
     PII_PATTERNS,

@@ -73,25 +73,36 @@ def in_range(column: str, lo, hi, max_violation_frac: float = 0.0) -> dict:
 
 
 def values_in(column: str, allowed: Sequence, max_violation_frac: float = 0.0) -> dict:
-    """Non-NULL values come from the ``allowed`` literal set."""
+    """Non-NULL values come from the ``allowed`` literal set. ``None`` in
+    ``allowed`` is rejected — NULL membership is ``not_null``'s job, and a
+    NULL element would make ``array_contains`` return NULL for every
+    non-member, silently passing disallowed values (fail-open)."""
+    if any(v is None for v in allowed):
+        raise ValueError("values_in: None not allowed in the value set — "
+                         "use not_null/max_null_frac for NULL policy")
     arr = F.array(*[F.lit(v) for v in allowed])
     return _rule(
         "values_in", column, f"in {{{', '.join(map(str, allowed))}}}",
         threshold=float(max_violation_frac),
-        flag=lambda: F.col(column).isNotNull() & ~F.array_contains(arr, F.col(column)),
+        # coalesce: fail-CLOSED if array_contains ever yields NULL
+        flag=lambda: F.col(column).isNotNull()
+        & ~F.coalesce(F.array_contains(arr, F.col(column)), F.lit(False)),
     )
 
 
 def matches(column: str, pattern: str, min_match_frac: float = 1.0) -> dict:
-    """At least ``min_match_frac`` of non-NULL values fully match the Java
-    regex ``pattern`` (NULLs count as non-matching rows against the
-    fraction's denominator of ALL rows — a mostly-NULL column should not
-    pass a format check by vacuity)."""
+    """At least ``min_match_frac`` of values FULLY match the Java regex
+    ``pattern`` — the pattern is anchored ``^(?:...)$`` so a malformed
+    value containing a matching substring still counts as a violation
+    (RLIKE alone is find()-semantics). NULLs count as non-matching rows
+    against the fraction's denominator of ALL rows — a mostly-NULL column
+    should not pass a format check by vacuity."""
+    anchored = f"^(?:{pattern})$"
     return _rule(
-        "matches", column, f"rlike {pattern!r} frac >= {min_match_frac}",
+        "matches", column, f"matches {pattern!r} frac >= {min_match_frac}",
         threshold=1.0 - float(min_match_frac),
         flag=lambda: ~F.coalesce(
-            F.regexp_like(F.col(column), F.lit(pattern)), F.lit(False)
+            F.regexp_like(F.col(column), F.lit(anchored)), F.lit(False)
         ),
     )
 
@@ -121,6 +132,22 @@ def fk(column: str, ref: DataFrame, ref_column: str) -> dict:
                  ref_column=ref_column)
 
 
+def _shared_agg_frame(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
+    """The ONE aggregation every row-level rule + unique shares — factored
+    out so the single-scan claim is testable against the real builder
+    (tests assert this frame's plan has exactly one input scan)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(checks):
+        if c["kind"] in ("not_null", "in_range", "values_in", "matches", "satisfies"):
+            aggs.append(
+                F.sum(c["flag"]().cast("bigint")).alias(f"_v{i}")
+            )
+        elif c["kind"] == "unique":
+            aggs.append(F.count(F.col(c["column"])).alias(f"_c{i}"))
+            aggs.append(F.count_distinct(F.col(c["column"])).alias(f"_d{i}"))
+    return df.agg(*aggs)
+
+
 def check_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
     """Evaluate every constraint; return one report row per check:
 
@@ -140,17 +167,7 @@ def check_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
     if not checks:
         raise ValueError("no constraints given")
     spark = df.sparkSession
-
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for i, c in enumerate(checks):
-        if c["kind"] in ("not_null", "in_range", "values_in", "matches", "satisfies"):
-            aggs.append(
-                F.sum(c["flag"]().cast("bigint")).alias(f"_v{i}")
-            )
-        elif c["kind"] == "unique":
-            aggs.append(F.count(F.col(c["column"])).alias(f"_c{i}"))
-            aggs.append(F.count_distinct(F.col(c["column"])).alias(f"_d{i}"))
-    row = df.agg(*aggs).head()
+    row = _shared_agg_frame(df, checks).head()
     n = row["_n"]
 
     out = []
@@ -168,8 +185,15 @@ def check_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
                         float(dupes), 0.0))
         elif kind == "size_between":
             ok = n >= c["lo"] and (c["hi"] is None or n <= c["hi"])
+            # report the bound the count is (or would be) judged against:
+            # the violated one on failure, the nearest one on pass
+            bound = (
+                float(c["hi"])
+                if c["hi"] is not None and n > c["hi"]
+                else float(c["lo"])
+            )
             out.append((kind, col, detail, "pass" if ok else "fail",
-                        float(n), float(c["lo"])))
+                        float(n), bound))
         elif kind == "fk":
             orphans = (
                 df.select(F.col(col).alias("_k"))

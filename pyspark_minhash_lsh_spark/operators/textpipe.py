@@ -189,6 +189,13 @@ def with_repetition_metrics(
     unknown = [c for c in cols if c not in exprs]
     if unknown:
         raise ValueError(f"unknown repetition metric column(s): {unknown}")
+    if quality_col is not None and (
+        quality_col in df.columns or quality_col in cols
+    ):
+        raise ValueError(
+            f"quality_col {quality_col!r} collides with an existing/facet "
+            "column — pick a fresh name"
+        )
     extra = []
     if quality_col is not None:
         from ..functions.text_analysis import quality_score_from

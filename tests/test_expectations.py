@@ -79,17 +79,28 @@ def test_every_rule_family_pass_and_fail(spark):
 
 
 def test_single_scan_for_row_rules(spark):
-    """All row-level rules + uniques compile into ONE aggregation job —
-    the plan has exactly one scan of the input."""
+    """All row-level rules + uniques compile into ONE aggregation over ONE
+    input scan — asserted on the REAL builder check_constraints uses
+    (_shared_agg_frame), not a hand-built lookalike."""
+    from pyspark_minhash_lsh_spark.operators.expectations import (
+        _shared_agg_frame,
+    )
+
     df = _table(spark)
-    # count scans via the agg the checker builds: build the same agg and
-    # assert one Exchange level (partial+final agg over one scan)
-    aggs = [F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("id").isNull().cast("bigint")).alias("v0"),
-            F.count(F.col("id")).alias("c1"),
-            F.count_distinct(F.col("id")).alias("d1")]
-    plan = df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ExistingRDD") + plan.count("Scan ") <= 2  # one input scan
+    checks = [
+        not_null("id"),
+        not_null("email", max_null_frac=0.2),
+        unique("id"),
+        in_range("n", 0, 100),
+        values_in("lang", ["en", "de"]),
+        matches("email", r"[^@]+@[^@]+\.[a-z]+"),
+        satisfies("pos", F.col("n") > -100),
+    ]
+    frame = _shared_agg_frame(df, checks)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") + plan.count("Scan ") <= 2  # one scan
+    # and the frame carries every rule's term: 1 count + 6 sums + 2 uniques
+    assert len(frame.columns) == 1 + 6 + 2
 
 
 def test_assert_constraints_raises_with_failures_listed(spark):
@@ -101,6 +112,34 @@ def test_assert_constraints_raises_with_failures_listed(spark):
 
     ok = assert_constraints(df, [not_null("id"), size_between(1)])
     assert {r.status for r in ok.collect()} == {"pass"}
+
+
+def test_matches_is_full_match_and_values_in_fail_closed(spark):
+    """Round-6 review catches: matches() must anchor (RLIKE substring
+    semantics would pass 'junk a@b.com junk'), and values_in must reject
+    None in the allowed set (a NULL element made array_contains return
+    NULL for non-members — fail-open)."""
+    df = spark.createDataFrame(
+        [(0, "a@b.com"), (1, "junk a@b.com junk!!!"), (2, "bad")],
+        "id bigint, email string",
+    )
+    rep = check_constraints(df, [
+        matches("email", r"[^@]+@[^@]+\.[a-z]+", min_match_frac=0.5),
+    ]).head()
+    # only row 0 fully matches: 2/3 violations
+    assert rep.status == "fail" and abs(rep.observed - 2 / 3) < 1e-9
+
+    with pytest.raises(ValueError, match="None not allowed"):
+        values_in("email", ["a@b.com", None])
+
+
+def test_size_between_reports_violated_bound(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "id bigint")
+    rep = check_constraints(df, [size_between(1, 10)]).head()
+    assert rep.status == "fail"
+    assert rep.observed == 50.0 and rep.threshold == 10.0  # the hi bound
+    rep2 = check_constraints(df.limit(0), [size_between(1, 10)]).head()
+    assert rep2.status == "fail" and rep2.threshold == 1.0  # the lo bound
 
 
 def test_empty_table_and_validation(spark):

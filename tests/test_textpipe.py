@@ -77,6 +77,37 @@ def test_repetition_metrics_matches_reference_and_zero_shuffle(spark):
     assert "Exchange" not in plan and "EvalPython" not in plan
 
 
+def test_with_repetition_metrics_quality_col_matches_convenience(spark):
+    """quality_col's staged quality must be BIT-identical to the
+    convenience quality_score(text) form (round-6 review: the claim needs
+    a direct pin so a tokenizer drift between the staged _rm_t and
+    text_analysis.tokens can't silently change curate dispositions)."""
+    import random
+
+    from pyspark_minhash_lsh_spark.functions.text_analysis import quality_score
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        with_repetition_metrics,
+    )
+
+    rng = random.Random(9)
+    words = ["the", "of", "banana", "zz", "x" * 30, "Quality!", "123"]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 40))), "s")
+            for i in range(40)] + [(100, None, "s"), (101, "", "s")]
+    docs = _docs(spark, rows)
+    a = {r.doc_id: r.q for r in docs.select(
+        "doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    b = {r.doc_id: r.q2 for r in with_repetition_metrics(
+        docs, quality_col="q2").select("doc_id", "q2").collect()}
+    assert a == b  # bit-exact, including NULL/empty docs
+
+    import pytest
+
+    with pytest.raises(ValueError, match="collides"):
+        with_repetition_metrics(docs, quality_col="n_tokens")
+    with pytest.raises(ValueError, match="collides"):
+        with_repetition_metrics(docs, quality_col="text")
+
+
 def test_with_repetition_metrics_appends_and_validates(spark):
     from pyspark_minhash_lsh_spark.operators.textpipe import (
         with_repetition_metrics,
