@@ -37,6 +37,7 @@ __all__ = [
     "satisfies",
     "fk",
     "check_constraints",
+    "observe_constraints",
     "assert_constraints",
 ]
 
@@ -214,6 +215,74 @@ def check_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
         "check string, column string, constraint string, status string, "
         "observed double, threshold double",
     )
+
+
+def observe_constraints(
+    df: DataFrame, checks: Sequence[dict], name: str = "constraints"
+):
+    """ZERO-EXTRA-SCAN constraint evaluation via ``df.observe``: the
+    violation counters ride the consumer's OWN action (the write, the
+    count, the downstream agg) as accumulator-style metrics, so at 100 TB
+    the quality gate costs nothing beyond the job that was running anyway
+    — the inline twin of ``check_constraints`` (which pays one dedicated
+    scan but supports every rule).
+
+    Returns ``(observed_df, finish)``: run any action on ``observed_df``,
+    then call ``finish()`` for the same report DataFrame shape as
+    ``check_constraints``. Restrictions inherited from Spark observation
+    semantics: only row-level rules + ``size_between`` are supported
+    (``unique`` needs ``count_distinct`` and ``fk`` needs a join — both
+    outside observe's commutative-aggregate contract; use
+    ``check_constraints`` for those), and ``finish`` must be called after
+    exactly one action on ``observed_df``."""
+    from pyspark.sql import Observation
+
+    checks = list(checks)
+    bad = [c["kind"] for c in checks if c["kind"] in ("unique", "fk")]
+    if bad:
+        raise ValueError(
+            f"observe_constraints cannot evaluate {sorted(set(bad))} rules "
+            "(need count_distinct / a join) — use check_constraints"
+        )
+    if not checks:
+        raise ValueError("no constraints given")
+    spark = df.sparkSession
+    metrics = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(checks):
+        if c["kind"] == "size_between":
+            continue
+        metrics.append(F.sum(c["flag"]().cast("bigint")).alias(f"_v{i}"))
+    obs = Observation(name)
+    observed = df.observe(obs, *metrics)
+
+    def finish() -> DataFrame:
+        row = obs.get
+        n = row["_n"]
+        out = []
+        for i, c in enumerate(checks):
+            kind, col, detail = c["kind"], c["column"], c["detail"]
+            if kind == "size_between":
+                ok = n >= c["lo"] and (c["hi"] is None or n <= c["hi"])
+                bound = (
+                    float(c["hi"])
+                    if c["hi"] is not None and n > c["hi"]
+                    else float(c["lo"])
+                )
+                out.append((kind, col, detail, "pass" if ok else "fail",
+                            float(n), bound))
+            else:
+                viol = row[f"_v{i}"] or 0
+                frac = (viol / n) if n else 0.0
+                ok = frac <= c["threshold"] + 1e-12
+                out.append((kind, col, detail, "pass" if ok else "fail",
+                            float(frac), float(c["threshold"])))
+        return spark.createDataFrame(
+            out,
+            "check string, column string, constraint string, status string, "
+            "observed double, threshold double",
+        )
+
+    return observed, finish
 
 
 def assert_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
