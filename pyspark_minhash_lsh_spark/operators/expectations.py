@@ -38,6 +38,7 @@ __all__ = [
     "fk",
     "check_constraints",
     "observe_constraints",
+    "suggest_constraints",
     "assert_constraints",
 ]
 
@@ -283,6 +284,60 @@ def observe_constraints(
         )
 
     return observed, finish
+
+
+def suggest_constraints(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    range_slack: float = 0.0,
+) -> "list[dict]":
+    """Profile-driven constraint suggestion (the Deequ
+    ConstraintSuggestion idea): ONE ``profile.profile_table`` scan over a
+    known-good snapshot proposes the rules tomorrow's ingest should obey —
+
+      - ``not_null(c)`` when the column has zero NULLs (else
+        ``not_null(c, max_null_frac=observed)``, allowing today's rate);
+      - ``unique(c)`` when an EXACT profile shows distinct == rows;
+      - ``in_range(c, min, max)`` for numeric columns, the observed
+        envelope widened by ``range_slack`` (fraction of the span) so
+        natural drift inside the historical spread doesn't page anyone;
+      - ``size_between(1)`` always (the empty-output tripwire).
+
+    Returns a plain rules list — feed it to ``check_constraints`` /
+    ``assert_constraints`` / ``observe_constraints`` as-is, or prune it by
+    hand first (suggestions describe the SNAPSHOT; only a human knows
+    which properties are contracts). Uses the exact profile
+    (``exact=True``) because uniqueness suggested off an approximate
+    distinct count would assert a property the data may not have."""
+    from .profile import profile_table
+
+    cols = list(columns) if columns is not None else list(df.columns)
+    dts = dict(df.dtypes)
+    prof = {r.column: r for r in profile_table(df, cols, exact=True).collect()}
+    numeric = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal", "date", "timestamp",
+    }
+    out: "list[dict]" = [size_between(1)]
+    for c in cols:
+        p = prof[c]
+        if p.n_rows == 0:
+            continue
+        if p.n_nulls == 0:
+            out.append(not_null(c))
+        elif p.null_frac < 1.0:
+            out.append(not_null(c, max_null_frac=float(p.null_frac)))
+        if p.n_distinct == p.n_rows - p.n_nulls and p.n_nulls == 0:
+            out.append(unique(c))
+        base = dts[c].split("(")[0]
+        if base in numeric and p.min_value is not None:
+            try:
+                lo, hi = float(p.min_value), float(p.max_value)
+            except (TypeError, ValueError):
+                continue  # date/timestamp strings: skip the range rule
+            pad = (hi - lo) * float(range_slack)
+            out.append(in_range(c, lo - pad, hi + pad))
+    return out
 
 
 def assert_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:

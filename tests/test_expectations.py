@@ -172,6 +172,45 @@ def test_observe_constraints_rides_the_consumer_action(spark):
         )
 
 
+def test_suggest_constraints_round_trip(spark):
+    """Suggestions from a clean snapshot PASS on that snapshot, catch a
+    drifted batch, and encode the documented per-column properties."""
+    from pyspark_minhash_lsh_spark.operators.expectations import (
+        suggest_constraints,
+    )
+
+    clean = spark.createDataFrame(
+        [(i, f"u{i}", float(10 + i % 5), None if i % 4 == 0 else "x")
+         for i in range(40)],
+        "id bigint, name string, score double, note string",
+    )
+    rules = suggest_constraints(clean)
+    kinds = {(r["kind"], r["column"]) for r in rules}
+    assert ("unique", "id") in kinds and ("not_null", "id") in kinds
+    assert ("in_range", "score") in kinds
+    assert ("not_null", "note") in kinds        # thresholded at observed
+    assert ("unique", "note") not in kinds      # nullable + duplicated
+    assert ("size_between", "*") in kinds
+
+    # the snapshot passes its own suggestions
+    assert {r.status for r in check_constraints(clean, rules).collect()} == {"pass"}
+
+    # a drifted batch fails: out-of-envelope score + duplicate id
+    drift = clean.union(spark.createDataFrame(
+        [(0, "dup", 999.0, "x")], clean.schema))
+    rep = {(r.check, r.column): r.status
+           for r in check_constraints(drift, rules).collect()}
+    assert rep[("unique", "id")] == "fail"
+    assert rep[("in_range", "score")] == "fail"
+
+    # range_slack widens the envelope
+    wide = suggest_constraints(clean, range_slack=1000.0)
+    score_rule = [r for r in wide if r["kind"] == "in_range"
+                  and r["column"] == "score"][0]
+    ok = check_constraints(drift, [score_rule]).head()
+    assert ok.status == "pass"
+
+
 def test_empty_table_and_validation(spark):
     df = spark.createDataFrame([], "id bigint, lang string")
     report = check_constraints(df, [not_null("id"), size_between(1)])
