@@ -220,3 +220,32 @@ def test_empty_table_and_validation(spark):
 
     with pytest.raises(ValueError, match="no constraints"):
         check_constraints(df, [])
+
+
+def test_constraints_per_micro_batch_stream(spark, tmp_path):
+    """The gate composes with Structured Streaming: check_constraints
+    inside foreachBatch yields per-batch reports whose union equals the
+    batch report on the same files (row-level rules are batch-local)."""
+    src = str(tmp_path / "qc_src")
+    df = spark.createDataFrame(
+        [(i, None if i % 10 == 0 else f"t{i}") for i in range(100)],
+        "id bigint, text string",
+    )
+    df.write.mode("overwrite").parquet(src)
+    checks_for = lambda: [not_null("text", max_null_frac=0.2), unique("id")]  # noqa: E731
+
+    reports = []
+
+    def sink(batch_df, batch_id):
+        batch_df.count()  # consume (state-store commit contract)
+        reports.append(check_constraints(batch_df, checks_for()).collect())
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert reports and all(
+        r.status == "pass" for batch in reports for r in batch
+    )
+    # batch-side twin agrees on the full file set
+    full = check_constraints(spark.read.parquet(src), checks_for())
+    assert {r.status for r in full.collect()} == {"pass"}
