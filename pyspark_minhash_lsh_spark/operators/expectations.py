@@ -235,7 +235,20 @@ def observe_constraints(
     (``unique`` needs ``count_distinct`` and ``fk`` needs a join — both
     outside observe's commutative-aggregate contract; use
     ``check_constraints`` for those), and ``finish`` must be called after
-    exactly one action on ``observed_df``."""
+    exactly one action on ``observed_df``.
+
+    KNOWN SPARK 4.1 INCOMPATIBILITY (reproduced, minimal): once ANY batch
+    ``Observation`` has run in a session, a later streaming query with an
+    MLlib ``transform`` INSIDE its plan (e.g. ``QualityClassifier.score``
+    on a streaming DataFrame) fails with
+    ``NotSerializableException: ObservationManager`` — the session's
+    observation machinery, once lazily initialized, is dragged into the
+    stream's task closure, and neither clearing the manager's (already
+    empty) registry nor unregistering its listener un-poisons the session.
+    Scoring inside ``foreachBatch`` is unaffected (verified). If your
+    session mixes observation with inline-MLlib streaming, run the stream
+    first, use foreachBatch scoring, or take ``check_constraints``'s
+    dedicated scan instead."""
     from pyspark.sql import Observation
 
     checks = list(checks)

@@ -142,36 +142,6 @@ def test_size_between_reports_violated_bound(spark):
     assert rep2.status == "fail" and rep2.threshold == 1.0  # the lo bound
 
 
-def test_observe_constraints_rides_the_consumer_action(spark):
-    """The inline gate: violation metrics arrive via df.observe during the
-    caller's OWN action — same report values as check_constraints for the
-    shared rule families, and unsupported rules are refused loudly."""
-    from pyspark_minhash_lsh_spark.operators.expectations import (
-        observe_constraints,
-    )
-
-    df = _table(spark)
-    checks = [
-        not_null("email"),
-        not_null("email", max_null_frac=0.2),
-        in_range("n", 0, 100),
-        values_in("lang", ["en", "de"]),
-        size_between(1, 10),
-    ]
-    observed, finish = observe_constraints(df, checks)
-    assert observed.count() == 6  # the consumer's action
-    got = sorted(map(tuple, finish().collect()))
-    want = sorted(map(tuple, check_constraints(df, checks).collect()))
-    assert got == want
-
-    with pytest.raises(ValueError, match="unique"):
-        observe_constraints(df, [unique("id")])
-    with pytest.raises(ValueError, match="fk"):
-        observe_constraints(
-            df, [fk("lang", spark.createDataFrame([("en",)], ["c"]), "c")]
-        )
-
-
 def test_suggest_constraints_round_trip(spark):
     """Suggestions from a clean snapshot PASS on that snapshot, catch a
     drifted batch, and encode the documented per-column properties."""

@@ -1,0 +1,55 @@
+"""The df.observe-based inline constraint gate lives in its own LAST-sorting
+test file: running a batch Observation poisons later MLlib-transform-inside-
+streaming queries in the same Spark session (Spark 4.1 classic,
+NotSerializableException: ObservationManager — see the observe_constraints
+docstring; reproduced minimally and not cleanable via the manager's registry
+or listener). tests share one session, and test_streaming.py's classifier-
+gate stream must run BEFORE any Observation. Do not rename this file to sort
+earlier."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.expectations import (
+    check_constraints,
+    fk,
+    in_range,
+    not_null,
+    size_between,
+    unique,
+    values_in,
+)
+
+from .test_expectations import _table
+
+
+def test_observe_constraints_rides_the_consumer_action(spark):
+    """The inline gate: violation metrics arrive via df.observe during the
+    caller's OWN action — same report values as check_constraints for the
+    shared rule families, and unsupported rules are refused loudly."""
+    from pyspark_minhash_lsh_spark.operators.expectations import (
+        observe_constraints,
+    )
+
+    df = _table(spark)
+    checks = [
+        not_null("email"),
+        not_null("email", max_null_frac=0.2),
+        in_range("n", 0, 100),
+        values_in("lang", ["en", "de"]),
+        size_between(1, 10),
+    ]
+    observed, finish = observe_constraints(df, checks)
+    assert observed.count() == 6  # the consumer's action
+    got = sorted(map(tuple, finish().collect()))
+    want = sorted(map(tuple, check_constraints(df, checks).collect()))
+    assert got == want
+
+    with pytest.raises(ValueError, match="unique"):
+        observe_constraints(df, [unique("id")])
+    with pytest.raises(ValueError, match="fk"):
+        observe_constraints(
+            df, [fk("lang", spark.createDataFrame([("en",)], ["c"]), "c")]
+        )
