@@ -170,8 +170,37 @@ def check_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
         raise ValueError("no constraints given")
     spark = df.sparkSession
     row = _shared_agg_frame(df, checks).head()
-    n = row["_n"]
 
+    def _fk_orphans(c):
+        return (
+            df.select(F.col(c["column"]).alias("_k"))
+            .where(F.col("_k").isNotNull())
+            .join(
+                c["ref"].select(F.col(c["ref_column"]).alias("_k")).distinct(),
+                "_k",
+                "left_anti",
+            )
+            .count()
+        )
+
+    return spark.createDataFrame(
+        _report_rows(row, checks, fk_orphans=_fk_orphans), _REPORT_SCHEMA
+    )
+
+
+_REPORT_SCHEMA = (
+    "check string, column string, constraint string, status string, "
+    "observed double, threshold double"
+)
+
+
+def _report_rows(row, checks, fk_orphans=None):
+    """The ONE pass/fail + observed/threshold report builder shared by
+    ``check_constraints`` and ``observe_constraints``'s ``finish`` (a
+    copy would silently diverge the tolerance / bound-selection rules the
+    report-identity test pins). ``row`` is the metrics row (``_n`` plus
+    per-rule ``_v{i}``/``_c{i}``/``_d{i}`` as applicable)."""
+    n = row["_n"]
     out = []
     for i, c in enumerate(checks):
         kind, col, detail = c["kind"], c["column"], c["detail"]
@@ -197,25 +226,12 @@ def check_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
             out.append((kind, col, detail, "pass" if ok else "fail",
                         float(n), bound))
         elif kind == "fk":
-            orphans = (
-                df.select(F.col(col).alias("_k"))
-                .where(F.col("_k").isNotNull())
-                .join(
-                    c["ref"].select(F.col(c["ref_column"]).alias("_k")).distinct(),
-                    "_k",
-                    "left_anti",
-                )
-                .count()
-            )
+            orphans = fk_orphans(c)
             out.append((kind, col, detail, "pass" if orphans == 0 else "fail",
                         float(orphans), 0.0))
         else:  # pragma: no cover - _rule constructors enumerate the kinds
             raise ValueError(f"unknown constraint kind: {kind}")
-    return spark.createDataFrame(
-        out,
-        "check string, column string, constraint string, status string, "
-        "observed double, threshold double",
-    )
+    return out
 
 
 def observe_constraints(
@@ -228,8 +244,12 @@ def observe_constraints(
     — the inline twin of ``check_constraints`` (which pays one dedicated
     scan but supports every rule).
 
-    Returns ``(observed_df, finish)``: run any action on ``observed_df``,
-    then call ``finish()`` for the same report DataFrame shape as
+    Returns ``(observed_df, finish)``: run a FULL-SCAN action on
+    ``observed_df`` (a write, ``count()``, a complete aggregation — NOT
+    ``head``/``take``/``limit``-style actions, whose short-circuit stops
+    the scan early and would make ``finish()`` report metrics over the
+    scanned subset only: a gate that passes bad data), then call
+    ``finish()`` for the same report DataFrame shape as
     ``check_constraints``. Restrictions inherited from Spark observation
     semantics: only row-level rules + ``size_between`` are supported
     (``unique`` needs ``count_distinct`` and ``fk`` needs a join — both
@@ -270,30 +290,10 @@ def observe_constraints(
     observed = df.observe(obs, *metrics)
 
     def finish() -> DataFrame:
-        row = obs.get
-        n = row["_n"]
-        out = []
-        for i, c in enumerate(checks):
-            kind, col, detail = c["kind"], c["column"], c["detail"]
-            if kind == "size_between":
-                ok = n >= c["lo"] and (c["hi"] is None or n <= c["hi"])
-                bound = (
-                    float(c["hi"])
-                    if c["hi"] is not None and n > c["hi"]
-                    else float(c["lo"])
-                )
-                out.append((kind, col, detail, "pass" if ok else "fail",
-                            float(n), bound))
-            else:
-                viol = row[f"_v{i}"] or 0
-                frac = (viol / n) if n else 0.0
-                ok = frac <= c["threshold"] + 1e-12
-                out.append((kind, col, detail, "pass" if ok else "fail",
-                            float(frac), float(c["threshold"])))
+        # same shared report builder as check_constraints — the identity
+        # test pins it; fk is unreachable (refused above)
         return spark.createDataFrame(
-            out,
-            "check string, column string, constraint string, status string, "
-            "observed double, threshold double",
+            _report_rows(obs.get, checks), _REPORT_SCHEMA
         )
 
     return observed, finish
@@ -322,14 +322,20 @@ def suggest_constraints(
     which properties are contracts). Uses the exact profile
     (``exact=True``) because uniqueness suggested off an approximate
     distinct count would assert a property the data may not have."""
+    import math
+
     from .profile import profile_table
 
-    cols = list(columns) if columns is not None else list(df.columns)
     dts = dict(df.dtypes)
+    cols = list(columns) if columns is not None else [
+        # maps (and void) support neither count_distinct nor min/max —
+        # auto-skip them rather than crash the whole suggestion pass
+        c for c in df.columns
+        if not dts[c].startswith("map<") and dts[c] != "void"
+    ]
     prof = {r.column: r for r in profile_table(df, cols, exact=True).collect()}
     numeric = {
-        "tinyint", "smallint", "int", "bigint", "float", "double",
-        "decimal", "date", "timestamp",
+        "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
     }
     out: "list[dict]" = [size_between(1)]
     for c in cols:
@@ -339,15 +345,22 @@ def suggest_constraints(
         if p.n_nulls == 0:
             out.append(not_null(c))
         elif p.null_frac < 1.0:
-            out.append(not_null(c, max_null_frac=float(p.null_frac)))
-        if p.n_distinct == p.n_rows - p.n_nulls and p.n_nulls == 0:
+            # threshold from the EXACT counts, not the profile's rounded
+            # null_frac — rounding DOWN would make the snapshot fail its
+            # own suggestion (review catch: round(1/3, 6) < 1/3)
+            out.append(not_null(c, max_null_frac=p.n_nulls / p.n_rows))
+        # unique()'s own convention excludes NULLs, so a nullable natural
+        # key with all-distinct non-null values earns the suggestion too
+        if p.n_distinct == p.n_rows - p.n_nulls:
             out.append(unique(c))
         base = dts[c].split("(")[0]
         if base in numeric and p.min_value is not None:
-            try:
-                lo, hi = float(p.min_value), float(p.max_value)
-            except (TypeError, ValueError):
-                continue  # date/timestamp strings: skip the range rule
+            lo, hi = float(p.min_value), float(p.max_value)
+            # NaN/Infinity envelopes poison between() (NaN bounds reject
+            # every row; inf * 0.0 slack = NaN) — no finite envelope
+            # exists, so no range rule
+            if not (math.isfinite(lo) and math.isfinite(hi)):
+                continue
             pad = (hi - lo) * float(range_slack)
             out.append(in_range(c, lo - pad, hi + pad))
     return out

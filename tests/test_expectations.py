@@ -181,6 +181,38 @@ def test_suggest_constraints_round_trip(spark):
     assert ok.status == "pass"
 
 
+def test_suggest_constraints_awkward_snapshots(spark):
+    """Round-6 review catches: a null fraction the profile rounds DOWN
+    (1/3), NaN in a float column, and a map column must not break the
+    'snapshot passes its own suggestions' contract (rounded threshold
+    failed its own data; NaN envelope rejected every row; map columns
+    crashed the exact profile)."""
+    from pyspark_minhash_lsh_spark.operators.expectations import (
+        suggest_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a", 1.0, {"k": "v"}),
+            (1, None, 2.0, {}),
+            (2, "c", float("nan"), None),
+        ],
+        "id bigint, s string, x double, meta map<string,string>",
+    )
+    rules = suggest_constraints(df)
+    # map column auto-skipped, not crashed
+    assert all(r["column"] != "meta" for r in rules)
+    # NaN-poisoned float column gets NO range rule
+    assert all(not (r["kind"] == "in_range" and r["column"] == "x")
+               for r in rules)
+    # the exact-1/3-null column's threshold admits its own snapshot
+    assert {r.status for r in check_constraints(df, rules).collect()} == {"pass"}
+    # nullable all-distinct column still earns unique (NULL-excluding
+    # unique() semantics)
+    kinds = {(r["kind"], r["column"]) for r in rules}
+    assert ("unique", "s") in kinds
+
+
 def test_empty_table_and_validation(spark):
     df = spark.createDataFrame([], "id bigint, lang string")
     report = check_constraints(df, [not_null("id"), size_between(1)])
@@ -212,7 +244,10 @@ def test_constraints_per_micro_batch_stream(spark, tmp_path):
 
     stream = spark.readStream.schema(df.schema).parquet(src)
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120), "stream did not finish in 120s"
+    finally:
+        q.stop()
     assert reports and all(
         r.status == "pass" for batch in reports for r in batch
     )
