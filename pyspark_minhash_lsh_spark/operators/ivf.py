@@ -26,7 +26,76 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
 
-__all__ = ["IvfFlat", "assign_cells", "reindex_ivf_flat"]
+__all__ = [
+    "IvfFlat",
+    "assign_cells",
+    "reindex_ivf_flat",
+    "compact_partitioned_index",
+]
+
+
+def compact_partitioned_index(
+    spark,
+    path: str,
+    dest_path: str,
+    partition_col: str = "cell",
+    rows_per_file: int = 1_000_000,
+) -> int:
+    """Offline small-file compaction for any cell-partitioned ANN artifact
+    (``IvfFlatModel.save_index`` / ``IvfPqIndex.save_index`` layouts) —
+    the IVF twin of ``MinHashLSHModel.compact_index`` (round 6): every
+    ``append_index`` batch lands as >= 1 new file per touched cell
+    directory, and after months of daily ingests per-file open/footer cost
+    dominates the pruned scans the layout exists to speed up.
+
+    Rows are NOT recomputed: the data tree is rewritten at ``dest_path``
+    repartitioned on the layout key (``maxRecordsPerFile`` bounds every
+    file even when one cell is hot), and every underscore-prefixed sidecar
+    directory (``_params``, ``_centroids``, ``_pq`` — whatever the
+    artifact carries, including nested trees) is BYTE-copied via Hadoop
+    ``FileUtil`` so the compactor needs no knowledge of each family's
+    sidecar schema and can never drift it. An artifact with no sidecars
+    at all is refused (nothing certifies its config).
+
+    Same cutover contract as the LSH compactor: write-to-new-path; the
+    CALLER repoints serving at ``dest_path`` only after this returns.
+    Returns the compacted row count (counted at dest)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hconf)
+    sidecars = [
+        st.getPath()
+        for st in fs.listStatus(src)
+        if st.isDirectory() and st.getPath().getName().startswith("_")
+    ]
+    if not sidecars:
+        raise ValueError(
+            f"no sidecar directories under {path!r} — not a saved index "
+            "artifact (or it predates the sidecar convention); refuse to "
+            "compact what nothing certifies"
+        )
+    data = spark.read.parquet(path)
+    if partition_col not in data.columns:
+        raise ValueError(
+            f"partition column {partition_col!r} not in the artifact "
+            f"(columns: {data.columns})"
+        )
+    parts = max(1, -(-data.count() // int(rows_per_file)))
+    data.repartition(parts, partition_col).write.mode("overwrite").option(
+        "maxRecordsPerFile", int(rows_per_file)
+    ).partitionBy(partition_col).parquet(dest_path)
+    dst_root = jvm.org.apache.hadoop.fs.Path(dest_path)
+    dfs = dst_root.getFileSystem(hconf)
+    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+    for sp in sidecars:
+        target = jvm.org.apache.hadoop.fs.Path(dst_root, sp.getName())
+        if dfs.exists(target):
+            dfs.delete(target, True)
+        if not FileUtil.copy(fs, sp, dfs, target, False, hconf):
+            raise RuntimeError(f"sidecar copy failed: {sp} -> {target}")
+    return spark.read.parquet(dest_path).count()
 
 
 def assign_cells(

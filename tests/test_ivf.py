@@ -223,3 +223,107 @@ def test_cell_stats_counts_empty_cells_in_imbalance(spark):
     s = model.cell_stats().head()
     assert s.n_cells_used == 2 and s.n_vectors == 20
     assert s.imbalance_x1000 == 5000
+
+
+def test_compact_partitioned_index_after_appends(spark, tmp_path):
+    """Round 6: compact_partitioned_index rewrites a many-small-files IVF
+    artifact into bounded files, content-identical, ALL sidecars
+    byte-carried (works unchanged for the PQ layout too), served
+    identically by load_index."""
+    import pathlib
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.ivf import (
+        IvfFlat,
+        IvfFlatModel,
+        compact_partitioned_index,
+    )
+
+    rng = random.Random(3)
+    dim = 8
+
+    def vec(i):
+        base = [0.0] * dim
+        base[i % 4] = 1.0
+        return [float(b + rng.gauss(0, 0.1)) for b in base]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(120)], "vec_id bigint, embedding array<float>"
+    )
+    model = IvfFlat(n_cells=4, seed=2).fit(corpus, persist=False)
+    path, dest = str(tmp_path / "ivf"), str(tmp_path / "ivf_c")
+    model.save_index(path)
+    loaded = IvfFlatModel.load_index(spark, path)
+    for lo in (200, 240, 280):  # three daily appends
+        batch = spark.createDataFrame(
+            [(lo + i, vec(i)) for i in range(20)],
+            "vec_id bigint, embedding array<float>",
+        )
+        loaded.append_index(batch, path)
+
+    def files(d):
+        return [p for p in pathlib.Path(d).rglob("*.parquet")
+                if "/_" not in str(p)]
+
+    n_before = len(files(path))
+    n = compact_partitioned_index(spark, path, dest)
+    assert n == 180
+    assert len(files(dest)) < n_before
+
+    a = {r.vec_id for r in spark.read.parquet(path).collect()}
+    b = {r.vec_id for r in spark.read.parquet(dest).collect()}
+    assert a == b
+
+    qvec = vec(1)
+    before = IvfFlatModel.load_index(spark, path)
+    after = IvfFlatModel.load_index(spark, dest)
+    got_a = [(r.vec_id, round(r.cosine, 9)) for r in
+             before.approx_cosine_topk(qvec, k=5, n_probe=4).collect()]
+    got_b = [(r.vec_id, round(r.cosine, 9)) for r in
+             after.approx_cosine_topk(qvec, k=5, n_probe=4).collect()]
+    assert got_a == got_b
+
+    # a bare (sidecar-less) parquet dir is refused
+    import pytest
+
+    bare = str(tmp_path / "bare")
+    spark.read.parquet(path).write.parquet(bare)
+    with pytest.raises(ValueError, match="sidecar"):
+        compact_partitioned_index(spark, bare, str(tmp_path / "x"))
+
+
+def test_compact_partitioned_index_pq_layout(spark, tmp_path):
+    """The same compactor handles the IVF-PQ artifact (nested _pq sidecar
+    tree byte-copied; load_index + topk identical post-compaction)."""
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.pq import (
+        IvfPqIndex,
+        build_ivf_pq_index,
+        fit_pq,
+    )
+    from pyspark_minhash_lsh_spark.operators.ivf import (
+        IvfFlat,
+        compact_partitioned_index,
+    )
+
+    rng = random.Random(11)
+    dim = 8
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(150)],
+        "vec_id bigint, embedding array<float>",
+    )
+    ivf_model = IvfFlat(n_cells=4, seed=5).fit(corpus, persist=False)
+    pq_model = fit_pq(corpus, m=4, k=16, seed=5)
+    table = build_ivf_pq_index(ivf_model, pq_model)
+    idx = IvfPqIndex(ivf_model.centroids, pq_model, table)
+    path, dest = str(tmp_path / "pq"), str(tmp_path / "pq_c")
+    idx.save_index(path)
+    n = compact_partitioned_index(spark, path, dest)
+    assert n == 150
+    qvec = [rng.gauss(0, 1) for _ in range(dim)]
+    a = [(r.vec_id, round(r.adc_score, 9)) for r in
+         IvfPqIndex.load_index(spark, path).topk(qvec, k=5, n_probe=4).collect()]
+    b = [(r.vec_id, round(r.adc_score, 9)) for r in
+         IvfPqIndex.load_index(spark, dest).topk(qvec, k=5, n_probe=4).collect()]
+    assert a == b
