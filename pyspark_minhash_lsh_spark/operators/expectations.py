@@ -303,6 +303,7 @@ def suggest_constraints(
     df: DataFrame,
     columns: Optional[Sequence[str]] = None,
     range_slack: float = 0.0,
+    values_in_max_cardinality: int = 0,
 ) -> "list[dict]":
     """Profile-driven constraint suggestion (the Deequ
     ConstraintSuggestion idea): ONE ``profile.profile_table`` scan over a
@@ -314,7 +315,12 @@ def suggest_constraints(
       - ``in_range(c, min, max)`` for numeric columns, the observed
         envelope widened by ``range_slack`` (fraction of the span) so
         natural drift inside the historical spread doesn't page anyone;
-      - ``size_between(1)`` always (the empty-output tripwire).
+      - ``size_between(1)`` always (the empty-output tripwire);
+      - OPT-IN (``values_in_max_cardinality > 0``): ``values_in(c, ...)``
+        for STRING columns whose exact distinct count is at or below the
+        bound — the categorical-domain rule (lang codes, source tags).
+        Off by default because each qualifying column costs one extra
+        bounded distinct-collect job beyond the single profile scan.
 
     Returns a plain rules list — feed it to ``check_constraints`` /
     ``assert_constraints`` / ``observe_constraints`` as-is, or prune it by
@@ -353,6 +359,19 @@ def suggest_constraints(
         # key with all-distinct non-null values earns the suggestion too
         if p.n_distinct == p.n_rows - p.n_nulls:
             out.append(unique(c))
+        elif (
+            values_in_max_cardinality > 0
+            and dts[c] == "string"
+            and 0 < p.n_distinct <= int(values_in_max_cardinality)
+        ):
+            # categorical domain (elif: an all-distinct column is a key,
+            # not a category); one bounded distinct-collect per column
+            vals = sorted(
+                r[0]
+                for r in df.select(c).where(F.col(c).isNotNull())
+                .distinct().collect()
+            )
+            out.append(values_in(c, vals))
         base = dts[c].split("(")[0]
         if base in numeric and p.min_value is not None:
             lo, hi = float(p.min_value), float(p.max_value)

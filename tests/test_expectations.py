@@ -213,6 +213,30 @@ def test_suggest_constraints_awkward_snapshots(spark):
     assert ("unique", "s") in kinds
 
 
+def test_suggest_constraints_categorical_values_in(spark):
+    """Opt-in values_in suggestion for low-cardinality string columns:
+    the snapshot passes, an out-of-domain value fails, keys and
+    over-cardinality columns are excluded."""
+    from pyspark_minhash_lsh_spark.operators.expectations import (
+        suggest_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], f"key{i}") for i in range(30)],
+        "id bigint, lang string, name string",
+    )
+    # off by default
+    assert all(r["kind"] != "values_in" for r in suggest_constraints(df))
+    rules = suggest_constraints(df, values_in_max_cardinality=5)
+    vi = [r for r in rules if r["kind"] == "values_in"]
+    assert [r["column"] for r in vi] == ["lang"]  # name is a KEY, excluded
+    assert {r.status for r in check_constraints(df, rules).collect()} == {"pass"}
+    drift = df.union(spark.createDataFrame([(99, "xx", "key99")], df.schema))
+    rep = {(r.check, r.column): r.status
+           for r in check_constraints(drift, rules).collect()}
+    assert rep[("values_in", "lang")] == "fail"
+
+
 def test_empty_table_and_validation(spark):
     df = spark.createDataFrame([], "id bigint, lang string")
     report = check_constraints(df, [not_null("id"), size_between(1)])
