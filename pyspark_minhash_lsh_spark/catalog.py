@@ -1249,26 +1249,36 @@ def q77_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM gs a JOIN gs b
              ON a.shingle = b.shingle AND a.source < b.source
            GROUP BY 1, 2),
-         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-         fo AS (SELECT shingle, MIN(doc_id) AS first_id FROM ex
-                GROUP BY shingle),
-         nov AS (
-           SELECT e.doc_id, COUNT(*) AS n_shingles,
-                  SUM(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END)
-                    AS n_novel
-           FROM ex e JOIN fo f ON e.shingle = f.shingle
-           GROUP BY e.doc_id)
+         ex AS (SELECT doc_id, shingle FROM
+                  (SELECT doc_id, unnest(s) AS shingle FROM sh)),
+         rk AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY shingle
+                                          ORDER BY doc_id) AS rn
+                FROM ex),
+         uni AS (SELECT doc_id, 0 AS ns, 0 AS nn FROM documents
+                 UNION ALL
+                 SELECT doc_id, 1 AS ns,
+                        CASE WHEN rn = 1 THEN 1 ELSE 0 END AS nn
+                 FROM rk),
+         nov AS (SELECT doc_id,
+                        CAST(SUM(ns) AS BIGINT) AS n_shingles,
+                        CAST(SUM(nn) AS BIGINT) AS n_novel
+                 FROM uni GROUP BY doc_id)
     SELECT 'overlap' AS op, source_a AS a, source_b AS b,
-           x.n AS k1, y.n AS k2, n_common AS k3
+           x.n AS k1, y.n AS k2, n_common AS k3,
+           {_duck_rsint("n_common", "x.n + y.n - n_common", 6)} AS r1,
+           {_duck_rsint("n_common", "least(x.n, y.n)", 6)} AS r2
     FROM common
     JOIN sizes x ON x.source = source_a
     JOIN sizes y ON y.source = source_b
     UNION ALL
-    SELECT 'novelty' AS op, CAST(d.doc_id AS VARCHAR) AS a,
+    SELECT 'novelty' AS op, CAST(doc_id AS VARCHAR) AS a,
            CAST(NULL AS VARCHAR) AS b,
-           COALESCE(n_shingles, 0) AS k1, COALESCE(n_novel, 0) AS k2,
-           CAST(NULL AS BIGINT) AS k3
-    FROM documents d LEFT JOIN nov ON nov.doc_id = d.doc_id
+           n_shingles AS k1, n_novel AS k2,
+           CAST(NULL AS BIGINT) AS k3,
+           {_duck_rsint("n_novel", "n_shingles", 6)} AS r1,
+           CAST(NULL AS BIGINT) AS r2
+    FROM nov
     """,
 )
 def q78_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,18 +1286,27 @@ def q78_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     union — both EXACT set computations, fully oracle-backed:
       - overlap: pairwise distinct-shingle overlap between sources
         (``source_overlap``) — which dumps duplicate each other;
-        a=source_a, b=source_b, k1/k2=vocab sizes, k3=shared;
+        a=source_a, b=source_b, k1/k2=vocab sizes, k3=shared,
+        r1/r2=scaled-integer jaccard/containment;
       - novelty: per-document count of shingles first introduced by that
         document (``ngram_novelty``) — mosaic-duplication signal no pairwise
-        threshold catches; a=doc_id, k1=n_shingles, k2=n_novel.
-    The driver projection is INTEGER COUNTS ONLY (round 5, VERDICT r04 #1):
-    the derived jaccard/containment/novelty ratios are fully determined by
-    (k1, k2, k3) and were the only IEEE arithmetic on this hash surface —
-    after two rounds of driver hash_match=false with rows+schema green and a
-    green local dry-run, every float expression is gone. Consumers who want
-    the ratios use the operator outputs (full-precision doubles) or derive
-    scaled integers via ``_ratio_sint`` — do NOT reintroduce a float-derived
-    column on this projection (see also tests/test_driver_budget.py).
+        threshold catches; a=doc_id, k1=n_shingles, k2=n_novel,
+        r1=scaled-integer novelty ratio.
+    Construct provenance after the r06 driver bisect (this row was hash-red
+    r03-r06 with rows+schema green and local hash green every round):
+      - the overlap CTEs are the q80/q81 diagnostic text VERBATIM — both
+        driver-GREEN in r06, so that leg is exonerated;
+      - the novelty CTEs are ``_DUCK_NOVELTY_CTES``' proven-construct form
+        (ROW_NUMBER first-occurrence + zero-spine union-of-aggregates); the
+        old MIN-per-group + join-back + LEFT-JOIN-spine form was isolated as
+        driver-RED by q82 and is quarantined (COVERAGE.md);
+      - the tagged union's NULL VARCHAR/BIGINT cells were proven green by
+        q83;
+      - r1/r2 are ``_ratio_sint`` with plain same-row denominators — the
+        q55/q54 proven class (restored per VERDICT r06 #4; no IEEE float
+        anywhere on the surface, see tests/test_driver_budget.py). The q82
+        probe row stays minimal, so a red q78 + green q82 in r07 indicts
+        these ratio columns specifically.
     Default 64-bit hashed shingle keys (counts identical to the oracle's
     string keys barring 2^-64 collisions — the q25 PPJoin posture)."""
     from .operators.corpus_stats import ngram_novelty, source_overlap
@@ -1300,6 +1319,12 @@ def q78_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").alias("k1"),
         F.col("n_b").alias("k2"),
         F.col("n_common").alias("k3"),
+        _ratio_sint(
+            F.col("n_common"),
+            F.col("n_a") + F.col("n_b") - F.col("n_common"),
+            6,
+        ).alias("r1"),
+        _ratio_sint(F.col("n_common"), F.least("n_a", "n_b"), 6).alias("r2"),
     )
     nv = ngram_novelty(docs).select(
         F.lit("novelty").alias("op"),
@@ -1308,46 +1333,32 @@ def q78_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shingles").alias("k1"),
         F.col("n_novel").alias("k2"),
         F.lit(None).cast("bigint").alias("k3"),
+        _ratio_sint(F.col("n_novel"), F.col("n_shingles"), 6).alias("r1"),
+        F.lit(None).cast("bigint").alias("r2"),
     )
     return ov.unionByName(nv)
 
 
 # =====================================================================================
-# r06 driver-hash bisect (VERDICT r05 #1): q78 has been driver hash-red for three
-# rounds and q68 regressed to red in r05, while BOTH pass rows+schema in the driver
-# AND hash-green under the local dry-run (same code, same parquet, local DuckDB).
-# Three rounds of arithmetic fixes did not move q78, so the divergence is
-# STRUCTURAL — some oracle construct (or result shape) evaluates or serializes
-# differently in the driver environment. Each q8x_diag_* row below isolates ONE
-# candidate construct; the driver's per-query hash booleans are the bisection
-# signal. Constructs already PROVEN driver-green by r05 rows (and therefore not
-# re-tested): single-column DISTINCT-unnest + group-count and ROW_NUMBER windows
-# (q48), shingle-string self-join + pair count (q25), mixed-null DOUBLE column
-# (q12), plain-denominator _ratio_sint (q01/q29/q63 family), token/shingle string
-# content itself (q48 emits every distinct shingle verbatim). Remaining suspects,
-# one diagnostic each:
-#   q80  mixed `SELECT DISTINCT col, unnest(list)` in one SELECT (q78 overlap form)
-#   q81  same counts, DISTINCT moved to an outer subquery (if q80 red & q81 green,
-#        the mixed DISTINCT-unnest is the guilty construct)
-#   q82  novelty leg: MIN-per-group first-occurrence + LEFT-JOIN doc spine, all
-#        non-null integer columns (q78 novelty form minus the union's NULL cells)
-#   q83  mixed NULL/non-NULL VARCHAR + BIGINT columns on a PROVEN-green base (the
-#        only shape q78's union adds that no green row exercises — if red, the
-#        driver's serialization of NULL cells is the bug class, not any join)
-#   q84  _duck_rsint over a window-function denominator (the r05 zipf `v` change)
-#   q85  the r05 drift leg verbatim: FULL JOIN + scalar subqueries + rsint + top-50
-#   q86  identical drift counts, restructured oracle: union-of-aggregates instead
-#        of FULL JOIN, 1-row CROSS-JOIN aggregates instead of scalar subqueries,
-#        raw integer delta instead of rsint (if q85 red & q86 green, the construct
-#        is in the FULL-JOIN/scalar-subquery/rsint cluster; r07 splits further)
-# The Spark side of every diagnostic is deterministic and byte-stable across
-# environments (pure integer projections, no floats, no hash-seed variance), so a
-# red row indicts the driver-side oracle evaluation or result canonicalization —
-# never the Spark plan. Changing the Spark-side keys (e.g. string instead of
-# xxhash64 shingle keys) is deliberately NOT probed: Spark's output is identical
-# in both environments by determinism, so a key-representation change cannot flip
-# a driver boolean that local dry-runs already match (and a 2^-64 xxhash64
-# collision would fail locally too).
+# r06 driver-hash bisect: CLOSED (r07). Seven diagnostic rows (q80-q86) each
+# isolated one oracle construct suspected in q78's four-round hash-red; the r06
+# driver booleans (CORRECTNESS_r06.json) came back decisive and the retired rows
+# were removed this round (git history keeps their text). Verdicts, now engine-wide
+# rules (the full quarantine list lives in COVERAGE.md "Driver-green discipline"):
+#   GREEN (safe): mixed `SELECT DISTINCT col, unnest(list)` in one SELECT (q80)
+#     AND its nested-unnest twin (q81); mixed NULL/non-NULL VARCHAR + BIGINT
+#     cells (q83); union-of-aggregates + 1-row CROSS-JOINed totals + raw integer
+#     delta (q86, the drift form now living in q68's drift leg).
+#   RED (quarantined — never write these in an oracle):
+#     - MIN-per-group first-occurrence + join-back + LEFT-JOIN doc spine (q82's
+#       r06 form) → use ROW_NUMBER first-occurrence + zero-spine
+#       union-of-aggregates (_DUCK_NOVELTY_CTES below);
+#     - _duck_rsint over a window-function denominator (q84) → stage totals as
+#       1-row CROSS-JOINed aggregates, keep rsint denominators plain;
+#     - FULL JOIN + scalar-subquery totals feeding rsint (q85; its twin q86 was
+#       green on the IDENTICAL 50 rows) → the q86 union-of-aggregates shape.
+# q82 remains below as the live novelty PROBE (oracle rewritten in proven
+# constructs; retire once driver-green alongside q78 — VERDICT r06 #1/#3).
 # =====================================================================================
 
 #: SYNC NOTE: q64's oracle embeds this same 400/100/150 split inline with
@@ -1366,8 +1377,8 @@ _DIAG_SNAP_SQL = f"""
 
 
 def _diag_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """The two synthetic corpus snapshots shared by the drift diagnostics —
-    the same old/new split q64's diff leg audits (old = docs < 400; new =
+    """The two synthetic corpus snapshots shared by q68's drift leg — the
+    same old/new split q64's diff leg audits (old = docs < 400; new =
     docs >= 100 with 100..149 edited)."""
     base = docs.select("doc_id", "text")
     old_snap = base.filter(F.col("doc_id") < 400)
@@ -1381,108 +1392,64 @@ def _diag_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return old_snap, new_snap
 
 
-def _diag_overlap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared Spark side of q80/q81: source_overlap integer counts only."""
-    from .operators.corpus_stats import source_overlap
-
-    docs = _t(spark, sf_dir, "documents")
-    return source_overlap(docs).select(
-        F.col("source_a").alias("a"),
-        F.col("source_b").alias("b"),
-        F.col("n_a").alias("k1"),
-        F.col("n_b").alias("k2"),
-        F.col("n_common").alias("k3"),
-    )
-
-
-@query(
-    "q80_diag_overlap",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, source, {_DUCK_TOKENS} AS t FROM documents),
-         sh AS (SELECT doc_id, source,
-                       CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
-                            ELSE [] END AS s FROM tok),
-         gs AS (SELECT DISTINCT source, unnest(s) AS shingle FROM sh),
-         sizes AS (SELECT source, COUNT(*) AS n FROM gs GROUP BY source),
-         common AS (
-           SELECT a.source AS source_a, b.source AS source_b,
-                  COUNT(*) AS n_common
-           FROM gs a JOIN gs b
-             ON a.shingle = b.shingle AND a.source < b.source
-           GROUP BY 1, 2)
-    SELECT source_a AS a, source_b AS b, x.n AS k1, y.n AS k2, n_common AS k3
-    FROM common
-    JOIN sizes x ON x.source = source_a
-    JOIN sizes y ON y.source = source_b
-    """,
-)
-def q80_diag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect row: q78's overlap leg standalone, oracle verbatim — the CTE
-    ``gs`` uses the MIXED ``SELECT DISTINCT source, unnest(s)`` form (a plain
-    column and an unnest under one DISTINCT), the one oracle construct of
-    this leg no green row exercises (q48's proven DISTINCT-unnest is
-    single-column). No NULL cells, pure BIGINT counts."""
-    return _diag_overlap_spark(spark, sf_dir)
-
-
-@query(
-    "q81_diag_overlap_nested",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, source, {_DUCK_TOKENS} AS t FROM documents),
-         sh AS (SELECT doc_id, source,
-                       CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
-                            ELSE [] END AS s FROM tok),
-         gs AS (SELECT DISTINCT source, shingle FROM
-                  (SELECT source, unnest(s) AS shingle FROM sh)),
-         sizes AS (SELECT source, COUNT(*) AS n FROM gs GROUP BY source),
-         common AS (
-           SELECT a.source AS source_a, b.source AS source_b,
-                  COUNT(*) AS n_common
-           FROM gs a JOIN gs b
-             ON a.shingle = b.shingle AND a.source < b.source
-           GROUP BY 1, 2)
-    SELECT source_a AS a, source_b AS b, x.n AS k1, y.n AS k2, n_common AS k3
-    FROM common
-    JOIN sizes x ON x.source = source_a
-    JOIN sizes y ON y.source = source_b
-    """,
-)
-def q81_diag_overlap_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect row: IDENTICAL Spark side and semantics to q80; the only
-    difference is the oracle's ``gs`` CTE, where unnest happens in an inner
-    subquery and DISTINCT applies to plain columns outside it. If q80 is red
-    and q81 green, the driver DuckDB's mixed DISTINCT-unnest evaluation is
-    the guilty construct (both forms are green on local DuckDB)."""
-    return _diag_overlap_spark(spark, sf_dir)
+#: The novelty oracle in r06-bisect-PROVEN constructs ONLY (the r06 driver
+#: verdicts: q82's ``MIN``-per-group first-occurrence + join-back + LEFT-JOIN
+#: doc spine cluster is driver-RED; see the quarantine list in COVERAGE.md).
+#: Construct provenance, row by row:
+#:   - unnest in an inner subquery ........ q81 GREEN (nested-unnest form)
+#:   - explode -> group-count ............. q48/q20 GREEN (A1/A2)
+#:   - ROW_NUMBER() window ................ q10 GREEN (driver row since r02)
+#:   - UNION ALL + re-aggregate spine ..... q86 GREEN (union-of-aggregates)
+#: No joins of any kind, no MIN-per-group, no NULL cells, no rsint. The
+#: ROW_NUMBER order is total: per-doc shingles are list_distinct'ed, so
+#: (shingle, doc_id) is unique and ``rn = 1`` IS the first occurrence.
+#: The zero-spine union replaces the LEFT-JOIN doc spine: every document
+#: contributes one (0, 0) row, so shingle-less docs keep a row and the
+#: outer SUM never sees a NULL.
+#: SYNC NOTE: q78's novelty leg inlines this exact ex/rk/uni/nov chain
+#: (its tok/sh CTEs carry an extra ``source`` column for the overlap leg,
+#: so the constant can't be interpolated there) — any change to the
+#: first-occurrence algebra must land in BOTH places.
+_DUCK_NOVELTY_CTES = f"""
+         tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                                    ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, shingle FROM
+                  (SELECT doc_id, unnest(s) AS shingle FROM sh)),
+         rk AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY shingle
+                                          ORDER BY doc_id) AS rn
+                FROM ex),
+         uni AS (SELECT doc_id, 0 AS ns, 0 AS nn FROM documents
+                 UNION ALL
+                 SELECT doc_id, 1 AS ns,
+                        CASE WHEN rn = 1 THEN 1 ELSE 0 END AS nn
+                 FROM rk),
+         nov AS (SELECT doc_id,
+                        CAST(SUM(ns) AS BIGINT) AS n_shingles,
+                        CAST(SUM(nn) AS BIGINT) AS n_novel
+                 FROM uni GROUP BY doc_id)"""
 
 
 @query(
     "q82_diag_novelty",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
-         sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
-                                    ELSE [] END AS s FROM tok),
-         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-         fo AS (SELECT shingle, MIN(doc_id) AS first_id FROM ex
-                GROUP BY shingle),
-         nov AS (
-           SELECT e.doc_id, COUNT(*) AS n_shingles,
-                  SUM(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END)
-                    AS n_novel
-           FROM ex e JOIN fo f ON e.shingle = f.shingle
-           GROUP BY e.doc_id)
-    SELECT d.doc_id, COALESCE(n_shingles, 0) AS k1, COALESCE(n_novel, 0) AS k2
-    FROM documents d LEFT JOIN nov ON nov.doc_id = d.doc_id
+    WITH {_DUCK_NOVELTY_CTES}
+    SELECT doc_id, n_shingles AS k1, n_novel AS k2 FROM nov
     """,
 )
 def q82_diag_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect row: q78's novelty leg standalone with its natural columns —
-    BIGINT doc_id (no VARCHAR cast), coalesced non-null counts, no union and
-    therefore none of q78's NULL cells. Exercises MIN-per-group
-    first-occurrence + join-back + LEFT-JOIN doc spine, the novelty-side
-    constructs. If green while q78 stays red, the novelty math is exonerated
-    and q78's red lives in the overlap leg (q80/q81) or the union's NULL
-    cells (q83)."""
+    """r06-bisect survivor, now the novelty PROBE row: q78's novelty leg
+    standalone with its natural columns — BIGINT doc_id, non-null counts, no
+    union and therefore none of q78's NULL cells. The r06 driver run proved
+    the old oracle form (MIN-per-group first-occurrence + join-back +
+    LEFT-JOIN doc spine) hash-RED while rows+schema stayed green and the
+    identical values hash-matched locally; this round the oracle is rewritten
+    in proven-green constructs only (``_DUCK_NOVELTY_CTES`` — ROW_NUMBER
+    first-occurrence + zero-spine union-of-aggregates, the q86 pattern).
+    Kept in the driver surface until green (VERDICT r06 #1): if q78 stays
+    red while this row turns green, the residue is q78-specific (its union
+    or ratio columns), not the novelty form."""
     from .operators.corpus_stats import ngram_novelty
 
     docs = _t(spark, sf_dir, "documents")
@@ -1490,186 +1457,6 @@ def q82_diag_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_shingles").alias("k1"),
         F.col("n_novel").alias("k2"),
-    )
-
-
-@query(
-    "q83_diag_mixed_nulls",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
-         sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
-                                    ELSE [] END AS s FROM tok),
-         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-         c AS (SELECT shingle, COUNT(*) AS n FROM ex
-               GROUP BY shingle HAVING COUNT(*) >= 4)
-    SELECT shingle, n,
-           CASE WHEN n % 2 = 0 THEN shingle
-                ELSE CAST(NULL AS VARCHAR) END AS b,
-           CASE WHEN n % 2 = 1 THEN n ELSE CAST(NULL AS BIGINT) END AS k3
-    FROM c
-    """,
-)
-def q83_diag_mixed_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect row: the NULL-cell serialization probe. Base construct is
-    q48's PROVEN-green 'common' leg (explode -> group-count -> HAVING);
-    the only additions are a VARCHAR column and a BIGINT column that are
-    each NULL on a deterministic half of the rows — exactly the shape
-    q78's tagged union adds (novelty rows carry NULL b/k3) and the one
-    result-shape suspect no green row covers (q12's mixed-null column is
-    DOUBLE). If this row is red, the driver canonicalizes NULL VARCHAR/
-    BIGINT cells differently per engine (e.g. None vs NaN after a pandas
-    conversion) and every construct hypothesis is moot — the r07 fix is
-    sentinel-coalescing union surfaces, not oracle rewrites."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size)
-    c = (
-        docs.select(F.explode(sh).alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 4)
-    )
-    return c.select(
-        "shingle",
-        "n",
-        F.when(F.col("n") % 2 == 0, F.col("shingle"))
-        .otherwise(F.lit(None).cast("string"))
-        .alias("b"),
-        F.when(F.col("n") % 2 == 1, F.col("n"))
-        .otherwise(F.lit(None).cast("bigint"))
-        .alias("k3"),
-    )
-
-
-@query(
-    "q84_diag_zipf_rsint",
-    oracle=f"""
-    WITH tok AS (SELECT {_DUCK_TOKENS} AS t FROM documents),
-    ex AS (SELECT unnest(t) AS tok FROM tok),
-    pt AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY 1),
-    prof AS (SELECT c, COUNT(*) AS n_types FROM pt GROUP BY 1)
-    SELECT CAST(c AS VARCHAR) AS tok_key,
-           CAST(c AS BIGINT) AS n1,
-           CAST(n_types AS BIGINT) AS n2,
-           {_duck_rsint("c * n_types", "SUM(CAST(c * n_types AS BIGINT)) OVER ()", 6)}
-             AS v
-    FROM prof
-    """,
-)
-def q84_diag_zipf_rsint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect row: the r05 zipf surface VERBATIM — q68's shape the round it
-    went red, isolated from the drift leg. The suspect construct is the
-    ``_duck_rsint`` scaled ratio whose DENOMINATOR is a window aggregate
-    (``SUM(...) OVER ()`` interpolated several times into the floor-division
-    algebra); every proven-green rsint has a plain column/aggregate
-    denominator. q68 itself reverted to raw counts this round — if this
-    diagnostic is GREEN the construct is exonerated and q68's r05 red came
-    from the drift leg (q85/q86); if RED, window-denominator rsint joins the
-    quarantine list and the drift leg may be innocent."""
-    from .operators.textpipe import token_frequency_profile
-
-    docs = _t(spark, sf_dir, "documents")
-    return token_frequency_profile(docs).select(
-        F.col("occurrences").cast("string").alias("tok_key"),
-        F.col("occurrences").cast("bigint").alias("n1"),
-        F.col("n_types").cast("bigint").alias("n2"),
-        _ratio_sint(
-            F.col("occurrences") * F.col("n_types"), F.col("total_positions"), 6
-        ).alias("v"),
-    )
-
-
-@query(
-    "q85_diag_drift",
-    oracle=f"""
-    WITH {_DIAG_SNAP_SQL},
-    ocnt AS (SELECT token, COUNT(*) AS n_old
-             FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM old_snap)
-             GROUP BY 1),
-    ncnt AS (SELECT token, COUNT(*) AS n_new
-             FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM new_snap)
-             GROUP BY 1),
-    tot AS (SELECT
-      (SELECT COALESCE(SUM(len({_DUCK_TOKENS})), 0) FROM old_snap) AS t_old,
-      (SELECT COALESCE(SUM(len({_DUCK_TOKENS})), 0) FROM new_snap) AS t_new),
-    jn AS (SELECT COALESCE(o.token, n.token) AS token,
-                  COALESCE(o.n_old, 0) AS n_old,
-                  COALESCE(n.n_new, 0) AS n_new
-           FROM ocnt o FULL JOIN ncnt n ON o.token = n.token),
-    dr AS (SELECT token, n_old, n_new,
-                  CAST(n_new AS BIGINT) * t_old
-                    - CAST(n_old AS BIGINT) * t_new AS dnum,
-                  CAST(t_old AS BIGINT) * t_new AS dden
-           FROM jn CROSS JOIN tot)
-    SELECT token AS tok_key,
-           CAST(n_old AS BIGINT) AS n1,
-           CAST(n_new AS BIGINT) AS n2,
-           {_duck_rsint("dnum", "dden", 6)} AS v
-    FROM dr ORDER BY abs(dnum) DESC, token ASC LIMIT 50
-    """,
-)
-def q85_diag_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect row: the r05 drift leg VERBATIM (the leg whose arrival turned
-    q68 red), standalone. Oracle constructs under test, all absent from
-    every green row: FULL JOIN on token keys, scalar subqueries in a 1-row
-    CTE, CROSS JOIN against it, rsint over the joined counts, and the
-    abs-desc top-50 boundary. Its twin q86 computes the IDENTICAL 50 rows
-    (minus the scaled ratio) with every one of those constructs replaced —
-    the red/green pattern across the pair localizes the cluster."""
-    from .operators.corpus_stats import corpus_drift
-
-    docs = _t(spark, sf_dir, "documents")
-    old_snap, new_snap = _diag_snapshots(docs)
-    return corpus_drift(old_snap, new_snap, top_k=50).select(
-        F.col("token").alias("tok_key"),
-        F.col("n_old").alias("n1"),
-        F.col("n_new").alias("n2"),
-        _ratio_sint(
-            F.col("share_delta_num"), F.col("t_old") * F.col("t_new"), 6
-        ).alias("v"),
-    )
-
-
-@query(
-    "q86_diag_drift_plain",
-    oracle=f"""
-    WITH {_DIAG_SNAP_SQL},
-    oex AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM old_snap),
-    nex AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM new_snap),
-    cnt AS (SELECT token,
-                   CAST(SUM(o) AS BIGINT) AS n_old,
-                   CAST(SUM(n) AS BIGINT) AS n_new
-            FROM (SELECT token, 1 AS o, 0 AS n FROM oex
-                  UNION ALL
-                  SELECT token, 0 AS o, 1 AS n FROM nex)
-            GROUP BY token),
-    tots AS (SELECT t_old, t_new
-             FROM (SELECT COUNT(*) AS t_old FROM oex)
-             CROSS JOIN (SELECT COUNT(*) AS t_new FROM nex))
-    SELECT token AS tok_key, n_old AS n1, n_new AS n2,
-           CAST(n_new * t_old - n_old * t_new AS BIGINT) AS v
-    FROM cnt CROSS JOIN tots
-    ORDER BY abs(n_new * t_old - n_old * t_new) DESC, token ASC LIMIT 50
-    """,
-)
-def q86_diag_drift_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect row: the same top-50 drift movers as q85 with every suspect
-    construct restructured away on the oracle side — union-of-aggregates
-    instead of FULL JOIN, plain 1-row CROSS-JOIN aggregates instead of
-    scalar subqueries, and the raw integer delta ``n_new*t_old -
-    n_old*t_new`` instead of the rsint ratio (the same value q85 scales; the
-    50-row membership and ordering are identical by construction). The
-    Spark side still runs ``corpus_stats.corpus_drift`` — so a green q86
-    with a red q85 proves the OPERATOR's values are driver-correct and the
-    divergence is in q85's oracle construct cluster."""
-    from .operators.corpus_stats import corpus_drift
-
-    docs = _t(spark, sf_dir, "documents")
-    old_snap, new_snap = _diag_snapshots(docs)
-    return corpus_drift(old_snap, new_snap, top_k=50).select(
-        F.col("token").alias("tok_key"),
-        F.col("n_old").alias("n1"),
-        F.col("n_new").alias("n2"),
-        F.col("share_delta_num").cast("bigint").alias("v"),
     )
 
 
@@ -2861,10 +2648,10 @@ def q64_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dedup").alias("leg"), "doc_id", F.lit("kept").alias("status")
     )
 
-    # the ONE snapshot construction shared with the q85/q86 drift
-    # diagnostics (round-6 review catch: three hand-synced copies of the
-    # 400/100/150 split constants; now Spark sides share this helper and
-    # both oracles interpolate _DIAG_SNAP_SQL)
+    # the ONE snapshot construction shared with q68's drift leg (round-6
+    # review catch: three hand-synced copies of the 400/100/150 split
+    # constants; now Spark sides share this helper and both oracles
+    # interpolate _DIAG_SNAP_SQL)
     old_snap, new_snap = _diag_snapshots(docs)
     diff_leg = snapshot_diff(old_snap, new_snap).select(
         F.lit("diff").alias("leg"), "doc_id", "status"
@@ -3295,40 +3082,85 @@ def q67_text_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (SELECT {_DUCK_TOKENS} AS t FROM documents),
     ex AS (SELECT unnest(t) AS tok FROM tok),
     pt AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY 1),
-    prof AS (SELECT c, COUNT(*) AS n_types FROM pt GROUP BY 1)
-    SELECT CAST(c AS VARCHAR) AS tok_key,
-           CAST(c AS BIGINT) AS n1,
-           CAST(n_types AS BIGINT) AS n2
-    FROM prof
+    prof AS (SELECT c, COUNT(*) AS n_types FROM pt GROUP BY 1),
+    ztot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM ex),
+    {_DIAG_SNAP_SQL},
+    oex AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM old_snap),
+    nex AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM new_snap),
+    cnt AS (SELECT token,
+                   CAST(SUM(o) AS BIGINT) AS n_old,
+                   CAST(SUM(n) AS BIGINT) AS n_new
+            FROM (SELECT token, 1 AS o, 0 AS n FROM oex
+                  UNION ALL
+                  SELECT token, 0 AS o, 1 AS n FROM nex)
+            GROUP BY token),
+    tots AS (SELECT t_old, t_new
+             FROM (SELECT COUNT(*) AS t_old FROM oex)
+             CROSS JOIN (SELECT COUNT(*) AS t_new FROM nex)),
+    drift AS (SELECT token AS tok_key, n_old AS n1, n_new AS n2,
+                     CAST(n_new * t_old - n_old * t_new AS BIGINT) AS v
+              FROM cnt CROSS JOIN tots
+              ORDER BY abs(n_new * t_old - n_old * t_new) DESC, token ASC
+              LIMIT 50)
+    SELECT 'zipf' AS leg, CAST(c AS VARCHAR) AS tok_key,
+           CAST(c AS BIGINT) AS n1, CAST(n_types AS BIGINT) AS n2,
+           {_duck_rsint("c * n_types", "total", 6)} AS v
+    FROM prof CROSS JOIN ztot
+    UNION ALL
+    SELECT 'drift' AS leg, tok_key, n1, n2, v FROM drift
     """,
 )
 def q68_token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus Zipf profile: frequency-of-frequencies over the token
-    vocabulary (hapax mass drives vocabulary-growth estimates; a fat head
-    flags boilerplate) — ``tok_key`` the occurrence band as a string,
-    ``n1``/``n2`` the band and its type count.
+    """Corpus distribution profile, two tagged legs:
+      - zipf: frequency-of-frequencies over the token vocabulary (hapax mass
+        drives vocabulary-growth estimates; a fat head flags boilerplate) —
+        ``tok_key`` the occurrence band, ``n1``/``n2`` the band and its type
+        count, ``v`` the band's scaled-integer share of corpus positions;
+      - drift: ``corpus_stats.corpus_drift`` top-50 movers between the
+        shared old/new snapshots (``_diag_snapshots``) — ``n1``/``n2`` the
+        per-side counts, ``v`` the EXACT integer share delta
+        ``n_new*t_old - n_old*t_new`` (raw, unscaled).
 
-    Round-6 regression fix (VERDICT r05 #2): this row was driver-green for
-    three rounds (r02-r04) as a zipf-only surface, then went hash-red in r05
-    when two unproven things landed on it at once — the ``corpus_drift``
-    top-50 leg was unioned on and the position-share column ``v`` switched
-    from ``_sint`` to ``_duck_rsint`` over a window-function denominator.
-    Reverted to the minimal proven-construct set: GROUP BY + COUNT only (the
-    q48-proven family), raw BIGINT counts, no derived ratio at all (``c`` and
-    ``n_types`` fully determine the distribution; the corpus position total
-    is their dot product). The two suspended constructs are bisected by
-    dedicated diagnostic rows this round: q84_diag_zipf_rsint (window-den
-    ``_duck_rsint``) and q85/q86 (the drift leg) — see the r06 bisect block
-    after q78. Rule adopted: never union a new leg onto a driver-green
-    oracle row in the round it's written."""
+    r07 restoration (VERDICT r06 #4) after the r06 bisect closed the r05
+    regression: this row was green r02-r04 zipf-only, went red in r05 when
+    the drift leg + a window-denominator ``_duck_rsint`` landed together,
+    and was reverted to raw counts in r06 while diagnostics isolated the
+    guilt. Verdicts applied here:
+      - q84 proved ``_duck_rsint`` over a ``SUM(...) OVER ()`` denominator
+        driver-RED → zipf's ``v`` now stages the corpus total as a 1-row
+        CROSS-JOINed aggregate (``ztot``, the q86 ``tots`` shape) and keeps
+        the plain-denominator rsint algebra (q55-proven class);
+      - q85 (FULL JOIN + scalar subqueries + rsint) driver-RED vs q86
+        (union-of-aggregates + plain cross-joined totals + raw integer
+        delta) driver-GREEN on the IDENTICAL 50 rows → the drift leg is
+        q86's oracle text verbatim, raw delta and all.
+    Overflow posture: rsint needs ``c*n_types*2e6 < 2^63`` — fine to ~4.6e12
+    band mass; the drift cross products are BIGINT here (oracle scale) while
+    the operator itself carries DECIMAL(38) for production corpora."""
+    from .operators.corpus_stats import corpus_drift
     from .operators.textpipe import token_frequency_profile
 
     docs = _t(spark, sf_dir, "documents")
-    return token_frequency_profile(docs).select(
+    zipf = token_frequency_profile(docs).select(
+        F.lit("zipf").alias("leg"),
         F.col("occurrences").cast("string").alias("tok_key"),
         F.col("occurrences").cast("bigint").alias("n1"),
         F.col("n_types").cast("bigint").alias("n2"),
+        _ratio_sint(
+            F.col("occurrences") * F.col("n_types"),
+            F.col("total_positions"),
+            6,
+        ).alias("v"),
     )
+    old_snap, new_snap = _diag_snapshots(docs)
+    drift = corpus_drift(old_snap, new_snap, top_k=50).select(
+        F.lit("drift").alias("leg"),
+        F.col("token").alias("tok_key"),
+        F.col("n_old").cast("bigint").alias("n1"),
+        F.col("n_new").cast("bigint").alias("n2"),
+        F.col("share_delta_num").cast("bigint").alias("v"),
+    )
+    return zipf.unionByName(drift)
 
 
 # q69 mixing weights: chosen with exactly-representable binary fractions so
@@ -4148,14 +3980,15 @@ _CURATED_ORDER = [
     "q42_relational_ops",
     "q77_minhash_oracle",
     "q78_corpus_overlap",
-    # -- block 1b: r06 driver-hash bisect diagnostics (see the q80-q86 block) ------
-    "q80_diag_overlap",
-    "q81_diag_overlap_nested",
+    # -- block 1b: the r06 bisect's one surviving probe (retire once green) --------
     "q82_diag_novelty",
-    "q83_diag_mixed_nulls",
-    "q84_diag_zipf_rsint",
-    "q85_diag_drift",
-    "q86_diag_drift_plain",
+    # -- block 1c: restored from r06 diagnostic parking (driver-green in r05) ------
+    "q02_mktsegment_stats",
+    "q09_supplier_part_volume",
+    "q11_customer_running_total",
+    "q14_distinct_parts_per_supplier",
+    "q66_daily_rollup",
+    "q70_length_percentiles",
     # -- block 2: driver-green in round 2 (oracle-backed, re-verified) -------------
     "q01_pricing_summary",
     "q03_top_customer_revenue",
@@ -4185,26 +4018,15 @@ _CURATED_ORDER = [
 #: in the driver's 50-row correctness budget. Permanent residents: q30's
 #: signature math is driver-exercised through q32/q75 and ORACLE-checked via
 #: the md5-family twin q77; q38's clustering is driver-exercised through
-#: q74's minhash_dedup leg. The seven r06 entries are PARKED FOR THE BISECT
-#: ROUND ONLY (VERDICT r05 #1 — the q80-q86 diagnostics need slots inside
-#: the 50 budget): q02/q09/q11/q14/q66/q70 were driver-green in r05 with
-#: unchanged operators since, and q33's exact oracle twin q25 stays curated;
-#: all seven still run under pytest's full oracle sweep
-#: (tests/test_catalog_oracle.py iterates ORACLE_SQL, which keeps every
-#: oracle); q30/q33/q38 additionally run in bench.py's headline/scale
-#: sets, while q02/q09/q11/q14/q66/q70 are pytest-only for the parking
-#: round (sub-second relational queries with no bench role).
-#: Restore them when the diagnostics retire.
+#: q74's minhash_dedup leg; q33 (rows-only) is driver-exercised through its
+#: EXACT oracle twin q25 (same band-key join, q25 adds the string-key oracle)
+#: and runs in bench.py's headline set. r07 restored q02/q09/q11/q14/q66/q70
+#: from the r06 diagnostic parking; the 50th slot is held by the q82 novelty
+#: probe until it turns driver-green (then q33 or a new operator row takes
+#: the slot — VERDICT r06 #3).
 _BENCH_ONLY = [
     "q30_minhash_signatures",
     "q38_minhash_dedup",
-    # r06 diagnostic parking (restore in r07):
-    "q02_mktsegment_stats",
-    "q09_supplier_part_volume",
-    "q11_customer_running_total",
-    "q14_distinct_parts_per_supplier",
-    "q66_daily_rollup",
-    "q70_length_percentiles",
     "q33_similarity_join",
 ]
 

@@ -37,7 +37,6 @@ HEADLINE = [
     "q42_relational_ops",
     "q64_incremental_dedup",
     "q68_token_frequency_profile",
-    "q85_diag_drift",
 ]
 
 #: hard shape assertions backing PLANS.md claims (audit FAILS on regression).
@@ -90,15 +89,15 @@ MAX_COUNTS = [
     # q64: dedup leg fingerprint window/anti + diff leg's id-keyed
     # full-outer over (id, fingerprint) projections
     ("q64_incremental_dedup", "Exchange hashpartitioning", 4),
-    # q68 (r06, zipf-only revert): token-count agg + count-keyed reagg
-    ("q68_token_frequency_profile", "Exchange hashpartitioning", 2),
+    # q68 (r07, drift leg restored per VERDICT r06 #4): zipf leg token agg
+    # + count-keyed reagg (its 1-row total is an Exchange SinglePartition,
+    # not counted here) + drift leg's two per-side token aggs feeding the
+    # full-outer token sort-merge join (1-row totals broadcast; no
+    # corpus-sized extra exchange) — measured 4 unique nodes
+    ("q68_token_frequency_profile", "Exchange hashpartitioning", 4),
     # r06: repetition facets became a staged zero-shuffle projection
     # (sorted-bigram-run fold) — lock the elided explode/window/agg path out
     ("q53_repetition_metrics", "Exchange hashpartitioning", 0),
-    # drift shape (moved from q68's union to the q85 diagnostic): two
-    # token-count aggs + the full-outer token join (1-row totals broadcast;
-    # no corpus-sized extra exchange)
-    ("q85_diag_drift", "Exchange hashpartitioning", 4),
 ]
 
 MARKERS = [
