@@ -20,10 +20,12 @@ dedup is a chain of shuffles on well-distributed keys:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType
 
 from ..config import DEFAULT_CONFIG, MinHashLSHConfig
 from ..functions.hashing import content_fingerprint, hamming_distance, simhash_bits_df
@@ -31,6 +33,8 @@ from ..functions.text import tokens
 from ..functions.vectors import cosine_similarity
 from .minhash_lsh import MinHashLSH
 from .setjoin import ngram_jaccard_join
+
+_LOG = logging.getLogger(__name__)
 
 __all__ = [
     "exact_dedup",
@@ -109,6 +113,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 10,
     driver_edge_limit: int = 2_000_000,
+    driver_byte_budget: int = 1 << 30,
 ) -> DataFrame:
     """Connected components by min-label propagation + pointer doubling,
     with a size-gated driver union-find fast path.
@@ -128,7 +133,12 @@ def connected_components(
     tokenizer type tables and IVF centroids: the COLLECTED object is
     provably bounded, the corpus never moves. Above the bound the
     distributed fixpoint below runs unchanged — set
-    ``driver_edge_limit=0`` to force it.
+    ``driver_edge_limit=0`` to force it. A second gate in BYTES
+    (``driver_byte_budget``, default 1 GiB — ADVICE r06) protects small
+    drivers from wide STRING ids: string/binary id widths are measured
+    with one scan-aggregate over the already-checkpointed edge table and
+    the estimated collect size is logged; past the budget the distributed
+    path runs even under the edge limit.
 
     Edges with a NULL endpoint are dropped up front on BOTH paths (a NULL
     id never equi-joins in the distributed rounds anyway; the explicit
@@ -173,8 +183,38 @@ def connected_components(
     sym = sym.repartition(F.col("b")).localCheckpoint(eager=True)
     # sym holds BOTH directions, so halve before comparing to the limit —
     # the gate is in INPUT edges (count over the checkpointed RDD: free)
-    if sym.count() <= 2 * int(driver_edge_limit):
-        return _driver_union_find(sym)
+    n_sym = sym.count()
+    if driver_edge_limit > 0 and n_sym <= 2 * int(driver_edge_limit):
+        # second gate in BYTES (ADVICE r06): the edge limit alone lets wide
+        # string ids pressure a small driver (2M edges of 100-char ids is
+        # ~3 GB of Python objects). Integral ids cost a flat ~60 B/pair in
+        # the collected lists + union-find dict; for string/binary ids,
+        # measure the real average width with one scan-aggregate over the
+        # already-checkpointed table (no shuffle, pennies next to the
+        # collect) and budget ~3x object overhead.
+        if isinstance(sym.schema["a"].dataType, (StringType, BinaryType)):
+            avg_pair = (
+                sym.agg(
+                    (F.avg(F.length("a")) + F.avg(F.length("b"))).alias("w")
+                ).head()[0]
+                or 0.0
+            )
+            est_bytes = int(n_sym * (avg_pair * 3 + 120))
+        else:
+            est_bytes = n_sym * 60
+        _LOG.info(
+            "connected_components driver fast path: %d symmetric edge rows, "
+            "~%.0f MB collected (budget %.0f MB)",
+            n_sym, est_bytes / 1e6, driver_byte_budget / 1e6,
+        )
+        if est_bytes <= int(driver_byte_budget):
+            return _driver_union_find(sym)
+        _LOG.warning(
+            "connected_components: edge count within driver_edge_limit but "
+            "estimated collect size ~%.0f MB exceeds driver_byte_budget "
+            "%.0f MB — using the distributed fixpoint instead",
+            est_bytes / 1e6, driver_byte_budget / 1e6,
+        )
     nodes = sym.select(F.col("a").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
 

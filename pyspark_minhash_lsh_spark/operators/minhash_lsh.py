@@ -526,22 +526,33 @@ class MinHashLSHModel:
         THIS model's config would launder exactly the drift the sidecar
         exists to catch — overwrite-save it once to stamp it first).
         Appending to a path with NO artifact at all (first run of an
-        idempotent always-append ingest job) simply creates it."""
+        idempotent always-append ingest job) simply creates it. When
+        appending onto an existing artifact the SAVED layout wins over
+        ``partition_by_band0`` — mixing flat files and ``band0=``
+        directories in one dataset breaks later reads (ADVICE r06)."""
         if mode == "append":
-            saved = self._read_saved_params(path)
-            if saved is None:
-                from pyspark.errors import AnalysisException
+            from pyspark.errors import AnalysisException
 
-                spark = self.index.sparkSession
-                try:
-                    spark.read.parquet(path).schema
-                    data_exists = True
-                except AnalysisException:
-                    data_exists = False  # fresh path: append == create
-                if data_exists:
+            spark = self.index.sparkSession
+            saved = self._read_saved_params(path)
+            try:
+                saved_schema = spark.read.parquet(path).schema
+            except AnalysisException:
+                saved_schema = None  # fresh path: append == create
+            if saved is None:
+                if saved_schema is not None:
                     self._check_saved_params(path, saved=None)  # refuse
             else:
                 self._check_saved_params(path, saved=saved)
+            if saved_schema is not None:
+                # the SAVED layout wins (round 7, ADVICE r06): appending
+                # flat rows into a band0=-partitioned artifact (or the
+                # reverse) writes data files at the dataset root alongside
+                # partition directories — a mixed layout that breaks or
+                # silently skews later reads. append_index already
+                # auto-detects; this lower-level path adopts the same
+                # contract instead of trusting the caller's flag.
+                partition_by_band0 = "band0" in saved_schema.names
         out = self.index
         if partition_by_band0:
             out = out.withColumn("band0", F.element_at("bucket_ids", 1))

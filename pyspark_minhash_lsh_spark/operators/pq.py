@@ -50,6 +50,45 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+#: Driver-collect ceiling for the batch-serving APIs (``topk_batch`` /
+#: ``pq_topk_batch``). The query batch legitimately collects to the driver
+#: (its ADC tables ship in the Arrow UDF closure), which is the right design
+#: for SERVING batches but a driver OOM if someone points it at a
+#: query-corpus table. 10k queries x 1k float dims ~ 80 MB — comfortably
+#: driver-safe while far above any real serving batch.
+DEFAULT_MAX_QUERY_BATCH = 10_000
+
+
+def _collect_query_batch(
+    queries: DataFrame, query_id_col: str, emb: str, max_query_batch: int
+) -> list:
+    """Bounded driver pull of a serving query batch (VERDICT r06 #5).
+
+    ``limit(max+1)`` bounds the collect BY CONSTRUCTION — a million-row
+    query table pulls at most ``max_query_batch + 1`` rows before the loud
+    error, never the full table — so the guard itself can't OOM while
+    checking. Raise ``max_query_batch`` explicitly for a bigger batch, or
+    use the fully-distributed join paths (``IvfFlatIndex.topk_batch``,
+    ``SrpLshModel.approx_cosine_topk_batch``) for query-corpus workloads."""
+    if max_query_batch < 1:
+        raise ValueError(f"max_query_batch must be >= 1, got {max_query_batch}")
+    rows = (
+        queries.select(F.col(query_id_col), F.col(emb))
+        .limit(max_query_batch + 1)
+        .collect()
+    )
+    if len(rows) > max_query_batch:
+        raise ValueError(
+            f"query batch exceeds max_query_batch={max_query_batch} rows: "
+            "the PQ batch APIs collect the query batch to the driver and are "
+            "sized for serving batches, not query corpora. Raise "
+            "max_query_batch if the batch is genuinely driver-sized, or use "
+            "the distributed IVF/SRP batch join paths for corpus-vs-corpus "
+            "top-k."
+        )
+    return rows
+
+
 def _kmeans(x: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
     """Plain Lloyd with random-point init (deterministic via ``rng``);
     empty clusters re-seeded from the farthest points — DISTINCT ones, in
@@ -308,6 +347,7 @@ class IvfPqIndex:
         query_id_col: str = "query_id",
         refine: "int | None" = None,
         embeddings: "DataFrame | None" = None,
+        max_query_batch: int = DEFAULT_MAX_QUERY_BATCH,
     ) -> DataFrame:
         """Batch IVF-PQ serving: ONE pruned scan answers every query.
 
@@ -322,9 +362,14 @@ class IvfPqIndex:
         are EXACTLY the single-query ``topk``'s. ``refine=c`` adds the
         batch exact-cosine rerank (requires ``embeddings``; the
         ``pq_topk_batch`` refine plan — broadcast candidates, no corpus
-        shuffle). Returns ``(query_id, id, adc_score[, cosine], rank)``."""
+        shuffle). Returns ``(query_id, id, adc_score[, cosine], rank)``.
+
+        The query batch collects to the driver, bounded by
+        ``max_query_batch`` (loud error past it — see
+        ``_collect_query_batch``); corpus-vs-corpus workloads belong on
+        the distributed ``IvfFlatIndex.topk_batch`` join path."""
         emb = query_emb_col or self.pq.emb_col
-        rows = queries.select(F.col(query_id_col), F.col(emb)).collect()
+        rows = _collect_query_batch(queries, query_id_col, emb, max_query_batch)
         if not rows:
             raise ValueError("empty query batch")
         qids = [r[0] for r in rows]
@@ -611,6 +656,7 @@ def pq_topk_batch(
     query_id_col: str = "query_id",
     refine: "int | None" = None,
     embeddings: "DataFrame | None" = None,
+    max_query_batch: int = DEFAULT_MAX_QUERY_BATCH,
 ) -> DataFrame:
     """Batched ADC top-k: every query in ``queries`` against an
     ``encode``-d table in ONE scan — the PQ twin of the SRP/IVF batch
@@ -619,7 +665,9 @@ def pq_topk_batch(
     The query batch is collected to the driver and its (n_queries, m, k)
     ADC table stack ships in the Arrow UDF closure — sized for SERVING
     batches (hundreds to low thousands of queries), not query-corpora;
-    join-style workloads belong to the SRP/IVF batch paths. Each encoded
+    join-style workloads belong to the SRP/IVF batch paths. The collect is
+    bounded by ``max_query_batch`` (loud error past it, guard itself
+    OOM-proof via ``limit`` — see ``_collect_query_batch``). Each encoded
     row is scored against all queries in one numpy gather, so the corpus
     is still scanned exactly once regardless of batch size.
 
@@ -631,7 +679,7 @@ def pq_topk_batch(
     query batch both broadcast; the embedding corpus shuffles nothing.
     Output gains a ``cosine`` column and ``rank`` re-numbers by it."""
     emb = query_emb_col or pq_model.emb_col
-    rows = queries.select(F.col(query_id_col), F.col(emb)).collect()
+    rows = _collect_query_batch(queries, query_id_col, emb, max_query_batch)
     if not rows:
         raise ValueError("empty query batch")
     qids = [r[0] for r in rows]

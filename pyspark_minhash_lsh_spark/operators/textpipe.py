@@ -441,6 +441,27 @@ _CC_CANDIDATE = r"(?<!\w)(?<!\d[ -])\d(?:[ -]?\d)*+(?!\w)"
 #: start/end sits against another digit).
 _CC_PLAIN = r"(?<!\w)\d{13,19}(?!\w)"
 
+#: Third candidate family (round 7, ADVICE r06): group-aligned SEPARATED
+#: sub-windows. '4111 1111 1111 1111 123' merges into one 19-digit maximal
+#: run that fails Luhn, and _CC_PLAIN only sees contiguous segments — so a
+#: SPACED PAN beside its CVV leaked. For runs in this digit band, every
+#: contiguous window of separator-delimited groups whose digit total is
+#: 13-19 (excluding the full run, which _CC_CANDIDATE already covers, and
+#: single groups, which _CC_PLAIN already covers) becomes a candidate; Luhn
+#: keeps false redactions ~10x down as with the other families. The band is
+#: deliberately narrow: a run needs > 13 digits for a proper sub-window to
+#: exist, and 23 = the longest PAN (19) plus the longest CVV (4) — runs past
+#: that are serial-number shaped, and sub-windowing them would Luhn-pass
+#: ~10% of windows and shred legitimate serials, so a PAN hidden inside a
+#: >= 24-digit separated run stays unredacted by design (same stance as
+#: dropping over-length maximal runs; pinned by
+#: test_redact_credit_cards_never_partial_matches_long_runs). Groups are
+#: capped at 10 (a real PAN+neighbor run has <= ~8), bounding enumeration
+#: at 55 windows per run.
+_CC_SUBWIN_MIN_DIGITS = 14
+_CC_SUBWIN_MAX_DIGITS = 23
+_CC_SUBWIN_MAX_GROUPS = 10
+
 
 def redact_credit_cards(
     df: DataFrame,
@@ -468,13 +489,17 @@ def redact_credit_cards(
 
     Kept OUT of ``PII_PATTERNS`` deliberately: the default pattern tuple is
     an ordered cross-engine contract (oracle-checked), and Luhn is a fold,
-    not a pattern — callers opt in. Candidates come from two DISJOINT
+    not a pattern — callers opt in. Candidates come from three DISJOINT
     families: separator-CONTAINING maximal runs length-filtered to 13-19
     digits (``_CC_CANDIDATE`` — "4111 1111 1111 1111"; a longer spaced
-    serial is one over-length candidate, never partially matched) and
+    serial is one over-length candidate, never partially matched),
     isolated CONTIGUOUS 13-19 digit segments (``_CC_PLAIN`` — catches a
-    PAN sitting next to its CVV/last-4 inside a longer separated run,
-    which the maximal family alone would merge and drop). Replacement is
+    contiguous PAN sitting next to its CVV/last-4 inside a longer
+    separated run, which the maximal family alone would merge and drop),
+    and group-aligned SEPARATED sub-windows of 14-25-digit maximal runs
+    (round 7 — catches a SPACED PAN beside its CVV, "4111 1111 1111 1111
+    123"; see ``_CC_SUBWIN_*`` for the deliberate band bounds: a PAN
+    inside a >=26-digit separated serial stays, by design). Replacement is
     digit-boundary-guarded (``(?<!\\d)...(?!\\d)``), so a validated PAN
     that happens to appear as the INTERIOR of a longer digit run elsewhere
     in the document is left alone there.
@@ -494,7 +519,70 @@ def redact_credit_cards(
         & (F.length(F.regexp_replace(c, r"[0-9]", "")) > 0),
     )
     plain_cands = F.regexp_extract_all(t, F.lit(_CC_PLAIN), 0)
-    cands = F.concat(sep_cands, plain_cands)
+
+    def digit_len(c):
+        return F.length(F.regexp_replace(c, r"[^0-9]", ""))
+
+    def subwindows(c):
+        # group-aligned separated sub-windows of one maximal run (family 3).
+        # Separators are single chars by _CC_CANDIDATE's shape, so offsets
+        # are pure group-length prefix sums: plens[i] (1-based element_at)
+        # is the 0-based offset where group i starts.
+        groups = F.split(c, r"[ -]")
+        ng = F.size(groups)
+        plens = F.aggregate(
+            groups,
+            F.array(F.lit(0)),
+            lambda acc, g: F.concat(
+                acc, F.array(F.element_at(acc, -1) + F.length(g) + F.lit(1))
+            ),
+        )
+        pairs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), ng),
+                lambda i: F.transform(
+                    F.sequence(i, ng),
+                    lambda j: F.struct(i.alias("i"), j.alias("j")),
+                ),
+            )
+        )
+        # j > i: single groups are _CC_PLAIN's; not the full run: that is
+        # _CC_CANDIDATE's — keeps the three families disjoint. Window digit
+        # total = text length minus its (j - i) single-char separators.
+        def wlen(p):
+            return F.element_at(plens, p["j"] + F.lit(1)) - F.element_at(
+                plens, p["i"]
+            ) - F.lit(1)
+
+        eligible = F.filter(
+            pairs,
+            lambda p: (p["j"] > p["i"])
+            & ~((p["i"] == F.lit(1)) & (p["j"] == ng))
+            & (wlen(p) - (p["j"] - p["i"])).between(13, 19),
+        )
+        return F.transform(
+            eligible,
+            lambda p: c.substr(F.element_at(plens, p["i"]) + F.lit(1), wlen(p)),
+        )
+
+    win_cands = F.flatten(
+        F.transform(
+            F.filter(
+                runs,
+                lambda c: (F.length(F.regexp_replace(c, r"[0-9]", "")) > 0)
+                & digit_len(c).between(
+                    _CC_SUBWIN_MIN_DIGITS, _CC_SUBWIN_MAX_DIGITS
+                )
+                & (F.size(F.split(c, r"[ -]")) <= _CC_SUBWIN_MAX_GROUPS),
+            ),
+            subwindows,
+        )
+    )
+    # family order matters for the replacement fold below: full separated
+    # runs redact before their sub-windows, so a (rare) doubly-Luhn-valid
+    # nesting redacts the superset and the sub-window no-ops (the count
+    # still includes both — documented overcount)
+    cands = F.concat(sep_cands, plain_cands, win_cands)
 
     def luhn_valid(c):
         ds = F.regexp_replace(c, r"[^0-9]", "")

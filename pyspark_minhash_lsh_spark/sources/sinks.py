@@ -274,6 +274,16 @@ def zorder_dataframe(
             f"num_bits * len(cols) must be in [1, 63], got "
             f"{num_bits} * {len(cols)}"
         )
+    # staging-name collision guard (ADVICE r06): a frame already carrying
+    # _zb{i}/_zval would be silently overwritten and then dropped from the
+    # output — refuse loudly instead (the with_repetition_metrics stance)
+    reserved = {"_zval", *(f"_zb{i}" for i in range(len(cols)))}
+    clashes = sorted(reserved & set(df.columns))
+    if clashes:
+        raise ValueError(
+            f"zorder staging column names already present in the "
+            f"DataFrame: {clashes} — rename them before z-ordering"
+        )
     dts = dict(df.dtypes)
     numeric = [c for c in cols if dts[c] != "string"]
     stats = {}

@@ -140,6 +140,27 @@ def _lake_band_rows(lake_index: DataFrame, num_state_bands: int) -> DataFrame:
     return rows.dropDuplicates(["band_idx", "band_key"])
 
 
+def _first_arrival_order(df: DataFrame, ts_col: str, id_col: str, key_cols):
+    """Deterministic ORDER BY for the batch first-arrival window: ts, then
+    the stable id column when present. Ordering by every non-key column
+    (the r06 form) failed at analysis for unorderable column types (map)
+    and sorted full document text for nothing — ts + id is already a total
+    order whenever ids are unique (ADVICE r06). Frames without the id
+    column keep the all-columns fallback (minus unorderable types, which
+    Spark cannot sort on at all)."""
+    from pyspark.sql.types import MapType
+
+    if id_col in df.columns:
+        return [F.asc(ts_col), F.asc(id_col)]
+    orderable = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in (*key_cols, ts_col)
+        and not isinstance(f.dataType, MapType)
+    ]
+    return [F.asc(ts_col), *[F.asc(c) for c in orderable]]
+
+
 def streaming_near_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -150,6 +171,7 @@ def streaming_near_dedup(
     rows_per_band: int = 4,
     num_state_bands: int = 1,
     lake_index: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Streaming *near*-dup suppression via LSH band keys.
 
@@ -214,17 +236,16 @@ def streaming_near_dedup(
             return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
                 ["band_key"]
             )
-        # batch twin: FIRST-ARRIVAL (by ts, then full-row tiebreak) per band
-        # key, exactly like the multi-band batch path below — a bare
+        # batch twin: FIRST-ARRIVAL (by ts, then stable-id tiebreak) per
+        # band key, exactly like the multi-band batch path below — a bare
         # dropDuplicates keeps an ARBITRARY row, so batch replay output
         # would depend on task completion order and diverge from the
         # streamed run's first-capture-wins (crawl_curate's documented
         # contract; review catch round 6)
         from pyspark.sql import Window
 
-        order_cols = [c for c in keyed.columns if c not in ("band_key", ts_col)]
         w = Window.partitionBy("band_key").orderBy(
-            F.asc(ts_col), *[F.asc(c) for c in order_cols]
+            *_first_arrival_order(keyed, ts_col, id_col, ("band_key",))
         )
         return (
             keyed.withColumn("_rn", F.row_number().over(w))
@@ -256,9 +277,8 @@ def streaming_near_dedup(
     # between the two docs and annihilate both.
     from pyspark.sql import Window
 
-    order_cols = [c for c in banded.columns if c not in ("band_idx", "band_key", ts_col)]
     w = Window.partitionBy("band_idx", "band_key").orderBy(
-        F.asc(ts_col), *[F.asc(c) for c in order_cols]
+        *_first_arrival_order(banded, ts_col, id_col, ("band_idx", "band_key"))
     )
     first = (
         banded.withColumn("_rn", F.row_number().over(w))

@@ -78,6 +78,25 @@ def test_connected_components_null_endpoints_dropped_both_paths(spark):
     assert fast == want and dist == want
 
 
+def test_connected_components_byte_budget_falls_back_distributed(spark):
+    """Round 7 (ADVICE r06): wide STRING ids under the edge limit but past
+    the byte budget must route to the distributed fixpoint (no driver
+    collect) and still label correctly."""
+    wide = "x" * 400
+    edges = spark.createDataFrame(
+        [(f"{wide}{i}", f"{wide}{i + 1}") for i in range(10)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.component for r in connected_components(
+        edges, driver_byte_budget=1_000).collect()}
+    want = {f"{wide}{i}": f"{wide}0" for i in range(11)}
+    assert got == want
+    # and the same graph under the default budget takes the fast path with
+    # an identical labeling
+    fast = {r.id: r.component for r in connected_components(edges).collect()}
+    assert fast == want
+
+
 def test_exact_dedup_groups(spark):
     rows = [
         (1, "The cat sat on the mat."),

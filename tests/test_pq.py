@@ -172,6 +172,60 @@ def test_pq_topk_batch_matches_single(spark, corpus, model, encoded):
         assert sorted(got[p]) == single, p
 
 
+def test_pq_batch_query_collect_is_guarded(spark, corpus, model, encoded):
+    """Round 7 (VERDICT r06 #5): the batch APIs collect the query batch to
+    the driver — a query table past max_query_batch must raise a loud
+    ValueError (and the guard itself must not pull the full table: it
+    limits to max+1 rows by construction)."""
+    import pytest
+
+    from pyspark_minhash_lsh_spark.operators.pq import pq_topk_batch
+
+    full = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    queries = spark.createDataFrame(
+        [(i, full[i % 100]) for i in range(12)],
+        "query_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_query_batch"):
+        pq_topk_batch(model, encoded, queries, k=3, max_query_batch=5)
+    with pytest.raises(ValueError, match="max_query_batch"):
+        pq_topk_batch(model, encoded, queries, k=3, max_query_batch=0)
+    # at the bound it runs fine
+    out = pq_topk_batch(model, encoded, queries, k=3, max_query_batch=12)
+    assert out.select("query_id").distinct().count() == 12
+
+
+def test_ivf_pq_index_topk_batch_guarded(spark):
+    """The IvfPqIndex.topk_batch path shares the same driver-collect
+    guard."""
+    import random
+
+    import pytest
+
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+    from pyspark_minhash_lsh_spark.operators.pq import IvfPqIndex, fit_pq
+
+    rng = random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)],
+        "vec_id bigint, embedding array<float>",
+    )
+    ivf = IvfFlat(n_cells=4, seed=3).fit(corpus, persist=False)
+    pq = fit_pq(corpus, m=2, k=16, seed=5)
+    idx = IvfPqIndex.from_models(ivf, pq)
+    full = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    queries = spark.createDataFrame(
+        [(i, full[i]) for i in range(8)],
+        "query_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_query_batch"):
+        idx.topk_batch(queries, k=3, max_query_batch=4)
+    assert (
+        idx.topk_batch(queries, k=3, max_query_batch=8)
+        .select("query_id").distinct().count() == 8
+    )
+
+
 def test_pq_topk_batch_refine_matches_manual_rerank(spark):
     """Round 5: pq_topk_batch(refine=c) == the hand-rolled two-stage
     pipeline (ADC top-c per query -> exact-cosine rerank -> top-k), with

@@ -260,6 +260,46 @@ def test_save_index_append_mode(spark, tmp_path):
     assert a == b
 
 
+def test_save_index_append_adopts_saved_layout(spark, tmp_path):
+    """Round 7 (ADVICE r06): save_index(mode='append') with the DEFAULT
+    partition_by_band0=False onto a band0-partitioned artifact must adopt
+    the saved layout — not write flat data files at the dataset root
+    alongside band0= directories (a mixed layout that breaks or silently
+    skews later reads). And the reverse: appending with
+    partition_by_band0=True onto a flat artifact stays flat."""
+    import os
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") < 60)
+    batch = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    union = docs.filter(F.col("doc_id") < 90)
+
+    # partitioned artifact + flat-flagged append -> layout stays partitioned
+    ppath = str(tmp_path / "part")
+    MinHashLSH().fit(seen, persist=False).save_index(
+        ppath, partition_by_band0=True
+    )
+    MinHashLSH().fit(batch, persist=False).save_index(ppath, mode="append")
+    root_parquet = [
+        f for f in os.listdir(ppath)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    assert not root_parquet, f"mixed layout: root data files {root_parquet}"
+    assert any(d.startswith("band0=") for d in os.listdir(ppath))
+    loaded = MinHashLSHModel.load_index(spark, ppath, union)
+    assert loaded.index.count() == 90
+
+    # flat artifact + partitioned-flagged append -> layout stays flat
+    fpath = str(tmp_path / "flat")
+    MinHashLSH().fit(seen, persist=False).save_index(fpath)
+    MinHashLSH().fit(batch, persist=False).save_index(
+        fpath, mode="append", partition_by_band0=True
+    )
+    assert not any(d.startswith("band0=") for d in os.listdir(fpath))
+    loaded = MinHashLSHModel.load_index(spark, fpath, union)
+    assert loaded.index.count() == 90
+
+
 def test_append_index_equals_rebuild_from_union(spark, tmp_path):
     """Round 6 (VERDICT r05 #5): MinHashLSHModel.append_index — append a
     batch into a SAVED artifact, then load: queries must equal a
@@ -679,3 +719,9 @@ def test_zorder_strings_nulls_and_validation(spark):
         zorder_dataframe(df, ["x", "nope"])
     with pytest.raises(ValueError, match="num_bits"):
         zorder_dataframe(df, ["x", "s"], num_bits=40)
+    # staging-name collision refused loudly, never silently overwritten
+    # (ADVICE r06)
+    with pytest.raises(ValueError, match="staging column"):
+        zorder_dataframe(df.withColumn("_zval", F.lit(1)), ["x", "s"])
+    with pytest.raises(ValueError, match="staging column"):
+        zorder_dataframe(df.withColumn("_zb0", F.lit(1)), ["x", "s"])

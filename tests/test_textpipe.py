@@ -757,7 +757,8 @@ def test_redact_credit_cards_never_partial_matches_long_runs(spark):
     )
 
     # "1234 5678 9012 3452" passes Luhn as a 16-digit prefix; the full
-    # spaced run is 28 digits and must survive whole
+    # spaced run is 24 digits — past the 23-digit sub-window band
+    # (_CC_SUBWIN_MAX_DIGITS), so it must survive whole (serial-shaped)
     long_sep = "1234 5678 9012 3452 7890 1234 end"
     inner = "card 4111111111111111 serial 00004111111111111111000"
     glued = "ref abc4111111111111111 tail"
@@ -805,6 +806,48 @@ def test_redact_credit_cards_pan_beside_other_digit_runs(spark):
     assert out[2].n_credit_card == 0
     assert out[3].redacted_text == "x 999 <CREDIT_CARD> 22 y"
     assert out[3].n_credit_card == 1
+
+
+def test_redact_credit_cards_spaced_pan_beside_digits(spark):
+    """Round-7 ADVICE catch: a SEPARATED PAN adjacent to another digit
+    group ('4111 1111 1111 1111 123') merges into one over-length or
+    Luhn-failing maximal run, and the contiguous family can't see spaced
+    PANs — the group-aligned sub-window family must catch it."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        redact_credit_cards,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # spaced PAN + 3-digit CVV (the reported leak)
+            (0, "card 4111 1111 1111 1111 123 ok"),
+            # CVV-ish group BEFORE the spaced PAN
+            (1, "cvv 123 4111 1111 1111 1111 end"),
+            # spaced PAN + last-4
+            (2, "pay 4111 1111 1111 1111 9999 now"),
+            # invalid spaced PAN + CVV: nothing redacts
+            (3, "id 4111 1111 1111 1112 123 nope"),
+            # dash-separated PAN beside a group
+            (4, "x 4111-1111-1111-1111 22 y"),
+            # >= 24-digit separated run hiding a PAN: stays whole by design
+            # (serial-shaped; _CC_SUBWIN_MAX_DIGITS = 23)
+            (5, "serial 4111 1111 1111 1111 1234 5678 90 z"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_credit_cards(docs).collect()}
+    assert out[0].redacted_text == "card <CREDIT_CARD> 123 ok"
+    assert out[0].n_credit_card == 1
+    assert out[1].redacted_text == "cvv 123 <CREDIT_CARD> end"
+    assert out[1].n_credit_card == 1
+    assert out[2].redacted_text == "pay <CREDIT_CARD> 9999 now"
+    assert out[2].n_credit_card == 1
+    assert out[3].redacted_text == "id 4111 1111 1111 1112 123 nope"
+    assert out[3].n_credit_card == 0
+    assert out[4].redacted_text == "x <CREDIT_CARD> 22 y"
+    assert out[4].n_credit_card == 1
+    assert out[5].redacted_text == "serial 4111 1111 1111 1111 1234 5678 90 z"
+    assert out[5].n_credit_card == 0
 
 
 def test_redact_credit_cards_matches_python_luhn(spark):
