@@ -3520,10 +3520,15 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_credit_card"), F.avg(F.length("redacted_text")),
     )
 
-    # constraints (round 6): the single-scan data-quality gate over the
-    # raw documents table — deterministic statuses (pass counts in f1,
-    # observed-fraction sum in f2). The pre-promotion audit every shipped
-    # artifact runs; value-level tests in tests/test_expectations.py.
+    # constraints (round 6; fail facet round 7, VERDICT r06 #7): the
+    # single-scan data-quality gate over the raw documents table. The rule
+    # list now includes two DELIBERATELY failing rules (doc_id in [0, 2]
+    # violates on nearly every row; unique(source) has massive duplicate
+    # counts), so the driver row witnesses BOTH report paths: f1 = count of
+    # passing rules (drops if a passing rule regresses to fail), f2 = the
+    # summed observed violation magnitude over FAILING rules (zero or NULL
+    # if failures stop surfacing their violation counts). Deterministic;
+    # value-level tests in tests/test_expectations.py.
     from .operators.expectations import (
         check_constraints,
         in_range,
@@ -3538,11 +3543,14 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique("doc_id"),
         in_range("n_chars", 0, 10_000_000),
         size_between(1),
+        in_range("doc_id", 0, 2),   # deliberate FAIL: violation fraction
+        unique("source"),           # deliberate FAIL: duplicate count
     ])
     leg_qc = _suite_row(
         rep, "constraints",
         F.sum((F.col("status") == "pass").cast("bigint")),
-        F.sum("observed"),
+        F.sum(F.when(F.col("status") == "fail", F.col("observed"))
+              .otherwise(F.lit(0.0))),
     )
 
     return (

@@ -783,6 +783,9 @@ def crawl_curate(
     rows_per_band: int = 4,
     num_state_bands: int = 1,
     lake_index: DataFrame | None = None,
+    promotion_baseline: DataFrame | None = None,
+    promotion_columns: "tuple[str, ...] | None" = ("n_tokens", "quality"),
+    promotion_strict: bool = True,
 ) -> DataFrame:
     """The Common-Crawl ingest story in ONE recipe (round 6, VERDICT r05
     #6): crawl records -> HTML->text extraction -> row-local curation ->
@@ -817,6 +820,17 @@ def crawl_curate(
     contract when ``num_state_bands > 1`` (the finalize rule documented
     there). Survivor columns: ``(doc_id, text, n_tokens, quality, status,
     url, ts, band_key)``.
+
+    ``promotion_baseline`` (opt-in, round 7 — VERDICT r06 #8) closes the
+    Deequ loop on the crawl path: pass a KNOWN-GOOD curated snapshot and,
+    in BATCH mode, the survivors are gated through
+    ``expectations.promotion_gate`` (suggest rules from the baseline over
+    ``promotion_columns``, check the new output; ``promotion_strict=True``
+    raises ``AssertionError`` listing every failed rule — the refresh does
+    not promote). Gating forces real jobs, so it is refused on a STREAMING
+    input — gate the stream's sink output between triggers instead, which
+    produces the identical report to gating the batch replay
+    (tests/test_crawl_pipeline.py asserts this parity).
     """
     from ..operators.textpipe import html_to_text
 
@@ -846,7 +860,7 @@ def crawl_curate(
         keep_cols=("url", "ts"),
     )
     kept = curated.filter(F.col("status") == "kept")
-    return streaming_near_dedup(
+    out = streaming_near_dedup(
         kept,
         text_col="text",
         ts_col="ts",
@@ -857,3 +871,33 @@ def crawl_curate(
         num_state_bands=num_state_bands,
         lake_index=lake_index,
     )
+    if promotion_baseline is not None:
+        if out.isStreaming:
+            raise ValueError(
+                "promotion_baseline gating needs real aggregation jobs and "
+                "cannot run on a streaming result — gate the sink output "
+                "between triggers with expectations.promotion_gate instead "
+                "(identical report to gating the batch replay)"
+            )
+        import logging
+
+        from ..operators.expectations import promotion_gate
+
+        report = promotion_gate(
+            promotion_baseline,
+            out,
+            columns=list(promotion_columns) if promotion_columns else None,
+            strict=promotion_strict,
+        )
+        if not promotion_strict:
+            fails = [r for r in report.collect() if r.status == "fail"]
+            if fails:
+                logging.getLogger(__name__).warning(
+                    "crawl_curate promotion gate: %d rule(s) failed: %s",
+                    len(fails),
+                    "; ".join(
+                        f"{r.check}({r.column}) observed {r.observed}"
+                        for r in fails
+                    ),
+                )
+    return out

@@ -199,3 +199,90 @@ def test_warc_date_parses_iso_variants(spark, tmp_path):
     assert _parse_warc_date(None) is None
     assert _parse_warc_date("") is None
     assert _parse_warc_date("not-a-date") is None
+
+
+def test_crawl_curate_promotion_gate(spark, tmp_path):
+    """Round 7 (VERDICT r06 #8): the opt-in Deequ loop on the crawl path.
+    Batch mode gates survivors against a known-good baseline snapshot
+    (strict -> AssertionError on drift, pass -> unchanged output); a
+    streaming input refuses the gate with guidance; and gating the
+    STREAM's sink output produces the identical report to gating the
+    batch replay (stream==batch parity for the gate)."""
+    import pytest
+
+    from pyspark_minhash_lsh_spark.operators.expectations import (
+        promotion_gate,
+    )
+
+    seg_dir = _fixture_segments(tmp_path)
+
+    # baseline = the batch output itself (a known-good snapshot)
+    baseline = crawl_curate(
+        read_warc(spark, str(seg_dir)), min_tokens=5, min_quality=0.0
+    ).select("doc_id", "n_tokens", "quality").cache()
+    assert baseline.count() == 3
+
+    # gate passes against itself (slack envelope contains the data)
+    out = crawl_curate(
+        read_warc(spark, str(seg_dir)),
+        min_tokens=5,
+        min_quality=0.0,
+        promotion_baseline=baseline,
+    )
+    assert out.count() == 3
+
+    # drifted baseline: a tight n_tokens envelope the real output violates
+    drifted = spark.createDataFrame(
+        [(f"d{i}", 1000 + i, 0.9) for i in range(20)],
+        "doc_id string, n_tokens bigint, quality double",
+    )
+    with pytest.raises(AssertionError, match="in_range"):
+        crawl_curate(
+            read_warc(spark, str(seg_dir)),
+            min_tokens=5,
+            min_quality=0.0,
+            promotion_baseline=drifted,
+        )
+
+    # streaming input: the gate is refused loudly (jobs can't run on an
+    # unstarted stream) with pointer to sink-side gating
+    with pytest.raises(ValueError, match="sink output"):
+        crawl_curate(
+            stream_warc(spark, str(seg_dir)),
+            min_tokens=5,
+            min_quality=0.0,
+            promotion_baseline=baseline,
+        )
+
+    # stream==batch parity for the sink-side gate: run the stream, gate
+    # its parquet output, compare to gating the batch replay
+    out_dir = str(tmp_path / "gate_out")
+    ckpt = str(tmp_path / "gate_ckpt")
+    q = (
+        crawl_curate(
+            stream_warc(spark, str(seg_dir)), min_tokens=5, min_quality=0.0
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+    cols = ["n_tokens", "quality"]
+    stream_rep = sorted(
+        map(tuple, promotion_gate(
+            baseline, spark.read.parquet(out_dir), columns=cols
+        ).collect())
+    )
+    batch_rep = sorted(
+        map(tuple, promotion_gate(
+            baseline,
+            crawl_curate(
+                read_warc(spark, str(seg_dir)), min_tokens=5, min_quality=0.0
+            ),
+            columns=cols,
+        ).collect())
+    )
+    assert stream_rep == batch_rep
+    assert all(t[3] == "pass" for t in stream_rep)

@@ -278,3 +278,55 @@ def test_constraints_per_micro_batch_stream(spark, tmp_path):
     # batch-side twin agrees on the full file set
     full = check_constraints(spark.read.parquet(src), checks_for())
     assert {r.status for r in full.collect()} == {"pass"}
+
+
+def test_promotion_gate_suggest_check_round_trip(spark):
+    """Round 7 (VERDICT r06 #8): promotion_gate = suggest on a known-good
+    baseline -> check on the candidate. A candidate inside the baseline's
+    envelope passes; a drifted one fails on exactly the drifted rules;
+    strict=True raises with the failures listed."""
+    import pytest
+
+    from pyspark_minhash_lsh_spark.operators.expectations import (
+        promotion_gate,
+    )
+
+    baseline = spark.createDataFrame(
+        [(i, 10 + i % 50, f"src{i % 3}") for i in range(200)],
+        "doc_id bigint, n_tokens bigint, source string",
+    )
+    good = spark.createDataFrame(
+        [(1000 + i, 12 + i % 45, f"src{i % 2}") for i in range(150)],
+        "doc_id bigint, n_tokens bigint, source string",
+    )
+    report = promotion_gate(
+        baseline, good, columns=["n_tokens", "source"], range_slack=0.10
+    )
+    assert {r.status for r in report.collect()} == {"pass"}
+
+    # drifted candidate: NULL sources + n_tokens far outside the envelope
+    bad = spark.createDataFrame(
+        [(2000 + i, 10_000 + i, None) for i in range(50)],
+        "doc_id bigint, n_tokens bigint, source string",
+    )
+    rep2 = promotion_gate(
+        baseline, bad, columns=["n_tokens", "source"], range_slack=0.10
+    )
+    failed = {(r.check, r.column) for r in rep2.collect() if r.status == "fail"}
+    assert ("in_range", "n_tokens") in failed
+    assert ("not_null", "source") in failed
+
+    with pytest.raises(AssertionError, match="in_range"):
+        promotion_gate(
+            baseline, bad, columns=["n_tokens", "source"], strict=True
+        )
+
+    # extra hand-written rules append after the suggested ones
+    from pyspark_minhash_lsh_spark.operators.expectations import matches
+
+    rep3 = promotion_gate(
+        baseline, good, columns=["n_tokens"],
+        extra_rules=[matches("source", r"src\d")],
+    )
+    got = {r.check: r.status for r in rep3.collect()}
+    assert got["matches"] == "pass"
