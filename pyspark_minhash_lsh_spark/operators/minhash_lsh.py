@@ -508,6 +508,21 @@ class MinHashLSHModel:
             .coalesce(1).write.mode("overwrite")\
             .parquet(path.rstrip("/") + "/_params")
 
+    @staticmethod
+    def _saved_band0_layout(spark, path: str) -> "bool | None":
+        """Layout marker of a saved index artifact: True = band0-partitioned,
+        False = flat, None = no artifact at ``path``. The SINGLE definition
+        of the layout contract — ``save_index(mode='append')`` and
+        ``append_index`` both adopt whatever this reports, so the two
+        append paths can never drift apart on layout detection (r07
+        review catch)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return "band0" in spark.read.parquet(path).schema.names
+        except AnalysisException:
+            return None
+
     def save_index(
         self, path: str, partition_by_band0: bool = False, mode: str = "overwrite"
     ) -> None:
@@ -531,28 +546,23 @@ class MinHashLSHModel:
         ``partition_by_band0`` — mixing flat files and ``band0=``
         directories in one dataset breaks later reads (ADVICE r06)."""
         if mode == "append":
-            from pyspark.errors import AnalysisException
-
             spark = self.index.sparkSession
             saved = self._read_saved_params(path)
-            try:
-                saved_schema = spark.read.parquet(path).schema
-            except AnalysisException:
-                saved_schema = None  # fresh path: append == create
+            saved_layout = self._saved_band0_layout(spark, path)
             if saved is None:
-                if saved_schema is not None:
+                if saved_layout is not None:
                     self._check_saved_params(path, saved=None)  # refuse
             else:
                 self._check_saved_params(path, saved=saved)
-            if saved_schema is not None:
+            if saved_layout is not None:
                 # the SAVED layout wins (round 7, ADVICE r06): appending
                 # flat rows into a band0=-partitioned artifact (or the
                 # reverse) writes data files at the dataset root alongside
                 # partition directories — a mixed layout that breaks or
-                # silently skews later reads. append_index already
-                # auto-detects; this lower-level path adopts the same
-                # contract instead of trusting the caller's flag.
-                partition_by_band0 = "band0" in saved_schema.names
+                # silently skews later reads. Shares append_index's
+                # detection via _saved_band0_layout instead of trusting
+                # the caller's flag.
+                partition_by_band0 = saved_layout
         out = self.index
         if partition_by_band0:
             out = out.withColumn("band0", F.element_at("bucket_ids", 1))
@@ -583,7 +593,7 @@ class MinHashLSHModel:
         ingest can replay documents."""
         self._check_saved_params(path)
         spark = self.index.sparkSession
-        band0_layout = "band0" in spark.read.parquet(path).columns
+        band0_layout = bool(self._saved_band0_layout(spark, path))
         batch_index = self.lsh.transform(new_docs, self.text_col, self.id_col)
         out = batch_index
         if band0_layout:

@@ -496,10 +496,10 @@ def redact_credit_cards(
     isolated CONTIGUOUS 13-19 digit segments (``_CC_PLAIN`` — catches a
     contiguous PAN sitting next to its CVV/last-4 inside a longer
     separated run, which the maximal family alone would merge and drop),
-    and group-aligned SEPARATED sub-windows of 14-25-digit maximal runs
+    and group-aligned SEPARATED sub-windows of 14-23-digit maximal runs
     (round 7 — catches a SPACED PAN beside its CVV, "4111 1111 1111 1111
     123"; see ``_CC_SUBWIN_*`` for the deliberate band bounds: a PAN
-    inside a >=26-digit separated serial stays, by design). Replacement is
+    inside a >=24-digit separated serial stays, by design). Replacement is
     digit-boundary-guarded (``(?<!\\d)...(?!\\d)``), so a validated PAN
     that happens to appear as the INTERIOR of a longer digit run elsewhere
     in the document is left alone there.

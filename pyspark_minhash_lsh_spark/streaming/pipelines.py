@@ -140,25 +140,45 @@ def _lake_band_rows(lake_index: DataFrame, num_state_bands: int) -> DataFrame:
     return rows.dropDuplicates(["band_idx", "band_key"])
 
 
-def _first_arrival_order(df: DataFrame, ts_col: str, id_col: str, key_cols):
-    """Deterministic ORDER BY for the batch first-arrival window: ts, then
-    the stable id column when present. Ordering by every non-key column
-    (the r06 form) failed at analysis for unorderable column types (map)
-    and sorted full document text for nothing — ts + id is already a total
-    order whenever ids are unique (ADVICE r06). Frames without the id
-    column keep the all-columns fallback (minus unorderable types, which
-    Spark cannot sort on at all)."""
-    from pyspark.sql.types import MapType
+def _hashable(dt) -> bool:
+    """Whether Spark's hash functions accept the type — they reject
+    MapType anywhere in the type tree (and ordering rejects the same
+    tree), so recurse through arrays and structs."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _first_arrival_order(df: DataFrame, ts_col: str, id_col: str, key_cols):
+    """Deterministic ORDER BY for the batch first-arrival window: ts, the
+    stable id column when present, then one 8-byte ``xxhash64`` over every
+    hashable non-key column as the residual tiebreak. Ordering by every
+    non-key column (the r06 form) failed at analysis for unorderable
+    column types (map — including maps NESTED in arrays/structs) and
+    sorted full document text for nothing (ADVICE r06); ts + id alone
+    would be replay-NONdeterministic when ids duplicate (r07 review
+    catch), so the content hash restores a total order at 8 sort-bytes —
+    rows identical in every hashable column tie, and either identical
+    winner is the same outcome. Hash functions share map's restriction,
+    so map-bearing columns are excluded from the tiebreak (documented
+    residual: rows differing ONLY in a map column tie arbitrarily)."""
+    order = [F.asc(ts_col)]
     if id_col in df.columns:
-        return [F.asc(ts_col), F.asc(id_col)]
-    orderable = [
+        order.append(F.asc(id_col))
+    hashable = [
         f.name
         for f in df.schema.fields
-        if f.name not in (*key_cols, ts_col)
-        and not isinstance(f.dataType, MapType)
+        if f.name not in (*key_cols, ts_col, id_col) and _hashable(f.dataType)
     ]
-    return [F.asc(ts_col), *[F.asc(c) for c in orderable]]
+    if hashable:
+        order.append(F.asc(F.xxhash64(*[F.col(c) for c in hashable])))
+    return order
 
 
 def streaming_near_dedup(
@@ -883,6 +903,12 @@ def crawl_curate(
 
         from ..operators.expectations import promotion_gate
 
+        # the gate's aggregation is the first action on this DAG; without
+        # truncation the caller's own write would re-execute the whole
+        # extract->curate->dedup pipeline a second time (r07 review catch).
+        # Lazy localCheckpoint: the gate's scan materializes it, the
+        # caller's action reads the checkpoint.
+        out = out.localCheckpoint(eager=False)
         report = promotion_gate(
             promotion_baseline,
             out,
