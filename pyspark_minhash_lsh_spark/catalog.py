@@ -3136,7 +3136,12 @@ def q68_token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         q86's oracle text verbatim, raw delta and all.
     Overflow posture: rsint needs ``c*n_types*2e6 < 2^63`` — fine to ~4.6e12
     band mass; the drift cross products are BIGINT here (oracle scale) while
-    the operator itself carries DECIMAL(38) for production corpora."""
+    the operator itself carries DECIMAL(38) for production corpora.
+    Bisect note for r08: the drift leg is the q86-GREEN text verbatim, but
+    rsint-over-a-cross-joined-total is a NEW combination of two
+    individually-proven constructs — if this row alone is red in r07,
+    indict the zipf ``v`` column first (drop to raw ``c*n_types`` + a
+    ``total`` column, both plain BIGINTs, fully determined)."""
     from .operators.corpus_stats import corpus_drift
     from .operators.textpipe import token_frequency_profile
 
