@@ -81,6 +81,7 @@ def curate_corpus(
     lm_model: Optional["BigramLm"] = None,
     min_lm_avg_logprob: Optional[float] = None,
     redact_pii: bool = True,
+    scrub_secrets: bool = False,
     unicode_form: Optional[str] = None,
     clean_lines: bool = False,
     blocklist: Optional[Sequence] = None,
@@ -94,8 +95,10 @@ def curate_corpus(
 
     ``(doc_id, text, n_tokens, quality, component, status)``
 
-      - ``text``     — PII-redacted when ``redact_pii`` (for every row, so
-        dropped docs are audit-safe to inspect too);
+      - ``text``     — PII-redacted when ``redact_pii`` and credential-
+        scrubbed when ``scrub_secrets`` (``textpipe.redact_secrets`` —
+        leaked keys/tokens; for every row, so dropped docs are audit-safe
+        to inspect too);
       - ``quality``  — the heuristic quality score used for filtering AND
         for duplicate-representative selection;
       - ``component``— near-dup cluster label (only for docs that reached
@@ -187,6 +190,15 @@ def curate_corpus(
         )
     else:
         red = base
+    if scrub_secrets:
+        # credential scrubbing (round 7): same zero-shuffle projection
+        # stance as the PII pass; streaming_curate carries the same flag so
+        # the stream twin stays batch-identical by construction
+        from .textpipe import redact_secrets
+
+        red = redact_secrets(red).select(
+            "doc_id", F.col("redacted_text").alias("text")
+        )
     # repetition facets + quality appended as staged zero-shuffle
     # projections (round 6): no doc-keyed join (text never shuffles before
     # the persist), and quality shares the SAME staged token column as the

@@ -622,6 +622,130 @@ def redact_credit_cards(
     )
 
 
+#: Fixed-shape credential patterns (round 7): families whose SYNTAX alone
+#: identifies a secret — no entropy gate needed. Java-regex only (these are
+#: not on any oracle surface; lookarounds are fine here). Ordered: the
+#: private-key block first so its base64 body is never re-matched as a JWT
+#: or generic value.
+SECRET_PATTERNS: "tuple[tuple[str, str], ...]" = (
+    ("private_key",
+     r"-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----[\s\S]*?"
+     r"-----END [A-Z ]{0,24}PRIVATE KEY-----"),
+    ("aws_key", r"(?<![A-Za-z0-9])(?:AKIA|ASIA)[0-9A-Z]{16}(?![A-Za-z0-9])"),
+    ("github_token",
+     r"(?<![A-Za-z0-9])(?:gh[pousr]_[A-Za-z0-9]{36,}|"
+     r"github_pat_[A-Za-z0-9_]{22,})(?![A-Za-z0-9])"),
+    ("slack_token", r"(?<![A-Za-z0-9])xox[baprs]-[A-Za-z0-9-]{10,}"),
+    ("jwt",
+     r"(?<![A-Za-z0-9_-])eyJ[A-Za-z0-9_-]{6,}\.[A-Za-z0-9_-]{6,}"
+     r"\.[A-Za-z0-9_-]{6,}(?![A-Za-z0-9_-])"),
+)
+
+#: Assignment-context candidate for the entropy-gated generic family:
+#: ``<secretish key> = / : <quoted-or-bare value>``. Group 1 is the VALUE.
+#: The value charset excludes spaces/quotes, so English prose never forms
+#: one candidate; the key-name context plus the entropy gate below decide.
+_SECRET_ASSIGN = (
+    r"(?i)\b(?:api[_-]?key|apikey|secret|token|passwd|password|auth|"
+    r"credential)s?\b[^\S\n]*[:=][^\S\n]*[\"']?"
+    r"([A-Za-z0-9+/_\-=]{16,64})"
+)
+
+
+def redact_secrets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: "Sequence[str]" = (),
+    patterns: "tuple[tuple[str, str], ...]" = SECRET_PATTERNS,
+    hex_entropy_threshold: float = 3.0,
+    b64_entropy_threshold: float = 4.2,
+) -> DataFrame:
+    """Scrub leaked credentials from document text — the secret-scanning
+    pass code-heavy corpora run before release (The Stack, StarCoder and
+    the BigCode pipeline all strip detected secrets; a model that memorizes
+    one live AWS key is a disclosure incident).
+
+    Two detector families:
+
+      1. **Fixed-shape patterns** (``SECRET_PATTERNS``): private-key PEM
+         blocks, AWS access-key ids, GitHub/Slack tokens, JWTs — syntax
+         alone identifies these; each match becomes ``<KIND>`` with a
+         per-kind count (the ``pii_redact`` mechanics).
+      2. **Entropy-gated assignments** (the detect-secrets idea): a
+         secret-ish key name (``password=``, ``api_key:``, ...) followed by
+         a 16-64 char value redacts ONLY when the value's Shannon entropy
+         clears the charset-specific bar — ``hex_entropy_threshold`` for
+         pure-hex values (hex maxes out at 4 bits/char, so random hex
+         tokens/UUIDs sit near 3.2-3.7 while ``deadbeef`` repetitions fall
+         under 3.0) and the higher ``b64_entropy_threshold`` for mixed
+         base64-ish values (random base64 sits near 4.4+ at these lengths;
+         identifiers and camelCase names measure ~3.6-3.8 and survive).
+         ``password = placeholder`` stays; ``password = aGVsbG8wMVFxWnk5``
+         goes. Gated values are replaced literally (no regex metachar
+         hazard from ``+``/``=`` inside the value).
+
+    Returns ``(doc_id, redacted_text, <keep_cols>..., n_<kind>...,
+    n_generic_secret)`` with ``pii_redact``'s NULL semantics (NULL text ->
+    NULL redacted_text and NULL counts). Compose with ``pii_redact`` /
+    ``redact_credit_cards`` in any order — the contracts chain.
+
+    Zero-shuffle projection: fixed families are chained
+    ``regexp_count``/``regexp_replace`` (codegen, scan speed); the generic
+    family is ``regexp_extract_all`` -> a per-candidate entropy fold
+    (native higher-order functions over <= 64-char strings — the nested
+    lambdas re-evaluate the tiny char split per element, bounded by the
+    64-char cap) -> a literal-``replace`` fold over validated values. At
+    100 TB this runs at scan speed; nothing shuffles."""
+    t = F.col(text_col).cast("string")
+    out_text = t
+    counts = []
+    for kind, pat in patterns:
+        counts.append(
+            F.regexp_count(out_text, F.lit(pat)).alias(f"n_{kind}")
+        )
+        out_text = F.regexp_replace(out_text, pat, f"<{kind.upper()}>")
+
+    cands = F.regexp_extract_all(out_text, F.lit(_SECRET_ASSIGN), 1)
+
+    def entropy_bits(c):
+        chars = F.split(c, "")
+        n = F.length(c)
+
+        def plogp(ch):
+            cnt = F.size(F.filter(chars, lambda x: x == ch))
+            p = cnt.cast("double") / n.cast("double")
+            return -p * F.log2(p)
+
+        return F.aggregate(
+            F.transform(F.array_distinct(chars), plogp),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    is_hex = lambda c: c.rlike(r"^[0-9a-fA-F]+$")  # noqa: E731
+    secretish = F.filter(
+        cands,
+        lambda c: F.when(is_hex(c), entropy_bits(c) >= float(hex_entropy_threshold))
+        .otherwise(entropy_bits(c) >= float(b64_entropy_threshold)),
+    )
+    # literal replacement (values carry regex metachars like + and =);
+    # a >=16-char high-entropy value colliding with unrelated text is
+    # vanishingly unlikely, so global literal replace is the right tool
+    red = F.aggregate(
+        secretish,
+        out_text,
+        lambda acc, c: F.replace(acc, c, F.lit("<SECRET>")),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        red.alias("redacted_text"),
+        *[F.col(c) for c in keep_cols],
+        *counts,
+        F.size(secretish).alias("n_generic_secret"),
+    )
+
+
 def pii_redact(
     df: DataFrame,
     text_col: str = "text",

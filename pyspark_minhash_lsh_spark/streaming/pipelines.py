@@ -693,6 +693,7 @@ def streaming_curate(
     max_dup_token_frac: float = 0.6,
     min_quality: float = 0.4,
     redact_pii: bool = True,
+    scrub_secrets: bool = False,
     blocklist=None,
     quality_model=None,
     min_model_prob: float = 0.5,
@@ -735,6 +736,14 @@ def streaming_curate(
         from ..operators.textpipe import pii_redact
 
         base = pii_redact(base, keep_cols=keep).select(
+            "doc_id", F.col("redacted_text").alias("text"), *keep
+        )
+    if scrub_secrets:
+        # credential scrubbing (round 7) — row-local projection like the
+        # PII pass, so it is stream-legal and batch==stream by construction
+        from ..operators.textpipe import redact_secrets
+
+        base = redact_secrets(base, keep_cols=keep).select(
             "doc_id", F.col("redacted_text").alias("text"), *keep
         )
     toks = tokens(F.col("text"))
