@@ -150,6 +150,7 @@ def write_training_shards(
     mode: str = "overwrite",
     compression: str = "zstd",
     max_records_per_file: Optional[int] = None,
+    manifest: bool = False,
 ) -> None:
     """Lay the corpus out as ``n_shards`` globally-shuffled, reproducible
     training shards — the last-mile writer of a training-data pipeline.
@@ -166,11 +167,38 @@ def write_training_shards(
     yields byte-identical shard membership and order — epoch N+1 uses a new
     ``salt`` for a fresh permutation. Readers stream shard files in parquet
     row order; rows arrive hash-shuffled without any reader-side sort.
+
+    ``manifest=True`` (round 7) writes a ``_manifest`` parquet sidecar
+    beside the shards — one row per shard ``(shard_id, n_rows)`` plus the
+    layout config ``(salt, n_shards)`` on every row — the audit record a
+    training job checks before an epoch (a missing/short shard fails loud
+    at load, not as a silent data-mix skew). Counted by re-reading the
+    WRITTEN files (one count aggregate over the shard column — what
+    actually landed, not what the plan intended), underscore-prefixed so
+    the main parquet read ignores it (the ``_params`` sidecar convention).
     """
     w = _sharded_writer(
         df, n_shards, id_col, salt, compression, max_records_per_file
     )
     w.partitionBy("shard_id").mode(mode).parquet(path)
+    if manifest:
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        counts = (
+            spark.read.parquet(path)
+            .groupBy("shard_id")
+            .agg(F.count("*").alias("n_rows"))
+            .select(
+                F.col("shard_id").cast("int"),
+                "n_rows",
+                F.lit(salt).alias("salt"),
+                F.lit(int(n_shards)).alias("n_shards"),
+            )
+        )
+        counts.coalesce(1).write.mode("overwrite").parquet(
+            path.rstrip("/") + "/_manifest"
+        )
 
 
 def write_bucketed_table(

@@ -553,6 +553,30 @@ def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     assert any(ids != sorted(ids) for ids in l1.values())
 
 
+def test_write_training_shards_manifest(spark, tmp_path):
+    """Round 7: manifest=True writes a _manifest sidecar whose per-shard
+    counts match what actually landed, carrying the layout config; the
+    main parquet read ignores the underscore-prefixed sidecar."""
+    from pyspark_minhash_lsh_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "m")
+    write_training_shards(docs, p, n_shards=4, salt="ep0", manifest=True)
+
+    man = {r.shard_id: r for r in spark.read.parquet(p + "/_manifest").collect()}
+    assert sorted(man) == [0, 1, 2, 3]
+    got = {
+        r.shard_id: r.n
+        for r in spark.read.parquet(p)
+        .groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {k: v.n_rows for k, v in man.items()} == {int(k): v for k, v in got.items()}
+    assert sum(v.n_rows for v in man.values()) == docs.count()
+    assert all(v.salt == "ep0" and v.n_shards == 4 for v in man.values())
+    # main read is not polluted by the sidecar
+    assert spark.read.parquet(p).count() == docs.count()
+
+
 def test_write_jsonl_shards_round_trip(spark, tmp_path):
     """JSONL interop writer: one shard_id=N/ dir per shard, real
     json-lines inside (gzip), membership identical to shard_assignment,
