@@ -178,14 +178,17 @@ def connected_components(
     # Round 7 (VERDICT r06 #6): checkpoint FLAT first — the driver fast
     # path (the common case for near-dup edge sets) never needs the b-keyed
     # placement, so shuffling before the size gate paid a full edge
-    # exchange for nothing. The distributed path re-keys below from the
-    # in-memory checkpoint (same shuffle as before, just moved past the
-    # branch; the extra in-memory copy is edge-sized, not corpus-sized).
+    # exchange for nothing. A caller FORCING the distributed path
+    # (driver_edge_limit=0) keeps the old single-copy shape: re-key before
+    # the one checkpoint.
+    if driver_edge_limit <= 0:
+        sym = sym.repartition(F.col("b")).localCheckpoint(eager=True)
+        return _distributed_components(sym, max_iter)
     sym = sym.localCheckpoint(eager=True)
     # sym holds BOTH directions, so halve before comparing to the limit —
     # the gate is in INPUT edges (count over the checkpointed RDD: free)
     n_sym = sym.count()
-    if driver_edge_limit > 0 and n_sym <= 2 * int(driver_edge_limit):
+    if n_sym <= 2 * int(driver_edge_limit):
         # second gate in BYTES (ADVICE r06): the edge limit alone lets wide
         # string ids pressure a small driver (2M edges of 100-char ids is
         # ~3 GB of Python objects). Integral ids cost a flat ~60 B/pair in
@@ -209,18 +212,53 @@ def connected_components(
             n_sym, est_bytes / 1e6, driver_byte_budget / 1e6,
         )
         if est_bytes <= int(driver_byte_budget):
-            return _driver_union_find(sym)
+            out = _driver_union_find(sym)
+            # the labels are driver-local now — free the edge blocks
+            # instead of letting every dedup call pin one edge table until
+            # session end
+            _release_local_checkpoint(sym)
+            return out
         _LOG.warning(
             "connected_components: edge count within driver_edge_limit but "
             "estimated collect size ~%.0f MB exceeds driver_byte_budget "
             "%.0f MB — using the distributed fixpoint instead",
             est_bytes / 1e6, driver_byte_budget / 1e6,
         )
-    # distributed path: NOW pre-partition on the per-round join key.
-    # LogicalRDD preserves the checkpointed plan's outputPartitioning, so
-    # every round's sym-vs-labels join exchanges only the (node-sized)
-    # label side, never the (edge-sized) edge table again.
+    # distributed fallback from the flat checkpoint: NOW pre-partition on
+    # the per-round join key (LogicalRDD preserves the checkpointed plan's
+    # outputPartitioning, so every round's sym-vs-labels join exchanges
+    # only the node-sized label side, never the edge table again), then
+    # FREE the flat copy — after the eager re-keyed checkpoint its blocks
+    # are unreferenced, and edge tables above the gate are exactly the
+    # ones too big to hold twice (r07 review catch).
+    flat = sym
     sym = sym.repartition(F.col("b")).localCheckpoint(eager=True)
+    _release_local_checkpoint(flat)
+    return _distributed_components(sym, max_iter)
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint(eager=True)`` DataFrame's
+    storage blocks. ``DataFrame.unpersist`` does NOT free them (the blocks
+    belong to the internal RDD, not a registered cache), so reach the
+    LogicalRDD's RDD id directly. ONLY safe when nothing will read ``df``
+    again — a localCheckpoint has truncated lineage, so an unpersisted one
+    cannot recompute. Failures are swallowed: the copy then just ages out
+    with the session (the pre-r07 behavior)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        rid = plan.rdd().id()
+        jrdds = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+        ref = jrdds.get(rid)
+        if ref is not None:
+            ref.unpersist(False)
+    except Exception:  # py4j/internal-API drift — keep the copy, stay correct
+        pass
+
+
+def _distributed_components(sym: DataFrame, max_iter: int) -> DataFrame:
+    """The pointer-doubling fixpoint over an already b-partitioned,
+    checkpointed symmetric edge table (see ``connected_components``)."""
     nodes = sym.select(F.col("a").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
 

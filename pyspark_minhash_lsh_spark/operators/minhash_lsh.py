@@ -593,7 +593,18 @@ class MinHashLSHModel:
         ingest can replay documents."""
         self._check_saved_params(path)
         spark = self.index.sparkSession
-        band0_layout = bool(self._saved_band0_layout(spark, path))
+        band0_layout = self._saved_band0_layout(spark, path)
+        if band0_layout is None:
+            # sidecar present but no readable data files (interrupted
+            # rewrite / partial delete): refuse loudly — the pre-r07 code
+            # surfaced this as an AnalysisException, and silently writing
+            # flat batch rows into a corrupted artifact is worse (r07
+            # review catch)
+            raise ValueError(
+                f"index artifact at {path!r} has a _params sidecar but no "
+                "readable data files — corrupt or partially deleted; "
+                "re-create it with save_index before appending"
+            )
         batch_index = self.lsh.transform(new_docs, self.text_col, self.id_col)
         out = batch_index
         if band0_layout:

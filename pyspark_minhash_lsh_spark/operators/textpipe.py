@@ -645,10 +645,13 @@ SECRET_PATTERNS: "tuple[tuple[str, str], ...]" = (
 #: ``<secretish key> = / : <quoted-or-bare value>``. Group 1 is the VALUE.
 #: The value charset excludes spaces/quotes, so English prose never forms
 #: one candidate; the key-name context plus the entropy gate below decide.
+#: The 256-char cap bounds the entropy fold (distinct-chars x length ops
+#: per candidate) while covering every real credential length — a 64-char
+#: cap (r07 first cut) TRUNCATED longer keys and shipped their tails.
 _SECRET_ASSIGN = (
     r"(?i)\b(?:api[_-]?key|apikey|secret|token|passwd|password|auth|"
     r"credential)s?\b[^\S\n]*[:=][^\S\n]*[\"']?"
-    r"([A-Za-z0-9+/_\-=]{16,64})"
+    r"([A-Za-z0-9+/_\-=]{16,256})"
 )
 
 
@@ -674,7 +677,7 @@ def redact_secrets(
          per-kind count (the ``pii_redact`` mechanics).
       2. **Entropy-gated assignments** (the detect-secrets idea): a
          secret-ish key name (``password=``, ``api_key:``, ...) followed by
-         a 16-64 char value redacts ONLY when the value's Shannon entropy
+         a 16-256 char value redacts ONLY when the value's Shannon entropy
          clears the charset-specific bar — ``hex_entropy_threshold`` for
          pure-hex values (hex maxes out at 4 bits/char, so random hex
          tokens/UUIDs sit near 3.2-3.7 while ``deadbeef`` repetitions fall
@@ -683,30 +686,30 @@ def redact_secrets(
          identifiers and camelCase names measure ~3.6-3.8 and survive).
          ``password = placeholder`` stays; ``password = aGVsbG8wMVFxWnk5``
          goes. Gated values are replaced literally (no regex metachar
-         hazard from ``+``/``=`` inside the value).
+         hazard from ``+``/``=`` inside the value), LONGEST FIRST — a
+         shorter gated value that is a substring of a longer one must not
+         rewrite the longer one's interior and leak its tail.
 
     Returns ``(doc_id, redacted_text, <keep_cols>..., n_<kind>...,
     n_generic_secret)`` with ``pii_redact``'s NULL semantics (NULL text ->
-    NULL redacted_text and NULL counts). Compose with ``pii_redact`` /
-    ``redact_credit_cards`` in any order — the contracts chain.
+    NULL redacted_text and NULL counts — the generic count is explicitly
+    NULL-guarded so legacy ``sizeOfNull=-1`` configs can't undercount).
+    Compose with ``pii_redact`` / ``redact_credit_cards`` in any order —
+    the contracts chain.
 
-    Zero-shuffle projection: fixed families are chained
-    ``regexp_count``/``regexp_replace`` (codegen, scan speed); the generic
-    family is ``regexp_extract_all`` -> a per-candidate entropy fold
-    (native higher-order functions over <= 64-char strings — the nested
-    lambdas re-evaluate the tiny char split per element, bounded by the
-    64-char cap) -> a literal-``replace`` fold over validated values. At
-    100 TB this runs at scan speed; nothing shuffles."""
-    t = F.col(text_col).cast("string")
-    out_text = t
-    counts = []
-    for kind, pat in patterns:
-        counts.append(
-            F.regexp_count(out_text, F.lit(pat)).alias(f"n_{kind}")
-        )
-        out_text = F.regexp_replace(out_text, pat, f"<{kind.upper()}>")
-
-    cands = F.regexp_extract_all(out_text, F.lit(_SECRET_ASSIGN), 1)
+    Zero-shuffle projection: the fixed families ARE ``pii_redact`` with
+    ``SECRET_PATTERNS`` (one shared count-then-replace implementation);
+    the generic family is ``regexp_extract_all`` -> a per-candidate
+    entropy fold (native higher-order functions; distinct-chars x length
+    work per candidate, bounded by the 256-char cap) -> a longest-first
+    literal-``replace`` fold over validated values. At 100 TB this runs at
+    scan speed; nothing shuffles."""
+    fixed = pii_redact(
+        df, text_col=text_col, id_col=id_col,
+        patterns=patterns, keep_cols=keep_cols,
+    )
+    t = F.col("redacted_text")
+    cands = F.regexp_extract_all(t, F.lit(_SECRET_ASSIGN), 1)
 
     def entropy_bits(c):
         chars = F.split(c, "")
@@ -729,20 +732,37 @@ def redact_secrets(
         lambda c: F.when(is_hex(c), entropy_bits(c) >= float(hex_entropy_threshold))
         .otherwise(entropy_bits(c) >= float(b64_entropy_threshold)),
     )
+    # longest-first order: sort on (-length, value) structs so a gated
+    # value that PREFIXES a longer gated value replaces after it
+    ordered = F.transform(
+        F.sort_array(
+            F.transform(
+                secretish,
+                lambda s: F.struct(
+                    (-F.length(s)).alias("nl"), s.alias("s")
+                ),
+            )
+        ),
+        lambda p: p["s"],
+    )
     # literal replacement (values carry regex metachars like + and =);
     # a >=16-char high-entropy value colliding with unrelated text is
     # vanishingly unlikely, so global literal replace is the right tool
     red = F.aggregate(
-        secretish,
-        out_text,
+        ordered,
+        t,
         lambda acc, c: F.replace(acc, c, F.lit("<SECRET>")),
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    n_generic = (
+        F.when(t.isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size(secretish))
+    )
+    return fixed.select(
+        "doc_id",
         red.alias("redacted_text"),
         *[F.col(c) for c in keep_cols],
-        *counts,
-        F.size(secretish).alias("n_generic_secret"),
+        *[f"n_{kind}" for kind, _ in patterns],
+        n_generic.alias("n_generic_secret"),
     )
 
 

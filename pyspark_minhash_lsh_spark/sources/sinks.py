@@ -177,6 +177,16 @@ def write_training_shards(
     actually landed, not what the plan intended), underscore-prefixed so
     the main parquet read ignores it (the ``_params`` sidecar convention).
     """
+    if manifest and mode != "overwrite":
+        # an append would re-count ALL landed files under THIS call's salt
+        # (a false audit record: cumulative counts stamped with one epoch's
+        # permutation), and an append without manifest=True would leave a
+        # stale sidecar — refuse the ambiguous combination (r07 review)
+        raise ValueError(
+            "manifest=True is only supported with mode='overwrite' — an "
+            "appended dataset mixes salts, so a single (salt, n_shards) "
+            "manifest cannot describe it; write epochs to separate paths"
+        )
     w = _sharded_writer(
         df, n_shards, id_col, salt, compression, max_records_per_file
     )

@@ -803,6 +803,7 @@ def crawl_curate(
     max_dup_token_frac: float = 0.6,
     min_quality: float = 0.4,
     redact_pii: bool = True,
+    scrub_secrets: bool = False,
     blocklist=None,
     quality_model=None,
     min_model_prob: float = 0.5,
@@ -830,8 +831,10 @@ def crawl_curate(
       2. ``textpipe.html_to_text`` — zero-shuffle projection; the payload
          html is DROPPED here and never shuffles;
       3. ``streaming_curate`` row-local rules (plus optional blocklist /
-         fitted quality model), the url and capture-time ``ts`` riding
-         through ``keep_cols``; only ``status='kept'`` rows continue;
+         fitted quality model; ``scrub_secrets=True`` adds the credential
+         pass — crawls are exactly where leaked keys live), the url and
+         capture-time ``ts`` riding through ``keep_cols``; only
+         ``status='kept'`` rows continue;
       4. ``streaming_near_dedup`` keyed on full-width LSH band hashes,
          watermarked on capture time; ``lake_index`` (pass
          ``MinHashLSHModel.index`` or the saved band-key parquet) turns it
@@ -883,6 +886,7 @@ def crawl_curate(
         max_dup_token_frac=max_dup_token_frac,
         min_quality=min_quality,
         redact_pii=redact_pii,
+        scrub_secrets=scrub_secrets,
         blocklist=blocklist,
         quality_model=quality_model,
         min_model_prob=min_model_prob,

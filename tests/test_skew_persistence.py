@@ -749,3 +749,39 @@ def test_zorder_strings_nulls_and_validation(spark):
         zorder_dataframe(df.withColumn("_zval", F.lit(1)), ["x", "s"])
     with pytest.raises(ValueError, match="staging column"):
         zorder_dataframe(df.withColumn("_zb0", F.lit(1)), ["x", "s"])
+
+
+def test_write_training_shards_manifest_refuses_append(spark, tmp_path):
+    """r07 review: a manifest over an appended dataset would stamp
+    cumulative counts with one epoch's salt — refused loudly."""
+    import pytest
+
+    from pyspark_minhash_lsh_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "m2")
+    write_training_shards(docs, p, n_shards=2, manifest=True)
+    with pytest.raises(ValueError, match="overwrite"):
+        write_training_shards(docs, p, n_shards=2, mode="append", manifest=True)
+
+
+def test_append_index_refuses_sidecar_without_data(spark, tmp_path):
+    """r07 review: a _params sidecar with no readable data files (partial
+    delete) must refuse the append, not silently write flat rows."""
+    import shutil
+
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    model = MinHashLSH().fit(docs.filter(F.col("doc_id") < 40), persist=False)
+    path = str(tmp_path / "broken")
+    model.save_index(path)
+    # simulate the partial delete: keep _params, remove the data files
+    import os
+
+    for f in os.listdir(path):
+        full = os.path.join(path, f)
+        if f != "_params" and not f.startswith("_params"):
+            (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+    with pytest.raises(ValueError, match="no readable data files"):
+        model.append_index(docs.filter(F.col("doc_id") >= 40), path)

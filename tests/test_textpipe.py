@@ -1029,3 +1029,30 @@ def test_redact_secrets_composes_and_zero_shuffle(spark):
     assert "<EMAIL>" in row.redacted_text and "<SECRET>" in row.redacted_text
     plan = redact_secrets(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_redact_secrets_long_values_and_nested_prefixes(spark):
+    """r07 review catches: (1) values past 64 chars must be redacted WHOLE
+    (the first cut truncated at 64 and shipped the tail); (2) a shorter
+    gated value that prefixes a longer gated value must not corrupt the
+    longer one's replacement (longest-first fold)."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import redact_secrets
+
+    long_key = "sk" + "aGVsbG8wMVFxWnk5dEtwTG1Ob1BxUnM3" * 4  # 130 chars
+    short = "wJalrXUtnFEMIK7MDENGbPxRfiCY"           # 28 chars, high entropy
+    longer = short + "EXAMPLEKEY12"                   # short is its prefix
+    docs = spark.createDataFrame(
+        [
+            (0, f"api_key = {long_key} end"),
+            (1, f"api_key = {short} and secret = {longer} done"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_secrets(docs).collect()}
+    assert out[0].redacted_text == "api_key = <SECRET> end"
+    assert long_key not in out[0].redacted_text
+    assert out[0].n_generic_secret == 1
+    # both secrets fully gone — no leaked tail from the prefix rewrite
+    assert out[1].redacted_text == "api_key = <SECRET> and secret = <SECRET> done"
+    assert "EXAMPLEKEY12" not in out[1].redacted_text
+    assert out[1].n_generic_secret == 2
