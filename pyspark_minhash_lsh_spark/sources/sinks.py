@@ -29,6 +29,7 @@ __all__ = [
     "write_csv",
     "write_bucketed_table",
     "write_training_shards",
+    "validate_shards",
     "write_jsonl_shards",
     "zorder_dataframe",
     "write_zordered_parquet",
@@ -208,6 +209,41 @@ def write_training_shards(
         )
         counts.coalesce(1).write.mode("overwrite").parquet(
             path.rstrip("/") + "/_manifest"
+        )
+
+
+def validate_shards(spark, path: str) -> None:
+    """The reader half of the ``write_training_shards`` manifest loop: read
+    the ``_manifest`` sidecar, count what is actually on disk per shard,
+    and raise with the full delta when they disagree — the pre-epoch check
+    a training job runs so a missing or short shard fails LOUD at load
+    instead of skewing the data mix silently. One count aggregate over the
+    shard column; no data columns are read (column pruning), so this is
+    cheap at any corpus size."""
+    from pyspark.sql import functions as F
+
+    man_rows = spark.read.parquet(path.rstrip("/") + "/_manifest").collect()
+    expected = {int(r.shard_id): r.n_rows for r in man_rows}
+    n_shards = {r.n_shards for r in man_rows}
+    got = {
+        int(r.shard_id): r.n
+        for r in spark.read.parquet(path)
+        .groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    problems = []
+    if n_shards and sorted(expected) != list(range(next(iter(n_shards)))):
+        problems.append(
+            f"manifest lists shards {sorted(expected)} but n_shards="
+            f"{next(iter(n_shards))}"
+        )
+    for sid in sorted(set(expected) | set(got)):
+        e, g = expected.get(sid), got.get(sid)
+        if e != g:
+            problems.append(f"shard {sid}: manifest {e} rows, on disk {g}")
+    if problems:
+        raise ValueError(
+            f"training-shard layout at {path!r} fails manifest validation:\n  "
+            + "\n  ".join(problems)
         )
 
 

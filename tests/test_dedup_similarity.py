@@ -97,6 +97,27 @@ def test_connected_components_byte_budget_falls_back_distributed(spark):
     assert fast == want
 
 
+def test_connected_components_releases_edge_checkpoint(spark):
+    """r07 review: the driver fast path must FREE its edge-table
+    localCheckpoint blocks after collecting (and the release helper must
+    actually work against this Spark version's internals — it is
+    best-effort by design, so this test is the canary for internal-API
+    drift)."""
+    sc = spark.sparkContext
+
+    def stored_ids():
+        return {x.id() for x in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = stored_ids()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], ["id_a", "id_b"]
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(51)}
+    leaked = stored_ids() - before
+    assert not leaked, f"edge checkpoint blocks still pinned: {leaked}"
+
+
 def test_exact_dedup_groups(spark):
     rows = [
         (1, "The cat sat on the mat."),

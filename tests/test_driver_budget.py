@@ -181,3 +181,31 @@ def test_oracle_sql_has_no_stray_control_characters():
             f"{name}: formatted tuple artifact in oracle SQL — escape "
             "regex quantifier braces as {{n,}}"
         )
+
+
+def test_oracle_quarantine_constructs_enforced():
+    """Mechanical enforcement of the r06-bisect quarantine list
+    (COVERAGE.md "Driver-green discipline"): the constructs the driver's
+    DuckDB evaluates divergently must never reappear in an oracle.
+
+      - window aggregates with an empty OVER () — the q84-red
+        window-denominator rsint shape (stage totals as 1-row CROSS-JOINed
+        aggregates instead);
+      - FULL JOIN — condemned in the q85 cluster when feeding rsint;
+        exonerated ONLY in q64's plain diff spine (driver-green every
+        round), so q64 is the single whitelisted row.
+    """
+    import re
+
+    for name, sql in ORACLE_SQL.items():
+        assert not re.search(r"OVER\s*\(\s*\)", sql), (
+            f"{name}: empty-OVER window aggregate in oracle SQL — the "
+            "q84-quarantined construct; stage the total as a 1-row "
+            "CROSS-JOINed aggregate (q86 'tots' shape)"
+        )
+        if name != "q64_incremental_dedup":
+            assert "FULL JOIN" not in sql.upper(), (
+                f"{name}: FULL JOIN in oracle SQL — q85-quarantined except "
+                "q64's proven diff spine; use the q86 union-of-aggregates "
+                "shape"
+            )

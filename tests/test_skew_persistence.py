@@ -785,3 +785,25 @@ def test_append_index_refuses_sidecar_without_data(spark, tmp_path):
             (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
     with pytest.raises(ValueError, match="no readable data files"):
         model.append_index(docs.filter(F.col("doc_id") >= 40), path)
+
+
+def test_validate_shards_round_trip_and_detects_loss(spark, tmp_path):
+    """validate_shards passes on an intact layout and raises with the
+    delta when a shard directory disappears."""
+    import shutil
+
+    import pytest
+
+    from pyspark_minhash_lsh_spark.sources.sinks import (
+        validate_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "v")
+    write_training_shards(docs, p, n_shards=3, manifest=True)
+    validate_shards(spark, p)  # intact: no raise
+
+    shutil.rmtree(f"{p}/shard_id=1")
+    with pytest.raises(ValueError, match="shard 1: manifest"):
+        validate_shards(spark, p)
