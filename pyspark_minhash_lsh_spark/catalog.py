@@ -3302,7 +3302,7 @@ def _suite_row(df: DataFrame, op: str, f1, f2) -> DataFrame:
 
 @query("q74_dedup_suite")
 def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sixteen dedup/curation operators end-to-end, one summary row each —
+    """Seventeen dedup/curation operators end-to-end, one summary row each —
     rows-only (all are signature/hash dependent; see the suite-curation
     note above). Legs (folding round-2's q34, q39, q50, q51, q65, and —
     round 4 — q38's clustering, whose driver slot moved to the q79
@@ -3311,8 +3311,11 @@ def q74_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram answering doc-length percentiles from two merged halves,
     and fuzzy_dedup, the edit-distance clustering composition; round 6
     adds cc_redact, the Luhn-gated credit-card redaction, and
-    constraints, the single-scan data-quality gate — see the inline
-    comments at those legs):
+    constraints, the single-scan data-quality gate — which in round 7
+    gains deliberately FAILING rules so the driver row witnesses the fail
+    facet too; round 7 also adds secrets, the credential-scrubbing pass
+    with its fixed + entropy-gated + surviving-placeholder facets — see
+    the inline comments at those legs):
       - minhash_dedup: MinHash-LSH near-dup clustering with
         pointer-doubling connected components (the former q38 row);
       - simhash_bits: relational SimHash fingerprints (bit-sum facets);
