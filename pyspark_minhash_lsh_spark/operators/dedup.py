@@ -65,6 +65,7 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     score_col: Optional[str] = None,
+    tokens_col: Optional[str] = None,
 ) -> DataFrame:
     """Keep one row per exact (normalized) content group.
 
@@ -86,8 +87,14 @@ def exact_dedup(
     mass-duplicated boilerplate document (millions of rows, one
     fingerprint) combines per map task instead of sorting through a single
     hot window partition; the join shuffles the same 16-byte key.
+
+    ``tokens_col`` (round 7): reuse an already-tokenized array column
+    instead of re-running the regex tokenizer — MUST hold exactly
+    ``tokens(text_col)`` (the curate pipeline stages it once via
+    ``with_repetition_metrics(tokens_out=...)``).
     """
-    cols = [F.col(id_col), content_fingerprint(tokens(F.col(text_col))).alias("fingerprint")]
+    toks = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
+    cols = [F.col(id_col), content_fingerprint(toks).alias("fingerprint")]
     if score_col is not None:
         cols.append(F.col(score_col).alias("_score"))
     fp = df.select(*cols)
@@ -432,6 +439,7 @@ def minhash_dedup(
     max_iter: int = 10,
     score_col: Optional[str] = None,
     min_band_matches: int = 1,
+    tokens_col: Optional[str] = None,
 ) -> DataFrame:
     """Near-duplicate clustering: MinHash-LSH similarity join -> connected
     components -> ``(id, component, is_representative)``.
@@ -440,7 +448,10 @@ def minhash_dedup(
     Representative = min id per component (deterministic), or the
     highest-``score_col`` member when given (see ``_label_output``).
     """
-    model = MinHashLSH(config).fit(df, text_col=text_col, id_col=id_col, persist=True)
+    model = MinHashLSH(config).fit(
+        df, text_col=text_col, id_col=id_col, persist=True,
+        tokens_col=tokens_col,
+    )
     try:
         edges = model.approx_similarity_join(
             threshold=threshold, max_bucket_size=max_bucket_size,

@@ -78,17 +78,22 @@ class MinHashLSH:
 
     # -- dataframe-level API ----------------------------------------------------------
     def transform(
-        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+        tokens_col: "str | None" = None,
     ) -> DataFrame:
         """Compute ``(id, signature, bucket_ids)`` via the fused relational hot
         path (``minhash_index_df``): posexplode tokens -> per-token xxhash64 ->
         lead() window pairs adjacent hashes into k-gram hashes -> 100 codegen'd
         min-aggregates reusing the window's shuffle. One exchange total, zero
-        higher-order lambdas; banding is a cheap 25-element expression on top."""
+        higher-order lambdas; banding is a cheap 25-element expression on top.
+
+        ``tokens_col`` (round 7): reuse a pre-tokenized array column — must
+        hold exactly ``tokens(text_col)`` (byte-identical signatures, one
+        fewer regex pass; the curate pipeline's shared tokenization)."""
         c = self.config
         sigs = minhash_index_df(
             df,
-            tokens(F.col(text_col)),
+            F.col(tokens_col) if tokens_col else tokens(F.col(text_col)),
             id_col=id_col,
             k=c.shingle_size,
             num_hashes=c.num_hashes,
@@ -104,14 +109,15 @@ class MinHashLSH:
         text_col: str = "text",
         id_col: str = "doc_id",
         persist: bool = True,
+        tokens_col: "str | None" = None,
     ) -> "MinHashLSHModel":
         """Build (and optionally persist) the signature index.
 
         ``persist=True`` mirrors the reference's ``cache_dfs``
         (``minhash_pyspark.py:435-440``): pay the signature computation once,
-        serve many queries.
+        serve many queries. ``tokens_col``: see ``transform``.
         """
-        index = self.transform(df, text_col, id_col)
+        index = self.transform(df, text_col, id_col, tokens_col=tokens_col)
         if persist:
             # partition-preserving registration: the index is id-hash
             # partitioned by its signature aggregation, and the similarity

@@ -120,6 +120,7 @@ def with_repetition_metrics(
     text_col: str = "text",
     cols: "Sequence[str]" = ("n_tokens", "dup_token_frac", "top_bigram_frac"),
     quality_col: "str | None" = None,
+    tokens_out: "str | None" = None,
 ) -> DataFrame:
     """Append the requested ``repetition_metrics`` facet columns to ``df``
     as staged zero-shuffle projections (no doc-keyed join — the form
@@ -131,6 +132,12 @@ def with_repetition_metrics(
     SAME staged token column — the convenience Column form re-tokenizes
     per array reference (~3x slower; see quality_score's PERF note), so a
     pipeline that wants both facets and quality should get them here.
+
+    ``tokens_out`` (opt-in, round 7) additionally EXPOSES the staged token
+    array under that name so downstream stages (exact-dedup fingerprint,
+    MinHash signatures) can reuse one tokenization instead of re-running
+    the regex chain per stage — the curate pipeline's three tokenize
+    passes become one. Same collision rule as ``quality_col``.
 
     Raw full-precision ratios (no round): the catalog hash surface scales
     them to integers, and rounding here would re-introduce the decimal-tie
@@ -196,6 +203,13 @@ def with_repetition_metrics(
             f"quality_col {quality_col!r} collides with an existing/facet "
             "column — pick a fresh name"
         )
+    if tokens_out is not None and (
+        tokens_out in df.columns or tokens_out in cols or tokens_out == quality_col
+    ):
+        raise ValueError(
+            f"tokens_out {tokens_out!r} collides with an existing/facet "
+            "column — pick a fresh name"
+        )
     extra = []
     if quality_col is not None:
         from ..functions.text_analysis import quality_score_from
@@ -203,6 +217,8 @@ def with_repetition_metrics(
         extra.append(
             quality_score_from(F.col(text_col), t).alias(quality_col)
         )
+    if tokens_out is not None:
+        extra.append(t.alias(tokens_out))
     return s2.select(*base, *[exprs[c].alias(c) for c in cols], *extra)
 
 

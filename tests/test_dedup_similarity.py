@@ -556,3 +556,34 @@ def test_collision_counting_adds_no_exchange(spark):
     base = n_exchanges(model.approx_similarity_join(0.5))
     counted = n_exchanges(model.approx_similarity_join(0.5, min_band_matches=2))
     assert counted == base
+
+
+def test_tokens_col_paths_identical_to_text_paths(spark):
+    """Round 7 shared-tokenization contract: exact_dedup / minhash_dedup
+    with a pre-staged tokens column produce IDENTICAL output to the
+    text-tokenizing defaults (the curate pipeline's one-tokenize-pass
+    optimization must be a pure no-op semantically)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.functions.text import tokens
+    from pyspark_minhash_lsh_spark.operators.dedup import exact_dedup
+
+    rng = random.Random(31)
+    words = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 30))))
+            for i in range(60)]
+    rows += [(100, rows[0][1]), (101, None), (102, "")]  # dup + null + empty
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    staged = docs.withColumn("_toks", tokens(F.col("text")))
+
+    a = sorted(map(tuple, exact_dedup(docs).collect()))
+    b = sorted(map(tuple, exact_dedup(staged, tokens_col="_toks")
+                   .collect()))
+    assert a == b
+
+    ma = sorted(map(tuple, minhash_dedup(docs, threshold=0.5).collect()))
+    mb = sorted(map(tuple, minhash_dedup(
+        staged, threshold=0.5, tokens_col="_toks").collect()))
+    assert ma == mb
