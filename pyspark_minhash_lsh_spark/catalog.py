@@ -1357,8 +1357,11 @@ def q78_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       1-row CROSS-JOINed aggregates, keep rsint denominators plain;
 #     - FULL JOIN + scalar-subquery totals feeding rsint (q85; its twin q86 was
 #       green on the IDENTICAL 50 rows) → the q86 union-of-aggregates shape.
-# q82 remains below as the live novelty PROBE (oracle rewritten in proven
-# constructs; retire once driver-green alongside q78 — VERDICT r06 #1/#3).
+# The q82 novelty probe carried the rewritten oracle back to the driver and
+# turned GREEN alongside q78 in CORRECTNESS_r07 — the saga is closed. q82 was
+# retired in round 8 (VERDICT r07 #1; git history keeps its text) and its
+# driver slot went back to q33_similarity_join. _DUCK_NOVELTY_CTES below stays
+# as the canonical statement of the proven novelty form that q78 inlines.
 # =====================================================================================
 
 #: SYNC NOTE: q64's oracle embeds this same 400/100/150 split inline with
@@ -1432,32 +1435,131 @@ _DUCK_NOVELTY_CTES = f"""
 
 
 @query(
-    "q82_diag_novelty",
-    oracle=f"""
-    WITH {_DUCK_NOVELTY_CTES}
-    SELECT doc_id, n_shingles AS k1, n_novel AS k2 FROM nov
+    "q87_line_dedup",
+    oracle="""
+    WITH sup AS (
+      SELECT a.doc_id, a.text || chr(10) || b.text AS text
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM sup),
+    lines AS (SELECT doc_id, unnest(l) AS line,
+                     generate_subscripts(l, 1) - 1 AS pos
+              FROM ls),
+    ded AS (SELECT doc_id, line, pos FROM lines WHERE len(trim(line)) >= 1),
+    rk AS (SELECT doc_id, line, pos,
+                  ROW_NUMBER() OVER (PARTITION BY line
+                                     ORDER BY doc_id, pos) AS rn
+           FROM ded),
+    kept AS (SELECT doc_id, line, pos FROM lines WHERE len(trim(line)) < 1
+             UNION ALL
+             SELECT doc_id, line, pos FROM rk WHERE rn = 1),
+    agg AS (SELECT doc_id,
+                   COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text,
+                   CAST(COUNT(line) AS BIGINT) AS n_kept
+            FROM (SELECT doc_id, CAST(NULL AS VARCHAR) AS line,
+                         CAST(NULL AS BIGINT) AS pos FROM sup
+                  UNION ALL
+                  SELECT doc_id, line, pos FROM kept)
+            GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(COUNT(c) AS BIGINT) AS n_lines
+            FROM (SELECT doc_id, CAST(NULL AS INTEGER) AS c FROM sup
+                  UNION ALL
+                  SELECT doc_id, 1 AS c FROM lines)
+            GROUP BY doc_id)
+    SELECT doc_id, text, n_lines, n_kept FROM agg JOIN tot USING (doc_id)
     """,
 )
-def q82_diag_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r06-bisect survivor, now the novelty PROBE row: q78's novelty leg
-    standalone with its natural columns — BIGINT doc_id, non-null counts, no
-    union and therefore none of q78's NULL cells. The r06 driver run proved
-    the old oracle form (MIN-per-group first-occurrence + join-back +
-    LEFT-JOIN doc spine) hash-RED while rows+schema stayed green and the
-    identical values hash-matched locally; this round the oracle is rewritten
-    in proven-green constructs only (``_DUCK_NOVELTY_CTES`` — ROW_NUMBER
-    first-occurrence + zero-spine union-of-aggregates, the q86 pattern).
-    Kept in the driver surface until green (VERDICT r06 #1): if q78 stays
-    red while this row turns green, the residue is q78-specific (its union
-    or ratio columns), not the novelty form."""
-    from .operators.corpus_stats import ngram_novelty
+def q87_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line-level dedup (``textpipe.line_dedup``), promoted
+    from q74's rows-only leg to its own oracle row in round 8 (VERDICT r07
+    #2). Input is the q74 leg's two-line super-doc construction — doc i
+    carries ``text_i\\ntext_{i+1}``, so every line occurs in exactly two
+    documents and the keep-first policy fires corpus-wide. The full
+    reassembled TEXT rides the hash surface (not just counts): the driver
+    match proves line splitting, the md5-keyed first-occurrence relation
+    (smallest ``(doc_id, pos)``), blank-line exemption, and in-order
+    reassembly are all byte-identical to the SQL semantics.
+
+    Oracle constructs are all proven-green: positional unnest via
+    ``generate_subscripts`` (q54), ROW_NUMBER first-occurrence (the
+    _DUCK_NOVELTY_CTES form that closed q78/q82), zero-spine UNION ALL
+    re-aggregate instead of a LEFT-JOIN doc spine (q86 shape), inner join of
+    two complete per-doc spines. Counts are CAST to BIGINT; no floats
+    anywhere."""
+    from .operators.textpipe import line_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_novelty(docs).select(
-        "doc_id",
-        F.col("n_shingles").alias("k1"),
-        F.col("n_novel").alias("k2"),
+    a = docs.select("doc_id", F.col("text").alias("t1"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t2"))
+    sup = a.join(b, "doc_id").select(
+        "doc_id", F.concat_ws("\n", "t1", "t2").alias("text")
     )
+    return line_dedup(sup)
+
+
+@query(
+    "q88_snapshot_diff",
+    oracle=f"""
+    WITH old_snap AS (
+      SELECT doc_id, array_to_string({_DUCK_TOKENS}, ' ') AS key
+      FROM documents WHERE doc_id % 7 <> 3),
+    new_base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN ''
+                  WHEN doc_id % 4 = 1 THEN text || ' rev2'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 5),
+    new_snap AS (
+      SELECT doc_id, array_to_string({_DUCK_TOKENS}, ' ') AS key FROM new_base),
+    diff AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.key = n.key THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old_snap o FULL JOIN new_snap n ON o.doc_id = n.doc_id)
+    SELECT 'text' AS leg, doc_id, status FROM diff
+    UNION ALL SELECT 'fp' AS leg, doc_id, status FROM diff
+    """,
+)
+def q88_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``snapshot_diff`` standalone (promoted in round 8, VERDICT r07 #2):
+    the lake-audit diff with a modulo-interleaved status spine — unlike
+    q64's contiguous-range diff leg, adds/removes/changes/unchanged rows
+    interleave across the id space, and the ``%11`` edit blanks the text
+    entirely, exercising the empty-token fingerprint path.
+
+    Two legs over the SAME expected statuses:
+      - 'text': snapshots passed as raw text — fingerprints computed inline;
+      - 'fp': snapshots passed as PRE-COMPUTED fingerprint tables
+        (``old_fp_col``/``new_fp_col``, the 100 TB lake path where document
+        text is never rescanned).
+    The oracle emits the one diff spine under both leg labels, so the hash
+    match proves the fp-table path is value-identical to the text path AND
+    to the token-string equality relation the fingerprints key on.
+
+    Oracle construct: q64's proven plain FULL-JOIN diff spine (whitelisted
+    in the quarantine lint), no rsint, string statuses + BIGINT ids only."""
+    from .functions.hashing import content_fingerprint
+    from .operators.dedup import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 3)
+    new = docs.filter(F.col("doc_id") % 7 != 5).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text")),
+    )
+    text_leg = snapshot_diff(old, new).select(
+        F.lit("text").alias("leg"), "doc_id", "status"
+    )
+    fp = lambda df: df.select(  # noqa: E731
+        "doc_id", content_fingerprint(tokens(F.col("text"))).alias("fp")
+    )
+    fp_leg = snapshot_diff(
+        fp(old), fp(new), old_fp_col="fp", new_fp_col="fp"
+    ).select(F.lit("fp").alias("leg"), "doc_id", "status")
+    return text_leg.unionByName(fp_leg)
 
 
 # =====================================================================================
@@ -1507,10 +1609,45 @@ def q32_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("jaccard", 4).alias("jaccard"))
 
 
-@query("q33_similarity_join")
+@query(
+    "q33_similarity_join",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                                    ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(x.n AS BIGINT) AS n_a,
+           CAST(y.n AS BIGINT) AS n_b,
+           (CAST(c AS BIGINT) * 20000 + (x.n + y.n - c)) // (2 * (x.n + y.n - c)) AS jaccard
+    FROM common
+    JOIN sz x ON x.doc_id = id_a
+    JOIN sz y ON y.doc_id = id_b
+    WHERE 10 * c >= 7 * (x.n + y.n - c)
+    """,
+)
 def q33_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH similarity self-join (north-star operator) — rows-only;
-    its exact twin q25 is the oracle-checked counterpart.
+    """MinHash-LSH similarity self-join (north-star operator), candidate-
+    verify form: band-key candidates -> EXACT shingle-set verification at
+    t=0.7 (``similarity_join_exact``) — the textbook two-phase LSH join,
+    and the driver-hash-witnessed twin of the estimate-filtered
+    ``approx_similarity_join`` that bench.py times.
+
+    Restored to the driver 50 in round 8 (VERDICT r07 #1: the q82 novelty
+    probe it was parked behind turned green in CORRECTNESS_r07 and is
+    retired). The oracle is q25's proven brute-force construct at the 7/10
+    rational threshold; the match PROVES LSH candidate recall is total on
+    this corpus (measured: every exact-qualifying pair collides in >= 13 of
+    25 bands — the analytic tail bound at exactly j=0.7 is
+    (1-0.7^4)^25 ≈ 1e-3 per pair, and real qualifying pairs sit far above
+    the threshold). Threshold membership and every emitted column are pure
+    integers; jaccard is the ``_ratio_sint`` scaled integer.
 
     persist=True matters here: the self-join references the index twice, and
     without persistence the whole signature pipeline is recomputed for both
@@ -1518,8 +1655,12 @@ def q33_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg subtrees)."""
     docs = _t(spark, sf_dir, "documents")
     model = MinHashLSH().fit(docs, text_col="text", id_col="doc_id", persist=True)
-    return model.approx_similarity_join(threshold=0.7).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    out = model.similarity_join_exact(threshold=0.7)
+    return out.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b",
+        _ratio_sint(
+            F.col("n_common"), F.col("n_a") + F.col("n_b") - F.col("n_common"), 4
+        ).alias("jaccard"),
     )
 
 
@@ -4024,8 +4165,14 @@ _CURATED_ORDER = [
     "q42_relational_ops",
     "q77_minhash_oracle",
     "q78_corpus_overlap",
-    # -- block 1b: the r06 bisect's one surviving probe (retire once green) --------
-    "q82_diag_novelty",
+    # -- block 1b: round-8 additions — the restored north star + two promoted legs -
+    # q33 takes the retired q82 probe's slot (VERDICT r07 #1); q87/q88 take the
+    # slots of q76/q79, which moved to _BENCH_ONLY so the driver budget buys two
+    # MORE hash-witnessed rows instead of two rows-only suite rows (VERDICT r07
+    # #2 — both suites stay pytest-value-verified and bench-run).
+    "q33_similarity_join",
+    "q87_line_dedup",
+    "q88_snapshot_diff",
     # -- block 1c: restored from r06 diagnostic parking (driver-green in r05) ------
     "q02_mktsegment_stats",
     "q09_supplier_part_volume",
@@ -4054,24 +4201,25 @@ _CURATED_ORDER = [
     "q32_ann_query",
     "q74_dedup_suite",
     "q75_ann_index_suite",
-    "q76_multimodal_suite",
-    "q79_tokenize_suite",
 ]
 
-#: Registered (and locally oracle-checked via the FULL ``ORACLE_SQL``) but NOT
-#: in the driver's 50-row correctness budget. Permanent residents: q30's
-#: signature math is driver-exercised through q32/q75 and ORACLE-checked via
-#: the md5-family twin q77; q38's clustering is driver-exercised through
-#: q74's minhash_dedup leg; q33 (rows-only) is driver-exercised through its
-#: EXACT oracle twin q25 (same band-key join, q25 adds the string-key oracle)
-#: and runs in bench.py's headline set. r07 restored q02/q09/q11/q14/q66/q70
-#: from the r06 diagnostic parking; the 50th slot is held by the q82 novelty
-#: probe until it turns driver-green (then q33 or a new operator row takes
-#: the slot — VERDICT r06 #3).
+#: Registered (and locally checked by pytest via the FULL ``ORACLE_SQL`` /
+#: value-level suites) but NOT in the driver's 50-row correctness budget.
+#: Permanent residents: q30's signature math is driver-exercised through
+#: q32/q75 and ORACLE-checked via the md5-family twin q77; q38's clustering
+#: is driver-exercised through q74's minhash_dedup leg. Round 8 (VERDICT r07
+#: #1/#2): q82 turned green in CORRECTNESS_r07 and was retired outright, q33
+#: returned to the driver 50 as a full oracle row, and q76/q79 moved here so
+#: their two slots fund the promoted q87/q88 oracle rows — the 50-row budget
+#: is zero-sum, and a hash-witnessed row is a strictly stronger driver check
+#: than a rows-only suite row. Both suites remain value-verified in pytest
+#: (real BMP/WAV decode tests; closed-form BPE/WordPiece/unigram tests) and
+#: still run every round via the driver's entry()/queries() smoke and bench.
 _BENCH_ONLY = [
     "q30_minhash_signatures",
     "q38_minhash_dedup",
-    "q33_similarity_join",
+    "q76_multimodal_suite",
+    "q79_tokenize_suite",
 ]
 
 assert sorted(_CURATED_ORDER + _BENCH_ONLY) == sorted(QUERIES), (

@@ -587,3 +587,73 @@ def test_tokens_col_paths_identical_to_text_paths(spark):
     mb = sorted(map(tuple, minhash_dedup(
         staged, threshold=0.5, tokens_col="_toks").collect()))
     assert ma == mb
+
+
+def test_similarity_join_exact_equals_bruteforce(spark):
+    """The q33 driver-row contract (round 8): LSH candidate generation +
+    exact shingle-set verification must equal the brute-force exact join —
+    i.e. band recall is TOTAL on a realistic near-dup corpus. Uses synthetic
+    docs with planted near-dups well above and just above the 0.7 threshold,
+    plus sub-threshold noise pairs that must NOT appear."""
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+    from pyspark_minhash_lsh_spark.operators.setjoin import ngram_jaccard_join
+
+    rng = random.Random(8)
+    words = [f"tok{i}" for i in range(300)]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(words) for _ in range(rng.randint(25, 60))]
+        rows.append((i * 10, " ".join(base)))
+        # strong near-dup: drop one token (J well above 0.7)
+        rows.append((i * 10 + 1, " ".join(base[:-1])))
+        if i % 4 == 0:
+            # weaker edit: replace ~12% of tokens (J straddles ~0.7)
+            mut = [w if rng.random() > 0.12 else rng.choice(words) for w in base]
+            rows.append((i * 10 + 2, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    model = MinHashLSH().fit(docs, persist=False)
+    got = {
+        (r.id_a, r.id_b, r.n_common, r.n_a, r.n_b)
+        for r in model.similarity_join_exact(threshold=0.7).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.n_common, r.n_a, r.n_b)
+        for r in ngram_jaccard_join(
+            docs, threshold=0.7, with_counts=True
+        ).collect()
+    }
+    assert got == want
+    assert len(want) >= 40  # the planted strong pairs are all above 0.7
+
+
+def test_similarity_join_exact_rational_threshold_boundary(spark):
+    """Integer-rational threshold membership: a pair EXACTLY at J = 0.7
+    (7 common, 3+3 unique -> 7/10) must be INCLUDED (>=), and one just
+    below excluded — no IEEE comparison on the boundary."""
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+    # two docs sharing exactly the 7 c-chain bigram shingles; each side adds
+    # 2 private shingles -> common 7, union 11
+    a_toks = [f"c{i}" for i in range(8)]          # shingles c0 c1 .. c6 c7 = 7
+    a = " ".join(a_toks + [f"ax{i}" for i in range(2)])
+    b = " ".join(a_toks + [f"bx{i}" for i in range(2)])
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id bigint, text string"
+    )
+    model = MinHashLSH().fit(docs, persist=False)
+    out = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b)
+        for r in model.similarity_join_exact(threshold=0.7).collect()
+    }
+    # exact sets: a = {c0 c1,...,c6 c7, c7 ax0, ax0 ax1} (9 distinct),
+    # b likewise; common = the 7 c-chain shingles; union = 11 -> J = 7/11 < 0.7
+    assert (1, 2) not in out
+    # at threshold 7/11 exactly, the pair must appear (>= is inclusive)
+    out2 = {
+        (r.id_a, r.id_b)
+        for r in model.similarity_join_exact(threshold=7 / 11).collect()
+    }
+    assert (1, 2) in out2

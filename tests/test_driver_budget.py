@@ -192,18 +192,20 @@ def test_oracle_quarantine_constructs_enforced():
         window-denominator rsint shape (stage totals as 1-row CROSS-JOINed
         aggregates instead);
       - FULL JOIN — condemned in the q85 cluster when feeding rsint;
-        exonerated ONLY in q64's plain diff spine (driver-green every
-        round), so q64 is the single whitelisted row.
+        exonerated ONLY in the plain diff spine (no rsint, string statuses +
+        BIGINT ids): q64's diff leg (driver-green every round) and q88's
+        round-8 promotion of the same snapshot_diff shape.
     """
     import re
 
+    FULL_JOIN_ALLOW = {"q64_incremental_dedup", "q88_snapshot_diff"}
     for name, sql in ORACLE_SQL.items():
         assert not re.search(r"OVER\s*\(\s*\)", sql), (
             f"{name}: empty-OVER window aggregate in oracle SQL — the "
             "q84-quarantined construct; stage the total as a 1-row "
             "CROSS-JOINed aggregate (q86 'tots' shape)"
         )
-        if name != "q64_incremental_dedup":
+        if name not in FULL_JOIN_ALLOW:
             assert "FULL JOIN" not in sql.upper(), (
                 f"{name}: FULL JOIN in oracle SQL — q85-quarantined except "
                 "q64's proven diff spine; use the q86 union-of-aggregates "
