@@ -258,7 +258,12 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         jrdds = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
         ref = jrdds.get(rid)
         if ref is not None:
-            ref.unpersist(False)
+            # blocking=True (ADVICE r07): the released copy is small by
+            # construction (only taken on the driver fast path / right
+            # after a re-keyed checkpoint), and a non-blocking removal can
+            # race a caller — or the canary test — that checks the blocks
+            # are actually gone on a loaded executor.
+            ref.unpersist(True)
     except Exception:  # py4j/internal-API drift — keep the copy, stay correct
         pass
 

@@ -639,6 +639,17 @@ class MinHashLSHModel:
                     self._check_saved_params(path, saved=None)  # refuse
             else:
                 self._check_saved_params(path, saved=saved)
+                if saved_layout is None:
+                    # sidecar present, data files gone: the SAME corrupt
+                    # state append_index refuses — refuse identically here
+                    # instead of silently recreating the data with the
+                    # caller's layout flag (ADVICE r07)
+                    raise ValueError(
+                        f"index artifact at {path!r} has a _params sidecar "
+                        "but no readable data files — corrupt or partially "
+                        "deleted; re-create it with save_index(mode="
+                        "'overwrite') before appending"
+                    )
             if saved_layout is not None:
                 # the SAVED layout wins (round 7, ADVICE r06): appending
                 # flat rows into a band0=-partitioned artifact (or the

@@ -663,12 +663,22 @@ SECRET_PATTERNS: "tuple[tuple[str, str], ...]" = (
 #: one candidate; the key-name context plus the entropy gate below decide.
 #: The 256-char cap bounds the entropy fold (distinct-chars x length ops
 #: per candidate) while covering every real credential length — a 64-char
-#: cap (r07 first cut) TRUNCATED longer keys and shipped their tails.
-_SECRET_ASSIGN = (
+#: cap (r07 first cut) TRUNCATED longer keys and shipped their tails. The
+#: trailing negative lookahead makes the cap a whole-match boundary, not a
+#: truncation point (ADVICE r07): a 257+ char run must NOT match the first
+#: 256 chars and ship its tail — runs past the cap are handled by
+#: ``_SECRET_ASSIGN_LONG`` below instead.
+_SECRET_KEY_CTX = (
     r"(?i)\b(?:api[_-]?key|apikey|secret|token|passwd|password|auth|"
     r"credential)s?\b[^\S\n]*[:=][^\S\n]*[\"']?"
-    r"([A-Za-z0-9+/_\-=]{16,256})"
 )
+_SECRET_ASSIGN = _SECRET_KEY_CTX + r"([A-Za-z0-9+/_\-=]{16,256})(?![A-Za-z0-9+/_\-=])"
+#: Over-cap runs (257+ value chars after a secret-ish key) redact
+#: UNCONDITIONALLY: no natural-language token runs 257 chars in this
+#: charset without whitespace, so the entropy gate adds nothing — and
+#: skipping it keeps the fold's distinct-chars x length work bounded by
+#: the 256 cap.
+_SECRET_ASSIGN_LONG = _SECRET_KEY_CTX + r"([A-Za-z0-9+/_\-=]{257,})"
 
 
 def redact_secrets(
@@ -704,7 +714,10 @@ def redact_secrets(
          goes. Gated values are replaced literally (no regex metachar
          hazard from ``+``/``=`` inside the value), LONGEST FIRST — a
          shorter gated value that is a substring of a longer one must not
-         rewrite the longer one's interior and leak its tail.
+         rewrite the longer one's interior and leak its tail. Values
+         LONGER than the 256-char gate cap redact unconditionally (no
+         charset run that long is prose), so the cap is a whole-match
+         boundary, never a truncation point.
 
     Returns ``(doc_id, redacted_text, <keep_cols>..., n_<kind>...,
     n_generic_secret)`` with ``pii_redact``'s NULL semantics (NULL text ->
@@ -743,10 +756,14 @@ def redact_secrets(
         )
 
     is_hex = lambda c: c.rlike(r"^[0-9a-fA-F]+$")  # noqa: E731
-    secretish = F.filter(
+    gated = F.filter(
         cands,
         lambda c: F.when(is_hex(c), entropy_bits(c) >= float(hex_entropy_threshold))
         .otherwise(entropy_bits(c) >= float(b64_entropy_threshold)),
+    )
+    # over-cap runs (257+) bypass the gate entirely — see _SECRET_ASSIGN_LONG
+    secretish = F.concat(
+        gated, F.regexp_extract_all(t, F.lit(_SECRET_ASSIGN_LONG), 1)
     )
     # longest-first order: sort on (-length, value) structs so a gated
     # value that PREFIXES a longer gated value replaces after it

@@ -225,13 +225,25 @@ def validate_shards(spark, path: str) -> None:
     man_rows = spark.read.parquet(path.rstrip("/") + "/_manifest").collect()
     expected = {int(r.shard_id): r.n_rows for r in man_rows}
     n_shards = {r.n_shards for r in man_rows}
+    salts = {r.salt for r in man_rows}
     got = {
         int(r.shard_id): r.n
         for r in spark.read.parquet(path)
         .groupBy("shard_id").agg(F.count("*").alias("n")).collect()
     }
     problems = []
-    if n_shards and sorted(expected) != list(range(next(iter(n_shards)))):
+    # config rows must agree BEFORE any single value is trusted (ADVICE
+    # r07: collapsing a disagreeing set with next(iter(...)) checked an
+    # arbitrary value and hid the corruption itself)
+    if len(n_shards) > 1:
+        problems.append(
+            f"manifest config rows disagree on n_shards: {sorted(n_shards)}"
+        )
+    if len(salts) > 1:
+        problems.append(
+            f"manifest config rows disagree on salt: {sorted(salts)}"
+        )
+    if len(n_shards) == 1 and sorted(expected) != list(range(next(iter(n_shards)))):
         problems.append(
             f"manifest lists shards {sorted(expected)} but n_shards="
             f"{next(iter(n_shards))}"

@@ -807,3 +807,53 @@ def test_validate_shards_round_trip_and_detects_loss(spark, tmp_path):
     shutil.rmtree(f"{p}/shard_id=1")
     with pytest.raises(ValueError, match="shard 1: manifest"):
         validate_shards(spark, p)
+
+
+def test_save_index_append_refuses_sidecar_without_data(spark, tmp_path):
+    """ADVICE r07: save_index(mode='append') on a corrupt artifact (sidecar
+    present, data files gone) must refuse with the SAME error append_index
+    raises — not silently recreate the data with the caller's layout flag."""
+    import os
+    import shutil
+
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    model = MinHashLSH().fit(docs.filter(F.col("doc_id") < 40), persist=False)
+    path = str(tmp_path / "broken_save")
+    model.save_index(path)
+    for f in os.listdir(path):
+        full = os.path.join(path, f)
+        if f != "_params" and not f.startswith("_params"):
+            (shutil.rmtree if os.path.isdir(full) else os.remove)(full)
+    with pytest.raises(ValueError, match="no readable data files"):
+        model.save_index(path, mode="append")
+
+
+def test_validate_shards_detects_manifest_config_disagreement(spark, tmp_path):
+    """ADVICE r07: manifest rows that disagree on n_shards (or salt) must be
+    reported AS the problem, not collapsed to an arbitrary value."""
+    import pytest
+
+    from pyspark_minhash_lsh_spark.sources.sinks import (
+        validate_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "vc")
+    write_training_shards(docs, p, n_shards=2, manifest=True)
+    # hand-corrupt the sidecar: one row claims a different n_shards + salt
+    man = spark.read.parquet(f"{p}/_manifest")
+    rows = man.collect()
+    bad = spark.createDataFrame(
+        [(rows[0].shard_id, rows[0].n_rows, "other-salt", 5)], man.schema
+    )
+    man_fixed = spark.createDataFrame([tuple(r) for r in rows[1:]], man.schema)
+    man_fixed.unionByName(bad).coalesce(1).write.mode("overwrite").parquet(
+        f"{p}/_manifest"
+    )
+    with pytest.raises(ValueError, match="disagree on n_shards"):
+        validate_shards(spark, p)
+    with pytest.raises(ValueError, match="disagree on salt"):
+        validate_shards(spark, p)

@@ -1056,3 +1056,33 @@ def test_redact_secrets_long_values_and_nested_prefixes(spark):
     assert out[1].redacted_text == "api_key = <SECRET> and secret = <SECRET> done"
     assert "EXAMPLEKEY12" not in out[1].redacted_text
     assert out[1].n_generic_secret == 2
+
+
+def test_redact_secrets_over_cap_values_redact_whole(spark):
+    """ADVICE r07: a value LONGER than the 256-char entropy-gate cap must
+    not partially match (redact 256 chars, ship the tail). Over-cap runs
+    redact unconditionally and whole; a 256-char value still goes through
+    the gate and redacts whole; a low-entropy 256-char value survives
+    untouched (boundary keeps the gate's no-false-positive contract)."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import redact_secrets
+
+    rnd = "aGVsbG8wMVFxWnk5dEtwTG1Ob1BxUnM3"  # high-entropy b64 block (32)
+    over = (rnd * 10)[:300]                    # 300 chars > cap
+    at_cap = (rnd * 8)                         # exactly 256 chars
+    low = ("ab" * 150)                         # 300 chars, entropy 1 bit
+    docs = spark.createDataFrame(
+        [
+            (0, f"api_key = {over} end"),
+            (1, f"token = {at_cap} end"),
+            (2, f"password = {low} end"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_secrets(docs).collect()}
+    assert out[0].redacted_text == "api_key = <SECRET> end"
+    assert out[0].n_generic_secret == 1
+    assert over[256:] not in out[0].redacted_text  # no shipped tail
+    assert out[1].redacted_text == "token = <SECRET> end"
+    # low-entropy over-cap: unconditional (charset runs that long are never
+    # prose — the documented rule), so it redacts too
+    assert out[2].redacted_text == "password = <SECRET> end"
