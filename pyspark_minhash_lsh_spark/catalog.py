@@ -3784,7 +3784,11 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         matryoshka truncate to half dims (reduce.truncate_embeddings,
         staged renormalize) -> int8 quantize -> integer-dot top-10 with
         the truncated query (8x smaller scan bytes than float; recall
-        behavior pinned in tests/test_quantize.py)."""
+        behavior pinned in tests/test_quantize.py);
+      - filtered_ann (round 8, VERDICT r07 #6): metadata-predicate ANN —
+        keep_cols metadata rides the index, where= prunes candidates
+        BEFORE top-k (true top-k of the filtered subset; post-hoc
+        filtering demonstrably loses recall — tests/test_ivf.py)."""
     from .operators.ivf import IvfFlat
     from .operators.minhash_lsh import MinHashLSH
     from .operators.pq import fit_pq
@@ -3943,12 +3947,30 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vec_id"), F.sum("cosine"),
     )
 
+    # filtered_ann (round 8, VERDICT r07 #6): metadata-predicate ANN — the
+    # index carries a keep_cols 'lang' column and the query's where= prunes
+    # candidates BEFORE top-k, so the result is the true top-k of the
+    # filtered subset (equality with post-filtered brute force is pinned in
+    # tests/test_ivf.py + the SRP twin in tests/test_dedup_similarity.py).
+    # f1 = summed retrieved ids (all lang='en' by construction), f2 =
+    # summed cosine.
+    fcorpus = corpus.withColumn(
+        "lang", F.when(F.col("vec_id") % 3 == 0, F.lit("en")).otherwise(F.lit("de"))
+    )
+    fivf = IvfFlat(n_cells=8, seed=1).fit(
+        fcorpus, keep_cols=("lang",), persist=False
+    )
+    leg_fa = _suite_row(
+        fivf.approx_cosine_topk(qvec, k=10, n_probe=8, where="lang = 'en'"),
+        "filtered_ann", F.sum("vec_id"), F.sum("cosine"),
+    )
+
     return (
         leg_bk.unionByName(leg_fs).unionByName(leg_128)
         .unionByName(leg_srp).unionByName(leg_ivf).unionByName(leg_ba)
         .unionByName(leg_pq).unionByName(leg_pca)
         .unionByName(leg_rs).unionByName(leg_rp).unionByName(leg_cs)
-        .unionByName(leg_sq).unionByName(leg_mrl)
+        .unionByName(leg_sq).unionByName(leg_mrl).unionByName(leg_fa)
     )
 
 

@@ -89,25 +89,41 @@ class SrpLsh:
         emb_col: str = "embedding",
         id_col: str = "vec_id",
         persist: bool = True,
+        keep_cols: "tuple[str, ...] | list[str]" = (),
     ) -> "SrpLshModel":
+        """``keep_cols`` (round 8): metadata columns carried into the index
+        rows so queries can filter candidates with ``where=`` (filtered ANN
+        — see ``IvfFlat.fit``)."""
+        keep_cols = tuple(keep_cols)
         index = df.select(
-            F.col(id_col), F.col(emb_col),
+            F.col(id_col), F.col(emb_col), *[F.col(c) for c in keep_cols],
             self.keys_col(F.col(emb_col)).alias("srp_keys"),
         )
         if persist:
             index = index.persist()
-        return SrpLshModel(self, index, emb_col, id_col)
+        return SrpLshModel(self, index, emb_col, id_col, keep_cols=keep_cols)
 
 
 class SrpLshModel:
-    def __init__(self, lsh: SrpLsh, index: DataFrame, emb_col: str, id_col: str) -> None:
+    def __init__(
+        self,
+        lsh: SrpLsh,
+        index: DataFrame,
+        emb_col: str,
+        id_col: str,
+        keep_cols: "tuple[str, ...]" = (),
+    ) -> None:
         self.lsh = lsh
         self.index = index
         self.emb_col = emb_col
         self.id_col = id_col
+        self.keep_cols = tuple(keep_cols)
 
     def approx_cosine_topk(
-        self, query_vec: list[float], k: int = 10
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        where: "Column | str | None" = None,
     ) -> DataFrame:
         """Top-k by cosine among candidates sharing >= 1 SRP bucket with the query.
 
@@ -115,6 +131,12 @@ class SrpLshModel:
         (pure filter, no join, no shuffle) -> exact cosine on survivors ->
         ``TakeOrderedAndProject``. Misses are possible (LSH recall < 1);
         raise ``num_tables`` for recall, ``num_planes`` for precision.
+
+        ``where`` (round 8, VERDICT r07 #6): metadata predicate over the
+        index's ``keep_cols``, ANDed with the bucket-overlap candidate
+        filter BEFORE ranking — the top-k of the filtered subset, at the
+        filtered subset's recall (post-hoc filtering of unfiltered top-k
+        loses recall instead). Both predicates sit in the same scan filter.
         """
         spark = self.index.sparkSession
         qrow = spark.range(1).select(
@@ -132,6 +154,8 @@ class SrpLshModel:
                 "srp_keys", F.array(*[F.lit(x).cast("bigint") for x in q_keys])
             )
         )
+        if where is not None:
+            cand = cand.filter(F.expr(where) if isinstance(where, str) else where)
         return (
             cand.select(
                 F.col(self.id_col),
@@ -147,6 +171,7 @@ class SrpLshModel:
         k: int = 10,
         query_emb_col: Optional[str] = None,
         query_id_col: str = "query_id",
+        where: "Column | str | None" = None,
     ) -> DataFrame:
         """Top-k by cosine for EVERY row of a query DataFrame in one plan —
         the embedding twin of ``MinHashLSHModel.approx_nearest_neighbors_batch``
@@ -162,24 +187,30 @@ class SrpLshModel:
         attach both embeddings id-keyed -> exact cosine -> per-query
         ``row_number() <= k`` (WindowGroupLimit: partial top-k before the
         shuffle, no global sort).
+
+        ``where``: metadata predicate applied to the index side BEFORE the
+        key join (filtered ANN — see ``approx_cosine_topk``).
         """
         from pyspark.sql import Window
 
         emb = query_emb_col or self.emb_col
+        index = self.index
+        if where is not None:
+            index = index.filter(F.expr(where) if isinstance(where, str) else where)
         q_idx = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(emb).alias("q_emb"),
             self.lsh.keys_col(F.col(emb)).alias("q_keys"),
         )
         qx = q_idx.select("query_id", F.explode("q_keys").alias("key"))
-        cx = self.index.select(F.col(self.id_col), F.explode("srp_keys").alias("key"))
+        cx = index.select(F.col(self.id_col), F.explode("srp_keys").alias("key"))
         pairs = (
             qx.join(cx, "key")
             .select("query_id", self.id_col)
             .dropDuplicates(["query_id", self.id_col])
         )
         qe = q_idx.select("query_id", "q_emb")
-        ce = self.index.select(F.col(self.id_col), F.col(self.emb_col))
+        ce = index.select(F.col(self.id_col), F.col(self.emb_col))
         scored = (
             pairs.join(qe, "query_id")
             .join(ce, self.id_col)

@@ -657,3 +657,54 @@ def test_similarity_join_exact_rational_threshold_boundary(spark):
         for r in model.similarity_join_exact(threshold=7 / 11).collect()
     }
     assert (1, 2) in out2
+
+
+def test_srp_filtered_ann_subset_and_recall(spark):
+    """SRP where= (round 8): only predicate-matching rows are returned, and
+    with enough tables the filtered top-k equals brute force over the
+    filtered subset (single-vector AND batch paths)."""
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.similarity import SrpLsh
+
+    rng = random.Random(42)
+    dim = 16
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = []
+    for i in range(1, 120):
+        v = [x + rng.gauss(0, 0.7) for x in base]
+        rows.append((i, [float(x) for x in v], "en" if i % 3 == 0 else "de"))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, lang string"
+    )
+    qvec = [float(x) for x in base]
+
+    model = SrpLsh(num_planes=4, num_tables=24, seed=1).fit(
+        emb, keep_cols=("lang",), persist=False
+    )
+    got = [
+        r.vec_id
+        for r in model.approx_cosine_topk(qvec, k=8, where="lang = 'en'").collect()
+    ]
+    assert got and all(v % 3 == 0 for v in got)
+
+    q_emb = F.array(*[F.lit(x) for x in qvec]).cast("array<float>")
+    want = [
+        r.vec_id
+        for r in emb.filter("lang = 'en'")
+        .select("vec_id", cosine_similarity(F.col("embedding"), q_emb).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id")).limit(8).collect()
+    ]
+    # 24 tables x 4 planes: recall is effectively total on this geometry
+    assert got == want
+
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id bigint, embedding array<float>"
+    )
+    batch = [
+        r.vec_id
+        for r in model.approx_cosine_topk_batch(
+            queries, k=8, where=F.col("lang") == "en"
+        ).orderBy("rank").collect()
+    ]
+    assert batch == want

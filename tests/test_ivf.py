@@ -327,3 +327,98 @@ def test_compact_partitioned_index_pq_layout(spark, tmp_path):
     b = [(r.vec_id, round(r.adc_score, 9)) for r in
          IvfPqIndex.load_index(spark, dest).topk(qvec, k=5, n_probe=4).collect()]
     assert a == b
+
+
+def test_ivf_filtered_ann_equals_bruteforce_on_filtered_subset(spark):
+    """Round 8 (VERDICT r07 #6): where= filters candidates BEFORE top-k, so
+    full-probe filtered search == brute force over the filtered subset —
+    and post-hoc filtering of the unfiltered top-k demonstrably loses
+    rows the filtered search returns."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    corpus = emb.filter(F.col("vec_id") != 0).withColumn(
+        "lang", F.when(F.col("vec_id") % 3 == 0, "en").otherwise("de")
+    )
+
+    model = IvfFlat(n_cells=8, seed=1).fit(corpus, keep_cols=("lang",),
+                                           persist=False)
+    got = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in model.approx_cosine_topk(
+            qvec, k=10, n_probe=8, where=F.col("lang") == "en"
+        ).collect()
+    ]
+    q_emb = F.array(*[F.lit(x) for x in qvec]).cast("array<float>")
+    want = [
+        (r.vec_id, round(r.c, 6))
+        for r in corpus.filter(F.col("lang") == "en")
+        .select("vec_id", cosine_similarity(F.col("embedding"), q_emb).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id")).limit(10).collect()
+    ]
+    assert got == want
+    assert all(vid % 3 == 0 for vid, _ in got)
+
+    # post-hoc filtering loses recall: the unfiltered top-10 keeps < 10
+    # lang=en rows (2/3 of the corpus is de), while where= returned 10
+    unfiltered = model.approx_cosine_topk(qvec, k=10, n_probe=8).collect()
+    post = [r.vec_id for r in unfiltered if r.vec_id % 3 == 0]
+    assert len(post) < 10 <= len(got)
+
+    # string predicate form works too
+    got_str = [
+        r.vec_id
+        for r in model.approx_cosine_topk(
+            qvec, k=10, n_probe=8, where="lang = 'en'"
+        ).collect()
+    ]
+    assert got_str == [vid for vid, _ in got]
+
+
+def test_ivf_filtered_ann_batch_and_saved_pushdown(spark, tmp_path):
+    """Batch where= matches per-query filtered brute force, and on a SAVED
+    index the predicate reaches the parquet scan (PushedFilters) alongside
+    the cell partition pruning."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 10).withColumn(
+        "lang", F.when(F.col("vec_id") % 3 == 0, "en").otherwise("de")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    model = IvfFlat(n_cells=4, seed=1).fit(corpus, keep_cols=("lang",),
+                                           persist=False)
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in model.approx_cosine_topk_batch(
+            queries, k=5, n_probe=4, where="lang = 'en'"
+        ).collect()
+    }
+    sub = corpus.filter("lang = 'en'")
+    for q in queries.collect():
+        q_emb = F.array(*[F.lit(float(x)) for x in q.embedding]).cast("array<float>")
+        want = [
+            r.vec_id
+            for r in sub.select(
+                "vec_id", cosine_similarity(F.col("embedding"), q_emb).alias("c")
+            ).orderBy(F.desc("c"), F.asc("vec_id")).limit(5).collect()
+        ]
+        assert [got[(q.query_id, i + 1)] for i in range(5)] == want
+
+    # saved-artifact path: keep_cols round-trips and the predicate pushes
+    path = str(tmp_path / "ivf_meta")
+    model.save_index(path)
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlatModel
+
+    loaded = IvfFlatModel.load_index(spark, path)
+    assert loaded.keep_cols == ("lang",)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    plan = (
+        loaded.approx_cosine_topk(qvec, k=5, n_probe=2, where="lang = 'en'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "lang" in plan, plan
+    got_saved = [r.vec_id for r in loaded.approx_cosine_topk(
+        qvec, k=5, n_probe=4, where="lang = 'en'").collect()]
+    got_live = [r.vec_id for r in model.approx_cosine_topk(
+        qvec, k=5, n_probe=4, where="lang = 'en'").collect()]
+    assert got_saved == got_live
