@@ -330,3 +330,69 @@ def test_promotion_gate_suggest_check_round_trip(spark):
     )
     got = {r.check: r.status for r in rep3.collect()}
     assert got["matches"] == "pass"
+
+
+def test_promotion_gate_serving_snapshot_runbook(spark, tmp_path):
+    """End-to-end "swap the serving snapshot" runbook (VERDICT r07 #7): a
+    corpus refresh is gated by promotion_gate against the currently-served
+    snapshot BEFORE any artifact write; on pass, the new training shards
+    land with a manifest, validate_shards certifies them, and the ANN
+    serving index is rebuilt at a new path and cut over via load_index. A
+    drifted/corrupt candidate must fail the gate and leave the serving
+    artifacts untouched."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.expectations import promotion_gate
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import (
+        MinHashLSH,
+        MinHashLSHModel,
+    )
+    from pyspark_minhash_lsh_spark.sources.sinks import (
+        validate_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    baseline = docs.filter(F.col("doc_id") < 300)       # the served snapshot
+    candidate = docs.filter(F.col("doc_id") >= 100)     # tomorrow's refresh
+
+    shards_v1 = str(tmp_path / "shards_v1")
+    index_v1 = str(tmp_path / "index_v1")
+    write_training_shards(baseline, shards_v1, n_shards=2, manifest=True)
+    MinHashLSH().fit(baseline, persist=False).save_index(index_v1)
+
+    # --- the runbook: gate -> write -> validate -> rebuild -> cut over ---
+    # gate on CONTENT columns — an id column's numeric envelope shifts by
+    # construction on every refresh and belongs out of the gate
+    promotion_gate(baseline, candidate, columns=["text", "source"],
+                   strict=True)  # raises on fail; nothing written yet
+    shards_v2 = str(tmp_path / "shards_v2")
+    index_v2 = str(tmp_path / "index_v2")
+    write_training_shards(candidate, shards_v2, n_shards=2, manifest=True)
+    validate_shards(spark, shards_v2)  # fails loud pre-epoch if short
+    MinHashLSH().fit(candidate, persist=False).save_index(index_v2)
+    served = MinHashLSHModel.load_index(spark, index_v2, corpus=candidate)
+    qtext = candidate.agg(F.min_by("text", "doc_id")).head()[0]
+    hits = served.approx_nearest_neighbors_plan(qtext, n=3, with_text=False).collect()
+    assert hits and hits[0].jaccard == 1.0  # the new snapshot serves
+
+    # --- a corrupt refresh: NULL texts + a rogue source value fail the
+    # gate BEFORE any v3 artifact exists ---
+    bad = candidate.withColumn(
+        "text", F.when(F.col("doc_id") % 2 == 0, F.lit(None)).otherwise(F.col("text"))
+    ).withColumn("source", F.lit(None).cast("string"))
+    with pytest.raises(AssertionError, match="not_null"):
+        promotion_gate(baseline, bad, columns=["text", "source"],
+                       strict=True)
+    assert not os.path.exists(str(tmp_path / "shards_v3"))
+    # the served artifacts are still the v2 ones, untouched
+    validate_shards(spark, shards_v2)
+    assert (
+        MinHashLSHModel.load_index(spark, index_v2, corpus=candidate)
+        .index.count() == candidate.count()
+    )
