@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -263,14 +263,25 @@ def fit_pq(
     return PqModel(books, emb_col, id_col)
 
 
-def build_ivf_pq_index(ivf_model, pq_model: PqModel) -> DataFrame:
+def build_ivf_pq_index(
+    ivf_model, pq_model: PqModel, keep_cols: "tuple[str, ...] | None" = None
+) -> DataFrame:
     """Materialize the IVF-PQ index: ``(id, cell, pq_codes)`` — the slim
     artifact a 100 TB ANN service actually serves from (16-24 bytes per
     vector; the float embeddings stay in cold storage). Feed it to
     ``ivf_pq_topk``, or wrap it in ``IvfPqIndex`` and ``save_index`` it
-    cell-partitioned so probes prune parquet partitions before any scan."""
+    cell-partitioned so probes prune parquet partitions before any scan.
+
+    ``keep_cols`` (round 8): metadata columns carried into the index rows
+    for ``where=``-filtered queries; defaults to whatever the IVF model was
+    fit with (``IvfFlat.fit(keep_cols=...)``)."""
+    if keep_cols is None:
+        keep_cols = tuple(getattr(ivf_model, "keep_cols", ()))
     enc = pq_model.encode(ivf_model.index)
-    return enc.select(F.col(pq_model.id_col), F.col("cell"), F.col("pq_codes"))
+    return enc.select(
+        F.col(pq_model.id_col), F.col("cell"), F.col("pq_codes"),
+        *[F.col(c) for c in keep_cols],
+    )
 
 
 def _nearest_cells_by_cosine(
@@ -294,15 +305,19 @@ class IvfPqIndex:
     ``SrpLshModel.save_index``."""
 
     def __init__(self, centroids: "list[list[float]]", pq_model: PqModel,
-                 index: DataFrame):
+                 index: DataFrame, keep_cols: "tuple[str, ...]" = ()):
         self.centroids = centroids
         self.pq = pq_model
         self.index = index
+        self.keep_cols = tuple(keep_cols)
 
     @classmethod
     def from_models(cls, ivf_model, pq_model: PqModel) -> "IvfPqIndex":
+        keep = tuple(getattr(ivf_model, "keep_cols", ()))
         return cls(
-            ivf_model.centroids, pq_model, build_ivf_pq_index(ivf_model, pq_model)
+            ivf_model.centroids, pq_model,
+            build_ivf_pq_index(ivf_model, pq_model, keep_cols=keep),
+            keep_cols=keep,
         )
 
     def topk(
@@ -312,6 +327,7 @@ class IvfPqIndex:
         n_probe: int = 4,
         refine: "int | None" = None,
         embeddings: "DataFrame | None" = None,
+        where: "Column | str | None" = None,
     ) -> DataFrame:
         """Probe the ``n_probe`` nearest cells, ADC-score only their codes.
         On a loaded (cell-partitioned) index the ``isin`` filter is a
@@ -320,10 +336,20 @@ class IvfPqIndex:
         ``refine=c`` reranks the top-c ADC candidates by exact cosine
         against ``embeddings`` (required with refine — the serving index
         stores codes only, the floats live in the source table); see
-        ``refine_topk`` for the broadcast-bounded plan shape."""
+        ``refine_topk`` for the broadcast-bounded plan shape.
+
+        ``where`` (round 8, VERDICT r07 #6): metadata predicate over the
+        index's ``keep_cols``, applied WITH the cell filter before any ADC
+        work — the true top-k of the filtered subset, with both partition
+        pruning (cells) and row-group pruning (the predicate) on a loaded
+        index. The refine rerank sees only filtered candidates, so the
+        final ranking is filtered end-to-end."""
         cells = _nearest_cells_by_cosine(self.centroids, query, n_probe)
+        pruned = self.index.filter(F.col("cell").isin(cells))
+        if where is not None:
+            pruned = pruned.filter(F.expr(where) if isinstance(where, str) else where)
         adc = self.pq.approx_cosine_topk(
-            self.index.filter(F.col("cell").isin(cells)), query,
+            pruned, query,
             n=max(refine, k) if refine else k,
         )
         if not refine:
@@ -348,6 +374,7 @@ class IvfPqIndex:
         refine: "int | None" = None,
         embeddings: "DataFrame | None" = None,
         max_query_batch: int = DEFAULT_MAX_QUERY_BATCH,
+        where: "Column | str | None" = None,
     ) -> DataFrame:
         """Batch IVF-PQ serving: ONE pruned scan answers every query.
 
@@ -391,6 +418,10 @@ class IvfPqIndex:
         }
         union_cells = sorted({c for cs in qcells.values() for c in cs})
         pruned = self.index.filter(F.col("cell").isin(union_cells))
+        if where is not None:
+            # filtered ANN (see topk): every query's candidates are pruned
+            # by the metadata predicate before ADC scoring
+            pruned = pruned.filter(F.expr(where) if isinstance(where, str) else where)
         adc = _batch_topk(
             self.pq, pruned, qids, qmat,
             max(refine, k) if refine else k, qcells=qcells,
@@ -428,7 +459,8 @@ class IvfPqIndex:
             assign_cells(embeddings, self.centroids, self.pq.emb_col)
         )
         return enc.select(
-            F.col(self.pq.id_col), F.col("cell"), F.col("pq_codes")
+            F.col(self.pq.id_col), F.col("cell"), F.col("pq_codes"),
+            *[F.col(c) for c in self.keep_cols],
         )
 
     def append_index(self, embeddings: DataFrame, path: str) -> None:
@@ -462,10 +494,16 @@ class IvfPqIndex:
         centroids = [
             list(r.centroid) for r in sorted(cent_rows, key=lambda r: r.cell)
         ]
-        index = spark.read.parquet(path).select(
-            pq_model.id_col, "cell", "pq_codes"
+        raw = spark.read.parquet(path)
+        # keep_cols are derived from the data schema (the artifact's core
+        # columns are fixed), so pre-round-8 artifacts load unchanged and
+        # metadata-bearing ones expose their columns for where= queries
+        keep = tuple(
+            c for c in raw.columns
+            if c not in (pq_model.id_col, "cell", "pq_codes")
         )
-        return cls(centroids, pq_model, index)
+        index = raw.select(pq_model.id_col, "cell", "pq_codes", *keep)
+        return cls(centroids, pq_model, index, keep_cols=keep)
 
 
 def refine_topk(
@@ -729,7 +767,10 @@ def reindex_ivf_pq(
         n_cells=int(n_cells) if n_cells is not None else len(old.centroids),
         seed=seed,
     ).fit(embeddings, emb_col=old.pq.emb_col, id_col=old.pq.id_col,
-          persist=False)
+          persist=False,
+          # metadata columns survive the rebuild when the raw table still
+          # carries them (filtered-ANN keep_cols, round 8)
+          keep_cols=tuple(c for c in old.keep_cols if c in embeddings.columns))
     pq_model = fit_pq(
         embeddings,
         m=int(m) if m is not None else books.shape[0],

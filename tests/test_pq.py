@@ -274,3 +274,62 @@ def test_pq_topk_batch_refine_matches_manual_rerank(spark):
     want = sorted((r.query_id, r.rank, r.vec_id) for r in manual.collect())
     assert got == want and len(got) == 20
     assert {"adc_score", "cosine"} <= set(refined.columns)
+
+
+def test_ivf_pq_filtered_ann_where_and_roundtrip(spark, tmp_path):
+    """Round 8 filtered ANN on the PQ serving path: keep_cols metadata
+    flows from IvfFlat.fit through build_ivf_pq_index, where= prunes
+    candidates before ADC, the refine rerank sees only filtered rows
+    (full probe + full refine == exact brute force over the filtered
+    subset), and save/load round-trips the metadata columns."""
+    import random
+
+    from pyspark_minhash_lsh_spark.functions.vectors import cosine_similarity
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+    from pyspark_minhash_lsh_spark.operators.pq import IvfPqIndex, fit_pq
+
+    rng = random.Random(9)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)],
+          "en" if i % 3 == 0 else "de") for i in range(150)],
+        "vec_id bigint, embedding array<float>, lang string",
+    )
+    qvec = [rng.gauss(0, 1) for _ in range(8)]
+    ivf = IvfFlat(n_cells=4, seed=3).fit(corpus, keep_cols=("lang",),
+                                         persist=False)
+    pq = fit_pq(corpus, m=2, k=16, seed=5)
+    idx = IvfPqIndex.from_models(ivf, pq)
+    assert idx.keep_cols == ("lang",)
+    assert "lang" in idx.index.columns
+
+    got = idx.topk(qvec, k=5, n_probe=4, refine=200, embeddings=corpus,
+                   where="lang = 'en'")
+    got_ids = [r.vec_id for r in got.collect()]
+    assert got_ids and all(v % 3 == 0 for v in got_ids)
+    q_emb = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<float>")
+    want = [
+        r.vec_id
+        for r in corpus.filter("lang = 'en'")
+        .select("vec_id", cosine_similarity(F.col("embedding"), q_emb).alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id")).limit(5).collect()
+    ]
+    assert got_ids == want  # full probe + refine >= subset size == brute force
+
+    # batch where= returns only matching rows for every query
+    full = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    queries = spark.createDataFrame(
+        [(i, full[i]) for i in range(3)],
+        "query_id bigint, embedding array<float>",
+    )
+    batch = idx.topk_batch(queries, k=4, n_probe=4, where="lang = 'en'").collect()
+    assert batch and all(r.vec_id % 3 == 0 for r in batch)
+
+    # save/load: metadata column and filtered results survive
+    path = str(tmp_path / "pq_meta")
+    idx.save_index(path)
+    loaded = IvfPqIndex.load_index(spark, path)
+    assert loaded.keep_cols == ("lang",)
+    re_ids = [r.vec_id for r in loaded.topk(
+        qvec, k=5, n_probe=4, refine=200, embeddings=corpus,
+        where="lang = 'en'").collect()]
+    assert re_ids == got_ids
