@@ -1490,8 +1490,12 @@ def q87_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     a = docs.select("doc_id", F.col("text").alias("t1"))
     b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t2"))
+    # F.concat (NULL-propagating), NOT concat_ws (NULL-skipping): the
+    # oracle's `a.text || chr(10) || b.text` yields NULL when either text
+    # is NULL, and a NULL super-doc must mean the same thing on both
+    # engines should the testdata ever carry a NULL text (r08 review)
     sup = a.join(b, "doc_id").select(
-        "doc_id", F.concat_ws("\n", "t1", "t2").alias("text")
+        "doc_id", F.concat("t1", F.lit("\n"), "t2").alias("text")
     )
     return line_dedup(sup)
 
@@ -1649,10 +1653,12 @@ def q33_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold). Threshold membership and every emitted column are pure
     integers; jaccard is the ``_ratio_sint`` scaled integer.
 
-    persist=True matters here: the self-join references the index twice, and
-    without persistence the whole signature pipeline is recomputed for both
-    sides (verified via .explain — the plan showed two full scan->explode->
-    agg subtrees)."""
+    persist=True matters here: the band self-join references the index from
+    both sides, and without persistence the whole signature pipeline is
+    recomputed per side (verified via .explain — the plan showed two full
+    scan->explode->agg subtrees). The verify stage's shingle projection is
+    persisted the same way inside ``similarity_join_exact`` (r08 review:
+    both verify join sides reference it)."""
     docs = _t(spark, sf_dir, "documents")
     model = MinHashLSH().fit(docs, text_col="text", id_col="doc_id", persist=True)
     out = model.similarity_join_exact(threshold=0.7)
@@ -3834,7 +3840,15 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg_srp = _suite_row(
         srp.approx_cosine_topk(qvec, k=10), "srp_ann", F.sum("vec_id"), F.sum("cosine")
     )
-    ivf = IvfFlat(n_cells=8, seed=1).fit(corpus, persist=False)
+    # ONE KMeans fit serves the ivf_ann, cell_stats, AND filtered_ann legs
+    # (r08 review: a second identical-seed fit just to carry the metadata
+    # column re-ran the whole MLlib job; lang does not feed _features, so
+    # centroids/assignments are identical either way)
+    fcorpus = corpus.withColumn(
+        "lang", F.when(F.col("vec_id") % 3 == 0, F.lit("en")).otherwise(F.lit("de"))
+    )
+    ivf = IvfFlat(n_cells=8, seed=1).fit(fcorpus, keep_cols=("lang",),
+                                         persist=False)
     leg_ivf = _suite_row(
         ivf.approx_cosine_topk(qvec, k=10, n_probe=8), "ivf_ann",
         F.sum("vec_id"), F.sum("cosine"),
@@ -3948,20 +3962,14 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # filtered_ann (round 8, VERDICT r07 #6): metadata-predicate ANN — the
-    # index carries a keep_cols 'lang' column and the query's where= prunes
-    # candidates BEFORE top-k, so the result is the true top-k of the
-    # filtered subset (equality with post-filtered brute force is pinned in
-    # tests/test_ivf.py + the SRP twin in tests/test_dedup_similarity.py).
-    # f1 = summed retrieved ids (all lang='en' by construction), f2 =
-    # summed cosine.
-    fcorpus = corpus.withColumn(
-        "lang", F.when(F.col("vec_id") % 3 == 0, F.lit("en")).otherwise(F.lit("de"))
-    )
-    fivf = IvfFlat(n_cells=8, seed=1).fit(
-        fcorpus, keep_cols=("lang",), persist=False
-    )
+    # SAME fitted index as the ivf_ann/cell_stats legs carries a keep_cols
+    # 'lang' column and the query's where= prunes candidates BEFORE top-k,
+    # so the result is the true top-k of the filtered subset (equality with
+    # post-filtered brute force is pinned in tests/test_ivf.py + the SRP
+    # twin in tests/test_dedup_similarity.py). f1 = summed retrieved ids
+    # (all lang='en' by construction), f2 = summed cosine.
     leg_fa = _suite_row(
-        fivf.approx_cosine_topk(qvec, k=10, n_probe=8, where="lang = 'en'"),
+        ivf.approx_cosine_topk(qvec, k=10, n_probe=8, where="lang = 'en'"),
         "filtered_ann", F.sum("vec_id"), F.sum("cosine"),
     )
 

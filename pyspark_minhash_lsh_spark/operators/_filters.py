@@ -1,0 +1,21 @@
+"""Shared ``where=`` predicate coercion for the filtered-ANN family.
+
+Every index query method (IvfFlat / SrpLsh / IvfPqIndex, single and batch)
+accepts the same contract — a ``Column`` predicate or a SQL string over the
+index's ``keep_cols`` metadata, applied to the candidate scan BEFORE any
+ranking. Defining the coercion once keeps the family's semantics from
+drifting between modules (r08 review: the expression was copy-pasted six
+times)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_where(df: DataFrame, where: "Column | str | None") -> DataFrame:
+    """Filter ``df`` by the filtered-ANN ``where=`` predicate (SQL string ->
+    ``F.expr``; ``None`` -> unchanged)."""
+    if where is None:
+        return df
+    return df.filter(F.expr(where) if isinstance(where, str) else where)

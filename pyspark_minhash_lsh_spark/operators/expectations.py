@@ -481,6 +481,13 @@ def streaming_constraint_gate(
     aggregation scan per micro-batch over persisted in-memory rows, plus
     whatever the sink itself pays.
 
+    EMPTY micro-batches (Spark's no-data batches, emitted to advance
+    watermarks) are passed over entirely — not checked, not delivered,
+    no report: there is no data to gate, and a per-batch whole-table rule
+    like ``size_between(1)`` must not kill a healthy stream that simply
+    had nothing to say this trigger. Alert on emptiness over time from
+    stream metrics, not from this per-batch data contract.
+
     Returns the started ``StreamingQuery``.
     """
     if not stream_df.isStreaming:
@@ -489,6 +496,11 @@ def streaming_constraint_gate(
             "batch forms are check_constraints / assert_constraints"
         )
     checks = list(checks)
+    if not checks:
+        # validate BEFORE .start(): check_constraints would raise this only
+        # on the first micro-batch, inside foreachBatch — a misconfigured
+        # gate that looks healthy until data arrives (r08 review)
+        raise ValueError("no constraints given")
     if callable(sink):
         user_fn = sink
     else:
@@ -500,6 +512,16 @@ def streaming_constraint_gate(
     def fb(bdf: DataFrame, bid: int) -> None:
         bdf = bdf.persist()
         try:
+            if bdf.isEmpty():
+                # no-data micro-batches are a HEALTHY part of a stream's
+                # life (Spark emits them to advance watermarks when
+                # noDataMicroBatches is on): there is nothing to gate and
+                # nothing to deliver, and letting a whole-table rule like
+                # size_between(1) see count=0 here would kill a healthy
+                # stream at a clean offset (r08 review). Emptiness OVER
+                # TIME is a monitoring concern, not a per-batch data
+                # contract.
+                return
             report = check_constraints(bdf, checks)
             rows = report.collect()
             if report_sink is not None:

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
+from ._filters import apply_where
 
 __all__ = [
     "IvfFlat",
@@ -249,9 +250,7 @@ class IvfFlatModel:
         from the cell filter, row-group min/max pruning from the predicate."""
         cells = self._nearest_cells(query_vec, n_probe)
         q_emb = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<float>")
-        cand = self.index.filter(F.col("cell").isin(cells))
-        if where is not None:
-            cand = cand.filter(F.expr(where) if isinstance(where, str) else where)
+        cand = apply_where(self.index.filter(F.col("cell").isin(cells)), where)
         return (
             cand.select(
                 F.col(self.id_col),
@@ -344,9 +343,7 @@ class IvfFlatModel:
 
         emb = query_emb_col or self.emb_col
         spark = self.index.sparkSession
-        index = self.index
-        if where is not None:
-            index = index.filter(F.expr(where) if isinstance(where, str) else where)
+        index = apply_where(self.index, where)
         cent = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
             "cell int, c_emb array<float>",

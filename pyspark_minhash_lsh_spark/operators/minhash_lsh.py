@@ -39,6 +39,12 @@ from ..functions.text import tokens
 __all__ = ["MinHashLSH", "MinHashLSHModel"]
 
 
+#: similarity_join_exact's shingle-projection pins — released on the next
+#: call (the setjoin._PINNED discipline: the returned plan is lazy, so the
+#: cache must outlive this call and is freed when the next verify join runs)
+_VERIFY_PINNED: "list[DataFrame]" = []
+
+
 class MinHashLSH:
     """Transformer that adds ``signature`` and ``bucket_ids`` columns to a corpus.
 
@@ -450,19 +456,32 @@ class MinHashLSHModel:
         are attached only to the surviving candidate pairs (near-dup density
         sized, not corpus^2) via two id-keyed joins against the shingle
         projection. Verification cost is O(candidates * avg_shingles), the
-        same budget every LSH verify stage pays.
+        same budget every LSH verify stage pays. The shingle projection is
+        PERSISTED for the join's duration (released on the next call — the
+        ``setjoin._PINNED`` discipline): the plan references it from both
+        join sides, and unpersisted each side would re-run the full
+        tokenize+shingle regex scan over the corpus (r08 review — the
+        recompute class r07's shared-tokenization work eliminated).
         """
         from fractions import Fraction
 
+        from pyspark.storagelevel import StorageLevel
+
         from ..functions.text import shingles, tokens
 
+        while _VERIFY_PINNED:
+            try:
+                _VERIFY_PINNED.pop().unpersist(blocking=False)
+            except Exception:  # previous session already stopped
+                pass
         frac = Fraction(float(threshold)).limit_denominator(10**6)
         p, q = frac.numerator, frac.denominator
         pairs = self._candidate_pairs(max_bucket_size, min_band_matches)
         sh = self.corpus.select(
             F.col(self.id_col),
             shingles(tokens(F.col(self.text_col)), self.config.shingle_size).alias("_s"),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _VERIFY_PINNED.append(sh)
         sa = sh.select(F.col(self.id_col).alias("id_a"), F.col("_s").alias("_sa"))
         sb = sh.select(F.col(self.id_col).alias("id_b"), F.col("_s").alias("_sb"))
         c = F.size(F.array_intersect("_sa", "_sb"))

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._filters import apply_where
+
 __all__ = [
     "fit_pq",
     "PqModel",
@@ -345,9 +347,7 @@ class IvfPqIndex:
         index. The refine rerank sees only filtered candidates, so the
         final ranking is filtered end-to-end."""
         cells = _nearest_cells_by_cosine(self.centroids, query, n_probe)
-        pruned = self.index.filter(F.col("cell").isin(cells))
-        if where is not None:
-            pruned = pruned.filter(F.expr(where) if isinstance(where, str) else where)
+        pruned = apply_where(self.index.filter(F.col("cell").isin(cells)), where)
         adc = self.pq.approx_cosine_topk(
             pruned, query,
             n=max(refine, k) if refine else k,
@@ -417,11 +417,11 @@ class IvfPqIndex:
             for qid, q in zip(qids, raw)
         }
         union_cells = sorted({c for cs in qcells.values() for c in cs})
-        pruned = self.index.filter(F.col("cell").isin(union_cells))
-        if where is not None:
-            # filtered ANN (see topk): every query's candidates are pruned
-            # by the metadata predicate before ADC scoring
-            pruned = pruned.filter(F.expr(where) if isinstance(where, str) else where)
+        # filtered ANN (see topk): every query's candidates are pruned by
+        # the metadata predicate before ADC scoring
+        pruned = apply_where(
+            self.index.filter(F.col("cell").isin(union_cells)), where
+        )
         adc = _batch_topk(
             self.pq, pruned, qids, qmat,
             max(refine, k) if refine else k, qcells=qcells,

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
+from ._filters import apply_where
 
 __all__ = ["srp_bucket_keys", "SrpLsh"]
 
@@ -154,8 +155,7 @@ class SrpLshModel:
                 "srp_keys", F.array(*[F.lit(x).cast("bigint") for x in q_keys])
             )
         )
-        if where is not None:
-            cand = cand.filter(F.expr(where) if isinstance(where, str) else where)
+        cand = apply_where(cand, where)
         return (
             cand.select(
                 F.col(self.id_col),
@@ -194,9 +194,7 @@ class SrpLshModel:
         from pyspark.sql import Window
 
         emb = query_emb_col or self.emb_col
-        index = self.index
-        if where is not None:
-            index = index.filter(F.expr(where) if isinstance(where, str) else where)
+        index = apply_where(self.index, where)
         q_idx = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(emb).alias("q_emb"),

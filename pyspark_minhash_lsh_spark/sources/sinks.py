@@ -235,13 +235,17 @@ def validate_shards(spark, path: str) -> None:
     # config rows must agree BEFORE any single value is trusted (ADVICE
     # r07: collapsing a disagreeing set with next(iter(...)) checked an
     # arbitrary value and hid the corruption itself)
+    # key=repr: a corrupt sidecar can mix NULL with real values in one
+    # column, and sorting {None, 'x'} directly would die with TypeError
+    # instead of reporting (r08 review — fail-loud on EVERY corruption)
     if len(n_shards) > 1:
         problems.append(
-            f"manifest config rows disagree on n_shards: {sorted(n_shards)}"
+            "manifest config rows disagree on n_shards: "
+            f"{sorted(n_shards, key=repr)}"
         )
     if len(salts) > 1:
         problems.append(
-            f"manifest config rows disagree on salt: {sorted(salts)}"
+            f"manifest config rows disagree on salt: {sorted(salts, key=repr)}"
         )
     if len(n_shards) == 1 and sorted(expected) != list(range(next(iter(n_shards)))):
         problems.append(

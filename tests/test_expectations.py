@@ -465,3 +465,38 @@ def test_streaming_constraint_gate_parity_and_fail_closed(spark, tmp_path):
     # batch input is refused (the batch forms exist)
     with pytest.raises(ValueError, match="streaming DataFrame"):
         streaming_constraint_gate(src, rules, sink=lambda b, i: None)
+
+
+def test_streaming_constraint_gate_tolerates_empty_batches_and_refuses_empty_rules(
+    spark, tmp_path
+):
+    """r08 review: (a) a 0-row micro-batch must pass over the gate (not die
+    on size_between(1) — Spark emits no-data batches to healthy streams);
+    (b) an empty rules list is refused at start time, not on first batch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.expectations import (
+        not_null,
+        size_between,
+        streaming_constraint_gate,
+    )
+
+    src = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    empty_dir = str(tmp_path / "empty_src")
+    src.limit(0).write.mode("overwrite").parquet(empty_dir)
+    delivered, reports = [], []
+    stream = spark.readStream.schema(src.schema).parquet(empty_dir)
+    q = streaming_constraint_gate(
+        stream, [not_null("text"), size_between(1)],
+        sink=lambda bdf, bid: delivered.extend(bdf.collect()),
+        report_sink=lambda rdf, bid: reports.append(rdf),
+    )
+    q.processAllAvailable()  # must NOT raise
+    q.stop()
+    assert delivered == [] and reports == []
+
+    with pytest.raises(ValueError, match="no constraints"):
+        streaming_constraint_gate(stream, [], sink=lambda b, i: None)

@@ -857,3 +857,28 @@ def test_validate_shards_detects_manifest_config_disagreement(spark, tmp_path):
         validate_shards(spark, p)
     with pytest.raises(ValueError, match="disagree on salt"):
         validate_shards(spark, p)
+
+
+def test_validate_shards_reports_null_mixed_config_rows(spark, tmp_path):
+    """r08 review: a corrupt manifest mixing NULL with real salt values must
+    REPORT the disagreement, not die sorting {None, str} with TypeError."""
+    import pytest
+
+    from pyspark_minhash_lsh_spark.sources.sinks import (
+        validate_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "vn")
+    write_training_shards(docs, p, n_shards=2, manifest=True)
+    man = spark.read.parquet(f"{p}/_manifest")
+    rows = man.collect()
+    bad = spark.createDataFrame(
+        [(rows[0].shard_id, rows[0].n_rows, None, None)], man.schema
+    )
+    spark.createDataFrame([tuple(r) for r in rows[1:]], man.schema)\
+        .unionByName(bad).coalesce(1).write.mode("overwrite")\
+        .parquet(f"{p}/_manifest")
+    with pytest.raises(ValueError, match="disagree on salt"):
+        validate_shards(spark, p)
