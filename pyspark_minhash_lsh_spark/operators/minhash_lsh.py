@@ -35,6 +35,7 @@ from ..functions.hashing import (
     token_shingle_hashes,
 )
 from ..functions.text import tokens
+from ._filters import apply_where
 
 __all__ = ["MinHashLSH", "MinHashLSHModel"]
 
@@ -172,6 +173,22 @@ class MinHashLSHModel:
             .withColumn("q_band_keys", self.lsh.band_keys_col(F.col("q_signature")))
         )
 
+    def _filtered_index(self, where: "Column | str | None") -> DataFrame:
+        """The signature index restricted to corpus rows matching ``where`` —
+        the filtered-ANN contract of the vector family (``IvfFlatModel``/
+        ``SrpLshModel``/``IvfPqIndex``, round 8) for the TEXT index. The
+        predicate is over CORPUS columns (the index itself carries only
+        id/signature/bands); the corpus-side filter pushes down to the
+        corpus parquet scan, only the matching-id spine joins the index
+        (left semi, id-keyed — AQE broadcasts it when the filtered subset
+        is small), and everything downstream (candidate join, jaccard,
+        top-n) sees allowed rows only, so filtered recall is preserved —
+        post-hoc filtering of an unfiltered top-n loses rows instead."""
+        if where is None:
+            return self.index
+        allowed = apply_where(self.corpus, where).select(self.id_col)
+        return self.index.join(allowed, self.id_col, "left_semi")
+
     def approx_nearest_neighbors_plan(
         self,
         query_text: str,
@@ -179,6 +196,7 @@ class MinHashLSHModel:
         bucket_thres: Optional[float] = None,
         with_text: bool = True,
         use_band_keys: bool = False,
+        where: "Column | str | None" = None,
     ) -> DataFrame:
         """Lazy top-n plan (no fallback control flow — see approx_nearest_neighbors).
 
@@ -195,7 +213,10 @@ class MinHashLSHModel:
         candidates to true band agreements (precision mode: no collision
         filler, possibly < n results). ``bucket_thres`` selects the
         overlap-ratio filter (F-b, ``minhash_utils.py:116-119``), defined on
-        the modded space.
+        the modded space. ``where`` restricts the search to corpus rows
+        matching a metadata predicate BEFORE the top-n (filtered ANN — see
+        ``_filtered_index``); equivalent by construction to fitting on the
+        pre-filtered corpus (tested).
         """
         q = F.broadcast(self._query_frame(query_text))
         if bucket_thres is None and use_band_keys:
@@ -207,7 +228,7 @@ class MinHashLSHModel:
                 bucket_overlap_ratio(F.col("bucket_ids"), F.col("q_bucket_ids"))
                 >= F.lit(float(bucket_thres))
             )
-        cand = self.index.join(q, on=pred, how="inner")
+        cand = self._filtered_index(where).join(q, on=pred, how="inner")
         scored = cand.select(
             F.col(self.id_col),
             signature_jaccard(F.col("signature"), F.col("q_signature")).alias("jaccard"),
@@ -228,16 +249,23 @@ class MinHashLSHModel:
         n: int = 10,
         bucket_thres: Optional[float] = None,
         with_text: bool = True,
+        where: "Column | str | None" = None,
     ) -> DataFrame:
         """Top-n most similar documents, with the reference's empty-result fallback.
 
         If ``bucket_thres`` filtering yields zero candidates, retry with the
         any-overlap filter (reference F-c, ``minhash_pyspark.py:296-306``) —
         kept as driver control flow, the one place a count() action is allowed.
+        ``where`` (filtered ANN) applies to BOTH attempts — the fallback
+        relaxes the candidate predicate, never the metadata restriction.
         """
-        plan = self.approx_nearest_neighbors_plan(query_text, n, bucket_thres, with_text)
+        plan = self.approx_nearest_neighbors_plan(
+            query_text, n, bucket_thres, with_text, where=where
+        )
         if bucket_thres is not None and plan.isEmpty():
-            plan = self.approx_nearest_neighbors_plan(query_text, n, None, with_text)
+            plan = self.approx_nearest_neighbors_plan(
+                query_text, n, None, with_text, where=where
+            )
         return plan
 
     def approx_nearest_neighbors_batch(
@@ -247,6 +275,7 @@ class MinHashLSHModel:
         query_text_col: str = "text",
         query_id_col: str = "query_id",
         with_text: bool = True,
+        where: "Column | str | None" = None,
     ) -> DataFrame:
         """Top-n neighbors for EVERY row of a query DataFrame in one plan —
         the batch-retrieval shape (10k user queries against the corpus at
@@ -265,15 +294,19 @@ class MinHashLSHModel:
         is a ``row_number() <= n`` rank filter, which Spark executes as
         WindowGroupLimit (per-partition partial top-k before the shuffle) —
         no global sort, no collect. Candidate count tracks true band
-        agreement, so a hot query costs its own matches only.
+        agreement, so a hot query costs its own matches only. ``where``
+        (filtered ANN, see ``_filtered_index``) restricts the corpus side
+        BEFORE the band join, so disallowed rows never even shuffle their
+        band keys and each query's top-n fills from allowed rows only.
         """
         from pyspark.sql import Window
 
         q_idx = self.lsh.transform(queries, query_text_col, query_id_col)
+        index = self._filtered_index(where)
         qb = q_idx.select(
             F.col(query_id_col).alias("query_id"), F.explode("band_keys").alias("bucket")
         )
-        cb = self.index.select(
+        cb = index.select(
             F.col(self.id_col), F.explode("band_keys").alias("bucket")
         )
         pairs = (

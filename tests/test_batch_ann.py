@@ -180,3 +180,114 @@ def test_batch_ann_plan_uses_window_group_limit(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" not in plan  # no global top-k
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN on the TEXT index (round 8: where= family symmetry with
+# IvfFlat / SrpLsh / IvfPq — predicate over CORPUS metadata columns)
+# ---------------------------------------------------------------------------
+
+def _lang_corpus(spark, n=60, seed=11):
+    """Random docs + a lang column; doc_id % 3 == 0 -> 'en', else 'de'."""
+    return _corpus(spark, n=n, seed=seed).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, F.lit("en")).otherwise(F.lit("de"))
+    )
+
+
+def test_minhash_filtered_ann_equals_fit_on_filtered_corpus(spark):
+    """where= at query time == fitting on the pre-filtered corpus: per-doc
+    signatures/buckets are independent of other docs, so restricting the
+    index by id-spine semi-join is exactly the sub-corpus index."""
+    docs = _lang_corpus(spark)
+    model = MinHashLSH().fit(docs, persist=False)
+    sub = MinHashLSH().fit(docs.filter("lang = 'en'"), persist=False)
+    qtext = docs.filter(F.col("doc_id") == 0).head().text
+    got = model.approx_nearest_neighbors_plan(
+        qtext, n=5, with_text=False, where="lang = 'en'"
+    ).collect()
+    want = sub.approx_nearest_neighbors_plan(qtext, n=5, with_text=False).collect()
+    assert [(r.doc_id, round(r.jaccard, 9)) for r in got] == [
+        (r.doc_id, round(r.jaccard, 9)) for r in want
+    ]
+    assert all(r.doc_id % 3 == 0 for r in got) and got  # non-empty: own doc hits
+
+    # Column-predicate form agrees with the SQL-string form
+    got_col = model.approx_nearest_neighbors_plan(
+        qtext, n=5, with_text=False, where=F.col("lang") == "en"
+    ).collect()
+    assert [r.doc_id for r in got_col] == [r.doc_id for r in got]
+
+
+def test_minhash_filtered_ann_beats_posthoc_filter(spark):
+    """Near-dups of the query live almost entirely in lang='de', so post-hoc
+    filtering of the unfiltered top-n loses lang='en' rows that where=
+    returns — the recall argument for pushing the predicate below top-n."""
+    import random
+
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(300)]
+    base = " ".join(rng.choice(words) for _ in range(60))
+
+    def variant(k, edits):
+        toks = base.split()
+        for j in range(edits):
+            toks[(7 * k + j) % len(toks)] = rng.choice(words)
+        return " ".join(toks)
+
+    # de: tight near-dups (3 edits, J~0.85) crowd the unfiltered top-5;
+    # en: looser near-dups (10 edits, J~0.6) — real matches, outranked
+    rows = [(i, variant(i, 3)) for i in range(1, 13) if i % 3 != 0]
+    rows += [(i, variant(i, 10)) for i in range(30, 54, 3)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, F.lit("en")).otherwise(F.lit("de"))
+    )
+    model = MinHashLSH().fit(docs, persist=False)
+    unfiltered = model.approx_nearest_neighbors_plan(
+        base, n=5, with_text=False
+    ).collect()
+    filtered = model.approx_nearest_neighbors(
+        base, n=5, with_text=False, where="lang = 'en'"
+    ).collect()
+    posthoc = [r for r in unfiltered if r.doc_id % 3 == 0]
+    assert all(r.doc_id % 3 == 0 for r in filtered)
+    assert len(posthoc) < 5  # de near-dups crowd the unfiltered top-5
+    assert len(filtered) == 5  # where= fills from allowed rows only
+
+
+def test_minhash_filtered_ann_batch_matches_sub_corpus_batch(spark):
+    """Batch where= == the same batch against a model fit on the filtered
+    corpus (band-key precision mode both ways)."""
+    docs = _lang_corpus(spark)
+    model = MinHashLSH().fit(docs, persist=False)
+    sub = MinHashLSH().fit(docs.filter("lang = 'en'"), persist=False)
+    queries = docs.filter(F.col("doc_id").isin(0, 3, 7)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, round(r.jaccard, 9))
+        for r in model.approx_nearest_neighbors_batch(
+            queries, n=4, with_text=False, where="lang = 'en'"
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.doc_id, round(r.jaccard, 9))
+        for r in sub.approx_nearest_neighbors_batch(
+            queries, n=4, with_text=False
+        ).collect()
+    }
+    assert got == want and got  # non-empty: en queries hit their own docs
+    assert all(doc % 3 == 0 for doc, _ in got.values())
+
+
+def test_minhash_filtered_ann_fallback_keeps_predicate(spark):
+    """The bucket_thres empty-result fallback relaxes the CANDIDATE filter
+    only — the metadata restriction survives the retry."""
+    docs = _lang_corpus(spark, n=30)
+    model = MinHashLSH().fit(docs, persist=False)
+    # a query with disjoint vocabulary: bucket_thres=1.0 yields nothing,
+    # the fallback retries with any-overlap (collision filler)
+    qtext = " ".join(f"zz{i} qq{i}" for i in range(40))
+    out = model.approx_nearest_neighbors(
+        qtext, n=10, bucket_thres=1.0, with_text=False, where="lang = 'en'"
+    ).collect()
+    assert all(r.doc_id % 3 == 0 for r in out)
