@@ -685,6 +685,61 @@ def interval_join(
     )
 
 
+def start_ann_serving_stream(
+    queries: DataFrame,
+    search,
+    sink,
+    with_batch_id: bool = False,
+    **start_kwargs,
+):
+    """Online retrieval: answer a STREAM of queries against a fitted (or
+    saved-and-loaded) index — the serving twin of the batch top-k APIs.
+
+    ``search`` is any batch top-k callable ``(batch_df) -> DataFrame``, e.g.::
+
+        lambda b: model.approx_nearest_neighbors_batch(b, n=5, where="lang='en'")
+        lambda b: ivf.approx_cosine_topk_batch(b, k=10, n_probe=8)
+
+    so every index in the family (MinHash text, SrpLsh, IvfFlat, IvfPq) and
+    every query option — including the filtered-ANN ``where=`` — serves
+    streams through ONE primitive with zero per-index streaming code.
+
+    Executed as ``foreachBatch``: the per-micro-batch plan is the exact
+    batch plan (stream==batch parity is by construction, and tested), the
+    index side is static — candidates still prune by band key / probed cell
+    / saved-artifact partition exactly as in batch — and the operator is
+    STATELESS: no watermark, no state store; each query is answered once
+    against the index as of its batch. Rebuild-and-swap the model via the
+    promotion runbook (README) for index refreshes; a restart picks up the
+    new artifact from the checkpoint offset, replaying no answered queries.
+
+    ``sink``: callable ``(result_df, batch_id)`` or a path (parquet append).
+    ``with_batch_id=True`` stamps each result row with the micro-batch id
+    (trace which index snapshot answered, once swaps happen mid-stream).
+    Returns the started ``StreamingQuery``.
+    """
+    if not queries.isStreaming:
+        raise ValueError(
+            "start_ann_serving_stream needs a streaming DataFrame; for a "
+            "batch of queries call the searcher directly"
+        )
+    if callable(sink):
+        user_fn = sink
+    else:
+        path = str(sink)
+
+        def user_fn(bdf: DataFrame, _bid: int) -> None:
+            bdf.write.mode("append").parquet(path)
+
+    def fb(bdf: DataFrame, bid: int) -> None:
+        out = search(bdf)
+        if with_batch_id:
+            out = out.withColumn("batch_id", F.lit(int(bid)))
+        user_fn(out, bid)
+
+    return queries.writeStream.foreachBatch(fb).start(**start_kwargs)
+
+
 def streaming_curate(
     df: DataFrame,
     text_col: str = "text",

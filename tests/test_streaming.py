@@ -655,3 +655,95 @@ def test_token_count_stream_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="sketch_token_counts"):
         start_token_count_stream(docs, sink)
+
+
+# ---------------------------------------------------------------------------
+# ANN serving stream (round 8): stream of queries vs a fitted index
+# ---------------------------------------------------------------------------
+
+def test_ann_serving_stream_matches_batch_minhash(spark, tmp_path):
+    """start_ann_serving_stream over the MinHash batch searcher (with a
+    filtered-ANN where=) == the batch API on the same queries; batch_id
+    stamping rides each result row."""
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+    from pyspark_minhash_lsh_spark.streaming import start_ann_serving_stream
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(200)]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(50))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, F.lit("en")).otherwise(F.lit("de"))
+    )
+    model = MinHashLSH().fit(docs, persist=False)
+
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    src, out, ckpt = str(tmp_path / "q"), str(tmp_path / "res"), str(tmp_path / "ck")
+    queries.write.parquet(src)
+
+    search = lambda b: model.approx_nearest_neighbors_batch(
+        b, n=3, with_text=False, where="lang = 'en'"
+    )
+    q = start_ann_serving_stream(
+        spark.readStream.schema(queries.schema).parquet(src),
+        search, out, with_batch_id=True,
+        checkpointLocation=ckpt, trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.query_id, r.rank): (r.doc_id, round(r.jaccard, 9))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.doc_id, round(r.jaccard, 9))
+        for r in search(queries).collect()
+    }
+    assert got == want and got
+    assert {r.batch_id for r in spark.read.parquet(out).collect()} == {0}
+    assert all(doc % 2 == 0 for doc, _ in got.values())  # where= held
+
+
+def test_ann_serving_stream_vector_searcher_and_batch_guard(spark, tmp_path):
+    """The same primitive serves the vector family (IvfFlat batch top-k);
+    a batch DataFrame is refused loudly."""
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+    from pyspark_minhash_lsh_spark.streaming import start_ann_serving_stream
+
+    rng = random.Random(5)
+    vecs = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    model = IvfFlat(n_cells=3, seed=1).fit(vecs, persist=False)
+    queries = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src, out, ckpt = str(tmp_path / "q"), str(tmp_path / "res"), str(tmp_path / "ck")
+    queries.write.parquet(src)
+
+    search = lambda b: model.approx_cosine_topk_batch(
+        b, k=3, n_probe=3, query_emb_col="embedding"
+    )
+    q = start_ann_serving_stream(
+        spark.readStream.schema(queries.schema).parquet(src),
+        search, out, checkpointLocation=ckpt, trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine, 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine, 6))
+        for r in search(queries).collect()
+    }
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="streaming"):
+        start_ann_serving_stream(queries, search, out)
