@@ -347,8 +347,17 @@ class MinHashLSHModel:
         max_bucket_size: Optional[int] = None,
         broadcast_max_rows: Optional[int] = None,
         min_band_matches: int = 1,
+        where: "Column | str | None" = None,
     ) -> DataFrame:
         """All pairs (id_a < id_b) with estimated Jaccard >= threshold.
+
+        ``where`` (round 8, the filtered-ANN contract of ``_filtered_index``)
+        restricts BOTH sides of the self-join to corpus rows matching a
+        metadata predicate — near-dup pairs within one language / source /
+        date slice of a fitted index, equivalent by construction to fitting
+        on the pre-filtered corpus (tested). Disallowed rows never shuffle
+        their band keys; the signature attach stays on the full index (the
+        pair set is already restricted, and ids attach by key).
 
         ``min_band_matches`` = the collision-counting LSH join (C2Net,
         ICDE'19): require a candidate pair to agree on >= c bands instead
@@ -398,7 +407,7 @@ class MinHashLSHModel:
         limit -> guaranteed OOM at web scale), which is why the cap gates on
         a measured count rather than hinting blindly.
         """
-        pairs = self._candidate_pairs(max_bucket_size, min_band_matches)
+        pairs = self._candidate_pairs(max_bucket_size, min_band_matches, where)
         sigs = self.index.select(F.col(self.id_col), F.col("signature"))
         sa = sigs.select(F.col(self.id_col).alias("id_a"), F.col("signature").alias("sig_a"))
         sb = sigs.select(F.col(self.id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -418,14 +427,16 @@ class MinHashLSHModel:
         self,
         max_bucket_size: Optional[int] = None,
         min_band_matches: int = 1,
+        where: "Column | str | None" = None,
     ) -> DataFrame:
         """Distinct LSH candidate pairs ``(id_a < id_b)`` from the band-key
         self-join — the shared candidate stage behind the estimated
         (``approx_similarity_join``) and exact-verified
         (``similarity_join_exact``) joins. Only ``(bucket, id)`` rows move
         through the self-join shuffle; see ``approx_similarity_join`` for the
-        full-width-key and hot-bucket rationale."""
-        exploded = self.index.select(
+        full-width-key and hot-bucket rationale. ``where`` restricts the
+        index BEFORE the band explode (``_filtered_index``)."""
+        exploded = self._filtered_index(where).select(
             F.col(self.id_col), F.explode("band_keys").alias("bucket")
         )
         if max_bucket_size is not None:
@@ -461,6 +472,7 @@ class MinHashLSHModel:
         threshold: float = 0.7,
         max_bucket_size: Optional[int] = None,
         min_band_matches: int = 1,
+        where: "Column | str | None" = None,
     ) -> DataFrame:
         """Candidate-verify similarity self-join: LSH band candidates, then
         EXACT shingle-set Jaccard verification — the textbook two-phase LSH
@@ -483,7 +495,9 @@ class MinHashLSHModel:
         bit-for-bit.
 
         Returns ``(id_a, id_b, n_common, n_a, n_b)`` with the exact distinct
-        shingle counts; derive any scaled ratio downstream.
+        shingle counts; derive any scaled ratio downstream. ``where``
+        restricts both sides to a metadata slice (see
+        ``approx_similarity_join``).
 
         Scale shape: the band self-join moves 24-byte rows; shingle ARRAYS
         are attached only to the surviving candidate pairs (near-dup density
@@ -509,8 +523,11 @@ class MinHashLSHModel:
                 pass
         frac = Fraction(float(threshold)).limit_denominator(10**6)
         p, q = frac.numerator, frac.denominator
-        pairs = self._candidate_pairs(max_bucket_size, min_band_matches)
-        sh = self.corpus.select(
+        pairs = self._candidate_pairs(max_bucket_size, min_band_matches, where)
+        # where= also restricts the persisted shingle projection: the pair
+        # set is already allowed-only, and shingling disallowed rows would
+        # waste the verify cache on text the join can never touch
+        sh = apply_where(self.corpus, where).select(
             F.col(self.id_col),
             shingles(tokens(F.col(self.text_col)), self.config.shingle_size).alias("_s"),
         ).persist(StorageLevel.MEMORY_AND_DISK)

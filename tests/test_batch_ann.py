@@ -291,3 +291,79 @@ def test_minhash_filtered_ann_fallback_keeps_predicate(spark):
         qtext, n=10, bucket_thres=1.0, with_text=False, where="lang = 'en'"
     ).collect()
     assert all(r.doc_id % 3 == 0 for r in out)
+
+
+def test_minhash_filtered_ann_pushes_predicate_to_corpus_scan(spark):
+    """On a parquet corpus the where= predicate reaches the scan
+    (PushedFilters) and the id-spine restriction plans as a semi join —
+    the same posture the vector family's saved-index pushdown test pins."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = MinHashLSH().fit(docs, persist=False)
+    plan = (
+        model.approx_nearest_neighbors_plan(
+            "some query text here", n=5, with_text=False, where="lang = 'en'"
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("lang" in p and "EqualTo" in p for p in pushed), pushed
+
+
+def _dup_pair_corpus(spark, seed=13):
+    """Near-dup pairs (2i, 2i+1); pair i is lang 'en' when i is even, 'de'
+    otherwise, plus one CROSS-lang near-dup pair (100 en, 101 de)."""
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(300)]
+    rows, langs = [], {}
+    for i in range(12):
+        t = " ".join(rng.choice(words) for _ in range(60))
+        toks = t.split()
+        toks[0], toks[30] = rng.choice(words), rng.choice(words)
+        lang = "en" if i % 2 == 0 else "de"
+        rows += [(2 * i, t), (2 * i + 1, " ".join(toks))]
+        langs[2 * i] = langs[2 * i + 1] = lang
+    t = " ".join(rng.choice(words) for _ in range(60))
+    rows += [(100, t), (101, t + " extra")]
+    langs[100], langs[101] = "en", "de"
+    lang_expr = F.create_map(
+        *[x for k, v in langs.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("doc_id")]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "lang", lang_expr
+    )
+
+
+def test_minhash_filtered_similarity_joins_equal_sub_corpus_fit(spark):
+    """where= on approx_similarity_join AND similarity_join_exact == the
+    same joins on a model fit on the filtered corpus; the cross-lang
+    near-dup pair (100, 101) is excluded even though both docs are dups."""
+    docs = _dup_pair_corpus(spark)
+    model = MinHashLSH().fit(docs, persist=False)
+    sub = MinHashLSH().fit(docs.filter("lang = 'en'"), persist=False)
+
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in model.approx_similarity_join(0.5, where="lang = 'en'").collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in sub.approx_similarity_join(0.5).collect()
+    )
+    assert got == want and got
+    assert not any({a, b} == {100, 101} for a, b, _ in got)
+    # unfiltered join DOES see the cross-lang pair — the predicate did it
+    full = {(r.id_a, r.id_b) for r in model.approx_similarity_join(0.5).collect()}
+    assert (100, 101) in full
+
+    got_x = sorted(
+        (r.id_a, r.id_b, r.n_common, r.n_a, r.n_b)
+        for r in model.similarity_join_exact(0.5, where="lang = 'en'").collect()
+    )
+    want_x = sorted(
+        (r.id_a, r.id_b, r.n_common, r.n_a, r.n_b)
+        for r in sub.similarity_join_exact(0.5).collect()
+    )
+    assert got_x == want_x and got_x
