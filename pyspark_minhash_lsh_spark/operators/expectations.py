@@ -501,13 +501,11 @@ def streaming_constraint_gate(
         # on the first micro-batch, inside foreachBatch — a misconfigured
         # gate that looks healthy until data arrives (r08 review)
         raise ValueError("no constraints given")
-    if callable(sink):
-        user_fn = sink
-    else:
-        path = str(sink)
+    from ..streaming._start import coerce_batch_sink, start_foreach_batch
 
-        def user_fn(bdf: DataFrame, _bid: int) -> None:
-            bdf.write.mode("append").parquet(path)
+    # document-sink contract (plain append for a path — the delivered rows
+    # keep the document schema); callable sinks own replay idempotence
+    user_fn = coerce_batch_sink(sink, idempotent=False)
 
     def fb(bdf: DataFrame, bid: int) -> None:
         bdf = bdf.persist()
@@ -542,4 +540,4 @@ def streaming_constraint_gate(
         finally:
             bdf.unpersist()
 
-    return stream_df.writeStream.foreachBatch(fb).start(**start_kwargs)
+    return start_foreach_batch(stream_df, fb, **start_kwargs)

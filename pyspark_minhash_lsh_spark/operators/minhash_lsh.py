@@ -317,7 +317,9 @@ class MinHashLSHModel:
         qs = q_idx.select(
             F.col(query_id_col).alias("query_id"), F.col("signature").alias("q_sig")
         )
-        cs = self.index.select(F.col(self.id_col), "signature")
+        # the filtered index again: pairs hold only allowed ids, and the
+        # unfiltered attach would shuffle full-index signatures (r08 review)
+        cs = index.select(F.col(self.id_col), "signature")
         scored = (
             pairs.join(qs, "query_id")
             .join(cs, self.id_col)
@@ -356,8 +358,8 @@ class MinHashLSHModel:
         metadata predicate — near-dup pairs within one language / source /
         date slice of a fitted index, equivalent by construction to fitting
         on the pre-filtered corpus (tested). Disallowed rows never shuffle
-        their band keys; the signature attach stays on the full index (the
-        pair set is already restricted, and ids attach by key).
+        their band keys OR their signatures — the attach sides and the
+        ``broadcast_max_rows`` gate both see the filtered index.
 
         ``min_band_matches`` = the collision-counting LSH join (C2Net,
         ICDE'19): require a candidate pair to agree on >= c bands instead
@@ -408,10 +410,16 @@ class MinHashLSHModel:
         a measured count rather than hinting blindly.
         """
         pairs = self._candidate_pairs(max_bucket_size, min_band_matches, where)
-        sigs = self.index.select(F.col(self.id_col), F.col("signature"))
+        # where= also prunes the attach sides: the pair set can only hold
+        # allowed ids, and unfiltered sides would shuffle every ~800B
+        # signature row of the full index for a slice-sized pair set (and
+        # the broadcast gate below would count the full index, so a tiny
+        # filtered slice could never qualify) — r08 review
+        src = self._filtered_index(where)
+        sigs = src.select(F.col(self.id_col), F.col("signature"))
         sa = sigs.select(F.col(self.id_col).alias("id_a"), F.col("signature").alias("sig_a"))
         sb = sigs.select(F.col(self.id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-        if broadcast_max_rows is not None and self.index.count() <= broadcast_max_rows:
+        if broadcast_max_rows is not None and src.count() <= broadcast_max_rows:
             sa, sb = F.broadcast(sa), F.broadcast(sb)
         return (
             pairs.join(sa, "id_a")

@@ -1,0 +1,68 @@
+"""Shared foreachBatch start/sink scaffolding for the ``start_*`` family.
+
+One definition of the two contracts every foreachBatch entry point repeats
+(r08 review: the callable-or-path coercion existed in three diverging
+copies, and ``trigger=`` passed through ``start(**kwargs)`` was silently
+dropped), so the family cannot drift again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["coerce_batch_sink", "start_foreach_batch"]
+
+
+def coerce_batch_sink(sink, idempotent: bool = True):
+    """Normalize a ``sink`` argument to a ``(batch_df, batch_id)`` callable.
+
+    A callable passes through untouched (it owns its replay semantics — key
+    on ``batch_id``). A string is a parquet path:
+
+    - ``idempotent=True`` (default; the sketch-stream contract): rows are
+      stamped with a ``batch_id`` column when the transform didn't already
+      add one, and written ``partitionBy("batch_id")`` with DYNAMIC
+      partition overwrite — foreachBatch's at-least-once replay of batch N
+      overwrites partition ``batch_id=N`` instead of appending duplicates.
+    - ``idempotent=False``: plain parquet append — the legacy document-sink
+      contract (``start_near_dedup_stream``), where the output schema is
+      the document schema and replay duplicates are the caller's tradeoff.
+    """
+    if callable(sink):
+        return sink
+    path = str(sink)
+    if not idempotent:
+
+        def append_fn(bdf: DataFrame, _bid: int) -> None:
+            bdf.write.mode("append").parquet(path)
+
+        return append_fn
+
+    def overwrite_fn(bdf: DataFrame, bid: int) -> None:
+        if "batch_id" not in bdf.columns:
+            bdf = bdf.withColumn("batch_id", F.lit(int(bid)))
+        (
+            bdf.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return overwrite_fn
+
+
+def start_foreach_batch(df: DataFrame, fb, **start_kwargs):
+    """Start ``df.writeStream.foreachBatch(fb)`` with ``start_kwargs``.
+
+    ``trigger`` is routed to ``DataStreamWriter.trigger(**trigger)``: passed
+    through ``start(**kwargs)`` PySpark stringifies the dict into an ignored
+    sink OPTION (``to_str``), so ``trigger={"availableNow": True}`` would
+    silently run on the default processing trigger and never terminate
+    (r08 review, reproduced on PySpark 4.1.2).
+    """
+    trigger = start_kwargs.pop("trigger", None)
+    writer = df.writeStream.foreachBatch(fb)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start(**start_kwargs)

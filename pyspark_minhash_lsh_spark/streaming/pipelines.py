@@ -25,6 +25,7 @@ from ..functions.hashing import (
     token_shingle_hashes,
 )
 from ..functions.text import tokens
+from ._start import coerce_batch_sink, start_foreach_batch
 
 __all__ = [
     "hourly_event_stats",
@@ -359,13 +360,10 @@ def start_near_dedup_stream(
             "path is streaming_near_dedup itself (finalize applied inline)"
         )
 
-    if callable(sink):
-        user_fn = sink
-    else:
-        path = str(sink)
-
-        def user_fn(bdf: DataFrame, _bid: int) -> None:
-            bdf.write.mode("append").parquet(path)
+    # documented document-sink contract: path = plain parquet append (the
+    # output schema is the document schema); callable sinks own replay
+    # idempotence — see streaming/_start.py
+    user_fn = coerce_batch_sink(sink, idempotent=False)
 
     if num_state_bands == 1:
         fb = user_fn
@@ -373,7 +371,7 @@ def start_near_dedup_stream(
         def fb(bdf: DataFrame, bid: int) -> None:
             user_fn(near_dedup_finalize(bdf, num_state_bands), bid)
 
-    query = deduped.writeStream.foreachBatch(fb).start(**start_kwargs)
+    query = start_foreach_batch(deduped, fb, **start_kwargs)
     if state_metrics_sink is not None:
         from .metrics import attach_state_metrics
 
@@ -530,14 +528,9 @@ def start_heavy_hitters_stream(
             .withColumn("batch_id", F.lit(int(bid)))
         )
         for df, sub in ((sk, "/sketch"), (cand, "/candidates")):
-            (
-                df.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(base + sub)
-            )
+            coerce_batch_sink(base + sub)(df, bid)
 
-    return docs.writeStream.foreachBatch(fb).start(**start_kwargs)
+    return start_foreach_batch(docs, fb, **start_kwargs)
 
 
 def finalize_heavy_hitters(spark, sink: str, k: int = 20) -> DataFrame:
@@ -598,23 +591,12 @@ def _start_sketch_stream(docs, sink, make_sketch, not_streaming_msg, **start_kwa
     overwrite on the batch_id partition) or hand to a callable sink."""
     if not docs.isStreaming:
         raise ValueError(not_streaming_msg)
-    if callable(sink):
-        user_fn = sink
-    else:
-        path = str(sink)
-
-        def user_fn(bdf: DataFrame, _bid: int) -> None:
-            (
-                bdf.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(path)
-            )
+    user_fn = coerce_batch_sink(sink)
 
     def fb(bdf: DataFrame, bid: int) -> None:
         user_fn(make_sketch(bdf).withColumn("batch_id", F.lit(int(bid))), bid)
 
-    return docs.writeStream.foreachBatch(fb).start(**start_kwargs)
+    return start_foreach_batch(docs, fb, **start_kwargs)
 
 
 def near_dedup_finalize(band_rows: DataFrame, num_state_bands: int) -> DataFrame:
@@ -710,26 +692,25 @@ def start_ann_serving_stream(
     / saved-artifact partition exactly as in batch — and the operator is
     STATELESS: no watermark, no state store; each query is answered once
     against the index as of its batch. Rebuild-and-swap the model via the
-    promotion runbook (README) for index refreshes; a restart picks up the
-    new artifact from the checkpoint offset, replaying no answered queries.
+    promotion runbook (README) for index refreshes; a restart resumes from
+    the checkpoint offset.
 
-    ``sink``: callable ``(result_df, batch_id)`` or a path (parquet append).
-    ``with_batch_id=True`` stamps each result row with the micro-batch id
-    (trace which index snapshot answered, once swaps happen mid-stream).
-    Returns the started ``StreamingQuery``.
+    ``sink``: callable ``(result_df, batch_id)`` or a path. A path sink
+    writes ``batch_id``-partitioned parquet with dynamic partition
+    overwrite (the sketch-stream contract, ``streaming/_start.py``) so
+    foreachBatch's at-least-once replay of a crashed batch overwrites its
+    own partition instead of appending duplicate answers — the path output
+    therefore ALWAYS carries a ``batch_id`` column. Callable sinks own
+    their replay idempotence (key on the passed ``batch_id``);
+    ``with_batch_id=True`` pre-stamps the rows for them. Returns the
+    started ``StreamingQuery``.
     """
     if not queries.isStreaming:
         raise ValueError(
             "start_ann_serving_stream needs a streaming DataFrame; for a "
             "batch of queries call the searcher directly"
         )
-    if callable(sink):
-        user_fn = sink
-    else:
-        path = str(sink)
-
-        def user_fn(bdf: DataFrame, _bid: int) -> None:
-            bdf.write.mode("append").parquet(path)
+    user_fn = coerce_batch_sink(sink)
 
     def fb(bdf: DataFrame, bid: int) -> None:
         out = search(bdf)
@@ -737,7 +718,7 @@ def start_ann_serving_stream(
             out = out.withColumn("batch_id", F.lit(int(bid)))
         user_fn(out, bid)
 
-    return queries.writeStream.foreachBatch(fb).start(**start_kwargs)
+    return start_foreach_batch(queries, fb, **start_kwargs)
 
 
 def streaming_curate(

@@ -692,7 +692,9 @@ def test_ann_serving_stream_matches_batch_minhash(spark, tmp_path):
         search, out, with_batch_id=True,
         checkpointLocation=ckpt, trigger={"availableNow": True},
     )
-    q.awaitTermination(120)
+    # availableNow MUST terminate: trigger= used to be silently dropped by
+    # start(**kwargs) stringification and the query ran forever (r08 review)
+    assert q.awaitTermination(120) is True
 
     got = {
         (r.query_id, r.rank): (r.doc_id, round(r.jaccard, 9))
@@ -734,7 +736,7 @@ def test_ann_serving_stream_vector_searcher_and_batch_guard(spark, tmp_path):
         spark.readStream.schema(queries.schema).parquet(src),
         search, out, checkpointLocation=ckpt, trigger={"availableNow": True},
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120) is True
     got = {
         (r.query_id, r.rank): (r.vec_id, round(r.cosine, 6))
         for r in spark.read.parquet(out).collect()
