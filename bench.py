@@ -145,6 +145,22 @@ def main() -> None:
 
     scale = scale_check(spark, sf_dir, timings)
 
+    # bench-only suites (q76 multimodal / q79 tokenizers — moved off the
+    # driver 50 in round 8 to fund two oracle rows): still exercised here
+    # every round so a crash or blow-up in them is caught by the driver's
+    # bench run, WITHOUT touching the headline metric's comparable history.
+    suites: dict[str, float] = {}
+    for name in ("q76_multimodal_suite", "q79_tokenize_suite"):
+        try:
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            suites[name] = round(time.perf_counter() - t0, 3)
+            print(f"# suite {name}: {suites[name]:.3f}s ({n} rows)",
+                  file=sys.stderr)
+        except Exception as e:  # smoke must never sink the bench
+            suites[name] = -1.0
+            print(f"# suite {name} FAILED: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -153,6 +169,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "scale_check": scale,
+        "suite_smoke": suites,
     }))
     spark.stop()
 
