@@ -4244,7 +4244,7 @@ _CURATED_ORDER = [
 #: is zero-sum, and a hash-witnessed row is a strictly stronger driver check
 #: than a rows-only suite row. Both suites remain value-verified in pytest
 #: (real BMP/WAV decode tests; closed-form BPE/WordPiece/unigram tests) and
-#: still run every round via the driver's entry()/queries() smoke and bench.
+#: still run every round via bench.py's suite_smoke stage.
 _BENCH_ONLY = [
     "q30_minhash_signatures",
     "q38_minhash_dedup",
