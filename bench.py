@@ -154,6 +154,11 @@ def main() -> None:
         try:
             t0 = time.perf_counter()
             n = QUERIES[name](spark, sf_dir).count()
+            if n == 0:
+                # an empty suite result is a regression, not a timing —
+                # surface it like a crash (r08 review: a drifted join key
+                # would otherwise read as a healthy green timing)
+                raise ValueError("suite returned 0 rows")
             suites[name] = round(time.perf_counter() - t0, 3)
             print(f"# suite {name}: {suites[name]:.3f}s ({n} rows)",
                   file=sys.stderr)

@@ -45,6 +45,12 @@ __all__ = ["MinHashLSH", "MinHashLSHModel"]
 #: cache must outlive this call and is freed when the next verify join runs)
 _VERIFY_PINNED: "list[DataFrame]" = []
 
+#: where=-filtered index-slice pins (same discipline): the filtered slice
+#: appears in several subtrees of one self-join plan and Spark does NOT
+#: reuse the semi-join subtree across them (measured: 8 corpus scans in a
+#: filtered similarity-join plan before this cache — r08 review)
+_FILTER_PINNED: "list[DataFrame]" = []
+
 
 class MinHashLSH:
     """Transformer that adds ``signature`` and ``bucket_ids`` columns to a corpus.
@@ -188,6 +194,30 @@ class MinHashLSHModel:
             return self.index
         allowed = apply_where(self.corpus, where).select(self.id_col)
         return self.index.join(allowed, self.id_col, "left_semi")
+
+    def _filtered_index_pinned(self, where: "Column | str | None") -> DataFrame:
+        """``_filtered_index``, PERSISTED while the caller's plan is alive.
+
+        The self-joins reference the filtered slice from several subtrees
+        (band explode + both attach sides + the optional broadcast-gate
+        count), and Spark does not plan a ReusedExchange across them — each
+        occurrence would re-run the corpus predicate scan and the semi-join
+        (measured 8 corpus scans in one filtered join plan). The slice is
+        near-dup-index-sized, so it is cached for the plan's lifetime and
+        released on the NEXT filtered call (the ``_VERIFY_PINNED``
+        discipline)."""
+        if where is None:
+            return self.index
+        from pyspark.storagelevel import StorageLevel
+
+        while _FILTER_PINNED:
+            try:
+                _FILTER_PINNED.pop().unpersist(blocking=False)
+            except Exception:  # previous session already stopped
+                pass
+        src = self._filtered_index(where).persist(StorageLevel.MEMORY_AND_DISK)
+        _FILTER_PINNED.append(src)
+        return src
 
     def approx_nearest_neighbors_plan(
         self,
@@ -409,13 +439,14 @@ class MinHashLSHModel:
         limit -> guaranteed OOM at web scale), which is why the cap gates on
         a measured count rather than hinting blindly.
         """
-        pairs = self._candidate_pairs(max_bucket_size, min_band_matches, where)
         # where= also prunes the attach sides: the pair set can only hold
         # allowed ids, and unfiltered sides would shuffle every ~800B
         # signature row of the full index for a slice-sized pair set (and
         # the broadcast gate below would count the full index, so a tiny
-        # filtered slice could never qualify) — r08 review
-        src = self._filtered_index(where)
+        # filtered slice could never qualify) — r08 review. The slice is
+        # computed ONCE and pinned (see _filtered_index_pinned).
+        src = self._filtered_index_pinned(where)
+        pairs = self._candidate_pairs(max_bucket_size, min_band_matches, src)
         sigs = src.select(F.col(self.id_col), F.col("signature"))
         sa = sigs.select(F.col(self.id_col).alias("id_a"), F.col("signature").alias("sig_a"))
         sb = sigs.select(F.col(self.id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -435,16 +466,16 @@ class MinHashLSHModel:
         self,
         max_bucket_size: Optional[int] = None,
         min_band_matches: int = 1,
-        where: "Column | str | None" = None,
+        index: "DataFrame | None" = None,
     ) -> DataFrame:
         """Distinct LSH candidate pairs ``(id_a < id_b)`` from the band-key
         self-join — the shared candidate stage behind the estimated
         (``approx_similarity_join``) and exact-verified
         (``similarity_join_exact``) joins. Only ``(bucket, id)`` rows move
         through the self-join shuffle; see ``approx_similarity_join`` for the
-        full-width-key and hot-bucket rationale. ``where`` restricts the
-        index BEFORE the band explode (``_filtered_index``)."""
-        exploded = self._filtered_index(where).select(
+        full-width-key and hot-bucket rationale. ``index`` substitutes a
+        (typically ``where=``-filtered, pinned) index slice."""
+        exploded = (self.index if index is None else index).select(
             F.col(self.id_col), F.explode("band_keys").alias("bucket")
         )
         if max_bucket_size is not None:
@@ -531,7 +562,9 @@ class MinHashLSHModel:
                 pass
         frac = Fraction(float(threshold)).limit_denominator(10**6)
         p, q = frac.numerator, frac.denominator
-        pairs = self._candidate_pairs(max_bucket_size, min_band_matches, where)
+        pairs = self._candidate_pairs(
+            max_bucket_size, min_band_matches, self._filtered_index_pinned(where)
+        )
         # where= also restricts the persisted shingle projection: the pair
         # set is already allowed-only, and shingling disallowed rows would
         # waste the verify cache on text the join can never touch

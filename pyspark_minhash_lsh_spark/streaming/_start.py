@@ -39,7 +39,28 @@ def coerce_batch_sink(sink, idempotent: bool = True):
 
         return append_fn
 
+    checked: list[bool] = []
+
     def overwrite_fn(bdf: DataFrame, bid: int) -> None:
+        if not checked:
+            # one-time layout guard (first batch only): writing batch_id=
+            # partition dirs next to an existing FLAT parquet layout would
+            # leave a mixed directory that fails partition discovery on the
+            # next read ('Conflicting directory structures') — refuse loudly
+            # instead of corrupting the sink (r08 review)
+            try:
+                names = bdf.sparkSession.read.parquet(path).schema.names
+            except Exception:  # no readable artifact yet: fresh sink
+                names = None
+            if names is not None and "batch_id" not in names:
+                raise ValueError(
+                    f"sink at {path!r} holds a flat (non-batch_id-"
+                    "partitioned) parquet layout; this idempotent sink "
+                    "writes batch_id= partitions and mixing the two breaks "
+                    "partition discovery — use a fresh path or migrate the "
+                    "existing files into batch_id= directories first"
+                )
+            checked.append(True)
         if "batch_id" not in bdf.columns:
             bdf = bdf.withColumn("batch_id", F.lit(int(bid)))
         (

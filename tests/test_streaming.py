@@ -749,3 +749,32 @@ def test_ann_serving_stream_vector_searcher_and_batch_guard(spark, tmp_path):
 
     with pytest.raises(ValueError, match="streaming"):
         start_ann_serving_stream(queries, search, out)
+
+
+def test_ann_serving_stream_refuses_flat_sink_layout(spark, tmp_path):
+    """The idempotent path sink refuses to write batch_id= partitions next
+    to an existing flat parquet layout (mixed layouts break partition
+    discovery on read) — r08 review."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+    from pyspark_minhash_lsh_spark.streaming import start_ann_serving_stream
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    model = MinHashLSH().fit(docs, persist=False)
+    queries = docs.limit(2).select(F.col("doc_id").alias("query_id"), "text")
+    src, out, ckpt = str(tmp_path / "q"), str(tmp_path / "res"), str(tmp_path / "ck")
+    queries.write.parquet(src)
+    # pre-existing FLAT layout at the sink
+    docs.write.parquet(out)
+
+    q = start_ann_serving_stream(
+        spark.readStream.schema(queries.schema).parquet(src),
+        lambda b: model.approx_nearest_neighbors_batch(b, n=2, with_text=False),
+        out, checkpointLocation=ckpt, trigger={"availableNow": True},
+    )
+    with pytest.raises(StreamingQueryException, match="flat"):
+        q.awaitTermination(120)
