@@ -232,8 +232,18 @@ class SrpLshModel:
         max_bucket_size: Optional[int] = None,
         broadcast_max_rows: Optional[int] = None,
         min_table_matches: int = 1,
+        where: "Column | str | None" = None,
     ) -> DataFrame:
         """All candidate pairs sharing >= 1 SRP bucket with cosine >= threshold.
+
+        ``where`` (round 8 family symmetry with
+        ``MinHashLSHModel.approx_similarity_join``): metadata predicate over
+        the index's ``keep_cols``, restricting BOTH sides before the key
+        explode — pairs within one language/source/date slice of a fitted
+        index, equal by construction to fitting on the filtered corpus
+        (tested). The index rows carry the metadata inline (``keep_cols``),
+        so this is a plain filter over the persisted relation — no spine
+        join, nothing extra to pin.
 
         ``min_table_matches`` = collision counting (C2Net, ICDE'19 — the
         SRP sibling of ``approx_similarity_join(min_band_matches=)``):
@@ -259,7 +269,8 @@ class SrpLshModel:
         before the join by anti-joining the (tiny by construction)
         hot-bucket list.
         """
-        ex = self.index.select(F.col(self.id_col), F.explode("srp_keys").alias("key"))
+        src = apply_where(self.index, where)
+        ex = src.select(F.col(self.id_col), F.explode("srp_keys").alias("key"))
         if max_bucket_size is not None:
             hot = (
                 ex.groupBy("key").count()
@@ -284,10 +295,10 @@ class SrpLshModel:
             pairs = raw_pairs.select("id_a", "id_b").dropDuplicates(
                 ["id_a", "id_b"]
             )
-        embs = self.index.select(F.col(self.id_col), F.col(self.emb_col))
+        embs = src.select(F.col(self.id_col), F.col(self.emb_col))
         ea = embs.select(F.col(self.id_col).alias("id_a"), F.col(self.emb_col).alias("emb_a"))
         eb = embs.select(F.col(self.id_col).alias("id_b"), F.col(self.emb_col).alias("emb_b"))
-        if broadcast_max_rows is not None and self.index.count() <= broadcast_max_rows:
+        if broadcast_max_rows is not None and src.count() <= broadcast_max_rows:
             ea, eb = F.broadcast(ea), F.broadcast(eb)
         return (
             pairs.join(ea, "id_a")

@@ -385,3 +385,57 @@ def test_minhash_filtered_join_pins_the_slice_once(spark):
     # parquet' text is meaningless; the InMemoryTableScan nodes are the
     # signal.)
     assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
+
+
+def test_srp_filtered_pairs_equal_sub_corpus_fit(spark):
+    """where= on SrpLshModel.approx_similarity_pairs == pairs from a model
+    fit on the filtered corpus (keep_cols ride the index rows, so the
+    restriction is a plain filter over the persisted relation)."""
+    from pyspark_minhash_lsh_spark.operators.similarity import SrpLsh
+
+    rng = random.Random(21)
+    rows = []
+    for i in range(20):
+        v = [rng.gauss(0, 1) for _ in range(12)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.05) for x in v]))  # near-dup
+    vecs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).withColumn(
+        "lang",
+        F.when((F.col("vec_id") / 2).cast("int") % 2 == 0, F.lit("en")).otherwise(
+            F.lit("de")
+        ),
+    )
+    model = SrpLsh(num_planes=4, num_tables=8).fit(
+        vecs, persist=False, keep_cols=("lang",)
+    )
+    sub = SrpLsh(num_planes=4, num_tables=8).fit(
+        vecs.filter("lang = 'en'"), persist=False, keep_cols=("lang",)
+    )
+    got = sorted(
+        (r.id_a, r.id_b, round(r.cosine, 6))
+        for r in model.approx_similarity_pairs(0.9, where="lang = 'en'").collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, round(r.cosine, 6))
+        for r in sub.approx_similarity_pairs(0.9).collect()
+    )
+    assert got == want and got
+
+
+def test_minhash_filter_pin_released_on_next_call(spark):
+    """The pinned where= slice is released when the NEXT filtered call
+    arrives (the _VERIFY_PINNED discipline) — no cache leak across calls."""
+    from pyspark_minhash_lsh_spark.operators import minhash_lsh as ml
+
+    docs = _lang_corpus(spark, n=30)
+    model = MinHashLSH().fit(docs, persist=False)
+    model.approx_similarity_join(0.5, where="lang = 'en'").count()
+    assert len(ml._FILTER_PINNED) == 1
+    first = ml._FILTER_PINNED[0]
+    model.approx_similarity_join(0.5, where="lang = 'de'").count()
+    assert len(ml._FILTER_PINNED) == 1 and ml._FILTER_PINNED[0] is not first
+    # where=None never pins
+    model.approx_similarity_join(0.5).count()
+    assert len(ml._FILTER_PINNED) == 1
