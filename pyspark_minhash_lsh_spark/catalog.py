@@ -3794,7 +3794,10 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       - filtered_ann (round 8, VERDICT r07 #6): metadata-predicate ANN —
         keep_cols metadata rides the index, where= prunes candidates
         BEFORE top-k (true top-k of the filtered subset; post-hoc
-        filtering demonstrably loses recall — tests/test_ivf.py)."""
+        filtering demonstrably loses recall — tests/test_ivf.py);
+      - filtered_text_ann (round 8): the TEXT-index twin — MinHash batch
+        ANN with where= over corpus metadata (id-spine semi-join;
+        identity with fit-on-filtered-corpus in tests/test_batch_ann.py)."""
     from .operators.ivf import IvfFlat
     from .operators.minhash_lsh import MinHashLSH
     from .operators.pq import fit_pq
@@ -3973,12 +3976,28 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filtered_ann", F.sum("vec_id"), F.sum("cosine"),
     )
 
+    # filtered_text_ann (round 8, late): the TEXT-index member of the
+    # filtered-ANN family — the same batch retrieval as the batch_ann leg
+    # restricted to lang='en' corpus rows (documents carries lang) via the
+    # id-spine semi-join that pushes the predicate to the corpus scan.
+    # Identity with fit-on-filtered-corpus and the recall-vs-post-hoc
+    # argument are pinned in tests/test_batch_ann.py. f1 = rank-1 doc-id
+    # sum (allowed rows only), f2 = avg jaccard.
+    fta = model.approx_nearest_neighbors_batch(
+        queries, n=3, with_text=False, where="lang = 'en'"
+    )
+    leg_fta = _suite_row(
+        fta, "filtered_text_ann",
+        F.sum(F.when(F.col("rank") == 1, F.col("doc_id"))), F.avg("jaccard"),
+    )
+
     return (
         leg_bk.unionByName(leg_fs).unionByName(leg_128)
         .unionByName(leg_srp).unionByName(leg_ivf).unionByName(leg_ba)
         .unionByName(leg_pq).unionByName(leg_pca)
         .unionByName(leg_rs).unionByName(leg_rp).unionByName(leg_cs)
         .unionByName(leg_sq).unionByName(leg_mrl).unionByName(leg_fa)
+        .unionByName(leg_fta)
     )
 
 

@@ -778,3 +778,23 @@ def test_ann_serving_stream_refuses_flat_sink_layout(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="flat"):
         q.awaitTermination(120)
+
+
+def test_serving_path_sink_replay_is_idempotent(spark, tmp_path):
+    """coerce_batch_sink's idempotent path writer: replaying the same batch
+    (foreachBatch's at-least-once contract after a crash between write and
+    checkpoint commit) overwrites its own batch_id partition instead of
+    appending a second copy of every answer."""
+    from pyspark_minhash_lsh_spark.streaming._start import coerce_batch_sink
+
+    out = str(tmp_path / "res")
+    fn = coerce_batch_sink(out)
+    batch = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8)], "query_id bigint, doc_id bigint, score double"
+    )
+    fn(batch, 0)
+    fn(batch, 0)  # replay of the SAME batch
+    fn(batch, 1)  # a different batch lands alongside
+    got = spark.read.parquet(out)
+    assert got.count() == 4  # 2 rows per batch, replay did NOT duplicate
+    assert got.filter("batch_id = 0").count() == 2
