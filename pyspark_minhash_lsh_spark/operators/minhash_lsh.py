@@ -198,23 +198,27 @@ class MinHashLSHModel:
     def _filtered_index_pinned(self, where: "Column | str | None") -> DataFrame:
         """``_filtered_index``, PERSISTED while the caller's plan is alive.
 
-        The self-joins reference the filtered slice from several subtrees
-        (band explode + both attach sides + the optional broadcast-gate
-        count), and Spark does not plan a ReusedExchange across them — each
-        occurrence would re-run the corpus predicate scan and the semi-join
-        (measured 8 corpus scans in one filtered join plan). The slice is
-        near-dup-index-sized, so it is cached for the plan's lifetime and
-        released on the NEXT filtered call (the ``_VERIFY_PINNED``
-        discipline)."""
-        if where is None:
-            return self.index
-        from pyspark.storagelevel import StorageLevel
-
+        Every consumer references the slice from >= 2 subtrees — the band
+        SELF-join reads it from both sides, the estimated join adds both
+        attach sides and the optional broadcast-gate count, batch ANN reads
+        it for band keys AND signature attach — and Spark does not plan a
+        ReusedExchange across them: each occurrence would re-run the corpus
+        predicate scan and the semi-join (measured 8 corpus scans in one
+        filtered join plan). The slice is near-dup-index-sized, so it is
+        cached for the plan's lifetime and released on the NEXT call
+        through this path — filtered OR not (the ``_VERIFY_PINNED``
+        discipline; draining BEFORE the ``where is None`` early return
+        means a service that goes back to unfiltered calls does not hold
+        the last slice's cache for the rest of the session — r08 review)."""
         while _FILTER_PINNED:
             try:
                 _FILTER_PINNED.pop().unpersist(blocking=False)
             except Exception:  # previous session already stopped
                 pass
+        if where is None:
+            return self.index
+        from pyspark.storagelevel import StorageLevel
+
         src = self._filtered_index(where).persist(StorageLevel.MEMORY_AND_DISK)
         _FILTER_PINNED.append(src)
         return src
@@ -332,7 +336,11 @@ class MinHashLSHModel:
         from pyspark.sql import Window
 
         q_idx = self.lsh.transform(queries, query_text_col, query_id_col)
-        index = self._filtered_index(where)
+        # pinned: the slice feeds BOTH the band explode (cb) and the
+        # signature attach (cs) — unpinned, the corpus predicate scan +
+        # semi-join would run once per subtree (r08 review; same class as
+        # the self-join fix)
+        index = self._filtered_index_pinned(where)
         qb = q_idx.select(
             F.col(query_id_col).alias("query_id"), F.explode("band_keys").alias("bucket")
         )

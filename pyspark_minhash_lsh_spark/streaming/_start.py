@@ -14,6 +14,24 @@ from pyspark.sql import functions as F
 __all__ = ["coerce_batch_sink", "start_foreach_batch"]
 
 
+def _existing_schema_names(spark, path: str) -> "list[str] | None":
+    """Column names of the parquet artifact at ``path``, ``None`` when no
+    artifact exists yet. ONLY the path-not-found case maps to None: any
+    other read failure (e.g. 'Conflicting directory structures' from an
+    already-mixed layout, a transient FS error) propagates — a layout
+    guard that swallows those would fail OPEN in exactly the corruption
+    case it exists to refuse (r08 review)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).schema.names
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def coerce_batch_sink(sink, idempotent: bool = True):
     """Normalize a ``sink`` argument to a ``(batch_df, batch_id)`` callable.
 
@@ -28,30 +46,39 @@ def coerce_batch_sink(sink, idempotent: bool = True):
     - ``idempotent=False``: plain parquet append — the legacy document-sink
       contract (``start_near_dedup_stream``), where the output schema is
       the document schema and replay duplicates are the caller's tradeoff.
+
+    Both path writers run a ONE-TIME layout guard on their first batch
+    (the coerced callable carries the checked flag — coerce once per
+    stream, outside foreachBatch, or the guard re-reads the sink footer
+    every batch): an idempotent sink refuses an existing FLAT layout, an
+    append sink refuses an existing batch_id-PARTITIONED layout — mixing
+    the two in either direction leaves a directory that fails partition
+    discovery on the next read.
     """
     if callable(sink):
         return sink
     path = str(sink)
+    checked: list[bool] = []
     if not idempotent:
 
         def append_fn(bdf: DataFrame, _bid: int) -> None:
+            if not checked:
+                names = _existing_schema_names(bdf.sparkSession, path)
+                if names is not None and "batch_id" in names:
+                    raise ValueError(
+                        f"sink at {path!r} holds a batch_id-partitioned "
+                        "layout (written by an idempotent sink); this "
+                        "append sink writes flat files and mixing the two "
+                        "breaks partition discovery — use a fresh path"
+                    )
+                checked.append(True)
             bdf.write.mode("append").parquet(path)
 
         return append_fn
 
-    checked: list[bool] = []
-
     def overwrite_fn(bdf: DataFrame, bid: int) -> None:
         if not checked:
-            # one-time layout guard (first batch only): writing batch_id=
-            # partition dirs next to an existing FLAT parquet layout would
-            # leave a mixed directory that fails partition discovery on the
-            # next read ('Conflicting directory structures') — refuse loudly
-            # instead of corrupting the sink (r08 review)
-            try:
-                names = bdf.sparkSession.read.parquet(path).schema.names
-            except Exception:  # no readable artifact yet: fresh sink
-                names = None
+            names = _existing_schema_names(bdf.sparkSession, path)
             if names is not None and "batch_id" not in names:
                 raise ValueError(
                     f"sink at {path!r} holds a flat (non-batch_id-"

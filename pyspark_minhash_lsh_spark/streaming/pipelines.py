@@ -513,6 +513,13 @@ def start_heavy_hitters_stream(
             "parameters"
         )
 
+    # coerce ONCE, outside foreachBatch: the coerced callables carry the
+    # one-time layout-guard flag, and rebuilding them per batch would
+    # re-read the sink footer (a full partition-discovery listing of all
+    # accumulated batch_id= dirs) twice per micro-batch (r08 review)
+    sketch_sink = coerce_batch_sink(base + "/sketch")
+    cand_sink = coerce_batch_sink(base + "/candidates")
+
     def fb(bdf: DataFrame, bid: int) -> None:
         sk = sketch_token_counts(
             bdf, text_col=text_col, depth=depth, width=width, seed=seed
@@ -527,8 +534,8 @@ def start_heavy_hitters_stream(
             .select("token")
             .withColumn("batch_id", F.lit(int(bid)))
         )
-        for df, sub in ((sk, "/sketch"), (cand, "/candidates")):
-            coerce_batch_sink(base + sub)(df, bid)
+        sketch_sink(sk, bid)
+        cand_sink(cand, bid)
 
     return start_foreach_batch(docs, fb, **start_kwargs)
 

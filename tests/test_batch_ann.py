@@ -425,8 +425,10 @@ def test_srp_filtered_pairs_equal_sub_corpus_fit(spark):
 
 
 def test_minhash_filter_pin_released_on_next_call(spark):
-    """The pinned where= slice is released when the NEXT filtered call
-    arrives (the _VERIFY_PINNED discipline) — no cache leak across calls."""
+    """The pinned where= slice is released when the NEXT call through the
+    pinned path arrives — filtered or not (the _VERIFY_PINNED discipline;
+    a service going back to unfiltered joins must not hold the last
+    slice's cache for the rest of the session)."""
     from pyspark_minhash_lsh_spark.operators import minhash_lsh as ml
 
     docs = _lang_corpus(spark, n=30)
@@ -436,6 +438,6 @@ def test_minhash_filter_pin_released_on_next_call(spark):
     first = ml._FILTER_PINNED[0]
     model.approx_similarity_join(0.5, where="lang = 'de'").count()
     assert len(ml._FILTER_PINNED) == 1 and ml._FILTER_PINNED[0] is not first
-    # where=None never pins
+    # an unfiltered call RELEASES the last slice (and pins nothing)
     model.approx_similarity_join(0.5).count()
-    assert len(ml._FILTER_PINNED) == 1
+    assert len(ml._FILTER_PINNED) == 0

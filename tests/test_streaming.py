@@ -798,3 +798,22 @@ def test_serving_path_sink_replay_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 4  # 2 rows per batch, replay did NOT duplicate
     assert got.filter("batch_id = 0").count() == 2
+
+
+def test_append_sink_refuses_partitioned_layout(spark, tmp_path):
+    """The reverse-direction guard: an append (document-contract) sink
+    refuses a path already holding batch_id= partitions — flat files next
+    to partition dirs break discovery just the same (r08 review)."""
+    from pyspark_minhash_lsh_spark.streaming._start import coerce_batch_sink
+
+    out = str(tmp_path / "res")
+    batch = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    coerce_batch_sink(out)(batch, 0)  # idempotent write -> batch_id= layout
+    with pytest.raises(ValueError, match="batch_id-partitioned"):
+        coerce_batch_sink(out, idempotent=False)(batch, 0)
+    # fresh path: append proceeds and a replayed guard flag stays cheap
+    out2 = str(tmp_path / "res2")
+    fn = coerce_batch_sink(out2, idempotent=False)
+    fn(batch, 0)
+    fn(batch, 1)
+    assert spark.read.parquet(out2).count() == 2
