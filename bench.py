@@ -147,13 +147,17 @@ def main() -> None:
 
     # bench-only suites (q76 multimodal / q79 tokenizers — moved off the
     # driver 50 in round 8 to fund two oracle rows): still exercised here
-    # every round so a crash or blow-up in them is caught by the driver's
-    # bench run, WITHOUT touching the headline metric's comparable history.
+    # every round so a crash or empty-result regression in them is caught
+    # by the driver's bench run, WITHOUT touching the headline metric's
+    # comparable history. Smoke runs at the SMALLEST sf available — this
+    # is a liveness check, not a perf number (q76's decode pass costs ~50s
+    # at sf0.1 vs ~5s at sf0.001 for identical code coverage).
+    smoke_sf = warm_sf if os.path.isdir(warm_sf) else sf_dir
     suites: dict[str, float] = {}
     for name in ("q76_multimodal_suite", "q79_tokenize_suite"):
         try:
             t0 = time.perf_counter()
-            n = QUERIES[name](spark, sf_dir).count()
+            n = QUERIES[name](spark, smoke_sf).count()
             if n == 0:
                 # an empty suite result is a regression, not a timing —
                 # surface it like a crash (r08 review: a drifted join key
