@@ -441,3 +441,38 @@ def test_minhash_filter_pin_released_on_next_call(spark):
     # an unfiltered call RELEASES the last slice (and pins nothing)
     model.approx_similarity_join(0.5).count()
     assert len(ml._FILTER_PINNED) == 0
+
+
+def test_minhash_filtered_ann_on_loaded_index(spark, tmp_path):
+    """where= works identically on a saved-and-LOADED text index: the
+    predicate binds to the corpus passed at load time, so the persistence
+    path serves the same filtered results as the fitted model."""
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSHModel
+
+    docs = _lang_corpus(spark, n=40)
+    model = MinHashLSH().fit(docs, persist=False)
+    path = str(tmp_path / "idx")
+    model.save_index(path)
+    loaded = MinHashLSHModel.load_index(spark, path, corpus=docs)
+
+    qtext = docs.filter(F.col("doc_id") == 0).head().text
+    want = model.approx_nearest_neighbors_plan(
+        qtext, n=5, with_text=False, where="lang = 'en'"
+    ).collect()
+    got = loaded.approx_nearest_neighbors_plan(
+        qtext, n=5, with_text=False, where="lang = 'en'"
+    ).collect()
+    assert [(r.doc_id, round(r.jaccard, 9)) for r in got] == [
+        (r.doc_id, round(r.jaccard, 9)) for r in want
+    ] and got
+
+    # the filtered self-join serves from the artifact too
+    got_j = sorted(
+        (r.id_a, r.id_b)
+        for r in loaded.approx_similarity_join(0.5, where="lang = 'en'").collect()
+    )
+    want_j = sorted(
+        (r.id_a, r.id_b)
+        for r in model.approx_similarity_join(0.5, where="lang = 'en'").collect()
+    )
+    assert got_j == want_j
