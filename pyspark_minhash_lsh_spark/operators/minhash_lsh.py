@@ -19,6 +19,8 @@ Scale posture (100 TB target):
 
 from __future__ import annotations
 
+import threading
+import weakref
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -40,16 +42,68 @@ from ._filters import apply_where
 __all__ = ["MinHashLSH", "MinHashLSHModel"]
 
 
-#: similarity_join_exact's shingle-projection pins — released on the next
-#: call (the setjoin._PINNED discipline: the returned plan is lazy, so the
-#: cache must outlive this call and is freed when the next verify join runs)
-_VERIFY_PINNED: "list[DataFrame]" = []
+def _quiet_unpersist(df: DataFrame) -> None:
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        # GC-finalizer backstop may fire after the owning SparkSession
+        # stopped; a dead session has no cache left to release
+        pass
 
-#: where=-filtered index-slice pins (same discipline): the filtered slice
-#: appears in several subtrees of one self-join plan and Spark does NOT
-#: reuse the semi-join subtree across them (measured: 8 corpus scans in a
-#: filtered similarity-join plan before this cache — r08 review)
-_FILTER_PINNED: "list[DataFrame]" = []
+
+class _PinSet:
+    """Per-model registry of the two caches a lazy plan must outlive:
+
+      - the verify-stage shingle projection (``similarity_join_exact``
+        references it from both join sides — unpersisted, each side would
+        re-run the tokenize+shingle regex scan over the corpus);
+      - the ``where=``-filtered index slice (it appears in several subtrees
+        of one self-join plan and Spark does NOT plan a ReusedExchange
+        across them — measured 8 corpus scans before this cache, r08).
+
+    Round 9 (VERDICT r08 #2 / ADVICE): pins were module-level globals
+    drained on every call through the path for ANY model — two models (or
+    two concurrent serving streams) interleaving filtered calls drained
+    each other's pins while the first caller's plan was still lazy, and a
+    ``where=`` serving stream re-materialized the identical slice every
+    micro-batch. Now each model owns its pins: the filter pin is KEYED by
+    the where-expression string (same slice -> reused, not rebuilt), all
+    mutation is lock-guarded (foreachBatch threads), and a GC finalizer
+    drains whatever the owner never released (the throwaway-model pattern:
+    fit -> join -> drop, as in the bench loop and ``minhash_dedup``)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._verify: "DataFrame | None" = None
+        self._filter_key: "str | None" = None
+        self._filter_df: "DataFrame | None" = None
+
+    def swap_verify(self, df: "DataFrame | None") -> None:
+        """Install a new verify pin (or ``None`` to drain), releasing the old."""
+        with self._lock:
+            old, self._verify = self._verify, df
+        if old is not None:
+            _quiet_unpersist(old)
+
+    def reuse_filter(self, key: str) -> "DataFrame | None":
+        """The already-pinned slice for ``key``, or None (build + swap)."""
+        with self._lock:
+            if self._filter_key == key:
+                return self._filter_df
+        return None
+
+    def swap_filter(self, key: "str | None", df: "DataFrame | None") -> None:
+        with self._lock:
+            old, self._filter_key, self._filter_df = self._filter_df, key, df
+        if old is not None:
+            _quiet_unpersist(old)
+
+    def drop_all(self) -> None:
+        with self._lock:
+            pins = [p for p in (self._verify, self._filter_df) if p is not None]
+            self._verify = self._filter_key = self._filter_df = None
+        for p in pins:
+            _quiet_unpersist(p)
 
 
 class MinHashLSH:
@@ -160,6 +214,10 @@ class MinHashLSHModel:
         self.index = index
         self.text_col = text_col
         self.id_col = id_col
+        # per-instance cache pins (VERDICT r08 #2); the finalizer holds the
+        # _PinSet, never the model, so it cannot keep the model alive
+        self._pins = _PinSet()
+        weakref.finalize(self, _PinSet.drop_all, self._pins)
 
     # -- query-side pipeline ----------------------------------------------------------
     def _query_frame(self, query_text: str) -> DataFrame:
@@ -205,22 +263,27 @@ class MinHashLSHModel:
         ReusedExchange across them: each occurrence would re-run the corpus
         predicate scan and the semi-join (measured 8 corpus scans in one
         filtered join plan). The slice is near-dup-index-sized, so it is
-        cached for the plan's lifetime and released on the NEXT call
-        through this path — filtered OR not (the ``_VERIFY_PINNED``
-        discipline; draining BEFORE the ``where is None`` early return
-        means a service that goes back to unfiltered calls does not hold
-        the last slice's cache for the rest of the session — r08 review)."""
-        while _FILTER_PINNED:
-            try:
-                _FILTER_PINNED.pop().unpersist(blocking=False)
-            except Exception:  # previous session already stopped
-                pass
+        cached and owned by THIS model's ``_PinSet`` (round 9, VERDICT r08
+        #2): a repeat call with the SAME where-expression reuses the pinned
+        slice (a ``where=`` serving stream pays the materialization once,
+        not per micro-batch), a call with a DIFFERENT predicate — or an
+        unfiltered one — swaps it out and releases the old slice, and two
+        models never touch each other's pins."""
         if where is None:
+            # a service going back to unfiltered calls must not hold the
+            # last slice's cache for the rest of the session (r08 review)
+            self._pins.swap_filter(None, None)
             return self.index
+        # Column str() renders the underlying expression, so a predicate
+        # rebuilt identically each micro-batch still hits the pinned slice
+        key = f"{type(where).__name__}:{where}"
+        hit = self._pins.reuse_filter(key)
+        if hit is not None:
+            return hit
         from pyspark.storagelevel import StorageLevel
 
         src = self._filtered_index(where).persist(StorageLevel.MEMORY_AND_DISK)
-        _FILTER_PINNED.append(src)
+        self._pins.swap_filter(key, src)
         return src
 
     def approx_nearest_neighbors_plan(
@@ -563,11 +626,6 @@ class MinHashLSHModel:
 
         from ..functions.text import shingles, tokens
 
-        while _VERIFY_PINNED:
-            try:
-                _VERIFY_PINNED.pop().unpersist(blocking=False)
-            except Exception:  # previous session already stopped
-                pass
         frac = Fraction(float(threshold)).limit_denominator(10**6)
         p, q = frac.numerator, frac.denominator
         pairs = self._candidate_pairs(
@@ -580,7 +638,11 @@ class MinHashLSHModel:
             F.col(self.id_col),
             shingles(tokens(F.col(self.text_col)), self.config.shingle_size).alias("_s"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _VERIFY_PINNED.append(sh)
+        # swap AFTER the new projection exists: the old pin (if any) is
+        # released exactly once, and the caller's previous lazy plan only
+        # loses its cache when a NEW verify join through THIS model replaces
+        # it (VERDICT r08 #2 — per-instance, was a module global)
+        self._pins.swap_verify(sh)
         sa = sh.select(F.col(self.id_col).alias("id_a"), F.col("_s").alias("_sa"))
         sb = sh.select(F.col(self.id_col).alias("id_b"), F.col("_s").alias("_sb"))
         c = F.size(F.array_intersect("_sa", "_sb"))
@@ -638,8 +700,10 @@ class MinHashLSHModel:
         )
 
     def unpersist(self) -> None:
-        """Release the cached index (reference ``free_dfs``, minhash_pyspark.py:442-447)."""
+        """Release the cached index (reference ``free_dfs``,
+        minhash_pyspark.py:442-447) and this model's cache pins."""
         self.index.unpersist()
+        self._pins.drop_all()
 
     # -- persistence -------------------------------------------------------------------
 

@@ -424,23 +424,74 @@ def test_srp_filtered_pairs_equal_sub_corpus_fit(spark):
     assert got == want and got
 
 
-def test_minhash_filter_pin_released_on_next_call(spark):
-    """The pinned where= slice is released when the NEXT call through the
-    pinned path arrives — filtered or not (the _VERIFY_PINNED discipline;
-    a service going back to unfiltered joins must not hold the last
-    slice's cache for the rest of the session)."""
-    from pyspark_minhash_lsh_spark.operators import minhash_lsh as ml
-
+def test_minhash_filter_pin_lifecycle_per_model(spark):
+    """Pin lifecycle on the model instance (round 9, VERDICT r08 #2): a
+    repeat call with the SAME where reuses the pinned slice (a serving
+    stream pays the materialization once, not per micro-batch), a different
+    predicate swaps it, and an unfiltered call drains it."""
     docs = _lang_corpus(spark, n=30)
     model = MinHashLSH().fit(docs, persist=False)
     model.approx_similarity_join(0.5, where="lang = 'en'").count()
-    assert len(ml._FILTER_PINNED) == 1
-    first = ml._FILTER_PINNED[0]
-    model.approx_similarity_join(0.5, where="lang = 'de'").count()
-    assert len(ml._FILTER_PINNED) == 1 and ml._FILTER_PINNED[0] is not first
-    # an unfiltered call RELEASES the last slice (and pins nothing)
+    first = model._pins._filter_df
+    assert first is not None
+    # SAME predicate (rebuilt string) -> the identical cached DataFrame
+    model.approx_similarity_join(0.5, where="lang = 'en'").count()
+    assert model._pins._filter_df is first
+    # a Column predicate with the same expression string ALSO reuses
+    # nothing here (str differs from the raw-string key) but must still
+    # key consistently: two identical Column objects hit one pin
+    c1 = F.col("lang") == F.lit("de")
+    model.approx_similarity_join(0.5, where=c1).count()
+    second = model._pins._filter_df
+    assert second is not first
+    model.approx_similarity_join(0.5, where=F.col("lang") == F.lit("de")).count()
+    assert model._pins._filter_df is second
+    # an unfiltered call RELEASES the slice (and pins nothing)
     model.approx_similarity_join(0.5).count()
-    assert len(ml._FILTER_PINNED) == 0
+    assert model._pins._filter_df is None and model._pins._filter_key is None
+
+
+def test_minhash_filter_pins_are_instance_state(spark):
+    """Two models interleaving filtered calls do NOT drain each other's
+    pins (r08: module-global pins made the 8-scans-to-1 win evaporate in
+    exactly the two-model serving topology): after interleaved filtered
+    joins BOTH lazy plans still read their own cached slice, and
+    unpersist() drops only the owner's pin."""
+    docs = _lang_corpus(spark, n=30)
+    m1 = MinHashLSH().fit(docs, persist=False)
+    m2 = MinHashLSH().fit(docs, persist=False)
+    j1 = m1.approx_similarity_join(0.5, where="lang = 'en'")
+    j2 = m2.approx_similarity_join(0.5, where="lang = 'de'")  # would drain m1's pin pre-r09
+    p1 = m1._pins._filter_df
+    p2 = m2._pins._filter_df
+    assert p1 is not None and p2 is not None and p1 is not p2
+    for j in (j1, j2):
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
+    m1.unpersist()
+    assert m1._pins._filter_df is None
+    assert m2._pins._filter_df is p2
+    m2.unpersist()
+
+
+def test_minhash_verify_pin_is_instance_state(spark):
+    """similarity_join_exact's shingle-projection pin is per-model too: a
+    second model's verify join must not release the first model's cache
+    while its plan is lazy."""
+    docs = _lang_corpus(spark, n=30)
+    m1 = MinHashLSH().fit(docs, persist=False)
+    m2 = MinHashLSH().fit(docs, persist=False)
+    m1.similarity_join_exact(0.5)
+    v1 = m1._pins._verify
+    assert v1 is not None
+    m2.similarity_join_exact(0.5)
+    assert m1._pins._verify is v1          # untouched by m2's call
+    assert m2._pins._verify is not None
+    m1.similarity_join_exact(0.6)          # a NEW verify join through m1 swaps
+    assert m1._pins._verify is not v1
+    m1.unpersist()
+    m2.unpersist()
+    assert m1._pins._verify is None and m2._pins._verify is None
 
 
 def test_minhash_filtered_ann_on_loaded_index(spark, tmp_path):
