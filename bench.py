@@ -171,6 +171,11 @@ def main() -> None:
             print(f"# suite {name} FAILED: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # ADVICE r08: a crashed/empty suite (-1.0) must be machine-gateable,
+    # not only visible to someone reading the suite_smoke dict — emit a
+    # top-level flag AND exit non-zero after the JSON line so automation
+    # catches the regression either way.
+    suite_smoke_failed = any(v == -1.0 for v in suites.values())
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -179,8 +184,11 @@ def main() -> None:
         "sf": sf,
         "scale_check": scale,
         "suite_smoke": suites,
+        "suite_smoke_failed": suite_smoke_failed,
     }))
     spark.stop()
+    if suite_smoke_failed:
+        sys.exit(3)
 
 
 #: document-centric queries re-timed at SCALE_FACTOR x documents — the

@@ -14,22 +14,45 @@ from pyspark.sql import functions as F
 __all__ = ["coerce_batch_sink", "start_foreach_batch"]
 
 
-def _existing_schema_names(spark, path: str) -> "list[str] | None":
-    """Column names of the parquet artifact at ``path``, ``None`` when no
-    artifact exists yet. ONLY the path-not-found case maps to None: any
-    other read failure (e.g. 'Conflicting directory structures' from an
-    already-mixed layout, a transient FS error) propagates — a layout
-    guard that swallows those would fail OPEN in exactly the corruption
-    case it exists to refuse (r08 review)."""
-    from pyspark.errors import AnalysisException
+def _sink_layout(spark, path: str) -> "str | None":
+    """STRUCTURAL layout of the sink directory at ``path``:
 
-    try:
-        return spark.read.parquet(path).schema.names
-    except AnalysisException as e:
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-            return None
-        raise
+      - ``None`` — no artifact yet (missing path, or an existing-but-EMPTY
+        directory: orchestrators commonly pre-create sink paths, and an
+        empty dir cannot hold a conflicting layout — ADVICE r08);
+      - ``'partitioned'`` — ``batch_id=`` partition subdirectories;
+      - ``'flat'`` — data files / non-partition entries, no ``batch_id=``;
+      - ``'mixed'`` — BOTH, the corruption either guard exists to prevent.
+
+    Detection is from the file index, NOT the inferred schema (ADVICE r08):
+    a flat layout whose ROWS legitimately carry a ``batch_id`` column (a
+    callable sink with ``with_batch_id=True``, later re-pointed at a path
+    sink) was misclassified by the old column-name probe — the append guard
+    falsely refused it, and the idempotent guard falsely accepted it and
+    wrote ``batch_id=`` dirs next to the flat files. Underscore/dot entries
+    (``_SUCCESS``, ``_spark_metadata``, hidden files) mark neither layout.
+    Any listing failure other than a missing path propagates — a guard that
+    swallows FS errors fails OPEN in exactly the case it exists to refuse
+    (r08 review)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    has_part = has_flat = False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        if st.isDirectory() and name.startswith("batch_id="):
+            has_part = True
+        else:
+            has_flat = True
+    if has_part and has_flat:
+        return "mixed"
+    if has_part:
+        return "partitioned"
+    return "flat" if has_flat else None
 
 
 def coerce_batch_sink(sink, idempotent: bool = True):
@@ -63,13 +86,13 @@ def coerce_batch_sink(sink, idempotent: bool = True):
 
         def append_fn(bdf: DataFrame, _bid: int) -> None:
             if not checked:
-                names = _existing_schema_names(bdf.sparkSession, path)
-                if names is not None and "batch_id" in names:
+                layout = _sink_layout(bdf.sparkSession, path)
+                if layout in ("partitioned", "mixed"):
                     raise ValueError(
                         f"sink at {path!r} holds a batch_id-partitioned "
-                        "layout (written by an idempotent sink); this "
-                        "append sink writes flat files and mixing the two "
-                        "breaks partition discovery — use a fresh path"
+                        f"layout ({layout}; written by an idempotent sink); "
+                        "this append sink writes flat files and mixing the "
+                        "two breaks partition discovery — use a fresh path"
                     )
                 checked.append(True)
             bdf.write.mode("append").parquet(path)
@@ -78,14 +101,15 @@ def coerce_batch_sink(sink, idempotent: bool = True):
 
     def overwrite_fn(bdf: DataFrame, bid: int) -> None:
         if not checked:
-            names = _existing_schema_names(bdf.sparkSession, path)
-            if names is not None and "batch_id" not in names:
+            layout = _sink_layout(bdf.sparkSession, path)
+            if layout in ("flat", "mixed"):
                 raise ValueError(
                     f"sink at {path!r} holds a flat (non-batch_id-"
-                    "partitioned) parquet layout; this idempotent sink "
-                    "writes batch_id= partitions and mixing the two breaks "
-                    "partition discovery — use a fresh path or migrate the "
-                    "existing files into batch_id= directories first"
+                    f"partitioned) parquet layout ({layout}); this "
+                    "idempotent sink writes batch_id= partitions and mixing "
+                    "the two breaks partition discovery — use a fresh path "
+                    "or migrate the existing files into batch_id= "
+                    "directories first"
                 )
             checked.append(True)
         if "batch_id" not in bdf.columns:

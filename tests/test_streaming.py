@@ -878,3 +878,64 @@ def test_append_sink_refuses_partitioned_layout(spark, tmp_path):
     fn(batch, 0)
     fn(batch, 1)
     assert spark.read.parquet(out2).count() == 2
+
+
+def test_layout_guards_are_structural_not_schema_based(spark, tmp_path):
+    """ADVICE r08: the guards detect the layout from batch_id= partition
+    DIRECTORIES, not from a batch_id column in the inferred schema. A FLAT
+    layout whose rows legitimately carry a batch_id column (a callable sink
+    with with_batch_id=True, later re-pointed at a path) must be ACCEPTED
+    by the append sink and REFUSED by the idempotent sink."""
+    import os
+
+    from pyspark_minhash_lsh_spark.streaming._start import coerce_batch_sink
+
+    out = str(tmp_path / "flat_with_col")
+    flat = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "doc_id bigint, text string, batch_id bigint"
+    )
+    flat.write.parquet(out)  # FLAT files; batch_id is a DATA column
+    batch = spark.createDataFrame([(3, "c", 1)], flat.schema)
+    # append sink: same flat contract -> proceeds (old guard falsely refused)
+    coerce_batch_sink(out, idempotent=False)(batch, 1)
+    assert spark.read.parquet(out).count() == 3
+    assert not any(
+        e.startswith("batch_id=") for e in os.listdir(out)
+    ), "append sink must never create partition dirs"
+    # idempotent sink: would write batch_id= dirs next to flat files ->
+    # refused (old guard falsely accepted, creating the mixed layout)
+    with pytest.raises(ValueError, match="flat"):
+        coerce_batch_sink(out)(batch, 2)
+
+
+def test_layout_guards_accept_precreated_empty_dir(spark, tmp_path):
+    """ADVICE r08: an existing-but-empty sink directory (orchestrators
+    pre-create paths) is 'no artifact yet' for BOTH sinks — the old
+    schema-inference probe raised UNABLE_TO_INFER_SCHEMA and killed the
+    stream on its first batch."""
+    from pyspark_minhash_lsh_spark.streaming._start import coerce_batch_sink
+
+    batch = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    e1, e2 = tmp_path / "empty1", tmp_path / "empty2"
+    e1.mkdir()
+    e2.mkdir()
+    coerce_batch_sink(str(e1))(batch, 0)
+    assert spark.read.parquet(str(e1)).count() == 1
+    coerce_batch_sink(str(e2), idempotent=False)(batch, 0)
+    assert spark.read.parquet(str(e2)).count() == 1
+
+
+def test_layout_guard_refuses_mixed_layout_both_directions(spark, tmp_path):
+    """A directory already holding BOTH flat files and batch_id= partition
+    dirs is refused by both sink contracts (fail-closed on the corruption
+    the guards exist to prevent)."""
+    from pyspark_minhash_lsh_spark.streaming._start import coerce_batch_sink
+
+    out = str(tmp_path / "mixed")
+    batch = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    coerce_batch_sink(out)(batch, 0)            # batch_id=0 partition dir
+    batch.write.mode("append").parquet(out)     # flat files alongside
+    with pytest.raises(ValueError, match="mixed"):
+        coerce_batch_sink(out)(batch, 1)
+    with pytest.raises(ValueError, match="mixed"):
+        coerce_batch_sink(out, idempotent=False)(batch, 1)
