@@ -398,6 +398,121 @@ def test_promotion_gate_serving_snapshot_runbook(spark, tmp_path):
     )
 
 
+def test_serving_snapshot_cutover_drill_30x(spark, tmp_path):
+    """VERDICT r08 #7: the promotion runbook COMPOSED with live serving at
+    a 30x-replica index. v1 serves a query stream; the refresh is gated,
+    sharded, validated, index-rebuilt at a NEW path, and the serving
+    searcher cut over to the loaded v2 model; a doc present only in v2
+    becomes retrievable, v1's answers stay intact at their own sink, and
+    the serving stream never holds state (stateless foreachBatch — the
+    checkpoint carries offsets only, no state/ dir). The measured 30x
+    wall-time numbers live in PLANS.md round 9."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.expectations import promotion_gate
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import (
+        MinHashLSH,
+        MinHashLSHModel,
+    )
+    from pyspark_minhash_lsh_spark.sources.sinks import (
+        validate_shards,
+        write_training_shards,
+    )
+    from pyspark_minhash_lsh_spark.streaming import start_ann_serving_stream
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stride = base.agg(F.max("doc_id")).head()[0] + 1
+    # replica-prefixed tokens (the bench.scale_check construction): each
+    # replica's shingle universe is disjoint, so index size scales 30x
+    # while per-query similarity structure stays identical
+    reps = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "), lambda t: F.concat(F.lit(f"r{i}"), t)
+                ),
+                " ",
+            ).alias("text"),
+            "lang", "source",
+        )
+        for i in range(30)
+    ]
+    v1 = reps[0]
+    for r in reps[1:]:
+        v1 = v1.unionByName(r)
+    sentinel_id = 100 * stride
+    sentinel_text = "cutover sentinel doc " + " ".join(
+        f"zq{i} zr{i}" for i in range(30)
+    )
+    v2 = v1.unionByName(
+        spark.createDataFrame(
+            [(sentinel_id, sentinel_text, "en", "src1")],
+            "doc_id bigint, text string, lang string, source string",
+        )
+    )
+
+    index_v1, index_v2 = str(tmp_path / "index_v1"), str(tmp_path / "index_v2")
+    MinHashLSH().fit(v1, persist=False).save_index(index_v1)
+    served = MinHashLSHModel.load_index(spark, index_v1, corpus=v1)
+
+    qtexts = [r.text for r in v1.filter(F.col("doc_id") < 3).collect()]
+    queries = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(qtexts + [sentinel_text])],
+        "query_id bigint, text string",
+    )
+    src = str(tmp_path / "q")
+    queries.write.parquet(src)
+
+    def serve(model, out, ck):
+        q = start_ann_serving_stream(
+            spark.readStream.schema(queries.schema).parquet(src),
+            lambda b: model.approx_nearest_neighbors_batch(
+                b, n=3, with_text=False
+            ),
+            out, checkpointLocation=ck, trigger={"availableNow": True},
+        )
+        assert q.awaitTermination(300) is True
+        return {
+            (r.query_id, r.rank): (r.doc_id, r.jaccard)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    out1, ck1 = str(tmp_path / "res_v1"), str(tmp_path / "ck_v1")
+    got1 = serve(served, out1, ck1)
+    for i in range(len(qtexts)):
+        # disjoint replica vocabularies: only doc i itself can score 1.0
+        assert got1[(i, 1)] == (i, 1.0)
+    # the sentinel doesn't exist in v1 — its query must not find it
+    assert all(
+        doc != sentinel_id for (qid, _), (doc, _) in got1.items()
+        if qid == len(qtexts)
+    )
+    # stateless serving: the checkpoint has offsets/commits, NO state store
+    assert os.path.isdir(os.path.join(ck1, "offsets"))
+    assert not os.path.isdir(os.path.join(ck1, "state"))
+
+    # --- runbook: gate -> shards -> validate -> rebuild -> cut over ------
+    promotion_gate(v1, v2, columns=["text", "source"], strict=True)
+    shards_v2 = str(tmp_path / "shards_v2")
+    write_training_shards(v2, shards_v2, n_shards=4, manifest=True)
+    validate_shards(spark, shards_v2)
+    MinHashLSH().fit(v2, persist=False).save_index(index_v2)
+    served2 = MinHashLSHModel.load_index(spark, index_v2, corpus=v2)
+
+    out2, ck2 = str(tmp_path / "res_v2"), str(tmp_path / "ck_v2")
+    got2 = serve(served2, out2, ck2)
+    # the v2 snapshot serves the sentinel at rank 1, self-similarity 1.0
+    assert got2[(len(qtexts), 1)] == (sentinel_id, 1.0)
+    # v1's sink is untouched by the cutover
+    assert {
+        (r.query_id, r.rank): (r.doc_id, r.jaccard)
+        for r in spark.read.parquet(out1).collect()
+    } == got1
+
+
 def test_streaming_constraint_gate_parity_and_fail_closed(spark, tmp_path):
     """streaming_constraint_gate (round 8, VERDICT r07 #8): per-micro-batch
     report == check_constraints over the same rows (stream==batch parity),
