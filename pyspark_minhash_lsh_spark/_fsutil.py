@@ -1,0 +1,51 @@
+"""Structural directory-layout probes over the Hadoop FileSystem API.
+
+One definition of "what layout does this artifact hold" for every guard
+that must decide between a flat parquet dataset and a ``key=``-partitioned
+one (round 9, ADVICE r08): schema-inference probes misclassify flat
+layouts whose ROWS carry the partition key as a data column, die on
+existing-but-empty directories (UNABLE_TO_INFER_SCHEMA), and — when their
+except clause is broad — read a corrupt mixed layout as "no artifact",
+failing OPEN exactly where the guard exists to refuse.
+"""
+
+from __future__ import annotations
+
+__all__ = ["dir_layout"]
+
+
+def dir_layout(spark, path: str, key: str) -> "str | None":
+    """Layout of the dataset directory at ``path`` w.r.t. partition ``key``:
+
+      - ``None`` — no artifact yet: missing path, or an existing directory
+        holding only underscore/dot entries (``_SUCCESS``, ``_params``,
+        ``_spark_metadata``, hidden files — an orchestrator-pre-created or
+        sidecar-only directory cannot hold a conflicting layout);
+      - ``'partitioned'`` — ``key=`` partition subdirectories only;
+      - ``'flat'`` — data entries without ``key=`` directories;
+      - ``'mixed'`` — both, the corruption layout guards refuse.
+
+    Detection is from the file index, never the inferred schema. Any
+    listing failure other than a missing path propagates — swallowing FS
+    errors would fail open in exactly the case the caller guards against.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    prefix = key + "="
+    has_part = has_flat = False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        if st.isDirectory() and name.startswith(prefix):
+            has_part = True
+        else:
+            has_flat = True
+    if has_part and has_flat:
+        return "mixed"
+    if has_part:
+        return "partitioned"
+    return "flat" if has_flat else None

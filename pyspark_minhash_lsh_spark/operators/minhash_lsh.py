@@ -782,13 +782,30 @@ class MinHashLSHModel:
         of the layout contract — ``save_index(mode='append')`` and
         ``append_index`` both adopt whatever this reports, so the two
         append paths can never drift apart on layout detection (r07
-        review catch)."""
-        from pyspark.errors import AnalysisException
+        review catch).
 
-        try:
-            return "band0" in spark.read.parquet(path).schema.names
-        except AnalysisException:
+        Round 9: STRUCTURAL detection via the shared ``_fsutil.dir_layout``
+        probe (band0= partition subdirectories), replacing a schema read
+        whose blanket ``except AnalysisException`` mapped EVERY read
+        failure — including 'Conflicting directory structures' from an
+        already-mixed artifact — to 'no artifact', letting an append
+        proceed with the caller's layout flag into exactly the corruption
+        this marker exists to catch. A sidecar-only directory (``_params``
+        present, data gone) still reads as None — underscore entries mark
+        neither layout — preserving the corrupt-artifact refusal contract
+        of save/append (ADVICE r07). A mixed listing now refuses loudly."""
+        from .._fsutil import dir_layout
+
+        layout = dir_layout(spark, path, "band0")
+        if layout == "mixed":
+            raise ValueError(
+                f"index artifact at {path!r} mixes band0= partition "
+                "directories and flat data files — corrupt layout; rebuild "
+                "it with save_index(mode='overwrite') or compact_index"
+            )
+        if layout is None:
             return None
+        return layout == "partitioned"
 
     def save_index(
         self, path: str, partition_by_band0: bool = False, mode: str = "overwrite"

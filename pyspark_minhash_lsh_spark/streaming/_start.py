@@ -33,26 +33,10 @@ def _sink_layout(spark, path: str) -> "str | None":
     (``_SUCCESS``, ``_spark_metadata``, hidden files) mark neither layout.
     Any listing failure other than a missing path propagates — a guard that
     swallows FS errors fails OPEN in exactly the case it exists to refuse
-    (r08 review)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return None
-    has_part = has_flat = False
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        if st.isDirectory() and name.startswith("batch_id="):
-            has_part = True
-        else:
-            has_flat = True
-    if has_part and has_flat:
-        return "mixed"
-    if has_part:
-        return "partitioned"
-    return "flat" if has_flat else None
+    (r08 review). Delegates to the shared ``_fsutil.dir_layout`` probe."""
+    from .._fsutil import dir_layout
+
+    return dir_layout(spark, path, "batch_id")
 
 
 def coerce_batch_sink(sink, idempotent: bool = True):

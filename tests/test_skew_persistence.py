@@ -882,3 +882,41 @@ def test_validate_shards_reports_null_mixed_config_rows(spark, tmp_path):
         .parquet(f"{p}/_manifest")
     with pytest.raises(ValueError, match="disagree on salt"):
         validate_shards(spark, p)
+
+
+def test_saved_band0_layout_is_structural(spark, tmp_path):
+    """Round 9 (_fsutil.dir_layout): the saved-index layout marker reads
+    the FILE INDEX, not the inferred schema — a mixed artifact (band0=
+    dirs AND flat data files) refuses loudly instead of the old blanket
+    except mapping the read failure to 'no artifact' and letting the
+    append fail open; an existing-but-EMPTY directory is 'no artifact'."""
+    import os
+
+    import pytest
+
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSHModel
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    model = MinHashLSH().fit(docs.filter(F.col("doc_id") < 40), persist=False)
+
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    model.save_index(flat)
+    model.save_index(part, partition_by_band0=True)
+    assert MinHashLSHModel._saved_band0_layout(spark, flat) is False
+    assert MinHashLSHModel._saved_band0_layout(spark, part) is True
+    assert MinHashLSHModel._saved_band0_layout(spark, str(tmp_path / "nope")) is None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert MinHashLSHModel._saved_band0_layout(spark, str(empty)) is None
+
+    # corrupt the partitioned artifact with a flat data file at the root
+    with open(os.path.join(part, "part-rogue.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    with pytest.raises(ValueError, match="mixes band0="):
+        MinHashLSHModel._saved_band0_layout(spark, part)
+    # both append paths surface the refusal instead of writing into it
+    batch = docs.filter(F.col("doc_id") >= 40)
+    with pytest.raises(ValueError, match="mixes band0="):
+        model.append_index(batch, part)
+    with pytest.raises(ValueError, match="mixes band0="):
+        model.save_index(part, mode="append")
