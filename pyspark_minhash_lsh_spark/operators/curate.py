@@ -305,19 +305,21 @@ def curate_corpus(
     ex = exact_dedup(survivors, score_col="quality", tokens_col="_toks").select(
         F.col("doc_id"), F.col("is_representative").alias("_keep_exact")
     )
-    after_exact = survivors.join(ex, "doc_id")
+    # pin the FLAGGED frame, not just the keeps slice (round 9): the
+    # near-dup stage reads the survivor rows ~3x (signature fit, label
+    # join, final output) AND the disposition union's drop_exact_dup
+    # branch reads the flag — pinning only exact_keeps left that branch
+    # re-running the exact-dedup fingerprint agg + join in the final
+    # count/collect job (one whole extra shuffle agg per materialization;
+    # the pinned frame grows by one boolean column)
+    after_exact = survivors.join(ex, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(after_exact)
     exact_drops = after_exact.where(~F.col("_keep_exact")).select(
         "doc_id", "text", "n_tokens", "quality",
         F.lit(None).cast("bigint").alias("component"),
         F.lit("drop_exact_dup").alias("status"),
     )
     exact_keeps = after_exact.where(F.col("_keep_exact")).drop("_keep_exact")
-    # the near-dup stage reads this frame ~3x (signature fit, label join,
-    # final output) and each read would otherwise re-run the exact-dedup
-    # shuffle agg + join above the persisted rules table — persist the slim
-    # survivor frame once (lazy; measured ~2.5s of the sf0.1 wall)
-    exact_keeps = exact_keeps.persist(StorageLevel.MEMORY_AND_DISK)
-    _PINNED.append(exact_keeps)
 
     nd = minhash_dedup(
         exact_keeps,
