@@ -37,6 +37,10 @@ HEADLINE = [
     "q42_relational_ops",
     "q64_incremental_dedup",
     "q68_token_frequency_profile",
+    # round 9: the md5-space dedup-loop oracle twin (NOTE: constructing it
+    # runs the connected-components edge job eagerly, like the standalone
+    # dedup operators — the audited plan is the final disposition union)
+    "q89_minhash_dedup_oracle",
 ]
 
 #: hard shape assertions backing PLANS.md claims (audit FAILS on regression).
@@ -59,6 +63,12 @@ ASSERTIONS = [
     # panel must stay pure-JVM (no Python eval) and never pair-enumerate
     ("q29_doc_quality", ["BroadcastHashJoin", "TakeOrderedAndProject"],
      ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"]),
+    # the dedup-loop twin is pure native column math + equi-joins: the band
+    # candidate join keys on (band idx, value), the verify/label joins on
+    # ids — no pair enumeration, no Python eval anywhere
+    ("q89_minhash_dedup_oracle", [],
+     ["CartesianProduct", "BroadcastNestedLoopJoin",
+      "ArrowEvalPython", "BatchEvalPython"]),
 ]
 
 #: shuffle budgets locked per query (round 4, after partition-preserving
@@ -98,6 +108,11 @@ MAX_COUNTS = [
     # r06: repetition facets became a staged zero-shuffle projection
     # (sorted-bigram-run fold) — lock the elided explode/window/agg path out
     ("q53_repetition_metrics", "Exchange hashpartitioning", 0),
+    # r09: q89 measured 8 unique — shingle agg, band self-join sides, the
+    # two verify attach joins, the label join legs; a correctness row (not
+    # benched), the budget just locks out accidental pair enumeration /
+    # re-shuffle growth
+    ("q89_minhash_dedup_oracle", "Exchange hashpartitioning", 8),
 ]
 
 MARKERS = [
