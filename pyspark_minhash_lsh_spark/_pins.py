@@ -1,0 +1,43 @@
+"""Cache-pin lifecycle helpers (round 9, VERDICT r08 #2 family).
+
+An operator that returns a LAZY plan over persisted intermediates must keep
+those caches alive past its own return — but the pre-r09 pattern (a
+module-level list drained on the next call through ANY caller) thrashed
+between concurrent callers and held the last call's blocks forever in an
+idle session. Model-shaped operators now own their pins
+(``minhash_lsh._PinSet``); function-shaped operators tie them to the
+RETURNED DataFrame's lifetime via ``finalize_pins``.
+"""
+
+from __future__ import annotations
+
+import weakref
+
+from pyspark.sql import DataFrame
+
+__all__ = ["quiet_unpersist", "finalize_pins"]
+
+
+def quiet_unpersist(df: DataFrame) -> None:
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        # GC-finalizer backstop may fire after the owning SparkSession
+        # stopped; a dead session has no cache left to release
+        pass
+
+
+def finalize_pins(out: DataFrame, pinned: "list[DataFrame]") -> DataFrame:
+    """Release each pinned frame when ``out`` is garbage-collected.
+
+    The finalizers hold the PINNED frames, never ``out``, so they cannot
+    keep the result alive; release is prompt in build→consume→drop loops
+    (each loop iteration's result GC frees its caches before the next
+    iteration pins new ones) and concurrent callers never touch each
+    other's pins. A consumer that derives a new lazy frame from ``out``
+    and drops ``out`` itself simply recomputes on next execution —
+    correctness is unaffected.
+    """
+    for p in pinned:
+        weakref.finalize(out, quiet_unpersist, p)
+    return out

@@ -340,14 +340,7 @@ def curate_corpus(
         .alias("status"),
     )
     out = filtered_out.unionByName(exact_drops).unionByName(final)
-    # tie the pins to the RESULT's lifetime (see the note above): the
-    # finalizer holds the pinned frames, never the result, so it cannot
-    # keep `out` alive; release is unpersist(blocking=False) and tolerates
-    # an already-stopped session
-    import weakref
+    # tie the pins to the RESULT's lifetime (see the note above)
+    from .._pins import finalize_pins
 
-    from .minhash_lsh import _quiet_unpersist
-
-    for p in pinned:
-        weakref.finalize(out, _quiet_unpersist, p)
-    return out
+    return finalize_pins(out, pinned)

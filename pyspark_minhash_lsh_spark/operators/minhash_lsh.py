@@ -42,13 +42,7 @@ from ._filters import apply_where
 __all__ = ["MinHashLSH", "MinHashLSHModel"]
 
 
-def _quiet_unpersist(df: DataFrame) -> None:
-    try:
-        df.unpersist(blocking=False)
-    except Exception:
-        # GC-finalizer backstop may fire after the owning SparkSession
-        # stopped; a dead session has no cache left to release
-        pass
+from .._pins import quiet_unpersist as _quiet_unpersist
 
 
 class _PinSet:

@@ -27,14 +27,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .._pins import finalize_pins
 from ..functions.text import tokens
 
 __all__ = ["ngram_jaccard_join", "ngram_containment_join"]
 
-#: intermediates pinned by the PREVIOUS ngram_jaccard_join call, released
-#: (non-blocking) at the next call so repeated invocations (bench loops,
-#: interactive sessions) hold at most one call's worth of cached blocks.
-_PINNED: list[DataFrame] = []
 
 
 def _persist_partition_preserving(df: DataFrame) -> DataFrame:
@@ -73,7 +70,7 @@ def ngram_jaccard_join(
     even started (best-of-5 at sf0.1: 2.0s persisted vs 4.2s checkpointed)
     and their blocks are not safely evictable (truncated lineage), while
     MEMORY_AND_DISK spills under pressure and recomputes on loss. The
-    previous call's pins are released on entry (see ``_PINNED``).
+    the call's pins are released when the returned frame is\n    garbage-collected (``_pins.finalize_pins``).
 
     ``broadcast_max_rows`` (default OFF) optionally gates two broadcast
     hints, each on the MEASURED row count of ITS OWN build side (one agg job
@@ -98,11 +95,11 @@ def ngram_jaccard_join(
     gating is skipped and the planner decides alone.
     """
     t = float(threshold)
-    while _PINNED:
-        try:
-            _PINNED.pop().unpersist(blocking=False)
-        except Exception:  # previous session already stopped — nothing to free
-            pass
+    # pins released when the RETURNED join frame is garbage-collected
+    # (round 9, _pins.finalize_pins): the former module-level drain-on-next-
+    # call list thrashed between concurrent callers and held the last
+    # call's blocks forever in an idle session
+    pinned: list[DataFrame] = []
     # Spread the corpus across all cores BEFORE the per-doc heavy compute:
     # a small parquet scan arrives as 1-2 partitions (measured 8x at sf0.1
     # on local[32]). At scale the scan already has >= defaultParallelism
@@ -141,7 +138,7 @@ def ngram_jaccard_join(
         # Partition-preserving registration: the id-hash placement survives
         # into every consumer (rank window + verify aggs shuffle-free).
         dist = _persist_partition_preserving(dist)
-        _PINNED.append(dist)
+        pinned.append(dist)
 
     # measured-size broadcast gates (see docstring): each hint keyed on its
     # OWN build side's count. ONE agg job yields both stats and doubles as
@@ -176,7 +173,7 @@ def ngram_jaccard_join(
         # lazy: materializes inside the candidate join's own job (both
         # self-join sides share the cached partitions), no extra blocking job
         prefix = _persist_partition_preserving(prefix)
-        _PINNED.append(prefix)
+        pinned.append(prefix)
 
     # Candidate pruning, all BEFORE the expensive verify lookups:
     #  - length filter (PPJoin): Jaccard >= t requires
@@ -232,7 +229,7 @@ def ngram_jaccard_join(
     out_cols = ["id_a", "id_b", "jaccard"]
     if with_counts:
         out_cols += ["n_common", "n_a", "n_b"]
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("n_common", inter.cast("bigint"))
@@ -240,6 +237,7 @@ def ngram_jaccard_join(
         .filter(F.col("jaccard") >= t)
         .select(*out_cols)
     )
+    return finalize_pins(out, pinned)
 
 
 def ngram_containment_join(
@@ -271,11 +269,11 @@ def ngram_containment_join(
     ``ngram_jaccard_join`` (see its docstring for the measured rationale).
     """
     t = float(threshold)
-    while _PINNED:
-        try:
-            _PINNED.pop().unpersist(blocking=False)
-        except Exception:  # previous session already stopped — nothing to free
-            pass
+    # pins released when the RETURNED join frame is garbage-collected
+    # (round 9, _pins.finalize_pins): the former module-level drain-on-next-
+    # call list thrashed between concurrent callers and held the last
+    # call's blocks forever in an idle session
+    pinned: list[DataFrame] = []
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par, id_col)
@@ -295,7 +293,7 @@ def ngram_containment_join(
     )
     if persist_intermediate:
         dist = _persist_partition_preserving(dist)
-        _PINNED.append(dist)
+        pinned.append(dist)
 
     freq = dist.groupBy("shingle").agg(F.count("*").alias("df_"))
     wr = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
@@ -320,10 +318,11 @@ def ngram_containment_join(
     sa = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
     inter = F.size(F.array_intersect("h_a", "h_b"))
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("containment", inter.cast("double") / F.col("n_a").cast("double"))
         .filter(F.col("containment") >= t)
         .select("id_a", "id_b", "containment")
     )
+    return finalize_pins(out, pinned)

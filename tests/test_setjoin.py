@@ -20,7 +20,13 @@ from .conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+    yield d
+    # release at module teardown: a still-registered cache over this parquet
+    # path makes LATER tests' reads resolve to the InMemoryRelation, breaking
+    # any PushedFilters assertion over the same file (order-dependent — only
+    # visible when this module runs before them on a shared session)
+    d.unpersist()
 
 
 def naive_pairs(docs, threshold: float, k: int = 2):
