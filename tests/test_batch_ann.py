@@ -601,3 +601,40 @@ def test_filtered_ann_skewed_slice_matches_brute_force(spark):
             base, n=4, bucket_thres=0.5, with_text=False, where="doc_id < 0"
         ).collect()
         assert none == [], (seed, none)
+
+
+def test_pinset_concurrent_filtered_calls_thread_safe(spark):
+    """Two threads interleaving filtered joins with DIFFERENT predicates on
+    ONE model: the lock-guarded _PinSet must never raise, and every
+    iteration's result must equal the single-threaded reference for its
+    predicate (pin swaps by the other thread may force recompute, never
+    wrong answers)."""
+    import threading
+
+    docs = _lang_corpus(spark, n=30)
+    model = MinHashLSH().fit(docs, persist=False)
+    ref = {
+        w: sorted((r.id_a, r.id_b) for r in
+                  model.approx_similarity_join(0.5, where=w).collect())
+        for w in ("lang = 'en'", "lang = 'de'")
+    }
+    errs = []
+
+    def worker(where):
+        try:
+            for _ in range(4):
+                got = sorted(
+                    (r.id_a, r.id_b)
+                    for r in model.approx_similarity_join(0.5, where=where).collect()
+                )
+                assert got == ref[where], (where, got)
+        except Exception as e:  # pragma: no cover - failure surface
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(w,)) for w in ref]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    model.unpersist()
