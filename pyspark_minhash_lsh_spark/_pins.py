@@ -3,19 +3,34 @@
 An operator that returns a LAZY plan over persisted intermediates must keep
 those caches alive past its own return — but the pre-r09 pattern (a
 module-level list drained on the next call through ANY caller) thrashed
-between concurrent callers and held the last call's blocks forever in an
-idle session. Model-shaped operators now own their pins
-(``minhash_lsh._PinSet``); function-shaped operators tie them to the
-RETURNED DataFrame's lifetime via ``finalize_pins``.
+between concurrent callers: caller B's call dropped caller A's caches while
+A's plan was still unexecuted. Model-shaped operators now own their pins
+(``minhash_lsh._PinSet``); function-shaped operators register them through
+``finalize_pins``, which releases a call's caches only when BOTH:
+
+  1. the returned DataFrame has been garbage-collected (so no caller-held
+     plan can still want the caches), AND
+  2. a newer call through the same operator slot exists (so the common
+     chained pattern ``op(df).where(...).count()`` — where CPython drops
+     the intermediate result before the action runs — still executes
+     against warm caches; release waits for the next call, exactly the
+     old drain-on-next-call floor, without its concurrent-caller thrash).
+
+Concurrent callers each get their own hold: superseding is slot-global but
+release additionally needs result-death, so a call whose result is alive
+never loses its caches to another thread. On operator FAILURE the caller
+must release immediately (``release_pins`` in an except block) — a raised
+call returns nothing, so nothing can ever read its caches.
 """
 
 from __future__ import annotations
 
+import threading
 import weakref
 
 from pyspark.sql import DataFrame
 
-__all__ = ["quiet_unpersist", "finalize_pins"]
+__all__ = ["quiet_unpersist", "finalize_pins", "release_pins"]
 
 
 def quiet_unpersist(df: DataFrame) -> None:
@@ -27,17 +42,62 @@ def quiet_unpersist(df: DataFrame) -> None:
         pass
 
 
-def finalize_pins(out: DataFrame, pinned: "list[DataFrame]") -> DataFrame:
-    """Release each pinned frame when ``out`` is garbage-collected.
-
-    The finalizers hold the PINNED frames, never ``out``, so they cannot
-    keep the result alive; release is prompt in build→consume→drop loops
-    (each loop iteration's result GC frees its caches before the next
-    iteration pins new ones) and concurrent callers never touch each
-    other's pins. A consumer that derives a new lazy frame from ``out``
-    and drops ``out`` itself simply recomputes on next execution —
-    correctness is unaffected.
-    """
+def release_pins(pinned: "list[DataFrame]") -> None:
+    """Immediate release — the operator-failure path (a call that raised
+    returned nothing, so its caches are unreachable garbage NOW)."""
     for p in pinned:
-        weakref.finalize(out, quiet_unpersist, p)
+        quiet_unpersist(p)
+
+
+class _PinHold:
+    """One call's pinned frames + the two release conditions."""
+
+    __slots__ = ("_pins", "_dead", "_superseded", "_lock")
+
+    def __init__(self, pins: "list[DataFrame]") -> None:
+        self._pins = list(pins)
+        self._dead = False
+        self._superseded = False
+        self._lock = threading.Lock()
+
+    def _maybe_release(self) -> None:
+        with self._lock:
+            if not (self._dead and self._superseded):
+                return
+            pins, self._pins = self._pins, []
+        for p in pins:
+            quiet_unpersist(p)
+
+    def mark_dead(self) -> None:
+        with self._lock:
+            self._dead = True
+        self._maybe_release()
+
+    def mark_superseded(self) -> None:
+        with self._lock:
+            self._superseded = True
+        self._maybe_release()
+
+
+#: newest hold per operator slot — bounds retained-but-result-dead caches
+#: to ONE call's worth per operator, like the old drain-on-next-call list,
+#: without cross-caller thrash (older concurrent holds release on result GC)
+_LATEST: dict[str, _PinHold] = {}
+_REG_LOCK = threading.Lock()
+
+
+def finalize_pins(out: DataFrame, pinned: "list[DataFrame]", slot: str) -> DataFrame:
+    """Register ``pinned`` for release once ``out`` is garbage-collected
+    AND a newer ``slot`` call exists (see the module docstring). The
+    finalizer holds the PinHold, never ``out``, so it cannot keep the
+    result alive. No-op registration when nothing was pinned."""
+    if not pinned:
+        return out
+    hold = _PinHold(pinned)
+    weakref.finalize(out, _PinHold.mark_dead, hold)
+    with _REG_LOCK:
+        prev = _LATEST.get(slot)
+        _LATEST[slot] = hold
+    if prev is not None:
+        prev.mark_superseded()
     return out

@@ -34,6 +34,7 @@ if TYPE_CHECKING:  # annotation-only: scoring takes any fitted QualityClassifier
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._pins import finalize_pins, release_pins
 from ..config import DEFAULT_CONFIG, MinHashLSHConfig
 from .dedup import exact_dedup, minhash_dedup
 from .textpipe import (
@@ -152,195 +153,200 @@ def curate_corpus(
     """
     from pyspark.storagelevel import StorageLevel
 
-    # intermediates pinned for THIS call, released when the returned
-    # disposition frame is garbage-collected (round 9): the former
-    # module-level _PINNED drained on the next call through ANY caller, so
-    # two concurrent curate calls (e.g. two streaming_curate streams, the
-    # model-pin topology of VERDICT r08 #2) thrashed each other's caches,
-    # and a session that stopped calling curate held the last call's pins
-    # forever. A weakref.finalize on the result ties the cache lifetime to
-    # the one plan that reads it — prompt release in the fit->count->drop
-    # loop (bench), no cross-call interference.
+    # intermediates pinned for THIS call, released via _pins.finalize_pins
+    # (round 9): the former module-level _PINNED drained on the next call
+    # through ANY caller, so two concurrent curate calls (e.g. two
+    # streaming_curate streams, the model-pin topology of VERDICT r08 #2)
+    # thrashed each other's caches. Release needs the returned frame dead
+    # AND a newer curate call — so `curate_corpus(df).where(...).count()`
+    # (result dropped before the action) still runs on warm caches, and
+    # an exception releases immediately (the except below).
     pinned: list[DataFrame] = []
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    if unicode_form is not None:
-        # canonicalize FIRST: every later rule (and the shipped text) sees
-        # composed/folded codepoints; zero-shuffle (one Arrow batch stage)
-        base = normalize_text(
-            base, form=unicode_form, collapse_whitespace=False,
-            text_col="text", output_col="text",
-        )
-    blocked = None
-    if blocklist:
-        from .textpipe import blocklist_filter
-
-        blocked = blocklist_filter(base, blocklist).select(
-            "doc_id", (~F.col("keep_doc")).alias("_blocked")
-        )
-    boiler = None
-    if clean_lines:
-        # C4 boilerplate line rules: the surviving-line text is what ships
-        # (and what every later stage scores); pages failing the doc-level
-        # rules are disposition 'drop_boilerplate'. Zero-shuffle projection.
-        lf = line_filter(base)
-        base = lf.select("doc_id", "text")
-        boiler = lf.select("doc_id", (~F.col("keep_doc")).alias("_boiler"))
-    if redact_pii:
-        red = pii_redact(base, patterns=PII_PATTERNS).select(
-            "doc_id", F.col("redacted_text").alias("text")
-        )
-    else:
-        red = base
-    if scrub_secrets:
-        # credential scrubbing (round 7): same zero-shuffle projection
-        # stance as the PII pass; streaming_curate carries the same flag so
-        # the stream twin stays batch-identical by construction
-        from .textpipe import redact_secrets
-
-        red = redact_secrets(red).select(
-            "doc_id", F.col("redacted_text").alias("text")
-        )
-    # repetition facets + quality appended as staged zero-shuffle
-    # projections (round 6): no doc-keyed join (text never shuffles before
-    # the persist), and quality shares the SAME staged token column as the
-    # facets — the convenience quality_score(text) form re-tokenizes per
-    # array reference (~3x the rules-stage cost, measured). Round 7: the
-    # staged tokens are EXPOSED as _toks and carried through the persisted
-    # survivor frames, so the exact-dedup fingerprint and the MinHash
-    # signature pipeline reuse ONE tokenization instead of re-running the
-    # regex chain per stage (three passes -> one; ~0.4 s of the sf0.1
-    # wall, one fewer wide scan per stage at 100 TB — the cache grows by
-    # the token arrays, a deliberate memory-for-CPU trade local to this
-    # pipeline).
-    staged = with_repetition_metrics(
-        red, quality_col="_quality_raw", tokens_out="_toks"
-    )
-    first_rules = []
-    if boiler is not None:
-        staged = staged.join(boiler, "doc_id", "left")
-        first_rules.append(
-            (F.coalesce(F.col("_boiler"), F.lit(False)), "drop_boilerplate"))
-    if blocked is not None:
-        staged = staged.join(blocked, "doc_id", "left")
-        first_rules.append(
-            (F.coalesce(F.col("_blocked"), F.lit(False)), "drop_blocklist"))
-    status = None
-    for cond, label in first_rules:
-        status = (F.when(cond, F.lit(label)) if status is None
-                  else status.when(cond, F.lit(label)))
-    short = (F.col("n_tokens") < min_tokens, F.lit("drop_short"))
-    status = (F.when(*short) if status is None else status.when(*short))
-    status = status.when(
-        (F.col("dup_token_frac") > max_dup_token_frac)
-        | (F.col("top_bigram_frac") > max_top_bigram_frac),
-        F.lit("drop_repetition"),
-    )
-    if max_other_script_frac is not None:
-        from ..functions.text_analysis import SCRIPT_CLASSES
-
-        # two regex passes, not the full 12-class script_counts map (this
-        # is the scan-speed rule stage): SCRIPT_CLASSES are pairwise
-        # disjoint, so 'other' = what survives removing EVERY class char,
-        # and non-whitespace = what survives removing the whitespace class
-        all_ranges = "".join(SCRIPT_CLASSES.values())
-        other = F.length(
-            F.regexp_replace(F.col("text"), f"[{all_ranges}]", "")
-        )
-        nonws = F.length(
-            F.regexp_replace(
-                F.col("text"), "[" + SCRIPT_CLASSES["whitespace"] + "]", ""
+    try:
+        base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        if unicode_form is not None:
+            # canonicalize FIRST: every later rule (and the shipped text) sees
+            # composed/folded codepoints; zero-shuffle (one Arrow batch stage)
+            base = normalize_text(
+                base, form=unicode_form, collapse_whitespace=False,
+                text_col="text", output_col="text",
             )
+        blocked = None
+        if blocklist:
+            from .textpipe import blocklist_filter
+
+            blocked = blocklist_filter(base, blocklist).select(
+                "doc_id", (~F.col("keep_doc")).alias("_blocked")
+            )
+        boiler = None
+        if clean_lines:
+            # C4 boilerplate line rules: the surviving-line text is what ships
+            # (and what every later stage scores); pages failing the doc-level
+            # rules are disposition 'drop_boilerplate'. Zero-shuffle projection.
+            lf = line_filter(base)
+            base = lf.select("doc_id", "text")
+            boiler = lf.select("doc_id", (~F.col("keep_doc")).alias("_boiler"))
+        if redact_pii:
+            red = pii_redact(base, patterns=PII_PATTERNS).select(
+                "doc_id", F.col("redacted_text").alias("text")
+            )
+        else:
+            red = base
+        if scrub_secrets:
+            # credential scrubbing (round 7): same zero-shuffle projection
+            # stance as the PII pass; streaming_curate carries the same flag so
+            # the stream twin stays batch-identical by construction
+            from .textpipe import redact_secrets
+
+            red = redact_secrets(red).select(
+                "doc_id", F.col("redacted_text").alias("text")
+            )
+        # repetition facets + quality appended as staged zero-shuffle
+        # projections (round 6): no doc-keyed join (text never shuffles before
+        # the persist), and quality shares the SAME staged token column as the
+        # facets — the convenience quality_score(text) form re-tokenizes per
+        # array reference (~3x the rules-stage cost, measured). Round 7: the
+        # staged tokens are EXPOSED as _toks and carried through the persisted
+        # survivor frames, so the exact-dedup fingerprint and the MinHash
+        # signature pipeline reuse ONE tokenization instead of re-running the
+        # regex chain per stage (three passes -> one; ~0.4 s of the sf0.1
+        # wall, one fewer wide scan per stage at 100 TB — the cache grows by
+        # the token arrays, a deliberate memory-for-CPU trade local to this
+        # pipeline).
+        staged = with_repetition_metrics(
+            red, quality_col="_quality_raw", tokens_out="_toks"
         )
-        ofrac = F.when(
-            nonws > 0, other.cast("double") / nonws.cast("double")
-        ).otherwise(F.lit(0.0))
-        staged = staged.withColumn("_other_frac", ofrac)
+        first_rules = []
+        if boiler is not None:
+            staged = staged.join(boiler, "doc_id", "left")
+            first_rules.append(
+                (F.coalesce(F.col("_boiler"), F.lit(False)), "drop_boilerplate"))
+        if blocked is not None:
+            staged = staged.join(blocked, "doc_id", "left")
+            first_rules.append(
+                (F.coalesce(F.col("_blocked"), F.lit(False)), "drop_blocklist"))
+        status = None
+        for cond, label in first_rules:
+            status = (F.when(cond, F.lit(label)) if status is None
+                      else status.when(cond, F.lit(label)))
+        short = (F.col("n_tokens") < min_tokens, F.lit("drop_short"))
+        status = (F.when(*short) if status is None else status.when(*short))
         status = status.when(
-            F.col("_other_frac") > float(max_other_script_frac),
-            F.lit("drop_script"),
+            (F.col("dup_token_frac") > max_dup_token_frac)
+            | (F.col("top_bigram_frac") > max_top_bigram_frac),
+            F.lit("drop_repetition"),
         )
-    status = status.when(F.col("quality") < min_quality, F.lit("drop_quality"))
-    if max_logprob is not None:
-        from .textpipe import unigram_logprob_score
+        if max_other_script_frac is not None:
+            from ..functions.text_analysis import SCRIPT_CLASSES
 
-        lp = unigram_logprob_score(
-            red, reference=logprob_reference
-        ).select("doc_id", "logprob")
-        staged = staged.join(lp, "doc_id", "left")
-        status = status.when(
-            F.col("logprob") > float(max_logprob), F.lit("drop_entropy")
+            # two regex passes, not the full 12-class script_counts map (this
+            # is the scan-speed rule stage): SCRIPT_CLASSES are pairwise
+            # disjoint, so 'other' = what survives removing EVERY class char,
+            # and non-whitespace = what survives removing the whitespace class
+            all_ranges = "".join(SCRIPT_CLASSES.values())
+            other = F.length(
+                F.regexp_replace(F.col("text"), f"[{all_ranges}]", "")
+            )
+            nonws = F.length(
+                F.regexp_replace(
+                    F.col("text"), "[" + SCRIPT_CLASSES["whitespace"] + "]", ""
+                )
+            )
+            ofrac = F.when(
+                nonws > 0, other.cast("double") / nonws.cast("double")
+            ).otherwise(F.lit(0.0))
+            staged = staged.withColumn("_other_frac", ofrac)
+            status = status.when(
+                F.col("_other_frac") > float(max_other_script_frac),
+                F.lit("drop_script"),
+            )
+        status = status.when(F.col("quality") < min_quality, F.lit("drop_quality"))
+        if max_logprob is not None:
+            from .textpipe import unigram_logprob_score
+
+            lp = unigram_logprob_score(
+                red, reference=logprob_reference
+            ).select("doc_id", "logprob")
+            staged = staged.join(lp, "doc_id", "left")
+            status = status.when(
+                F.col("logprob") > float(max_logprob), F.lit("drop_entropy")
+            )
+        if lm_model is not None and min_lm_avg_logprob is not None:
+            from .lm import lm_score
+
+            ls = lm_score(red, lm_model).select("doc_id", "avg_logprob")
+            staged = staged.join(ls, "doc_id", "left")
+            status = status.when(
+                F.col("avg_logprob") < float(min_lm_avg_logprob),
+                F.lit("drop_fluency"),
+            )
+        if quality_model is not None:
+            mp = quality_model.score(red).select("doc_id", "prob_good")
+            staged = staged.join(mp, "doc_id", "left")
+            status = status.when(
+                F.col("prob_good") < float(min_model_prob), F.lit("drop_classifier")
+            )
+        scored = (
+            staged
+            .withColumn("quality", F.round(F.col("_quality_raw"), 6))
+            .withColumn("status", status.otherwise(F.lit(None).cast("string")))
+            .select("doc_id", "text", "_toks", "n_tokens", "quality", "status")
         )
-    if lm_model is not None and min_lm_avg_logprob is not None:
-        from .lm import lm_score
-
-        ls = lm_score(red, lm_model).select("doc_id", "avg_logprob")
-        staged = staged.join(ls, "doc_id", "left")
-        status = status.when(
-            F.col("avg_logprob") < float(min_lm_avg_logprob),
-            F.lit("drop_fluency"),
+        # the disposition union reads this stage from three branches, and the
+        # dedup stages re-read it through their own eager jobs — without the
+        # cache the multi-pattern regex redaction + tokenize + bigram agg would
+        # re-execute ~4x (lazy persist: spills/recomputes instead of failing)
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(scored)
+        filtered_out = scored.where(F.col("status").isNotNull()).select(
+            "doc_id", "text", "n_tokens", "quality",
+            F.lit(None).cast("bigint").alias("component"), "status",
         )
-    if quality_model is not None:
-        mp = quality_model.score(red).select("doc_id", "prob_good")
-        staged = staged.join(mp, "doc_id", "left")
-        status = status.when(
-            F.col("prob_good") < float(min_model_prob), F.lit("drop_classifier")
+        survivors = scored.where(F.col("status").isNull()).drop("status")
+
+        ex = exact_dedup(survivors, score_col="quality", tokens_col="_toks").select(
+            F.col("doc_id"), F.col("is_representative").alias("_keep_exact")
         )
-    scored = (
-        staged
-        .withColumn("quality", F.round(F.col("_quality_raw"), 6))
-        .withColumn("status", status.otherwise(F.lit(None).cast("string")))
-        .select("doc_id", "text", "_toks", "n_tokens", "quality", "status")
-    )
-    # the disposition union reads this stage from three branches, and the
-    # dedup stages re-read it through their own eager jobs — without the
-    # cache the multi-pattern regex redaction + tokenize + bigram agg would
-    # re-execute ~4x (lazy persist: spills/recomputes instead of failing)
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
-    pinned.append(scored)
-    filtered_out = scored.where(F.col("status").isNotNull()).select(
-        "doc_id", "text", "n_tokens", "quality",
-        F.lit(None).cast("bigint").alias("component"), "status",
-    )
-    survivors = scored.where(F.col("status").isNull()).drop("status")
+        # pin the FLAGGED frame, not just the keeps slice (round 9): the
+        # near-dup stage reads the survivor rows ~3x (signature fit, label
+        # join, final output) AND the disposition union's drop_exact_dup
+        # branch reads the flag — pinning only exact_keeps left that branch
+        # re-running the exact-dedup fingerprint agg + join in the final
+        # count/collect job (one whole extra shuffle agg per materialization;
+        # the pinned frame grows by one boolean column)
+        after_exact = survivors.join(ex, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(after_exact)
+        exact_drops = after_exact.where(~F.col("_keep_exact")).select(
+            "doc_id", "text", "n_tokens", "quality",
+            F.lit(None).cast("bigint").alias("component"),
+            F.lit("drop_exact_dup").alias("status"),
+        )
+        exact_keeps = after_exact.where(F.col("_keep_exact")).drop("_keep_exact")
 
-    ex = exact_dedup(survivors, score_col="quality", tokens_col="_toks").select(
-        F.col("doc_id"), F.col("is_representative").alias("_keep_exact")
-    )
-    # pin the FLAGGED frame, not just the keeps slice (round 9): the
-    # near-dup stage reads the survivor rows ~3x (signature fit, label
-    # join, final output) AND the disposition union's drop_exact_dup
-    # branch reads the flag — pinning only exact_keeps left that branch
-    # re-running the exact-dedup fingerprint agg + join in the final
-    # count/collect job (one whole extra shuffle agg per materialization;
-    # the pinned frame grows by one boolean column)
-    after_exact = survivors.join(ex, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
-    pinned.append(after_exact)
-    exact_drops = after_exact.where(~F.col("_keep_exact")).select(
-        "doc_id", "text", "n_tokens", "quality",
-        F.lit(None).cast("bigint").alias("component"),
-        F.lit("drop_exact_dup").alias("status"),
-    )
-    exact_keeps = after_exact.where(F.col("_keep_exact")).drop("_keep_exact")
-
-    nd = minhash_dedup(
-        exact_keeps,
-        threshold=near_dup_threshold,
-        config=config,
-        max_bucket_size=max_bucket_size,
-        score_col="quality",
-        tokens_col="_toks",
-    ).select(
-        "doc_id", F.col("component").cast("bigint").alias("component"),
-        "is_representative",
-    )
-    final = exact_keeps.join(nd, "doc_id").select(
-        "doc_id", "text", "n_tokens", "quality", "component",
-        F.when(F.col("is_representative"), F.lit("kept"))
-        .otherwise(F.lit("drop_near_dup"))
-        .alias("status"),
-    )
-    out = filtered_out.unionByName(exact_drops).unionByName(final)
-    # tie the pins to the RESULT's lifetime (see the note above)
-    from .._pins import finalize_pins
-
-    return finalize_pins(out, pinned)
+        nd = minhash_dedup(
+            exact_keeps,
+            threshold=near_dup_threshold,
+            config=config,
+            max_bucket_size=max_bucket_size,
+            score_col="quality",
+            tokens_col="_toks",
+        ).select(
+            "doc_id", F.col("component").cast("bigint").alias("component"),
+            "is_representative",
+        )
+        final = exact_keeps.join(nd, "doc_id").select(
+            "doc_id", "text", "n_tokens", "quality", "component",
+            F.when(F.col("is_representative"), F.lit("kept"))
+            .otherwise(F.lit("drop_near_dup"))
+            .alias("status"),
+        )
+        out = filtered_out.unionByName(exact_drops).unionByName(final)
+        # tie the pins to the RESULT's lifetime (see the note above)
+    
+        return finalize_pins(out, pinned, "curate_corpus")
+    except BaseException:
+        # a raised call returns nothing — nothing can ever read these
+        # caches, so release immediately instead of leaking them until
+        # session end (r09 review)
+        release_pins(pinned)
+        raise

@@ -763,11 +763,6 @@ def simhash_dedup(
     return _label_output(df, comp, id_col, score_col)
 
 
-#: slim (_fp-materialized) batch pinned by the PREVIOUS bloom-gated call,
-#: released (non-blocking) on the next — the curate/setjoin._PINNED lifecycle
-_BLOOM_PINNED: "list[DataFrame]" = []
-
-
 def incremental_exact_dedup(
     new_docs: DataFrame,
     seen_docs: DataFrame,
@@ -818,27 +813,31 @@ def incremental_exact_dedup(
     # re-deriving it for every row of BOTH branches; the cache (slim,
     # batch-bounded — the bloom path's documented regime) materializes
     # _fp once and the probes become byte lookups over a stored column.
-    # Previous call's pin released lazily (the curate/setjoin lifecycle).
-    while _BLOOM_PINNED:
-        try:
-            _BLOOM_PINNED.pop().unpersist(blocking=False)
-        except Exception:  # previous session already stopped
-            pass
+    # Pin released via _pins.finalize_pins on the returned frame (round 9:
+    # the old module-global drain thrashed between concurrent ingest
+    # streams — the VERDICT r08 #2 topology).
+    from .._pins import finalize_pins, release_pins
+
     batch = batch.persist()
-    _BLOOM_PINNED.append(batch)
-    probe = seen_bloom.contains(F.col("_fp"))
-    maybe = batch.filter(probe)
-    fresh = batch.filter(~probe)
-    # the broadcast encodes the bloom path's contract: the maybe-seen key
-    # set is batch-bounded (and typically ~fpp x batch) — the lake side
-    # streams through the semi join without an Exchange
-    pruned = seen_fp.join(
-        F.broadcast(maybe.select("_fp").dropDuplicates(["_fp"])),
-        "_fp",
-        "left_semi",
-    )
-    survivors = maybe.join(F.broadcast(pruned), "_fp", "left_anti")
-    return fresh.unionByName(survivors).drop("_fp", "_rn")
+    pinned = [batch]
+    try:
+        probe = seen_bloom.contains(F.col("_fp"))
+        maybe = batch.filter(probe)
+        fresh = batch.filter(~probe)
+        # the broadcast encodes the bloom path's contract: the maybe-seen key
+        # set is batch-bounded (and typically ~fpp x batch) — the lake side
+        # streams through the semi join without an Exchange
+        pruned = seen_fp.join(
+            F.broadcast(maybe.select("_fp").dropDuplicates(["_fp"])),
+            "_fp",
+            "left_semi",
+        )
+        survivors = maybe.join(F.broadcast(pruned), "_fp", "left_anti")
+        out = fresh.unionByName(survivors).drop("_fp", "_rn")
+    except BaseException:
+        release_pins(pinned)
+        raise
+    return finalize_pins(out, pinned, "incremental_exact_dedup")
 
 
 def incremental_near_dedup(

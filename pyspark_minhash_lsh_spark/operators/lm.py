@@ -40,14 +40,11 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._pins import finalize_pins, release_pins
 from ..functions.text import tokens
 
 __all__ = ["BigramLm", "train_bigram_lm", "lm_score", "save_bigram_lm", "load_bigram_lm"]
 
-#: word-count table pinned by the PREVIOUS train call (the model's uni/bi
-#: tables read it), released non-blocking on the next — the
-#: curate/setjoin._PINNED lifecycle
-_PINNED: "list[DataFrame]" = []
 
 
 class BigramLm(NamedTuple):
@@ -87,16 +84,20 @@ def train_bigram_lm(
     word-count table (vocabulary-sized by Heaps' law) — the reference
     corpus itself is scanned exactly TWICE (unigram counts, bigram
     counts), never a third time for the total."""
-    while _PINNED:
-        try:
-            _PINNED.pop().unpersist(blocking=False)
-        except Exception:  # previous session already stopped
-            pass
     t = tokens(F.col(text_col))
     toks = reference.select(F.explode(t).alias("w"))
+    # the model's uni/bi tables re-read this persisted vocabulary-sized
+    # table on every lm_score broadcast; its release rides the UNIGRAM
+    # frame's lifetime via _pins.finalize_pins (round 9 — uni and bi live
+    # and die with the BigramLm tuple, so either anchors the pin; the old
+    # module-global drain thrashed between concurrent trainers)
     word_counts = toks.groupBy("w").agg(F.count("*").alias("c")).persist()
-    _PINNED.append(word_counts)
-    total = word_counts.agg(F.sum("c")).head()[0] or 0
+    pinned = [word_counts]
+    try:
+        total = word_counts.agg(F.sum("c")).head()[0] or 0
+    except BaseException:
+        release_pins(pinned)
+        raise
     uni = (
         word_counts
         .orderBy(F.desc("c"), F.asc("w"))
@@ -113,7 +114,9 @@ def train_bigram_lm(
         .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
         .limit(int(max_bigrams))
     )
-    return BigramLm(uni, bi, int(total), float(alpha))
+    return BigramLm(
+        finalize_pins(uni, pinned, "train_bigram_lm"), bi, int(total), float(alpha)
+    )
 
 
 def lm_score(

@@ -260,13 +260,18 @@ class MinHashLSHModel:
         cached and owned by THIS model's ``_PinSet`` (round 9, VERDICT r08
         #2): a repeat call with the SAME where-expression reuses the pinned
         slice (a ``where=`` serving stream pays the materialization once,
-        not per micro-batch), a call with a DIFFERENT predicate — or an
-        unfiltered one — swaps it out and releases the old slice, and two
-        models never touch each other's pins."""
+        not per micro-batch), a call with a DIFFERENT predicate swaps it
+        out and releases the old slice, and two models never touch each
+        other's pins. An UNFILTERED call leaves the pin alone (r09 review:
+        one model serving a filtered and an unfiltered stream concurrently
+        would otherwise re-materialize the slice every filtered
+        micro-batch — the exact cost the pin exists to avoid). Retention
+        is bounded: at most one slice per model, released on a different
+        ``where``, on ``unpersist()``, or when the model is
+        garbage-collected — the session-lifetime-leak concern behind the
+        old drain-on-unfiltered (r08) applied to the PROCESS-global pin,
+        not a model-owned one."""
         if where is None:
-            # a service going back to unfiltered calls must not hold the
-            # last slice's cache for the rest of the session (r08 review)
-            self._pins.swap_filter(None, None)
             return self.index
         # Column str() renders the underlying expression, so a predicate
         # rebuilt identically each micro-batch still hits the pinned slice

@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .._pins import finalize_pins
+
 __all__ = [
     "deterministic_split",
     "per_group_quota",
@@ -269,9 +271,6 @@ def leakage_safe_split(
 # counterpart — a north-star training-data operator.
 # ---------------------------------------------------------------------------
 
-#: feature stream pinned by the PREVIOUS dsir call, released at the next call
-#: (same single-call cache lifecycle as operators/setjoin.py).
-_DSIR_PINNED: list[DataFrame] = []
 
 
 def _ngram_feature_stream(
@@ -344,15 +343,13 @@ def dsir_importance_weights(
         raise ValueError("num_buckets must be >= 2")
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0 (zero-count buckets)")
-    while _DSIR_PINNED:
-        try:
-            _DSIR_PINNED.pop().unpersist(blocking=False)
-        except Exception:  # previous session already stopped — nothing to free
-            pass
     feats_r = _ngram_feature_stream(raw, text_col, id_col, num_buckets)
+    pinned: list[DataFrame] = []
     if persist_intermediate:
+        # released via _pins.finalize_pins on the returned weight frame
+        # (round 9: the old module-global drain thrashed concurrent callers)
         feats_r = feats_r.persist(StorageLevel.MEMORY_AND_DISK)
-        _DSIR_PINNED.append(feats_r)
+        pinned.append(feats_r)
     feats_t = _ngram_feature_stream(target, text_col, id_col, num_buckets)
 
     cnt_r = feats_r.groupBy("bucket").agg(F.count("*").alias("c_raw"))
@@ -385,7 +382,7 @@ def dsir_importance_weights(
     lw = F.coalesce(F.col("_lw"), F.lit(0.0))
     if normalize:
         lw = F.when(F.col("n_features") > 0, lw / F.col("n_features")).otherwise(F.lit(0.0))
-    return (
+    out = (
         spine.join(scored, "id", "left")
         .select(
             F.col("id").alias(id_col),
@@ -393,6 +390,7 @@ def dsir_importance_weights(
             F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
         )
     )
+    return finalize_pins(out, pinned, "dsir_importance_weights")
 
 
 def dsir_resample(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .._pins import finalize_pins
+from .._pins import finalize_pins, release_pins
 from ..functions.text import tokens
 
 __all__ = ["ngram_jaccard_join", "ngram_containment_join"]
@@ -70,7 +70,8 @@ def ngram_jaccard_join(
     even started (best-of-5 at sf0.1: 2.0s persisted vs 4.2s checkpointed)
     and their blocks are not safely evictable (truncated lineage), while
     MEMORY_AND_DISK spills under pressure and recomputes on loss. The
-    the call's pins are released when the returned frame is\n    garbage-collected (``_pins.finalize_pins``).
+    call's pins are released once the returned frame is garbage-collected
+    AND a newer call exists (``_pins.finalize_pins``).
 
     ``broadcast_max_rows`` (default OFF) optionally gates two broadcast
     hints, each on the MEASURED row count of ITS OWN build side (one agg job
@@ -100,144 +101,150 @@ def ngram_jaccard_join(
     # call list thrashed between concurrent callers and held the last
     # call's blocks forever in an idle session
     pinned: list[DataFrame] = []
-    # Spread the corpus across all cores BEFORE the per-doc heavy compute:
-    # a small parquet scan arrives as 1-2 partitions (measured 8x at sf0.1
-    # on local[32]). At scale the scan already has >= defaultParallelism
-    # partitions and this is a no-op.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, id_col)
+    try:
+        # Spread the corpus across all cores BEFORE the per-doc heavy compute:
+        # a small parquet scan arrives as 1-2 partitions (measured 8x at sf0.1
+        # on local[32]). At scale the scan already has >= defaultParallelism
+        # partitions and this is a no-op.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par, id_col)
 
-    # Shingle table built RELATIONALLY — no per-row arrays, no higher-order
-    # lambdas (nested HOFs evaluate interpreted and re-evaluate the inner
-    # array per element; measured 5.6s warm vs ~1s for this path at sf0.1):
-    #   posexplode(tokens) -> lead() window pairs adjacent tokens ->
-    #   multi-column native xxhash64(tok, next_tok, ...) = 64-bit shingle id
-    #   -> groupBy(id, shingle) dedupe (reuses the window's id-partitioning:
-    #   no second shuffle) -> per-doc set size via count window.
-    # Downstream (frequency agg, prefix self-join, array_intersect verify)
-    # compares fixed-width longs instead of strings — measured 14x on the
-    # verify stage. A 64-bit collision would merge two distinct shingles
-    # (probability ~n^2/2^64 — negligible even at 100 TB shingle counts).
-    tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
-    ex0 = tk.select("id", F.posexplode("tk").alias("pos", "tok"))
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    guard = parts[0].isNotNull()
-    for c in parts[1:]:
-        guard = guard & c.isNotNull()
-    dist = (
-        ex0.select("id", F.when(guard, F.xxhash64(*parts)).alias("shingle"))
-        .where(F.col("shingle").isNotNull())
-        .distinct()
-        .withColumn("n", F.count("*").over(Window.partitionBy("id")))
-    )
-    if persist_intermediate:
-        # 3 longs/row — cheap to cache, and the plan reads it 4x
-        # (frequency, rank, both self-join sides) + the verify arrays.
-        # Partition-preserving registration: the id-hash placement survives
-        # into every consumer (rank window + verify aggs shuffle-free).
-        dist = _persist_partition_preserving(dist)
-        pinned.append(dist)
-
-    # measured-size broadcast gates (see docstring): each hint keyed on its
-    # OWN build side's count. ONE agg job yields both stats and doubles as
-    # the persist materialization — still the single blocking job before
-    # the join.
-    freq_small = verify_small = False
-    if persist_intermediate and broadcast_max_rows is not None:
-        stats = dist.agg(
-            F.countDistinct("shingle").alias("n_shingles"),
-            F.countDistinct("id").alias("n_docs"),
-        ).head()
-        freq_small = stats.n_shingles <= broadcast_max_rows
-        verify_small = stats.n_docs <= max(1, broadcast_max_rows // 8)
-
-    # global document frequency of each shingle (distributed agg): one row
-    # per DISTINCT shingle — billions at web scale, so the hint is applied
-    # only under the measured-size gate; otherwise the join stays keyed on
-    # shingle (same key as the agg) and the planner/AQE decides.
-    freq = dist.groupBy("shingle").agg(F.count("*").alias("df_"))
-    if freq_small:
-        freq = F.broadcast(freq)
-
-    # rarest-first rank within each doc; prefix length = floor((1-t)*n) + 1
-    ranked = dist.join(freq, "shingle")
-    wr = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
-    prefix = (
-        ranked.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= F.floor(F.lit(1.0 - t) * F.col("n")) + 1)
-        .select("id", "n", "shingle")
-    )
-    if persist_intermediate:
-        # lazy: materializes inside the candidate join's own job (both
-        # self-join sides share the cached partitions), no extra blocking job
-        prefix = _persist_partition_preserving(prefix)
-        pinned.append(prefix)
-
-    # Candidate pruning, all BEFORE the expensive verify lookups:
-    #  - length filter (PPJoin): Jaccard >= t requires
-    #    t*max(|A|,|B|) <= min(|A|,|B|);
-    #  - prefix-count filter: grouping the prefix self-join by pair costs the
-    #    same shuffle as dropDuplicates but also yields cnt = |P_A ∩ P_B|.
-    #    With bA/bB the largest prefix elements under the global order and
-    #    (wlog) bA <= bB, every common element outside P_A∩P_B exceeds bB on
-    #    the S_B side, so it must lie in S_A — hence
-    #      |A∩B| <= cnt + max(|A|-|P_A|, |B|-|P_B|),
-    #    and Jaccard >= t forces |A∩B| >= ceil(t/(1+t)*(|A|+|B|)) = alpha, so
-    #      cnt >= alpha - max(|A|-|P_A|, |B|-|P_B|).
-    #    On a small-universe corpus (931 distinct shingles at sf0.1) the
-    #    any-shared-prefix test keeps 5.5M pairs while this keeps 0.6M.
-    plen_a = F.floor(F.lit(1.0 - t) * F.col("_na")) + 1
-    plen_b = F.floor(F.lit(1.0 - t) * F.col("_nb")) + 1
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("_na") + F.col("_nb")))
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("_na"), F.col("b.n").alias("_nb"),
+        # Shingle table built RELATIONALLY — no per-row arrays, no higher-order
+        # lambdas (nested HOFs evaluate interpreted and re-evaluate the inner
+        # array per element; measured 5.6s warm vs ~1s for this path at sf0.1):
+        #   posexplode(tokens) -> lead() window pairs adjacent tokens ->
+        #   multi-column native xxhash64(tok, next_tok, ...) = 64-bit shingle id
+        #   -> groupBy(id, shingle) dedupe (reuses the window's id-partitioning:
+        #   no second shuffle) -> per-doc set size via count window.
+        # Downstream (frequency agg, prefix self-join, array_intersect verify)
+        # compares fixed-width longs instead of strings — measured 14x on the
+        # verify stage. A 64-bit collision would merge two distinct shingles
+        # (probability ~n^2/2^64 — negligible even at 100 TB shingle counts).
+        tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+        ex0 = tk.select("id", F.posexplode("tk").alias("pos", "tok"))
+        w = Window.partitionBy("id").orderBy("pos")
+        parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+        guard = parts[0].isNotNull()
+        for c in parts[1:]:
+            guard = guard & c.isNotNull()
+        dist = (
+            ex0.select("id", F.when(guard, F.xxhash64(*parts)).alias("shingle"))
+            .where(F.col("shingle").isNotNull())
+            .distinct()
+            .withColumn("n", F.count("*").over(Window.partitionBy("id")))
         )
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.least("_na", "_nb") >= F.lit(t) * F.greatest("_na", "_nb"))
-        )
-        .groupBy("id_a", "id_b", "_na", "_nb")
-        .agg(F.count("*").alias("_cnt"))
-        .filter(
-            F.col("_cnt")
-            >= alpha - F.greatest(F.col("_na") - plen_a, F.col("_nb") - plen_b)
-        )
-        .select("id_a", "id_b")
-    )
+        if persist_intermediate:
+            # 3 longs/row — cheap to cache, and the plan reads it 4x
+            # (frequency, rank, both self-join sides) + the verify arrays.
+            # Partition-preserving registration: the id-hash placement survives
+            # into every consumer (rank window + verify aggs shuffle-free).
+            dist = _persist_partition_preserving(dist)
+            pinned.append(dist)
 
-    # verification: look up both full hashed-shingle arrays per candidate
-    # pair (built here from the exploded rows — no shuffle: grouping key id
-    # matches the cached table's partitioning). The (id, hashes) side is
-    # corpus-sized, so its broadcast hint rides the same measured-size gate:
-    # known-small corpora get map-side hash lookups with zero shuffle of the
-    # array table; everything else shuffle-joins on id (well distributed).
-    sh = dist.groupBy("id").agg(
-        F.collect_list("shingle").alias("h"), F.max("n").alias("n")
-    )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), F.col("n").alias("n_b"))
-    if verify_small:
-        sa, sb = F.broadcast(sa), F.broadcast(sb)
-    inter = F.size(F.array_intersect("h_a", "h_b"))
-    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
-    out_cols = ["id_a", "id_b", "jaccard"]
-    if with_counts:
-        out_cols += ["n_common", "n_a", "n_b"]
-    out = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_common", inter.cast("bigint"))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= t)
-        .select(*out_cols)
-    )
-    return finalize_pins(out, pinned)
+        # measured-size broadcast gates (see docstring): each hint keyed on its
+        # OWN build side's count. ONE agg job yields both stats and doubles as
+        # the persist materialization — still the single blocking job before
+        # the join.
+        freq_small = verify_small = False
+        if persist_intermediate and broadcast_max_rows is not None:
+            stats = dist.agg(
+                F.countDistinct("shingle").alias("n_shingles"),
+                F.countDistinct("id").alias("n_docs"),
+            ).head()
+            freq_small = stats.n_shingles <= broadcast_max_rows
+            verify_small = stats.n_docs <= max(1, broadcast_max_rows // 8)
+
+        # global document frequency of each shingle (distributed agg): one row
+        # per DISTINCT shingle — billions at web scale, so the hint is applied
+        # only under the measured-size gate; otherwise the join stays keyed on
+        # shingle (same key as the agg) and the planner/AQE decides.
+        freq = dist.groupBy("shingle").agg(F.count("*").alias("df_"))
+        if freq_small:
+            freq = F.broadcast(freq)
+
+        # rarest-first rank within each doc; prefix length = floor((1-t)*n) + 1
+        ranked = dist.join(freq, "shingle")
+        wr = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
+        prefix = (
+            ranked.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= F.floor(F.lit(1.0 - t) * F.col("n")) + 1)
+            .select("id", "n", "shingle")
+        )
+        if persist_intermediate:
+            # lazy: materializes inside the candidate join's own job (both
+            # self-join sides share the cached partitions), no extra blocking job
+            prefix = _persist_partition_preserving(prefix)
+            pinned.append(prefix)
+
+        # Candidate pruning, all BEFORE the expensive verify lookups:
+        #  - length filter (PPJoin): Jaccard >= t requires
+        #    t*max(|A|,|B|) <= min(|A|,|B|);
+        #  - prefix-count filter: grouping the prefix self-join by pair costs the
+        #    same shuffle as dropDuplicates but also yields cnt = |P_A ∩ P_B|.
+        #    With bA/bB the largest prefix elements under the global order and
+        #    (wlog) bA <= bB, every common element outside P_A∩P_B exceeds bB on
+        #    the S_B side, so it must lie in S_A — hence
+        #      |A∩B| <= cnt + max(|A|-|P_A|, |B|-|P_B|),
+        #    and Jaccard >= t forces |A∩B| >= ceil(t/(1+t)*(|A|+|B|)) = alpha, so
+        #      cnt >= alpha - max(|A|-|P_A|, |B|-|P_B|).
+        #    On a small-universe corpus (931 distinct shingles at sf0.1) the
+        #    any-shared-prefix test keeps 5.5M pairs while this keeps 0.6M.
+        plen_a = F.floor(F.lit(1.0 - t) * F.col("_na")) + 1
+        plen_b = F.floor(F.lit(1.0 - t) * F.col("_nb")) + 1
+        alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("_na") + F.col("_nb")))
+        cand = (
+            prefix.alias("a")
+            .join(prefix.alias("b"), "shingle")
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.n").alias("_na"), F.col("b.n").alias("_nb"),
+            )
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.least("_na", "_nb") >= F.lit(t) * F.greatest("_na", "_nb"))
+            )
+            .groupBy("id_a", "id_b", "_na", "_nb")
+            .agg(F.count("*").alias("_cnt"))
+            .filter(
+                F.col("_cnt")
+                >= alpha - F.greatest(F.col("_na") - plen_a, F.col("_nb") - plen_b)
+            )
+            .select("id_a", "id_b")
+        )
+
+        # verification: look up both full hashed-shingle arrays per candidate
+        # pair (built here from the exploded rows — no shuffle: grouping key id
+        # matches the cached table's partitioning). The (id, hashes) side is
+        # corpus-sized, so its broadcast hint rides the same measured-size gate:
+        # known-small corpora get map-side hash lookups with zero shuffle of the
+        # array table; everything else shuffle-joins on id (well distributed).
+        sh = dist.groupBy("id").agg(
+            F.collect_list("shingle").alias("h"), F.max("n").alias("n")
+        )
+        sa = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
+        sb = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), F.col("n").alias("n_b"))
+        if verify_small:
+            sa, sb = F.broadcast(sa), F.broadcast(sb)
+        inter = F.size(F.array_intersect("h_a", "h_b"))
+        jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+        out_cols = ["id_a", "id_b", "jaccard"]
+        if with_counts:
+            out_cols += ["n_common", "n_a", "n_b"]
+        out = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("n_common", inter.cast("bigint"))
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= t)
+            .select(*out_cols)
+        )
+        return finalize_pins(out, pinned, "ngram_jaccard_join")
+    except BaseException:
+        # a raised call returns nothing — release its caches now
+        # instead of leaking them until session end (r09 review)
+        release_pins(pinned)
+        raise
 
 
 def ngram_containment_join(
@@ -274,55 +281,61 @@ def ngram_containment_join(
     # call list thrashed between concurrent callers and held the last
     # call's blocks forever in an idle session
     pinned: list[DataFrame] = []
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, id_col)
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par, id_col)
 
-    tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
-    ex0 = tk.select("id", F.posexplode("tk").alias("pos", "tok"))
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    guard = parts[0].isNotNull()
-    for c in parts[1:]:
-        guard = guard & c.isNotNull()
-    dist = (
-        ex0.select("id", F.when(guard, F.xxhash64(*parts)).alias("shingle"))
-        .where(F.col("shingle").isNotNull())
-        .distinct()
-        .withColumn("n", F.count("*").over(Window.partitionBy("id")))
-    )
-    if persist_intermediate:
-        dist = _persist_partition_preserving(dist)
-        pinned.append(dist)
-
-    freq = dist.groupBy("shingle").agg(F.count("*").alias("df_"))
-    wr = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
-    alpha_a = F.ceil(F.lit(t) * F.col("n"))
-    prefix_a = (
-        dist.join(freq, "shingle")
-        .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= F.col("n") - alpha_a + 1)
-        .select(F.col("id").alias("id_a"), F.col("shingle"))
-    )
-    cand = (
-        prefix_a.join(
-            dist.select(F.col("id").alias("id_b"), "shingle"), "shingle"
+        tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+        ex0 = tk.select("id", F.posexplode("tk").alias("pos", "tok"))
+        w = Window.partitionBy("id").orderBy("pos")
+        parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+        guard = parts[0].isNotNull()
+        for c in parts[1:]:
+            guard = guard & c.isNotNull()
+        dist = (
+            ex0.select("id", F.when(guard, F.xxhash64(*parts)).alias("shingle"))
+            .where(F.col("shingle").isNotNull())
+            .distinct()
+            .withColumn("n", F.count("*").over(Window.partitionBy("id")))
         )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sh = dist.groupBy("id").agg(
-        F.collect_list("shingle").alias("h"), F.max("n").alias("n")
-    )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
-    inter = F.size(F.array_intersect("h_a", "h_b"))
-    out = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("containment", inter.cast("double") / F.col("n_a").cast("double"))
-        .filter(F.col("containment") >= t)
-        .select("id_a", "id_b", "containment")
-    )
-    return finalize_pins(out, pinned)
+        if persist_intermediate:
+            dist = _persist_partition_preserving(dist)
+            pinned.append(dist)
+
+        freq = dist.groupBy("shingle").agg(F.count("*").alias("df_"))
+        wr = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
+        alpha_a = F.ceil(F.lit(t) * F.col("n"))
+        prefix_a = (
+            dist.join(freq, "shingle")
+            .withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= F.col("n") - alpha_a + 1)
+            .select(F.col("id").alias("id_a"), F.col("shingle"))
+        )
+        cand = (
+            prefix_a.join(
+                dist.select(F.col("id").alias("id_b"), "shingle"), "shingle"
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sh = dist.groupBy("id").agg(
+            F.collect_list("shingle").alias("h"), F.max("n").alias("n")
+        )
+        sa = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
+        sb = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+        inter = F.size(F.array_intersect("h_a", "h_b"))
+        out = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("containment", inter.cast("double") / F.col("n_a").cast("double"))
+            .filter(F.col("containment") >= t)
+            .select("id_a", "id_b", "containment")
+        )
+        return finalize_pins(out, pinned, "ngram_containment_join")
+    except BaseException:
+        # a raised call returns nothing — release its caches now
+        # instead of leaking them until session end (r09 review)
+        release_pins(pinned)
+        raise

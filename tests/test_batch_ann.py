@@ -428,7 +428,9 @@ def test_minhash_filter_pin_lifecycle_per_model(spark):
     """Pin lifecycle on the model instance (round 9, VERDICT r08 #2): a
     repeat call with the SAME where reuses the pinned slice (a serving
     stream pays the materialization once, not per micro-batch), a different
-    predicate swaps it, and an unfiltered call drains it."""
+    predicate swaps it, an UNFILTERED call leaves it alone (r09 review: a
+    model serving mixed filtered+unfiltered streams must not re-materialize
+    the slice every filtered batch), and unpersist() drains it."""
     docs = _lang_corpus(spark, n=30)
     model = MinHashLSH().fit(docs, persist=False)
     model.approx_similarity_join(0.5, where="lang = 'en'").count()
@@ -437,17 +439,21 @@ def test_minhash_filter_pin_lifecycle_per_model(spark):
     # SAME predicate (rebuilt string) -> the identical cached DataFrame
     model.approx_similarity_join(0.5, where="lang = 'en'").count()
     assert model._pins._filter_df is first
-    # a Column predicate with the same expression string ALSO reuses
-    # nothing here (str differs from the raw-string key) but must still
-    # key consistently: two identical Column objects hit one pin
+    # an interleaved UNFILTERED call keeps the pin (mixed serving topology)
+    model.approx_similarity_join(0.5).count()
+    assert model._pins._filter_df is first
+    model.approx_similarity_join(0.5, where="lang = 'en'").count()
+    assert model._pins._filter_df is first  # still one materialization
+    # a Column predicate with a different expression swaps the pin; two
+    # identically-built Column objects key to the same slice
     c1 = F.col("lang") == F.lit("de")
     model.approx_similarity_join(0.5, where=c1).count()
     second = model._pins._filter_df
     assert second is not first
     model.approx_similarity_join(0.5, where=F.col("lang") == F.lit("de")).count()
     assert model._pins._filter_df is second
-    # an unfiltered call RELEASES the slice (and pins nothing)
-    model.approx_similarity_join(0.5).count()
+    # explicit release path
+    model.unpersist()
     assert model._pins._filter_df is None and model._pins._filter_key is None
 
 

@@ -1,0 +1,68 @@
+"""_pins.finalize_pins lifecycle: release needs result-death AND a newer
+call in the same slot (round 9 — keeps `op(df).derive().count()` warm while
+concurrent callers never thrash each other)."""
+
+from __future__ import annotations
+
+import gc
+
+
+def _cached(df) -> bool:
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk
+
+
+def test_release_needs_dead_and_superseded(spark):
+    from pyspark_minhash_lsh_spark._pins import finalize_pins
+
+    pin1 = spark.range(5).persist()
+    pin1.count()
+    out1 = spark.range(1)
+    finalize_pins(out1, [pin1], "slot_a")
+    assert _cached(pin1)
+
+    # result dropped but no newer call yet: the warm-cache floor holds —
+    # a chained caller that discarded the wrapper still reads the cache
+    del out1
+    gc.collect()
+    assert _cached(pin1)
+
+    # a newer call through the same slot supersedes -> pin1 releases
+    pin2 = spark.range(6).persist()
+    pin2.count()
+    out2 = spark.range(1)
+    finalize_pins(out2, [pin2], "slot_a")
+    assert not _cached(pin1)
+    assert _cached(pin2)
+
+    # superseded-but-alive: a THIRD call must not release pin2 while out2
+    # is still referenced (concurrent callers keep their caches)
+    pin3 = spark.range(7).persist()
+    pin3.count()
+    out3 = spark.range(1)
+    finalize_pins(out3, [pin3], "slot_a")
+    assert _cached(pin2)  # out2 still alive
+    del out2
+    gc.collect()
+    assert not _cached(pin2)  # now dead AND superseded
+    assert _cached(pin3)
+
+    # different slots never interact
+    pin_b = spark.range(8).persist()
+    pin_b.count()
+    out_b = spark.range(1)
+    finalize_pins(out_b, [pin_b], "slot_b")
+    assert _cached(pin3)
+
+    del out3, out_b
+    gc.collect()
+
+
+def test_release_pins_immediate(spark):
+    from pyspark_minhash_lsh_spark._pins import release_pins
+
+    pin = spark.range(5).persist()
+    pin.count()
+    assert _cached(pin)
+    release_pins([pin])
+    assert not _cached(pin)
