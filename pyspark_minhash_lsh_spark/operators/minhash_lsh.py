@@ -613,8 +613,9 @@ class MinHashLSHModel:
         sized, not corpus^2) via two id-keyed joins against the shingle
         projection. Verification cost is O(candidates * avg_shingles), the
         same budget every LSH verify stage pays. The shingle projection is
-        PERSISTED for the join's duration (released on the next call — the
-        ``setjoin._PINNED`` discipline): the plan references it from both
+        PERSISTED for the join's duration (this model's ``_PinSet`` verify
+        pin — swapped on the next verify call through THIS model, drained
+        by ``unpersist()``/GC): the plan references it from both
         join sides, and unpersisted each side would re-run the full
         tokenize+shingle regex scan over the corpus (r08 review — the
         recompute class r07's shared-tokenization work eliminated).

@@ -335,7 +335,8 @@ def dsir_importance_weights(
     join is map-side with zero shuffle of the corpus-sized feature stream;
     the only corpus-keyed shuffle is the final per-doc sum. The raw feature
     stream is referenced twice (raw counts + scoring) and is persisted by
-    default; the previous call's pin is released on entry.
+    default; the pin follows the ``_pins.finalize_pins`` lifecycle
+    (released once the returned frame is dead AND a newer call exists).
     """
     from pyspark.storagelevel import StorageLevel
 
