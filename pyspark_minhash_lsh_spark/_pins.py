@@ -11,16 +11,22 @@ A's plan was still unexecuted. Model-shaped operators now own their pins
   1. the returned DataFrame has been garbage-collected (so no caller-held
      plan can still want the caches), AND
   2. a newer call through the same operator slot exists (so the common
-     chained pattern ``op(df).where(...).count()`` — where CPython drops
-     the intermediate result before the action runs — still executes
-     against warm caches; release waits for the next call, exactly the
-     old drain-on-next-call floor, without its concurrent-caller thrash).
+     SEQUENTIAL chained pattern ``op(df).where(...).count()`` — where
+     CPython drops the intermediate result before the action runs — still
+     executes against warm caches; release waits for the next call,
+     exactly the old drain-on-next-call floor).
 
 Concurrent callers each get their own hold: superseding is slot-global but
-release additionally needs result-death, so a call whose result is alive
-never loses its caches to another thread. On operator FAILURE the caller
-must release immediately (``release_pins`` in an except block) — a raised
-call returns nothing, so nothing can ever read its caches.
+release additionally needs result-death, so a caller that HOLDS its
+returned frame until its action runs never loses its caches to another
+thread (the old list dropped them unconditionally). The guarantee is
+exactly that — a concurrent caller that chains-and-drops the wrapper
+before acting has a dead hold, and another thread's call may supersede it
+mid-action (degrades to recompute, never wrong results); hold the
+returned frame across the action where that matters. On operator FAILURE
+the caller must release immediately (``release_pins`` in an except
+block) — a raised call returns nothing, so nothing can ever read its
+caches.
 """
 
 from __future__ import annotations

@@ -95,25 +95,28 @@ def train_bigram_lm(
     pinned = [word_counts]
     try:
         total = word_counts.agg(F.sum("c")).head()[0] or 0
+        uni = (
+            word_counts
+            .orderBy(F.desc("c"), F.asc("w"))
+            .limit(int(top_unigrams))
+        )
+        pairs = reference.select(F.explode(_transitions(t)).alias("pr")).select(
+            F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+        )
+        bi = (
+            pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+            .join(F.broadcast(uni.select(F.col("w").alias("w1"))), "w1")
+            .join(F.broadcast(uni.select(F.col("w").alias("w2"))), "w2")
+            .select("w1", "w2", "c")
+            .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+            .limit(int(max_bigrams))
+        )
     except BaseException:
+        # the total's head() already materialized the cache — release it
+        # on ANY construction failure (bad limits, missing columns), not
+        # just the head itself (r09 second review)
         release_pins(pinned)
         raise
-    uni = (
-        word_counts
-        .orderBy(F.desc("c"), F.asc("w"))
-        .limit(int(top_unigrams))
-    )
-    pairs = reference.select(F.explode(_transitions(t)).alias("pr")).select(
-        F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
-    )
-    bi = (
-        pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-        .join(F.broadcast(uni.select(F.col("w").alias("w1"))), "w1")
-        .join(F.broadcast(uni.select(F.col("w").alias("w2"))), "w2")
-        .select("w1", "w2", "c")
-        .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
-        .limit(int(max_bigrams))
-    )
     return BigramLm(
         finalize_pins(uni, pinned, "train_bigram_lm"), bi, int(total), float(alpha)
     )

@@ -267,10 +267,10 @@ class MinHashLSHModel:
         would otherwise re-materialize the slice every filtered
         micro-batch — the exact cost the pin exists to avoid). Retention
         is bounded: at most one slice per model, released on a different
-        ``where``, on ``unpersist()``, or when the model is
-        garbage-collected — the session-lifetime-leak concern behind the
-        old drain-on-unfiltered (r08) applied to the PROCESS-global pin,
-        not a model-owned one."""
+        ``where``, on ``release_pins()`` (index kept) or ``unpersist()``
+        (index dropped), or when the model is garbage-collected — the
+        session-lifetime-leak concern behind the old drain-on-unfiltered
+        (r08) applied to the PROCESS-global pin, not a model-owned one."""
         if where is None:
             return self.index
         # Column str() renders the underlying expression, so a predicate
@@ -698,6 +698,16 @@ class MinHashLSHModel:
             self.text_col,
             self.id_col,
         )
+
+    def release_pins(self) -> None:
+        """Release this model's cache pins — the ``where=``-slice and the
+        verify-stage shingle projection — WITHOUT touching the serving
+        index (r09 review: a long-lived model that answered one filtered
+        call and then serves only unfiltered traffic would otherwise
+        retain the slice for its whole lifetime, and ``unpersist()`` is
+        not an option because it also drops the live index). Safe at any
+        time: a still-lazy plan that referenced a pin just recomputes."""
+        self._pins.drop_all()
 
     def unpersist(self) -> None:
         """Release the cached index (reference ``free_dfs``,

@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .._pins import finalize_pins
+from .._pins import finalize_pins, release_pins
 
 __all__ = [
     "deterministic_split",
@@ -351,46 +351,52 @@ def dsir_importance_weights(
         # (round 9: the old module-global drain thrashed concurrent callers)
         feats_r = feats_r.persist(StorageLevel.MEMORY_AND_DISK)
         pinned.append(feats_r)
-    feats_t = _ngram_feature_stream(target, text_col, id_col, num_buckets)
+    try:
+        feats_t = _ngram_feature_stream(target, text_col, id_col, num_buckets)
 
-    cnt_r = feats_r.groupBy("bucket").agg(F.count("*").alias("c_raw"))
-    cnt_t = feats_t.groupBy("bucket").agg(F.count("*").alias("c_tgt"))
-    tot_r = cnt_r.agg(F.sum("c_raw").alias("t_raw"))   # 1 row
-    tot_t = cnt_t.agg(F.sum("c_tgt").alias("t_tgt"))   # 1 row
-    s, b = float(smoothing), float(num_buckets)
-    wtab = (
-        cnt_t.join(cnt_r, "bucket", "full_outer")
-        .na.fill({"c_raw": 0, "c_tgt": 0})
-        .crossJoin(F.broadcast(tot_r))
-        .crossJoin(F.broadcast(tot_t))
-        .select(
-            "bucket",
-            (
-                F.log((F.col("c_tgt") + s) / (F.col("t_tgt") + s * b))
-                - F.log((F.col("c_raw") + s) / (F.col("t_raw") + s * b))
-            ).alias("log_ratio"),
+        cnt_r = feats_r.groupBy("bucket").agg(F.count("*").alias("c_raw"))
+        cnt_t = feats_t.groupBy("bucket").agg(F.count("*").alias("c_tgt"))
+        tot_r = cnt_r.agg(F.sum("c_raw").alias("t_raw"))   # 1 row
+        tot_t = cnt_t.agg(F.sum("c_tgt").alias("t_tgt"))   # 1 row
+        s, b = float(smoothing), float(num_buckets)
+        wtab = (
+            cnt_t.join(cnt_r, "bucket", "full_outer")
+            .na.fill({"c_raw": 0, "c_tgt": 0})
+            .crossJoin(F.broadcast(tot_r))
+            .crossJoin(F.broadcast(tot_t))
+            .select(
+                "bucket",
+                (
+                    F.log((F.col("c_tgt") + s) / (F.col("t_tgt") + s * b))
+                    - F.log((F.col("c_raw") + s) / (F.col("t_raw") + s * b))
+                ).alias("log_ratio"),
+            )
         )
-    )
-    scored = (
-        feats_r.join(F.broadcast(wtab), "bucket")
-        .groupBy("id")
-        .agg(
-            F.sum("log_ratio").alias("_lw"),
-            F.count("*").alias("n_features"),
+        scored = (
+            feats_r.join(F.broadcast(wtab), "bucket")
+            .groupBy("id")
+            .agg(
+                F.sum("log_ratio").alias("_lw"),
+                F.count("*").alias("n_features"),
+            )
         )
-    )
-    spine = raw.select(F.col(id_col).alias("id"))
-    lw = F.coalesce(F.col("_lw"), F.lit(0.0))
-    if normalize:
-        lw = F.when(F.col("n_features") > 0, lw / F.col("n_features")).otherwise(F.lit(0.0))
-    out = (
-        spine.join(scored, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            lw.alias("log_weight"),
-            F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
+        spine = raw.select(F.col(id_col).alias("id"))
+        lw = F.coalesce(F.col("_lw"), F.lit(0.0))
+        if normalize:
+            lw = F.when(F.col("n_features") > 0, lw / F.col("n_features")).otherwise(F.lit(0.0))
+        out = (
+            spine.join(scored, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                lw.alias("log_weight"),
+                F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
+            )
         )
-    )
+    except BaseException:
+        # construction failure after the persist registered the cache:
+        # release instead of leaking the CacheManager entry (r09 review)
+        release_pins(pinned)
+        raise
     return finalize_pins(out, pinned, "dsir_importance_weights")
 
 

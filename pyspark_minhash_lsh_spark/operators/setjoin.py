@@ -96,10 +96,11 @@ def ngram_jaccard_join(
     gating is skipped and the planner decides alone.
     """
     t = float(threshold)
-    # pins released when the RETURNED join frame is garbage-collected
-    # (round 9, _pins.finalize_pins): the former module-level drain-on-next-
-    # call list thrashed between concurrent callers and held the last
-    # call's blocks forever in an idle session
+    # pins released once the RETURNED join frame is garbage-collected AND
+    # a newer call exists (round 9, _pins.finalize_pins — see its module
+    # docstring for the exact guarantee): the former module-level
+    # drain-on-next-call list dropped a concurrent caller's caches while
+    # that caller's plan was still live
     pinned: list[DataFrame] = []
     try:
         # Spread the corpus across all cores BEFORE the per-doc heavy compute:
@@ -276,10 +277,11 @@ def ngram_containment_join(
     ``ngram_jaccard_join`` (see its docstring for the measured rationale).
     """
     t = float(threshold)
-    # pins released when the RETURNED join frame is garbage-collected
-    # (round 9, _pins.finalize_pins): the former module-level drain-on-next-
-    # call list thrashed between concurrent callers and held the last
-    # call's blocks forever in an idle session
+    # pins released once the RETURNED join frame is garbage-collected AND
+    # a newer call exists (round 9, _pins.finalize_pins — see its module
+    # docstring for the exact guarantee): the former module-level
+    # drain-on-next-call list dropped a concurrent caller's caches while
+    # that caller's plan was still live
     pinned: list[DataFrame] = []
     try:
         par = df.sparkSession.sparkContext.defaultParallelism

@@ -644,3 +644,22 @@ def test_pinset_concurrent_filtered_calls_thread_safe(spark):
         t.join()
     assert not errs, errs
     model.unpersist()
+
+
+def test_model_release_pins_keeps_index(spark):
+    """release_pins() drops the where=-slice and verify pins WITHOUT
+    touching the serving index (r09 review: a long-lived model that served
+    one filtered call then only unfiltered traffic needs a release path
+    that is not unpersist())."""
+    docs = _lang_corpus(spark, n=30)
+    model = MinHashLSH().fit(docs, persist=True)
+    model.index.count()
+    model.approx_similarity_join(0.5, where="lang = 'en'").count()
+    model.similarity_join_exact(0.5).count()
+    assert model._pins._filter_df is not None
+    assert model._pins._verify is not None
+    model.release_pins()
+    assert model._pins._filter_df is None and model._pins._verify is None
+    lvl = model.index.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # the serving index survives
+    model.unpersist()
