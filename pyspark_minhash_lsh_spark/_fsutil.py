@@ -23,7 +23,9 @@ def dir_layout(spark, path: str, key: str) -> "str | None":
         sidecar-only directory cannot hold a conflicting layout);
       - ``'partitioned'`` — ``key=`` partition subdirectories only;
       - ``'flat'`` — data entries without ``key=`` directories;
-      - ``'mixed'`` — both, the corruption layout guards refuse.
+      - ``'mixed'`` — both at once, OR a plain file named ``key=...`` at
+        the dataset root (not a valid member of either layout) — the
+        corruption layouts guards refuse.
 
     Detection is from the file index, never the inferred schema. Any
     listing failure other than a missing path propagates — swallowing FS
@@ -35,16 +37,24 @@ def dir_layout(spark, path: str, key: str) -> "str | None":
     if not fs.exists(hpath):
         return None
     prefix = key + "="
-    has_part = has_flat = False
+    has_part = has_flat = has_corrupt = False
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if name.startswith("_") or name.startswith("."):
             continue
-        if st.isDirectory() and name.startswith(prefix):
-            has_part = True
+        if name.startswith(prefix):
+            if st.isDirectory():
+                has_part = True
+            else:
+                # a plain FILE named 'key=...' at the dataset root is not a
+                # valid member of either layout — a corrupt artifact (ADVICE
+                # r09: alone it previously read as 'flat', and the append
+                # path would have written flat files into it instead of
+                # refusing). Classify as the refusal layout.
+                has_corrupt = True
         else:
             has_flat = True
-    if has_part and has_flat:
+    if has_corrupt or (has_part and has_flat):
         return "mixed"
     if has_part:
         return "partitioned"

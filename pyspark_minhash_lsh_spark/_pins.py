@@ -36,7 +36,10 @@ import weakref
 
 from pyspark.sql import DataFrame
 
-__all__ = ["quiet_unpersist", "finalize_pins", "release_pins"]
+__all__ = [
+    "quiet_unpersist", "finalize_pins", "release_pins",
+    "release_slot", "release_all", "retained_slots",
+]
 
 
 def quiet_unpersist(df: DataFrame) -> None:
@@ -84,6 +87,15 @@ class _PinHold:
             self._superseded = True
         self._maybe_release()
 
+    def force_release(self) -> None:
+        """Unconditional release — drops the caches even if the returned
+        frame is still referenced (its lazy plan degrades to recompute,
+        never wrong results). The ``release_all(force=True)`` path."""
+        with self._lock:
+            pins, self._pins = self._pins, []
+        for p in pins:
+            quiet_unpersist(p)
+
 
 #: newest hold per operator slot — bounds retained-but-result-dead caches
 #: to ONE call's worth per operator, like the old drain-on-next-call list,
@@ -107,3 +119,45 @@ def finalize_pins(out: DataFrame, pinned: "list[DataFrame]", slot: str) -> DataF
     if prev is not None:
         prev.mark_superseded()
     return out
+
+
+def release_slot(slot: str, force: bool = False) -> None:
+    """Drain the retained hold of ONE operator slot (ADVICE r09: the last
+    call through a function-shaped operator — ``curate_corpus``,
+    ``ngram_jaccard_join``, ``dsir_resample``, ... — otherwise retains its
+    caches for the process lifetime once the operator stops being called).
+
+    Default (``force=False``) is SAFE: the hold is marked superseded, so
+    its caches release only once the returned DataFrame is also dead —
+    a caller still holding that frame keeps its warm caches, exactly the
+    ``finalize_pins`` guarantee. ``force=True`` additionally unpersists
+    unconditionally (a still-live lazy plan degrades to recompute — use
+    between workload phases in a long-lived session, never mid-action)."""
+    with _REG_LOCK:
+        hold = _LATEST.pop(slot, None)
+    if hold is None:
+        return
+    hold.mark_superseded()
+    if force:
+        hold.force_release()
+
+
+def release_all(force: bool = False) -> None:
+    """``release_slot`` for every registered operator slot — the long-lived
+    session drain (serving hosts, the bench harness between timed queries).
+    Same ``force`` semantics as ``release_slot``."""
+    with _REG_LOCK:
+        holds = list(_LATEST.values())
+        _LATEST.clear()
+    for hold in holds:
+        hold.mark_superseded()
+        if force:
+            hold.force_release()
+
+
+def retained_slots() -> "list[str]":
+    """Names of operator slots currently retaining a hold — diagnostic
+    surface for the bounded-retention guarantee (at most one hold per
+    slot); the bench snapshots this between headline queries."""
+    with _REG_LOCK:
+        return sorted(_LATEST)

@@ -9,6 +9,8 @@ times)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -19,3 +21,45 @@ def apply_where(df: DataFrame, where: "Column | str | None") -> DataFrame:
     if where is None:
         return df
     return df.filter(F.expr(where) if isinstance(where, str) else where)
+
+
+#: function names whose VALUE changes between calls even though the
+#: expression RENDERS identically each time: non-deterministic generators
+#: plus the query-start-pinned time functions. ``unix_timestamp()`` is
+#: matched only in its zero-arg (current-time) form — with a column
+#: argument it is a deterministic per-row conversion.
+_CALL_UNSTABLE_RE = re.compile(
+    r"\b(?:rand|randn|random|uuid|shuffle|monotonically_increasing_id"
+    r"|input_file_name|spark_partition_id|current_timestamp|now"
+    r"|localtimestamp|current_date|curdate|current_timezone)\s*\("
+    r"|\bunix_timestamp\s*\(\s*\)",
+    re.IGNORECASE,
+)
+
+
+def where_is_call_stable(where: "Column | str | None") -> bool:
+    """True when a ``where=`` predicate is safe to key a cross-call cache
+    on — i.e. two calls whose predicates RENDER identically are guaranteed
+    to select the same rows (over static data).
+
+    Two hazard classes make a rendered-string cache key lie (ADVICE r09):
+    non-deterministic expressions (``rand()``, ``uuid()``, ...) and
+    query-start-pinned time functions (``current_timestamp()``,
+    ``current_date()``, ...) — both render identically on every call while
+    selecting different rows, so a reuse keyed on the rendering would
+    silently serve the slice materialized at FIRST call. Detection is
+    twofold: Catalyst's own ``Expression.deterministic`` flag when the
+    JVM column handle is reachable (classic mode), plus a rendered-name
+    scan that also catches the time functions (deterministic to Catalyst
+    within one query, but not across calls)."""
+    if where is None:
+        return True
+    if isinstance(where, Column):
+        try:
+            if not where._jc.expr().deterministic():
+                return False
+        except Exception:
+            # Connect-mode / unresolved handles fall through to the
+            # rendered-name scan, which covers the known generators too
+            pass
+    return _CALL_UNSTABLE_RE.search(str(where)) is None

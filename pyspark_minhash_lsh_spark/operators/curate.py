@@ -342,7 +342,6 @@ def curate_corpus(
         )
         out = filtered_out.unionByName(exact_drops).unionByName(final)
         # tie the pins to the RESULT's lifetime (see the note above)
-    
         return finalize_pins(out, pinned, "curate_corpus")
     except BaseException:
         # a raised call returns nothing — nothing can ever read these

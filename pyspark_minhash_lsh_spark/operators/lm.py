@@ -40,7 +40,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .._pins import finalize_pins, release_pins
+from .._pins import release_pins
 from ..functions.text import tokens
 
 __all__ = ["BigramLm", "train_bigram_lm", "lm_score", "save_bigram_lm", "load_bigram_lm"]
@@ -86,11 +86,17 @@ def train_bigram_lm(
     counts), never a third time for the total."""
     t = tokens(F.col(text_col))
     toks = reference.select(F.explode(t).alias("w"))
-    # the model's uni/bi tables re-read this persisted vocabulary-sized
-    # table on every lm_score broadcast; its release rides the UNIGRAM
-    # frame's lifetime via _pins.finalize_pins (round 9 — uni and bi live
-    # and die with the BigramLm tuple, so either anchors the pin; the old
-    # module-global drain thrashed between concurrent trainers)
+    # the uni AND bi builds both read this vocabulary-sized table — persist
+    # it for the duration of TRAINING only: both model tables are
+    # materialized below (limit()-bounded eager local checkpoints, lineage
+    # cut), so nothing re-reads it afterwards and it releases at train
+    # time. (ADVICE r09: the pre-r10 code pinned it to the unigram frame's
+    # lifetime instead, so N live models retained N vocabulary-sized
+    # caches; now each model retains only its own <= top_unigrams +
+    # max_bigrams checkpointed rows. localCheckpoint trades fault
+    # tolerance for the lineage cut — an executor loss mid-lifetime fails
+    # the job instead of recomputing; retrain or save_bigram_lm/
+    # load_bigram_lm for durability.)
     word_counts = toks.groupBy("w").agg(F.count("*").alias("c")).persist()
     pinned = [word_counts]
     try:
@@ -99,6 +105,7 @@ def train_bigram_lm(
             word_counts
             .orderBy(F.desc("c"), F.asc("w"))
             .limit(int(top_unigrams))
+            .localCheckpoint(eager=True)
         )
         pairs = reference.select(F.explode(_transitions(t)).alias("pr")).select(
             F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
@@ -110,16 +117,13 @@ def train_bigram_lm(
             .select("w1", "w2", "c")
             .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
             .limit(int(max_bigrams))
-        )
-    except BaseException:
-        # the total's head() already materialized the cache — release it
-        # on ANY construction failure (bad limits, missing columns), not
-        # just the head itself (r09 second review)
+        ).localCheckpoint(eager=True)
+    finally:
+        # the cache is materialized by the total's head() and consumed by
+        # the two checkpoints above — release it on success AND on any
+        # construction failure (bad limits, missing columns)
         release_pins(pinned)
-        raise
-    return BigramLm(
-        finalize_pins(uni, pinned, "train_bigram_lm"), bi, int(total), float(alpha)
-    )
+    return BigramLm(uni, bi, int(total), float(alpha))
 
 
 def lm_score(

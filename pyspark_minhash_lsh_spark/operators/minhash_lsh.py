@@ -273,12 +273,23 @@ class MinHashLSHModel:
         (r08) applied to the PROCESS-global pin, not a model-owned one."""
         if where is None:
             return self.index
+        from ._filters import where_is_call_stable
+
         # Column str() renders the underlying expression, so a predicate
-        # rebuilt identically each micro-batch still hits the pinned slice
-        key = f"{type(where).__name__}:{where}"
-        hit = self._pins.reuse_filter(key)
-        if hit is not None:
-            return hit
+        # rebuilt identically each micro-batch still hits the pinned slice.
+        # A predicate whose VALUE can change between identically-rendered
+        # calls (rand(), current_date(), ... — ADVICE r09) must never be
+        # reused across calls: key=None below is reusable-by-nobody, so the
+        # slice is still pinned for THIS call's multi-subtree plan but every
+        # new call rebuilds it fresh (the pre-pin rebuild-per-call behavior).
+        key = (
+            f"{type(where).__name__}:{where}"
+            if where_is_call_stable(where) else None
+        )
+        if key is not None:
+            hit = self._pins.reuse_filter(key)
+            if hit is not None:
+                return hit
         from pyspark.storagelevel import StorageLevel
 
         src = self._filtered_index(where).persist(StorageLevel.MEMORY_AND_DISK)

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import gc
 
+from .conftest import SF_SMOKE
+
 
 def _cached(df) -> bool:
     lvl = df.storageLevel
@@ -66,3 +68,121 @@ def test_release_pins_immediate(spark):
     assert _cached(pin)
     release_pins([pin])
     assert not _cached(pin)
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_release_slot_and_release_all(spark):
+    """ADVICE r09: function-shaped operators need a drain for the LAST
+    call's caches in a long-lived session — release_slot/release_all."""
+    from pyspark_minhash_lsh_spark import _pins
+
+    pin_a = spark.range(5).persist(); pin_a.count()
+    out_a = spark.range(1)
+    _pins.finalize_pins(out_a, [pin_a], "drain_slot_a")
+    pin_b = spark.range(6).persist(); pin_b.count()
+    out_b = spark.range(1)
+    _pins.finalize_pins(out_b, [pin_b], "drain_slot_b")
+    assert {"drain_slot_a", "drain_slot_b"} <= set(_pins.retained_slots())
+
+    # safe mode: a dead result drains, a live result keeps its caches
+    del out_a
+    gc.collect()
+    _pins.release_all()
+    assert not _cached(pin_a)
+    assert _cached(pin_b)  # out_b still referenced
+    assert "drain_slot_b" not in _pins.retained_slots()
+    # ...and the live hold still releases when its result finally dies
+    del out_b
+    gc.collect()
+    assert not _cached(pin_b)
+
+    # force mode: releases even under a live result (degrades to recompute)
+    pin_c = spark.range(7).persist(); pin_c.count()
+    out_c = spark.range(1)
+    _pins.finalize_pins(out_c, [pin_c], "drain_slot_c")
+    _pins.release_slot("drain_slot_c", force=True)
+    assert not _cached(pin_c)
+    assert out_c.count() == 1  # recompute, never wrong results
+    del out_c
+    gc.collect()
+
+
+def test_pin_churn_sweep_bounded(spark):
+    """VERDICT r09 #6: a bench-shaped sequential sweep — many interleaved
+    calls through pin-registering operators — retains at most ONE call's
+    caches per operator slot, and release_all()+GC returns the storage."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark import _pins
+    from pyspark_minhash_lsh_spark.operators.curate import curate_corpus
+    from pyspark_minhash_lsh_spark.operators.sampling import dsir_resample
+    from pyspark_minhash_lsh_spark.operators.setjoin import ngram_jaccard_join
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(120)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    ops = {
+        "curate_corpus": lambda: curate_corpus(docs, near_dup_threshold=0.5),
+        "dsir": lambda: dsir_resample(docs, target, n=20),
+        "ngram_join": lambda: ngram_jaccard_join(
+            docs.select("doc_id", "text"), threshold=0.5
+        ),
+    }
+    gc.collect()
+    _pins.release_all(force=True)
+    baseline = _n_persistent(spark)
+
+    for sweep in range(3):  # bench-style: each op repeatedly, interleaved
+        for fn in ops.values():
+            fn().count()  # result dropped immediately (the chained pattern)
+        gc.collect()  # drop model-owned pins (GC finalizers)
+        # bounded: at most one retained hold per slot, each holding a
+        # handful of frames — NOT sweep-count * slots (the leak shape)
+        assert len(_pins.retained_slots()) <= len(ops) + 2
+        assert _n_persistent(spark) <= baseline + 12, (
+            f"sweep {sweep}: {_n_persistent(spark)} persistent RDDs "
+            f"(baseline {baseline}) — caches accumulating across calls"
+        )
+
+    # the long-lived-session drain actually returns the storage
+    _pins.release_all(force=True)
+    gc.collect()
+    assert len(_pins.retained_slots()) == 0
+    assert _n_persistent(spark) <= baseline
+
+
+def test_filter_pin_skips_unstable_predicates(spark):
+    """ADVICE r09 (medium): a where= predicate that renders identically
+    but selects different rows per call (rand(), current_date(), ...)
+    must never be served a stale pinned slice — the pin is built fresh
+    per call (key=None), while stable predicates keep cross-call reuse."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators._filters import where_is_call_stable
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+    assert where_is_call_stable(None)
+    assert where_is_call_stable("lang = 'en'")
+    assert where_is_call_stable(F.col("doc_id") % 2 == 0)
+    assert where_is_call_stable("unix_timestamp(ts) > 5")  # per-row conversion
+    assert not where_is_call_stable(F.rand() < 0.5)
+    assert not where_is_call_stable(F.current_date() >= F.lit("2020-01-01"))
+    assert not where_is_call_stable("created < current_timestamp()")
+    assert not where_is_call_stable("unix_timestamp() > 5")  # zero-arg = now
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(80)
+    model = MinHashLSH().fit(docs, persist=False)
+    try:
+        # stable predicate: second call reuses the SAME pinned slice
+        s1 = model._filtered_index_pinned(F.col("doc_id") % 2 == 0)
+        s2 = model._filtered_index_pinned(F.col("doc_id") % 2 == 0)
+        assert s1 is s2
+        # unstable predicate: rebuilt fresh per call, never keyed
+        u1 = model._filtered_index_pinned(F.rand(seed=7) < 2.0)
+        u2 = model._filtered_index_pinned(F.rand(seed=7) < 2.0)
+        assert u1 is not u2
+        assert model._pins._filter_key is None
+    finally:
+        model.release_pins()

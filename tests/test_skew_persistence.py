@@ -920,3 +920,15 @@ def test_saved_band0_layout_is_structural(spark, tmp_path):
         model.append_index(batch, part)
     with pytest.raises(ValueError, match="mixes band0="):
         model.save_index(part, mode="append")
+
+    # ADVICE r09: a plain FILE named 'band0=...' (not a directory) is a
+    # valid member of NEITHER layout — alone in a directory it must read
+    # as corruption, not as flat data the append path would write into
+    lone = tmp_path / "lonefile"
+    lone.mkdir()
+    (lone / "band0=0").write_bytes(b"not a partition directory")
+    from pyspark_minhash_lsh_spark._fsutil import dir_layout
+
+    assert dir_layout(spark, str(lone), "band0") == "mixed"
+    with pytest.raises(ValueError, match="mixes band0="):
+        MinHashLSHModel._saved_band0_layout(spark, str(lone))
