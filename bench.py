@@ -18,6 +18,8 @@ number. Timings are wall-clock per query, reported individually plus summed.
 
 from __future__ import annotations
 
+import gc
+import glob
 import json
 import os
 import sys
@@ -25,8 +27,88 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark_minhash_lsh_spark import _pins  # noqa: E402
 from pyspark_minhash_lsh_spark.catalog import QUERIES  # noqa: E402
 from pyspark_minhash_lsh_spark.session import get_spark  # noqa: E402
+
+
+def _load1() -> float:
+    """1-minute load average — stamped per timed block so a co-tenant
+    load spike is distinguishable from an engine regression (VERDICT r09
+    #1: the r9 bench regressed 1.7x with the same code while its own 10x
+    probes beat their 1x numbers — the signature of a loaded timing
+    window, previously unprovable from the recorded JSON)."""
+    try:
+        return round(os.getloadavg()[0], 1)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return -1.0
+
+
+def _n_cached(spark) -> int:
+    """Live persisted RDD count (the retained-cache probe)."""
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _drain_caches(spark) -> None:
+    """Return ALL engine caches between timed blocks, so no query's
+    retained state (operator pin holds, orphaned model index caches from
+    earlier best-of runs) bleeds into a later query's timing window —
+    every headline number measures a cold-cache fit-and-query, which is
+    what the per-query history compares. gc first (model _PinSet / pin
+    finalizers fire), then the slot drain, then clearCache for anything
+    unowned (e.g. a GC-deferred model index)."""
+    gc.collect()
+    _pins.release_all(force=True)
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+
+
+def _timed_best(spark, fn, n_runs: int, max_runs: "int | None" = None,
+                deadline: "float | None" = None) -> "tuple[list, int]":
+    """Run ``fn()`` (returns a DataFrame) to full count ``n_runs`` times,
+    draining caches between runs, then keep re-running — up to ``max_runs``
+    total — while the two FASTEST runs disagree by > 25% and the best is
+    non-trivial (> 0.5 s). On this multi-tenant host a co-tenant spike
+    lands as a wild spread (observed: [30.8, 4.6, 3.1] for a query whose
+    steady state is ~3 s, host load1 > 20 with zero engine processes);
+    the corroborated-min rule spends extra passes only when the window was
+    actually noisy, so the recorded min is the plan's cost, not the
+    spike's. Returns (all run times, last row count)."""
+    if max_runs is None:
+        max_runs = max(n_runs, int(os.environ.get(
+            "SPARK_GRAFT_BENCH_MAX_RUNS", "6")))
+    rs, n = [], 0
+    while len(rs) < max_runs:
+        t0 = time.perf_counter()
+        n = fn().count()
+        rs.append(round(time.perf_counter() - t0, 3))
+        _drain_caches(spark)
+        if deadline is not None and time.perf_counter() > deadline:
+            break
+        if len(rs) >= n_runs:
+            best = sorted(rs)
+            if best[0] <= 0.5 or best[1] <= 1.25 * best[0]:
+                break
+    return rs, n
+
+
+def _prev_bench(here: str) -> "tuple[int | None, dict]":
+    """Per-query timings of the newest recorded BENCH_r*.json (the driver
+    wraps the bench's JSON line under a 'parsed' key) — the baseline for
+    the machine-gateable regression flag. Returns (round_no, {q: sec})."""
+    best_n, best = None, {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            n = int(os.path.basename(p)[7:-5])
+            with open(p) as fh:
+                q = json.load(fh)["parsed"]["queries"]
+        except Exception:
+            continue
+        if best_n is None or n > best_n:
+            best_n, best = n, q
+    return best_n, best
 
 #: headline queries, chosen to cover every physical pattern (see module doc).
 #: Round 6 (VERDICT r05 #7): the two heaviest engine operators by measured
@@ -131,19 +213,45 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_RUNS=1 restores single-shot timing.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    diag: dict[str, dict] = {}
+    _drain_caches(spark)  # warmup leftovers out of q01's window
     for name in HEADLINE:
-        best, n = None, 0
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = _resolve(name)(spark, sf_dir)
-            n = df.count()
-            t = time.perf_counter() - t0
-            best = t if best is None else min(best, t)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows, best of {runs})",
-              file=sys.stderr)
+        # runs are fully independent (each call refits its own model) and
+        # caches drain between runs, so run 2 never times against run 1's
+        # orphaned caches' memory/GC pressure; the helper adds noise-guard
+        # passes when a co-tenant spike blows out the spread
+        all_runs, n = _timed_best(
+            spark, lambda: _resolve(name)(spark, sf_dir), runs)
+        timings[name] = min(all_runs)
+        # per-query diagnostics (VERDICT r09 #1): the full spread — not
+        # just the min — plus the load and retained-cache counts, so a
+        # future regression is attributable from the JSON alone
+        diag[name] = {
+            "runs": all_runs,
+            "load1": _load1(),
+            "cached_rdds_after_drain": _n_cached(spark),
+        }
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows, runs={all_runs}, "
+            f"load1={diag[name]['load1']})", file=sys.stderr)
 
     scale = scale_check(spark, sf_dir, timings)
+
+    # machine-gateable per-query regression flag vs the previous round's
+    # recorded JSON (VERDICT r09 #1; the suite_smoke_failed precedent):
+    # regressed = current min exceeds BOTH 2x the previous round's min and
+    # prev + 1s (the absolute floor keeps sub-second jitter from flagging)
+    prev_round, prev_q = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    regression = {"vs_round": prev_round, "regressed": []}
+    for name, cur in timings.items():
+        prev = prev_q.get(name)
+        if prev is not None and cur > max(2.0 * prev, prev + 1.0):
+            regression["regressed"].append(
+                {"query": name, "prev": prev, "cur": cur,
+                 "runs": diag[name]["runs"], "load1": diag[name]["load1"]}
+            )
+            print(f"# REGRESSION {name}: {cur:.3f}s vs {prev:.3f}s in "
+                  f"round {prev_round}", file=sys.stderr)
 
     # bench-only suites (q76 multimodal / q79 tokenizers — moved off the
     # driver 50 in round 8 to fund two oracle rows): still exercised here
@@ -154,10 +262,12 @@ def main() -> None:
     # at sf0.1 vs ~5s at sf0.001 for identical code coverage).
     smoke_sf = warm_sf if os.path.isdir(warm_sf) else sf_dir
     suites: dict[str, float] = {}
+    suite_loads: dict[str, float] = {}
     for name in ("q76_multimodal_suite", "q79_tokenize_suite"):
         try:
             t0 = time.perf_counter()
             n = QUERIES[name](spark, smoke_sf).count()
+            suite_loads[name] = _load1()
             if n == 0:
                 # an empty suite result is a regression, not a timing —
                 # surface it like a crash (r08 review: a drifted join key
@@ -184,7 +294,11 @@ def main() -> None:
         "sf": sf,
         "scale_check": scale,
         "suite_smoke": suites,
+        "suite_smoke_loads": suite_loads,
         "suite_smoke_failed": suite_smoke_failed,
+        "query_diag": diag,
+        "regression_check": regression,
+        "regressed_vs_prev": bool(regression["regressed"]),
     }))
     spark.stop()
     if suite_smoke_failed:
@@ -194,9 +308,29 @@ def main() -> None:
 #: document-centric queries re-timed at SCALE_FACTOR x documents — the
 #: scale-linearity probe. ratio ~= factor x per query means no supra-linear
 #: stage (quadratic candidate blowup, forced broadcast, driver collect).
-SCALE_QUERIES = ["q30_minhash_signatures", "q32_ann_query", "q33_similarity_join",
-                 "q25_ngram_jaccard_pairs", "q38_minhash_dedup",
-                 "q54_duplicated_spans"]  # span detect + substring scrub
+#: CORE probes run EVERY round (the LSH/dedup family whose candidate math
+#: is where supra-linearity would live); the rest rotate half-per-round
+#: (VERDICT r09 #2: one slow co-tenant window made 8 of 16 probes report
+#: null under the budget guard — a deterministic half-rotation keeps every
+#: probe on a 2-round cadence while the per-round set always fits).
+CORE_SCALE = ["q30_minhash_signatures", "q32_ann_query", "q33_similarity_join",
+              "q25_ngram_jaccard_pairs", "q38_minhash_dedup"]
+ROTATED_SCALE = ["q54_duplicated_spans", "dsir_resample", "curate",
+                 "line_dedup", "lm_score", "ivf_pq", "heavy_hitters",
+                 "quantile_sketch", "snapshot_diff", "corpus_drift",
+                 "fuzzy_join"]
+
+
+def _scheduled_probes(here: str) -> "list[str]":
+    """This round's probe set: CORE every round + half of ROTATED_SCALE,
+    alternating deterministically on the recorded-round count (the number
+    of BENCH_r*.json files the driver has written so far — no clock, no
+    RNG, reproducible by rerun). SPARK_GRAFT_SCALE_ALL=1 restores the full
+    set for local deep-dives."""
+    if os.environ.get("SPARK_GRAFT_SCALE_ALL", "0") == "1":
+        return CORE_SCALE + ROTATED_SCALE
+    rot = len(glob.glob(os.path.join(here, "BENCH_r*.json"))) % 2
+    return CORE_SCALE + ROTATED_SCALE[rot::2]
 
 
 def _probe_dsir(spark, sf_dir: str):
@@ -457,50 +591,49 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
             ebig = ebig.unionByName(r)
         ebig.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
 
-        # 480s default: the probe list is 16 entries (round 5 added
-        # heavy_hitters / quantile_sketch / snapshot_diff / corpus_drift /
-        # fuzzy_join) and 1x bases are best-of-3 too; the guard below
-        # hard-stops overruns (skipped probes report null)
+        # 480s default; the rotated schedule (CORE + half the rest, ~10-11
+        # probes) is sized to always fit it, so the guard below should
+        # never fire — when it does (extreme co-tenant load), skipped
+        # probes still report null and the load stamp explains why
         budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "480"))
         started = time.perf_counter()
-        out: dict[str, dict[str, float]] = {}
+        out: dict[str, dict] = {}
         # scale-only queries (e.g. the dedup clusterer) aren't in HEADLINE:
         # time their 1x base here so the ratio is still well-defined
         base_timings = dict(base_timings)
-        probes = list(SCALE_QUERIES) + list(EXTRA_SCALE)
+        here = os.path.dirname(os.path.abspath(__file__))
+        probes = _scheduled_probes(here)
         run_probe = lambda name, d: (  # noqa: E731
             EXTRA_SCALE[name](spark, d) if name in EXTRA_SCALE
             else QUERIES[name](spark, d)
         )
-        base_runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3")))
+        # best-of-N (core 3 / rotated 2): the first 10x run pays whole-stage
+        # -codegen JIT for the 10x-specific plan shapes the 1x base never
+        # pays — single-shot ratios compared cold-vs-warm, overstating
+        # supra-linearity 3-4x (measured q25 at 10x: 46.9 -> 25.3 -> 11.9s).
+        # The 1x bases for non-headline probes run the SAME number of
+        # passes, so cold/warm state is symmetric on both ends of the ratio.
+        core_runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3")))
+        rot_runs = min(core_runs, 2)
+
+        def timed_runs(name: str, d: str, n_runs: int) -> "tuple[list, int]":
+            # same hygiene + noise guard as the headline loop, bounded by
+            # the shared probe budget
+            return _timed_best(
+                spark, lambda: run_probe(name, d), n_runs,
+                deadline=started + budget,
+            )
+
         for name in probes:
             if time.perf_counter() - started > budget:
-                # base timing is budgeted too — 9 best-of-N cold 1x runs
+                # base timing is budgeted too — best-of-N cold 1x runs
                 # could otherwise consume the whole budget before any 10x
                 # probe starts (the probe loop below then reports all-null)
                 break
             if name not in base_timings:
-                # best-of-N like everything else: a single cold 1x base
-                # (paying import + whole-stage-codegen JIT) against a warm
-                # best-of-3 10x point would systematically UNDERSTATE the
-                # ratio — the inverse of the cold-10x hazard documented
-                # below, and just as capable of hiding a supra-linear stage
-                best = None
-                for _ in range(base_runs):
-                    t0 = time.perf_counter()
-                    run_probe(name, sf_dir).count()
-                    t = round(time.perf_counter() - t0, 3)
-                    best = t if best is None else min(best, t)
-                base_timings[name] = best
-        # best-of-N like the headline timings (default 3): the first 10x run
-        # pays whole-stage-codegen JIT for the 10x-specific plan shapes that
-        # the 1x base (best-of-2 after warmup) never pays — single-shot
-        # ratios compared cold-vs-warm, overstating supra-linearity by 3-4x.
-        # Even run 2 still carries cache-materialization cost on the heavy
-        # self-joins (measured q25 at 10x: 46.9s -> 25.3s -> 11.9s, i.e. the
-        # steady-state ratio is ~4.3x, not the 16x a best-of-2 reported);
-        # three runs land on steady state and still fit the 240s budget.
-        runs = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3")))
+                n_runs = core_runs if name in CORE_SCALE else rot_runs
+                rs, _ = timed_runs(name, sf_dir, n_runs)
+                base_timings[name] = min(rs)
         for name in probes:
             if time.perf_counter() - started > budget:
                 # never let the scale probe starve the headline bench the
@@ -508,22 +641,18 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
                 out[name] = {"sec": None, "ratio_vs_1x": None}
                 print(f"# scale{factor}x {name}: SKIPPED (budget)", file=sys.stderr)
                 continue
-            best, n = None, 0
-            for r in range(runs):
-                t0 = time.perf_counter()
-                n = run_probe(name, tmp).count()
-                t = round(time.perf_counter() - t0, 3)
-                best = t if best is None else min(best, t)
-                if time.perf_counter() - started > budget:
-                    break
+            n_runs = core_runs if name in CORE_SCALE else rot_runs
+            rs, n = timed_runs(name, tmp, n_runs)
+            best = min(rs)
             base = base_timings.get(name)
             ratio = round(best / base, 2) if base else None
-            out[name] = {"sec": best, "ratio_vs_1x": ratio}
+            out[name] = {"sec": best, "ratio_vs_1x": ratio,
+                         "runs": rs, "load1": _load1()}
             print(
                 f"# scale{factor}x {name}: {best:.3f}s ({n} rows, "
-                f"{ratio}x the 1x time)", file=sys.stderr,
+                f"{ratio}x the 1x time, runs={rs})", file=sys.stderr,
             )
-        return {"factor": factor, "queries": out}
+        return {"factor": factor, "scheduled": probes, "queries": out}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -1568,6 +1568,58 @@ def q88_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_leg.unionByName(fp_leg)
 
 
+def _md5_sig_bands(docs: DataFrame):
+    """Shared md5-hash-family signature/band construction of the oracle
+    twins (q89 dedup loop, q90 ANN top-k): the exact q77 kernel shapes —
+    k-shingles -> md5 base hash mod p -> 16 (a*h+b) mod p min-aggregates ->
+    4 md5 band keys — so DuckDB reproduces every value. Returns
+    ``(sh, sigw, bl)``: shingle arrays ``(doc_id, _s)``, wide signatures
+    ``(doc_id, m0..m15)``, exploded band rows ``(doc_id, bi, v)``."""
+    p = MERSENNE_PRIME_31
+    a, b = permutation_constants(_Q77_NUM_HASHES, DEFAULT_CONFIG.seed)
+    sh = docs.select(
+        "doc_id",
+        shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size).alias("_s"),
+    )
+    hx = sh.select("doc_id", F.explode(F.col("_s")).alias("_sg")).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_sg")), 1, 15), 16, 10).cast("bigint"),
+            F.lit(p),
+        ).alias("h"),
+    )
+    sigw = hx.groupBy("doc_id").agg(*[
+        F.min(F.pmod(F.lit(a[i]) * F.col("h") + F.lit(b[i]), F.lit(p))).alias(f"m{i}")
+        for i in range(_Q77_NUM_HASHES)
+    ])
+
+    def bexpr(bi: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", *[
+                    F.col(f"m{bi * _Q77_ROWS_PER_BAND + r}")
+                    for r in range(_Q77_ROWS_PER_BAND)
+                ])),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+
+    bl = sigw.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).cast("int").alias("bi"),
+                    bexpr(bi).alias("v"),
+                )
+                for bi in range(_Q77_NUM_BANDS)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "e.bi", "e.v")
+    return sh, sigw, bl
+
+
 def _q89_oracle() -> str:
     """DuckDB mirror of q89: the FULL near-dup dedup loop in the shared md5
     hash family — q77's signature/band constructs, q33's exact-verify
@@ -1678,48 +1730,7 @@ def q89_minhash_dedup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import _label_output, connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    p = MERSENNE_PRIME_31
-    a, b = permutation_constants(_Q77_NUM_HASHES, DEFAULT_CONFIG.seed)
-    sh = docs.select(
-        "doc_id",
-        shingles(tokens(F.col("text")), DEFAULT_CONFIG.shingle_size).alias("_s"),
-    )
-    hx = sh.select("doc_id", F.explode(F.col("_s")).alias("_sg")).select(
-        "doc_id",
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col("_sg")), 1, 15), 16, 10).cast("bigint"),
-            F.lit(p),
-        ).alias("h"),
-    )
-    sigw = hx.groupBy("doc_id").agg(*[
-        F.min(F.pmod(F.lit(a[i]) * F.col("h") + F.lit(b[i]), F.lit(p))).alias(f"m{i}")
-        for i in range(_Q77_NUM_HASHES)
-    ])
-
-    def bexpr(bi: int):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", *[
-                    F.col(f"m{bi * _Q77_ROWS_PER_BAND + r}")
-                    for r in range(_Q77_ROWS_PER_BAND)
-                ])),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("bigint")
-
-    bl = sigw.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).cast("int").alias("bi"),
-                    bexpr(bi).alias("v"),
-                )
-                for bi in range(_Q77_NUM_BANDS)
-            ])
-        ).alias("e"),
-    ).select("doc_id", "e.bi", "e.v")
+    sh, sigw, bl = _md5_sig_bands(docs)
     x, y = bl.alias("x"), bl.alias("y")
     cand = (
         x.join(
@@ -1765,6 +1776,146 @@ def q89_minhash_dedup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("bigint").alias("value"),
     )
     return edge_leg.unionByName(label_leg)
+
+
+#: q90 bucket-space width: the md5 band keys are modded into this many
+#: buckets per band — small enough that the query's buckets catch REAL
+#: collision-filler candidates (the reference F-a semantics q32 exercises:
+#: ~1/num_buckets of the corpus collides per band, so the top-10 ranks a
+#: populated candidate set, not just the self-match), large enough that
+#: the candidate set stays a corpus fraction.
+_Q90_NUM_BUCKETS = 50
+
+
+def _q90_oracle() -> str:
+    """DuckDB mirror of q90: the md5-family ANN query end-to-end — q89's
+    signature/band CTEs modded into the q90 bucket space, then the
+    SINGLE-QUERY dataflow (broadcast 1-row query -> per-band bucket
+    -collision candidates -> signature-agreement score -> ranked top-10
+    with a deterministic (score DESC, id ASC) tiebreak)."""
+    from .functions.hashing import MERSENNE_PRIME_31 as p
+    from .functions.hashing import permutation_constants
+
+    a, b = permutation_constants(_Q77_NUM_HASHES, DEFAULT_CONFIG.seed)
+    vals = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(_Q77_NUM_HASHES))
+    pivot = ", ".join(
+        f"MIN(CASE WHEN perm = {i} THEN min_hash END) AS m{i}"
+        for i in range(_Q77_NUM_HASHES)
+    )
+
+    def band_expr(bi: int) -> str:
+        cols = ", ".join(
+            f"m{bi * _Q77_ROWS_PER_BAND + r}" for r in range(_Q77_ROWS_PER_BAND)
+        )
+        return (
+            f"('0x' || substring(md5(concat_ws('|', {cols})), 1, 15))::BIGINT"
+            f" AS b{bi}"
+        )
+
+    bw_cols = ", ".join(band_expr(bi) for bi in range(_Q77_NUM_BANDS))
+    # band keys are non-negative (60-bit hex ints), so plain % == pmod
+    bl = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS bi, b{bi} % {_Q90_NUM_BUCKETS} AS v FROM bw"
+        for bi in range(_Q77_NUM_BANDS)
+    )
+    agree_terms = " + ".join(
+        f"(CASE WHEN s.m{i} = qs.t{i} THEN 1 ELSE 0 END)"
+        for i in range(_Q77_NUM_HASHES)
+    )
+    qs_cols = ", ".join(f"m{i} AS t{i}" for i in range(_Q77_NUM_HASHES))
+    return f"""
+    WITH
+     tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+     sh AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN {_DUCK_SHINGLES}
+                                ELSE [] END AS s FROM tok),
+     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+     hx AS (SELECT doc_id,
+                   ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {p} AS h
+            FROM ex),
+     perms(perm, pa, pb) AS (VALUES {vals}),
+     sig AS (SELECT doc_id, perm, MIN((pa * h + pb) % {p}) AS min_hash
+             FROM hx CROSS JOIN perms GROUP BY doc_id, perm),
+     sigw AS (SELECT doc_id, {pivot} FROM sig GROUP BY doc_id),
+     bw AS (SELECT *, {bw_cols} FROM sigw),
+     bl AS ({bl}),
+     q AS (SELECT MIN(doc_id) AS doc_id FROM documents),
+     qb AS (SELECT bl.bi, bl.v FROM bl JOIN q ON bl.doc_id = q.doc_id),
+     cand AS (SELECT DISTINCT bl.doc_id
+              FROM bl JOIN qb ON bl.bi = qb.bi AND bl.v = qb.v),
+     qs AS (SELECT {qs_cols} FROM sigw JOIN q ON sigw.doc_id = q.doc_id),
+     agree AS (SELECT c.doc_id, {agree_terms} AS n_agree
+               FROM cand c JOIN sigw s ON s.doc_id = c.doc_id
+               CROSS JOIN qs)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_agree DESC, doc_id ASC) AS INT)
+             AS rnk,
+           CAST(n_agree AS BIGINT) AS n_agree
+    FROM agree
+    QUALIFY rnk <= 10
+    """
+
+
+@query("q90_ann_topk_oracle", oracle=_q90_oracle())
+def q90_ann_topk_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-query ANN dataflow, ORACLE-CHECKED end-to-end via the md5
+    hash family (VERDICT r09 #5): 1-row query frame (min doc_id, built
+    lazily — no driver action) -> broadcast candidate join on the MODDED
+    per-band bucket space (the reference F-a collision-filler semantics,
+    minhash_pyspark.py:243-261, that ``approx_nearest_neighbors``' default
+    ``arrays_overlap`` path exercises: ~1/num_buckets of the corpus
+    collides per band, so the top-10 ranks a populated candidate set) ->
+    signature-agreement scoring (the integer numerator of
+    ``signature_jaccard`` — agreeing positions out of 16) -> ranked top-10
+    with the production (score DESC, id ASC) tiebreak. q77 witnesses the
+    signature/band kernels and q89 the dedup loop; this row hash-witnesses
+    the RANKED RETRIEVAL stage q32 could only rows-check, shrinking the
+    sanctioned rows-only set (funded by retiring the redundant q02
+    relational row — see _BENCH_ONLY).
+
+    Output ``(doc_id, rnk, n_agree)``, all integers: both engines compute
+    the identical candidate set and scores by construction, so the ranked
+    list matches exactly (ties broken by id on both sides)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    _sh, sigw, bl = _md5_sig_bands(docs)
+    # mod into the q90 bucket space (helper band keys are non-negative)
+    bl = bl.select(
+        "doc_id", "bi",
+        F.pmod(F.col("v"), F.lit(_Q90_NUM_BUCKETS)).alias("v"),
+    )
+    qid = docs.agg(F.min("doc_id").alias("doc_id"))
+    qb = bl.join(F.broadcast(qid), "doc_id").select(
+        F.col("bi").alias("qbi"), F.col("v").alias("qv")
+    )
+    cand = (
+        bl.join(
+            F.broadcast(qb),
+            (F.col("bi") == F.col("qbi")) & (F.col("v") == F.col("qv")),
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    qs = sigw.join(F.broadcast(qid), "doc_id").select(
+        *[F.col(f"m{i}").alias(f"t{i}") for i in range(_Q77_NUM_HASHES)]
+    )
+    n_agree = None
+    for i in range(_Q77_NUM_HASHES):
+        term = F.when(F.col(f"m{i}") == F.col(f"t{i}"), 1).otherwise(0)
+        n_agree = term if n_agree is None else n_agree + term
+    scored = (
+        cand.join(sigw, "doc_id")
+        .crossJoin(F.broadcast(qs))
+        .select("doc_id", n_agree.cast("bigint").alias("n_agree"))
+    )
+    # global window over the CANDIDATE set only (band-collision sized, not
+    # corpus sized) — the oracle-friendly twin of TakeOrderedAndProject
+    w = Window.orderBy(F.desc("n_agree"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "rnk", "n_agree")
+    )
 
 
 # =====================================================================================
@@ -4430,8 +4581,15 @@ _CURATED_ORDER = [
     # (distinct-token counts), making it the most redundant relational row;
     # a hash row for the near-dup CLUSTERING loop is strictly stronger.
     "q89_minhash_dedup_oracle",
+    # -- block 1e: round-10 addition — the md5-space ANN-top-k twin (VERDICT r09
+    # #5). Funded by retiring q02_mktsegment_stats to _BENCH_ONLY: its
+    # scan+group+multi-agg shape is already driver-witnessed by q01 (the same
+    # agg battery on lineitem), q66 (keyed rollup) and q70 (customer-table
+    # percentiles), making it the most redundant remaining relational row; a
+    # hash row for RANKED RETRIEVAL (previously only rows-checked via q32) is
+    # strictly stronger.
+    "q90_ann_topk_oracle",
     # -- block 1c: restored from r06 diagnostic parking (driver-green in r05) ------
-    "q02_mktsegment_stats",
     "q09_supplier_part_volume",
     "q11_customer_running_total",
     "q66_daily_rollup",
@@ -4480,6 +4638,9 @@ _BENCH_ONLY = [
     # (VERDICT r08 #1) — stays fully oracle-checked by pytest via ORACLE_SQL
     # (tests/test_catalog_oracle.py runs every registered oracle).
     "q14_distinct_parts_per_supplier",
+    # round 10: retired to fund q90_ann_topk_oracle (VERDICT r09 #5) — same
+    # contract: the oracle stays registered and pytest-checked every round.
+    "q02_mktsegment_stats",
 ]
 
 assert sorted(_CURATED_ORDER + _BENCH_ONLY) == sorted(QUERIES), (

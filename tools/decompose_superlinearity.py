@@ -1,0 +1,126 @@
+"""Decompose the q25/q33/q38 10x scale ratios (VERDICT r09 #4).
+
+The three candidate-verify operators report 10x/1x time ratios of ~2.2-2.8
+every round. Some super-linearity is EXPECTED: the bench's replica-built
+10x corpus multiplies near-dup density linearly, so candidate pairs and
+output rows grow ~10x too, and a verify stage whose cost tracks candidates
+is linear in candidates — but the recorded JSON never showed the candidate
+and output counts next to the wall time, so "output-bound floor" vs "plan
+regression" was unprovable. This script measures, at 1x and 10x (the exact
+bench scale_check replica construction):
+
+  - candidate pairs surfaced by the band self-join (pre-verify),
+  - verified output rows,
+  - wall time per stage (candidates-only vs full verify).
+
+Writes a markdown table to stdout for PLANS.md. Run standalone, never
+concurrently with bench.py (both saturate local[32]).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH  # noqa: E402
+from pyspark_minhash_lsh_spark.operators.setjoin import ngram_jaccard_join  # noqa: E402
+from pyspark_minhash_lsh_spark.operators.dedup import minhash_dedup  # noqa: E402
+from pyspark_minhash_lsh_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_CHECK", "10"))
+
+
+def replicate(spark, sf_dir: str, tmp: str) -> str:
+    """The bench scale_check construction: replica-prefixed tokens keep
+    per-replica similarity structure identical and replicas disjoint."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stride = docs.agg(F.max("doc_id")).head()[0] + 1
+    reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+            F.array_join(
+                F.transform(F.split("text", " "),
+                            lambda t: F.concat(F.lit(f"r{i}"), t)),
+                " ",
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for i in range(FACTOR)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    out = os.path.join(tmp, "documents.parquet")
+    big.write.mode("overwrite").parquet(out)
+    return tmp
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    v = fn()
+    return v, round(time.perf_counter() - t0, 2)
+
+
+def probe(spark, d: str) -> dict:
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    r: dict = {"docs": docs.count()}
+
+    # q33/q25 shape: fitted index -> band candidates -> exact verify
+    model = MinHashLSH().fit(docs, persist=True)
+    r["cand_pairs"], r["cand_sec"] = timed(
+        lambda: model._candidate_pairs().count())
+    r["q33_out"], r["q33_sec"] = timed(
+        lambda: model.similarity_join_exact(threshold=0.7).count())
+    model.unpersist()
+
+    # q25 shape: PPJoin exact n-gram jaccard join (its own prefix filter)
+    r["q25_out"], r["q25_sec"] = timed(
+        lambda: ngram_jaccard_join(
+            docs.select("doc_id", "text"), threshold=0.5).count())
+
+    # q38 shape: near-dup clustering (candidates -> verify -> components)
+    r["q38_out"], r["q38_sec"] = timed(
+        lambda: minhash_dedup(docs, threshold=0.8).count())
+    return r
+
+
+def main() -> None:
+    spark = get_spark("decompose")
+    tmp = tempfile.mkdtemp(prefix="decomp_scale_")
+    try:
+        big = replicate(spark, SF_DIR, tmp)
+        print(f"corpus: {SF_DIR} (1x) vs {FACTOR}x replicas\n")
+        rows = []
+        for label, d, warm in (("1x", SF_DIR, True), (f"{FACTOR}x", big, True)):
+            if warm:  # one untimed pass absorbs plan-shape JIT
+                probe(spark, d)
+            rows.append((label, probe(spark, d)))
+        hdr = ("| scale | docs | cand pairs | cand sec | q33 out | q33 sec "
+               "| q25 out | q25 sec | q38 out | q38 sec |")
+        print(hdr)
+        print("|" + "---|" * 10)
+        for label, r in rows:
+            print(f"| {label} | {r['docs']} | {r['cand_pairs']} | "
+                  f"{r['cand_sec']} | {r['q33_out']} | {r['q33_sec']} | "
+                  f"{r['q25_out']} | {r['q25_sec']} | {r['q38_out']} | "
+                  f"{r['q38_sec']} |")
+        a, b = rows[0][1], rows[1][1]
+        print("\nratios (10x/1x):")
+        for k in ("cand_pairs", "cand_sec", "q33_out", "q33_sec",
+                  "q25_out", "q25_sec", "q38_out", "q38_sec"):
+            print(f"  {k}: {round(b[k] / max(a[k], 1e-9), 2)}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
