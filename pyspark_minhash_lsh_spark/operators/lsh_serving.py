@@ -1,0 +1,350 @@
+"""Partition-pruned ANN serving over a SAVED MinHash-LSH index.
+
+The in-session single-query path (``approx_nearest_neighbors_plan``) rides
+a full index scan: candidates are ~1/num_buckets of the ROWS, but the scan
+is 100% of the BYTES — fine when the index is memory-persisted next to the
+query, the wrong shape for a 100 TB serving deployment answering point
+queries against a parquet artifact (VERDICT r09 #3). This module stores the
+index in the textbook LSH serving layout and prunes every query to the
+partitions its own band keys hash into:
+
+  ``path/bands/bp=*/``  — exploded ``(v, id)`` band-key postings,
+      partitioned by ``bp = pmod(v, band_partitions)`` and sorted by ``v``
+      within each partition (parquet row-group min/max stats make the
+      residual ``v IN (...)`` filter skip row groups too);
+  ``path/sigs/sp=*/``   — ``(id, signature)``, partitioned by
+      ``sp = pmod(id, sig_partitions)`` and sorted by ``id``;
+  ``path/_params``      — the model config sidecar (``MinHashLSHModel``
+      stamp, so config drift is refused on load like every other artifact);
+  ``path/_serving``     — the layout sidecar (partition counts, version).
+
+A query computes its signature + band keys on a 1-row frame (the SAME
+column expressions as the corpus — parity by construction), collects just
+those (100 + 25 longs, bounded), and injects them as literals, so the
+bands scan carries STATIC ``PartitionFilters`` on ``bp``: at most
+``num_bands`` of ``band_partitions`` partitions are listed, everything
+else is never opened. Candidate ids from the pruned postings scan then
+prune the signature fetch the same way (``sp`` literals) when the
+candidate set is small enough to push down, else fall back to a broadcast
+join (correct, just unpruned). Results are IDENTICAL to the fitted model's
+``use_band_keys=True`` single-query path (tested): band-agreement
+candidates, ``signature_jaccard`` scoring, (jaccard DESC, id ASC) top-n.
+
+Batch serving (``topk_batch``) is the streaming-serving shape: the
+micro-batch's distinct band keys (25 x batch rows, bounded by the batch)
+prune the postings scan the same way, and per-query top-n runs as
+WindowGroupLimit. Wire into ``start_ann_serving_stream`` as
+``search=lambda b: serving.topk_batch(b, n=5)`` — the stream primitive is
+already index-agnostic.
+
+Reference parity note: the reference can only serve from an in-session
+cache (``cache_dfs``, minhash_pyspark.py:435-440); saved-artifact serving
+is engine-added surface, sharing the ``save_index`` family's sidecar
+contracts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import MinHashLSHConfig
+from ..functions.hashing import signature_jaccard
+from .minhash_lsh import MinHashLSH, MinHashLSHModel
+
+__all__ = ["save_serving_index", "LshServingIndex"]
+
+#: layout version stamp — refuse artifacts written by a future layout
+_SERVING_VERSION = 1
+_SERVING_SCHEMA = "version int, band_partitions int, sig_partitions int"
+
+
+def save_serving_index(
+    model: MinHashLSHModel,
+    path: str,
+    band_partitions: int = 64,
+    sig_partitions: Optional[int] = None,
+) -> None:
+    """Write ``model``'s index at ``path`` in the serving layout above.
+
+    ``band_partitions`` sizes the pruning granularity: a query touches at
+    most ``num_bands`` partitions, so bytes-read per query is
+    ~``num_bands / band_partitions`` of the postings (size it so one
+    partition fits a scan task — thousands at warehouse scale, the default
+    64 suits test corpora). ``repartition`` on the partition column keeps
+    files-per-directory at ~1; the within-partition sort gives row-group
+    skipping on the residual key filter."""
+    if band_partitions < 1 or (sig_partitions is not None and sig_partitions < 1):
+        raise ValueError("partition counts must be >= 1")
+    sig_partitions = sig_partitions or band_partitions
+    idx, id_col = model.index, model.id_col
+    bands = idx.select(
+        F.col(id_col), F.explode("band_keys").alias("v")
+    ).select(F.pmod(F.col("v"), F.lit(band_partitions)).alias("bp"), "v", id_col)
+    (
+        bands.repartition("bp").sortWithinPartitions("v")
+        .write.mode("overwrite").partitionBy("bp")
+        .parquet(path.rstrip("/") + "/bands")
+    )
+    sigs = idx.select(
+        F.pmod(F.col(id_col), F.lit(sig_partitions)).alias("sp"),
+        F.col(id_col), "signature",
+    )
+    (
+        sigs.repartition("sp").sortWithinPartitions(id_col)
+        .write.mode("overwrite").partitionBy("sp")
+        .parquet(path.rstrip("/") + "/sigs")
+    )
+    model._write_params(path)  # the shared config-drift stamp
+    spark = idx.sparkSession
+    spark.createDataFrame(
+        [(_SERVING_VERSION, int(band_partitions), int(sig_partitions))],
+        _SERVING_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_serving")
+
+
+class LshServingIndex:
+    """A loaded serving artifact: partition-pruned point and batch top-k."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        lsh: MinHashLSH,
+        text_col: str,
+        id_col: str,
+        band_partitions: int,
+        sig_partitions: int,
+        corpus: "DataFrame | None" = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.lsh = lsh
+        self.text_col = text_col
+        self.id_col = id_col
+        self.band_partitions = int(band_partitions)
+        self.sig_partitions = int(sig_partitions)
+        self.corpus = corpus
+
+    @classmethod
+    def load(cls, spark, path: str, corpus: "DataFrame | None" = None
+             ) -> "LshServingIndex":
+        """Rehydrate from ``save_serving_index`` output. The config comes
+        from the ``_params`` sidecar (never caller-remembered — the
+        ``load_index`` stance); a missing sidecar is refused, serving
+        artifacts are always stamped. ``corpus`` enables ``with_text``."""
+        from pyspark.errors import AnalysisException
+
+        saved = MinHashLSHModel._read_params_row(spark, path)
+        if saved is None:
+            raise ValueError(
+                f"no _params sidecar under {path!r} — not a serving artifact "
+                "(write one with save_serving_index)"
+            )
+        try:
+            srv = spark.read.parquet(path.rstrip("/") + "/_serving").head()
+        except AnalysisException as e:
+            raise ValueError(
+                f"serving artifact at {path!r} has no _serving layout "
+                "sidecar — corrupt or partially written; re-create it with "
+                "save_serving_index"
+            ) from e
+        if srv.version > _SERVING_VERSION:
+            raise ValueError(
+                f"serving artifact version {srv.version} is newer than this "
+                f"engine understands ({_SERVING_VERSION})"
+            )
+        lsh = MinHashLSH(MinHashLSHConfig(
+            shingle_size=saved.shingle_size,
+            num_hashes=saved.num_hashes,
+            num_bands=saved.num_bands,
+            rows_per_band=saved.rows_per_band,
+            num_buckets=saved.num_buckets,
+            band_local_buckets=saved.band_local_buckets,
+            seed=saved.seed,
+        ))
+        return cls(
+            spark, path, lsh, saved.text_col, saved.id_col,
+            srv.band_partitions, srv.sig_partitions, corpus,
+        )
+
+    # -- internals ---------------------------------------------------------------
+
+    def _bands(self) -> DataFrame:
+        return self.spark.read.parquet(self.path + "/bands")
+
+    def _sigs(self) -> DataFrame:
+        return self.spark.read.parquet(self.path + "/sigs")
+
+    def _query_sig_keys(self, query_text: str):
+        """(signature, band_keys) of the query — the ONE bounded collect of
+        the point-query path (100 + num_bands longs; partition pruning
+        requires literal filters, and the reference's own query pipeline is
+        driver-side anyway, minhash_pyspark.py:184-198). Same column
+        expressions as the corpus index, so parity is by construction."""
+        row = (
+            self.spark.range(1)
+            .select(self.lsh.signature_col(F.lit(query_text)).alias("sig"))
+            .select(
+                "sig", self.lsh.band_keys_col(F.col("sig")).alias("keys")
+            )
+            .head()
+        )
+        sig = row.sig if row is not None else None
+        keys = row.keys if row is not None else None
+        if not sig or any(x is None for x in sig) or not keys:
+            return None, None
+        return [int(x) for x in sig], [int(k) for k in keys]
+
+    def _empty_result(self, with_text: bool) -> DataFrame:
+        schema = f"{self.id_col} bigint, jaccard double"
+        if with_text:
+            schema += f", {self.text_col} string"
+        return self.spark.createDataFrame([], schema)
+
+    def _attach_text(self, topn: DataFrame) -> DataFrame:
+        if self.corpus is None:
+            raise ValueError(
+                "with_text=True needs the corpus — pass it to load()"
+            )
+        return (
+            self.corpus.select(self.id_col, self.text_col)
+            .join(F.broadcast(topn), on=self.id_col, how="inner")
+            .orderBy(F.desc("jaccard"), F.asc(self.id_col))
+        )
+
+    # -- queries -----------------------------------------------------------------
+
+    def topk(
+        self,
+        query_text: str,
+        n: int = 10,
+        with_text: bool = False,
+        max_candidate_pushdown: int = 100_000,
+    ) -> DataFrame:
+        """Partition-pruned top-n for ONE query string.
+
+        Bytes touched: <= num_bands/band_partitions of the postings + the
+        candidates' signature partitions — never the whole index (the plan
+        carries static ``PartitionFilters`` on both scans; tested). Result
+        is identical to the fitted model's ``use_band_keys=True`` path:
+        true band-agreement candidates only, no collision filler, so a
+        query resembling nothing returns < n rows rather than noise.
+
+        ``max_candidate_pushdown`` bounds the candidate-id literal
+        injection for the signature fetch (ids of one query's band
+        collisions — near-dup-density sized in practice); a hotter query
+        falls back to a broadcast join against the full signature table
+        (correct, just unpruned)."""
+        sig, keys = self._query_sig_keys(query_text)
+        if sig is None:
+            return self._empty_result(with_text)
+        pbs = sorted({k % self.band_partitions for k in keys})
+        cand = (
+            self._bands()
+            .filter(F.col("bp").isin(pbs) & F.col("v").isin(sorted(set(keys))))
+            .select(self.id_col)
+            .distinct()
+        )
+        ids = [r[0] for r in cand.limit(max_candidate_pushdown + 1).collect()]
+        if not ids:
+            return self._empty_result(with_text)
+        if len(ids) <= max_candidate_pushdown:
+            sps = sorted({i % self.sig_partitions for i in ids})
+            csigs = self._sigs().filter(
+                F.col("sp").isin(sps) & F.col(self.id_col).isin(sorted(ids))
+            )
+        else:  # hot query: correctness first, pruning lost
+            csigs = self._sigs().join(F.broadcast(cand), self.id_col)
+        qsig = F.array(*[F.lit(x) for x in sig])
+        topn = (
+            csigs.select(
+                F.col(self.id_col),
+                signature_jaccard(F.col("signature"), qsig).alias("jaccard"),
+            )
+            .orderBy(F.desc("jaccard"), F.asc(self.id_col))
+            .limit(n)
+        )
+        return self._attach_text(topn) if with_text else topn
+
+    def topk_batch(
+        self,
+        queries: DataFrame,
+        n: int = 10,
+        query_text_col: str = "text",
+        query_id_col: str = "query_id",
+        with_text: bool = False,
+        max_key_pushdown: int = 500_000,
+    ) -> DataFrame:
+        """Partition-pruned top-n for EVERY row of a query batch — the
+        micro-batch serving shape (``start_ann_serving_stream`` with
+        ``search=lambda b: serving.topk_batch(b, n=...)``).
+
+        Query signatures run distributed (the fused corpus path); only the
+        batch's DISTINCT band keys are collected (num_bands x batch rows,
+        micro-batch bounded) to prune the postings scan. Past
+        ``max_key_pushdown`` keys the scan degrades to the unpruned
+        band-key equi-join (the in-session batch path's shape — correct
+        at any batch size). Returns ``(query_id, id, jaccard, rank)``
+        (+text), rank 1-based per query via WindowGroupLimit."""
+        from pyspark.sql import Window
+
+        # eager, lineage-cut materialization: the batch index is read by
+        # the key collect AND the two joins below; micro-batch sized
+        q_idx = self.lsh.transform(
+            queries, query_text_col, query_id_col
+        ).localCheckpoint(eager=True)
+        qb = q_idx.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode("band_keys").alias("v"),
+        )
+        keys = [
+            r[0] for r in
+            qb.select("v").distinct().limit(max_key_pushdown + 1).collect()
+        ]
+        bands = self._bands()
+        if not keys:
+            # no query produced a signature: empty result, right schema
+            bands = bands.filter(F.lit(False))
+        elif len(keys) <= max_key_pushdown:
+            pbs = sorted({k % self.band_partitions for k in keys})
+            bands = bands.filter(
+                F.col("bp").isin(pbs) & F.col("v").isin(sorted(keys))
+            )
+        pairs = (
+            qb.join(bands.select("v", self.id_col), "v")
+            .select("query_id", self.id_col)
+            .dropDuplicates(["query_id", self.id_col])
+        )
+        qs = q_idx.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col("signature").alias("q_sig"),
+        )
+        scored = (
+            pairs.join(qs, "query_id")
+            .join(self._sigs().select(self.id_col, "signature"), self.id_col)
+            .select(
+                "query_id",
+                F.col(self.id_col),
+                signature_jaccard(F.col("signature"), F.col("q_sig")).alias(
+                    "jaccard"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("jaccard"), F.asc(self.id_col)
+        )
+        topn = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= n
+        )
+        if not with_text:
+            return topn
+        if self.corpus is None:
+            raise ValueError(
+                "with_text=True needs the corpus — pass it to load()"
+            )
+        return topn.join(
+            self.corpus.select(self.id_col, self.text_col), self.id_col
+        ).select("query_id", self.id_col, "jaccard", "rank", self.text_col)

@@ -688,6 +688,10 @@ def start_ann_serving_stream(
 
         lambda b: model.approx_nearest_neighbors_batch(b, n=5, where="lang='en'")
         lambda b: ivf.approx_cosine_topk_batch(b, k=10, n_probe=8)
+        lambda b: serving.topk_batch(b, n=5)   # LshServingIndex: each
+            # micro-batch partition-prunes a SAVED index to the batch's own
+            # band-key partitions (round 10 — the 100 TB serving shape;
+            # operators/lsh_serving.py)
 
     so every index in the family (MinHash text, SrpLsh, IvfFlat, IvfPq) and
     every query option — including the filtered-ANN ``where=`` — serves
