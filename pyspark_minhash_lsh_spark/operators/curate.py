@@ -160,7 +160,9 @@ def curate_corpus(
     # thrashed each other's caches. Release needs the returned frame dead
     # AND a newer curate call — so `curate_corpus(df).where(...).count()`
     # (result dropped before the action) still runs on warm caches, and
-    # an exception releases immediately (the except below).
+    # an exception releases immediately (the except below). A long-lived
+    # session that STOPS calling curate can drain the last call's caches
+    # with _pins.release_slot("curate_corpus") / release_all() (r10).
     pinned: list[DataFrame] = []
     try:
         base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))

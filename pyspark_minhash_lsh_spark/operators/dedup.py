@@ -815,7 +815,8 @@ def incremental_exact_dedup(
     # _fp once and the probes become byte lookups over a stored column.
     # Pin released via _pins.finalize_pins on the returned frame (round 9:
     # the old module-global drain thrashed between concurrent ingest
-    # streams — the VERDICT r08 #2 topology).
+    # streams — the VERDICT r08 #2 topology). Long-lived sessions drain
+    # via _pins.release_slot("incremental_exact_dedup") / release_all (r10).
     from .._pins import finalize_pins, release_pins
 
     batch = batch.persist()

@@ -336,7 +336,9 @@ def dsir_importance_weights(
     the only corpus-keyed shuffle is the final per-doc sum. The raw feature
     stream is referenced twice (raw counts + scoring) and is persisted by
     default; the pin follows the ``_pins.finalize_pins`` lifecycle
-    (released once the returned frame is dead AND a newer call exists).
+    (released once the returned frame is dead AND a newer call exists;
+    long-lived sessions drain the last call via
+    ``_pins.release_slot("dsir_importance_weights")`` / ``release_all``).
     """
     from pyspark.storagelevel import StorageLevel
 

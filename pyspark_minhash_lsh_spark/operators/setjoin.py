@@ -71,7 +71,9 @@ def ngram_jaccard_join(
     and their blocks are not safely evictable (truncated lineage), while
     MEMORY_AND_DISK spills under pressure and recomputes on loss. The
     call's pins are released once the returned frame is garbage-collected
-    AND a newer call exists (``_pins.finalize_pins``).
+    AND a newer call exists (``_pins.finalize_pins``); a long-lived session
+    that stops calling can drain the last call's caches with
+    ``_pins.release_slot("ngram_jaccard_join")`` / ``release_all``.
 
     ``broadcast_max_rows`` (default OFF) optionally gates two broadcast
     hints, each on the MEASURED row count of ITS OWN build side (one agg job
