@@ -1946,6 +1946,10 @@ def q30_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: keeps a corpus-wide agg out of the benched ANN path on repeat invocations.
 _Q32_QUERY_TEXT: dict[str, str] = {}
 
+#: per-sf_dir cache of the q75 serving-layout artifact path — the save is
+#: one-time setup; repeat suite invocations re-query the same artifact.
+_Q75_SERVING_PATHS: dict[str, str] = {}
+
 
 @query("q32_ann_query")
 def q32_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4149,7 +4153,12 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtering demonstrably loses recall — tests/test_ivf.py);
       - filtered_text_ann (round 8): the TEXT-index twin — MinHash batch
         ANN with where= over corpus metadata (id-spine semi-join;
-        identity with fit-on-filtered-corpus in tests/test_batch_ann.py)."""
+        identity with fit-on-filtered-corpus in tests/test_batch_ann.py);
+      - lsh_serving (round 10): partition-pruned retrieval from a SAVED
+        serving-layout index, same query batch as batch_ann so the two
+        rows must agree exactly — a driver-visible saved==fitted witness
+        (operators/lsh_serving.py; static PartitionFilters + point-query
+        identity in tests/test_lsh_serving.py)."""
     from .operators.ivf import IvfFlat
     from .operators.minhash_lsh import MinHashLSH
     from .operators.pq import fit_pq
@@ -4343,13 +4352,37 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rank") == 1, F.col("doc_id"))), F.avg("jaccard"),
     )
 
+    # lsh_serving (round 10, VERDICT r09 #3): partition-pruned retrieval
+    # from a SAVED serving-layout index — save the fitted index once per
+    # sf_dir (the _Q32_QUERY_TEXT caching stance: the artifact write is
+    # setup, not the probed work), load, answer the SAME query batch as
+    # the batch_ann leg. Both paths are band-agreement + signature
+    # jaccard, so this row's (n_rows, f1, f2) must EQUAL the batch_ann
+    # row's — a driver-visible saved==fitted identity on top of the
+    # PartitionFilters plan assert and point-query identity in
+    # tests/test_lsh_serving.py.
+    from .operators.lsh_serving import LshServingIndex
+
+    srv_path = _Q75_SERVING_PATHS.get(sf_dir)
+    if srv_path is None:
+        import tempfile
+
+        srv_path = tempfile.mkdtemp(prefix="q75_lsh_serving_") + "/idx"
+        model.save_serving_index(srv_path, band_partitions=16)
+        _Q75_SERVING_PATHS[sf_dir] = srv_path
+    srv = LshServingIndex.load(spark, srv_path)
+    leg_srv = _suite_row(
+        srv.topk_batch(queries, n=3), "lsh_serving",
+        F.sum(F.when(F.col("rank") == 1, F.col("doc_id"))), F.avg("jaccard"),
+    )
+
     return (
         leg_bk.unionByName(leg_fs).unionByName(leg_128)
         .unionByName(leg_srp).unionByName(leg_ivf).unionByName(leg_ba)
         .unionByName(leg_pq).unionByName(leg_pca)
         .unionByName(leg_rs).unionByName(leg_rp).unionByName(leg_cs)
         .unionByName(leg_sq).unionByName(leg_mrl).unionByName(leg_fa)
-        .unionByName(leg_fta)
+        .unionByName(leg_fta).unionByName(leg_srv)
     )
 
 
