@@ -89,7 +89,9 @@ def _timed_best(spark, fn, n_runs: int, max_runs: "int | None" = None,
             break
         if len(rs) >= n_runs:
             best = sorted(rs)
-            if best[0] <= 0.5 or best[1] <= 1.25 * best[0]:
+            # single-run mode (n_runs=1 with one pass taken) asks for no
+            # corroboration — don't index a second element that isn't there
+            if len(best) < 2 or best[0] <= 0.5 or best[1] <= 1.25 * best[0]:
                 break
     return rs, n
 
