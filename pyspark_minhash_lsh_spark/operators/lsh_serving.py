@@ -170,6 +170,74 @@ class LshServingIndex:
             srv.band_partitions, srv.sig_partitions, corpus,
         )
 
+    # -- lifecycle ---------------------------------------------------------------
+
+    def append(self, new_docs: DataFrame) -> "LshServingIndex":
+        """Incremental ingest into the SERVING artifact — the
+        ``append_index`` contract for this layout: signatures are computed
+        for the BATCH ONLY under the artifact's own sidecar config (loaded
+        at construction, so config drift is impossible by construction),
+        and the batch's band/signature rows land as new files inside their
+        existing ``bp=``/``sp=`` partition directories — nothing existing
+        is rewritten, and queries serve old + new documents identically to
+        a rebuild (tested). Assumes fresh batch ids (dedup against the
+        lake first — ``incremental_near_dedup`` — when ingest can replay).
+        Appended files are individually sorted, so row-group skipping
+        still works per file; after many ingests run ``compact`` to
+        restore few-files-per-partition scans."""
+        batch = self.lsh.transform(new_docs, self.text_col, self.id_col)
+        bands = batch.select(
+            F.col(self.id_col), F.explode("band_keys").alias("v")
+        ).select(
+            F.pmod(F.col("v"), F.lit(self.band_partitions)).alias("bp"),
+            "v", self.id_col,
+        )
+        (
+            bands.repartition("bp").sortWithinPartitions("v")
+            .write.mode("append").partitionBy("bp")
+            .parquet(self.path + "/bands")
+        )
+        sigs = batch.select(
+            F.pmod(F.col(self.id_col), F.lit(self.sig_partitions)).alias("sp"),
+            F.col(self.id_col), "signature",
+        )
+        (
+            sigs.repartition("sp").sortWithinPartitions(self.id_col)
+            .write.mode("append").partitionBy("sp")
+            .parquet(self.path + "/sigs")
+        )
+        return self
+
+    def compact(self, dest_path: str, rows_per_file: int = 1_000_000) -> int:
+        """Offline small-file compaction to a NEW path (the
+        ``compact_index`` cutover contract: the caller repoints serving at
+        ``dest_path`` only after this returns; the source is never
+        mutated, rollback is free). Rows are read back, re-sorted within
+        their partitions, and rewritten at ~``rows_per_file`` per file
+        with both sidecars carried through verbatim; returns the compacted
+        artifact's total band-row count (counted at dest)."""
+        spark = self.spark
+        for sub, part, order in (
+            ("/bands", "bp", "v"), ("/sigs", "sp", self.id_col),
+        ):
+            data = spark.read.parquet(self.path + sub)
+            (
+                data.repartition(F.col(part))
+                .sortWithinPartitions(order)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", int(rows_per_file))
+                .partitionBy(part)
+                .parquet(dest_path.rstrip("/") + sub)
+            )
+        for sidecar in ("/_params", "/_serving"):
+            spark.read.parquet(self.path + sidecar).coalesce(1)\
+                .write.mode("overwrite")\
+                .parquet(dest_path.rstrip("/") + sidecar)
+        # completeness certification (the compact_index stance): both
+        # sidecars and both tables readable at dest before returning
+        LshServingIndex.load(spark, dest_path)
+        return spark.read.parquet(dest_path.rstrip("/") + "/bands").count()
+
     # -- internals ---------------------------------------------------------------
 
     def _bands(self) -> DataFrame:

@@ -166,3 +166,39 @@ def test_with_text_needs_corpus(spark, served, tmp_path):
     bare = LshServingIndex.load(spark, srv.path)  # no corpus
     with pytest.raises(ValueError, match="needs the corpus"):
         bare.topk(qt, n=3, with_text=True)
+
+
+def test_append_then_query_equals_rebuild(spark, served, tmp_path):
+    docs, _, _ = served
+    old = docs.filter(F.col("doc_id") < 500)
+    new = docs.filter(F.col("doc_id") >= 500).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"  # fresh ids
+    )
+    grown = str(tmp_path / "grown")
+    MinHashLSH().fit(old, persist=False).save_serving_index(
+        grown, band_partitions=16, sig_partitions=8)
+    srv = LshServingIndex.load(spark, grown).append(new)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    MinHashLSH().fit(
+        old.unionByName(new), persist=False
+    ).save_serving_index(rebuilt, band_partitions=16, sig_partitions=8)
+    srv2 = LshServingIndex.load(spark, rebuilt)
+
+    qt = new.orderBy("doc_id").head().text  # an APPENDED doc's text
+    got, want = _pairs(srv.topk(qt, n=6)), _pairs(srv2.topk(qt, n=6))
+    assert got == want and got[0][1] == 1.0
+    # an OLD doc still resolves through the grown artifact too
+    qt_old = old.orderBy("doc_id").head().text
+    assert _pairs(srv.topk(qt_old, n=6)) == _pairs(srv2.topk(qt_old, n=6))
+
+
+def test_compact_preserves_results(spark, served, tmp_path):
+    docs, _, srv = served
+    dest = str(tmp_path / "compacted")
+    n = srv.compact(dest)
+    assert n == spark.read.parquet(srv.path + "/bands").count()
+    csrv = LshServingIndex.load(spark, dest, corpus=docs)
+    qt = docs.filter(F.col("doc_id") == 0).head().text
+    assert _pairs(csrv.topk(qt, n=8)) == _pairs(srv.topk(qt, n=8))
+    assert csrv.band_partitions == srv.band_partitions
