@@ -184,7 +184,21 @@ class LshServingIndex:
         lake first — ``incremental_near_dedup`` — when ingest can replay).
         Appended files are individually sorted, so row-group skipping
         still works per file; after many ingests run ``compact`` to
-        restore few-files-per-partition scans."""
+        restore few-files-per-partition scans. A corrupt artifact (a
+        table directory missing, or mixing partition dirs with flat
+        files) is refused loudly instead of silently recreated — the
+        ``append_index`` fail-closed stance."""
+        from .._fsutil import dir_layout
+
+        for sub, key in (("/bands", "bp"), ("/sigs", "sp")):
+            layout = dir_layout(self.spark, self.path + sub, key)
+            if layout != "partitioned":
+                raise ValueError(
+                    f"serving artifact at {self.path!r} has a "
+                    f"{'missing' if layout is None else layout} {sub[1:]} "
+                    "table — corrupt or partially deleted; re-create it "
+                    "with save_serving_index before appending"
+                )
         batch = self.lsh.transform(new_docs, self.text_col, self.id_col)
         bands = batch.select(
             F.col(self.id_col), F.explode("band_keys").alias("v")

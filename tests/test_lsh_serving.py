@@ -202,3 +202,17 @@ def test_compact_preserves_results(spark, served, tmp_path):
     qt = docs.filter(F.col("doc_id") == 0).head().text
     assert _pairs(csrv.topk(qt, n=8)) == _pairs(srv.topk(qt, n=8))
     assert csrv.band_partitions == srv.band_partitions
+
+
+def test_append_refuses_corrupt_tables(spark, served, tmp_path):
+    import shutil
+
+    docs, _, _ = served
+    path = str(tmp_path / "corrupt")
+    MinHashLSH().fit(docs.limit(30), persist=False).save_serving_index(
+        path, band_partitions=4)
+    srv = LshServingIndex.load(spark, path)
+    batch = docs.limit(5).select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    shutil.rmtree(path + "/bands")
+    with pytest.raises(ValueError, match="missing bands table"):
+        srv.append(batch)

@@ -58,10 +58,14 @@ ASSERTIONS = [
     # union: regex redaction, array-filter line rules, Arrow-batch NFC —
     # no Exchange anywhere (the NFC leg's ArrowEvalPython is sanctioned)
     ("q67_text_hygiene", ["ArrowEvalPython"], ["Exchange"]),
-    # the q29 LM leg attaches its bounded model via broadcast (count-ordered
-    # limit tables) and the trim itself plans as TakeOrderedAndProject; the
-    # panel must stay pure-JVM (no Python eval) and never pair-enumerate
-    ("q29_doc_quality", ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    # the q29 LM leg attaches its bounded model via broadcast. Round 10:
+    # the model's count-ordered limit trim (TakeOrderedAndProject) now runs
+    # EAGERLY inside train_bigram_lm (the uni/bi tables are materialized as
+    # local checkpoints so the vocab-sized word-count cache releases at
+    # train time — ADVICE r09), so q29's lazy plan shows the checkpointed
+    # model as an ExistingRDD scan instead of the trim subtree; the panel
+    # must still stay pure-JVM (no Python eval) and never pair-enumerate
+    ("q29_doc_quality", ["BroadcastHashJoin", "Scan ExistingRDD"],
      ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"]),
     # the dedup-loop twin is pure native column math + equi-joins: the band
     # candidate join keys on (band idx, value), the verify/label joins on
