@@ -1,0 +1,60 @@
+"""bench.py harness helpers (round 10) — pure-python contracts: the probe
+rotation must be deterministic and complete on a 2-round cadence, and the
+regression baseline must pick the newest recorded round."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _touch_rounds(d, n):
+    for i in range(1, n + 1):
+        (d / f"BENCH_r{i:02d}.json").write_text(json.dumps(
+            {"n": i, "parsed": {"queries": {"q32_ann_query": float(i)}}}
+        ))
+
+
+def test_scheduled_probes_rotate_and_cover(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_ALL", raising=False)
+    _touch_rounds(tmp_path, 9)   # entering round 10 -> rot = 1
+    s10 = bench._scheduled_probes(str(tmp_path))
+    _touch_rounds(tmp_path, 10)  # entering round 11 -> rot = 0
+    s11 = bench._scheduled_probes(str(tmp_path))
+    # core runs EVERY round
+    for s in (s10, s11):
+        assert set(bench.CORE_SCALE) <= set(s)
+    # consecutive rounds partition the rotated set: union = everything,
+    # intersection = core only
+    assert set(s10) | set(s11) == set(bench.CORE_SCALE) | set(bench.ROTATED_SCALE)
+    assert set(s10) & set(s11) == set(bench.CORE_SCALE)
+    # deterministic: same round count -> same schedule
+    assert s11 == bench._scheduled_probes(str(tmp_path))
+    # every scheduled name resolves to a runnable probe
+    for name in set(s10) | set(s11):
+        assert name in bench.EXTRA_SCALE or name in bench.QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_ALL", "1")
+    assert bench._scheduled_probes(str(tmp_path)) == (
+        bench.CORE_SCALE + bench.ROTATED_SCALE
+    )
+
+
+def test_prev_bench_picks_newest_round(tmp_path):
+    assert bench._prev_bench(str(tmp_path)) == (None, {})
+    _touch_rounds(tmp_path, 3)
+    n, q = bench._prev_bench(str(tmp_path))
+    assert n == 3 and q == {"q32_ann_query": 3.0}
+    # a malformed newest file is skipped, not fatal
+    (tmp_path / "BENCH_r04.json").write_text("{not json")
+    n, q = bench._prev_bench(str(tmp_path))
+    assert n == 3 and q == {"q32_ann_query": 3.0}
+
+
+def test_headline_and_rotation_are_disjoint_sets():
+    # every headline name resolves; scale probes reuse the same resolver
+    for name in bench.HEADLINE:
+        assert name in bench.EXTRA_SCALE or name in bench.QUERIES
+    assert len(set(bench.ROTATED_SCALE)) == len(bench.ROTATED_SCALE)
+    assert not set(bench.CORE_SCALE) & set(bench.ROTATED_SCALE)
