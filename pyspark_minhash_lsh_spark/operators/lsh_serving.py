@@ -13,7 +13,8 @@ partitions its own band keys hash into:
       within each partition (parquet row-group min/max stats make the
       residual ``v IN (...)`` filter skip row groups too);
   ``path/sigs/sp=*/``   — ``(id, signature)``, partitioned by
-      ``sp = pmod(id, sig_partitions)`` and sorted by ``id``;
+      ``sp = pmod(xxhash64(id), sig_partitions)`` (hash-based, so any id
+      type partitions uniformly) and sorted by ``id``;
   ``path/_params``      — the model config sidecar (``MinHashLSHModel``
       stamp, so config drift is refused on load like every other artifact);
   ``path/_serving``     — the layout sidecar (partition counts, version).
@@ -56,9 +57,22 @@ from .minhash_lsh import MinHashLSH, MinHashLSHModel
 
 __all__ = ["save_serving_index", "LshServingIndex"]
 
-#: layout version stamp — refuse artifacts written by a future layout
+#: layout version stamp — refuse artifacts written by a future layout.
+#: id_type records the id column's Spark DDL type so readers can build
+#: exact-schema empty frames for a not-yet-populated artifact (an empty
+#: initial save, or a fresh ingest target before its first append).
 _SERVING_VERSION = 1
-_SERVING_SCHEMA = "version int, band_partitions int, sig_partitions int"
+_SERVING_SCHEMA = (
+    "version int, band_partitions int, sig_partitions int, id_type string"
+)
+
+
+def _sp_col(id_col: str, sig_partitions: int):
+    """The signature-table partition key: ``pmod(xxhash64(id), P)`` —
+    hash-based so ANY id type the model supports (string crawl ids
+    included) partitions uniformly; numeric ``pmod(id, P)`` would crash on
+    strings and skew on structured numeric ids."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(sig_partitions))
 
 
 def save_serving_index(
@@ -89,7 +103,7 @@ def save_serving_index(
         .parquet(path.rstrip("/") + "/bands")
     )
     sigs = idx.select(
-        F.pmod(F.col(id_col), F.lit(sig_partitions)).alias("sp"),
+        _sp_col(id_col, sig_partitions).alias("sp"),
         F.col(id_col), "signature",
     )
     (
@@ -99,8 +113,9 @@ def save_serving_index(
     )
     model._write_params(path)  # the shared config-drift stamp
     spark = idx.sparkSession
+    id_type = idx.schema[id_col].dataType.simpleString()
     spark.createDataFrame(
-        [(_SERVING_VERSION, int(band_partitions), int(sig_partitions))],
+        [(_SERVING_VERSION, int(band_partitions), int(sig_partitions), id_type)],
         _SERVING_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_serving")
 
@@ -118,6 +133,7 @@ class LshServingIndex:
         band_partitions: int,
         sig_partitions: int,
         corpus: "DataFrame | None" = None,
+        id_type: str = "bigint",
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
@@ -127,6 +143,7 @@ class LshServingIndex:
         self.band_partitions = int(band_partitions)
         self.sig_partitions = int(sig_partitions)
         self.corpus = corpus
+        self.id_type = id_type
 
     @classmethod
     def load(cls, spark, path: str, corpus: "DataFrame | None" = None
@@ -168,6 +185,7 @@ class LshServingIndex:
         return cls(
             spark, path, lsh, saved.text_col, saved.id_col,
             srv.band_partitions, srv.sig_partitions, corpus,
+            id_type=srv.id_type,
         )
 
     # -- lifecycle ---------------------------------------------------------------
@@ -190,15 +208,24 @@ class LshServingIndex:
         ``append_index`` fail-closed stance."""
         from .._fsutil import dir_layout
 
-        for sub, key in (("/bands", "bp"), ("/sigs", "sp")):
-            layout = dir_layout(self.spark, self.path + sub, key)
-            if layout != "partitioned":
-                raise ValueError(
-                    f"serving artifact at {self.path!r} has a "
-                    f"{'missing' if layout is None else layout} {sub[1:]} "
-                    "table — corrupt or partially deleted; re-create it "
-                    "with save_serving_index before appending"
-                )
+        layouts = {
+            sub: dir_layout(self.spark, self.path + sub, key)
+            for sub, key in (("/bands", "bp"), ("/sigs", "sp"))
+        }
+        # BOTH tables absent = a not-yet-populated artifact (an empty
+        # initial save / fresh ingest target whose sidecars load() already
+        # vouched for) — the first append simply populates it. Anything
+        # else non-partitioned is corruption.
+        if not all(v is None for v in layouts.values()):
+            for sub, layout in layouts.items():
+                if layout != "partitioned":
+                    raise ValueError(
+                        f"serving artifact at {self.path!r} has a "
+                        f"{'missing' if layout is None else layout} "
+                        f"{sub[1:]} table — corrupt or partially deleted; "
+                        "re-create it with save_serving_index before "
+                        "appending"
+                    )
         batch = self.lsh.transform(new_docs, self.text_col, self.id_col)
         bands = batch.select(
             F.col(self.id_col), F.explode("band_keys").alias("v")
@@ -212,7 +239,7 @@ class LshServingIndex:
             .parquet(self.path + "/bands")
         )
         sigs = batch.select(
-            F.pmod(F.col(self.id_col), F.lit(self.sig_partitions)).alias("sp"),
+            _sp_col(self.id_col, self.sig_partitions).alias("sp"),
             F.col(self.id_col), "signature",
         )
         (
@@ -234,7 +261,7 @@ class LshServingIndex:
         for sub, part, order in (
             ("/bands", "bp", "v"), ("/sigs", "sp", self.id_col),
         ):
-            data = spark.read.parquet(self.path + sub)
+            data = self._bands() if sub == "/bands" else self._sigs()
             (
                 data.repartition(F.col(part))
                 .sortWithinPartitions(order)
@@ -248,17 +275,36 @@ class LshServingIndex:
                 .write.mode("overwrite")\
                 .parquet(dest_path.rstrip("/") + sidecar)
         # completeness certification (the compact_index stance): both
-        # sidecars and both tables readable at dest before returning
-        LshServingIndex.load(spark, dest_path)
-        return spark.read.parquet(dest_path.rstrip("/") + "/bands").count()
+        # sidecars readable and both tables countable at dest (via the
+        # empty-safe reader, so compacting a not-yet-populated artifact
+        # certifies rather than crashes) before returning
+        return LshServingIndex.load(spark, dest_path)._bands().count()
 
     # -- internals ---------------------------------------------------------------
 
+    def _read_table(self, sub: str, empty_schema: str) -> DataFrame:
+        """Read a serving table; a NOT-YET-POPULATED table (an empty
+        initial save, or a fresh ingest target before its first append,
+        writes only _SUCCESS — no files to infer a schema from) reads as
+        an exact-schema empty frame via the sidecar-stamped id type
+        instead of an UNABLE_TO_INFER_SCHEMA crash."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.path + sub)
+        except AnalysisException:
+            return self.spark.createDataFrame([], empty_schema)
+
     def _bands(self) -> DataFrame:
-        return self.spark.read.parquet(self.path + "/bands")
+        return self._read_table(
+            "/bands", f"bp int, v bigint, {self.id_col} {self.id_type}"
+        )
 
     def _sigs(self) -> DataFrame:
-        return self.spark.read.parquet(self.path + "/sigs")
+        return self._read_table(
+            "/sigs",
+            f"sp int, {self.id_col} {self.id_type}, signature array<bigint>",
+        )
 
     def _query_sig_keys(self, query_text: str):
         """(signature, band_keys) of the query — the ONE bounded collect of
@@ -281,7 +327,7 @@ class LshServingIndex:
         return [int(x) for x in sig], [int(k) for k in keys]
 
     def _empty_result(self, with_text: bool) -> DataFrame:
-        schema = f"{self.id_col} bigint, jaccard double"
+        schema = f"{self.id_col} {self.id_type}, jaccard double"
         if with_text:
             schema += f", {self.text_col} string"
         return self.spark.createDataFrame([], schema)
@@ -330,13 +376,19 @@ class LshServingIndex:
             .select(self.id_col)
             .distinct()
         )
-        ids = [r[0] for r in cand.limit(max_candidate_pushdown + 1).collect()]
-        if not ids:
+        # candidates collected WITH their signature-partition key (sp is a
+        # Spark-side hash of the id, so it rides the same bounded collect
+        # instead of being recomputed driver-side)
+        rows = cand.select(
+            F.col(self.id_col),
+            _sp_col(self.id_col, self.sig_partitions).alias("_sp"),
+        ).limit(max_candidate_pushdown + 1).collect()
+        if not rows:
             return self._empty_result(with_text)
-        if len(ids) <= max_candidate_pushdown:
-            sps = sorted({i % self.sig_partitions for i in ids})
+        if len(rows) <= max_candidate_pushdown:
             csigs = self._sigs().filter(
-                F.col("sp").isin(sps) & F.col(self.id_col).isin(sorted(ids))
+                F.col("sp").isin(sorted({r[1] for r in rows}))
+                & F.col(self.id_col).isin(sorted({r[0] for r in rows}))
             )
         else:  # hot query: correctness first, pruning lost
             csigs = self._sigs().join(F.broadcast(cand), self.id_col)

@@ -216,3 +216,53 @@ def test_append_refuses_corrupt_tables(spark, served, tmp_path):
     shutil.rmtree(path + "/bands")
     with pytest.raises(ValueError, match="missing bands table"):
         srv.append(batch)
+
+
+def test_string_ids_end_to_end(spark, tmp_path):
+    """Any id type the model supports must serve: sp is a hash partition
+    key, not numeric pmod (which crashed on string crawl ids)."""
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(200)]
+    rows = [(f"crawl/{i:04d}", " ".join(rng.choice(words) for _ in range(40)))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    model = MinHashLSH().fit(docs, persist=False)
+    path = str(tmp_path / "sidx")
+    model.save_serving_index(path, band_partitions=8, sig_partitions=4)
+    srv = LshServingIndex.load(spark, path, corpus=docs)
+    assert srv.id_type == "string"
+    qt = rows[7][1]
+    want = _pairs(model.approx_nearest_neighbors_plan(
+        qt, n=5, with_text=False, use_band_keys=True))
+    assert _pairs(srv.topk(qt, n=5)) == want
+    assert want[0] == ("crawl/0007", 1.0)
+    # append with string ids too
+    batch = spark.createDataFrame(
+        [(f"batch/{i}", rows[i][1]) for i in range(3)],
+        "doc_id string, text string",
+    )
+    srv.append(batch)
+    got = _pairs(srv.topk(rows[0][1], n=4))
+    assert ("batch/0", 1.0) in got and ("crawl/0000", 1.0) in got
+
+
+def test_empty_save_then_append_then_query(spark, tmp_path):
+    """A fresh ingest target: save from an EMPTY corpus (sidecars only, no
+    data files), query it (empty result, not a schema-inference crash),
+    append the first real batch, and serve."""
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    model = MinHashLSH().fit(empty, persist=False)
+    path = str(tmp_path / "fresh")
+    model.save_serving_index(path, band_partitions=8, sig_partitions=4)
+    srv = LshServingIndex.load(spark, path)
+    assert srv.topk("some query text here", n=5).collect() == []
+    assert srv.topk_batch(
+        spark.createDataFrame([(1, "a b c d e")], "query_id bigint, text string"),
+        n=3,
+    ).collect() == []
+
+    docs = _corpus(spark, n_docs=20)
+    srv.append(docs)
+    qt = docs.filter(F.col("doc_id") == 0).head().text
+    got = _pairs(srv.topk(qt, n=4))
+    assert got and got[0] == (0, 1.0)
