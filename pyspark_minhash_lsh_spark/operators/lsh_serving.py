@@ -206,26 +206,7 @@ class LshServingIndex:
         table directory missing, or mixing partition dirs with flat
         files) is refused loudly instead of silently recreated — the
         ``append_index`` fail-closed stance."""
-        from .._fsutil import dir_layout
-
-        layouts = {
-            sub: dir_layout(self.spark, self.path + sub, key)
-            for sub, key in (("/bands", "bp"), ("/sigs", "sp"))
-        }
-        # BOTH tables absent = a not-yet-populated artifact (an empty
-        # initial save / fresh ingest target whose sidecars load() already
-        # vouched for) — the first append simply populates it. Anything
-        # else non-partitioned is corruption.
-        if not all(v is None for v in layouts.values()):
-            for sub, layout in layouts.items():
-                if layout != "partitioned":
-                    raise ValueError(
-                        f"serving artifact at {self.path!r} has a "
-                        f"{'missing' if layout is None else layout} "
-                        f"{sub[1:]} table — corrupt or partially deleted; "
-                        "re-create it with save_serving_index before "
-                        "appending"
-                    )
+        self._check_tables_for_rewrite()
         batch = self.lsh.transform(new_docs, self.text_col, self.id_col)
         bands = batch.select(
             F.col(self.id_col), F.explode("band_keys").alias("v")
@@ -256,7 +237,11 @@ class LshServingIndex:
         mutated, rollback is free). Rows are read back, re-sorted within
         their partitions, and rewritten at ~``rows_per_file`` per file
         with both sidecars carried through verbatim; returns the compacted
-        artifact's total band-row count (counted at dest)."""
+        artifact's total band-row count (counted at dest). A corrupt
+        source (one table missing or layout-mixed) is refused — without
+        the guard the empty-safe reader would quietly compact it into an
+        empty, servable-looking dest."""
+        self._check_tables_for_rewrite()
         spark = self.spark
         for sub, part, order in (
             ("/bands", "bp", "v"), ("/sigs", "sp", self.id_col),
@@ -281,6 +266,31 @@ class LshServingIndex:
         return LshServingIndex.load(spark, dest_path)._bands().count()
 
     # -- internals ---------------------------------------------------------------
+
+    def _check_tables_for_rewrite(self) -> None:
+        """The append/compact precondition: both tables cleanly
+        ``bp=``/``sp=``-partitioned, or BOTH absent (a not-yet-populated
+        artifact — an empty initial save / fresh ingest target whose
+        sidecars ``load()`` already vouched for; the first append simply
+        populates it, a compact certifies an empty dest). Any other state
+        — one table missing, flat files, or a mixed layout — is corruption
+        and is refused loudly instead of silently rewritten."""
+        from .._fsutil import dir_layout
+
+        layouts = {
+            sub: dir_layout(self.spark, self.path + sub, key)
+            for sub, key in (("/bands", "bp"), ("/sigs", "sp"))
+        }
+        if all(v is None for v in layouts.values()):
+            return
+        for sub, layout in layouts.items():
+            if layout != "partitioned":
+                raise ValueError(
+                    f"serving artifact at {self.path!r} has a "
+                    f"{'missing' if layout is None else layout} "
+                    f"{sub[1:]} table — corrupt or partially deleted; "
+                    "re-create it with save_serving_index first"
+                )
 
     def _read_table(self, sub: str, empty_schema: str) -> DataFrame:
         """Read a serving table; a NOT-YET-POPULATED table (an empty

@@ -266,3 +266,16 @@ def test_empty_save_then_append_then_query(spark, tmp_path):
     qt = docs.filter(F.col("doc_id") == 0).head().text
     got = _pairs(srv.topk(qt, n=4))
     assert got and got[0] == (0, 1.0)
+
+
+def test_compact_refuses_corrupt_source(spark, served, tmp_path):
+    import shutil
+
+    docs, _, _ = served
+    path = str(tmp_path / "csrc")
+    MinHashLSH().fit(docs.limit(20), persist=False).save_serving_index(
+        path, band_partitions=4)
+    srv = LshServingIndex.load(spark, path)
+    shutil.rmtree(path + "/sigs")
+    with pytest.raises(ValueError, match="missing sigs table"):
+        srv.compact(str(tmp_path / "cdst"))
