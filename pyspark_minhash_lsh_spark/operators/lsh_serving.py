@@ -144,6 +144,15 @@ class LshServingIndex:
         self.sig_partitions = int(sig_partitions)
         self.corpus = corpus
         self.id_type = id_type
+        # memoized table relations: building a parquet DataFrame lists the
+        # WHOLE artifact's file index eagerly (every bp=/sp= directory) —
+        # per-query re-listing would dominate point-query latency on a
+        # many-partition warehouse artifact. The artifact is immutable
+        # between promotions (the cutover runbook stance), so list once
+        # and let every query's PartitionFilters prune from the cached
+        # index; ``append`` (the one in-place mutation) invalidates both.
+        self._bands_df: "DataFrame | None" = None
+        self._sigs_df: "DataFrame | None" = None
 
     @classmethod
     def load(cls, spark, path: str, corpus: "DataFrame | None" = None
@@ -228,6 +237,9 @@ class LshServingIndex:
             .write.mode("append").partitionBy("sp")
             .parquet(self.path + "/sigs")
         )
+        # the memoized relations hold the PRE-append file index — drop
+        # them so the next query lists the grown artifact
+        self._bands_df = self._sigs_df = None
         return self
 
     def compact(self, dest_path: str, rows_per_file: int = 1_000_000) -> int:
@@ -306,15 +318,20 @@ class LshServingIndex:
             return self.spark.createDataFrame([], empty_schema)
 
     def _bands(self) -> DataFrame:
-        return self._read_table(
-            "/bands", f"bp int, v bigint, {self.id_col} {self.id_type}"
-        )
+        if self._bands_df is None:
+            self._bands_df = self._read_table(
+                "/bands", f"bp int, v bigint, {self.id_col} {self.id_type}"
+            )
+        return self._bands_df
 
     def _sigs(self) -> DataFrame:
-        return self._read_table(
-            "/sigs",
-            f"sp int, {self.id_col} {self.id_type}, signature array<bigint>",
-        )
+        if self._sigs_df is None:
+            self._sigs_df = self._read_table(
+                "/sigs",
+                f"sp int, {self.id_col} {self.id_type}, "
+                "signature array<bigint>",
+            )
+        return self._sigs_df
 
     def _query_sig_keys(self, query_text: str):
         """(signature, band_keys) of the query — the ONE bounded collect of
