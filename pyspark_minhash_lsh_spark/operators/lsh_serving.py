@@ -60,10 +60,13 @@ __all__ = ["save_serving_index", "LshServingIndex"]
 #: layout version stamp — refuse artifacts written by a future layout.
 #: id_type records the id column's Spark DDL type so readers can build
 #: exact-schema empty frames for a not-yet-populated artifact (an empty
-#: initial save, or a fresh ingest target before its first append).
+#: initial save, or a fresh ingest target before its first append);
+#: keep_cols_ddl records the metadata columns riding the signature table
+#: for filtered ANN ('' = none), in DDL form for the same reason.
 _SERVING_VERSION = 1
 _SERVING_SCHEMA = (
-    "version int, band_partitions int, sig_partitions int, id_type string"
+    "version int, band_partitions int, sig_partitions int, id_type string, "
+    "keep_cols_ddl string"
 )
 
 
@@ -80,6 +83,7 @@ def save_serving_index(
     path: str,
     band_partitions: int = 64,
     sig_partitions: Optional[int] = None,
+    keep_cols: "tuple | list" = (),
 ) -> None:
     """Write ``model``'s index at ``path`` in the serving layout above.
 
@@ -89,11 +93,20 @@ def save_serving_index(
     partition fits a scan task — thousands at warehouse scale, the default
     64 suits test corpora). ``repartition`` on the partition column keeps
     files-per-directory at ~1; the within-partition sort gives row-group
-    skipping on the residual key filter."""
+    skipping on the residual key filter.
+
+    ``keep_cols`` (the filtered-ANN contract of ``IvfFlat.fit`` —
+    round 10) rides corpus metadata columns on the signature table so
+    loaded-artifact queries take the family's ``where=`` predicate; the
+    columns and their types are stamped in the layout sidecar."""
     if band_partitions < 1 or (sig_partitions is not None and sig_partitions < 1):
         raise ValueError("partition counts must be >= 1")
     sig_partitions = sig_partitions or band_partitions
     idx, id_col = model.index, model.id_col
+    keep_cols = tuple(keep_cols)
+    missing = [c for c in keep_cols if c not in model.corpus.columns]
+    if missing:
+        raise ValueError(f"keep_cols not in the corpus: {missing}")
     bands = idx.select(
         F.col(id_col), F.explode("band_keys").alias("v")
     ).select(F.pmod(F.col("v"), F.lit(band_partitions)).alias("bp"), "v", id_col)
@@ -106,6 +119,11 @@ def save_serving_index(
         _sp_col(id_col, sig_partitions).alias("sp"),
         F.col(id_col), "signature",
     )
+    if keep_cols:
+        meta = model.corpus.select(id_col, *keep_cols)
+        sigs = sigs.join(meta, id_col, "left").select(
+            "sp", id_col, "signature", *keep_cols
+        )
     (
         sigs.repartition("sp").sortWithinPartitions(id_col)
         .write.mode("overwrite").partitionBy("sp")
@@ -114,8 +132,13 @@ def save_serving_index(
     model._write_params(path)  # the shared config-drift stamp
     spark = idx.sparkSession
     id_type = idx.schema[id_col].dataType.simpleString()
+    keep_ddl = ", ".join(
+        f"{c} {model.corpus.schema[c].dataType.simpleString()}"
+        for c in keep_cols
+    )
     spark.createDataFrame(
-        [(_SERVING_VERSION, int(band_partitions), int(sig_partitions), id_type)],
+        [(_SERVING_VERSION, int(band_partitions), int(sig_partitions),
+          id_type, keep_ddl)],
         _SERVING_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_serving")
 
@@ -134,6 +157,7 @@ class LshServingIndex:
         sig_partitions: int,
         corpus: "DataFrame | None" = None,
         id_type: str = "bigint",
+        keep_cols_ddl: str = "",
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
@@ -144,6 +168,11 @@ class LshServingIndex:
         self.sig_partitions = int(sig_partitions)
         self.corpus = corpus
         self.id_type = id_type
+        self.keep_cols_ddl = keep_cols_ddl or ""
+        #: metadata columns riding the signature table (filtered ANN)
+        self.keep_cols = tuple(
+            f.split()[0] for f in self.keep_cols_ddl.split(", ") if f
+        )
         # memoized table relations: building a parquet DataFrame lists the
         # WHOLE artifact's file index eagerly (every bp=/sp= directory) —
         # per-query re-listing would dominate point-query latency on a
@@ -194,7 +223,7 @@ class LshServingIndex:
         return cls(
             spark, path, lsh, saved.text_col, saved.id_col,
             srv.band_partitions, srv.sig_partitions, corpus,
-            id_type=srv.id_type,
+            id_type=srv.id_type, keep_cols_ddl=srv.keep_cols_ddl,
         )
 
     # -- lifecycle ---------------------------------------------------------------
@@ -232,6 +261,19 @@ class LshServingIndex:
             _sp_col(self.id_col, self.sig_partitions).alias("sp"),
             F.col(self.id_col), "signature",
         )
+        if self.keep_cols:
+            # the artifact carries filtered-ANN metadata: the batch must
+            # supply the same columns (schema drift would silently strand
+            # appended rows outside every where= — refuse instead)
+            missing = [c for c in self.keep_cols if c not in new_docs.columns]
+            if missing:
+                raise ValueError(
+                    f"appended batch lacks the artifact's keep_cols {missing}"
+                )
+            meta = new_docs.select(self.id_col, *self.keep_cols)
+            sigs = sigs.join(meta, self.id_col, "left").select(
+                "sp", self.id_col, "signature", *self.keep_cols
+            )
         (
             sigs.repartition("sp").sortWithinPartitions(self.id_col)
             .write.mode("append").partitionBy("sp")
@@ -326,11 +368,13 @@ class LshServingIndex:
 
     def _sigs(self) -> DataFrame:
         if self._sigs_df is None:
-            self._sigs_df = self._read_table(
-                "/sigs",
+            schema = (
                 f"sp int, {self.id_col} {self.id_type}, "
-                "signature array<bigint>",
+                "signature array<bigint>"
             )
+            if self.keep_cols_ddl:
+                schema += ", " + self.keep_cols_ddl
+            self._sigs_df = self._read_table("/sigs", schema)
         return self._sigs_df
 
     def _query_sig_keys(self, query_text: str):
@@ -378,6 +422,7 @@ class LshServingIndex:
         n: int = 10,
         with_text: bool = False,
         max_candidate_pushdown: int = 100_000,
+        where: "object | None" = None,
     ) -> DataFrame:
         """Partition-pruned top-n for ONE query string.
 
@@ -388,11 +433,18 @@ class LshServingIndex:
         true band-agreement candidates only, no collision filler, so a
         query resembling nothing returns < n rows rather than noise.
 
+        ``where`` — the family's filtered-ANN contract: a predicate over
+        the artifact's ``keep_cols`` metadata, applied to the candidates
+        BEFORE the top-n (true top-n of the filtered subset; requires the
+        artifact to have been saved with ``keep_cols``).
+
         ``max_candidate_pushdown`` bounds the candidate-id literal
         injection for the signature fetch (ids of one query's band
         collisions — near-dup-density sized in practice); a hotter query
         falls back to a broadcast join against the full signature table
         (correct, just unpruned)."""
+        from ._filters import apply_where
+
         sig, keys = self._query_sig_keys(query_text)
         if sig is None:
             return self._empty_result(with_text)
@@ -419,6 +471,9 @@ class LshServingIndex:
             )
         else:  # hot query: correctness first, pruning lost
             csigs = self._sigs().join(F.broadcast(cand), self.id_col)
+        # filtered ANN: restrict candidates BEFORE ranking, so the top-n
+        # fills from allowed rows only (post-hoc filtering loses recall)
+        csigs = apply_where(csigs, where)
         qsig = F.array(*[F.lit(x) for x in sig])
         topn = (
             csigs.select(
@@ -438,6 +493,7 @@ class LshServingIndex:
         query_id_col: str = "query_id",
         with_text: bool = False,
         max_key_pushdown: int = 500_000,
+        where: "object | None" = None,
     ) -> DataFrame:
         """Partition-pruned top-n for EVERY row of a query batch — the
         micro-batch serving shape (``start_ann_serving_stream`` with
@@ -448,9 +504,13 @@ class LshServingIndex:
         micro-batch bounded) to prune the postings scan. Past
         ``max_key_pushdown`` keys the scan degrades to the unpruned
         band-key equi-join (the in-session batch path's shape — correct
-        at any batch size). Returns ``(query_id, id, jaccard, rank)``
+        at any batch size). ``where``: the filtered-ANN predicate over the
+        artifact's ``keep_cols``, applied before each query's top-n (see
+        ``topk``). Returns ``(query_id, id, jaccard, rank)``
         (+text), rank 1-based per query via WindowGroupLimit."""
         from pyspark.sql import Window
+
+        from ._filters import apply_where
 
         # eager, lineage-cut materialization: the batch index is read by
         # the key collect AND the two joins below; micro-batch sized
@@ -483,9 +543,12 @@ class LshServingIndex:
             F.col(query_id_col).alias("query_id"),
             F.col("signature").alias("q_sig"),
         )
+        # filtered ANN: disallowed rows drop at the signature attach, so
+        # each query's top-n fills from allowed rows only
+        cs = apply_where(self._sigs(), where).select(self.id_col, "signature")
         scored = (
             pairs.join(qs, "query_id")
-            .join(self._sigs().select(self.id_col, "signature"), self.id_col)
+            .join(cs, self.id_col)
             .select(
                 "query_id",
                 F.col(self.id_col),

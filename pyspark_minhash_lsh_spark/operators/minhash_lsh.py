@@ -890,17 +890,21 @@ class MinHashLSHModel:
     def save_serving_index(
         self, path: str, band_partitions: int = 64,
         sig_partitions: "int | None" = None,
+        keep_cols: "tuple | list" = (),
     ) -> None:
         """Write the index in the partition-pruned SERVING layout (exploded
         band-key postings partitioned by ``pmod(key, band_partitions)`` +
         a separately-partitioned signature table), so point queries read
         only their own band partitions instead of 100% of index bytes —
-        see ``operators.lsh_serving`` (round 10, VERDICT r09 #3). Load
+        see ``operators.lsh_serving`` (round 10, VERDICT r09 #3).
+        ``keep_cols`` rides corpus metadata on the signature table for the
+        family's filtered-ANN ``where=`` on the loaded artifact. Load
         with ``LshServingIndex.load``; ``save_index`` remains the
         rebuild/append-friendly row layout."""
         from .lsh_serving import save_serving_index
 
-        save_serving_index(self, path, band_partitions, sig_partitions)
+        save_serving_index(self, path, band_partitions, sig_partitions,
+                           keep_cols=keep_cols)
 
     def append_index(self, new_docs: DataFrame, path: str) -> "MinHashLSHModel":
         """Incremental ingest for a SAVED text index — the LSH twin of

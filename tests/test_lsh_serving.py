@@ -279,3 +279,59 @@ def test_compact_refuses_corrupt_source(spark, served, tmp_path):
     shutil.rmtree(path + "/sigs")
     with pytest.raises(ValueError, match="missing sigs table"):
         srv.compact(str(tmp_path / "cdst"))
+
+
+def test_filtered_serving_matches_fitted_filtered_path(spark, tmp_path):
+    """keep_cols metadata rides the signature table, and where= gives the
+    family's filtered-ANN semantics on a LOADED artifact — identical to
+    the fitted model's filtered use_band_keys path (true top-n of the
+    filtered subset, never post-hoc filtering)."""
+    docs = _corpus(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, F.lit("en")).otherwise(F.lit("de"))
+    )
+    model = MinHashLSH().fit(docs, persist=False)
+    path = str(tmp_path / "fidx")
+    model.save_serving_index(path, band_partitions=16, sig_partitions=8,
+                             keep_cols=("lang",))
+    srv = LshServingIndex.load(spark, path, corpus=docs)
+    assert srv.keep_cols == ("lang",)
+
+    # planted near-dups are (2i, 2i+1000): both even -> lang='en'; a
+    # lang='de' filter must drop them from the top-n, not rank them
+    qt = docs.filter(F.col("doc_id") == 0).head().text
+    want = _pairs(model.approx_nearest_neighbors_plan(
+        qt, n=6, with_text=False, use_band_keys=True, where="lang = 'de'"))
+    got = _pairs(srv.topk(qt, n=6, where="lang = 'de'"))
+    assert got == want
+    unfiltered = _pairs(srv.topk(qt, n=6))
+    assert unfiltered != got and unfiltered[0] == (0, 1.0)
+
+    # batch twin: same where=, same results as the fitted batch path
+    queries = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    bwant = {
+        (r.query_id, r.rank): r.doc_id
+        for r in model.approx_nearest_neighbors_batch(
+            queries, n=3, with_text=False, where="lang = 'en'").collect()
+    }
+    bgot = {
+        (r.query_id, r.rank): r.doc_id
+        for r in srv.topk_batch(queries, n=3, where="lang = 'en'").collect()
+    }
+    assert bgot == bwant and bgot
+    assert all(d % 2 == 0 or d >= 1000 for d in bgot.values())
+
+    # append must supply the artifact's keep_cols
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lacks the artifact's keep_cols"):
+        srv.append(docs.select("doc_id", "text"))
+    # ...and a conforming batch serves through the same where=
+    batch = spark.createDataFrame(
+        [(9000, docs.filter(F.col("doc_id") == 1).head().text, "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    srv.append(batch)
+    got2 = _pairs(srv.topk(
+        docs.filter(F.col("doc_id") == 1).head().text, n=3, where="lang = 'de'"))
+    assert (9000, 1.0) in got2
