@@ -223,7 +223,10 @@ class LshServingIndex:
         return cls(
             spark, path, lsh, saved.text_col, saved.id_col,
             srv.band_partitions, srv.sig_partitions, corpus,
-            id_type=srv.id_type, keep_cols_ddl=srv.keep_cols_ddl,
+            id_type=srv.id_type,
+            # tolerate a sidecar written before the keep_cols field (same
+            # on-disk version — absent field just means no metadata rides)
+            keep_cols_ddl=getattr(srv, "keep_cols_ddl", "") or "",
         )
 
     # -- lifecycle ---------------------------------------------------------------
