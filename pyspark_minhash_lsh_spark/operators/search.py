@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_search"]
+__all__ = ["bm25_search", "save_bm25_index", "Bm25Index"]
 
 
 def bm25_search(
@@ -118,3 +118,271 @@ def bm25_search(
         .limit(k)
         .drop("_score_key")
     )
+
+
+# =====================================================================================
+# Saved BM25 serving index (round 10) — the lexical twin of operators/lsh_serving
+# =====================================================================================
+
+#: serving sidecar: corpus constants + layout (id type in DDL form so the
+#: empty-table fallback keeps the exact schema — the lsh_serving stance)
+_BM25_VERSION = 1
+_BM25_SCHEMA = (
+    "version int, partitions int, n_docs bigint, avgdl double, "
+    "id_type string, id_col string"
+)
+
+
+def _tp_col(term_col: str, partitions: int):
+    """Postings/terms partition key: ``pmod(xxhash64(term), P)`` — a query
+    touches only its own terms' partitions."""
+    return F.pmod(F.xxhash64(F.col(term_col)), F.lit(partitions))
+
+
+def save_bm25_index(
+    df: DataFrame,
+    path: str,
+    partitions: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Write a SERVING BM25 index: ``bm25_search`` recomputes postings,
+    document lengths, and corpus stats from the raw text on every call —
+    the right shape for one-off analytics, the wrong one for a query
+    service over a 100 TB corpus. This stores them once:
+
+      ``path/postings/tp=*/`` — ``(term, id, tf, dl)``, partitioned by
+          ``tp = pmod(xxhash64(term), partitions)`` and sorted by term
+          within partitions (row-group skipping on the residual term
+          filter). ``dl`` is DENORMALIZED onto each posting (+8 bytes) so
+          scoring needs no corpus-sized doc-length join at query time —
+          the classic search-engine posting layout;
+      ``path/terms/tp=*/``    — ``(term, df)``, same partitioning — the
+          idf numerators, pruned by the query's own term partitions;
+      ``path/_bm25``          — corpus constants (N, avgdl) + layout.
+
+    A query then reads <= |query terms| partitions of each table and
+    nothing else; results are identical to ``bm25_search`` on the same
+    corpus (tested), with ``k1``/``b`` still query-time parameters.
+    Stats (N, avgdl, df) are frozen at save time — after substantial
+    ingest, re-save (the standard search-engine stats-refresh contract)."""
+    if partitions < 1:
+        raise ValueError("partitions must be >= 1")
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    dl = base.select("id", F.size("t").alias("dl"))
+    tf = (
+        base.select("id", F.explode("t").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    postings = tf.join(dl, "id").select(
+        _tp_col("term", partitions).alias("tp"),
+        "term", F.col("id").alias(id_col), "tf", "dl",
+    )
+    (
+        postings.repartition("tp").sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("tp")
+        .parquet(path.rstrip("/") + "/postings")
+    )
+    terms = tf.groupBy("term").agg(F.count("*").alias("df")).select(
+        _tp_col("term", partitions).alias("tp"), "term", "df"
+    )
+    (
+        terms.repartition("tp").sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("tp")
+        .parquet(path.rstrip("/") + "/terms")
+    )
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).head()
+    id_type = df.schema[id_col].dataType.simpleString()
+    df.sparkSession.createDataFrame(
+        [(_BM25_VERSION, int(partitions), int(stats.n_docs or 0),
+          float(stats.avgdl or 0.0), id_type, id_col)],
+        _BM25_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_bm25")
+
+
+class Bm25Index:
+    """A loaded BM25 serving artifact: partition-pruned keyword top-k."""
+
+    def __init__(self, spark, path: str, partitions: int, n_docs: int,
+                 avgdl: float, id_col: str, id_type: str) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.partitions = int(partitions)
+        self.n_docs = int(n_docs)
+        self.avgdl = float(avgdl)
+        self.id_col = id_col
+        self.id_type = id_type
+        # file index listed once per instance (the lsh_serving stance:
+        # the artifact is immutable between re-saves)
+        self._postings_df: "DataFrame | None" = None
+        self._terms_df: "DataFrame | None" = None
+
+    @classmethod
+    def load(cls, spark, path: str) -> "Bm25Index":
+        from pyspark.errors import AnalysisException
+
+        try:
+            s = spark.read.parquet(path.rstrip("/") + "/_bm25").head()
+        except AnalysisException as e:
+            raise ValueError(
+                f"no _bm25 sidecar under {path!r} — not a BM25 serving "
+                "artifact (write one with save_bm25_index)"
+            ) from e
+        if s.version > _BM25_VERSION:
+            raise ValueError(
+                f"BM25 artifact version {s.version} is newer than this "
+                f"engine understands ({_BM25_VERSION})"
+            )
+        return cls(spark, path, s.partitions, s.n_docs, s.avgdl,
+                   s.id_col, s.id_type)
+
+    def _read_table(self, sub: str, empty_schema: str) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.path + sub)
+        except AnalysisException:  # not-yet-populated artifact
+            return self.spark.createDataFrame([], empty_schema)
+
+    def _postings(self) -> DataFrame:
+        if self._postings_df is None:
+            self._postings_df = self._read_table(
+                "/postings",
+                f"tp int, term string, {self.id_col} {self.id_type}, "
+                "tf bigint, dl int",
+            )
+        return self._postings_df
+
+    def _terms(self) -> DataFrame:
+        if self._terms_df is None:
+            self._terms_df = self._read_table(
+                "/terms", "tp int, term string, df bigint"
+            )
+        return self._terms_df
+
+    def _term_partitions(self, terms: "list[str]") -> "list[int]":
+        """tp values of the query's terms — one tiny Spark job over a
+        literal frame (xxhash64 is JVM-side; |terms| rows collected)."""
+        rows = (
+            self.spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(_tp_col("term", self.partitions).alias("tp"))
+            .distinct()
+            .collect()
+        )
+        return sorted(r.tp for r in rows)
+
+    def search(
+        self,
+        query_terms: Sequence[str],
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Top-``k`` by Okapi BM25 from the saved artifact — identical
+        scores and ranking to ``bm25_search`` on the save-time corpus
+        (same formula, same order-independent integer ranking key), but
+        the plan reads ONLY the query's term partitions (static
+        PartitionFilters on both tables; no corpus scan, no doc-length
+        aggregate, no shuffle wider than the matched postings)."""
+        if not query_terms:
+            raise ValueError("query_terms must be non-empty")
+        terms = sorted({t.lower() for t in query_terms})
+        tps = self._term_partitions(terms)
+        post = self._postings().filter(
+            F.col("tp").isin(tps) & F.col("term").isin(terms)
+        )
+        dfreq = self._terms().filter(
+            F.col("tp").isin(tps) & F.col("term").isin(terms)
+        ).select("term", F.col("df").alias("df_"))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(self.n_docs) - F.col("df_") + F.lit(0.5))
+            / (F.col("df_") + F.lit(0.5))
+        )
+        denom = F.col("tf") + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(self.avgdl)
+        )
+        contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+        return (
+            post.join(F.broadcast(dfreq), "term")
+            .withColumn("_c", contrib)
+            .groupBy(self.id_col)
+            .agg(
+                F.sum("_c").alias("score"),
+                # the bm25_search order-independent ranking key
+                F.sum(
+                    F.floor(F.col("_c") * F.lit(1_000_000.0) + F.lit(0.5))
+                    .cast("bigint")
+                ).alias("_score_key"),
+            )
+            .orderBy(F.desc("_score_key"), F.asc(self.id_col))
+            .limit(k)
+            .drop("_score_key")
+        )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        query_text_col: str = "text",
+        query_id_col: str = "query_id",
+        max_term_pushdown: int = 100_000,
+    ) -> DataFrame:
+        """Top-``k`` per query row — the micro-batch serving shape (plug
+        into ``start_ann_serving_stream`` like every batch searcher).
+        Query tokenization runs distributed; the batch's DISTINCT terms
+        are collected (batch-bounded) to prune the postings/terms scans,
+        degrading to unpruned term equi-joins past ``max_term_pushdown``.
+        Returns ``(query_id, id, score, rank)``, rank 1-based per query
+        (WindowGroupLimit)."""
+        from pyspark.sql import Window
+
+        # distinct (query, term): BM25 scores the query's term SET (the
+        # single-query path's isin semantics — duplicate terms in one
+        # query text do not double a contribution)
+        qt = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens(F.col(query_text_col))).alias("term"),
+        ).distinct()
+        qterms = qt.select("term").distinct()
+        sample = [r.term for r in qterms.limit(max_term_pushdown + 1).collect()]
+        post, dfreq = self._postings(), self._terms()
+        if len(sample) <= max_term_pushdown:
+            tps = self._term_partitions(sample) if sample else []
+            pred = F.col("tp").isin(tps) & F.col("term").isin(sorted(sample))
+            post, dfreq = post.filter(pred), dfreq.filter(pred)
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(self.n_docs) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        denom = F.col("tf") + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(self.avgdl)
+        )
+        contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+        scored = (
+            qt.join(post, "term")
+            .join(F.broadcast(dfreq.select("term", "df")), "term")
+            .withColumn("_c", contrib)
+            .groupBy("query_id", self.id_col)
+            .agg(
+                F.sum("_c").alias("score"),
+                F.sum(
+                    F.floor(F.col("_c") * F.lit(1_000_000.0) + F.lit(0.5))
+                    .cast("bigint")
+                ).alias("_score_key"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("_score_key"), F.asc(self.id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("_score_key")
+        )

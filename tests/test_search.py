@@ -62,3 +62,94 @@ def test_bm25_empty_terms_raises(spark):
     docs = _docs(spark, [(0, "a")])
     with pytest.raises(ValueError):
         bm25_search(docs, [])
+
+
+# ---------------------------------------------------------------------------
+# Saved BM25 serving index (round 10): the lexical twin of lsh_serving
+# ---------------------------------------------------------------------------
+
+def _served_bm25(spark, tmp_path, docs):
+    from pyspark_minhash_lsh_spark.operators.search import Bm25Index, save_bm25_index
+
+    path = str(tmp_path / "bm25idx")
+    save_bm25_index(docs, path, partitions=16)
+    return Bm25Index.load(spark, path)
+
+
+def test_bm25_index_matches_live_search(spark, tmp_path):
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.search import bm25_search
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(120)]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(50)))
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = _served_bm25(spark, tmp_path, docs)
+    assert idx.n_docs == 80
+
+    for terms in (["w1", "w2", "w3"], ["w7"], ["w7", "absentterm"],
+                  ["W4", "w4", "w9"]):  # case + duplicate normalization
+        live = [(r.id, round(r.score, 9))
+                for r in bm25_search(docs, terms, k=7).collect()]
+        saved = [(r.doc_id, round(r.score, 9))
+                 for r in idx.search(terms, k=7).collect()]
+        assert saved == live and saved
+    # all-absent terms: empty, not an error
+    assert idx.search(["nosuchterm"], k=5).collect() == []
+
+
+def test_bm25_index_plan_prunes_partitions(spark, tmp_path):
+    import random
+    import re
+
+    rng = random.Random(6)
+    rows = [(i, " ".join(f"w{rng.randrange(100)}" for _ in range(30)))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = _served_bm25(spark, tmp_path, docs)
+    plan = (idx.search(["w1", "w2"], k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(r"PartitionFilters: \[[^\]]*\btp#", plan), plan
+
+
+def test_bm25_index_batch_matches_single(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(80)]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(40)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = _served_bm25(spark, tmp_path, docs)
+
+    queries = spark.createDataFrame(
+        [(1, "w1 w2 w3"), (2, "w7"), (3, "w4 w4 W9")],
+        "query_id bigint, text string",
+    )
+    got = {(r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+           for r in idx.search_batch(queries, k=4).collect()}
+    for qid, qtext in [(1, ["w1", "w2", "w3"]), (2, ["w7"]), (3, ["w4", "w9"])]:
+        single = [(r.doc_id, round(r.score, 9))
+                  for r in idx.search(qtext, k=4).collect()]
+        assert [got[(qid, rk)] for rk in range(1, len(single) + 1)] == single
+    # pushdown fallback is identical
+    fb = {(r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+          for r in idx.search_batch(queries, k=4, max_term_pushdown=1).collect()}
+    assert fb == got
+
+
+def test_bm25_index_load_refusals_and_empty(spark, tmp_path):
+    import pytest
+
+    from pyspark_minhash_lsh_spark.operators.search import Bm25Index, save_bm25_index
+
+    with pytest.raises(ValueError, match="no _bm25 sidecar"):
+        Bm25Index.load(spark, str(tmp_path / "nope"))
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    path = str(tmp_path / "emptyidx")
+    save_bm25_index(empty, path, partitions=4)
+    idx = Bm25Index.load(spark, path)
+    assert idx.n_docs == 0
+    assert idx.search(["anything"], k=3).collect() == []
