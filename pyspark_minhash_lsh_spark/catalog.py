@@ -1950,6 +1950,9 @@ _Q32_QUERY_TEXT: dict[str, str] = {}
 #: one-time setup; repeat suite invocations re-query the same artifact.
 _Q75_SERVING_PATHS: dict[str, str] = {}
 
+#: per-sf_dir cache of the q75 BM25 serving artifact (same stance).
+_Q75_BM25_PATHS: dict[str, str] = {}
+
 
 @query("q32_ann_query")
 def q32_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4158,7 +4161,11 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         serving-layout index, same query batch as batch_ann so the two
         rows must agree exactly — a driver-visible saved==fitted witness
         (operators/lsh_serving.py; static PartitionFilters + point-query
-        identity in tests/test_lsh_serving.py)."""
+        identity in tests/test_lsh_serving.py);
+      - bm25_serving (round 10): SELF-CHECKING saved==live witness for
+        the lexical family — saved-artifact top-10 joined against
+        bm25_search's top-10 on (id, rounded score); any divergence
+        shrinks n_rows/f1 below 10 (tests/test_search.py)."""
     from .operators.ivf import IvfFlat
     from .operators.minhash_lsh import MinHashLSH
     from .operators.pq import fit_pq
@@ -4376,13 +4383,40 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rank") == 1, F.col("doc_id"))), F.avg("jaccard"),
     )
 
+    # bm25_serving (round 10): the SAVED BM25 artifact must answer exactly
+    # like the live scorer — a SELF-CHECKING leg: join saved top-10 vs
+    # live top-10 on (id, x10^9-rounded score); n_rows/f1 = agreeing rows
+    # (a divergence shrinks them below 10, driver-visible), f2 = summed
+    # score. Same one-artifact-per-sf_dir caching as the lsh leg.
+    from .operators.search import Bm25Index, bm25_search, save_bm25_index
+
+    bm_path = _Q75_BM25_PATHS.get(sf_dir)
+    if bm_path is None:
+        import tempfile
+
+        bm_path = tempfile.mkdtemp(prefix="q75_bm25_") + "/idx"
+        save_bm25_index(docs, bm_path, partitions=16)
+        _Q75_BM25_PATHS[sf_dir] = bm_path
+    bm = Bm25Index.load(spark, bm_path)
+    bm_terms = ["data", "model", "training"]
+    saved_hits = bm.search(bm_terms, k=10).select(
+        "doc_id", F.round("score", 9).alias("score")
+    )
+    live_hits = bm25_search(docs, bm_terms, k=10).select(
+        F.col("id").alias("doc_id"), F.round("score", 9).alias("score")
+    )
+    leg_bm = _suite_row(
+        saved_hits.join(live_hits, ["doc_id", "score"]), "bm25_serving",
+        F.count(F.lit(1)), F.sum("score"),
+    )
+
     return (
         leg_bk.unionByName(leg_fs).unionByName(leg_128)
         .unionByName(leg_srp).unionByName(leg_ivf).unionByName(leg_ba)
         .unionByName(leg_pq).unionByName(leg_pca)
         .unionByName(leg_rs).unionByName(leg_rp).unionByName(leg_cs)
         .unionByName(leg_sq).unionByName(leg_mrl).unionByName(leg_fa)
-        .unionByName(leg_fta).unionByName(leg_srv)
+        .unionByName(leg_fta).unionByName(leg_srv).unionByName(leg_bm)
     )
 
 
