@@ -335,3 +335,19 @@ def test_filtered_serving_matches_fitted_filtered_path(spark, tmp_path):
     got2 = _pairs(srv.topk(
         docs.filter(F.col("doc_id") == 1).head().text, n=3, where="lang = 'de'"))
     assert (9000, 1.0) in got2
+
+
+def test_compact_preserves_keep_cols_and_filters(spark, tmp_path):
+    docs = _corpus(spark, n_docs=30).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, F.lit("en")).otherwise(F.lit("de"))
+    )
+    path, dest = str(tmp_path / "src"), str(tmp_path / "dst")
+    MinHashLSH().fit(docs, persist=False).save_serving_index(
+        path, band_partitions=8, keep_cols=("lang",))
+    srv = LshServingIndex.load(spark, path)
+    srv.compact(dest)
+    csrv = LshServingIndex.load(spark, dest)
+    assert csrv.keep_cols == ("lang",)
+    qt = docs.filter(F.col("doc_id") == 0).head().text
+    assert (_pairs(csrv.topk(qt, n=5, where="lang = 'de'"))
+            == _pairs(srv.topk(qt, n=5, where="lang = 'de'")))
