@@ -42,14 +42,51 @@ def test_scheduled_probes_rotate_and_cover(tmp_path, monkeypatch):
 
 
 def test_prev_bench_picks_newest_round(tmp_path):
-    assert bench._prev_bench(str(tmp_path)) == (None, {})
+    assert bench._prev_bench(str(tmp_path)) == (None, {}, None)
     _touch_rounds(tmp_path, 3)
-    n, q = bench._prev_bench(str(tmp_path))
-    assert n == 3 and q == {"q32_ann_query": 3.0}
+    n, q, pol = bench._prev_bench(str(tmp_path))
+    # un-stamped driver records are policy 1 (the warm-cache rounds)
+    assert n == 3 and q == {"q32_ann_query": 3.0} and pol == 1
     # a malformed newest file is skipped, not fatal
     (tmp_path / "BENCH_r04.json").write_text("{not json")
-    n, q = bench._prev_bench(str(tmp_path))
+    n, q, pol = bench._prev_bench(str(tmp_path))
     assert n == 3 and q == {"q32_ann_query": 3.0}
+    # a parsed:null record (the r10 capture failure) is skipped too
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"n": 5, "parsed": None}))
+    n, q, pol = bench._prev_bench(str(tmp_path))
+    assert n == 3
+
+
+def test_prev_bench_prefers_same_policy_baseline(tmp_path):
+    """ADVICE r10 #5: a same-policy baseline wins at ANY round distance
+    over a newer cross-policy one; with only cross-policy records the
+    newest is returned (annotated, not gated, by main())."""
+    _touch_rounds(tmp_path, 4)  # policy-1 driver records r1-r4
+    n, q, pol = bench._prev_bench(str(tmp_path))
+    assert (n, pol) == (4, 1)
+    # a bench-written DIAG sidecar from an OLDER round, current policy
+    (tmp_path / "BENCH_DIAG_r03.json").write_text(json.dumps(
+        {"timing_policy": bench.TIMING_POLICY,
+         "queries": {"q32_ann_query": 9.9}}))
+    n, q, pol = bench._prev_bench(str(tmp_path))
+    assert (n, pol) == (3, bench.TIMING_POLICY)
+    assert q == {"q32_ann_query": 9.9}
+    # a policy-stamped driver record at the same round outranks the DIAG
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(
+        {"n": 3, "parsed": {"timing_policy": bench.TIMING_POLICY,
+                            "queries": {"q32_ann_query": 8.8}}}))
+    n, q, pol = bench._prev_bench(str(tmp_path))
+    assert (n, q["q32_ann_query"]) == (3, 8.8)
+
+
+def test_next_round_counts_past_driver_records(tmp_path):
+    assert bench._next_round(str(tmp_path)) == 1
+    _touch_rounds(tmp_path, 7)
+    assert bench._next_round(str(tmp_path)) == 8
+    # DIAG sidecars don't advance the round — only driver records do
+    (tmp_path / "BENCH_DIAG_r09.json").write_text("{}")
+    assert bench._next_round(str(tmp_path)) == 8
 
 
 def test_headline_and_rotation_are_disjoint_sets():
