@@ -37,6 +37,23 @@ _CALL_UNSTABLE_RE = re.compile(
 )
 
 
+def _node_tree_is_call_stable(node) -> bool:
+    """Walk a classic-mode (Spark 4.x) ``ColumnNode`` tree: every wrapped
+    Catalyst expression — ``ExpressionColumnNode`` is how ``PythonUDF``
+    and other pre-built foreign expressions enter a Column — must report
+    ``deterministic``. Built-in calls appear as ``UnresolvedFunction``
+    nodes (no deterministic flag before resolution); those are covered by
+    the rendered-name scan in the caller."""
+    if node.getClass().getSimpleName() == "ExpressionColumnNode":
+        if not node.expression().deterministic():
+            return False
+    it = node.children().iterator()
+    while it.hasNext():
+        if not _node_tree_is_call_stable(it.next()):
+            return False
+    return True
+
+
 def where_is_call_stable(where: "Column | str | None") -> bool:
     """True when a ``where=`` predicate is safe to key a cross-call cache
     on — i.e. two calls whose predicates RENDER identically are guaranteed
@@ -48,18 +65,29 @@ def where_is_call_stable(where: "Column | str | None") -> bool:
     ``current_date()``, ...) — both render identically on every call while
     selecting different rows, so a reuse keyed on the rendering would
     silently serve the slice materialized at FIRST call. Detection is
-    twofold: Catalyst's own ``Expression.deterministic`` flag when the
-    JVM column handle is reachable (classic mode), plus a rendered-name
-    scan that also catches the time functions (deterministic to Catalyst
-    within one query, but not across calls)."""
+    twofold: a ``ColumnNode``-tree walk that consults Catalyst's own
+    ``deterministic`` flag on every embedded expression (the Spark 4.x
+    classic Column carries a node tree, not a resolved expression — and
+    a ``PythonUDF`` built with ``asNondeterministic()`` is reachable
+    ONLY through that flag: it renders under its arbitrary registration
+    name, which no name list can cover; ADVICE r10), plus a rendered
+    -name scan for the built-in generators and time functions (their
+    ``UnresolvedFunction`` nodes carry no flag before resolution).
+
+    A ``Column`` whose JVM node tree is UNREACHABLE (Connect mode,
+    foreign handles) is classified UNSTABLE outright — fail closed: a
+    stale pinned slice is the hazard, a skipped cache reuse the only
+    cost. SQL-string predicates stay on the rendered-name scan alone:
+    strings can only invoke registered names, and the caller opts into
+    that surface."""
     if where is None:
         return True
     if isinstance(where, Column):
         try:
-            if not where._jc.expr().deterministic():
+            if not _node_tree_is_call_stable(where._jc.node()):
                 return False
         except Exception:
-            # Connect-mode / unresolved handles fall through to the
-            # rendered-name scan, which covers the known generators too
-            pass
+            # no node tree to walk -> no Catalyst flag to consult -> fail
+            # closed (see docstring)
+            return False
     return _CALL_UNSTABLE_RE.search(str(where)) is None

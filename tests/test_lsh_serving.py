@@ -351,3 +351,90 @@ def test_compact_preserves_keep_cols_and_filters(spark, tmp_path):
     qt = docs.filter(F.col("doc_id") == 0).head().text
     assert (_pairs(csrv.topk(qt, n=5, where="lang = 'de'"))
             == _pairs(srv.topk(qt, n=5, where="lang = 'de'")))
+
+
+def test_append_refuses_id_type_drift(spark, served, tmp_path):
+    """ADVICE r10 (medium): a batch whose id type differs from the sidecar
+    stamp must be refused BEFORE any write — xxhash64(int) !=
+    xxhash64(bigint), so drifted rows would land in the wrong sp
+    partitions and sp-pushdown queries would silently miss them."""
+    docs, _, _ = served
+    path = str(tmp_path / "typed")
+    MinHashLSH().fit(docs.limit(20), persist=False).save_serving_index(
+        path, band_partitions=4)
+    srv = LshServingIndex.load(spark, path)
+    drifted = docs.limit(3).select(
+        (F.col("doc_id") + 10_000).cast("int").alias("doc_id"), "text")
+    with pytest.raises(ValueError, match="id column .* is int"):
+        srv.append(drifted)
+    # nothing was written: the artifact still answers like before
+    assert spark.read.parquet(path + "/sigs").count() == 20
+
+
+def test_append_refuses_keep_col_type_drift(spark, tmp_path):
+    docs = _corpus(spark, 25).withColumn("lang", F.lit("en"))
+    path = str(tmp_path / "kc")
+    model = MinHashLSH().fit(docs, persist=False)
+    save_serving_index(model, path, band_partitions=4, keep_cols=["lang"])
+    srv = LshServingIndex.load(spark, path)
+    bad = docs.limit(2).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text",
+        F.lit(7).alias("lang"),  # int where the artifact stamped string
+    )
+    with pytest.raises(ValueError, match="keep_col 'lang' is int"):
+        srv.append(bad)
+
+
+def test_external_append_stale_until_refresh(spark, served, tmp_path):
+    """VERDICT r10 #4: a SECOND process appending to the same path leaves
+    this instance's memoized file listing serving the pre-append index;
+    refresh() must rebuild to the post-append answers."""
+    docs, _, _ = served
+    old = docs.filter(F.col("doc_id") < 500)
+    new = docs.filter(F.col("doc_id") >= 500).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text")
+    path = str(tmp_path / "shared")
+    MinHashLSH().fit(old, persist=False).save_serving_index(
+        path, band_partitions=8, sig_partitions=4)
+    reader = LshServingIndex.load(spark, path)
+    qt = new.orderBy("doc_id").head().text  # a doc only the append adds
+    stale = _pairs(reader.topk(qt, n=6))    # memoizes the file listing
+    assert all(j < 1.0 for _, j in stale)   # appended doc absent
+
+    # the "external writer": a separate instance appends to the same path
+    LshServingIndex.load(spark, path).append(new)
+    # the reader instance still serves the pre-append listing (documented
+    # single-writer contract) ...
+    assert _pairs(reader.topk(qt, n=6)) == stale
+    # ... until refresh(), after which it matches a fresh load exactly
+    got = _pairs(reader.refresh().topk(qt, n=6))
+    want = _pairs(LshServingIndex.load(spark, path).topk(qt, n=6))
+    assert got == want and got[0][1] == 1.0
+
+
+def test_where_udf_and_unreachable_handles_are_unstable(spark):
+    """ADVICE r10: an arbitrarily-named nondeterministic UDF renders under
+    its registration name (no name list can cover it) — the node-tree
+    walk must catch it via Catalyst's deterministic flag; and with the
+    node tree unreachable entirely (Connect/foreign handles) a Column
+    defaults to UNSTABLE: a stale pinned slice is the hazard, a skipped
+    cache reuse the only cost."""
+    from pyspark_minhash_lsh_spark.operators._filters import (
+        where_is_call_stable,
+    )
+
+    assert where_is_call_stable(F.col("doc_id") % 2 == 0)
+    # a DETERMINISTIC udf is a legitimate cache key: flag says stable
+    det = F.udf(lambda x: x, "string")
+    assert where_is_call_stable(det(F.col("lang")) == "en")
+    # asNondeterministic: renders as '<lambda>(...)' — only the Catalyst
+    # flag on the embedded PythonUDF expression can see it
+    nondet = F.udf(lambda x: x, "string").asNondeterministic()
+    assert not where_is_call_stable(nondet(F.col("lang")) == "en")
+    # unreachable node tree -> fail closed
+    col = F.col("doc_id") % 2 == 0
+    col._jc = None
+    assert not where_is_call_stable(col)
+    # strings keep the rendered-name scan (no JVM handle ever needed)
+    assert where_is_call_stable("lang = 'en'")
+    assert not where_is_call_stable("created < current_timestamp()")
