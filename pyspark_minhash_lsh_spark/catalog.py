@@ -1918,6 +1918,108 @@ def q90_ann_topk_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q91 serving-layout twin: partition counts for the tiny md5-family
+#: artifact (8 dirs per table — enough that the prune provably lists a
+#: strict subset, small enough that an sf0.01 save is setup-cheap).
+_Q91_PARTITIONS = 8
+
+#: per-sf_dir cache of the q91 serving artifact (the q75 caching stance:
+#: the save is one-time setup, repeat invocations re-query the artifact).
+_Q91_PATHS: dict[str, str] = {}
+
+
+@query("q91_ann_serving_oracle", oracle=_q90_oracle())
+def q91_ann_serving_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q90's ranked ANN retrieval answered from a SAVED serving-layout
+    artifact — the md5-family hash oracle extended to the SERVING read
+    path (VERDICT r10 #5): where q90 witnesses the in-session dataflow,
+    this row writes the same banded index to parquet in the
+    ``lsh_serving`` layout and answers the query through the layout's OWN
+    pruning primitives, so the artifact round-trip (partitioned write,
+    static ``bp``/``sp`` PartitionFilters reads, bounded candidate
+    collect, broadcast fallback) is hash-witnessed end-to-end against the
+    identical DuckDB SQL.
+
+    Construction: ``_md5_sig_bands`` signatures/bands in the q90 bucket
+    space with the band index FOLDED INTO a composite posting key
+    (``v = bi * num_buckets + band_key % num_buckets`` — matching on the
+    composite equals matching on ``(bi, bucket)``, the reference F-a
+    per-band collision semantics, minhash_pyspark.py:243-261, while
+    giving the postings table the exact ``(v, id)`` shape
+    ``save_serving_index`` writes). The write rides
+    ``write_serving_table`` and the read rides ``pruned_postings`` +
+    ``fetch_candidate_sigs`` — the same functions ``topk`` executes, so
+    the hash check covers production serving code, not a lookalike.
+    Scoring/ranking as q90: signature agreement, (n_agree DESC, id ASC)
+    top-10, output ``(doc_id, rnk, n_agree)`` — all integers, both
+    engines exact by construction."""
+    from pyspark.sql import Window
+
+    from .operators.lsh_serving import (
+        _sp_col,
+        bp_col,
+        fetch_candidate_sigs,
+        pruned_postings,
+        write_serving_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    empty = "doc_id bigint, rnk int, n_agree bigint"
+    path = _Q91_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="q91_serving_") + "/idx"
+        _sh, sigw, bl = _md5_sig_bands(docs)
+        key = (
+            F.col("bi").cast("bigint") * F.lit(_Q90_NUM_BUCKETS)
+            + F.pmod(F.col("v"), F.lit(_Q90_NUM_BUCKETS))
+        )
+        postings = bl.select(key.alias("v"), "doc_id").select(
+            bp_col(F.col("v"), _Q91_PARTITIONS).alias("bp"), "v", "doc_id"
+        )
+        write_serving_table(postings, path + "/bands", "bp", "v")
+        sigs = sigw.select(
+            _sp_col("doc_id", _Q91_PARTITIONS).alias("sp"), "doc_id",
+            *[f"m{i}" for i in range(_Q77_NUM_HASHES)],
+        )
+        write_serving_table(sigs, path + "/sigs", "sp", "doc_id")
+        _Q91_PATHS[sf_dir] = path
+    bands = spark.read.parquet(path + "/bands")
+    sigs = spark.read.parquet(path + "/sigs")
+
+    # the serving contract's ONE bounded collect (16 + 4 longs): the
+    # query row's signature and composite band keys, computed on a 1-row
+    # frame through the same column expressions as the corpus
+    qdoc = docs.select("doc_id", "text").orderBy("doc_id").limit(1)
+    _qsh, qsigw, qbl = _md5_sig_bands(qdoc)
+    qsig = qsigw.head()
+    qkeys = [
+        int(r.bi) * _Q90_NUM_BUCKETS + int(r.v) % _Q90_NUM_BUCKETS
+        for r in qbl.collect()
+    ]
+    if qsig is None or not qkeys:
+        return spark.createDataFrame([], empty)
+    cand = (
+        pruned_postings(bands, qkeys, _Q91_PARTITIONS)
+        .select("doc_id").distinct()
+    )
+    csigs = fetch_candidate_sigs(sigs, cand, "doc_id", _Q91_PARTITIONS, 5_000)
+    if csigs is None:
+        return spark.createDataFrame([], empty)
+    n_agree = None
+    for i in range(_Q77_NUM_HASHES):
+        term = F.when(F.col(f"m{i}") == F.lit(int(qsig[f"m{i}"])), 1).otherwise(0)
+        n_agree = term if n_agree is None else n_agree + term
+    w = Window.orderBy(F.desc("n_agree"), F.asc("doc_id"))
+    return (
+        csigs.select("doc_id", n_agree.cast("bigint").alias("n_agree"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "rnk", "n_agree")
+    )
+
+
 # =====================================================================================
 # Hash-dependent operators — rows-only checks (no DuckDB oracle, as sanctioned)
 # =====================================================================================
@@ -4665,6 +4767,15 @@ _CURATED_ORDER = [
     # hash row for RANKED RETRIEVAL (previously only rows-checked via q32) is
     # strictly stronger.
     "q90_ann_topk_oracle",
+    # -- block 1f: round-11 addition — the SERVING-layout twin of q90 (VERDICT
+    # r10 #5). Funded by retiring q16_events_hourly to _BENCH_ONLY: its
+    # hour-truncate + agg IS the first level of q66_daily_rollup's
+    # hash-checked aggregate-of-aggregate (the rollup re-sums the identical
+    # hourly frame), and events-table reads stay witnessed by q17/q18/q19 —
+    # making it the most redundant remaining relational row; a hash row for
+    # saved-artifact SERVING retrieval (previously only rows-checked via the
+    # q75 saved==fitted agreement leg) is strictly stronger.
+    "q91_ann_serving_oracle",
     # -- block 1c: restored from r06 diagnostic parking (driver-green in r05) ------
     "q09_supplier_part_volume",
     "q11_customer_running_total",
@@ -4677,7 +4788,6 @@ _CURATED_ORDER = [
     "q06_revenue_forecast",
     "q10_top_orders_per_customer",
     "q15_segment_set_ops",
-    "q16_events_hourly",
     "q17_events_json",
     "q18_events_pivot",
     "q19_user_sessions",
@@ -4717,6 +4827,10 @@ _BENCH_ONLY = [
     # round 10: retired to fund q90_ann_topk_oracle (VERDICT r09 #5) — same
     # contract: the oracle stays registered and pytest-checked every round.
     "q02_mktsegment_stats",
+    # round 11: retired to fund q91_ann_serving_oracle (VERDICT r10 #5) —
+    # its hourly truncate+agg is the first level of q66's hash-checked
+    # rollup; oracle stays registered and pytest-checked every round.
+    "q16_events_hourly",
 ]
 
 assert sorted(_CURATED_ORDER + _BENCH_ONLY) == sorted(QUERIES), (

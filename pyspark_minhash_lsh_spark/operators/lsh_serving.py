@@ -55,7 +55,8 @@ from ..config import MinHashLSHConfig
 from ..functions.hashing import signature_jaccard
 from .minhash_lsh import MinHashLSH, MinHashLSHModel
 
-__all__ = ["save_serving_index", "LshServingIndex"]
+__all__ = ["save_serving_index", "LshServingIndex", "write_serving_table",
+           "bp_col", "pruned_postings", "fetch_candidate_sigs"]
 
 #: layout version stamp — refuse artifacts written by a future layout.
 #: id_type records the id column's Spark DDL type so readers can build
@@ -76,6 +77,64 @@ def _sp_col(id_col: str, sig_partitions: int):
     included) partitions uniformly; numeric ``pmod(id, P)`` would crash on
     strings and skew on structured numeric ids."""
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(sig_partitions))
+
+
+def bp_col(v_col, band_partitions: int):
+    """The postings-table partition key: ``pmod(v, P)`` over the band key
+    itself (already a uniform hash — re-hashing would only cost cycles)."""
+    return F.pmod(v_col, F.lit(band_partitions))
+
+
+def write_serving_table(df: DataFrame, path: str, part_col: str,
+                        order_col: str, mode: str = "overwrite",
+                        rows_per_file: "int | None" = None) -> None:
+    """The one physical write shape of the serving layout (save / append /
+    compact all ride it, as does the q91 oracle twin): ``repartition`` on
+    the partition column keeps files-per-directory at ~1, the within
+    -partition sort gives parquet row-group min/max skipping on the
+    residual key filter, and ``partitionBy`` makes the key a static
+    ``PartitionFilters`` prune at read time."""
+    w = (df.repartition(F.col(part_col)).sortWithinPartitions(order_col)
+         .write.mode(mode))
+    if rows_per_file is not None:
+        w = w.option("maxRecordsPerFile", int(rows_per_file))
+    w.partitionBy(part_col).parquet(path)
+
+
+def pruned_postings(bands: DataFrame, keys, band_partitions: int) -> DataFrame:
+    """The serving read path's postings prune — shared by ``topk`` and the
+    q91 serving oracle twin (which hash-witnesses exactly this expression
+    against DuckDB): static ``bp`` PartitionFilters (at most ``len(keys)``
+    of ``band_partitions`` directories listed) plus the residual
+    ``v IN (...)`` row-group skip. Python ``%`` on a possibly-negative
+    64-bit band key matches Spark's ``pmod`` (both non-negative)."""
+    pbs = sorted({k % band_partitions for k in keys})
+    return bands.filter(
+        F.col("bp").isin(pbs) & F.col("v").isin(sorted(set(keys)))
+    )
+
+
+def fetch_candidate_sigs(sigs: DataFrame, cand: DataFrame, id_col: str,
+                         sig_partitions: int,
+                         max_candidate_pushdown: int) -> "DataFrame | None":
+    """The serving read path's signature fetch — shared by ``topk`` and the
+    q91 oracle twin: candidate ids collected WITH their ``sp`` partition
+    key (a Spark-side hash riding the same bounded collect, never
+    recomputed driver-side) and injected as literals so the scan carries
+    static ``sp`` PartitionFilters; past ``max_candidate_pushdown``
+    candidates the fetch falls back to a broadcast join against the full
+    signature table (correct, just unpruned). ``None`` = no candidates."""
+    rows = cand.select(
+        F.col(id_col), _sp_col(id_col, sig_partitions).alias("_sp")
+    ).limit(max_candidate_pushdown + 1).collect()
+    if not rows:
+        return None
+    if len(rows) <= max_candidate_pushdown:
+        return sigs.filter(
+            F.col("sp").isin(sorted({r[1] for r in rows}))
+            & F.col(id_col).isin(sorted({r[0] for r in rows}))
+        )
+    return sigs.join(F.broadcast(cand), id_col)
 
 
 def save_serving_index(
@@ -109,12 +168,8 @@ def save_serving_index(
         raise ValueError(f"keep_cols not in the corpus: {missing}")
     bands = idx.select(
         F.col(id_col), F.explode("band_keys").alias("v")
-    ).select(F.pmod(F.col("v"), F.lit(band_partitions)).alias("bp"), "v", id_col)
-    (
-        bands.repartition("bp").sortWithinPartitions("v")
-        .write.mode("overwrite").partitionBy("bp")
-        .parquet(path.rstrip("/") + "/bands")
-    )
+    ).select(bp_col(F.col("v"), band_partitions).alias("bp"), "v", id_col)
+    write_serving_table(bands, path.rstrip("/") + "/bands", "bp", "v")
     sigs = idx.select(
         _sp_col(id_col, sig_partitions).alias("sp"),
         F.col(id_col), "signature",
@@ -124,11 +179,7 @@ def save_serving_index(
         sigs = sigs.join(meta, id_col, "left").select(
             "sp", id_col, "signature", *keep_cols
         )
-    (
-        sigs.repartition("sp").sortWithinPartitions(id_col)
-        .write.mode("overwrite").partitionBy("sp")
-        .parquet(path.rstrip("/") + "/sigs")
-    )
+    write_serving_table(sigs, path.rstrip("/") + "/sigs", "sp", id_col)
     model._write_params(path)  # the shared config-drift stamp
     spark = idx.sparkSession
     id_type = idx.schema[id_col].dataType.simpleString()
@@ -286,14 +337,11 @@ class LshServingIndex:
         bands = batch.select(
             F.col(self.id_col), F.explode("band_keys").alias("v")
         ).select(
-            F.pmod(F.col("v"), F.lit(self.band_partitions)).alias("bp"),
+            bp_col(F.col("v"), self.band_partitions).alias("bp"),
             "v", self.id_col,
         )
-        (
-            bands.repartition("bp").sortWithinPartitions("v")
-            .write.mode("append").partitionBy("bp")
-            .parquet(self.path + "/bands")
-        )
+        write_serving_table(bands, self.path + "/bands", "bp", "v",
+                            mode="append")
         sigs = batch.select(
             _sp_col(self.id_col, self.sig_partitions).alias("sp"),
             F.col(self.id_col), "signature",
@@ -311,11 +359,8 @@ class LshServingIndex:
             sigs = sigs.join(meta, self.id_col, "left").select(
                 "sp", self.id_col, "signature", *self.keep_cols
             )
-        (
-            sigs.repartition("sp").sortWithinPartitions(self.id_col)
-            .write.mode("append").partitionBy("sp")
-            .parquet(self.path + "/sigs")
-        )
+        write_serving_table(sigs, self.path + "/sigs", "sp", self.id_col,
+                            mode="append")
         # the memoized relations hold the PRE-append file index — drop
         # them so the next query lists the grown artifact
         self.refresh()
@@ -351,14 +396,8 @@ class LshServingIndex:
             ("/bands", "bp", "v"), ("/sigs", "sp", self.id_col),
         ):
             data = self._bands() if sub == "/bands" else self._sigs()
-            (
-                data.repartition(F.col(part))
-                .sortWithinPartitions(order)
-                .write.mode("overwrite")
-                .option("maxRecordsPerFile", int(rows_per_file))
-                .partitionBy(part)
-                .parquet(dest_path.rstrip("/") + sub)
-            )
+            write_serving_table(data, dest_path.rstrip("/") + sub, part,
+                                order, rows_per_file=rows_per_file)
         for sidecar in ("/_params", "/_serving"):
             spark.read.parquet(self.path + sidecar).coalesce(1)\
                 .write.mode("overwrite")\
@@ -504,29 +543,17 @@ class LshServingIndex:
         sig, keys = self._query_sig_keys(query_text)
         if sig is None:
             return self._empty_result(with_text)
-        pbs = sorted({k % self.band_partitions for k in keys})
         cand = (
-            self._bands()
-            .filter(F.col("bp").isin(pbs) & F.col("v").isin(sorted(set(keys))))
+            pruned_postings(self._bands(), keys, self.band_partitions)
             .select(self.id_col)
             .distinct()
         )
-        # candidates collected WITH their signature-partition key (sp is a
-        # Spark-side hash of the id, so it rides the same bounded collect
-        # instead of being recomputed driver-side)
-        rows = cand.select(
-            F.col(self.id_col),
-            _sp_col(self.id_col, self.sig_partitions).alias("_sp"),
-        ).limit(max_candidate_pushdown + 1).collect()
-        if not rows:
+        csigs = fetch_candidate_sigs(
+            self._sigs(), cand, self.id_col, self.sig_partitions,
+            max_candidate_pushdown,
+        )
+        if csigs is None:
             return self._empty_result(with_text)
-        if len(rows) <= max_candidate_pushdown:
-            csigs = self._sigs().filter(
-                F.col("sp").isin(sorted({r[1] for r in rows}))
-                & F.col(self.id_col).isin(sorted({r[0] for r in rows}))
-            )
-        else:  # hot query: correctness first, pruning lost
-            csigs = self._sigs().join(F.broadcast(cand), self.id_col)
         # filtered ANN: restrict candidates BEFORE ranking, so the top-n
         # fills from allowed rows only (post-hoc filtering loses recall)
         csigs = apply_where(csigs, where)
