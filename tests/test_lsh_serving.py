@@ -438,3 +438,92 @@ def test_where_udf_and_unreachable_handles_are_unstable(spark):
     # strings keep the rendered-name scan (no JVM handle ever needed)
     assert where_is_call_stable("lang = 'en'")
     assert not where_is_call_stable("created < current_timestamp()")
+
+
+def test_serving_artifact_cutover_drill(spark, tmp_path):
+    """VERDICT r10 #6: the promotion runbook composed END-TO-END on the
+    SERVING layout — live stream over v1 -> append the refresh batch into
+    the artifact -> promotion_gate the refreshed corpus -> compact to a
+    NEW path -> cut the serving stream over at a FRESH checkpoint. The
+    compacted snapshot must answer exactly like the appended source, a
+    doc present only in the refresh becomes retrievable at rank 1, v1's
+    sink stays untouched, and both serving checkpoints carry offsets
+    only (stateless foreachBatch, no state/ dir)."""
+    import os
+
+    from pyspark_minhash_lsh_spark.operators.expectations import (
+        promotion_gate,
+    )
+    from pyspark_minhash_lsh_spark.streaming import start_ann_serving_stream
+
+    docs = _corpus(spark, 60)
+    old = docs.filter(F.col("doc_id") < 500)
+    # sentinel = a one-token mutation of doc 0's text: retrievable at
+    # self-similarity 1.0 once appended, and shaped like the corpus so
+    # the suggested text-profile rules gate it honestly
+    sentinel_id = 50_000
+    toks = old.filter(F.col("doc_id") == 0).head().text.split(" ")
+    toks[5] = "zzsentinel"
+    sentinel_text = " ".join(toks)
+    batch = (
+        docs.filter(F.col("doc_id") >= 500)
+        .select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+        .unionByName(spark.createDataFrame(
+            [(sentinel_id, sentinel_text)], "doc_id bigint, text string"))
+    )
+
+    v1path = str(tmp_path / "srv_v1")
+    MinHashLSH().fit(old, persist=False).save_serving_index(
+        v1path, band_partitions=8, sig_partitions=4)
+    srv1 = LshServingIndex.load(spark, v1path)
+
+    qtexts = [r.text for r in old.filter(F.col("doc_id") < 3).collect()]
+    queries = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(qtexts + [sentinel_text])],
+        "query_id bigint, text string",
+    )
+    src = str(tmp_path / "q")
+    queries.write.parquet(src)
+
+    def serve(srv, out, ck):
+        q = start_ann_serving_stream(
+            spark.readStream.schema(queries.schema).parquet(src),
+            lambda b: srv.topk_batch(b, n=3),
+            out, checkpointLocation=ck, trigger={"availableNow": True},
+        )
+        assert q.awaitTermination(300) is True
+        return {
+            (r.query_id, r.rank): (r.doc_id, round(r.jaccard, 9))
+            for r in spark.read.parquet(out).collect()
+        }
+
+    out1, ck1 = str(tmp_path / "res1"), str(tmp_path / "ck1")
+    got1 = serve(srv1, out1, ck1)
+    for i in range(len(qtexts)):
+        assert got1[(i, 1)] == (i, 1.0)  # self-match leads
+    # the sentinel doesn't exist in v1 — its query must not retrieve it
+    assert all(doc != sentinel_id
+               for (qid, _), (doc, _) in got1.items() if qid == len(qtexts))
+    assert os.path.isdir(os.path.join(ck1, "offsets"))
+    assert not os.path.isdir(os.path.join(ck1, "state"))
+
+    # --- runbook: ingest -> gate -> compact -> cut over -------------------
+    srv1.append(batch)
+    promotion_gate(old, old.unionByName(batch), columns=["text"], strict=True)
+    v2path = str(tmp_path / "srv_v2")
+    srv1.compact(v2path)
+    srv2 = LshServingIndex.load(spark, v2path)
+
+    out2, ck2 = str(tmp_path / "res2"), str(tmp_path / "ck2")
+    got2 = serve(srv2, out2, ck2)
+    # the refresh doc serves at rank 1, self-similarity 1.0
+    assert got2[(len(qtexts), 1)] == (sentinel_id, 1.0)
+    # compacted snapshot == appended source artifact, answer for answer
+    out_a, ck_a = str(tmp_path / "res_a"), str(tmp_path / "ck_a")
+    assert serve(srv1, out_a, ck_a) == got2
+    # v1's sink is untouched by the cutover; fresh checkpoint is stateless
+    assert {
+        (r.query_id, r.rank): (r.doc_id, round(r.jaccard, 9))
+        for r in spark.read.parquet(out1).collect()
+    } == got1
+    assert not os.path.isdir(os.path.join(ck2, "state"))
