@@ -402,6 +402,17 @@ def main() -> None:
             "supra_linear": [n for n, v in sq.items()
                              if v.get("supra_linear")],
         },
+        # the r9-verdict curate gate, evaluated in-artifact so the driver
+        # record answers it mechanically (round 11: the structural floor
+        # dropped ~0.5s via the explode symmetrization in
+        # connected_components, so the gate should hold under normal load;
+        # the load stamp for a miss lives in the diag sidecar)
+        "curate_gate": {
+            "limit": 5.0,
+            "sec": timings.get("curate"),
+            "pass": (timings.get("curate") or 99.0) <= 5.0,
+            "load1": diag.get("curate", {}).get("load1"),
+        },
         "suite_smoke": suites,
         "suite_smoke_failed": suite_smoke_failed,
         "regression_check": {

@@ -175,9 +175,21 @@ def connected_components(
     action per round over the (edge-sized, not corpus-sized) label table.
     """
     edges = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    # symmetrize via explode, NOT a two-branch union (round 11): Spark has
+    # no cross-branch common-subexpression reuse, so a union re-EXECUTES
+    # the edge-producing lineage once per branch — for the dedup callers
+    # that is the entire LSH/PPJoin/SRP candidate+verify join, paid twice
+    # ahead of the one checkpoint below (measured ~0.45s of curate's sf0.1
+    # wall; at 100 TB it doubles the most expensive stage). The explode is
+    # a pure projection over a single execution of the lineage.
     sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
     # materialize the edge table ONCE: every round joins against it, and
     # without truncation each round would re-execute the full edge-producing
     # lineage (for the dedup callers that is the entire LSH/PPJoin/SRP
