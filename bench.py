@@ -615,16 +615,18 @@ def _probe_corpus_drift(spark, sf_dir: str):
 
 
 def _probe_fuzzy_join(spark, sf_dir: str):
-    """Edit-distance join probe (round 5): entity key = 'doc_id:16-char text
-    prefix' (the id prefix keeps the scale replicas' near-identical texts
-    from pairing across replicas), one injected single-deletion typo per 50
-    docs. Injected pairs scale linearly; the timed work is the deletion-
-    variant explode + variant-hash join over every key. The prefix is 16
-    chars (was 8 until round 11): the scale corpus prepends a 2-char
-    replica tag to every token, and at 8 chars the surviving 6 chars of
-    true text collapsed prefix diversity enough that distinct docs paired
-    on doc_id single-digit edits — output grew ~10x at 2x input, a probe
-    artifact the work counters caught (BENCH_DIAG r11 shakedown)."""
+    """Edit-distance join probe (round 5): entity key = 'doc_id:12-hex-char
+    text digest', one injected single-deletion typo per 50 docs. The digest
+    tail (md5, round 11 — raw text prefixes until then) makes key entropy
+    IDENTICAL at every scale point: a raw prefix lost 2 chars of diversity
+    to the scale corpus's replica token tags, so within-replica prefix
+    collisions paired distinct docs on single-digit doc_id edits and the
+    output grew ~1.6x faster than the input — a probe-construction
+    artifact the round-11 work counters caught (rows_1x/rows_10x in
+    BENCH_DIAG). With the digest, accidental collisions are ~nil and the
+    output is the injected pairs: exactly docs/50, linear by construction;
+    the timed work is the deletion-variant explode + variant-hash join
+    over every key."""
     from pyspark.sql import functions as F
 
     from pyspark_minhash_lsh_spark.operators.fuzzy import edit_distance_join
@@ -634,7 +636,7 @@ def _probe_fuzzy_join(spark, sf_dir: str):
         "doc_id",
         F.concat(
             F.col("doc_id").cast("string"), F.lit(":"),
-            F.substring(F.col("text"), 1, 16),
+            F.substring(F.md5("text"), 1, 12),
         ).alias("t"),
     )
     typo = base.filter(F.col("doc_id") % 50 == 0).select(

@@ -204,7 +204,18 @@ def save_bm25_index(
 
 
 class Bm25Index:
-    """A loaded BM25 serving artifact: partition-pruned keyword top-k."""
+    """A loaded BM25 serving artifact: partition-pruned keyword top-k.
+
+    Staleness contract (the ``LshServingIndex`` single-writer stance,
+    adapted to this artifact's immutability): there is no ``append`` —
+    a corpus refresh RE-SAVES the artifact (``save_bm25_index``), and a
+    reader must then construct a fresh ``load()``; a half-measure
+    ``refresh()`` would be WRONG here because the instance also carries
+    the load-time frozen ``(n_docs, avgdl)`` scoring stats, which a
+    re-save changes — resyncing the file listings without them would
+    score new postings with stale IDF/length normalization. Re-save to a
+    NEW path and repoint (the compact-cutover shape) to avoid readers
+    ever observing a half-written overwrite."""
 
     def __init__(self, spark, path: str, partitions: int, n_docs: int,
                  avgdl: float, id_col: str, id_type: str) -> None:
