@@ -105,18 +105,45 @@ def _timed_best(spark, fn, n_runs: int, max_runs: "int | None" = None,
     return rs, n
 
 
+def _driver_rounds(here: str) -> "dict[int, str]":
+    """round -> path of the driver's recorded BENCH_r*.json artifacts —
+    the ONE parse of the artifact naming scheme (r11 review: the glob +
+    round-number slice was implemented three times); ``_next_round``,
+    ``_prev_bench`` and the probe rotation all ride it."""
+    import re
+
+    out: dict[int, str] = {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m:
+            out[int(m.group(1))] = p
+    return out
+
+
+def _diag_files(here: str) -> "list[tuple[int, str]]":
+    """(round, path) of every BENCH_DIAG_r*_sf*.json sidecar the bench has
+    written (the sf suffix keeps a local run at a different scale factor
+    from clobbering the official round's record — r11 review; the legacy
+    suffix-free name is still read). One round may legitimately have one
+    sidecar per sf; ``_prev_bench``'s sf filter picks the comparable
+    one."""
+    import re
+
+    out: list = []
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_DIAG_r*.json"))):
+        m = re.fullmatch(r"BENCH_DIAG_r(\d+)(?:_sf[0-9.]+)?\.json",
+                         os.path.basename(p))
+        if m:
+            out.append((int(m.group(1)), p))
+    return out
+
+
 def _next_round(here: str) -> int:
     """The round the CURRENT bench run belongs to: one past the newest
     BENCH_r*.json the driver has recorded (the driver writes its artifact
     AFTER running the bench, so at run time the current round's file never
     exists yet). Names this run's diagnostics sidecar."""
-    best = 0
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        try:
-            best = max(best, int(os.path.basename(p)[7:-5]))
-        except ValueError:
-            continue
-    return best + 1
+    return max(_driver_rounds(here), default=0) + 1
 
 
 def _prev_bench(here: str, sf=None) -> "tuple[int | None, dict, int | None]":
@@ -139,9 +166,8 @@ def _prev_bench(here: str, sf=None) -> "tuple[int | None, dict, int | None]":
         cands.append((n, rank, rec["queries"],
                       int(rec.get("timing_policy", default_policy))))
 
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+    for n, p in _driver_rounds(here).items():
         try:
-            n = int(os.path.basename(p)[7:-5])
             with open(p) as fh:
                 parsed = json.load(fh)["parsed"]
             # pre-policy-stamp driver records (r01-r09) are policy 1;
@@ -149,9 +175,8 @@ def _prev_bench(here: str, sf=None) -> "tuple[int | None, dict, int | None]":
             _add(n, 1, parsed, 1)
         except Exception:
             continue
-    for p in glob.glob(os.path.join(here, "BENCH_DIAG_r*.json")):
+    for n, p in _diag_files(here):
         try:
-            n = int(os.path.basename(p)[12:-5])
             with open(p) as fh:
                 _add(n, 0, json.load(fh), TIMING_POLICY)
         except Exception:
@@ -361,7 +386,9 @@ def main() -> None:
     # the driver's own BENCH_r{N}.json.
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = _next_round(here)
-    diag_name = f"BENCH_DIAG_r{rnd:02d}.json"
+    # sf in the sidecar name (r11 review): a local validation run at a
+    # different scale factor must not clobber the official round's record
+    diag_name = f"BENCH_DIAG_r{rnd:02d}_sf{sf}.json"
     full = {
         "round": rnd,
         "timing_policy": TIMING_POLICY,
@@ -406,11 +433,13 @@ def main() -> None:
         # record answers it mechanically (round 11: the structural floor
         # dropped ~0.5s via the explode symmetrization in
         # connected_components, so the gate should hold under normal load;
-        # the load stamp for a miss lives in the diag sidecar)
+        # the load stamp for a miss lives in the diag sidecar). Explicit
+        # None check, not falsy: a (theoretical) 0.0 min is a PASS.
         "curate_gate": {
             "limit": 5.0,
             "sec": timings.get("curate"),
-            "pass": (timings.get("curate") or 99.0) <= 5.0,
+            "pass": (timings.get("curate") is not None
+                     and timings["curate"] <= 5.0),
             "load1": diag.get("curate", {}).get("load1"),
         },
         "suite_smoke": suites,
@@ -424,11 +453,26 @@ def main() -> None:
         "regressed_vs_prev": bool(regression["regressed"]),
         "diag_file": diag_name,
     }
+    # belt-and-braces vs the capture window: shed optional blocks largest
+    # -first and RE-CHECK after each (r11 review: a single un-rechecked
+    # shed could still overflow and reproduce the r10 parsed:null), never
+    # shedding the headline totals; warn when even the floor overflows
+    pointer = (f"see {diag_name}" if diag_name
+               else "diagnostics unavailable (sidecar write failed)")
+    sheds = [
+        lambda: summary["scale"].__setitem__("ratios", pointer),
+        lambda: summary.__setitem__("scale", pointer),
+        lambda: summary.__setitem__("regression_check", pointer),
+    ]
     out = json.dumps(summary)
-    if len(out) > 1800:  # belt-and-braces vs the capture window: shed the
-        # largest optional block first, never the headline totals
-        summary["scale"]["ratios"] = "see diag_file"
+    for shed in sheds:
+        if len(out) <= 1800:
+            break
+        shed()
         out = json.dumps(summary)
+    if len(out) > 1800:
+        print(f"# WARNING: summary line {len(out)} chars after all sheds",
+              file=sys.stderr)
     print(out)
     spark.stop()
     if suite_smoke_failed:
@@ -459,7 +503,7 @@ def _scheduled_probes(here: str) -> "list[str]":
     set for local deep-dives."""
     if os.environ.get("SPARK_GRAFT_SCALE_ALL", "0") == "1":
         return CORE_SCALE + ROTATED_SCALE
-    rot = len(glob.glob(os.path.join(here, "BENCH_r*.json"))) % 2
+    rot = len(_driver_rounds(here)) % 2
     return CORE_SCALE + ROTATED_SCALE[rot::2]
 
 
@@ -683,10 +727,12 @@ def _lsh_candidate_pairs(spark, d: str) -> int:
 #: probes whose OUTPUT is fixed by construction (top-k / fixed-n): their
 #: work ratio is the input factor (the scan is what scales), not the
 #: output-row ratio — recorded as such so the supra-linearity gate
-#: compares time to the right work measure.
+#: compares time to the right work measure. lm_score is NOT here (r11
+#: review): it scores every doc, so its output scales with the corpus
+#: and the row ratio is the honest work measure.
 _FIXED_OUTPUT_PROBES = {
     "q32_ann_query", "dsir_resample", "ivf_pq", "heavy_hitters",
-    "quantile_sketch", "corpus_drift", "lm_score",
+    "quantile_sketch", "corpus_drift",
 }
 
 

@@ -324,15 +324,24 @@ class LshServingIndex:
                 f"the artifact was saved with {self.id_type} — cast the "
                 "batch (schema drift would corrupt sp partition placement)"
             )
+        # keep_cols PRESENCE is checked here too, before either table
+        # write: refusing only at the sigs build (below) would land the
+        # batch's posting rows in /bands first, leaving orphan postings
+        # with no matching signatures — and a corrected retry would append
+        # the same band rows twice (r11 review)
+        missing = [c for c in self.keep_cols if c not in new_docs.columns]
+        if missing:
+            raise ValueError(
+                f"appended batch lacks the artifact's keep_cols {missing}"
+            )
         for decl in filter(None, self.keep_cols_ddl.split(", ")):
             col, want = decl.split(" ", 1)
-            if col in new_docs.columns:
-                got = new_docs.schema[col].dataType.simpleString()
-                if got != want:
-                    raise ValueError(
-                        f"appended batch keep_col {col!r} is {got}, but the "
-                        f"artifact stamped {want} — cast the batch"
-                    )
+            got = new_docs.schema[col].dataType.simpleString()
+            if got != want:
+                raise ValueError(
+                    f"appended batch keep_col {col!r} is {got}, but the "
+                    f"artifact stamped {want} — cast the batch"
+                )
         batch = self.lsh.transform(new_docs, self.text_col, self.id_col)
         bands = batch.select(
             F.col(self.id_col), F.explode("band_keys").alias("v")
@@ -347,14 +356,8 @@ class LshServingIndex:
             F.col(self.id_col), "signature",
         )
         if self.keep_cols:
-            # the artifact carries filtered-ANN metadata: the batch must
-            # supply the same columns (schema drift would silently strand
-            # appended rows outside every where= — refuse instead)
-            missing = [c for c in self.keep_cols if c not in new_docs.columns]
-            if missing:
-                raise ValueError(
-                    f"appended batch lacks the artifact's keep_cols {missing}"
-                )
+            # the artifact carries filtered-ANN metadata: presence and
+            # types were refused up top, BEFORE the bands write
             meta = new_docs.select(self.id_col, *self.keep_cols)
             sigs = sigs.join(meta, self.id_col, "left").select(
                 "sp", self.id_col, "signature", *self.keep_cols

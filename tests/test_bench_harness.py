@@ -87,6 +87,32 @@ def test_next_round_counts_past_driver_records(tmp_path):
     # DIAG sidecars don't advance the round — only driver records do
     (tmp_path / "BENCH_DIAG_r09.json").write_text("{}")
     assert bench._next_round(str(tmp_path)) == 8
+    # ...and neither do files that merely share the prefix
+    (tmp_path / "BENCH_r99_scratch.json").write_text("{}")
+    assert bench._next_round(str(tmp_path)) == 8
+
+
+def test_diag_sidecars_are_sf_scoped(tmp_path):
+    """r11 review: a local run at a different sf writes its OWN sidecar
+    (sf in the name) and is excluded from another sf's baseline scan;
+    the legacy suffix-free name is still read."""
+    (tmp_path / "BENCH_DIAG_r05_sf0.1.json").write_text(json.dumps(
+        {"sf": 0.1, "timing_policy": bench.TIMING_POLICY,
+         "queries": {"q32_ann_query": 2.0}}))
+    (tmp_path / "BENCH_DIAG_r06_sf0.01.json").write_text(json.dumps(
+        {"sf": 0.01, "timing_policy": bench.TIMING_POLICY,
+         "queries": {"q32_ann_query": 0.2}}))
+    assert [n for n, _ in bench._diag_files(str(tmp_path))] == [5, 6]
+    n, q, pol = bench._prev_bench(str(tmp_path), sf=0.1)
+    assert (n, q["q32_ann_query"]) == (5, 2.0)  # the sf0.01 r06 excluded
+    n, q, pol = bench._prev_bench(str(tmp_path), sf=0.01)
+    assert (n, q["q32_ann_query"]) == (6, 0.2)
+    # legacy suffix-free sidecar still scans (sf recorded inside)
+    (tmp_path / "BENCH_DIAG_r07.json").write_text(json.dumps(
+        {"sf": 0.1, "timing_policy": bench.TIMING_POLICY,
+         "queries": {"q32_ann_query": 3.0}}))
+    n, q, pol = bench._prev_bench(str(tmp_path), sf=0.1)
+    assert (n, q["q32_ann_query"]) == (7, 3.0)
 
 
 def test_headline_and_rotation_are_disjoint_sets():

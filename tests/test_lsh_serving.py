@@ -322,10 +322,14 @@ def test_filtered_serving_matches_fitted_filtered_path(spark, tmp_path):
     assert bgot == bwant and bgot
     assert all(d % 2 == 0 or d >= 1000 for d in bgot.values())
 
-    # append must supply the artifact's keep_cols
+    # append must supply the artifact's keep_cols — refused BEFORE any
+    # write (r11 review: a post-bands-write refusal would orphan posting
+    # rows and a corrected retry would append them twice)
     import pytest as _pytest
+    bands_before = spark.read.parquet(srv.path + "/bands").count()
     with _pytest.raises(ValueError, match="lacks the artifact's keep_cols"):
         srv.append(docs.select("doc_id", "text"))
+    assert spark.read.parquet(srv.path + "/bands").count() == bands_before
     # ...and a conforming batch serves through the same where=
     batch = spark.createDataFrame(
         [(9000, docs.filter(F.col("doc_id") == 1).head().text, "de")],
