@@ -22,6 +22,7 @@ import gc
 import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -125,17 +126,43 @@ def _diag_files(here: str) -> "list[tuple[int, str]]":
     written (the sf suffix keeps a local run at a different scale factor
     from clobbering the official round's record — r11 review; the legacy
     suffix-free name is still read). One round may legitimately have one
-    sidecar per sf; ``_prev_bench``'s sf filter picks the comparable
-    one."""
+    sidecar per sf; ``_prev_bench``'s sf filter picks the comparable one.
+    The sf token accepts non-numeric names too (a custom
+    ``SPARK_GRAFT_SF_DIR`` like ``mycorpus`` must still round-trip into
+    the regression baseline — r11 review #3). ``*.local.json`` overflow
+    sidecars (repeat runs that declined to clobber the round's record,
+    see ``main``) are deliberately NOT baselines."""
     import re
 
     out: list = []
     for p in sorted(glob.glob(os.path.join(here, "BENCH_DIAG_r*.json"))):
-        m = re.fullmatch(r"BENCH_DIAG_r(\d+)(?:_sf[0-9.]+)?\.json",
-                         os.path.basename(p))
+        name = os.path.basename(p)
+        if ".local." in name:
+            continue
+        m = re.fullmatch(r"BENCH_DIAG_r(\d+)(?:_sf[A-Za-z0-9._-]+)?\.json",
+                         name)
         if m:
             out.append((int(m.group(1)), p))
     return out
+
+
+def _diag_name(here: str, rnd: int, sf) -> str:
+    """Filename for this run's diagnostics sidecar. Two r11-review
+    protections: (1) the sf token is sanitized so a custom
+    ``SPARK_GRAFT_SF_DIR`` name can't produce a filename ``_diag_files``
+    refuses to re-read (which would silently disable the same-policy
+    regression gate at that scale point); (2) if this round already has a
+    curated same-sf sidecar (e.g. a checked-in tri-run baseline), a
+    repeat local run must not silently REPLACE the regression-gate
+    baseline with its own mins — it gets a ``.local`` overflow name,
+    which ``_diag_files`` never treats as a baseline. Re-baselining is
+    explicit: ``SPARK_GRAFT_DIAG_OVERWRITE=1``."""
+    sf_token = re.sub(r"[^A-Za-z0-9._-]", "-", str(sf))
+    name = f"BENCH_DIAG_r{rnd:02d}_sf{sf_token}.json"
+    if (os.path.exists(os.path.join(here, name))
+            and os.environ.get("SPARK_GRAFT_DIAG_OVERWRITE") != "1"):
+        return f"BENCH_DIAG_r{rnd:02d}_sf{sf_token}.local.json"
+    return name
 
 
 def _next_round(here: str) -> int:
@@ -386,9 +413,7 @@ def main() -> None:
     # the driver's own BENCH_r{N}.json.
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = _next_round(here)
-    # sf in the sidecar name (r11 review): a local validation run at a
-    # different scale factor must not clobber the official round's record
-    diag_name = f"BENCH_DIAG_r{rnd:02d}_sf{sf}.json"
+    diag_name = _diag_name(here, rnd, sf)
     full = {
         "round": rnd,
         "timing_policy": TIMING_POLICY,

@@ -29,8 +29,10 @@ def apply_where(df: DataFrame, where: "Column | str | None") -> DataFrame:
 #: matched only in its zero-arg (current-time) form — with a column
 #: argument it is a deterministic per-row conversion.
 _CALL_UNSTABLE_RE = re.compile(
-    r"\b(?:rand|randn|random|uuid|shuffle|monotonically_increasing_id"
-    r"|input_file_name|spark_partition_id|current_timestamp|now"
+    r"\b(?:rand|randn|random|uniform|randstr|uuid|shuffle"
+    r"|monotonically_increasing_id"
+    r"|input_file_name|input_file_block_start|input_file_block_length"
+    r"|spark_partition_id|current_timestamp|now"
     r"|localtimestamp|current_date|curdate|current_timezone)\s*\("
     r"|\bunix_timestamp\s*\(\s*\)",
     re.IGNORECASE,

@@ -229,10 +229,18 @@ class LshServingIndex:
         self.corpus = corpus
         self.id_type = id_type
         self.keep_cols_ddl = keep_cols_ddl or ""
-        #: metadata columns riding the signature table (filtered ANN)
-        self.keep_cols = tuple(
-            f.split()[0] for f in self.keep_cols_ddl.split(", ") if f
+        #: metadata columns riding the signature table (filtered ANN) —
+        #: the sidecar DDL stamp parsed ONCE into name -> simpleString
+        #: type; append()'s presence and type refusals both read this
+        #: mapping (r11 review: a second ad-hoc parse of the same stamp
+        #: could drift from this one). ", " is a safe separator: the
+        #: stamp is built from simpleString(), which never emits spaces
+        #: inside a type (struct<a:int,b:int>, decimal(10,2)).
+        self._keep_col_types = dict(
+            decl.split(" ", 1)
+            for decl in self.keep_cols_ddl.split(", ") if decl
         )
+        self.keep_cols = tuple(self._keep_col_types)
         # memoized table relations: building a parquet DataFrame lists the
         # WHOLE artifact's file index eagerly (every bp=/sp= directory) —
         # per-query re-listing would dominate point-query latency on a
@@ -334,8 +342,7 @@ class LshServingIndex:
             raise ValueError(
                 f"appended batch lacks the artifact's keep_cols {missing}"
             )
-        for decl in filter(None, self.keep_cols_ddl.split(", ")):
-            col, want = decl.split(" ", 1)
+        for col, want in self._keep_col_types.items():
             got = new_docs.schema[col].dataType.simpleString()
             if got != want:
                 raise ValueError(

@@ -19,6 +19,20 @@ _PERSIST_LOCK = threading.Lock()
 def get_spark(app_name: str = "pyspark_minhash_lsh_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    # Python workers must import this package for Arrow UDFs pickled BY
+    # REFERENCE (mapInPandas lambdas defined at module scope). Workers
+    # inherit PYTHONPATH from the JVM's environment — which inherits ours
+    # if set BEFORE the JVM launches — but NOT the driver's sys.path, so
+    # running a script from outside the repo root (cwd elsewhere) would
+    # fail only at UDF execution time with ModuleNotFoundError (r11
+    # verify). No-op when the JVM already exists: getOrCreate reuses it,
+    # and in that case the original launch environment already worked.
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _repo_root + (os.pathsep + _pp if _pp else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -121,3 +121,50 @@ def test_headline_and_rotation_are_disjoint_sets():
         assert name in bench.EXTRA_SCALE or name in bench.QUERIES
     assert len(set(bench.ROTATED_SCALE)) == len(bench.ROTATED_SCALE)
     assert not set(bench.CORE_SCALE) & set(bench.ROTATED_SCALE)
+
+
+def test_diag_name_guards_curated_baseline(tmp_path, monkeypatch):
+    """r11 review #1: a repeat same-round same-sf run must not clobber the
+    checked-in curated sidecar — it overflows to a .local name that
+    _diag_files never treats as a baseline; SPARK_GRAFT_DIAG_OVERWRITE=1
+    re-baselines explicitly."""
+    monkeypatch.delenv("SPARK_GRAFT_DIAG_OVERWRITE", raising=False)
+    # first run of the round: official name
+    assert bench._diag_name(str(tmp_path), 11, 0.1) == \
+        "BENCH_DIAG_r11_sf0.1.json"
+    (tmp_path / "BENCH_DIAG_r11_sf0.1.json").write_text(json.dumps(
+        {"sf": 0.1, "timing_policy": bench.TIMING_POLICY,
+         "queries": {"q32_ann_query": 1.5}}))
+    # repeat run: declines to clobber
+    local = bench._diag_name(str(tmp_path), 11, 0.1)
+    assert local == "BENCH_DIAG_r11_sf0.1.local.json"
+    (tmp_path / local).write_text(json.dumps(
+        {"sf": 0.1, "timing_policy": bench.TIMING_POLICY,
+         "queries": {"q32_ann_query": 99.0}}))
+    # the .local record is never a baseline — the curated mins survive
+    assert all(".local." not in p for _, p in
+               bench._diag_files(str(tmp_path)))
+    n, q, _ = bench._prev_bench(str(tmp_path), sf=0.1)
+    assert (n, q["q32_ann_query"]) == (11, 1.5)
+    # explicit re-baseline
+    monkeypatch.setenv("SPARK_GRAFT_DIAG_OVERWRITE", "1")
+    assert bench._diag_name(str(tmp_path), 11, 0.1) == \
+        "BENCH_DIAG_r11_sf0.1.json"
+
+
+def test_diag_name_roundtrips_non_numeric_sf(tmp_path, monkeypatch):
+    """r11 review #3: a custom SPARK_GRAFT_SF_DIR (sf stays a string like
+    'mycorpus') must produce a sidecar _diag_files can re-read, or the
+    same-policy regression gate is silently disabled at that scale."""
+    monkeypatch.delenv("SPARK_GRAFT_DIAG_OVERWRITE", raising=False)
+    name = bench._diag_name(str(tmp_path), 7, "mycorpus")
+    assert name == "BENCH_DIAG_r07_sfmycorpus.json"
+    (tmp_path / name).write_text(json.dumps(
+        {"sf": "mycorpus", "timing_policy": bench.TIMING_POLICY,
+         "queries": {"q32_ann_query": 4.0}}))
+    assert [n for n, _ in bench._diag_files(str(tmp_path))] == [7]
+    n, q, _ = bench._prev_bench(str(tmp_path), sf="mycorpus")
+    assert (n, q["q32_ann_query"]) == (7, 4.0)
+    # hostile characters sanitize instead of breaking the name
+    assert bench._diag_name(str(tmp_path), 7, "my corpus/x") == \
+        "BENCH_DIAG_r07_sfmy-corpus-x.json"

@@ -171,6 +171,13 @@ def test_filter_pin_skips_unstable_predicates(spark):
     assert not where_is_call_stable(F.current_date() >= F.lit("2020-01-01"))
     assert not where_is_call_stable("created < current_timestamp()")
     assert not where_is_call_stable("unix_timestamp() > 5")  # zero-arg = now
+    # Spark 4.x nondeterministic generators reach a Column predicate only
+    # as UnresolvedFunction nodes (no Catalyst flag pre-resolution), so
+    # the rendered-name scan is their ONLY cover (r11 review #2)
+    assert not where_is_call_stable("uniform(0, 100) > 50")
+    assert not where_is_call_stable(F.expr("uniform(0, 100) > 50"))
+    assert not where_is_call_stable("randstr(8) = 'x'")
+    assert not where_is_call_stable("input_file_block_start() = 0")
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(80)
     model = MinHashLSH().fit(docs, persist=False)
