@@ -396,12 +396,21 @@ def main() -> None:
             suites[name] = -1.0
             print(f"# suite {name} FAILED: {e}", file=sys.stderr)
 
+    # serving-tier smoke (round 11): per-round IN-ARTIFACT latency for the
+    # saved-artifact point-query paths (LSH topk / BM25 search) — the
+    # flat-latency serving claims previously lived only in standalone
+    # PLANS probes, invisible to the driver's record.
+    serving = ({} if os.environ.get("SPARK_GRAFT_SERVING_SMOKE", "1") != "1"
+               else _serving_smoke(spark, sf_dir))
+
     total = round(sum(timings.values()), 3)
     # ADVICE r08: a crashed/empty suite (-1.0) must be machine-gateable,
     # not only visible to someone reading the suite_smoke dict — emit a
     # top-level flag AND exit non-zero after the JSON line so automation
-    # catches the regression either way.
-    suite_smoke_failed = any(v == -1.0 for v in suites.values())
+    # catches the regression either way. A failed serving smoke gates the
+    # same way (it is a crash/empty-result regression, not a timing).
+    suite_smoke_failed = (any(v == -1.0 for v in suites.values())
+                          or "failed" in serving)
 
     # Emission contract (VERDICT r10 #1: the r10 instrumented output
     # outgrew the driver's stdout capture window and the official artifact
@@ -426,6 +435,7 @@ def main() -> None:
         "suite_smoke": suites,
         "suite_smoke_loads": suite_loads,
         "suite_smoke_failed": suite_smoke_failed,
+        "serving_smoke": serving,
         "query_diag": diag,
         "regression_check": regression,
         "regressed_vs_prev": bool(regression["regressed"]),
@@ -469,6 +479,7 @@ def main() -> None:
         },
         "suite_smoke": suites,
         "suite_smoke_failed": suite_smoke_failed,
+        "serving_smoke": serving,
         "regression_check": {
             "vs_round": regression["vs_round"],
             "baseline_policy": regression["baseline_policy"],
@@ -487,6 +498,7 @@ def main() -> None:
     sheds = [
         lambda: summary["scale"].__setitem__("ratios", pointer),
         lambda: summary.__setitem__("scale", pointer),
+        lambda: summary.__setitem__("serving_smoke", pointer),
         lambda: summary.__setitem__("regression_check", pointer),
     ]
     out = json.dumps(summary)
@@ -934,6 +946,92 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float],
                 "work_counters": counters}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _serving_smoke(spark, sf_dir: str) -> dict:
+    """Serving-tier latency, recorded IN the artifact every round (round
+    11): build both saved-artifact families at the bench sf in a temp dir
+    and time their point queries — ``LshServingIndex.topk`` (the cold
+    first query pays the one-time file-index listing; warm best-of-3 is
+    the steady serving floor) and ``Bm25Index.search``. Latencies are
+    collect()-inclusive: a point query's cost IS driving the bounded
+    result to the driver. Probe inputs come from the corpus itself (first
+    doc by id — one 1-row collect), so the LSH query must hit its own
+    document and BM25 must match its own terms; 0 rows is a regression,
+    recorded as ``failed`` and tripping the bench's non-zero exit like a
+    suite-smoke crash. SPARK_GRAFT_SERVING_SMOKE=0 skips."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.functions.text import tokens
+    from pyspark_minhash_lsh_spark.operators.lsh_serving import (
+        LshServingIndex,
+        save_serving_index,
+    )
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+    from pyspark_minhash_lsh_spark.operators.search import (
+        Bm25Index,
+        save_bm25_index,
+    )
+
+    out: dict = {}
+    tmp = tempfile.mkdtemp(prefix="bench_serving_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        probe = (
+            docs.select("doc_id", "text", tokens(F.col("text")).alias("tk"))
+            .orderBy("doc_id").limit(1).collect()[0]
+        )
+
+        t0 = time.perf_counter()
+        model = MinHashLSH().fit(docs, persist=False)
+        save_serving_index(model, tmp + "/lsh")
+        out["lsh_build"] = round(time.perf_counter() - t0, 3)
+        idx = LshServingIndex.load(spark, tmp + "/lsh")
+        t0 = time.perf_counter()
+        rows = idx.topk(probe.text, n=10).collect()
+        out["lsh_q_cold"] = round(time.perf_counter() - t0, 3)
+        if not rows:
+            raise ValueError("serving topk: 0 rows for a corpus doc's own text")
+        out["lsh_q_warm"] = round(min(
+            _timed(lambda: idx.topk(probe.text, n=10).collect())
+            for _ in range(3)), 3)
+
+        t0 = time.perf_counter()
+        save_bm25_index(docs, tmp + "/bm25")
+        out["bm25_build"] = round(time.perf_counter() - t0, 3)
+        bidx = Bm25Index.load(spark, tmp + "/bm25")
+        terms = list(probe.tk[:4]) or ["the"]
+        t0 = time.perf_counter()
+        rows = bidx.search(terms, k=10).collect()
+        out["bm25_q_cold"] = round(time.perf_counter() - t0, 3)
+        if not rows:
+            raise ValueError("bm25 serving search: 0 rows for corpus terms")
+        out["bm25_q_warm"] = round(min(
+            _timed(lambda: bidx.search(terms, k=10).collect())
+            for _ in range(3)), 3)
+        out["load1"] = _load1()
+        print(f"# serving smoke: lsh build {out['lsh_build']}s "
+              f"q {out['lsh_q_cold']}/{out['lsh_q_warm']}s; bm25 build "
+              f"{out['bm25_build']}s q {out['bm25_q_cold']}/"
+              f"{out['bm25_q_warm']}s (load1={out['load1']})",
+              file=sys.stderr)
+    except Exception as e:  # recorded + gated, but never sinks the bench
+        out["failed"] = f"{type(e).__name__}: {e}"[:300]
+        out["load1"] = _load1()
+        print(f"# serving smoke FAILED: {out['failed']}", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        _drain_caches(spark)
+    return out
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -168,3 +168,17 @@ def test_diag_name_roundtrips_non_numeric_sf(tmp_path, monkeypatch):
     # hostile characters sanitize instead of breaking the name
     assert bench._diag_name(str(tmp_path), 7, "my corpus/x") == \
         "BENCH_DIAG_r07_sfmy-corpus-x.json"
+
+
+def test_serving_smoke_records_latencies(spark):
+    """Round 11: the serving smoke must build both artifact families from
+    the corpus, answer point queries with >0 rows, and record every
+    latency field — a 0-row or crashed path records `failed` instead
+    (which main() turns into a non-zero exit)."""
+    out = bench._serving_smoke(spark, "/root/testdata/sf0.001")
+    assert "failed" not in out, out
+    for k in ("lsh_build", "lsh_q_cold", "lsh_q_warm",
+              "bm25_build", "bm25_q_cold", "bm25_q_warm", "load1"):
+        assert isinstance(out[k], float) and out[k] >= 0, (k, out)
+    # warm never exceeds cold by construction (min of 3 vs first query)
+    assert out["lsh_q_warm"] <= out["lsh_q_cold"] * 1.5 + 0.5
