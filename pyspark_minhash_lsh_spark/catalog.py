@@ -2020,6 +2020,76 @@ def q91_ann_serving_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q92_rrf_fusion",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    m AS (SELECT doc_id, t
+          FROM (SELECT doc_id, unnest(tk) AS t FROM tok)
+          WHERE t IN ('spark', 'window', 'fast')),
+    fac AS (SELECT doc_id, COUNT(*) AS tf, COUNT(DISTINCT t) AS nt
+            FROM m GROUP BY doc_id),
+    j AS (SELECT f.doc_id, tf, nt, len(tk) AS dl
+          FROM fac f JOIN tok USING (doc_id)),
+    ra AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS r FROM j),
+    rb AS (SELECT doc_id,
+                  ROW_NUMBER() OVER
+                      (ORDER BY nt * 1000000000 - dl DESC, doc_id) AS r
+           FROM j),
+    u AS (SELECT doc_id, r FROM ra WHERE r <= 10
+          UNION ALL SELECT doc_id, r FROM rb WHERE r <= 10),
+    fz AS (SELECT doc_id, SUM(1000000000000 // (60 + r)) AS rrf_key,
+                  COUNT(*) AS n_systems
+           FROM u GROUP BY doc_id)
+    SELECT doc_id, rrf_key, n_systems FROM fz
+    ORDER BY rrf_key DESC, doc_id LIMIT 10
+    """,
+)
+def q92_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion (round 11): ``rrf_fuse`` combines two
+    integer-keyed rankers over the same query terms as q63 — system 'tf'
+    ranks by total matched-term frequency, system 'coverage' by distinct
+    terms matched with shorter-doc preference (one composite integer
+    score, ``nt * 1e9 - dl``) — into one reciprocal-rank-fusion top-10.
+    The oracle replays both rankers and the fusion in SQL; the hash
+    surface carries the EXACT integer ``rrf_key`` (sum of
+    ``RRF_SCALE div (k + rank)`` — combine-order independent in any
+    engine), never the convenience double, the q63 stance. This is the
+    driver witness for the fusion path that combines the engine's
+    lexical / near-dup / dense serving answers (``Bm25Index.search``,
+    ``LshServingIndex.topk``, ``IvfPqIndex.topk``); the rankers here are
+    deliberately transcendental-free so the row stays hash-green.
+
+    Budget note: q92 EXTENDS the curated driver surface to 51 rows
+    instead of retiring a twin — fusion is a new operator class with no
+    redundant sibling row to fund it (the q89/q90/q91 retirements each
+    replaced a shape already witnessed twice elsewhere)."""
+    from .operators.search import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    terms = ["spark", "window", "fast"]
+    m = tk.select("doc_id", F.explode("tk").alias("t")).filter(
+        F.col("t").isin(terms)
+    )
+    j = (
+        m.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("t").alias("nt"))
+        .join(tk.select("doc_id", F.size("tk").alias("dl")), "doc_id")
+    )
+    sys_tf = j.select("doc_id", F.col("tf").cast("bigint").alias("score"))
+    sys_cov = j.select(
+        "doc_id",
+        (F.col("nt").cast("bigint") * F.lit(1_000_000_000)
+         - F.col("dl")).alias("score"),
+    )
+    return rrf_fuse(
+        {"tf": sys_tf, "coverage": sys_cov}, "score",
+        per_system_limit=10, n=10,
+    ).select("doc_id", "rrf_key", "n_systems")
+
+
 # =====================================================================================
 # Hash-dependent operators — rows-only checks (no DuckDB oracle, as sanctioned)
 # =====================================================================================
@@ -4776,6 +4846,11 @@ _CURATED_ORDER = [
     # saved-artifact SERVING retrieval (previously only rows-checked via the
     # q75 saved==fitted agreement leg) is strictly stronger.
     "q91_ann_serving_oracle",
+    # -- block 1g: round-11 addition — hybrid-retrieval RRF fusion (new
+    # operator class, hash-green; see the q92 docstring's budget note: it
+    # extends the curated surface to 51 rows rather than retiring a
+    # non-redundant row).
+    "q92_rrf_fusion",
     # -- block 1c: restored from r06 diagnostic parking (driver-green in r05) ------
     "q09_supplier_part_volume",
     "q11_customer_running_total",

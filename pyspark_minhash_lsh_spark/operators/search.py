@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_search", "save_bm25_index", "Bm25Index"]
+__all__ = ["bm25_search", "save_bm25_index", "Bm25Index", "rrf_fuse", "RRF_SCALE"]
 
 
 def bm25_search(
@@ -397,3 +397,92 @@ class Bm25Index:
             .filter(F.col("rank") <= k)
             .drop("_score_key")
         )
+
+
+#: exact-integer RRF contribution scale: ``RRF_SCALE div (k + rank)`` is
+#: pure bigint arithmetic, so per-doc sums are combine-order independent
+#: and engine-portable (the q63 stance: no float sum on a ranking or hash
+#: surface). 1e12 keeps three leading digits of precision even at
+#: rank ~10^4 with k=60.
+RRF_SCALE = 1_000_000_000_000
+
+
+def rrf_fuse(
+    ranked: "dict[str, DataFrame]",
+    score_col: "str | dict[str, str]",
+    id_col: str = "doc_id",
+    query_cols: Sequence[str] = (),
+    k: int = 60,
+    n: int = 10,
+    per_system_limit: "int | None" = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) over the
+    retrieval triangle's ranked outputs — the standard way to combine the
+    lexical (``Bm25Index.search``), near-dup (``LshServingIndex.topk``)
+    and dense (``IvfPqIndex.topk``) answers for one query into a single
+    hybrid ranking without score calibration:
+
+        rrf(d) = sum over systems s of 1 / (k + rank_s(d))
+
+    ``ranked`` maps a system name to its candidate DataFrame;
+    ``score_col`` names each system's descending-better score column (one
+    name for all, or per-system via a dict). Ranks are assigned
+    deterministically inside the fusion — ``row_number`` over
+    (score desc, id asc) per system and query — so callers pass scored
+    frames, not pre-ranked ones, and tie handling can never drift between
+    systems. Multi-key orderings compose by pre-building one integer
+    score column (e.g. ``n_terms * 1e9 - dl``).
+
+    The ranking/ordering key is the EXACT integer ``rrf_key`` =
+    sum of ``RRF_SCALE div (k + rank)`` — combine-order independent,
+    identical in any engine; the convenience double ``rrf`` is for humans
+    and stays off ordering and hash surfaces. Output per query: top-``n``
+    rows of (query_cols..., id, rrf_key, rrf, n_systems), ordered
+    deterministically by (rrf_key desc, id asc).
+
+    Scale posture: inputs are per-query candidate lists (a serving top-k,
+    or a capped candidate set via ``per_system_limit``), so each window
+    partition holds at most ~systems x limit rows; with ``query_cols``
+    set, a whole query batch fuses in one pass partitioned by query —
+    nothing corpus-sized shuffles and no system's frame is re-scored.
+    Fusing UNCAPPED corpus-wide frames without ``query_cols`` would put
+    every row in one window partition — pass ``per_system_limit`` (it is
+    applied per system and query, before the union)."""
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("ranked must name at least one system")
+    if k < 1 or n < 1:
+        raise ValueError("k and n must be >= 1")
+    qc = list(query_cols)
+    parts = []
+    for name, df in ranked.items():
+        sc = score_col[name] if isinstance(score_col, dict) else score_col
+        if sc not in df.columns or id_col not in df.columns:
+            raise ValueError(
+                f"system {name!r} lacks column {sc!r} or {id_col!r}"
+            )
+        w = Window.partitionBy(*qc).orderBy(
+            F.desc(sc), F.asc(id_col)
+        )
+        part = df.select(
+            *qc, F.col(id_col), F.row_number().over(w).alias("_r")
+        )
+        if per_system_limit is not None:
+            part = part.filter(F.col("_r") <= per_system_limit)
+        parts.append(part)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(*qc, id_col).agg(
+        F.sum(F.expr(f"{RRF_SCALE} div ({k} + _r)")).alias("rrf_key"),
+        F.sum(F.lit(1.0) / (F.lit(k) + F.col("_r"))).alias("rrf"),
+        F.count(F.lit(1)).cast("int").alias("n_systems"),
+    )
+    w2 = Window.partitionBy(*qc).orderBy(F.desc("rrf_key"), F.asc(id_col))
+    return (
+        fused.withColumn("_fr", F.row_number().over(w2))
+        .filter(F.col("_fr") <= n)
+        .drop("_fr")
+        .orderBy(*qc, F.desc("rrf_key"), F.asc(id_col))
+    )

@@ -153,3 +153,92 @@ def test_bm25_index_load_refusals_and_empty(spark, tmp_path):
     idx = Bm25Index.load(spark, path)
     assert idx.n_docs == 0
     assert idx.search(["anything"], k=3).collect() == []
+
+
+# ---------------------------------------------------------------- rrf_fuse
+
+
+def _scored(spark, rows, extra=""):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, s bigint" + extra)
+
+
+def test_rrf_known_values(spark):
+    """Hand-computed fusion: ranks are (score desc, id asc) per system;
+    rrf_key is the exact integer sum of RRF_SCALE div (k + rank)."""
+    from pyspark_minhash_lsh_spark.operators.search import RRF_SCALE, rrf_fuse
+
+    a = _scored(spark, [(1, 30), (2, 20), (3, 10)])
+    b = _scored(spark, [(2, 9), (3, 8), (4, 7)])
+    out = {r.doc_id: r for r in
+           rrf_fuse({"a": a, "b": b}, "s", k=60, n=10).collect()}
+    # doc 2: rank 2 in a, rank 1 in b
+    assert out[2].rrf_key == RRF_SCALE // 62 + RRF_SCALE // 61
+    assert out[2].n_systems == 2
+    # doc 1: only system a, rank 1
+    assert out[1].rrf_key == RRF_SCALE // 61
+    assert out[1].n_systems == 1
+    assert out[4].rrf_key == RRF_SCALE // 63
+    # two-system docs outrank single-system docs here; 2 tops the list
+    got = [r.doc_id for r in
+           rrf_fuse({"a": a, "b": b}, "s", k=60, n=10).collect()]
+    assert got[0] == 2 and set(got) == {1, 2, 3, 4}
+    # convenience double agrees with the exact key's ordering
+    assert out[2].rrf == pytest.approx(1 / 62 + 1 / 61)
+
+
+def test_rrf_tie_breaks_deterministically(spark):
+    """Equal scores rank by id asc inside a system; equal rrf_keys order
+    by id asc in the output — no nondeterminism on either surface."""
+    from pyspark_minhash_lsh_spark.operators.search import rrf_fuse
+
+    a = _scored(spark, [(5, 10), (3, 10), (9, 10)])
+    out = rrf_fuse({"a": a}, "s", k=60, n=3).collect()
+    # same score -> rank by id: 3, 5, 9 -> distinct rrf keys in that order
+    assert [r.doc_id for r in out] == [3, 5, 9]
+    assert out[0].rrf_key > out[1].rrf_key > out[2].rrf_key
+
+
+def test_rrf_batch_matches_per_query(spark):
+    """query_cols fuses a whole batch in one pass, per-query results
+    byte-identical to fusing each query alone."""
+    from pyspark_minhash_lsh_spark.operators.search import rrf_fuse
+
+    rows_a = [(q, d, s) for q in (0, 1)
+              for d, s in [(1, 30), (2, 20), (3, 10 + q)]]
+    rows_b = [(q, d, s) for q in (0, 1)
+              for d, s in [(2, 9), (4, 7 + q)]]
+    a = spark.createDataFrame(rows_a, "q int, doc_id bigint, s bigint")
+    b = spark.createDataFrame(rows_b, "q int, doc_id bigint, s bigint")
+    batch = rrf_fuse({"a": a, "b": b}, "s", query_cols=["q"], n=10)
+    for q in (0, 1):
+        single = rrf_fuse(
+            {"a": a.filter(F.col("q") == q), "b": b.filter(F.col("q") == q)},
+            "s", query_cols=["q"], n=10).collect()
+        got = batch.filter(F.col("q") == q).collect()
+        assert [(r.doc_id, r.rrf_key, r.n_systems) for r in got] == \
+            [(r.doc_id, r.rrf_key, r.n_systems) for r in single]
+
+
+def test_rrf_per_system_limit_and_score_col_map(spark):
+    from pyspark_minhash_lsh_spark.operators.search import RRF_SCALE, rrf_fuse
+
+    a = _scored(spark, [(1, 30), (2, 20), (3, 10)])
+    b = spark.createDataFrame([(2, 5.0), (9, 4.0)], "doc_id bigint, sim double")
+    out = {r.doc_id: r for r in rrf_fuse(
+        {"a": a, "b": b}, {"a": "s", "b": "sim"},
+        per_system_limit=2, n=10).collect()}
+    assert 3 not in out  # a's rank-3 row cut by the limit
+    assert out[2].rrf_key == RRF_SCALE // 62 + RRF_SCALE // 61
+
+
+def test_rrf_validation(spark):
+    from pyspark_minhash_lsh_spark.operators.search import rrf_fuse
+
+    a = _scored(spark, [(1, 30)])
+    with pytest.raises(ValueError, match="at least one system"):
+        rrf_fuse({}, "s")
+    with pytest.raises(ValueError, match="lacks column"):
+        rrf_fuse({"a": a}, "nope")
+    with pytest.raises(ValueError, match="k and n"):
+        rrf_fuse({"a": a}, "s", k=0)
