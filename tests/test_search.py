@@ -242,3 +242,45 @@ def test_rrf_validation(spark):
         rrf_fuse({"a": a}, "nope")
     with pytest.raises(ValueError, match="k and n"):
         rrf_fuse({"a": a}, "s", k=0)
+
+
+def test_rrf_fuses_real_serving_artifacts(spark, tmp_path):
+    """End-to-end hybrid retrieval: the LSH serving index's topk and the
+    saved BM25 index's search — the two saved-artifact point-query paths
+    — fuse through rrf_fuse into one ranking. A doc that is the #1
+    answer in BOTH systems (the probe doc itself: jaccard 1.0 lexically
+    identical) must top the fused list with n_systems == 2."""
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.lsh_serving import (
+        LshServingIndex,
+        save_serving_index,
+    )
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+    from pyspark_minhash_lsh_spark.operators.search import rrf_fuse
+
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(200)]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(40)))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    probe = rows[7][1]
+
+    model = MinHashLSH().fit(docs, persist=False)
+    lsh_path = str(tmp_path / "lsh")
+    save_serving_index(model, lsh_path, band_partitions=8, sig_partitions=8)
+    lsh = LshServingIndex.load(spark, lsh_path)
+    bm25 = _served_bm25(spark, tmp_path, docs)
+
+    lsh_top = lsh.topk(probe, n=10)                      # (doc_id, jaccard)
+    bm_top = bm25.search(probe.split()[:6], k=10)        # (doc_id, score, ...)
+    fused = rrf_fuse(
+        {"lsh": lsh_top, "bm25": bm_top},
+        {"lsh": "jaccard", "bm25": "score"}, n=10,
+    ).collect()
+    assert fused and fused[0].doc_id == 7
+    assert fused[0].n_systems == 2
+    # every fused doc came from at least one system's top-10
+    src = {r.doc_id for r in lsh_top.collect()} | \
+          {r.doc_id for r in bm_top.collect()}
+    assert {r.doc_id for r in fused} <= src
