@@ -2037,9 +2037,9 @@ def q91_ann_serving_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ROW_NUMBER() OVER
                       (ORDER BY nt * 1000000000 - dl DESC, doc_id) AS r
            FROM j),
-    u AS (SELECT doc_id, r FROM ra WHERE r <= 10
-          UNION ALL SELECT doc_id, r FROM rb WHERE r <= 10),
-    fz AS (SELECT doc_id, SUM(1000000000000 // (60 + r)) AS rrf_key,
+    u AS (SELECT doc_id, r, 2 AS w FROM ra WHERE r <= 10
+          UNION ALL SELECT doc_id, r, 1 AS w FROM rb WHERE r <= 10),
+    fz AS (SELECT doc_id, SUM(w * (1000000000000 // (60 + r))) AS rrf_key,
                   COUNT(*) AS n_systems
            FROM u GROUP BY doc_id)
     SELECT doc_id, rrf_key, n_systems FROM fz
@@ -2051,11 +2051,14 @@ def q92_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-keyed rankers over the same query terms as q63 — system 'tf'
     ranks by total matched-term frequency, system 'coverage' by distinct
     terms matched with shorter-doc preference (one composite integer
-    score, ``nt * 1e9 - dl``) — into one reciprocal-rank-fusion top-10.
-    The oracle replays both rankers and the fusion in SQL; the hash
-    surface carries the EXACT integer ``rrf_key`` (sum of
-    ``RRF_SCALE div (k + rank)`` — combine-order independent in any
-    engine), never the convenience double, the q63 stance. This is the
+    score, ``nt * 1e9 - dl``) — into one reciprocal-rank-fusion top-10,
+    with the 'tf' system WEIGHTED 2:1 so the weighted-RRF path (integer
+    per-system multipliers) is hash-witnessed alongside the default
+    weight-1 path on the 'coverage' leg. The oracle replays both
+    rankers, the weights, and the fusion in SQL; the hash surface
+    carries the EXACT integer ``rrf_key`` (sum of
+    ``w * (RRF_SCALE div (k + rank))`` — combine-order independent in
+    any engine), never the convenience double, the q63 stance. This is the
     driver witness for the fusion path that combines the engine's
     lexical / near-dup / dense serving answers (``Bm25Index.search``,
     ``LshServingIndex.topk``, ``IvfPqIndex.topk``); the rankers here are
@@ -2086,7 +2089,7 @@ def q92_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rrf_fuse(
         {"tf": sys_tf, "coverage": sys_cov}, "score",
-        per_system_limit=10, n=10,
+        per_system_limit=10, n=10, weights={"tf": 2},
     ).select("doc_id", "rrf_key", "n_systems")
 
 

@@ -415,6 +415,7 @@ def rrf_fuse(
     k: int = 60,
     n: int = 10,
     per_system_limit: "int | None" = None,
+    weights: "dict[str, int] | None" = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) over the
     retrieval triangle's ranked outputs — the standard way to combine the
@@ -422,7 +423,7 @@ def rrf_fuse(
     and dense (``IvfPqIndex.topk``) answers for one query into a single
     hybrid ranking without score calibration:
 
-        rrf(d) = sum over systems s of 1 / (k + rank_s(d))
+        rrf(d) = sum over systems s of w_s / (k + rank_s(d))
 
     ``ranked`` maps a system name to its candidate DataFrame;
     ``score_col`` names each system's descending-better score column (one
@@ -440,6 +441,11 @@ def rrf_fuse(
     rows of (query_cols..., id, rrf_key, rrf, n_systems), ordered
     deterministically by (rrf_key desc, id asc).
 
+    ``weights`` biases trusted systems (weighted RRF): POSITIVE INTEGER
+    per-system multipliers (missing systems default to 1) — integers so
+    the exact-key contract survives weighting; express fractional intent
+    by scaling every weight up (e.g. {lexical: 3, dense: 2} for 1.5:1).
+
     Scale posture: inputs are per-query candidate lists (a serving top-k,
     or a capped candidate set via ``per_system_limit``), so each window
     partition holds at most ~systems x limit rows; with ``query_cols``
@@ -454,6 +460,14 @@ def rrf_fuse(
         raise ValueError("ranked must name at least one system")
     if k < 1 or n < 1:
         raise ValueError("k and n must be >= 1")
+    weights = dict(weights or {})
+    if unknown := set(weights) - set(ranked):
+        raise ValueError(f"weights name unknown systems: {sorted(unknown)}")
+    if bad := [w for w in weights.values()
+               if not isinstance(w, int) or w < 1]:
+        raise ValueError(
+            f"weights must be positive integers (exact-key contract), got {bad}"
+        )
     qc = list(query_cols)
     parts = []
     for name, df in ranked.items():
@@ -466,7 +480,8 @@ def rrf_fuse(
             F.desc(sc), F.asc(id_col)
         )
         part = df.select(
-            *qc, F.col(id_col), F.row_number().over(w).alias("_r")
+            *qc, F.col(id_col), F.row_number().over(w).alias("_r"),
+            F.lit(weights.get(name, 1)).cast("bigint").alias("_w"),
         )
         if per_system_limit is not None:
             part = part.filter(F.col("_r") <= per_system_limit)
@@ -475,8 +490,8 @@ def rrf_fuse(
     for p in parts[1:]:
         u = u.unionByName(p)
     fused = u.groupBy(*qc, id_col).agg(
-        F.sum(F.expr(f"{RRF_SCALE} div ({k} + _r)")).alias("rrf_key"),
-        F.sum(F.lit(1.0) / (F.lit(k) + F.col("_r"))).alias("rrf"),
+        F.sum(F.expr(f"_w * ({RRF_SCALE} div ({k} + _r))")).alias("rrf_key"),
+        F.sum(F.col("_w") / (F.lit(k) + F.col("_r"))).alias("rrf"),
         F.count(F.lit(1)).cast("int").alias("n_systems"),
     )
     w2 = Window.partitionBy(*qc).orderBy(F.desc("rrf_key"), F.asc(id_col))

@@ -284,3 +284,22 @@ def test_rrf_fuses_real_serving_artifacts(spark, tmp_path):
     src = {r.doc_id for r in lsh_top.collect()} | \
           {r.doc_id for r in bm_top.collect()}
     assert {r.doc_id for r in fused} <= src
+
+
+def test_rrf_weights(spark):
+    """Weighted RRF: integer multipliers scale a system's exact-key
+    contribution; non-integer or unknown-system weights are refused."""
+    from pyspark_minhash_lsh_spark.operators.search import RRF_SCALE, rrf_fuse
+
+    a = _scored(spark, [(1, 30), (2, 20)])
+    b = _scored(spark, [(2, 9), (3, 8)])
+    out = {r.doc_id: r for r in rrf_fuse(
+        {"a": a, "b": b}, "s", weights={"a": 3}, n=10).collect()}
+    assert out[1].rrf_key == 3 * (RRF_SCALE // 61)
+    assert out[2].rrf_key == 3 * (RRF_SCALE // 62) + RRF_SCALE // 61
+    assert out[3].rrf_key == RRF_SCALE // 62
+    assert out[2].rrf == pytest.approx(3 / 62 + 1 / 61)
+    with pytest.raises(ValueError, match="unknown systems"):
+        rrf_fuse({"a": a}, "s", weights={"zz": 2})
+    with pytest.raises(ValueError, match="positive integers"):
+        rrf_fuse({"a": a}, "s", weights={"a": 1.5})
