@@ -950,14 +950,17 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float],
 
 def _serving_smoke(spark, sf_dir: str) -> dict:
     """Serving-tier latency, recorded IN the artifact every round (round
-    11): build both saved-artifact families at the bench sf in a temp dir
-    and time their point queries — ``LshServingIndex.topk`` (the cold
-    first query pays the one-time file-index listing; warm best-of-3 is
-    the steady serving floor) and ``Bm25Index.search``. Latencies are
+    11): build all three saved-artifact retrieval families at the bench
+    sf in a temp dir and time their point queries —
+    ``LshServingIndex.topk`` (the cold first query pays the one-time
+    file-index listing; warm best-of-3 is the steady serving floor),
+    ``Bm25Index.search``, and the dense ``IvfPqIndex.topk`` (cell-
+    partitioned artifact, ``n_probe`` partition pruning). Latencies are
     collect()-inclusive: a point query's cost IS driving the bounded
     result to the driver. Probe inputs come from the corpus itself (first
-    doc by id — one 1-row collect), so the LSH query must hit its own
-    document and BM25 must match its own terms; 0 rows is a regression,
+    doc by id / first embedding by vec_id — one 1-row collect each), so
+    the LSH query must hit its own document, BM25 must match its own
+    terms, and the dense query its own vector; 0 rows is a regression,
     recorded as ``failed`` and tripping the bench's non-zero exit like a
     suite-smoke crash. SPARK_GRAFT_SERVING_SMOKE=0 skips."""
     import shutil
@@ -1012,11 +1015,37 @@ def _serving_smoke(spark, sf_dir: str) -> dict:
         out["bm25_q_warm"] = round(min(
             _timed(lambda: bidx.search(terms, k=10).collect())
             for _ in range(3)), 3)
+
+        from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
+        from pyspark_minhash_lsh_spark.operators.pq import IvfPqIndex, fit_pq
+
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).select("vec_id", "embedding")
+        qvec = [float(x) for x in emb.orderBy("vec_id").limit(1)
+                .collect()[0].embedding]
+        t0 = time.perf_counter()
+        ivf = IvfFlat(n_cells=16, seed=1).fit(emb, persist=False)
+        pqm = fit_pq(emb, m=8, k=16, sample_rows=50_000)
+        IvfPqIndex.from_models(ivf, pqm).save_index(tmp + "/ivfpq")
+        out["ivfpq_build"] = round(time.perf_counter() - t0, 3)
+        didx = IvfPqIndex.load_index(spark, tmp + "/ivfpq")
+        t0 = time.perf_counter()
+        rows = didx.topk(qvec, k=10, n_probe=4).collect()
+        out["ivfpq_q_cold"] = round(time.perf_counter() - t0, 3)
+        if not rows:
+            raise ValueError("ivfpq serving topk: 0 rows for a corpus vector")
+        out["ivfpq_q_warm"] = round(min(
+            _timed(lambda: didx.topk(qvec, k=10, n_probe=4).collect())
+            for _ in range(3)), 3)
+
         out["load1"] = _load1()
         print(f"# serving smoke: lsh build {out['lsh_build']}s "
               f"q {out['lsh_q_cold']}/{out['lsh_q_warm']}s; bm25 build "
               f"{out['bm25_build']}s q {out['bm25_q_cold']}/"
-              f"{out['bm25_q_warm']}s (load1={out['load1']})",
+              f"{out['bm25_q_warm']}s; ivfpq build {out['ivfpq_build']}s "
+              f"q {out['ivfpq_q_cold']}/{out['ivfpq_q_warm']}s "
+              f"(load1={out['load1']})",
               file=sys.stderr)
     except Exception as e:  # recorded + gated, but never sinks the bench
         out["failed"] = f"{type(e).__name__}: {e}"[:300]

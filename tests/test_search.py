@@ -245,13 +245,16 @@ def test_rrf_validation(spark):
 
 
 def test_rrf_fuses_real_serving_artifacts(spark, tmp_path):
-    """End-to-end hybrid retrieval: the LSH serving index's topk and the
-    saved BM25 index's search — the two saved-artifact point-query paths
-    — fuse through rrf_fuse into one ranking. A doc that is the #1
-    answer in BOTH systems (the probe doc itself: jaccard 1.0 lexically
-    identical) must top the fused list with n_systems == 2."""
+    """End-to-end hybrid retrieval over the full triangle: the LSH
+    serving index's topk, the saved BM25 index's search, and the saved
+    IVF dense index's cosine topk — the three saved-artifact point-query
+    paths — fuse through rrf_fuse into one ranking. A doc that is the #1
+    answer in ALL THREE systems (the probe doc itself: jaccard 1.0,
+    lexically identical, cosine 1.0 with its own vector) must top the
+    fused list with n_systems == 3."""
     import random
 
+    from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat, IvfFlatModel
     from pyspark_minhash_lsh_spark.operators.lsh_serving import (
         LshServingIndex,
         save_serving_index,
@@ -272,17 +275,29 @@ def test_rrf_fuses_real_serving_artifacts(spark, tmp_path):
     lsh = LshServingIndex.load(spark, lsh_path)
     bm25 = _served_bm25(spark, tmp_path, docs)
 
+    embs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    embdf = spark.createDataFrame(embs, "doc_id bigint, embedding array<float>")
+    ivf_path = str(tmp_path / "ivf")
+    IvfFlat(n_cells=4, seed=1).fit(
+        embdf, id_col="doc_id", persist=False
+    ).save_index(ivf_path)
+    dense = IvfFlatModel.load_index(spark, ivf_path)
+
     lsh_top = lsh.topk(probe, n=10)                      # (doc_id, jaccard)
     bm_top = bm25.search(probe.split()[:6], k=10)        # (doc_id, score, ...)
+    dense_top = dense.approx_cosine_topk(                # (doc_id, cosine)
+        embs[7][1], k=10, n_probe=4
+    )
     fused = rrf_fuse(
-        {"lsh": lsh_top, "bm25": bm_top},
-        {"lsh": "jaccard", "bm25": "score"}, n=10,
+        {"lsh": lsh_top, "bm25": bm_top, "dense": dense_top},
+        {"lsh": "jaccard", "bm25": "score", "dense": "cosine"}, n=10,
     ).collect()
     assert fused and fused[0].doc_id == 7
-    assert fused[0].n_systems == 2
+    assert fused[0].n_systems == 3
     # every fused doc came from at least one system's top-10
     src = {r.doc_id for r in lsh_top.collect()} | \
-          {r.doc_id for r in bm_top.collect()}
+          {r.doc_id for r in bm_top.collect()} | \
+          {r.doc_id for r in dense_top.collect()}
     assert {r.doc_id for r in fused} <= src
 
 
