@@ -318,3 +318,55 @@ def test_rrf_weights(spark):
         rrf_fuse({"a": a}, "s", weights={"zz": 2})
     with pytest.raises(ValueError, match="positive integers"):
         rrf_fuse({"a": a}, "s", weights={"a": 1.5})
+
+
+def test_rrf_batch_hybrid_over_serving_artifacts(spark, tmp_path):
+    """Batch hybrid retrieval: one rrf_fuse pass (query_cols=['query_id'])
+    over the two batch serving answers — ``LshServingIndex.topk_batch``
+    and ``Bm25Index.search_batch`` — produces an independent fused top-n
+    PER query, and each query's own source doc (the #1 answer in both
+    systems) tops its own fused list with n_systems == 2."""
+    import random
+
+    from pyspark_minhash_lsh_spark.operators.lsh_serving import (
+        LshServingIndex,
+        save_serving_index,
+    )
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+    from pyspark_minhash_lsh_spark.operators.search import rrf_fuse
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(200)]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(40)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    model = MinHashLSH().fit(docs, persist=False)
+    lsh_path = str(tmp_path / "lsh")
+    save_serving_index(model, lsh_path, band_partitions=8, sig_partitions=8)
+    lsh = LshServingIndex.load(spark, lsh_path)
+    bm25 = _served_bm25(spark, tmp_path, docs)
+
+    queries = spark.createDataFrame(
+        [(rows[3][0], rows[3][1]), (rows[19][0], rows[19][1])],
+        "query_id bigint, text string",
+    )
+    lsh_top = lsh.topk_batch(queries, n=10)        # (query_id, doc_id, jaccard, rank)
+    bm_top = bm25.search_batch(queries, k=10)      # (query_id, doc_id, score, rank)
+    fused = rrf_fuse(
+        {"lsh": lsh_top, "bm25": bm_top},
+        {"lsh": "jaccard", "bm25": "score"},
+        query_cols=["query_id"], n=10,
+    ).collect()
+
+    by_q: dict = {}
+    for r in fused:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {3, 19}
+    for qid, rs in by_q.items():
+        assert rs[0].doc_id == qid          # own doc tops its own fusion
+        assert rs[0].n_systems == 2
+        assert len(rs) <= 10
+        # rows arrive ordered within each query (rrf_key desc, id asc)
+        keys = [(r.rrf_key, -r.doc_id) for r in rs]
+        assert keys == sorted(keys, reverse=True)
