@@ -125,12 +125,29 @@ def bm25_search(
 # =====================================================================================
 
 #: serving sidecar: corpus constants + layout (id type in DDL form so the
-#: empty-table fallback keeps the exact schema — the lsh_serving stance)
-_BM25_VERSION = 1
+#: empty-table fallback keeps the exact schema — the lsh_serving stance).
+#: v2 (round 11) adds ``total_dl``: the EXACT integer token total behind
+#: ``avgdl``, which makes incremental ``append`` exact — stats merge as
+#: bigint sums (n_docs, total_dl, per-term df) instead of re-deriving a
+#: float average, so an appended artifact scores identically to a rebuild.
+#: v1 sidecars load fine (total_dl reconstructed from avgdl*n_docs, exact
+#: for any corpus under 2^52 tokens since avgdl was computed as the
+#: correctly-rounded quotient of those two integers).
+_BM25_VERSION = 2
 _BM25_SCHEMA = (
     "version int, partitions int, n_docs bigint, avgdl double, "
-    "id_type string, id_col string"
+    "id_type string, id_col string, total_dl bigint"
 )
+
+
+def _write_bm25_sidecar(spark, path: str, partitions: int, n_docs: int,
+                        total_dl: int, id_type: str, id_col: str) -> None:
+    avgdl = (total_dl / n_docs) if n_docs else 0.0
+    spark.createDataFrame(
+        [(_BM25_VERSION, int(partitions), int(n_docs), float(avgdl),
+          id_type, id_col, int(total_dl))],
+        _BM25_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_bm25")
 
 
 def _tp_col(term_col: str, partitions: int):
@@ -164,8 +181,10 @@ def save_bm25_index(
     A query then reads <= |query terms| partitions of each table and
     nothing else; results are identical to ``bm25_search`` on the same
     corpus (tested), with ``k1``/``b`` still query-time parameters.
-    Stats (N, avgdl, df) are frozen at save time — after substantial
-    ingest, re-save (the standard search-engine stats-refresh contract)."""
+    Stats (N, total_dl, df) live beside the tables as exact integers, so
+    ``Bm25Index.append`` can ingest incrementally with scoring identical
+    to a rebuild; the terms table is ADDITIVE — readers sum ``df`` per
+    term, so an append lands delta rows instead of rewriting."""
     if partitions < 1:
         raise ValueError("partitions must be >= 1")
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
@@ -192,47 +211,55 @@ def save_bm25_index(
         .write.mode("overwrite").partitionBy("tp")
         .parquet(path.rstrip("/") + "/terms")
     )
+    # EXACT integer stats (v2): avgdl is derived as total_dl/n_docs — the
+    # same correctly-rounded quotient F.avg would produce over these
+    # integers, but the integers themselves are what append() merges
     stats = dl.agg(
-        F.count("*").cast("bigint").alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("total_dl"),
     ).head()
     id_type = df.schema[id_col].dataType.simpleString()
-    df.sparkSession.createDataFrame(
-        [(_BM25_VERSION, int(partitions), int(stats.n_docs or 0),
-          float(stats.avgdl or 0.0), id_type, id_col)],
-        _BM25_SCHEMA,
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_bm25")
+    _write_bm25_sidecar(df.sparkSession, path, partitions,
+                        int(stats.n_docs or 0), int(stats.total_dl or 0),
+                        id_type, id_col)
 
 
 class Bm25Index:
-    """A loaded BM25 serving artifact: partition-pruned keyword top-k.
+    """A loaded BM25 serving artifact: partition-pruned keyword top-k,
+    with the full serving lifecycle the LSH and IVF artifact families
+    carry — ``append`` (incremental ingest, EXACT: scores after an append
+    are identical to a rebuild because every stat behind the score is an
+    integer that merges by addition — n_docs, total_dl, per-term df),
+    ``refresh`` (resync with an external writer: sidecar stats AND file
+    listings re-read together, so the r10 half-measure objection no
+    longer applies), and ``compact`` (offline small-file rewrite to a new
+    path, collapsing the additive terms rows; cutover by repoint).
 
-    Staleness contract (the ``LshServingIndex`` single-writer stance,
-    adapted to this artifact's immutability): there is no ``append`` —
-    a corpus refresh RE-SAVES the artifact (``save_bm25_index``), and a
-    reader must then construct a fresh ``load()``; a half-measure
-    ``refresh()`` would be WRONG here because the instance also carries
-    the load-time frozen ``(n_docs, avgdl)`` scoring stats, which a
-    re-save changes — resyncing the file listings without them would
-    score new postings with stale IDF/length normalization. Re-save to a
-    NEW path and repoint (the compact-cutover shape) to avoid readers
-    ever observing a half-written overwrite."""
+    Single-writer contract (the ``LshServingIndex`` stance): one process
+    appends at a time; readers sharing the path with a writer call
+    ``refresh()`` at their own sync points. ``append`` is not atomic —
+    postings land before the terms delta before the sidecar — so a crash
+    mid-append leaves slightly stale idf/stats until a retry or re-save
+    (new docs stay ranked; never a crash or a wrong partition)."""
 
     def __init__(self, spark, path: str, partitions: int, n_docs: int,
-                 avgdl: float, id_col: str, id_type: str) -> None:
+                 total_dl: int, id_col: str, id_type: str) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.partitions = int(partitions)
         self.n_docs = int(n_docs)
-        self.avgdl = float(avgdl)
+        self.total_dl = int(total_dl)
+        self.avgdl = (self.total_dl / self.n_docs) if self.n_docs else 0.0
         self.id_col = id_col
         self.id_type = id_type
         # file index listed once per instance (the lsh_serving stance:
-        # the artifact is immutable between re-saves)
+        # the artifact is immutable between appends/re-saves; append and
+        # refresh drop the memos)
         self._postings_df: "DataFrame | None" = None
         self._terms_df: "DataFrame | None" = None
 
-    @classmethod
-    def load(cls, spark, path: str) -> "Bm25Index":
+    @staticmethod
+    def _read_sidecar(spark, path: str):
         from pyspark.errors import AnalysisException
 
         try:
@@ -247,7 +274,18 @@ class Bm25Index:
                 f"BM25 artifact version {s.version} is newer than this "
                 f"engine understands ({_BM25_VERSION})"
             )
-        return cls(spark, path, s.partitions, s.n_docs, s.avgdl,
+        total_dl = getattr(s, "total_dl", None)
+        if total_dl is None:
+            # v1 sidecar: avgdl was the correctly-rounded quotient of two
+            # exact integers, so the round-trip recovers total_dl exactly
+            # (corpora under 2^52 tokens)
+            total_dl = int(round(float(s.avgdl) * int(s.n_docs)))
+        return s, int(total_dl)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "Bm25Index":
+        s, total_dl = cls._read_sidecar(spark, path)
+        return cls(spark, path, s.partitions, s.n_docs, total_dl,
                    s.id_col, s.id_type)
 
     def _read_table(self, sub: str, empty_schema: str) -> DataFrame:
@@ -285,6 +323,139 @@ class Bm25Index:
         )
         return sorted(r.tp for r in rows)
 
+    # -- lifecycle ---------------------------------------------------------------
+
+    def _check_tables_for_rewrite(self) -> None:
+        """The append/compact precondition (the lsh_serving stance): both
+        tables cleanly ``tp=``-partitioned, or BOTH absent (a fresh ingest
+        target — an empty initial save whose sidecar ``load()`` vouched
+        for; the first append populates it). Any other state — one table
+        missing, flat files, or a mixed layout — is corruption and is
+        refused loudly instead of silently rewritten."""
+        from .._fsutil import dir_layout
+
+        layouts = {
+            sub: dir_layout(self.spark, self.path + sub, "tp")
+            for sub in ("/postings", "/terms")
+        }
+        if all(v is None for v in layouts.values()):
+            return
+        for sub, layout in layouts.items():
+            if layout != "partitioned":
+                raise ValueError(
+                    f"BM25 artifact at {self.path!r} has a "
+                    f"{'missing' if layout is None else layout} "
+                    f"{sub[1:]} table — corrupt or partially deleted; "
+                    "re-create it with save_bm25_index first"
+                )
+
+    def append(self, new_docs: DataFrame,
+               text_col: str = "text") -> "Bm25Index":
+        """Incremental ingest into the serving artifact — EXACT: because
+        the sidecar stores ``(n_docs, total_dl)`` and the terms table is
+        additive in ``df``, every stat behind a BM25 score merges by
+        bigint addition, so queries after an append RANK identically to a
+        full re-save over the union corpus (tested, including the
+        avgdl/idf shift the new docs induce on OLD docs' scores): the
+        per-term double contributions and the integer ``_score_key`` are
+        bit-equal; only the convenience double ``score``'s float-sum
+        combine order can differ between the two file layouts. The batch's postings land as new files inside their
+        existing ``tp=`` partition directories; nothing existing is
+        rewritten. Assumes fresh batch ids (dedup against the lake first
+        — ``incremental_exact_dedup`` — when ingest can replay): a
+        re-appended doc would double its postings and df. The batch's id
+        column TYPE must match the sidecar stamp (ADVICE r10's
+        schema-drift refusal: a drifted type would write mismatched
+        physical parquet into the tables before any error). After many
+        ingests run ``compact`` to restore few-files-per-partition scans
+        and collapse the additive terms rows."""
+        self._check_tables_for_rewrite()
+        got = new_docs.schema[self.id_col].dataType.simpleString()
+        if got != self.id_type:
+            raise ValueError(
+                f"appended batch id column {self.id_col!r} is {got}, but "
+                f"the artifact was saved with {self.id_type} — cast the "
+                "batch (schema drift would corrupt the saved layout)"
+            )
+        base = new_docs.select(
+            F.col(self.id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+        )
+        dl = base.select("id", F.size("t").alias("dl"))
+        tf = (
+            base.select("id", F.explode("t").alias("term"))
+            .groupBy("id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        # batch stats FIRST (no side effects if the batch is malformed)
+        stats = dl.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("t"),
+        ).head()
+        from .lsh_serving import write_serving_table
+
+        postings = tf.join(dl, "id").select(
+            _tp_col("term", self.partitions).alias("tp"),
+            "term", F.col("id").alias(self.id_col), "tf", "dl",
+        )
+        write_serving_table(postings, self.path + "/postings", "tp", "term",
+                            mode="append")
+        terms = tf.groupBy("term").agg(F.count("*").alias("df")).select(
+            _tp_col("term", self.partitions).alias("tp"), "term", "df"
+        )
+        write_serving_table(terms, self.path + "/terms", "tp", "term",
+                            mode="append")
+        self.n_docs += int(stats.n or 0)
+        self.total_dl += int(stats.t or 0)
+        self.avgdl = (self.total_dl / self.n_docs) if self.n_docs else 0.0
+        _write_bm25_sidecar(self.spark, self.path, self.partitions,
+                            self.n_docs, self.total_dl,
+                            self.id_type, self.id_col)
+        # memoized relations hold the pre-append file index — drop them
+        self._postings_df = self._terms_df = None
+        return self
+
+    def refresh(self) -> "Bm25Index":
+        """Resync with an EXTERNAL writer appending (or re-saving) at this
+        path: re-reads the sidecar — scoring stats move WITH the file
+        listings, which is why a listings-only refresh was refused in
+        round 10 — and drops the memoized table relations so the next
+        query lists the grown artifact. Equivalent to a fresh ``load()``
+        minus object churn."""
+        s, total_dl = self._read_sidecar(self.spark, self.path)
+        self.partitions = int(s.partitions)
+        self.n_docs = int(s.n_docs)
+        self.total_dl = total_dl
+        self.avgdl = (self.total_dl / self.n_docs) if self.n_docs else 0.0
+        self.id_col, self.id_type = s.id_col, s.id_type
+        self._postings_df = self._terms_df = None
+        return self
+
+    def compact(self, dest_path: str, rows_per_file: int = 1_000_000) -> int:
+        """Offline small-file compaction to a NEW path (the cutover
+        contract: callers repoint serving at ``dest_path`` only after this
+        returns; the source is never mutated, rollback is free). Postings
+        are re-sorted within their partitions and rewritten at
+        ~``rows_per_file`` per file; the additive terms rows collapse back
+        to one ``(term, df)`` row each; the sidecar is carried verbatim.
+        Returns the compacted artifact's posting-row count (counted at
+        dest — the completeness certification)."""
+        self._check_tables_for_rewrite()
+        from .lsh_serving import write_serving_table
+
+        dest = dest_path.rstrip("/")
+        write_serving_table(self._postings(), dest + "/postings", "tp",
+                            "term", rows_per_file=rows_per_file)
+        terms = self._terms().groupBy("tp", "term").agg(
+            F.sum("df").alias("df")
+        ).select("tp", "term", "df")
+        write_serving_table(terms, dest + "/terms", "tp", "term",
+                            rows_per_file=rows_per_file)
+        self.spark.read.parquet(self.path + "/_bm25").coalesce(1)\
+            .write.mode("overwrite").parquet(dest + "/_bm25")
+        return Bm25Index.load(self.spark, dest)._postings().count()
+
+    # -- queries -----------------------------------------------------------------
+
     def search(
         self,
         query_terms: Sequence[str],
@@ -305,9 +476,11 @@ class Bm25Index:
         post = self._postings().filter(
             F.col("tp").isin(tps) & F.col("term").isin(terms)
         )
+        # terms rows are ADDITIVE across appends — sum per term (identity
+        # on a freshly-saved or compacted artifact; the pruned set is tiny)
         dfreq = self._terms().filter(
             F.col("tp").isin(tps) & F.col("term").isin(terms)
-        ).select("term", F.col("df").alias("df_"))
+        ).groupBy("term").agg(F.sum("df").alias("df_"))
         idf = F.log(
             F.lit(1.0)
             + (F.lit(self.n_docs) - F.col("df_") + F.lit(0.5))
@@ -376,9 +549,11 @@ class Bm25Index:
             F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(self.avgdl)
         )
         contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+        # additive terms rows -> per-term df sum (see search())
+        dfreq = dfreq.groupBy("term").agg(F.sum("df").alias("df"))
         scored = (
             qt.join(post, "term")
-            .join(F.broadcast(dfreq.select("term", "df")), "term")
+            .join(F.broadcast(dfreq), "term")
             .withColumn("_c", contrib)
             .groupBy("query_id", self.id_col)
             .agg(

@@ -155,6 +155,134 @@ def test_bm25_index_load_refusals_and_empty(spark, tmp_path):
     assert idx.search(["anything"], k=3).collect() == []
 
 
+# ---------------------------------------------------------------------------
+# BM25 serving lifecycle (round 11): append / refresh / compact — the
+# Bm25Index twin of the LshServingIndex lifecycle, exact by integer stats
+# ---------------------------------------------------------------------------
+
+def _rand_docs(spark, seed, n, id_start=0, vocab=120, doc_len=40):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(id_start + i,
+             " ".join(f"w{rng.randrange(vocab)}" for _ in range(doc_len)))
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _topk(idx_or_df, terms, k=8):
+    rows = (idx_or_df.search(terms, k=k)
+            if hasattr(idx_or_df, "search") else idx_or_df).collect()
+    return [(r.doc_id, round(r.score, 6)) for r in rows]
+
+
+def test_bm25_append_matches_rebuild(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.search import Bm25Index, save_bm25_index
+
+    a = _rand_docs(spark, 11, 40)
+    b = _rand_docs(spark, 12, 25, id_start=40)
+    idx = _served_bm25(spark, tmp_path, a)
+    pre = _topk(idx, ["w1", "w2"])
+    idx.append(b)
+    rebuilt_path = str(tmp_path / "rebuilt")
+    save_bm25_index(a.unionByName(b), rebuilt_path, partitions=16)
+    rebuilt = Bm25Index.load(spark, rebuilt_path)
+    # exact integer stats merged == recomputed
+    assert (idx.n_docs, idx.total_dl) == (rebuilt.n_docs, rebuilt.total_dl)
+    assert idx.avgdl == rebuilt.avgdl
+    for terms in (["w1", "w2"], ["w7"], ["w3", "absentterm"]):
+        assert _topk(idx, terms) == _topk(rebuilt, terms)
+    # the append moved OLD docs' scores too (avgdl/idf shift) — stats are
+    # live, not frozen at save time
+    assert _topk(idx, ["w1", "w2"]) != pre
+
+
+def test_bm25_append_refuses_id_type_drift(spark, tmp_path):
+    idx = _served_bm25(spark, tmp_path, _rand_docs(spark, 13, 10))
+    drifted = spark.createDataFrame([(99, "w1 w2")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="schema drift"):
+        idx.append(drifted)
+
+
+def test_bm25_append_refuses_corrupt_layout(spark, tmp_path):
+    import shutil
+
+    idx = _served_bm25(spark, tmp_path, _rand_docs(spark, 14, 10))
+    shutil.rmtree(idx.path + "/terms")
+    with pytest.raises(ValueError, match="missing terms"):
+        idx.append(_rand_docs(spark, 15, 5, id_start=10))
+
+
+def test_bm25_external_append_then_refresh(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.search import Bm25Index
+
+    a = _rand_docs(spark, 16, 30)
+    b = _rand_docs(spark, 17, 20, id_start=30)
+    writer = _served_bm25(spark, tmp_path, a)
+    reader = Bm25Index.load(spark, writer.path)  # second instance, same path
+    reader.search(["w1"], k=3).collect()  # memoize the pre-append listing
+    writer.append(b)
+    reader.refresh()
+    fresh = Bm25Index.load(spark, writer.path)
+    assert (reader.n_docs, reader.total_dl) == (fresh.n_docs, fresh.total_dl)
+    for terms in (["w1", "w2"], ["w9"]):
+        assert _topk(reader, terms) == _topk(fresh, terms)
+
+
+def test_bm25_compact_identity_and_collapse(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.search import Bm25Index
+
+    idx = _served_bm25(spark, tmp_path, _rand_docs(spark, 18, 30))
+    idx.append(_rand_docs(spark, 19, 15, id_start=30))
+    idx.append(_rand_docs(spark, 20, 15, id_start=45))
+    n_post = idx._postings().count()
+    dest = str(tmp_path / "compacted")
+    assert idx.compact(dest) == n_post
+    cidx = Bm25Index.load(spark, dest)
+    for terms in (["w1", "w2"], ["w5", "w11"]):
+        assert _topk(cidx, terms) == _topk(idx, terms)
+    # additive terms rows collapsed back to one per term
+    t = cidx._terms().groupBy("term").count().agg(F.max("count")).head()[0]
+    assert t == 1
+    assert idx._terms().groupBy("term").count().agg(F.max("count")).head()[0] > 1
+
+
+def test_bm25_append_populates_fresh_ingest_target(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.search import Bm25Index, save_bm25_index
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    path = str(tmp_path / "fresh")
+    save_bm25_index(empty, path, partitions=8)
+    idx = Bm25Index.load(spark, path)
+    docs = _rand_docs(spark, 21, 20)
+    idx.append(docs)
+    direct_path = str(tmp_path / "direct")
+    save_bm25_index(docs, direct_path, partitions=8)
+    direct = Bm25Index.load(spark, direct_path)
+    assert _topk(idx, ["w1", "w3"]) == _topk(direct, ["w1", "w3"])
+
+
+def test_bm25_v1_sidecar_back_compat(spark, tmp_path):
+    """An artifact stamped by the round-10 writer (no total_dl field) loads
+    with total_dl reconstructed exactly from avgdl * n_docs, and the full
+    lifecycle (search + append) works on top of it."""
+    from pyspark_minhash_lsh_spark.operators.search import Bm25Index
+
+    docs = _rand_docs(spark, 22, 25)
+    idx = _served_bm25(spark, tmp_path, docs)
+    true_total = idx.total_dl
+    spark.createDataFrame(
+        [(1, idx.partitions, idx.n_docs, idx.avgdl, idx.id_type, idx.id_col)],
+        "version int, partitions int, n_docs bigint, avgdl double, "
+        "id_type string, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(idx.path + "/_bm25")
+    v1 = Bm25Index.load(spark, idx.path)
+    assert v1.total_dl == true_total
+    assert _topk(v1, ["w1", "w4"]) == _topk(idx, ["w1", "w4"])
+    v1.append(_rand_docs(spark, 23, 10, id_start=25))
+    assert v1.n_docs == 35
+
+
 # ---------------------------------------------------------------- rrf_fuse
 
 
