@@ -4340,7 +4340,12 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       - bm25_serving (round 10): SELF-CHECKING saved==live witness for
         the lexical family — saved-artifact top-10 joined against
         bm25_search's top-10 on (id, rounded score); any divergence
-        shrinks n_rows/f1 below 10 (tests/test_search.py)."""
+        shrinks n_rows/f1 below 10 (tests/test_search.py);
+      - mmr_rerank (round 11): MMR diversity rerank over the exact
+        cosine top-20 — SELF-CHECKING at the lambda=1 endpoint, where
+        the greedy must reproduce the relevance ranking rank-for-rank
+        (divergence shrinks n_rows below 10); the diversity-active dial
+        is closed-form-pinned in tests/test_rerank.py."""
     from .operators.ivf import IvfFlat
     from .operators.minhash_lsh import MinHashLSH
     from .operators.pq import fit_pq
@@ -4594,6 +4599,48 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_serving", F.count(F.lit(1)), F.sum("score"),
     )
 
+    # mmr_rerank (round 11): MMR diversity rerank (operators/rerank.py)
+    # over the exact cosine top-20 for the fixed query — SELF-CHECKING:
+    # at lambda=1 the greedy objective reduces to pure relevance, so the
+    # reranked (vec_id, mmr_rank) must match the exact ranking
+    # rank-for-rank; the leg joins the two and any selection or ordering
+    # divergence shrinks n_rows below 10 (driver-visible). f1 = id sum of
+    # the agreeing rows, f2 = their cosine sum. The diversity-active side
+    # of the dial (closed-form selections, duplicate demotion,
+    # determinism under repartitioning) is pinned in tests/test_rerank.py.
+    from .operators.rerank import mmr_rerank
+
+    cand20 = (
+        corpus.select(
+            "vec_id",
+            _cos(F.col("embedding"),
+                 F.array(*[F.lit(float(x)) for x in qvec])).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(20)
+    )
+    mmr1 = mmr_rerank(
+        cand20, emb, n=10, lambda_=1.0,
+        id_col="vec_id", score_col="score", vec_col="embedding",
+    )
+    exact10 = (
+        cand20.withColumn(
+            "rank",
+            F.row_number().over(
+                _W.partitionBy(F.lit(1)).orderBy(
+                    F.desc("score"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "rank")
+    )
+    leg_mmr = _suite_row(
+        mmr1.select("vec_id", "mmr_rank", "score")
+        .join(exact10, "vec_id")
+        .filter(F.col("mmr_rank") == F.col("rank")),
+        "mmr_rerank", F.sum("vec_id"), F.sum("score"),
+    )
+
     return (
         leg_bk.unionByName(leg_fs).unionByName(leg_128)
         .unionByName(leg_srp).unionByName(leg_ivf).unionByName(leg_ba)
@@ -4601,6 +4648,7 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg_rs).unionByName(leg_rp).unionByName(leg_cs)
         .unionByName(leg_sq).unionByName(leg_mrl).unionByName(leg_fa)
         .unionByName(leg_fta).unionByName(leg_srv).unionByName(leg_bm)
+        .unionByName(leg_mmr)
     )
 
 

@@ -1,0 +1,175 @@
+"""Post-retrieval rerankers over bounded candidate lists.
+
+``mmr_rerank`` — Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR
+1998): greedily re-orders a retrieval candidate list to trade relevance
+against redundancy, so a result page (or a RAG context window) is not five
+near-identical copies of the best hit. The standard post-pass over any of
+the serving answers (``Bm25Index.search``, ``LshServingIndex.topk``,
+``IvfPqIndex.topk``, or an ``rrf_fuse`` hybrid).
+
+Scale posture: MMR is inherently sequential-greedy over ONE query's
+candidates, so the right distributed shape is "bounded per-query group
+through one Arrow batch" — candidates are capped per query (default 1000)
+BEFORE their embeddings attach (id-keyed join; the corpus-sized embedding
+table is never shuffled — the bounded candidate side broadcasts), and the
+greedy loop runs vectorized in numpy inside ``applyInPandas``, one group
+per query. A whole query batch reranks in a single pass; nothing
+corpus-sized moves. This is the sanctioned Pandas-UDF tier (SURVEY §6):
+the operator's semantics (data-dependent greedy selection) are not
+expressible as a fixed relational plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, StructField, StructType,
+)
+
+__all__ = ["mmr_rerank"]
+
+
+def _mmr_order(rel, vecs, n, lam):
+    """Greedy MMR over one candidate group (pure function, unit-testable).
+
+    ``rel``: relevance in input order; ``vecs``: list of embedding lists
+    (None = unknown vector -> zero redundancy); rows are assumed already
+    sorted (score desc, id asc) — ties in the greedy objective resolve to
+    the FIRST row in that order, making selection deterministic.
+    Returns (selected_indices, mmr_scores).
+    """
+    import numpy as np
+
+    m = len(rel)
+    if m == 0:
+        return [], []
+    dim = max((len(v) for v in vecs if v is not None), default=0)
+    V = np.zeros((m, dim or 1), dtype=np.float64)
+    for i, v in enumerate(vecs):
+        if v is not None and len(v):
+            V[i, : len(v)] = np.asarray(v, dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    nz = norms > 0.0
+    V[nz] = V[nz] / norms[nz, None]  # zero-norm rows stay zero -> cos 0
+
+    r = np.asarray(rel, dtype=np.float64)
+    # min-max normalize relevance into [0,1] so lambda trades against a
+    # cosine-scaled redundancy regardless of the scorer's native scale
+    # (BM25 sums, integer rrf keys, cosines all flow through unchanged)
+    span = float(r.max() - r.min())
+    rn = (r - float(r.min())) / span if span > 0.0 else np.zeros(m)
+
+    selected: "list[int]" = []
+    scores: "list[float]" = []
+    max_sim = np.zeros(m)  # max cosine to any selected row, so far
+    remaining = np.ones(m, dtype=bool)
+    for _ in range(min(n, m)):
+        value = lam * rn - (1.0 - lam) * max_sim
+        value[~remaining] = -np.inf
+        # first occurrence of the max = first row in (score desc, id asc)
+        # order among ties — deterministic by construction
+        pick = int(np.argmax(value))
+        selected.append(pick)
+        scores.append(float(value[pick]))
+        remaining[pick] = False
+        sims = V @ V[pick]
+        np.maximum(max_sim, sims, out=max_sim)
+    return selected, scores
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    n: int = 10,
+    lambda_: float = 0.5,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+    query_cols: Sequence[str] = (),
+    max_candidates: int = 1000,
+) -> DataFrame:
+    """Top-``n`` per query by greedy MMR: each step selects the remaining
+    candidate maximizing ``lambda * rel - (1 - lambda) * max_sim_to_
+    selected`` where ``rel`` is the min-max-normalized ``score_col`` and
+    similarity is cosine over ``vec_col`` (attached by ``id_col`` join;
+    a candidate with no embedding row, or a zero vector, contributes zero
+    redundancy and competes on relevance alone — dropping it silently
+    would un-retrieve a hit the scorer ranked). ``lambda=1`` reproduces
+    the relevance order; ``lambda=0`` is pure diversification (after the
+    relevance-top first pick). The first selection is always the
+    relevance top-1, so MMR never changes WHAT is best, only what
+    accompanies it.
+
+    ``query_cols`` partitions a whole batch into per-query groups (one
+    pass). Candidates are capped at ``max_candidates`` per query by
+    (score desc, id asc) before any embedding attaches — the bound that
+    keeps each Arrow group and its O(C^2-ish) greedy loop small. Output:
+    (query_cols..., id, score, mmr_rank, mmr_score) ordered by
+    (query_cols..., mmr_rank); ties at every stage resolve by
+    (score desc, id asc) — deterministic under any partitioning
+    (tested). ``mmr_score`` is the objective VALUE at selection time
+    (informational; selection itself is the contract)."""
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    if n < 1 or max_candidates < 1:
+        raise ValueError("n and max_candidates must be >= 1")
+    for c in (id_col, score_col):
+        if c not in candidates.columns:
+            raise ValueError(f"candidates lacks column {c!r}")
+    for c in query_cols:
+        if c not in candidates.columns:
+            raise ValueError(f"candidates lacks query column {c!r}")
+    if id_col not in embeddings.columns or vec_col not in embeddings.columns:
+        raise ValueError(
+            f"embeddings must carry {id_col!r} and {vec_col!r}"
+        )
+    from pyspark.sql import Window
+
+    qc = list(query_cols)
+    grp = qc or ["_mmr_all"]
+    cand = candidates
+    if not qc:
+        cand = cand.withColumn("_mmr_all", F.lit(1))
+    w = Window.partitionBy(*grp).orderBy(F.desc(score_col), F.asc(id_col))
+    cand = (
+        cand.withColumn("_mmr_r", F.row_number().over(w))
+        .filter(F.col("_mmr_r") <= max_candidates)
+        .select(*grp, id_col, F.col(score_col).cast("double").alias("_mmr_s"),
+                "_mmr_r")
+    )
+    # id-keyed attach; candidate side is bounded (<= queries x cap) so AQE
+    # broadcasts it — the corpus embedding table is scanned, never shuffled
+    emb = embeddings.select(id_col, F.col(vec_col).alias("_mmr_v"))
+    joined = cand.join(emb, id_col, "left")
+
+    in_schema = dict(zip(candidates.schema.names, candidates.schema.fields))
+    out_fields = [in_schema[c] for c in qc] + [
+        in_schema[id_col],
+        StructField(score_col, DoubleType()),
+        StructField("mmr_rank", IntegerType()),
+        StructField("mmr_score", DoubleType()),
+    ]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType) for f in out_fields]
+    )
+    lam, top = float(lambda_), int(n)
+
+    def rerank_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_mmr_r", kind="mergesort")
+        sel, scores = _mmr_order(
+            pdf["_mmr_s"].tolist(), pdf["_mmr_v"].tolist(), top, lam
+        )
+        out = pdf.iloc[sel][[*qc, id_col, "_mmr_s"]].rename(
+            columns={"_mmr_s": score_col}
+        )
+        out["mmr_rank"] = pd.array(range(1, len(sel) + 1), dtype="int32")
+        out["mmr_score"] = scores
+        return out
+
+    out = joined.groupBy(*grp).applyInPandas(rerank_group, out_schema)
+    return out.orderBy(*qc, "mmr_rank")

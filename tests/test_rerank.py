@@ -1,0 +1,177 @@
+"""MMR diversity rerank (operators/rerank.py): closed-form selections,
+the lambda dial's two endpoints, missing-embedding semantics, batch
+grouping, the candidate cap, and determinism under repartitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_minhash_lsh_spark.operators.rerank import _mmr_order, mmr_rerank
+
+
+def _cands(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _embs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+
+
+@pytest.fixture()
+def abc(spark):
+    """A and B are duplicate vectors; C is orthogonal. Scores A > B >> C."""
+    cands = _cands(spark, [(1, 3.0), (2, 2.9), (3, 1.0)])
+    embs = _embs(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])])
+    return cands, embs
+
+
+def _order(df):
+    return [r.doc_id for r in df.collect()]
+
+
+def test_mmr_demotes_the_near_duplicate(spark, abc):
+    cands, embs = abc
+    # hand-computed (lambda=0.5): pick A (rel top); then C's 0.0 beats B's
+    # 0.475 - 0.5*cos(B,A)= -0.025; B last
+    assert _order(mmr_rerank(cands, embs, n=3, lambda_=0.5)) == [1, 3, 2]
+
+
+def test_lambda_one_is_relevance_order(spark, abc):
+    cands, embs = abc
+    assert _order(mmr_rerank(cands, embs, n=3, lambda_=1.0)) == [1, 2, 3]
+
+
+def test_lambda_zero_is_pure_diversification(spark, abc):
+    cands, embs = abc
+    # first pick still the relevance top (all objective values are 0 and
+    # ties resolve to score desc); then the orthogonal C, then B
+    assert _order(mmr_rerank(cands, embs, n=3, lambda_=0.0)) == [1, 3, 2]
+
+
+def test_missing_embedding_competes_on_relevance(spark, abc):
+    cands, embs = abc
+    cands = cands.unionByName(_cands(spark, [(4, 2.95)]))
+    # doc 4 has no embedding row: zero redundancy, rel_norm 0.975 ->
+    # value 0.4875 after A — beats C (0.0) and B (-0.025)
+    assert _order(mmr_rerank(cands, embs, n=4, lambda_=0.5)) == [1, 4, 3, 2]
+
+
+def test_max_candidates_caps_by_score(spark, abc):
+    cands, embs = abc
+    # cap 2 keeps only A, B — C never enters the greedy pool
+    assert _order(mmr_rerank(cands, embs, n=3, lambda_=0.5,
+                             max_candidates=2)) == [1, 2]
+
+
+def test_output_columns_and_ranks(spark, abc):
+    cands, embs = abc
+    rows = mmr_rerank(cands, embs, n=2, lambda_=0.5).collect()
+    assert [r.mmr_rank for r in rows] == [1, 2]
+    assert rows[0].score == 3.0
+    # first pick's objective value is lambda * 1.0 (rel_norm top)
+    assert rows[0].mmr_score == pytest.approx(0.5)
+
+
+def test_batch_matches_per_query(spark):
+    import random
+
+    rng = random.Random(31)
+    cands_rows, emb_rows = [], []
+    for qid in (1, 2, 3):
+        for i in range(12):
+            did = qid * 100 + i
+            cands_rows.append((qid, did, round(rng.uniform(0, 5), 3)))
+            emb_rows.append((did, [rng.uniform(-1, 1) for _ in range(4)]))
+    cands = spark.createDataFrame(
+        cands_rows, "query_id int, doc_id bigint, score double")
+    embs = _embs(spark, emb_rows)
+    batch = {
+        (r.query_id, r.mmr_rank): r.doc_id
+        for r in mmr_rerank(cands, embs, n=5, lambda_=0.6,
+                            query_cols=["query_id"]).collect()
+    }
+    for qid in (1, 2, 3):
+        single = _order(mmr_rerank(
+            cands.filter(F.col("query_id") == qid).drop("query_id"),
+            embs, n=5, lambda_=0.6))
+        assert [batch[(qid, rk)] for rk in range(1, 6)] == single
+
+
+def test_deterministic_under_repartition(spark):
+    import random
+
+    rng = random.Random(32)
+    cands = _cands(spark, [(i, round(rng.uniform(0, 1), 6))
+                           for i in range(60)])
+    embs = _embs(spark, [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                         for i in range(60)])
+    a = _order(mmr_rerank(cands, embs, n=10, lambda_=0.4))
+    b = _order(mmr_rerank(cands.repartition(7), embs.repartition(5),
+                          n=10, lambda_=0.4))
+    assert a == b and len(a) == 10
+
+
+def test_spark_plumbing_matches_direct_greedy(spark):
+    """The Spark path (cap, join, Arrow group) reproduces _mmr_order run
+    directly on the same (score desc, id asc)-sorted inputs."""
+    import random
+
+    rng = random.Random(33)
+    rows = [(i, round(rng.uniform(0, 2), 4)) for i in range(25)]
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(25)}
+    cands, embs = _cands(spark, rows), _embs(spark, list(vecs.items()))
+    got = _order(mmr_rerank(cands, embs, n=8, lambda_=0.3))
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    sel, _ = _mmr_order([s for _, s in ordered],
+                        [vecs[i] for i, _ in ordered], 8, 0.3)
+    assert got == [ordered[i][0] for i in sel]
+
+
+def test_zero_and_absent_vectors_are_orthogonal(spark):
+    cands = _cands(spark, [(1, 2.0), (2, 1.9), (3, 1.8)])
+    embs = _embs(spark, [(1, [0.0, 0.0]), (2, [0.0, 0.0])])
+    # zero-norm and missing vectors all contribute zero redundancy:
+    # pure relevance order, no NaNs
+    out = mmr_rerank(cands, embs, n=3, lambda_=0.5)
+    assert _order(out) == [1, 2, 3]
+    assert all(r.mmr_score == r.mmr_score for r in out.collect())  # no NaN
+
+
+def test_validation(spark, abc):
+    cands, embs = abc
+    with pytest.raises(ValueError, match="lambda_"):
+        mmr_rerank(cands, embs, lambda_=1.5)
+    with pytest.raises(ValueError, match="n and max_candidates"):
+        mmr_rerank(cands, embs, n=0)
+    with pytest.raises(ValueError, match="lacks column"):
+        mmr_rerank(cands.drop("score"), embs)
+    with pytest.raises(ValueError, match="embeddings must carry"):
+        mmr_rerank(cands, embs.drop("embedding"))
+    with pytest.raises(ValueError, match="lacks query column"):
+        mmr_rerank(cands, embs, query_cols=["nope"])
+
+
+def test_rerank_over_real_serving_answer(spark, tmp_path):
+    """Integration: MMR over a saved-artifact BM25 answer joined to a tiny
+    embedding table — the serving composition the operator exists for."""
+    from pyspark_minhash_lsh_spark.operators.search import (
+        Bm25Index, save_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins and shuffles"),
+         (2, "spark joins and shuffles"),          # exact dup of 1
+         (3, "window functions in spark"),
+         (4, "completely unrelated cooking recipe")],
+        "doc_id bigint, text string",
+    )
+    embs = _embs(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.0]),
+                         (3, [0.0, 1.0]), (4, [0.0, 1.0])])
+    path = str(tmp_path / "bm")
+    save_bm25_index(docs, path, partitions=4)
+    hits = Bm25Index.load(spark, path).search(["spark", "joins"], k=4)
+    # diversity-heavy lambda: doc 2 (exact dup of the top hit, cosine 1)
+    # pays -0.8 redundancy and falls behind the orthogonal doc 3
+    out = _order(mmr_rerank(hits, embs, n=3, lambda_=0.2))
+    assert out == [1, 3, 2]
