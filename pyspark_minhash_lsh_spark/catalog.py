@@ -3266,6 +3266,89 @@ def q63_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q93_bm25_rm3",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKENS} AS t FROM documents),
+    dl AS (SELECT id, len(t) AS dl FROM tok),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    ex AS (SELECT id, unnest(t) AS term FROM tok),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+    -- first pass: the original query's order-independent integer ranking
+    -- key (the q63 construction), top-5 feedback docs
+    tf1 AS (SELECT * FROM tf WHERE term IN ('spark', 'window')),
+    df1 AS (SELECT term, COUNT(*) AS df_ FROM tf1 GROUP BY 1),
+    sc1 AS (
+      SELECT tf1.id,
+             CAST(SUM(CAST(FLOOR(
+                  ln(1.0 + (stats.n_docs - df1.df_ + 0.5) / (df1.df_ + 0.5))
+                  * (tf1.tf * 2.2)
+                  / (tf1.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                  * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sk
+      FROM tf1 JOIN df1 USING (term) JOIN dl USING (id) CROSS JOIN stats
+      GROUP BY 1),
+    fb AS (SELECT id, sk FROM sc1 ORDER BY sk DESC, id ASC LIMIT 5),
+    -- RM1 relevance model: exact integer (tf * sk) div dl summed per term
+    wrm AS (SELECT term,
+                   CAST(SUM((tf.tf * fb.sk) // dl.dl) AS BIGINT) AS w_rm
+            FROM tf JOIN fb USING (id) JOIN dl USING (id)
+            GROUP BY term ORDER BY w_rm DESC, term ASC LIMIT 8),
+    wtot AS (SELECT CAST(SUM(w_rm) AS BIGINT) AS w FROM wrm),
+    qt AS (SELECT UNNEST(['spark', 'window']) AS term),
+    -- RM3 interpolation, float-op-for-float-op what the engine computes:
+    -- orig_weight/|Q| for original terms + (1-orig_weight)*(w_rm/W)
+    wts AS (SELECT COALESCE(q.term, w.term) AS term,
+                   COALESCE(CASE WHEN q.term IS NOT NULL
+                            THEN 0.5 / 2.0 END, 0.0)
+                   + COALESCE(CASE WHEN wtot.w > 0
+                              THEN 0.5 * (w.w_rm / wtot.w) END, 0.0) AS wt
+            FROM qt q FULL JOIN wrm w ON q.term = w.term CROSS JOIN wtot),
+    -- weighted second pass: weight multiplies the completed per-term
+    -- contribution inside the x10^6 per-term rounding
+    tf2 AS (SELECT tf.id, tf.term, tf.tf, wts.wt
+            FROM tf JOIN wts ON tf.term = wts.term),
+    df2 AS (SELECT term, COUNT(*) AS df_ FROM tf2 GROUP BY 1),
+    sc2 AS (
+      SELECT tf2.id,
+             CAST(SUM(CAST(FLOOR(
+                  tf2.wt *
+                  (ln(1.0 + (stats.n_docs - df2.df_ + 0.5) / (df2.df_ + 0.5))
+                   * (tf2.tf * 2.2)
+                   / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+                  * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sk,
+             CAST(SUM(tf2.tf) AS BIGINT) AS sum_tf,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(MAX(dl.dl) AS BIGINT) AS dl
+      FROM tf2 JOIN df2 USING (term) JOIN dl ON dl.id = tf2.id
+      CROSS JOIN stats GROUP BY 1)
+    SELECT id AS doc_id, sum_tf, n_terms, dl
+    FROM sc2 ORDER BY sk DESC, id ASC LIMIT 10
+    """,
+)
+def q93_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + RM3 pseudo-relevance feedback (round 11): query
+    ['spark', 'window'], 5 feedback docs, 8 expansion terms,
+    orig_weight 0.5 — the full two-pass loop hash-witnessed: first-pass
+    ranking, the EXACT INTEGER relevance-model weights
+    ((tf * score_key) div dl summed per term — no float sum ever ranks),
+    the float interpolation (replayed operation-for-operation in SQL:
+    every weight is the same IEEE double in both engines because its
+    inputs are exact integers and the expression order is pinned), and
+    the weighted second pass through bm25_search(term_weights=). The
+    hash surface carries q63's integer facets (sum_tf, n_terms, dl) —
+    the transcendental score never reaches the driver's hash."""
+    from .operators.search import bm25_search_rm3
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_search_rm3(
+        docs, ["spark", "window"], k=10, fb_docs=5, fb_terms=8,
+        orig_weight=0.5, with_stats=True,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "sum_tf", "n_terms", "dl"
+    )
+
+
+@query(
     "q64_incremental_dedup",
     oracle=f"""
     WITH new_batch AS (
@@ -4902,6 +4985,12 @@ _CURATED_ORDER = [
     # extends the curated surface to 51 rows rather than retiring a
     # non-redundant row).
     "q92_rrf_fusion",
+    # -- block 1h: round-11 addition — BM25 + RM3 pseudo-relevance feedback
+    # (new operator class: two-pass retrieval with exact-integer
+    # relevance-model weights and a replayed float interpolation; extends
+    # the curated surface to 52 rows — like q92, no remaining relational
+    # row is redundant enough to retire for it).
+    "q93_bm25_rm3",
     # -- block 1c: restored from r06 diagnostic parking (driver-green in r05) ------
     "q09_supplier_part_volume",
     "q11_customer_running_total",

@@ -27,18 +27,23 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_search", "save_bm25_index", "Bm25Index", "rrf_fuse", "RRF_SCALE"]
+__all__ = [
+    "bm25_search", "rm3_expansion_terms", "bm25_search_rm3",
+    "save_bm25_index", "Bm25Index", "rrf_fuse", "RRF_SCALE",
+]
 
 
 def bm25_search(
     df: DataFrame,
-    query_terms: Sequence[str],
+    query_terms: "Sequence[str] | None",
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
     with_stats: bool = False,
+    term_weights: "dict[str, float] | None" = None,
+    with_key: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents by Okapi BM25 over the normalized token stream.
 
@@ -53,10 +58,27 @@ def bm25_search(
     engine-comparable surfaces can pin the postings/df/dl pipeline without
     putting the transcendental ``ln`` score (a 1-ulp libm hazard plus a
     float-sum combine-order hazard) on a hash surface.
+
+    ``term_weights`` (round 11) scores a WEIGHTED query — each term's
+    contribution (and its per-term integer ranking-key summand) multiplied
+    by its weight, the shape an RM3-expanded query needs
+    (``bm25_search_rm3``); when given, ``query_terms`` may be ``None``
+    (the weight keys are the query). Weights ride a broadcast literal
+    frame, never a driver loop. ``with_key`` retains the internal exact
+    integer ``_score_key`` column for compositions that rank downstream
+    (RM3's feedback-document selection) — the same order-independent key
+    the sort already uses.
     """
-    if not query_terms:
-        raise ValueError("query_terms must be non-empty")
-    terms = [t.lower() for t in query_terms]
+    if term_weights is not None:
+        if not term_weights:
+            raise ValueError("term_weights must be non-empty when given")
+        weights = {t.lower(): float(w) for t, w in term_weights.items()}
+        terms = sorted(weights)
+    else:
+        if not query_terms:
+            raise ValueError("query_terms must be non-empty")
+        weights = None
+        terms = [t.lower() for t in query_terms]
 
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
     ex = base.select("id", F.explode("t").alias("term"))
@@ -84,6 +106,16 @@ def bm25_search(
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
     contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    if weights is not None:
+        # weighted query: the weight multiplies the COMPLETED per-term
+        # contribution (one extra double multiply — the parenthesization
+        # the q93 oracle replays), inside the per-term rounding so the
+        # integer ranking key stays order-independent under weighting
+        wdf = df.sparkSession.createDataFrame(
+            [(t, weights[t]) for t in terms], "term string, _w double"
+        )
+        tf = tf.join(F.broadcast(wdf), "term")
+        contrib = F.col("_w") * contrib
 
     aggs = [
         F.sum("_c").alias("score"),
@@ -107,7 +139,7 @@ def bm25_search(
             F.count("*").cast("bigint").alias("n_terms"),
             F.max("dl").cast("bigint").alias("dl"),
         ]
-    return (
+    out = (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "id")
         .crossJoin(F.broadcast(stats))
@@ -116,7 +148,106 @@ def bm25_search(
         .agg(*aggs)
         .orderBy(F.desc("_score_key"), F.asc("id"))
         .limit(k)
-        .drop("_score_key")
+    )
+    return out if with_key else out.drop("_score_key")
+
+
+def rm3_expansion_terms(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (the RM1 relevance model
+    behind RM3, Lavrenko & Croft 2001 / the Anserini BM25+RM3 variant):
+    run the original query, take the top ``fb_docs`` feedback documents,
+    and weight every term they contain by how strongly it co-occurs with
+    relevance. Returns the top ``fb_terms`` rows ``(term, w_rm)``.
+
+    The relevance-model weight is an EXACT INTEGER (the q63 stance —
+    ranking surfaces never ride a float sum): per (term, doc),
+    ``(tf * score_key) div dl`` — tf and dl are the feedback doc's
+    integers, ``score_key`` is the first pass's order-independent x10^6
+    integer ranking key standing in for the document's relevance mass —
+    summed per term as bigint, top-``fb_terms`` by (w_rm desc, term asc).
+    Deterministic in any engine; the q93 oracle replays it in SQL.
+
+    Scale posture: the first pass is ``bm25_search`` (postings pruned to
+    the query's terms before any shuffle); the expansion side joins the
+    corpus to the BROADCAST ≤``fb_docs``-row feedback set BEFORE the
+    token explode, so only feedback documents ever tokenize twice and
+    nothing corpus-sized shuffles."""
+    if fb_docs < 1 or fb_terms < 1:
+        raise ValueError("fb_docs and fb_terms must be >= 1")
+    fb = bm25_search(
+        df, query_terms, k=fb_docs, k1=k1, b=b,
+        text_col=text_col, id_col=id_col, with_key=True,
+    ).select("id", F.col("_score_key").alias("_sk"))
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    ).join(F.broadcast(fb), "id")
+    ex = base.select(
+        "id", "_sk", F.size("t").alias("_dl"), F.explode("t").alias("term")
+    )
+    return (
+        ex.groupBy("id", "term", "_sk", "_dl")
+        .agg(F.count("*").alias("_tf"))
+        .withColumn("_c", F.expr("(_tf * _sk) div _dl"))
+        .groupBy("term")
+        .agg(F.sum("_c").cast("bigint").alias("w_rm"))
+        .orderBy(F.desc("w_rm"), F.asc("term"))
+        .limit(fb_terms)
+    )
+
+
+def bm25_search_rm3(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_stats: bool = False,
+) -> DataFrame:
+    """BM25 with RM3 query expansion: first pass -> relevance-model
+    expansion terms (``rm3_expansion_terms``) -> weighted second pass.
+    Final term weights interpolate the original query and the feedback
+    model: ``orig_weight / |Q|`` for each original term plus
+    ``(1 - orig_weight) * w_rm / sum(w_rm)`` for each expansion term
+    (additive when a term is both — expansion naturally reinforces query
+    terms the feedback documents repeat). The ≤``fb_terms`` expansion
+    rows are the one bounded driver collect; if no feedback document
+    matches (W = 0) the search degrades to the uniformly-weighted
+    original query. Output shape matches ``bm25_search``."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if not 0.0 <= orig_weight <= 1.0:
+        raise ValueError(f"orig_weight must be in [0, 1], got {orig_weight}")
+    qset = sorted({t.lower() for t in query_terms})
+    exp = rm3_expansion_terms(
+        df, qset, fb_docs=fb_docs, fb_terms=fb_terms, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    ).collect()
+    total = sum(r.w_rm for r in exp)
+    # float expression order is part of the contract (the q93 oracle
+    # computes the same doubles): orig part first, then += feedback part
+    weights = {t: orig_weight / len(qset) for t in qset}
+    if total > 0:
+        for r in exp:
+            weights[r.term] = weights.get(r.term, 0.0) + (
+                (1.0 - orig_weight) * (r.w_rm / total)
+            )
+    return bm25_search(
+        df, None, k=k, k1=k1, b=b, text_col=text_col, id_col=id_col,
+        with_stats=with_stats, term_weights=weights,
     )
 
 

@@ -156,6 +156,115 @@ def test_bm25_index_load_refusals_and_empty(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Weighted BM25 + RM3 pseudo-relevance feedback (round 11); the
+# engine-parity check is catalog q93's DuckDB oracle
+# ---------------------------------------------------------------------------
+
+def test_bm25_term_weights_scale_contributions(spark):
+    docs = _docs(spark, [(0, "cat cat dog"), (1, "cat fish"), (2, "dog dog")])
+    plain = {r.id: r.score for r in bm25_search(docs, ["cat"], k=10).collect()}
+    unit = {r.id: r.score
+            for r in bm25_search(docs, None, k=10,
+                                 term_weights={"cat": 1.0}).collect()}
+    assert unit == plain
+    doubled = {r.id: r.score
+               for r in bm25_search(docs, None, k=10,
+                                    term_weights={"cat": 2.0}).collect()}
+    for i, s in plain.items():
+        assert doubled[i] == pytest.approx(2.0 * s)
+
+
+def test_bm25_with_key_exposes_ranking_key(spark):
+    docs = _docs(spark, [(0, "cat dog"), (1, "cat cat")])
+    out = bm25_search(docs, ["cat"], k=2, with_key=True)
+    rows = out.collect()
+    assert "_score_key" in out.columns
+    # key is the x10^6-rounded integer of the (single-term) contribution
+    for r in rows:
+        assert r._score_key == round(r.score * 1_000_000)
+
+
+def test_rm3_expansion_weights_match_manual_arithmetic(spark):
+    """w_rm replays as pure Python over the first pass's outputs: for each
+    feedback doc, (tf * score_key) div dl, summed per term."""
+    from pyspark_minhash_lsh_spark.operators.search import rm3_expansion_terms
+
+    docs = _docs(spark, [
+        (0, "spark shuffle partition shuffle"),
+        (1, "spark shuffle executor"),
+        (2, "python pandas dataframe"),
+        (3, "spark python"),
+    ])
+    fb = bm25_search(docs, ["spark"], k=2, with_key=True).collect()
+    toks = {r.doc_id: r.text.split() for r in docs.collect()}
+    expect: dict = {}
+    for r in fb:
+        tl = toks[r.id]
+        for t in set(tl):
+            expect[t] = expect.get(t, 0) + (tl.count(t) * r._score_key) // len(tl)
+    got = {r.term: r.w_rm
+           for r in rm3_expansion_terms(docs, ["spark"], fb_docs=2,
+                                        fb_terms=10).collect()}
+    top = dict(sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+    assert got == top
+
+
+def test_rm3_retrieves_co_occurrence_only_doc(spark):
+    """The PRF win: a doc sharing only the feedback vocabulary (never the
+    query term) is invisible to plain BM25 but retrieved after RM3."""
+    from pyspark_minhash_lsh_spark.operators.search import bm25_search_rm3
+
+    docs = _docs(spark, [
+        (0, "spark shuffle partition"),
+        (1, "spark shuffle stage"),
+        (2, "shuffle partition stage"),      # no 'spark' anywhere
+        (3, "cooking pasta recipe"),
+    ])
+    plain_ids = {r.id for r in bm25_search(docs, ["spark"], k=10).collect()}
+    assert 2 not in plain_ids
+    rm3_ids = {r.id for r in bm25_search_rm3(
+        docs, ["spark"], k=10, fb_docs=2, fb_terms=5).collect()}
+    assert 2 in rm3_ids and 3 not in rm3_ids
+
+
+def test_rm3_no_feedback_degrades_to_empty(spark):
+    from pyspark_minhash_lsh_spark.operators.search import bm25_search_rm3
+
+    docs = _docs(spark, [(0, "cat dog"), (1, "fish")])
+    assert bm25_search_rm3(docs, ["absentterm"], k=5).collect() == []
+
+
+def test_rm3_orig_weight_one_matches_plain_bm25(spark):
+    """orig_weight=1 zeroes the feedback side; scores scale by 1/|Q| but
+    the ranking must equal plain BM25's."""
+    from pyspark_minhash_lsh_spark.operators.search import bm25_search_rm3
+
+    docs = _docs(spark, [(0, "cat cat dog"), (1, "cat fish dog"),
+                         (2, "dog dog dog"), (3, "fish fish cat")])
+    plain = [r.id for r in bm25_search(docs, ["cat", "dog"], k=4).collect()]
+    rm3 = [r.id for r in bm25_search_rm3(
+        docs, ["cat", "dog"], k=4, fb_docs=2, fb_terms=4,
+        orig_weight=1.0).collect()]
+    assert rm3 == plain
+
+
+def test_rm3_and_weighted_validation(spark):
+    from pyspark_minhash_lsh_spark.operators.search import (
+        bm25_search_rm3, rm3_expansion_terms,
+    )
+
+    docs = _docs(spark, [(0, "cat")])
+    with pytest.raises(ValueError, match="term_weights must be non-empty"):
+        bm25_search(docs, None, term_weights={})
+    with pytest.raises(ValueError, match="query_terms must be non-empty"):
+        bm25_search(docs, None)
+    with pytest.raises(ValueError, match="orig_weight"):
+        bm25_search_rm3(docs, ["cat"], orig_weight=1.5)
+    with pytest.raises(ValueError, match="fb_docs and fb_terms"):
+        rm3_expansion_terms(docs, ["cat"], fb_docs=0)
+
+
+# ---------------------------------------------------------------------------
 # BM25 serving lifecycle (round 11): append / refresh / compact — the
 # Bm25Index twin of the LshServingIndex lifecycle, exact by integer stats
 # ---------------------------------------------------------------------------
