@@ -267,18 +267,25 @@ def bm25_search_rm3(
 _BM25_VERSION = 2
 _BM25_SCHEMA = (
     "version int, partitions int, n_docs bigint, avgdl double, "
-    "id_type string, id_col string, total_dl bigint"
+    "id_type string, id_col string, total_dl bigint, forward int"
 )
 
 
 def _write_bm25_sidecar(spark, path: str, partitions: int, n_docs: int,
-                        total_dl: int, id_type: str, id_col: str) -> None:
+                        total_dl: int, id_type: str, id_col: str,
+                        forward: bool) -> None:
     avgdl = (total_dl / n_docs) if n_docs else 0.0
     spark.createDataFrame(
         [(_BM25_VERSION, int(partitions), int(n_docs), float(avgdl),
-          id_type, id_col, int(total_dl))],
+          id_type, id_col, int(total_dl), int(bool(forward)))],
         _BM25_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_bm25")
+
+
+def _fd_col(id_col: str, partitions: int):
+    """Forward-index partition key: ``pmod(xxhash64(id), P)`` — an RM3
+    feedback fetch touches only its own docs' partitions."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(partitions))
 
 
 def _tp_col(term_col: str, partitions: int):
@@ -293,6 +300,7 @@ def save_bm25_index(
     partitions: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    forward: bool = False,
 ) -> None:
     """Write a SERVING BM25 index: ``bm25_search`` recomputes postings,
     document lengths, and corpus stats from the raw text on every call —
@@ -315,7 +323,14 @@ def save_bm25_index(
     Stats (N, total_dl, df) live beside the tables as exact integers, so
     ``Bm25Index.append`` can ingest incrementally with scoring identical
     to a rebuild; the terms table is ADDITIVE — readers sum ``df`` per
-    term, so an append lands delta rows instead of rewriting."""
+    term, so an append lands delta rows instead of rewriting.
+
+    ``forward=True`` additionally writes ``path/forward/fd=*/`` —
+    ``(term, tf, dl)`` per doc partitioned by ``fd = pmod(xxhash64(id),
+    partitions)`` — the classic forward index enabling serving-side RM3
+    (``Bm25Index.search_rm3``): a feedback fetch reads <= ``fb_docs``
+    partitions instead of scanning every term partition for the docs'
+    rows. Costs one extra copy of the postings bytes; off by default."""
     if partitions < 1:
         raise ValueError("partitions must be >= 1")
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
@@ -342,6 +357,14 @@ def save_bm25_index(
         .write.mode("overwrite").partitionBy("tp")
         .parquet(path.rstrip("/") + "/terms")
     )
+    if forward:
+        from .lsh_serving import write_serving_table
+
+        fwd = tf.join(dl, "id").select(
+            _fd_col("id", partitions).alias("fd"),
+            F.col("id").alias(id_col), "term", "tf", "dl",
+        )
+        write_serving_table(fwd, path.rstrip("/") + "/forward", "fd", id_col)
     # EXACT integer stats (v2): avgdl is derived as total_dl/n_docs — the
     # same correctly-rounded quotient F.avg would produce over these
     # integers, but the integers themselves are what append() merges
@@ -352,7 +375,7 @@ def save_bm25_index(
     id_type = df.schema[id_col].dataType.simpleString()
     _write_bm25_sidecar(df.sparkSession, path, partitions,
                         int(stats.n_docs or 0), int(stats.total_dl or 0),
-                        id_type, id_col)
+                        id_type, id_col, forward)
 
 
 class Bm25Index:
@@ -374,7 +397,8 @@ class Bm25Index:
     (new docs stay ranked; never a crash or a wrong partition)."""
 
     def __init__(self, spark, path: str, partitions: int, n_docs: int,
-                 total_dl: int, id_col: str, id_type: str) -> None:
+                 total_dl: int, id_col: str, id_type: str,
+                 forward: bool = False) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.partitions = int(partitions)
@@ -383,11 +407,13 @@ class Bm25Index:
         self.avgdl = (self.total_dl / self.n_docs) if self.n_docs else 0.0
         self.id_col = id_col
         self.id_type = id_type
+        self.forward = bool(forward)
         # file index listed once per instance (the lsh_serving stance:
         # the artifact is immutable between appends/re-saves; append and
         # refresh drop the memos)
         self._postings_df: "DataFrame | None" = None
         self._terms_df: "DataFrame | None" = None
+        self._forward_df: "DataFrame | None" = None
 
     @staticmethod
     def _read_sidecar(spark, path: str):
@@ -411,13 +437,14 @@ class Bm25Index:
             # exact integers, so the round-trip recovers total_dl exactly
             # (corpora under 2^52 tokens)
             total_dl = int(round(float(s.avgdl) * int(s.n_docs)))
-        return s, int(total_dl)
+        # sidecars stamped before the forward field read as forward-less
+        return s, int(total_dl), bool(getattr(s, "forward", 0) or 0)
 
     @classmethod
     def load(cls, spark, path: str) -> "Bm25Index":
-        s, total_dl = cls._read_sidecar(spark, path)
+        s, total_dl, forward = cls._read_sidecar(spark, path)
         return cls(spark, path, s.partitions, s.n_docs, total_dl,
-                   s.id_col, s.id_type)
+                   s.id_col, s.id_type, forward)
 
     def _read_table(self, sub: str, empty_schema: str) -> DataFrame:
         from pyspark.errors import AnalysisException
@@ -443,6 +470,15 @@ class Bm25Index:
             )
         return self._terms_df
 
+    def _forward(self) -> DataFrame:
+        if self._forward_df is None:
+            self._forward_df = self._read_table(
+                "/forward",
+                f"fd int, {self.id_col} {self.id_type}, term string, "
+                "tf bigint, dl int",
+            )
+        return self._forward_df
+
     def _term_partitions(self, terms: "list[str]") -> "list[int]":
         """tp values of the query's terms — one tiny Spark job over a
         literal frame (xxhash64 is JVM-side; |terms| rows collected)."""
@@ -466,8 +502,9 @@ class Bm25Index:
         from .._fsutil import dir_layout
 
         layouts = {
-            sub: dir_layout(self.spark, self.path + sub, "tp")
-            for sub in ("/postings", "/terms")
+            sub: dir_layout(self.spark, self.path + sub, key)
+            for sub, key in (("/postings", "tp"), ("/terms", "tp"),
+                             *((("/forward", "fd"),) if self.forward else ()))
         }
         if all(v is None for v in layouts.values()):
             return
@@ -535,14 +572,21 @@ class Bm25Index:
         )
         write_serving_table(terms, self.path + "/terms", "tp", "term",
                             mode="append")
+        if self.forward:
+            fwd = tf.join(dl, "id").select(
+                _fd_col("id", self.partitions).alias("fd"),
+                F.col("id").alias(self.id_col), "term", "tf", "dl",
+            )
+            write_serving_table(fwd, self.path + "/forward", "fd",
+                                self.id_col, mode="append")
         self.n_docs += int(stats.n or 0)
         self.total_dl += int(stats.t or 0)
         self.avgdl = (self.total_dl / self.n_docs) if self.n_docs else 0.0
         _write_bm25_sidecar(self.spark, self.path, self.partitions,
                             self.n_docs, self.total_dl,
-                            self.id_type, self.id_col)
+                            self.id_type, self.id_col, self.forward)
         # memoized relations hold the pre-append file index — drop them
-        self._postings_df = self._terms_df = None
+        self._postings_df = self._terms_df = self._forward_df = None
         return self
 
     def refresh(self) -> "Bm25Index":
@@ -552,13 +596,14 @@ class Bm25Index:
         round 10 — and drops the memoized table relations so the next
         query lists the grown artifact. Equivalent to a fresh ``load()``
         minus object churn."""
-        s, total_dl = self._read_sidecar(self.spark, self.path)
+        s, total_dl, forward = self._read_sidecar(self.spark, self.path)
         self.partitions = int(s.partitions)
         self.n_docs = int(s.n_docs)
         self.total_dl = total_dl
         self.avgdl = (self.total_dl / self.n_docs) if self.n_docs else 0.0
         self.id_col, self.id_type = s.id_col, s.id_type
-        self._postings_df = self._terms_df = None
+        self.forward = forward
+        self._postings_df = self._terms_df = self._forward_df = None
         return self
 
     def compact(self, dest_path: str, rows_per_file: int = 1_000_000) -> int:
@@ -581,6 +626,9 @@ class Bm25Index:
         ).select("tp", "term", "df")
         write_serving_table(terms, dest + "/terms", "tp", "term",
                             rows_per_file=rows_per_file)
+        if self.forward:
+            write_serving_table(self._forward(), dest + "/forward", "fd",
+                                self.id_col, rows_per_file=rows_per_file)
         self.spark.read.parquet(self.path + "/_bm25").coalesce(1)\
             .write.mode("overwrite").parquet(dest + "/_bm25")
         return Bm25Index.load(self.spark, dest)._postings().count()
@@ -589,20 +637,31 @@ class Bm25Index:
 
     def search(
         self,
-        query_terms: Sequence[str],
+        query_terms: "Sequence[str] | None",
         k: int = 10,
         k1: float = 1.2,
         b: float = 0.75,
+        term_weights: "dict[str, float] | None" = None,
+        with_key: bool = False,
     ) -> DataFrame:
         """Top-``k`` by Okapi BM25 from the saved artifact — identical
         scores and ranking to ``bm25_search`` on the save-time corpus
         (same formula, same order-independent integer ranking key), but
         the plan reads ONLY the query's term partitions (static
         PartitionFilters on both tables; no corpus scan, no doc-length
-        aggregate, no shuffle wider than the matched postings)."""
-        if not query_terms:
-            raise ValueError("query_terms must be non-empty")
-        terms = sorted({t.lower() for t in query_terms})
+        aggregate, no shuffle wider than the matched postings).
+        ``term_weights``/``with_key`` mirror ``bm25_search`` (weighted
+        queries for ``search_rm3``; the retained exact ranking key)."""
+        if term_weights is not None:
+            if not term_weights:
+                raise ValueError("term_weights must be non-empty when given")
+            weights = {t.lower(): float(w) for t, w in term_weights.items()}
+            terms = sorted(weights)
+        else:
+            if not query_terms:
+                raise ValueError("query_terms must be non-empty")
+            weights = None
+            terms = sorted({t.lower() for t in query_terms})
         tps = self._term_partitions(terms)
         post = self._postings().filter(
             F.col("tp").isin(tps) & F.col("term").isin(terms)
@@ -621,7 +680,15 @@ class Bm25Index:
             F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(self.avgdl)
         )
         contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
-        return (
+        if weights is not None:
+            # the bm25_search weighting contract: weight multiplies the
+            # COMPLETED per-term contribution, inside the per-term rounding
+            wdf = self.spark.createDataFrame(
+                [(t, weights[t]) for t in terms], "term string, _w double"
+            )
+            post = post.join(F.broadcast(wdf), "term")
+            contrib = F.col("_w") * contrib
+        out = (
             post.join(F.broadcast(dfreq), "term")
             .withColumn("_c", contrib)
             .groupBy(self.id_col)
@@ -635,8 +702,88 @@ class Bm25Index:
             )
             .orderBy(F.desc("_score_key"), F.asc(self.id_col))
             .limit(k)
-            .drop("_score_key")
         )
+        return out if with_key else out.drop("_score_key")
+
+    def search_rm3(
+        self,
+        query_terms: Sequence[str],
+        k: int = 10,
+        fb_docs: int = 10,
+        fb_terms: int = 10,
+        orig_weight: float = 0.5,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """RM3 pseudo-relevance feedback FROM THE ARTIFACT — both passes
+        partition-pruned, no corpus text anywhere: the first pass is
+        ``search(with_key=True)`` (term-partition pruned); the feedback
+        docs' term vectors come from the ``forward`` table (doc-partition
+        pruned: <= ``fb_docs`` of the ``fd=`` partitions — this is why
+        the forward index exists; without it the fetch would scan every
+        term partition); weights interpolate exactly as
+        ``bm25_search_rm3`` (same integer relevance model, same pinned
+        float order — tested identical against the live two-pass on the
+        save-time corpus); the second pass is ``search(term_weights=)``.
+        Requires an artifact saved (or re-saved) with ``forward=True``."""
+        if not self.forward:
+            raise ValueError(
+                "this BM25 artifact has no forward index — re-save it with "
+                "save_bm25_index(..., forward=True) to enable search_rm3"
+            )
+        if not query_terms:
+            raise ValueError("query_terms must be non-empty")
+        if not 0.0 <= orig_weight <= 1.0:
+            raise ValueError(
+                f"orig_weight must be in [0, 1], got {orig_weight}"
+            )
+        if fb_docs < 1 or fb_terms < 1:
+            raise ValueError("fb_docs and fb_terms must be >= 1")
+        qset = sorted({t.lower() for t in query_terms})
+        fb = self.search(
+            qset, k=fb_docs, k1=k1, b=b, with_key=True
+        ).select(self.id_col, "_score_key").collect()  # bounded: fb_docs
+        weights = {t: orig_weight / len(qset) for t in qset}
+        if fb:
+            fbdf = self.spark.createDataFrame(
+                [(r[0], r[1]) for r in fb],
+                f"{self.id_col} {self.id_type}, _sk bigint",
+            )
+            fds = sorted({
+                r.fd for r in fbdf.select(
+                    _fd_col(self.id_col, self.partitions).alias("fd")
+                ).distinct().collect()
+            })
+            ids = sorted(r[0] for r in fb)
+            exp = (
+                self._forward()
+                .filter(F.col("fd").isin(fds) & F.col(self.id_col).isin(ids))
+                .join(F.broadcast(fbdf), self.id_col)
+                .withColumn("_c", F.expr("(tf * _sk) div dl"))
+                .groupBy("term")
+                .agg(F.sum("_c").cast("bigint").alias("w_rm"))
+                .orderBy(F.desc("w_rm"), F.asc("term"))
+                .limit(fb_terms)
+                .collect()  # bounded: fb_terms
+            )
+            if not exp:
+                # a feedback doc has postings by construction, so its
+                # forward rows MUST exist — an empty fetch means the
+                # forward table was deleted or never populated for these
+                # docs; degrading silently to the unexpanded query would
+                # hide the corruption (the fail-closed stance)
+                raise ValueError(
+                    f"BM25 artifact at {self.path!r}: forward table has "
+                    "no rows for the feedback docs — corrupt or partially "
+                    "deleted; re-save with forward=True"
+                )
+            total = sum(r.w_rm for r in exp)
+            if total > 0:
+                for r in exp:
+                    weights[r.term] = weights.get(r.term, 0.0) + (
+                        (1.0 - orig_weight) * (r.w_rm / total)
+                    )
+        return self.search(None, k=k, k1=k1, b=b, term_weights=weights)
 
     def search_batch(
         self,

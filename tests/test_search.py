@@ -371,6 +371,106 @@ def test_bm25_append_populates_fresh_ingest_target(spark, tmp_path):
     assert _topk(idx, ["w1", "w3"]) == _topk(direct, ["w1", "w3"])
 
 
+def test_bm25_serving_weighted_matches_live(spark, tmp_path):
+    docs = _rand_docs(spark, 24, 30)
+    idx = _served_bm25(spark, tmp_path, docs)
+    w = {"w1": 2.0, "w2": 0.5, "w3": 1.0}
+    saved = [(r.doc_id, round(r.score, 9))
+             for r in idx.search(None, k=6, term_weights=w).collect()]
+    live = [(r.id, round(r.score, 9))
+            for r in bm25_search(docs, None, k=6, term_weights=w).collect()]
+    assert saved == live and saved
+
+
+def test_bm25_serving_rm3_matches_live(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.search import (
+        Bm25Index, bm25_search_rm3, save_bm25_index,
+    )
+
+    docs = _rand_docs(spark, 25, 40)
+    path = str(tmp_path / "fwd")
+    save_bm25_index(docs, path, partitions=16, forward=True)
+    idx = Bm25Index.load(spark, path)
+    assert idx.forward
+    for terms in (["w1", "w2"], ["w7"]):
+        saved = [(r.doc_id, round(r.score, 6))
+                 for r in idx.search_rm3(terms, k=8, fb_docs=3,
+                                         fb_terms=5).collect()]
+        live = [(r.id, round(r.score, 6))
+                for r in bm25_search_rm3(docs, terms, k=8, fb_docs=3,
+                                         fb_terms=5).collect()]
+        assert saved == live and saved
+
+
+def test_bm25_serving_rm3_requires_forward(spark, tmp_path):
+    idx = _served_bm25(spark, tmp_path, _rand_docs(spark, 26, 10))
+    with pytest.raises(ValueError, match="no forward index"):
+        idx.search_rm3(["w1"])
+
+
+def test_bm25_forward_append_matches_rebuild(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.search import (
+        Bm25Index, save_bm25_index,
+    )
+
+    a = _rand_docs(spark, 27, 25)
+    b = _rand_docs(spark, 28, 15, id_start=25)
+    path = str(tmp_path / "fa")
+    save_bm25_index(a, path, partitions=8, forward=True)
+    idx = Bm25Index.load(spark, path).append(b)
+    rb_path = str(tmp_path / "fr")
+    save_bm25_index(a.unionByName(b), rb_path, partitions=8, forward=True)
+    rb = Bm25Index.load(spark, rb_path)
+    got = [(r.doc_id, round(r.score, 6))
+           for r in idx.search_rm3(["w1", "w2"], k=6, fb_docs=3,
+                                   fb_terms=5).collect()]
+    want = [(r.doc_id, round(r.score, 6))
+            for r in rb.search_rm3(["w1", "w2"], k=6, fb_docs=3,
+                                   fb_terms=5).collect()]
+    assert got == want and got
+
+
+def test_bm25_forward_compact_carries(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.search import (
+        Bm25Index, save_bm25_index,
+    )
+
+    docs = _rand_docs(spark, 29, 20)
+    path = str(tmp_path / "fc")
+    save_bm25_index(docs, path, partitions=8, forward=True)
+    idx = Bm25Index.load(spark, path)
+    idx.append(_rand_docs(spark, 30, 10, id_start=20))
+    dest = str(tmp_path / "fcd")
+    idx.compact(dest)
+    cidx = Bm25Index.load(spark, dest)
+    assert cidx.forward
+    got = [(r.doc_id, round(r.score, 6))
+           for r in cidx.search_rm3(["w1"], k=5, fb_docs=2,
+                                    fb_terms=4).collect()]
+    want = [(r.doc_id, round(r.score, 6))
+            for r in idx.search_rm3(["w1"], k=5, fb_docs=2,
+                                    fb_terms=4).collect()]
+    assert got == want and got
+
+
+def test_bm25_forward_corruption_refused(spark, tmp_path):
+    import shutil
+
+    from pyspark_minhash_lsh_spark.operators.search import (
+        Bm25Index, save_bm25_index,
+    )
+
+    docs = _rand_docs(spark, 31, 15)
+    path = str(tmp_path / "fx")
+    save_bm25_index(docs, path, partitions=8, forward=True)
+    idx = Bm25Index.load(spark, path)
+    shutil.rmtree(path + "/forward")
+    with pytest.raises(ValueError, match="missing forward|no rows for"):
+        idx.search_rm3(["w1"], k=5, fb_docs=2, fb_terms=4)
+    with pytest.raises(ValueError, match="missing forward"):
+        idx.append(_rand_docs(spark, 32, 5, id_start=15))
+
+
 def test_bm25_v1_sidecar_back_compat(spark, tmp_path):
     """An artifact stamped by the round-10 writer (no total_dl field) loads
     with total_dl reconstructed exactly from avgdl * n_docs, and the full
