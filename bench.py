@@ -954,8 +954,11 @@ def _serving_smoke(spark, sf_dir: str) -> dict:
     sf in a temp dir and time their point queries —
     ``LshServingIndex.topk`` (the cold first query pays the one-time
     file-index listing; warm best-of-3 is the steady serving floor),
-    ``Bm25Index.search``, and the dense ``IvfPqIndex.topk`` (cell-
-    partitioned artifact, ``n_probe`` partition pruning). Latencies are
+    ``Bm25Index.search``, ``Bm25Index.search_rm3`` (the two-pass RM3
+    loop from a forward=True artifact — its own build so plain
+    bm25_build keeps its cross-round meaning), and the dense
+    ``IvfPqIndex.topk`` (cell-partitioned artifact, ``n_probe``
+    partition pruning). Latencies are
     collect()-inclusive: a point query's cost IS driving the bounded
     result to the driver. Probe inputs come from the corpus itself (first
     doc by id / first embedding by vec_id — one 1-row collect each), so
@@ -1016,6 +1019,24 @@ def _serving_smoke(spark, sf_dir: str) -> dict:
             _timed(lambda: bidx.search(terms, k=10).collect())
             for _ in range(3)), 3)
 
+        # RM3 serving leg (round 11): a SEPARATE forward=True build so
+        # bm25_build keeps its cross-round meaning; rm3_q times the full
+        # two-pass loop from the artifact (first pass + pruned feedback
+        # fetch + weighted second pass)
+        t0 = time.perf_counter()
+        save_bm25_index(docs, tmp + "/bm25f", forward=True)
+        out["bm25f_build"] = round(time.perf_counter() - t0, 3)
+        fidx = Bm25Index.load(spark, tmp + "/bm25f")
+        t0 = time.perf_counter()
+        rows = fidx.search_rm3(terms, k=10, fb_docs=5, fb_terms=8).collect()
+        out["rm3_q_cold"] = round(time.perf_counter() - t0, 3)
+        if not rows:
+            raise ValueError("bm25 rm3 serving: 0 rows for corpus terms")
+        out["rm3_q_warm"] = round(min(
+            _timed(lambda: fidx.search_rm3(
+                terms, k=10, fb_docs=5, fb_terms=8).collect())
+            for _ in range(3)), 3)
+
         from pyspark_minhash_lsh_spark.operators.ivf import IvfFlat
         from pyspark_minhash_lsh_spark.operators.pq import IvfPqIndex, fit_pq
 
@@ -1043,7 +1064,8 @@ def _serving_smoke(spark, sf_dir: str) -> dict:
         print(f"# serving smoke: lsh build {out['lsh_build']}s "
               f"q {out['lsh_q_cold']}/{out['lsh_q_warm']}s; bm25 build "
               f"{out['bm25_build']}s q {out['bm25_q_cold']}/"
-              f"{out['bm25_q_warm']}s; ivfpq build {out['ivfpq_build']}s "
+              f"{out['bm25_q_warm']}s; rm3 q {out['rm3_q_cold']}/"
+              f"{out['rm3_q_warm']}s; ivfpq build {out['ivfpq_build']}s "
               f"q {out['ivfpq_q_cold']}/{out['ivfpq_q_warm']}s "
               f"(load1={out['load1']})",
               file=sys.stderr)

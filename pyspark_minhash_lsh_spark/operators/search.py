@@ -481,14 +481,23 @@ class Bm25Index:
 
     def _term_partitions(self, terms: "list[str]") -> "list[int]":
         """tp values of the query's terms — one tiny Spark job over a
-        literal frame (xxhash64 is JVM-side; |terms| rows collected)."""
-        rows = (
-            self.spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(_tp_col("term", self.partitions).alias("tp"))
-            .distinct()
-            .collect()
-        )
-        return sorted(r.tp for r in rows)
+        literal frame (xxhash64 is JVM-side; |terms| rows collected).
+        Memoized per term (a pure function of (term, partitions)), so a
+        repeated or overlapping query — RM3's second pass re-hashes the
+        original terms; a serving stream re-hashes hot terms — skips the
+        job for every term already seen by this instance."""
+        memo = getattr(self, "_tp_memo", None)
+        if memo is None:
+            memo = self._tp_memo = {}
+        new = [t for t in terms if t not in memo]
+        if new:
+            rows = (
+                self.spark.createDataFrame([(t,) for t in new], "term string")
+                .select("term", _tp_col("term", self.partitions).alias("tp"))
+                .collect()
+            )
+            memo.update((r.term, r.tp) for r in rows)
+        return sorted({memo[t] for t in terms})
 
     # -- lifecycle ---------------------------------------------------------------
 
@@ -604,6 +613,7 @@ class Bm25Index:
         self.id_col, self.id_type = s.id_col, s.id_type
         self.forward = forward
         self._postings_df = self._terms_df = self._forward_df = None
+        self._tp_memo = {}  # partitions may have changed with a re-save
         return self
 
     def compact(self, dest_path: str, rows_per_file: int = 1_000_000) -> int:
@@ -740,20 +750,21 @@ class Bm25Index:
         if fb_docs < 1 or fb_terms < 1:
             raise ValueError("fb_docs and fb_terms must be >= 1")
         qset = sorted({t.lower() for t in query_terms})
-        fb = self.search(
-            qset, k=fb_docs, k1=k1, b=b, with_key=True
-        ).select(self.id_col, "_score_key").collect()  # bounded: fb_docs
+        # fd rides the first pass's own collect (computed on the top-k
+        # rows AFTER the limit) — no separate partition-mapping job
+        fb = (
+            self.search(qset, k=fb_docs, k1=k1, b=b, with_key=True)
+            .select(self.id_col, "_score_key",
+                    _fd_col(self.id_col, self.partitions).alias("_fd"))
+            .collect()  # bounded: fb_docs
+        )
         weights = {t: orig_weight / len(qset) for t in qset}
         if fb:
             fbdf = self.spark.createDataFrame(
                 [(r[0], r[1]) for r in fb],
                 f"{self.id_col} {self.id_type}, _sk bigint",
             )
-            fds = sorted({
-                r.fd for r in fbdf.select(
-                    _fd_col(self.id_col, self.partitions).alias("fd")
-                ).distinct().collect()
-            })
+            fds = sorted({r._fd for r in fb})
             ids = sorted(r[0] for r in fb)
             exp = (
                 self._forward()
