@@ -3295,13 +3295,18 @@ def q63_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     wtot AS (SELECT CAST(SUM(w_rm) AS BIGINT) AS w FROM wrm),
     qt AS (SELECT UNNEST(['spark', 'window']) AS term),
     -- RM3 interpolation, float-op-for-float-op what the engine computes:
-    -- orig_weight/|Q| for original terms + (1-orig_weight)*(w_rm/W)
-    wts AS (SELECT COALESCE(q.term, w.term) AS term,
-                   COALESCE(CASE WHEN q.term IS NOT NULL
-                            THEN 0.5 / 2.0 END, 0.0)
-                   + COALESCE(CASE WHEN wtot.w > 0
-                              THEN 0.5 * (w.w_rm / wtot.w) END, 0.0) AS wt
-            FROM qt q FULL JOIN wrm w ON q.term = w.term CROSS JOIN wtot),
+    -- orig_weight/|Q| for original terms + (1-orig_weight)*(w_rm/W).
+    -- UNION ALL + per-term SUM (the q86 union-of-aggregates shape, not
+    -- the quarantined two-sided outer join): each term has at most TWO
+    -- summands, so the float SUM is a single commutative addition —
+    -- combine-order independent here
+    wts AS (SELECT term, SUM(wt) AS wt FROM (
+              SELECT term, 0.5 / 2.0 AS wt FROM qt
+              UNION ALL
+              SELECT term, CASE WHEN wtot.w > 0
+                           THEN 0.5 * (w_rm / wtot.w) ELSE 0.0 END AS wt
+              FROM wrm CROSS JOIN wtot)
+            GROUP BY term),
     -- weighted second pass: weight multiplies the completed per-term
     -- contribution inside the x10^6 per-term rounding
     tf2 AS (SELECT tf.id, tf.term, tf.tf, wts.wt
@@ -4981,18 +4986,25 @@ _CURATED_ORDER = [
     # q75 saved==fitted agreement leg) is strictly stronger.
     "q91_ann_serving_oracle",
     # -- block 1g: round-11 addition — hybrid-retrieval RRF fusion (new
-    # operator class, hash-green; see the q92 docstring's budget note: it
-    # extends the curated surface to 51 rows rather than retiring a
-    # non-redundant row).
+    # operator class, hash-green). Funded by retiring q27_cosine_near_pairs
+    # to _BENCH_ONLY: its cosine arithmetic is hash-witnessed by q26 (same
+    # kernel, same oracle family) and its brute-force near-pair-threshold
+    # shape by q25/q33's hash-green similarity joins and the q75 recall
+    # legs — the most redundant remaining relational row. (An earlier pass
+    # this round let the surface grow to 51/52; the driver records ~50
+    # rows and silently truncates past the cap — round 2 lost 22 rows that
+    # way, and the tail of this list holds the q74/q75 suites — so the
+    # budget is zero-sum, re-pinned by tests/test_driver_budget.py.)
     "q92_rrf_fusion",
     # -- block 1h: round-11 addition — BM25 + RM3 pseudo-relevance feedback
     # (new operator class: two-pass retrieval with exact-integer
-    # relevance-model weights and a replayed float interpolation; extends
-    # the curated surface to 52 rows — like q92, no remaining relational
-    # row is redundant enough to retire for it).
+    # relevance-model weights and a replayed float interpolation). Funded
+    # by retiring q09_supplier_part_volume to _BENCH_ONLY: its join+agg
+    # shape is hash-witnessed by q05 (four-dim broadcast join + agg) and
+    # q03 (join + agg + top-k), and part/supplier reads stay witnessed by
+    # q48/q42 — the most redundant remaining relational row after q27.
     "q93_bm25_rm3",
     # -- block 1c: restored from r06 diagnostic parking (driver-green in r05) ------
-    "q09_supplier_part_volume",
     "q11_customer_running_total",
     "q66_daily_rollup",
     "q70_length_percentiles",
@@ -5009,7 +5021,6 @@ _CURATED_ORDER = [
     "q24_exact_dedup",
     "q25_ngram_jaccard_pairs",
     "q26_cosine_topk",
-    "q27_cosine_near_pairs",
     "q28_language_id",
     "q48_vocabulary",
     # -- block 3: rows-only (hash-dependent) + suites ------------------------------
@@ -5046,6 +5057,14 @@ _BENCH_ONLY = [
     # its hourly truncate+agg is the first level of q66's hash-checked
     # rollup; oracle stays registered and pytest-checked every round.
     "q16_events_hourly",
+    # round 11: retired to fund q92_rrf_fusion — cosine arithmetic stays
+    # hash-witnessed by q26, near-pair thresholds by q25/q33; oracle stays
+    # registered and pytest-checked every round.
+    "q27_cosine_near_pairs",
+    # round 11: retired to fund q93_bm25_rm3 — join+agg shape stays
+    # hash-witnessed by q05/q03; oracle stays registered and
+    # pytest-checked every round.
+    "q09_supplier_part_volume",
 ]
 
 assert sorted(_CURATED_ORDER + _BENCH_ONLY) == sorted(QUERIES), (
