@@ -2127,6 +2127,7 @@ _Q75_SERVING_PATHS: dict[str, str] = {}
 
 #: per-sf_dir cache of the q75 BM25 serving artifact (same stance).
 _Q75_BM25_PATHS: dict[str, str] = {}
+_Q75_BM25F_PATHS: dict[str, str] = {}
 
 
 @query("q32_ann_query")
@@ -4433,7 +4434,12 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine top-20 — SELF-CHECKING at the lambda=1 endpoint, where
         the greedy must reproduce the relevance ranking rank-for-rank
         (divergence shrinks n_rows below 10); the diversity-active dial
-        is closed-form-pinned in tests/test_rerank.py."""
+        is closed-form-pinned in tests/test_rerank.py;
+      - filtered_bm25 (round 11): metadata-filtered keyword serving,
+        completing the filtered family (filtered_ann / filtered_text_ann
+        / filtered_bm25) — SELF-CHECKING via the global-stats invariant:
+        the where= top-10 must equal the full exact-key ranking
+        restricted to the predicate, rank-for-rank."""
     from .operators.ivf import IvfFlat
     from .operators.minhash_lsh import MinHashLSH
     from .operators.pq import fit_pq
@@ -4687,6 +4693,43 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_serving", F.count(F.lit(1)), F.sum("score"),
     )
 
+    # filtered_bm25 (round 11): metadata-filtered keyword serving — the
+    # lexical leg completing the filtered-retrieval family beside
+    # filtered_ann (IVF) and filtered_text_ann (MinHash). SELF-CHECKING
+    # via the global-stats invariant: a doc's BM25 score is
+    # filter-independent (Lucene semantics), so the where= top-10 must
+    # equal the FULL ranking (exact integer key order) restricted to the
+    # predicate — the leg joins the two rank-for-rank and any divergence
+    # (a lost hit, post-hoc-filter truncation, a score drift) shrinks
+    # n_rows below 10. Subset-identity + append/refusal semantics are
+    # pinned in tests/test_search.py.
+    bmf_path = _Q75_BM25F_PATHS.get(sf_dir)
+    if bmf_path is None:
+        import tempfile
+
+        bmf_path = tempfile.mkdtemp(prefix="q75_bm25f_") + "/idx"
+        save_bm25_index(docs, bmf_path, partitions=16, keep_cols=("lang",))
+        _Q75_BM25F_PATHS[sf_dir] = bmf_path
+    bmf = Bm25Index.load(spark, bmf_path)
+    wnd_fb = _W.orderBy(F.desc("_score_key"), F.asc("doc_id"))
+    fsel = (
+        bmf.search(bm_terms, k=10, where="lang = 'en'", with_key=True)
+        .withColumn("_rf", F.row_number().over(wnd_fb))
+    )
+    wsel = (
+        bmf.search(bm_terms, k=100_000, with_key=True)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang") == "en")
+        .withColumn("_rw", F.row_number().over(wnd_fb))
+        .filter(F.col("_rw") <= 10)
+    )
+    leg_fb = _suite_row(
+        fsel.join(wsel.select("doc_id", "_rw"), "doc_id")
+        .filter(F.col("_rf") == F.col("_rw"))
+        .select("doc_id", "score"),
+        "filtered_bm25", F.sum("doc_id"), F.sum("score"),
+    )
+
     # mmr_rerank (round 11): MMR diversity rerank (operators/rerank.py)
     # over the exact cosine top-20 for the fixed query — SELF-CHECKING:
     # at lambda=1 the greedy objective reduces to pure relevance, so the
@@ -4736,7 +4779,7 @@ def q75_ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg_rs).unionByName(leg_rp).unionByName(leg_cs)
         .unionByName(leg_sq).unionByName(leg_mrl).unionByName(leg_fa)
         .unionByName(leg_fta).unionByName(leg_srv).unionByName(leg_bm)
-        .unionByName(leg_mmr)
+        .unionByName(leg_fb).unionByName(leg_mmr)
     )
 
 

@@ -267,17 +267,19 @@ def bm25_search_rm3(
 _BM25_VERSION = 2
 _BM25_SCHEMA = (
     "version int, partitions int, n_docs bigint, avgdl double, "
-    "id_type string, id_col string, total_dl bigint, forward int"
+    "id_type string, id_col string, total_dl bigint, forward int, "
+    "keep_cols_ddl string"
 )
 
 
 def _write_bm25_sidecar(spark, path: str, partitions: int, n_docs: int,
                         total_dl: int, id_type: str, id_col: str,
-                        forward: bool) -> None:
+                        forward: bool, keep_cols_ddl: str = "") -> None:
     avgdl = (total_dl / n_docs) if n_docs else 0.0
     spark.createDataFrame(
         [(_BM25_VERSION, int(partitions), int(n_docs), float(avgdl),
-          id_type, id_col, int(total_dl), int(bool(forward)))],
+          id_type, id_col, int(total_dl), int(bool(forward)),
+          keep_cols_ddl or "")],
         _BM25_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_bm25")
 
@@ -301,6 +303,7 @@ def save_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     forward: bool = False,
+    keep_cols: "tuple | list" = (),
 ) -> None:
     """Write a SERVING BM25 index: ``bm25_search`` recomputes postings,
     document lengths, and corpus stats from the raw text on every call —
@@ -330,9 +333,20 @@ def save_bm25_index(
     partitions)`` — the classic forward index enabling serving-side RM3
     (``Bm25Index.search_rm3``): a feedback fetch reads <= ``fb_docs``
     partitions instead of scanning every term partition for the docs'
-    rows. Costs one extra copy of the postings bytes; off by default."""
+    rows. Costs one extra copy of the postings bytes; off by default.
+
+    ``keep_cols`` denormalizes metadata columns onto the postings rows
+    (the filtered-ANN contract, completing the filtered-retrieval
+    triangle beside ``IvfFlat.fit(keep_cols=)`` and
+    ``save_serving_index(keep_cols=)``): ``Bm25Index.search(where=)``
+    then prunes candidates BEFORE top-k — the true top-k of the
+    qualifying subset, never a recall-losing post-filter."""
     if partitions < 1:
         raise ValueError("partitions must be >= 1")
+    keep_cols = tuple(keep_cols)
+    missing = [c for c in keep_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"keep_cols not in the corpus: {missing}")
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
     dl = base.select("id", F.size("t").alias("dl"))
     tf = (
@@ -340,9 +354,13 @@ def save_bm25_index(
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    postings = tf.join(dl, "id").select(
+    postings = tf.join(dl, "id")
+    if keep_cols:
+        meta = df.select(F.col(id_col).alias("id"), *keep_cols)
+        postings = postings.join(meta, "id", "left")
+    postings = postings.select(
         _tp_col("term", partitions).alias("tp"),
-        "term", F.col("id").alias(id_col), "tf", "dl",
+        "term", F.col("id").alias(id_col), "tf", "dl", *keep_cols,
     )
     (
         postings.repartition("tp").sortWithinPartitions("term")
@@ -373,9 +391,12 @@ def save_bm25_index(
         F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("total_dl"),
     ).head()
     id_type = df.schema[id_col].dataType.simpleString()
+    keep_ddl = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
     _write_bm25_sidecar(df.sparkSession, path, partitions,
                         int(stats.n_docs or 0), int(stats.total_dl or 0),
-                        id_type, id_col, forward)
+                        id_type, id_col, forward, keep_ddl)
 
 
 class Bm25Index:
@@ -398,7 +419,7 @@ class Bm25Index:
 
     def __init__(self, spark, path: str, partitions: int, n_docs: int,
                  total_dl: int, id_col: str, id_type: str,
-                 forward: bool = False) -> None:
+                 forward: bool = False, keep_cols_ddl: str = "") -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.partitions = int(partitions)
@@ -408,6 +429,15 @@ class Bm25Index:
         self.id_col = id_col
         self.id_type = id_type
         self.forward = bool(forward)
+        # metadata riding the postings (filtered search) — the sidecar DDL
+        # stamp parsed ONCE into name -> simpleString type (the
+        # lsh_serving stance); append's presence and type refusals read it
+        self.keep_cols_ddl = keep_cols_ddl or ""
+        self._keep_col_types = dict(
+            decl.split(" ", 1)
+            for decl in self.keep_cols_ddl.split(", ") if decl
+        )
+        self.keep_cols = tuple(self._keep_col_types)
         # file index listed once per instance (the lsh_serving stance:
         # the artifact is immutable between appends/re-saves; append and
         # refresh drop the memos)
@@ -437,14 +467,16 @@ class Bm25Index:
             # exact integers, so the round-trip recovers total_dl exactly
             # (corpora under 2^52 tokens)
             total_dl = int(round(float(s.avgdl) * int(s.n_docs)))
-        # sidecars stamped before the forward field read as forward-less
-        return s, int(total_dl), bool(getattr(s, "forward", 0) or 0)
+        # sidecars stamped before the forward/keep_cols fields read as
+        # forward-less / metadata-less (additive-field tolerance)
+        return (s, int(total_dl), bool(getattr(s, "forward", 0) or 0),
+                getattr(s, "keep_cols_ddl", "") or "")
 
     @classmethod
     def load(cls, spark, path: str) -> "Bm25Index":
-        s, total_dl, forward = cls._read_sidecar(spark, path)
+        s, total_dl, forward, keep_ddl = cls._read_sidecar(spark, path)
         return cls(spark, path, s.partitions, s.n_docs, total_dl,
-                   s.id_col, s.id_type, forward)
+                   s.id_col, s.id_type, forward, keep_ddl)
 
     def _read_table(self, sub: str, empty_schema: str) -> DataFrame:
         from pyspark.errors import AnalysisException
@@ -456,10 +488,11 @@ class Bm25Index:
 
     def _postings(self) -> DataFrame:
         if self._postings_df is None:
+            keep = f", {self.keep_cols_ddl}" if self.keep_cols_ddl else ""
             self._postings_df = self._read_table(
                 "/postings",
                 f"tp int, term string, {self.id_col} {self.id_type}, "
-                "tf bigint, dl int",
+                f"tf bigint, dl int{keep}",
             )
         return self._postings_df
 
@@ -554,6 +587,20 @@ class Bm25Index:
                 f"the artifact was saved with {self.id_type} — cast the "
                 "batch (schema drift would corrupt the saved layout)"
             )
+        # keep_cols presence + type refusals BEFORE any write (the
+        # lsh_serving append stance: a partial append must not land)
+        missing = [c for c in self.keep_cols if c not in new_docs.columns]
+        if missing:
+            raise ValueError(
+                f"appended batch lacks the artifact's keep_cols {missing}"
+            )
+        for col, want in self._keep_col_types.items():
+            got = new_docs.schema[col].dataType.simpleString()
+            if got != want:
+                raise ValueError(
+                    f"appended batch keep_col {col!r} is {got}, but the "
+                    f"artifact stamped {want} — cast the batch"
+                )
         base = new_docs.select(
             F.col(self.id_col).alias("id"), tokens(F.col(text_col)).alias("t")
         )
@@ -570,9 +617,16 @@ class Bm25Index:
         ).head()
         from .lsh_serving import write_serving_table
 
-        postings = tf.join(dl, "id").select(
+        postings = tf.join(dl, "id")
+        if self.keep_cols:
+            meta = new_docs.select(
+                F.col(self.id_col).alias("id"), *self.keep_cols
+            )
+            postings = postings.join(meta, "id", "left")
+        postings = postings.select(
             _tp_col("term", self.partitions).alias("tp"),
             "term", F.col("id").alias(self.id_col), "tf", "dl",
+            *self.keep_cols,
         )
         write_serving_table(postings, self.path + "/postings", "tp", "term",
                             mode="append")
@@ -593,7 +647,8 @@ class Bm25Index:
         self.avgdl = (self.total_dl / self.n_docs) if self.n_docs else 0.0
         _write_bm25_sidecar(self.spark, self.path, self.partitions,
                             self.n_docs, self.total_dl,
-                            self.id_type, self.id_col, self.forward)
+                            self.id_type, self.id_col, self.forward,
+                            self.keep_cols_ddl)
         # memoized relations hold the pre-append file index — drop them
         self._postings_df = self._terms_df = self._forward_df = None
         return self
@@ -605,13 +660,19 @@ class Bm25Index:
         round 10 — and drops the memoized table relations so the next
         query lists the grown artifact. Equivalent to a fresh ``load()``
         minus object churn."""
-        s, total_dl, forward = self._read_sidecar(self.spark, self.path)
+        s, total_dl, forward, keep_ddl = self._read_sidecar(
+            self.spark, self.path)
         self.partitions = int(s.partitions)
         self.n_docs = int(s.n_docs)
         self.total_dl = total_dl
         self.avgdl = (self.total_dl / self.n_docs) if self.n_docs else 0.0
         self.id_col, self.id_type = s.id_col, s.id_type
         self.forward = forward
+        self.keep_cols_ddl = keep_ddl
+        self._keep_col_types = dict(
+            decl.split(" ", 1) for decl in keep_ddl.split(", ") if decl
+        )
+        self.keep_cols = tuple(self._keep_col_types)
         self._postings_df = self._terms_df = self._forward_df = None
         self._tp_memo = {}  # partitions may have changed with a re-save
         return self
@@ -653,6 +714,7 @@ class Bm25Index:
         b: float = 0.75,
         term_weights: "dict[str, float] | None" = None,
         with_key: bool = False,
+        where: "str | None" = None,
     ) -> DataFrame:
         """Top-``k`` by Okapi BM25 from the saved artifact — identical
         scores and ranking to ``bm25_search`` on the save-time corpus
@@ -661,7 +723,15 @@ class Bm25Index:
         PartitionFilters on both tables; no corpus scan, no doc-length
         aggregate, no shuffle wider than the matched postings).
         ``term_weights``/``with_key`` mirror ``bm25_search`` (weighted
-        queries for ``search_rm3``; the retained exact ranking key)."""
+        queries for ``search_rm3``; the retained exact ranking key).
+
+        ``where`` filters candidates over the artifact's ``keep_cols``
+        metadata (or the id column) BEFORE top-k — the true top-``k`` of
+        the qualifying subset (post-hoc filtering demonstrably loses
+        recall: the filtered-ANN lesson). Semantics are the Lucene
+        stance: corpus stats (N, avgdl, df) stay GLOBAL, so a document's
+        score is filter-independent and the filtered ranking is exactly
+        the global ranking restricted to qualifying docs (tested)."""
         if term_weights is not None:
             if not term_weights:
                 raise ValueError("term_weights must be non-empty when given")
@@ -676,6 +746,10 @@ class Bm25Index:
         post = self._postings().filter(
             F.col("tp").isin(tps) & F.col("term").isin(terms)
         )
+        if where is not None:
+            from ._filters import apply_where
+
+            post = apply_where(post, where)
         # terms rows are ADDITIVE across appends — sum per term (identity
         # on a freshly-saved or compacted artifact; the pruned set is tiny)
         dfreq = self._terms().filter(
@@ -724,6 +798,7 @@ class Bm25Index:
         orig_weight: float = 0.5,
         k1: float = 1.2,
         b: float = 0.75,
+        where: "str | None" = None,
     ) -> DataFrame:
         """RM3 pseudo-relevance feedback FROM THE ARTIFACT — both passes
         partition-pruned, no corpus text anywhere: the first pass is
@@ -735,7 +810,11 @@ class Bm25Index:
         ``bm25_search_rm3`` (same integer relevance model, same pinned
         float order — tested identical against the live two-pass on the
         save-time corpus); the second pass is ``search(term_weights=)``.
-        Requires an artifact saved (or re-saved) with ``forward=True``."""
+        Requires an artifact saved (or re-saved) with ``forward=True``.
+        ``where`` applies the keep_cols metadata filter to BOTH passes —
+        feedback comes only from qualifying docs (so expansion reflects
+        the filtered slice, e.g. one language), and the final ranking is
+        the filtered subset's true top-k."""
         if not self.forward:
             raise ValueError(
                 "this BM25 artifact has no forward index — re-save it with "
@@ -753,7 +832,8 @@ class Bm25Index:
         # fd rides the first pass's own collect (computed on the top-k
         # rows AFTER the limit) — no separate partition-mapping job
         fb = (
-            self.search(qset, k=fb_docs, k1=k1, b=b, with_key=True)
+            self.search(qset, k=fb_docs, k1=k1, b=b, with_key=True,
+                        where=where)
             .select(self.id_col, "_score_key",
                     _fd_col(self.id_col, self.partitions).alias("_fd"))
             .collect()  # bounded: fb_docs
@@ -794,7 +874,8 @@ class Bm25Index:
                     weights[r.term] = weights.get(r.term, 0.0) + (
                         (1.0 - orig_weight) * (r.w_rm / total)
                     )
-        return self.search(None, k=k, k1=k1, b=b, term_weights=weights)
+        return self.search(None, k=k, k1=k1, b=b, term_weights=weights,
+                           where=where)
 
     def search_batch(
         self,
@@ -805,9 +886,12 @@ class Bm25Index:
         query_text_col: str = "text",
         query_id_col: str = "query_id",
         max_term_pushdown: int = 100_000,
+        where: "str | None" = None,
     ) -> DataFrame:
         """Top-``k`` per query row — the micro-batch serving shape (plug
         into ``start_ann_serving_stream`` like every batch searcher).
+        ``where`` applies the keep_cols candidate filter batch-wide
+        before each query's top-k (the ``search(where=)`` semantics).
         Query tokenization runs distributed; the batch's DISTINCT terms
         are collected (batch-bounded) to prune the postings/terms scans,
         degrading to unpruned term equi-joins past ``max_term_pushdown``.
@@ -825,6 +909,10 @@ class Bm25Index:
         qterms = qt.select("term").distinct()
         sample = [r.term for r in qterms.limit(max_term_pushdown + 1).collect()]
         post, dfreq = self._postings(), self._terms()
+        if where is not None:
+            from ._filters import apply_where
+
+            post = apply_where(post, where)
         if len(sample) <= max_term_pushdown:
             tps = self._term_partitions(sample) if sample else []
             pred = F.col("tp").isin(tps) & F.col("term").isin(sorted(sample))

@@ -471,6 +471,92 @@ def test_bm25_forward_corruption_refused(spark, tmp_path):
         idx.append(_rand_docs(spark, 32, 5, id_start=15))
 
 
+def _lang_docs(spark, seed, n, id_start=0):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(id_start + i,
+             " ".join(f"w{rng.randrange(60)}" for _ in range(30)),
+             "en" if (id_start + i) % 3 else "de")
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_bm25_filtered_search_is_true_topk_of_subset(spark, tmp_path):
+    """Global-stats (Lucene) semantics: a doc's score is filter-independent,
+    so the filtered top-k must equal the FULL ranking restricted to
+    qualifying docs — including docs the unfiltered top-k would crowd out."""
+    from pyspark_minhash_lsh_spark.operators.search import (
+        Bm25Index, save_bm25_index,
+    )
+
+    docs = _lang_docs(spark, 41, 40)
+    path = str(tmp_path / "kc")
+    save_bm25_index(docs, path, partitions=8, keep_cols=("lang",))
+    idx = Bm25Index.load(spark, path)
+    assert idx.keep_cols == ("lang",)
+    lang = {r.doc_id: r.lang for r in docs.collect()}
+    for pred, pyf in (("lang = 'de'", lambda i: lang[i] == "de"),
+                      ("lang = 'en'", lambda i: lang[i] == "en")):
+        full = [(r.doc_id, round(r.score, 9))
+                for r in idx.search(["w1", "w2"], k=40).collect()]
+        want = [t for t in full if pyf(t[0])][:5]
+        got = [(r.doc_id, round(r.score, 9))
+               for r in idx.search(["w1", "w2"], k=5, where=pred).collect()]
+        assert got == want and got
+
+
+def test_bm25_filtered_append_and_refusals(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.search import (
+        Bm25Index, save_bm25_index,
+    )
+
+    a = _lang_docs(spark, 42, 20)
+    path = str(tmp_path / "ka")
+    save_bm25_index(a, path, partitions=8, keep_cols=("lang",))
+    idx = Bm25Index.load(spark, path)
+    with pytest.raises(ValueError, match="lacks the artifact's keep_cols"):
+        idx.append(_rand_docs(spark, 43, 5, id_start=20))
+    drifted = _lang_docs(spark, 43, 5, id_start=20).withColumn(
+        "lang", F.lit(1))
+    with pytest.raises(ValueError, match="cast the batch"):
+        idx.append(drifted)
+    b = _lang_docs(spark, 44, 15, id_start=20)
+    idx.append(b)
+    rb = str(tmp_path / "kr")
+    save_bm25_index(a.unionByName(b), rb, partitions=8, keep_cols=("lang",))
+    ridx = Bm25Index.load(spark, rb)
+    got = [(r.doc_id, round(r.score, 6))
+           for r in idx.search(["w1"], k=6, where="lang = 'en'").collect()]
+    want = [(r.doc_id, round(r.score, 6))
+            for r in ridx.search(["w1"], k=6, where="lang = 'en'").collect()]
+    assert got == want and got
+
+
+def test_bm25_filtered_rm3_restricts_both_passes(spark, tmp_path):
+    from pyspark_minhash_lsh_spark.operators.search import (
+        Bm25Index, save_bm25_index,
+    )
+
+    docs = _lang_docs(spark, 45, 30)
+    path = str(tmp_path / "kf")
+    save_bm25_index(docs, path, partitions=8, keep_cols=("lang",),
+                    forward=True)
+    idx = Bm25Index.load(spark, path)
+    lang = {r.doc_id: r.lang for r in docs.collect()}
+    out = idx.search_rm3(["w1", "w2"], k=8, fb_docs=3, fb_terms=5,
+                         where="lang = 'en'").collect()
+    assert out and all(lang[r.doc_id] == "en" for r in out)
+    # and the filter changes the expansion (feedback slice differs), not
+    # just the final cut: results differ from post-filtering the
+    # unfiltered RM3 ranking in score for at least one doc OR in membership
+    unf = {r.doc_id: round(r.score, 9)
+           for r in idx.search_rm3(["w1", "w2"], k=30, fb_docs=3,
+                                   fb_terms=5).collect()}
+    flt = {r.doc_id: round(r.score, 9) for r in out}
+    assert any(d not in unf or unf[d] != s for d, s in flt.items())
+
+
 def test_bm25_v1_sidecar_back_compat(spark, tmp_path):
     """An artifact stamped by the round-10 writer (no total_dl field) loads
     with total_dl reconstructed exactly from avgdl * n_docs, and the full
