@@ -33,6 +33,46 @@ __all__ = [
 ]
 
 
+def _resolve_query(query_terms: "Sequence[str] | None",
+                   term_weights: "dict[str, float] | None"):
+    """Shared query normalization for the live scorer and the serving
+    index (one definition so the two paths cannot drift): returns
+    ``(sorted unique lowercased terms, weights-or-None)``."""
+    if term_weights is not None:
+        if not term_weights:
+            raise ValueError("term_weights must be non-empty when given")
+        weights = {t.lower(): float(w) for t, w in term_weights.items()}
+        return sorted(weights), weights
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    return sorted({t.lower() for t in query_terms}), None
+
+
+def _weight_frame(spark, weights: "dict[str, float]") -> DataFrame:
+    """The broadcastable literal weights relation both scorers join."""
+    return spark.createDataFrame(
+        sorted(weights.items()), "term string, _w double"
+    )
+
+
+def _rm3_interpolate(qset: "list[str]", exp_rows, orig_weight: float
+                     ) -> "dict[str, float]":
+    """THE RM3 weight interpolation — a single definition because the
+    float expression ORDER is a cross-engine contract (the q93 oracle
+    replays these exact operations, and the serving path must stay
+    bit-identical to the live path): ``orig_weight / |Q|`` for original
+    terms, then ``+= (1 - orig_weight) * (w_rm / total)`` per expansion
+    term. ``exp_rows`` is a sequence of (term, w_rm bigint) pairs."""
+    weights = {t: orig_weight / len(qset) for t in qset}
+    total = sum(w for _, w in exp_rows)
+    if total > 0:
+        for t, w in exp_rows:
+            weights[t] = weights.get(t, 0.0) + (
+                (1.0 - orig_weight) * (w / total)
+            )
+    return weights
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: "Sequence[str] | None",
@@ -69,16 +109,7 @@ def bm25_search(
     (RM3's feedback-document selection) — the same order-independent key
     the sort already uses.
     """
-    if term_weights is not None:
-        if not term_weights:
-            raise ValueError("term_weights must be non-empty when given")
-        weights = {t.lower(): float(w) for t, w in term_weights.items()}
-        terms = sorted(weights)
-    else:
-        if not query_terms:
-            raise ValueError("query_terms must be non-empty")
-        weights = None
-        terms = [t.lower() for t in query_terms]
+    terms, weights = _resolve_query(query_terms, term_weights)
 
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
     ex = base.select("id", F.explode("t").alias("term"))
@@ -111,10 +142,8 @@ def bm25_search(
         # contribution (one extra double multiply — the parenthesization
         # the q93 oracle replays), inside the per-term rounding so the
         # integer ranking key stays order-independent under weighting
-        wdf = df.sparkSession.createDataFrame(
-            [(t, weights[t]) for t in terms], "term string, _w double"
-        )
-        tf = tf.join(F.broadcast(wdf), "term")
+        tf = tf.join(F.broadcast(_weight_frame(df.sparkSession, weights)),
+                     "term")
         contrib = F.col("_w") * contrib
 
     aggs = [
@@ -236,15 +265,8 @@ def bm25_search_rm3(
         df, qset, fb_docs=fb_docs, fb_terms=fb_terms, k1=k1, b=b,
         text_col=text_col, id_col=id_col,
     ).collect()
-    total = sum(r.w_rm for r in exp)
-    # float expression order is part of the contract (the q93 oracle
-    # computes the same doubles): orig part first, then += feedback part
-    weights = {t: orig_weight / len(qset) for t in qset}
-    if total > 0:
-        for r in exp:
-            weights[r.term] = weights.get(r.term, 0.0) + (
-                (1.0 - orig_weight) * (r.w_rm / total)
-            )
+    weights = _rm3_interpolate(qset, [(r.term, r.w_rm) for r in exp],
+                               orig_weight)
     return bm25_search(
         df, None, k=k, k1=k1, b=b, text_col=text_col, id_col=id_col,
         with_stats=with_stats, term_weights=weights,
@@ -512,18 +534,37 @@ class Bm25Index:
             )
         return self._forward_df
 
+    #: point-query memo bound: past this many distinct terms the memo
+    #: resets (coarse, correct — it is a pure cache), so a long-lived
+    #: serving instance over a diverse query stream cannot grow the
+    #: driver dict without limit (r11 review)
+    _TP_MEMO_MAX = 50_000
+
     def _term_partitions(self, terms: "list[str]") -> "list[int]":
         """tp values of the query's terms — one tiny Spark job over a
         literal frame (xxhash64 is JVM-side; |terms| rows collected).
         Memoized per term (a pure function of (term, partitions)), so a
         repeated or overlapping query — RM3's second pass re-hashes the
         original terms; a serving stream re-hashes hot terms — skips the
-        job for every term already seen by this instance."""
+        job for every term already seen by this instance. Large one-shot
+        batches (``search_batch`` can push up to 100k distinct terms)
+        bypass the memo entirely so they cannot evict the hot
+        point-query terms."""
         memo = getattr(self, "_tp_memo", None)
         if memo is None:
             memo = self._tp_memo = {}
+        if len(terms) > 1_000:  # batch one-shot: compute, don't cache
+            rows = (
+                self.spark.createDataFrame(
+                    [(t,) for t in terms], "term string")
+                .select(_tp_col("term", self.partitions).alias("tp"))
+                .distinct().collect()
+            )
+            return sorted(r.tp for r in rows)
         new = [t for t in terms if t not in memo]
         if new:
+            if len(memo) + len(new) > self._TP_MEMO_MAX:
+                memo.clear()
             rows = (
                 self.spark.createDataFrame([(t,) for t in new], "term string")
                 .select("term", _tp_col("term", self.partitions).alias("tp"))
@@ -732,16 +773,7 @@ class Bm25Index:
         stance: corpus stats (N, avgdl, df) stay GLOBAL, so a document's
         score is filter-independent and the filtered ranking is exactly
         the global ranking restricted to qualifying docs (tested)."""
-        if term_weights is not None:
-            if not term_weights:
-                raise ValueError("term_weights must be non-empty when given")
-            weights = {t.lower(): float(w) for t, w in term_weights.items()}
-            terms = sorted(weights)
-        else:
-            if not query_terms:
-                raise ValueError("query_terms must be non-empty")
-            weights = None
-            terms = sorted({t.lower() for t in query_terms})
+        terms, weights = _resolve_query(query_terms, term_weights)
         tps = self._term_partitions(terms)
         post = self._postings().filter(
             F.col("tp").isin(tps) & F.col("term").isin(terms)
@@ -767,10 +799,8 @@ class Bm25Index:
         if weights is not None:
             # the bm25_search weighting contract: weight multiplies the
             # COMPLETED per-term contribution, inside the per-term rounding
-            wdf = self.spark.createDataFrame(
-                [(t, weights[t]) for t in terms], "term string, _w double"
-            )
-            post = post.join(F.broadcast(wdf), "term")
+            post = post.join(
+                F.broadcast(_weight_frame(self.spark, weights)), "term")
             contrib = F.col("_w") * contrib
         out = (
             post.join(F.broadcast(dfreq), "term")
@@ -838,7 +868,7 @@ class Bm25Index:
                     _fd_col(self.id_col, self.partitions).alias("_fd"))
             .collect()  # bounded: fb_docs
         )
-        weights = {t: orig_weight / len(qset) for t in qset}
+        exp_rows: "list[tuple]" = []
         if fb:
             fbdf = self.spark.createDataFrame(
                 [(r[0], r[1]) for r in fb],
@@ -868,12 +898,8 @@ class Bm25Index:
                     "no rows for the feedback docs — corrupt or partially "
                     "deleted; re-save with forward=True"
                 )
-            total = sum(r.w_rm for r in exp)
-            if total > 0:
-                for r in exp:
-                    weights[r.term] = weights.get(r.term, 0.0) + (
-                        (1.0 - orig_weight) * (r.w_rm / total)
-                    )
+            exp_rows = [(r.term, r.w_rm) for r in exp]
+        weights = _rm3_interpolate(qset, exp_rows, orig_weight)
         return self.search(None, k=k, k1=k1, b=b, term_weights=weights,
                            where=where)
 
