@@ -3267,6 +3267,67 @@ def q63_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q94_qld_search",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKENS} AS t FROM documents),
+    dl AS (SELECT id, len(t) AS dl FROM tok),
+    ctot AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM dl),
+    ex AS (SELECT id, unnest(t) AS term FROM tok),
+    mt AS (SELECT * FROM ex WHERE term IN ('spark', 'window', 'fast')),
+    cf AS (SELECT term, COUNT(*) AS cf FROM mt GROUP BY 1),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM mt GROUP BY 1, 2),
+    -- matched postings: round(contrib) - round(contrib0) per term
+    -- (the zero-tf smoothing recovery; mirrors qld_search's key)
+    adj AS (
+      SELECT tf.id,
+             CAST(SUM(
+               CAST(FLOOR(ln((tf.tf + 1000.0 * (cf.cf / ctot.c))
+                             / (dl.dl + 1000.0))
+                          * 1000000.0 + 0.5) AS BIGINT)
+               - CAST(FLOOR(ln((1000.0 * (cf.cf / ctot.c))
+                               / (dl.dl + 1000.0))
+                            * 1000000.0 + 0.5) AS BIGINT)
+             ) AS BIGINT) AS ka,
+             CAST(SUM(tf.tf) AS BIGINT) AS sum_tf,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(MAX(dl.dl) AS BIGINT) AS dl
+      FROM tf JOIN cf USING (term) JOIN dl USING (id) CROSS JOIN ctot
+      GROUP BY 1),
+    -- per matched doc: the full smoothing base over every query term
+    md AS (SELECT DISTINCT tf.id, dl.dl FROM tf JOIN dl USING (id)),
+    b AS (
+      SELECT md.id,
+             CAST(SUM(CAST(FLOOR(ln((1000.0 * (cf.cf / ctot.c))
+                                    / (md.dl + 1000.0))
+                                 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS kb
+      FROM md CROSS JOIN ctot CROSS JOIN cf
+      GROUP BY 1)
+    SELECT adj.id AS doc_id, sum_tf, n_terms, dl
+    FROM adj JOIN b ON adj.id = b.id
+    ORDER BY (ka + kb) DESC, adj.id ASC LIMIT 10
+    """,
+)
+def q94_qld_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood top-10 for ['spark', 'window', 'fast']
+    (mu=1000) — the language-model lexical scorer beside BM25 (q63), its
+    zero-tf smoothing recovered relationally (matched-posting deltas +
+    a per-doc pass over the |Q'|-row constants). Parked bench-only (the
+    driver budget is a zero-sum 50 and q63/q93 already witness the
+    lexical family there) — this oracle is pytest-checked at sf0.01
+    every round like every registered oracle. Hash surface: the q63
+    integer facets; the ln never reaches a hash."""
+    from .operators.search import qld_search
+
+    docs = _t(spark, sf_dir, "documents")
+    out = qld_search(docs, ["spark", "window", "fast"], k=10,
+                     mu=1000.0, with_stats=True)
+    return out.select(
+        F.col("id").alias("doc_id"), "sum_tf", "n_terms", "dl"
+    )
+
+
+@query(
     "q93_bm25_rm3",
     oracle=f"""
     WITH tok AS (SELECT doc_id AS id, {_DUCK_TOKENS} AS t FROM documents),
@@ -5108,6 +5169,11 @@ _BENCH_ONLY = [
     # hash-witnessed by q05/q03; oracle stays registered and
     # pytest-checked every round.
     "q09_supplier_part_volume",
+    # round 11: registered bench-only from birth — the Dirichlet
+    # query-likelihood scorer's oracle is pytest-checked at sf0.01 every
+    # round; the driver's zero-sum 50 already witnesses the lexical
+    # family via q63 + q93.
+    "q94_qld_search",
 ]
 
 assert sorted(_CURATED_ORDER + _BENCH_ONLY) == sorted(QUERIES), (

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 __all__ = [
-    "bm25_search", "rm3_expansion_terms", "bm25_search_rm3",
+    "bm25_search", "qld_search", "rm3_expansion_terms", "bm25_search_rm3",
     "save_bm25_index", "Bm25Index", "rrf_fuse", "RRF_SCALE",
 ]
 
@@ -179,6 +179,90 @@ def bm25_search(
         .limit(k)
     )
     return out if with_key else out.drop("_score_key")
+
+
+def qld_search(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    mu: float = 1000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_stats: bool = False,
+) -> DataFrame:
+    """Top-``k`` by query-likelihood with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the language-model twin of ``bm25_search``
+    (a second lexical scorer diversifies an ``rrf_fuse`` hybrid):
+
+        score(d) = sum over t in Q' of ln((tf + mu * p_t) / (dl + mu)),
+        p_t = cf_t / C  (collection frequency over total corpus tokens)
+
+    restricted to documents matching >= 1 query term (the standard
+    retrieval restriction — smoothing alone would rank the whole corpus
+    by length). Query terms absent from the corpus are DROPPED from Q'
+    (cf = 0 makes every score -inf, an equal shift that still breaks
+    float arithmetic; the Anserini stance).
+
+    Relational shape: the smoothing term for a matching doc's UNMATCHED
+    query terms is recovered without scoring zero-tf postings — per
+    matched posting the key carries ``round(contrib) - round(contrib0)``
+    and a per-doc pass over the tiny |Q'|-row constants frame adds
+    ``sum_t round(contrib0)``; only matched postings and matched docs x
+    |Q'| rows ever exist. The ranking key is the q63 per-term x10^6
+    integer construction (combine-order independent, engine-portable);
+    ``with_stats`` exposes the same exact integer facets so the q94
+    oracle hashes no transcendental."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if mu <= 0:
+        raise ValueError(f"mu must be > 0, got {mu}")
+    terms = sorted({t.lower() for t in query_terms})
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    ex = base.select("id", F.explode("t").alias("term"))
+    dl = base.select("id", F.size("t").alias("dl"))
+    ctot = dl.agg(F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("c"))
+    matched = ex.filter(F.col("term").isin(terms))
+    # collection frequencies — cf = 0 terms never produce a row, which IS
+    # the unseen-term drop
+    cf = matched.groupBy("term").agg(F.count("*").alias("cf"))
+    tf = matched.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    qc = cf.crossJoin(F.broadcast(ctot))  # (term, cf, c): <= |Q'| rows
+
+    mu_p = F.lit(mu) * (F.col("cf") / F.col("c"))
+    dld = F.col("dl") + F.lit(mu)
+    contrib = F.log((F.col("tf") + mu_p) / dld)
+    contrib0 = F.log(mu_p / dld)
+    key = F.floor(contrib * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    key0 = F.floor(contrib0 * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+
+    m = tf.join(F.broadcast(qc), "term").join(dl, "id")
+    aggs = [
+        F.sum(key - key0).cast("bigint").alias("_ka"),
+        F.sum(contrib - contrib0).alias("_sa"),
+    ]
+    if with_stats:
+        aggs += [
+            F.sum("tf").cast("bigint").alias("sum_tf"),
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.max("dl").cast("bigint").alias("dl"),
+        ]
+    adj = m.groupBy("id").agg(*aggs)
+    mdocs = tf.select("id").distinct().join(dl, "id")
+    basek = (
+        mdocs.crossJoin(F.broadcast(qc))
+        .groupBy("id")
+        .agg(F.sum(key0).cast("bigint").alias("_kb"),
+             F.sum(contrib0).alias("_sb"))
+    )
+    out = (
+        adj.join(basek, "id")
+        .withColumn("score", F.col("_sa") + F.col("_sb"))
+        .withColumn("_score_key", F.col("_ka") + F.col("_kb"))
+        .orderBy(F.desc("_score_key"), F.asc("id"))
+        .limit(k)
+        .drop("_ka", "_kb", "_sa", "_sb", "_score_key")
+    )
+    return out
 
 
 def rm3_expansion_terms(

@@ -156,6 +156,70 @@ def test_bm25_index_load_refusals_and_empty(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Dirichlet query-likelihood (round 11); the engine-parity check is
+# catalog q94's DuckDB oracle (pytest-run every round)
+# ---------------------------------------------------------------------------
+
+def test_qld_manual_values(spark):
+    """Direct formula replay: score = sum_t ln((tf + mu*p_t)/(dl + mu))
+    over ALL query terms (tf = 0 smoothing for unmatched), docs with >= 1
+    match only — computed here the naive way, independent of the
+    engine's delta decomposition."""
+    import math
+
+    from pyspark_minhash_lsh_spark.operators.search import qld_search
+
+    docs = _docs(spark, [(0, "cat cat dog"), (1, "cat fish"), (2, "bird bird")])
+    C, mu = 7, 2.0
+    p_cat, p_bird = 3 / C, 2 / C
+
+    out = {r.id: r.score for r in qld_search(docs, ["cat"], mu=mu).collect()}
+    assert set(out) == {0, 1}  # doc 2 matches nothing
+    assert out[0] == pytest.approx(math.log((2 + mu * p_cat) / (3 + mu)))
+    assert out[1] == pytest.approx(math.log((1 + mu * p_cat) / (2 + mu)))
+
+    out2 = {r.id: r.score
+            for r in qld_search(docs, ["cat", "bird"], mu=mu).collect()}
+    assert set(out2) == {0, 1, 2}
+    assert out2[0] == pytest.approx(
+        math.log((2 + mu * p_cat) / (3 + mu))
+        + math.log((0 + mu * p_bird) / (3 + mu)))
+    assert out2[2] == pytest.approx(
+        math.log((0 + mu * p_cat) / (2 + mu))
+        + math.log((2 + mu * p_bird) / (2 + mu)))
+
+
+def test_qld_drops_unseen_terms(spark):
+    from pyspark_minhash_lsh_spark.operators.search import qld_search
+
+    docs = _docs(spark, [(0, "cat dog"), (1, "cat")])
+    with_unseen = {r.id: r.score
+                   for r in qld_search(docs, ["cat", "zzz"], mu=5.0).collect()}
+    without = {r.id: r.score
+               for r in qld_search(docs, ["cat"], mu=5.0).collect()}
+    assert with_unseen == without  # cf=0 term contributes nothing, not -inf
+
+
+def test_qld_ranks_tf_and_stats(spark):
+    from pyspark_minhash_lsh_spark.operators.search import qld_search
+
+    docs = _docs(spark, [(0, "cat cat cat dog"), (1, "cat dog fish bird")])
+    rows = qld_search(docs, ["cat"], mu=10.0, with_stats=True).collect()
+    assert [r.id for r in rows] == [0, 1]  # same dl, higher tf wins
+    assert rows[0].sum_tf == 3 and rows[0].n_terms == 1 and rows[0].dl == 4
+
+
+def test_qld_validation(spark):
+    from pyspark_minhash_lsh_spark.operators.search import qld_search
+
+    docs = _docs(spark, [(0, "cat")])
+    with pytest.raises(ValueError, match="query_terms"):
+        qld_search(docs, [])
+    with pytest.raises(ValueError, match="mu must be"):
+        qld_search(docs, ["cat"], mu=0.0)
+
+
+# ---------------------------------------------------------------------------
 # Weighted BM25 + RM3 pseudo-relevance feedback (round 11); the
 # engine-parity check is catalog q93's DuckDB oracle
 # ---------------------------------------------------------------------------
