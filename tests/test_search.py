@@ -209,6 +209,23 @@ def test_qld_ranks_tf_and_stats(spark):
     assert rows[0].sum_tf == 3 and rows[0].n_terms == 1 and rows[0].dl == 4
 
 
+def test_qld_fuses_with_bm25(spark):
+    """The second lexical model composes through rrf_fuse: both scorers
+    emit (id, score), and a doc both rank highly tops the fusion."""
+    from pyspark_minhash_lsh_spark.operators.search import (
+        bm25_search, qld_search, rrf_fuse,
+    )
+
+    docs = _docs(spark, [(0, "cat cat dog"), (1, "cat fish"),
+                         (2, "dog dog"), (3, "bird")])
+    fused = rrf_fuse(
+        {"bm25": bm25_search(docs, ["cat", "dog"], k=4),
+         "qld": qld_search(docs, ["cat", "dog"], k=4)},
+        score_col="score", id_col="id", n=4,
+    ).collect()
+    assert fused[0].id == 0 and fused[0].n_systems == 2
+
+
 def test_qld_validation(spark):
     from pyspark_minhash_lsh_spark.operators.search import qld_search
 
