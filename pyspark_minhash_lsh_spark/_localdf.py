@@ -1,0 +1,37 @@
+"""Single-partition local relations for driver-small data.
+
+``spark.createDataFrame(rows)`` under Arrow (``arrow.pyspark.enabled``,
+the engine default) parallelizes even a 16-row list into
+``defaultParallelism`` Python-backed slices. Every ACTION over such a
+relation then pays one Python-worker round-trip per slice — and the
+sidecar-write shape ``createDataFrame(...).coalesce(1)`` pulls all the
+slices through ONE task SEQUENTIALLY: measured 4.2-7.1s per tiny sidecar
+write / broadcast-dim materialization on local[32], vs 0.5s when the
+relation is built as a single partition (r11 optimization round; guide
+§4 — the Python boundary crossed 32 times for 16 rows). At cluster scale
+the same shape costs a scheduler wave of no-op tasks per sidecar.
+
+``local_df`` is the one constructor every driver-small relation
+(artifact sidecars, broadcast weight/dim frames, literal lookup tables)
+goes through: one slice, one Python round-trip, values identical to the
+``createDataFrame`` default path (row order is the input order in both).
+"""
+
+from __future__ import annotations
+
+__all__ = ["local_df"]
+
+
+def local_df(spark, rows, schema):
+    """``spark.createDataFrame(rows, schema)`` as ONE partition.
+
+    ``rows`` is a driver-small sequence (sidecar tuples, weight items —
+    anything already held in driver memory); ``schema`` a DDL string or
+    StructType. An empty ``rows`` builds the empty relation directly
+    (``parallelize([], 1)`` cannot infer arity)."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .._localdf import local_df
 from ..functions.text import shingles, tokens
 
 __all__ = [
@@ -776,9 +777,10 @@ def save_count_sketch(
     underscore-sidecar convention as ``PqModel.save`` / ``BloomFilter.save``
     — the main parquet read ignores underscore directories)."""
     rows.write.mode(mode).parquet(path)
-    rows.sparkSession.createDataFrame(
+    local_df(
+        rows.sparkSession,
         [(int(depth), int(width), int(seed))], "depth int, width int, seed int"
-    ).coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/_params")
+    ).write.mode(mode).parquet(path.rstrip("/") + "/_params")
 
 
 def load_count_sketch(spark, path: str) -> CountMinSketch:
@@ -937,8 +939,8 @@ def estimate_quantiles(
         F.sum("n").over(w).alias("cum"),
         F.sum("n").over(_W.partitionBy(*[F.col(c) for c in g])).alias("total"),
     )
-    pdim = hist.sparkSession.createDataFrame(
-        [(float(p),) for p in probs], "p double"
+    pdim = local_df(
+        hist.sparkSession, [(float(p),) for p in probs], "p double"
     )
     # rank of quantile p: ceil(p * total), floored at 1
     rank = F.greatest(F.ceil(F.col("p") * F.col("total")), F.lit(1))

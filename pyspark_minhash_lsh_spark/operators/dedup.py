@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StringType
 
+from .._localdf import local_df
 from ..config import DEFAULT_CONFIG, MinHashLSHConfig
 from ..functions.hashing import content_fingerprint, hamming_distance, simhash_bits_df
 from ..functions.text import tokens
@@ -369,9 +370,7 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
         if m is None or v < m:
             comp_min[r] = v
     rows = [(v, comp_min[find(v)]) for v in parent]
-    if not rows:
-        return spark.createDataFrame([], schema)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def _label_output(

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+from .._localdf import local_df
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -185,8 +186,9 @@ def check_constraints(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
             .count()
         )
 
-    return spark.createDataFrame(
-        _report_rows(row, checks, fk_orphans=_fk_orphans), _REPORT_SCHEMA
+    return local_df(
+        spark, _report_rows(row, checks, fk_orphans=_fk_orphans),
+        _REPORT_SCHEMA,
     )
 
 
@@ -296,9 +298,7 @@ def observe_constraints(
     def finish() -> DataFrame:
         # same shared report builder as check_constraints — the identity
         # test pins it; fk is unreachable (refused above)
-        return spark.createDataFrame(
-            _report_rows(obs.get, checks), _REPORT_SCHEMA
-        )
+        return local_df(spark, _report_rows(obs.get, checks), _REPORT_SCHEMA)
 
     return observed, finish
 
@@ -524,7 +524,7 @@ def streaming_constraint_gate(
             rows = report.collect()
             if report_sink is not None:
                 report_sink(
-                    bdf.sparkSession.createDataFrame(rows, _REPORT_SCHEMA), bid
+                    local_df(bdf.sparkSession, rows, _REPORT_SCHEMA), bid
                 )
             failed = [
                 f"{r.check}({r.column}): {r.constraint} — observed {r.observed}"

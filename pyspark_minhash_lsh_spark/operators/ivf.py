@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .._localdf import local_df
 from ..functions.vectors import cosine_similarity
 from ._filters import apply_where
 
@@ -269,16 +270,18 @@ class IvfFlatModel:
         underscore-prefixed sidecars the main read ignores."""
         self.index.write.mode(mode).partitionBy("cell").parquet(path)
         spark = self.index.sparkSession
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
             "cell int, centroid array<double>",
-        ).coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/_centroids")
-        spark.createDataFrame(
+        ).write.mode(mode).parquet(path.rstrip("/") + "/_centroids")
+        local_df(
+            spark,
             [(self.ivf.n_cells, self.ivf.seed, self.emb_col, self.id_col,
               ",".join(self.keep_cols))],
             "n_cells int, seed int, emb_col string, id_col string, "
             "keep_cols string",
-        ).coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/_params")
+        ).write.mode(mode).parquet(path.rstrip("/") + "/_params")
 
     @classmethod
     def load_index(cls, spark, path: str) -> "IvfFlatModel":
@@ -344,7 +347,8 @@ class IvfFlatModel:
         emb = query_emb_col or self.emb_col
         spark = self.index.sparkSession
         index = apply_where(self.index, where)
-        cent = spark.createDataFrame(
+        cent = local_df(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
             "cell int, c_emb array<float>",
         )

@@ -40,6 +40,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._localdf import local_df
 from .._pins import release_pins
 from ..functions.text import tokens
 
@@ -245,10 +246,11 @@ def save_bigram_lm(model: BigramLm, path: str, mode: str = "overwrite") -> None:
     model.unigrams.select("w", "c").write.mode(mode).parquet(base + "/unigrams")
     model.bigrams.select("w1", "w2", "c").write.mode(mode).parquet(base + "/bigrams")
     spark = model.unigrams.sparkSession
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(model.total_tokens), float(model.alpha))],
         "total_tokens bigint, alpha double",
-    ).coalesce(1).write.mode(mode).parquet(base + "/_params")
+    ).write.mode(mode).parquet(base + "/_params")
 
 
 def load_bigram_lm(spark, path: str) -> BigramLm:

@@ -51,6 +51,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._localdf import local_df
 from ..config import MinHashLSHConfig
 from ..functions.hashing import signature_jaccard
 from .minhash_lsh import MinHashLSH, MinHashLSHModel
@@ -166,20 +167,35 @@ def save_serving_index(
     missing = [c for c in keep_cols if c not in model.corpus.columns]
     if missing:
         raise ValueError(f"keep_cols not in the corpus: {missing}")
-    bands = idx.select(
-        F.col(id_col), F.explode("band_keys").alias("v")
-    ).select(bp_col(F.col("v"), band_partitions).alias("bp"), "v", id_col)
-    write_serving_table(bands, path.rstrip("/") + "/bands", "bp", "v")
-    sigs = idx.select(
-        _sp_col(id_col, sig_partitions).alias("sp"),
-        F.col(id_col), "signature",
-    )
-    if keep_cols:
-        meta = model.corpus.select(id_col, *keep_cols)
-        sigs = sigs.join(meta, id_col, "left").select(
-            "sp", id_col, "signature", *keep_cols
+    # the bands AND sigs writes both read the signature index — on an
+    # unpersisted model (fit(persist=False), the throwaway build-and-save
+    # pattern) each write would re-run the full tokenize+shingle+minhash
+    # pipeline over the corpus (r11 optimization round, guide §5): persist
+    # it for the duration of the save, leave a caller-persisted index
+    # untouched
+    from pyspark.storagelevel import StorageLevel
+
+    own_pin = idx.storageLevel == StorageLevel.NONE
+    if own_pin:
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        bands = idx.select(
+            F.col(id_col), F.explode("band_keys").alias("v")
+        ).select(bp_col(F.col("v"), band_partitions).alias("bp"), "v", id_col)
+        write_serving_table(bands, path.rstrip("/") + "/bands", "bp", "v")
+        sigs = idx.select(
+            _sp_col(id_col, sig_partitions).alias("sp"),
+            F.col(id_col), "signature",
         )
-    write_serving_table(sigs, path.rstrip("/") + "/sigs", "sp", id_col)
+        if keep_cols:
+            meta = model.corpus.select(id_col, *keep_cols)
+            sigs = sigs.join(meta, id_col, "left").select(
+                "sp", id_col, "signature", *keep_cols
+            )
+        write_serving_table(sigs, path.rstrip("/") + "/sigs", "sp", id_col)
+    finally:
+        if own_pin:
+            idx.unpersist()
     model._write_params(path)  # the shared config-drift stamp
     spark = idx.sparkSession
     id_type = idx.schema[id_col].dataType.simpleString()
@@ -187,11 +203,12 @@ def save_serving_index(
         f"{c} {model.corpus.schema[c].dataType.simpleString()}"
         for c in keep_cols
     )
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(_SERVING_VERSION, int(band_partitions), int(sig_partitions),
           id_type, keep_ddl)],
         _SERVING_SCHEMA,
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_serving")
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_serving")
 
 
 class LshServingIndex:
@@ -349,28 +366,38 @@ class LshServingIndex:
                     f"appended batch keep_col {col!r} is {got}, but the "
                     f"artifact stamped {want} — cast the batch"
                 )
-        batch = self.lsh.transform(new_docs, self.text_col, self.id_col)
-        bands = batch.select(
-            F.col(self.id_col), F.explode("band_keys").alias("v")
-        ).select(
-            bp_col(F.col("v"), self.band_partitions).alias("bp"),
-            "v", self.id_col,
-        )
-        write_serving_table(bands, self.path + "/bands", "bp", "v",
-                            mode="append")
-        sigs = batch.select(
-            _sp_col(self.id_col, self.sig_partitions).alias("sp"),
-            F.col(self.id_col), "signature",
-        )
-        if self.keep_cols:
-            # the artifact carries filtered-ANN metadata: presence and
-            # types were refused up top, BEFORE the bands write
-            meta = new_docs.select(self.id_col, *self.keep_cols)
-            sigs = sigs.join(meta, self.id_col, "left").select(
-                "sp", self.id_col, "signature", *self.keep_cols
+        # both table writes read the batch signatures — persist them for
+        # the duration of the append so the batch pipeline runs once (the
+        # save_serving_index stance)
+        from pyspark.storagelevel import StorageLevel
+
+        batch = self.lsh.transform(
+            new_docs, self.text_col, self.id_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            bands = batch.select(
+                F.col(self.id_col), F.explode("band_keys").alias("v")
+            ).select(
+                bp_col(F.col("v"), self.band_partitions).alias("bp"),
+                "v", self.id_col,
             )
-        write_serving_table(sigs, self.path + "/sigs", "sp", self.id_col,
-                            mode="append")
+            write_serving_table(bands, self.path + "/bands", "bp", "v",
+                                mode="append")
+            sigs = batch.select(
+                _sp_col(self.id_col, self.sig_partitions).alias("sp"),
+                F.col(self.id_col), "signature",
+            )
+            if self.keep_cols:
+                # the artifact carries filtered-ANN metadata: presence and
+                # types were refused up top, BEFORE the bands write
+                meta = new_docs.select(self.id_col, *self.keep_cols)
+                sigs = sigs.join(meta, self.id_col, "left").select(
+                    "sp", self.id_col, "signature", *self.keep_cols
+                )
+            write_serving_table(sigs, self.path + "/sigs", "sp", self.id_col,
+                                mode="append")
+        finally:
+            batch.unpersist()
         # the memoized relations hold the PRE-append file index — drop
         # them so the next query lists the grown artifact
         self.refresh()

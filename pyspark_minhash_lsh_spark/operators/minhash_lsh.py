@@ -791,9 +791,11 @@ class MinHashLSHModel:
             )
 
     def _write_params(self, path: str) -> None:
+        from .._localdf import local_df
+
         spark = self.index.sparkSession
-        spark.createDataFrame([self._params_tuple()], self._PARAMS_SCHEMA)\
-            .coalesce(1).write.mode("overwrite")\
+        local_df(spark, [self._params_tuple()], self._PARAMS_SCHEMA)\
+            .write.mode("overwrite")\
             .parquet(path.rstrip("/") + "/_params")
 
     @staticmethod

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .._localdf import local_df
 from ._filters import apply_where
 
 __all__ = [
@@ -212,13 +213,14 @@ class PqModel:
             (j, c, self.codebooks[j, c].tolist())
             for j in range(self.m) for c in range(self.k)
         ]
-        spark.createDataFrame(
-            rows, "subspace int, centroid int, vector array<double>"
-        ).coalesce(1).write.mode(mode).parquet(path)
-        spark.createDataFrame(
+        local_df(
+            spark, rows, "subspace int, centroid int, vector array<double>"
+        ).write.mode(mode).parquet(path)
+        local_df(
+            spark,
             [(self.m, self.k, self.dsub, self.emb_col, self.id_col)],
             "m int, k int, dsub int, emb_col string, id_col string",
-        ).coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/_params")
+        ).write.mode(mode).parquet(path.rstrip("/") + "/_params")
 
     @classmethod
     def load(cls, spark, path: str) -> "PqModel":
@@ -479,10 +481,11 @@ class IvfPqIndex:
         ignores."""
         self.index.write.mode(mode).partitionBy("cell").parquet(path)
         spark = self.index.sparkSession
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
             "cell int, centroid array<double>",
-        ).coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/_centroids")
+        ).write.mode(mode).parquet(path.rstrip("/") + "/_centroids")
         self.pq.save(spark, path.rstrip("/") + "/_pq", mode=mode)
 
     @classmethod

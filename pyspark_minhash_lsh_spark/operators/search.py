@@ -25,6 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._localdf import local_df
 from ..functions.text import tokens
 
 __all__ = [
@@ -49,10 +50,11 @@ def _resolve_query(query_terms: "Sequence[str] | None",
 
 
 def _weight_frame(spark, weights: "dict[str, float]") -> DataFrame:
-    """The broadcastable literal weights relation both scorers join."""
-    return spark.createDataFrame(
-        sorted(weights.items()), "term string, _w double"
-    )
+    """The broadcastable literal weights relation both scorers join —
+    single-partition (``local_df``): the Arrow default would split the
+    handful of weights into defaultParallelism Python-backed slices and
+    the broadcast build would pay one Python round-trip per slice."""
+    return local_df(spark, sorted(weights.items()), "term string, _w double")
 
 
 def _rm3_interpolate(qset: "list[str]", exp_rows, orig_weight: float
@@ -382,12 +384,13 @@ def _write_bm25_sidecar(spark, path: str, partitions: int, n_docs: int,
                         total_dl: int, id_type: str, id_col: str,
                         forward: bool, keep_cols_ddl: str = "") -> None:
     avgdl = (total_dl / n_docs) if n_docs else 0.0
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(_BM25_VERSION, int(partitions), int(n_docs), float(avgdl),
           id_type, id_col, int(total_dl), int(bool(forward)),
           keep_cols_ddl or "")],
         _BM25_SCHEMA,
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_bm25")
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_bm25")
 
 
 def _fd_col(id_col: str, partitions: int):
@@ -453,55 +456,73 @@ def save_bm25_index(
     missing = [c for c in keep_cols if c not in df.columns]
     if missing:
         raise ValueError(f"keep_cols not in the corpus: {missing}")
+    # ONE tokenize pass of the corpus (r11 optimization round, guide §2.4/
+    # §5): the old shape rebuilt the tokenize+explode+tf lineage once per
+    # consumer — postings, terms, forward, stats = up to 6 corpus
+    # tokenizations per save. Now the (id, term, tf) aggregate is
+    # persisted for the duration of the save and every table derives from
+    # it; dl is recovered as sum(tf) per doc — EXACTLY size(tokens) for
+    # every doc that has postings (zero-token docs never post), so the
+    # artifact is bit-identical (tested) — and n_docs/total_dl come from a
+    # tokenize-free row count + the same tf sums.
+    from pyspark.storagelevel import StorageLevel
+
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
-    dl = base.select("id", F.size("t").alias("dl"))
     tf = (
         base.select("id", F.explode("t").alias("term"))
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"))
-    )
-    postings = tf.join(dl, "id")
-    if keep_cols:
-        meta = df.select(F.col(id_col).alias("id"), *keep_cols)
-        postings = postings.join(meta, "id", "left")
-    postings = postings.select(
-        _tp_col("term", partitions).alias("tp"),
-        "term", F.col("id").alias(id_col), "tf", "dl", *keep_cols,
-    )
-    (
-        postings.repartition("tp").sortWithinPartitions("term")
-        .write.mode("overwrite").partitionBy("tp")
-        .parquet(path.rstrip("/") + "/postings")
-    )
-    terms = tf.groupBy("term").agg(F.count("*").alias("df")).select(
-        _tp_col("term", partitions).alias("tp"), "term", "df"
-    )
-    (
-        terms.repartition("tp").sortWithinPartitions("term")
-        .write.mode("overwrite").partitionBy("tp")
-        .parquet(path.rstrip("/") + "/terms")
-    )
-    if forward:
-        from .lsh_serving import write_serving_table
-
-        fwd = tf.join(dl, "id").select(
-            _fd_col("id", partitions).alias("fd"),
-            F.col("id").alias(id_col), "term", "tf", "dl",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dl = tf.groupBy("id").agg(F.sum("tf").cast("int").alias("dl"))
+        postings = tf.join(dl, "id")
+        if keep_cols:
+            meta = df.select(F.col(id_col).alias("id"), *keep_cols)
+            postings = postings.join(meta, "id", "left")
+        postings = postings.select(
+            _tp_col("term", partitions).alias("tp"),
+            "term", F.col("id").alias(id_col), "tf", "dl", *keep_cols,
         )
-        write_serving_table(fwd, path.rstrip("/") + "/forward", "fd", id_col)
-    # EXACT integer stats (v2): avgdl is derived as total_dl/n_docs — the
-    # same correctly-rounded quotient F.avg would produce over these
-    # integers, but the integers themselves are what append() merges
-    stats = dl.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("total_dl"),
-    ).head()
+        (
+            postings.repartition("tp").sortWithinPartitions("term")
+            .write.mode("overwrite").partitionBy("tp")
+            .parquet(path.rstrip("/") + "/postings")
+        )
+        terms = tf.groupBy("term").agg(F.count("*").alias("df")).select(
+            _tp_col("term", partitions).alias("tp"), "term", "df"
+        )
+        (
+            terms.repartition("tp").sortWithinPartitions("term")
+            .write.mode("overwrite").partitionBy("tp")
+            .parquet(path.rstrip("/") + "/terms")
+        )
+        if forward:
+            from .lsh_serving import write_serving_table
+
+            fwd = tf.join(dl, "id").select(
+                _fd_col("id", partitions).alias("fd"),
+                F.col("id").alias(id_col), "term", "tf", "dl",
+            )
+            write_serving_table(fwd, path.rstrip("/") + "/forward", "fd",
+                                id_col)
+        # EXACT integer stats (v2): avgdl is derived as total_dl/n_docs —
+        # the same correctly-rounded quotient F.avg would produce over
+        # these integers, but the integers themselves are what append()
+        # merges. n_docs counts EVERY corpus row (token-less docs
+        # included, the bm25_search denominator) without a tokenize pass;
+        # total_dl = sum of all tf == sum of size(tokens) exactly.
+        n_docs = df.count()
+        total_dl = tf.agg(
+            F.coalesce(F.sum("tf").cast("bigint"), F.lit(0))
+        ).head()[0]
+    finally:
+        tf.unpersist()
     id_type = df.schema[id_col].dataType.simpleString()
     keep_ddl = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
     )
     _write_bm25_sidecar(df.sparkSession, path, partitions,
-                        int(stats.n_docs or 0), int(stats.total_dl or 0),
+                        int(n_docs), int(total_dl or 0),
                         id_type, id_col, forward, keep_ddl)
 
 
@@ -639,8 +660,7 @@ class Bm25Index:
             memo = self._tp_memo = {}
         if len(terms) > 1_000:  # batch one-shot: compute, don't cache
             rows = (
-                self.spark.createDataFrame(
-                    [(t,) for t in terms], "term string")
+                local_df(self.spark, [(t,) for t in terms], "term string")
                 .select(_tp_col("term", self.partitions).alias("tp"))
                 .distinct().collect()
             )
@@ -650,7 +670,7 @@ class Bm25Index:
             if len(memo) + len(new) > self._TP_MEMO_MAX:
                 memo.clear()
             rows = (
-                self.spark.createDataFrame([(t,) for t in new], "term string")
+                local_df(self.spark, [(t,) for t in new], "term string")
                 .select("term", _tp_col("term", self.partitions).alias("tp"))
                 .collect()
             )
@@ -726,49 +746,58 @@ class Bm25Index:
                     f"appended batch keep_col {col!r} is {got}, but the "
                     f"artifact stamped {want} — cast the batch"
                 )
+        # ONE tokenize pass of the batch (the save_bm25_index shape): tf
+        # persisted across the table writes, dl recovered as sum(tf) per
+        # doc — exactly size(tokens) for every posting-bearing doc — and
+        # the batch stats from a tokenize-free count + the tf sums
+        from pyspark.storagelevel import StorageLevel
+
         base = new_docs.select(
             F.col(self.id_col).alias("id"), tokens(F.col(text_col)).alias("t")
         )
-        dl = base.select("id", F.size("t").alias("dl"))
         tf = (
             base.select("id", F.explode("t").alias("term"))
             .groupBy("id", "term")
             .agg(F.count("*").alias("tf"))
-        )
-        # batch stats FIRST (no side effects if the batch is malformed)
-        stats = dl.agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.coalesce(F.sum("dl").cast("bigint"), F.lit(0)).alias("t"),
-        ).head()
-        from .lsh_serving import write_serving_table
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            dl = tf.groupBy("id").agg(F.sum("tf").cast("int").alias("dl"))
+            # batch stats FIRST (no side effects if the batch is malformed)
+            batch_n = new_docs.count()
+            batch_dl = tf.agg(
+                F.coalesce(F.sum("tf").cast("bigint"), F.lit(0))
+            ).head()[0]
+            from .lsh_serving import write_serving_table
 
-        postings = tf.join(dl, "id")
-        if self.keep_cols:
-            meta = new_docs.select(
-                F.col(self.id_col).alias("id"), *self.keep_cols
+            postings = tf.join(dl, "id")
+            if self.keep_cols:
+                meta = new_docs.select(
+                    F.col(self.id_col).alias("id"), *self.keep_cols
+                )
+                postings = postings.join(meta, "id", "left")
+            postings = postings.select(
+                _tp_col("term", self.partitions).alias("tp"),
+                "term", F.col("id").alias(self.id_col), "tf", "dl",
+                *self.keep_cols,
             )
-            postings = postings.join(meta, "id", "left")
-        postings = postings.select(
-            _tp_col("term", self.partitions).alias("tp"),
-            "term", F.col("id").alias(self.id_col), "tf", "dl",
-            *self.keep_cols,
-        )
-        write_serving_table(postings, self.path + "/postings", "tp", "term",
-                            mode="append")
-        terms = tf.groupBy("term").agg(F.count("*").alias("df")).select(
-            _tp_col("term", self.partitions).alias("tp"), "term", "df"
-        )
-        write_serving_table(terms, self.path + "/terms", "tp", "term",
-                            mode="append")
-        if self.forward:
-            fwd = tf.join(dl, "id").select(
-                _fd_col("id", self.partitions).alias("fd"),
-                F.col("id").alias(self.id_col), "term", "tf", "dl",
+            write_serving_table(postings, self.path + "/postings", "tp",
+                                "term", mode="append")
+            terms = tf.groupBy("term").agg(F.count("*").alias("df")).select(
+                _tp_col("term", self.partitions).alias("tp"), "term", "df"
             )
-            write_serving_table(fwd, self.path + "/forward", "fd",
-                                self.id_col, mode="append")
-        self.n_docs += int(stats.n or 0)
-        self.total_dl += int(stats.t or 0)
+            write_serving_table(terms, self.path + "/terms", "tp", "term",
+                                mode="append")
+            if self.forward:
+                fwd = tf.join(dl, "id").select(
+                    _fd_col("id", self.partitions).alias("fd"),
+                    F.col("id").alias(self.id_col), "term", "tf", "dl",
+                )
+                write_serving_table(fwd, self.path + "/forward", "fd",
+                                    self.id_col, mode="append")
+        finally:
+            tf.unpersist()
+        self.n_docs += int(batch_n)
+        self.total_dl += int(batch_dl or 0)
         self.avgdl = (self.total_dl / self.n_docs) if self.n_docs else 0.0
         _write_bm25_sidecar(self.spark, self.path, self.partitions,
                             self.n_docs, self.total_dl,
@@ -954,7 +983,8 @@ class Bm25Index:
         )
         exp_rows: "list[tuple]" = []
         if fb:
-            fbdf = self.spark.createDataFrame(
+            fbdf = local_df(
+                self.spark,
                 [(r[0], r[1]) for r in fb],
                 f"{self.id_col} {self.id_type}, _sk bigint",
             )

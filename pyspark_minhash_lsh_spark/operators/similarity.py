@@ -20,6 +20,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .._localdf import local_df
 from ..functions.vectors import cosine_similarity
 from ._filters import apply_where
 
@@ -322,11 +323,12 @@ class SrpLshModel:
         a one-row sidecar under ``<path>/_params``."""
         self.index.write.mode(mode).parquet(path)
         spark = self.index.sparkSession
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(self.lsh.num_planes, self.lsh.num_tables, self.lsh.seed,
               self.emb_col, self.id_col)],
             "num_planes int, num_tables int, seed int, emb_col string, id_col string",
-        ).coalesce(1).write.mode(mode).parquet(path.rstrip("/") + "/_params")
+        ).write.mode(mode).parquet(path.rstrip("/") + "/_params")
 
     @classmethod
     def load_index(cls, spark, path: str) -> "SrpLshModel":

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._localdf import local_df
 from ..functions.text import tokens
 
 __all__ = [
@@ -631,9 +632,9 @@ def save_bpe_merges(spark, merges: "Sequence[tuple[str, str]]", path: str,
                     mode: str = "overwrite") -> None:
     """Persist an ordered BPE merge list as ``(rank, left, right)`` rows."""
     rows = [(i, p[0], p[1]) for i, p in enumerate(merges)]
-    spark.createDataFrame(
-        rows or [], "rank int, left string, right string"
-    ).coalesce(1).write.mode(mode).parquet(path)
+    local_df(
+        spark, rows, "rank int, left string, right string"
+    ).write.mode(mode).parquet(path)
 
 
 def load_bpe_merges(spark, path: str) -> "list[tuple[str, str]]":
@@ -646,9 +647,9 @@ def save_unigram_vocab(spark, vocab: "Mapping[str, float]", path: str,
     """Persist a unigram-LM vocabulary as ``(piece, logp)`` rows — parquet
     doubles round-trip IEEE-exactly, so reloaded Viterbi segmentations are
     bit-identical to the trainer's."""
-    spark.createDataFrame(
-        list(vocab.items()) or [], "piece string, logp double"
-    ).coalesce(1).write.mode(mode).parquet(path)
+    local_df(
+        spark, list(vocab.items()), "piece string, logp double"
+    ).write.mode(mode).parquet(path)
 
 
 def load_unigram_vocab(spark, path: str) -> "dict[str, float]":
@@ -659,9 +660,9 @@ def save_wordpiece_vocab(spark, vocab: "Sequence[str]", path: str,
                          mode: str = "overwrite") -> None:
     """Persist a WordPiece vocab as ``(idx, piece)`` rows — idx IS the
     token id surface, so the explicit column keeps ids stable."""
-    spark.createDataFrame(
-        [(i, p) for i, p in enumerate(vocab)] or [], "idx int, piece string"
-    ).coalesce(1).write.mode(mode).parquet(path)
+    local_df(
+        spark, [(i, p) for i, p in enumerate(vocab)], "idx int, piece string"
+    ).write.mode(mode).parquet(path)
 
 
 def load_wordpiece_vocab(spark, path: str) -> "list[str]":

@@ -24,6 +24,7 @@ the engine produces anyway (driver-side, O(operators) per batch).
 from __future__ import annotations
 
 import json
+from .._localdf import local_df
 from typing import Callable, Optional, Union
 
 __all__ = [
@@ -97,8 +98,8 @@ def write_state_metrics(
         from ..session import get_spark
 
         spark = get_spark("state_metrics")
-    df = spark.createDataFrame(
-        [tuple(r.values()) for r in rows] or [], STATE_METRICS_SCHEMA
+    df = local_df(
+        spark, [tuple(r.values()) for r in rows], STATE_METRICS_SCHEMA
     )
     if callable(sink):
         sink(df)

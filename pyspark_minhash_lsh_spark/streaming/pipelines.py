@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._localdf import local_df
 from ..functions.hashing import (
     content_fingerprint,
     lsh_band_keys,
@@ -498,9 +499,9 @@ def start_heavy_hitters_stream(
     except Exception:  # no sidecar yet: first start on this sink
         have = None
     if have is None:
-        spark.createDataFrame(
-            [want], "depth int, width int, seed int, candidate_k int"
-        ).coalesce(1).write.mode("overwrite").parquet(base + "/_params")
+        local_df(
+            spark, [want], "depth int, width int, seed int, candidate_k int"
+        ).write.mode("overwrite").parquet(base + "/_params")
     elif have != want:
         # a restart with drifted params would mix sketch rows hashed under
         # different (width, seed) moduli — undetectable from the rows
