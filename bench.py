@@ -35,11 +35,21 @@ from pyspark_minhash_lsh_spark.session import get_spark  # noqa: E402
 #: timing-policy version stamp (ADVICE r10 #5): mins recorded under
 #: different policies are not comparable — policy 1 (rounds 1-9) timed
 #: back-to-back warm-cache best-of runs, policy 2 (round 10+) drains ALL
-#: caches between runs (cold-cache corroborated-min). The regression gate
-#: only flags against a same-policy baseline; a cross-policy baseline is
-#: annotated instead of gated, re-baselining on the first round under the
-#: new policy.
-TIMING_POLICY = 2
+#: caches between runs (cold-cache corroborated-min), policy 3 (round 11
+#: optimization pass) additionally times the NOOP SINK instead of
+#: ``count()``. The guide-§1.4 measurement bug the switch fixes:
+#: ``count()`` lets the optimizer prune every column the count doesn't
+#: need — verified via ``explain`` that q30's counted plan lost BOTH the
+#: 100 min-aggregates and the k-gram lead-window (its recorded 0.38s
+#: measured an explode+group count, not minhash), and q01/q19 similarly
+#: lost their aggregate/window compute. The noop write materializes
+#: every column of every row; output-row counts for the scale-check work
+#: ratios come from ONE untimed counted pass per query. The regression
+#: gate only flags against a same-policy baseline; a cross-policy
+#: baseline is annotated instead of gated, re-baselining on the first
+#: round under the new policy (old policy-2 numbers stay recorded in
+#: BENCH_r10.json / OPTIMIZATION_r11.md).
+TIMING_POLICY = 3
 
 
 def _load1() -> float:
@@ -77,22 +87,33 @@ def _drain_caches(spark) -> None:
 
 def _timed_best(spark, fn, n_runs: int, max_runs: "int | None" = None,
                 deadline: "float | None" = None) -> "tuple[list, int]":
-    """Run ``fn()`` (returns a DataFrame) to full count ``n_runs`` times,
-    draining caches between runs, then keep re-running — up to ``max_runs``
-    total — while the two FASTEST runs disagree by > 25% and the best is
-    non-trivial (> 0.5 s). On this multi-tenant host a co-tenant spike
-    lands as a wild spread (observed: [30.8, 4.6, 3.1] for a query whose
-    steady state is ~3 s, host load1 > 20 with zero engine processes);
-    the corroborated-min rule spends extra passes only when the window was
-    actually noisy, so the recorded min is the plan's cost, not the
-    spike's. Returns (all run times, last row count)."""
+    """Run ``fn()`` (returns a DataFrame) to the NOOP SINK ``n_runs``
+    times, draining caches between runs, then keep re-running — up to
+    ``max_runs`` total — while the two FASTEST runs disagree by > 25% and
+    the best is non-trivial (> 0.5 s). On this multi-tenant host a
+    co-tenant spike lands as a wild spread (observed: [30.8, 4.6, 3.1]
+    for a query whose steady state is ~3 s, host load1 > 20 with zero
+    engine processes); the corroborated-min rule spends extra passes only
+    when the window was actually noisy, so the recorded min is the plan's
+    cost, not the spike's.
+
+    Timing policy 3 (guide §1.4): the timed action is
+    ``write.format('noop')`` — it computes EVERY column of every row —
+    because ``count()`` let the optimizer prune whole computed subtrees
+    (q30's min-aggregates and shingle window vanished from its counted
+    plan). The output-row count the scale-check work ratios need comes
+    from one UNTIMED counted pass up front (which doubles as the per-plan
+    JIT warmup the old first run provided). Returns
+    (all run times, row count)."""
     if max_runs is None:
         max_runs = max(n_runs, int(os.environ.get(
             "SPARK_GRAFT_BENCH_MAX_RUNS", "6")))
-    rs, n = [], 0
+    n = fn().count()  # untimed: row count for work ratios + JIT warmup
+    _drain_caches(spark)
+    rs: list = []
     while len(rs) < max_runs:
         t0 = time.perf_counter()
-        n = fn().count()
+        fn().write.format("noop").mode("overwrite").save()
         rs.append(round(time.perf_counter() - t0, 3))
         _drain_caches(spark)
         if deadline is not None and time.perf_counter() > deadline:
