@@ -52,3 +52,29 @@ def test_signatures_match_golden(spark):
             "fingerprint": fps[r.doc_id],
         }
         assert got == g, (r.doc_id, got, g)
+
+
+def test_arrow_and_relational_index_paths_agree(spark):
+    """r11 optimization: ``minhash_index_df`` switched from the relational
+    window+agg kernel to the Arrow numpy min-reduce. The two forms must
+    stay bit-identical on every doc — including empty/punctuation-only/
+    single-token rows (sentinel signatures) — or every signature consumer
+    (bands, dedup, serving artifacts) silently drifts."""
+    from pyspark_minhash_lsh_spark.functions.hashing import (
+        minhash_index_df,
+        minhash_index_df_relational,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").unionByName(
+        spark.createDataFrame(
+            [(10_001, ""), (10_002, "..."), (10_003, "word"), (10_004, None)],
+            "doc_id bigint, text string",
+        ),
+        allowMissingColumns=True,
+    )
+    tk = tokens(F.col("text"))
+    a = {r.doc_id: list(r.signature)
+         for r in minhash_index_df(docs, tk).collect()}
+    b = {r.doc_id: list(r.signature)
+         for r in minhash_index_df_relational(docs, tk).collect()}
+    assert a == b
