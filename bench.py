@@ -345,9 +345,12 @@ def main() -> None:
         # runs are fully independent (each call refits its own model) and
         # caches drain between runs, so run 2 never times against run 1's
         # orphaned caches' memory/GC pressure; the helper adds noise-guard
-        # passes when a co-tenant spike blows out the spread
+        # passes when a co-tenant spike blows out the spread. Jobs are
+        # labeled (guide §1.5) so the UI/event log maps stages to queries.
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         all_runs, n = _timed_best(
             spark, lambda: _resolve(name)(spark, sf_dir), runs)
+        spark.sparkContext.setJobDescription(None)
         timings[name] = min(all_runs)
         base_rows[name] = n
         # per-query diagnostics (VERDICT r09 #1): the full spread — not
@@ -895,11 +898,15 @@ def scale_check(spark, sf_dir: str, base_timings: dict[str, float],
 
         def timed_runs(name: str, d: str, n_runs: int) -> "tuple[list, int]":
             # same hygiene + noise guard as the headline loop, bounded by
-            # the shared probe budget
-            return _timed_best(
-                spark, lambda: run_probe(name, d), n_runs,
-                deadline=started + budget,
-            )
+            # the shared probe budget; labeled per probe (guide §1.5)
+            spark.sparkContext.setJobDescription(f"bench scale: {name}")
+            try:
+                return _timed_best(
+                    spark, lambda: run_probe(name, d), n_runs,
+                    deadline=started + budget,
+                )
+            finally:
+                spark.sparkContext.setJobDescription(None)
 
         base_rows = dict(base_rows or {})
         for name in probes:
