@@ -74,7 +74,11 @@ def test_repetition_metrics_matches_reference_and_zero_shuffle(spark):
 
     plan = repetition_metrics(docs)._jdf.queryExecution(
     ).executedPlan().toString()
-    assert "Exchange" not in plan and "EvalPython" not in plan
+    # r11: the facet pass is the Arrow numpy kernel — still zero Exchange
+    # (the point of the round-6 rewrite), now one ArrowEvalPython batch
+    # stage instead of the interpreted string-bigram sort+fold
+    assert "Exchange" not in plan and "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
 
 
 def test_with_repetition_metrics_quality_col_matches_convenience(spark):
