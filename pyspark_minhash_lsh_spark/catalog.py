@@ -2486,7 +2486,7 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc-keyed agg."""
     from .functions.text_analysis import (
         bpe_token_count_estimate,
-        quality_score_x10k,
+        quality_score_x10k_from,
         stopword_hits,
     )
     from .operators.lm import lm_score, train_bigram_lm
@@ -2504,8 +2504,16 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_c1").alias("lm_c1"),
         F.col("sum_c2").alias("lm_c2"),
     )
-    t = tokens(F.col("text"))
-    base = docs.select(
+    # tokens STAGED as a real column (r11 optimization): interpreted HOF
+    # inputs are not common-subexpression-eliminated, so the inline form
+    # re-ran the tokenize regex chain per reference (stopword filter,
+    # distinct, sizes, and ~4 more inside quality_score_x10k)
+    staged = docs.select(
+        "doc_id", "source", "n_chars", "text",
+        tokens(F.col("text")).alias("_t"),
+    )
+    t = F.col("_t")
+    base = staged.select(
         "doc_id",
         "source",
         "n_chars",
@@ -2515,7 +2523,7 @@ def q29_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio_sint(F.size(F.array_distinct(t)), F.size(t), 6, empty=0)
         .alias("uniq_ratio"),
         F.size(t).alias("n_tokens"),
-        quality_score_x10k(F.col("text")).alias("quality"),
+        quality_score_x10k_from(F.col("text"), t).alias("quality"),
     )
     m = (
         docs.groupBy("source")

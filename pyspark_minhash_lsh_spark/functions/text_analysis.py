@@ -11,6 +11,7 @@ corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -22,9 +23,11 @@ __all__ = [
     "stopword_ratio",
     "language_scores",
     "language_id",
+    "language_id_expr",
     "quality_score",
     "quality_score_from",
     "quality_score_x10k",
+    "quality_score_x10k_from",
     "bpe_token_count_estimate",
     "SCRIPT_CLASSES",
     "script_counts",
@@ -141,7 +144,53 @@ def language_id(toks: Column, min_ratio: float = 0.05) -> Column:
     ``hits/T > min_ratio`` cross-multiplies against the rational form of
     ``min_ratio`` (``Fraction.limit_denominator`` — 0.05 -> 1/20). No
     float division can reach a comparison, so the result is bit-identical
-    across engines by construction (the q78 lesson applied to argmax)."""
+    across engines by construction (the q78 lesson applied to argmax).
+
+    Since the r11 optimization round the per-token stopword counting runs
+    as ONE Arrow-batched dict-lookup pass (guide §4.2) instead of the
+    per-language interpreted ``filter(array_contains(...))`` chain, which
+    re-scanned a 20-word array per token per language AND re-evaluated a
+    captured ``tokens(text)`` expression per reference — interleaved A/B
+    at sf0.1: 0.39s vs 13.3s inline / 4.95s with staged tokens. The same
+    integer argmax runs over the same hit counts, so results are
+    bit-identical (parity-locked against ``language_id_expr``)."""
+    from fractions import Fraction
+
+    r = Fraction(float(min_ratio)).limit_denominator(1_000_000)
+    num, den = r.numerator, r.denominator
+    langs = list(STOPWORDS)
+    word2langs: dict[str, list[int]] = {}
+    for i, code in enumerate(langs):
+        for w in STOPWORDS[code]:
+            word2langs.setdefault(w, []).append(i)
+
+    @F.pandas_udf("string")
+    def _lang(tks: pd.Series) -> pd.Series:
+        out = []
+        for t in tks:
+            n = 0 if t is None else len(t)
+            hits = [0] * len(langs)
+            if n:
+                for w in t:
+                    ls = word2langs.get(w)
+                    if ls:
+                        for i in ls:
+                            hits[i] += 1
+            best, best_scaled = "und", n * num
+            for i, code in enumerate(langs):
+                s = hits[i] * den
+                if s > best_scaled:
+                    best, best_scaled = code, s
+            out.append(best)
+        return pd.Series(out)
+
+    return _lang(toks)
+
+
+def language_id_expr(toks: Column, min_ratio: float = 0.05) -> Column:
+    """The pure-Column form of ``language_id`` (the round-5..10 kernel) —
+    kept for parity testing and for engines without Python workers. Same
+    integer argmax over ``stopword_hits``; bit-identical results."""
     from fractions import Fraction
 
     r = Fraction(float(min_ratio)).limit_denominator(1_000_000)
@@ -242,8 +291,19 @@ def quality_score_x10k(text: Column) -> Column:
     rounding down to x10^4. The two-stage rounding can differ from the
     one-stage double blend in the final digit, so this is a distinct,
     engine-exact variant — use it on any cross-engine hash surface; keep
-    ``quality_score`` for in-Spark ranking where a raw double is fine."""
-    toks = tokens(text)
+    ``quality_score`` for in-Spark ranking where a raw double is fine.
+
+    PERF: like ``quality_score``, this convenience form re-derives
+    ``tokens(text)`` at each of its ~4 array references (interpreted HOF
+    inputs are not common-subexpression-eliminated); callers that already
+    stage a token column should use ``quality_score_x10k_from``."""
+    return quality_score_x10k_from(text, tokens(text))
+
+
+def quality_score_x10k_from(text: Column, toks: Column) -> Column:
+    """``quality_score_x10k`` with the token array supplied by the caller —
+    pass a STAGED attribute column to pay tokenization once per row.
+    Values identical by construction (same expressions, same blend)."""
     n_tok = F.size(toks).cast("bigint")
     n_chars = F.length(text).cast("bigint")
     one = F.lit(100_000_000).cast("bigint")

@@ -76,3 +76,35 @@ def test_bpe_estimate_bounds(spark, batch):
         words = [w for w in re.sub(r"[^\w]+", " ", t).strip().split() if w]
         assert got[i] >= len(words), (t, got[i])
         assert got[i] <= max(len(t), 1) or not t.strip(), (t, got[i])
+
+
+def test_language_id_arrow_matches_expr_form(spark):
+    """r11: language_id switched to the Arrow dict-lookup kernel; the
+    integer argmax must stay bit-identical to the pure-Column form on
+    real docs and the und/empty/null edges."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.functions.text import tokens
+    from pyspark_minhash_lsh_spark.functions.text_analysis import (
+        language_id,
+        language_id_expr,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).unionByName(
+        spark.createDataFrame(
+            [(90_001, ""), (90_002, None), (90_003, "la de la que el en"),
+             (90_004, "zz yy xx"), (90_005, "the of and to in is")],
+            "doc_id bigint, text string",
+        ),
+        allowMissingColumns=True,
+    )
+    t = docs.select(
+        "doc_id", tokens(F.col("text")).alias("_t")
+    )
+    a = {r.doc_id: r.lang for r in t.select(
+        "doc_id", language_id(F.col("_t")).alias("lang")).collect()}
+    b = {r.doc_id: r.lang for r in t.select(
+        "doc_id", language_id_expr(F.col("_t")).alias("lang")).collect()}
+    assert a == b
