@@ -1,0 +1,71 @@
+"""Noop-timed sweep of EVERY catalog query — the optimization round's
+per-operator measurement pass (guide §1.4: the noop sink computes every
+column of every row; §1.5: jobs labeled per query).
+
+Usage::
+
+    python tools/measure_catalog.py /tmp/catalog_times.json [sf_dir] [runs]
+
+Each query runs once untimed (JIT warmup + row count), then ``runs``
+noop-timed passes with all engine caches drained between passes (the
+bench's cold-cache policy); the per-query MIN is recorded with the run
+spread and the host load stamp.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark_minhash_lsh_spark import _pins  # noqa: E402
+from pyspark_minhash_lsh_spark.catalog import QUERIES  # noqa: E402
+from pyspark_minhash_lsh_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/catalog_times.json"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    spark = get_spark("measure_catalog")
+
+    def drain() -> None:
+        gc.collect()
+        _pins.release_all(force=True)
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+
+    out: dict = {"sf_dir": sf_dir, "runs": runs, "queries": {}}
+    for name in sorted(QUERIES):
+        try:
+            spark.sparkContext.setJobDescription(f"measure: {name}")
+            n = QUERIES[name](spark, sf_dir).count()  # warm + rows
+            drain()
+            rs = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                rs.append(round(time.perf_counter() - t0, 3))
+                drain()
+            rec = {"sec": min(rs), "runs": rs, "rows": n,
+                   "load1": round(os.getloadavg()[0], 1)}
+        except Exception as e:
+            rec = {"error": f"{type(e).__name__}: {e}"[:200]}
+        finally:
+            spark.sparkContext.setJobDescription(None)
+        out["queries"][name] = rec
+        print(f"# {name}: {rec}", file=sys.stderr, flush=True)
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
