@@ -26,6 +26,7 @@ __all__ = [
     "language_id_expr",
     "quality_score",
     "quality_score_from",
+    "quality_score_from_facets",
     "quality_score_x10k",
     "quality_score_x10k_from",
     "bpe_token_count_estimate",
@@ -257,6 +258,52 @@ def quality_score_from(text: Column, toks: Column) -> Column:
     uniq_ratio = F.when(
         n_tok > 0,
         F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    uniq_score = F.least(F.lit(1.0), uniq_ratio / 0.3)
+
+    nonspace = F.length(F.regexp_replace(text, r"\s+", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_score = F.when(
+        nonspace > 0, alpha.cast("double") / nonspace.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    return (len_score + tok_len_score + sw_score + uniq_score + alpha_score) / 5.0
+
+
+def quality_score_from_facets(
+    text: Column, n_tok: Column, sum_len: Column, en_hits: Column,
+    n_dist: Column,
+) -> Column:
+    """``quality_score`` composed from PRECOMPUTED integer facets (the
+    ``textpipe._repetition_facets`` outputs) — the identical arithmetic
+    as ``quality_score_from`` over the same integers, with no array
+    expression anywhere: the interpreted sum-of-lengths fold and the
+    stopword ``filter(array_contains)`` pass are replaced by the facet
+    columns (r11 optimization). ``en_hits`` counted via xxhash64 equality
+    matches string equality at the 2^-64 standard."""
+    n_chars = F.length(text)
+
+    len_score = F.when(n_chars < 50, n_chars.cast("double") / 50.0).when(
+        n_chars > 5000,
+        F.greatest(F.lit(0.0), 1.0 - (n_chars - 5000).cast("double") / 20000.0),
+    ).otherwise(F.lit(1.0))
+
+    mean_tok_len = F.when(
+        n_tok > 0, sum_len.cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    tok_len_score = F.when(
+        (mean_tok_len >= 3) & (mean_tok_len <= 10), F.lit(1.0)
+    ).when(mean_tok_len < 3, mean_tok_len / 3.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (mean_tok_len - 10.0) / 10.0)
+    )
+
+    sw_ratio = F.when(
+        n_tok > 0, en_hits.cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    sw_score = F.least(F.lit(1.0), sw_ratio / 0.1)
+
+    uniq_ratio = F.when(
+        n_tok > 0, n_dist.cast("double") / n_tok.cast("double")
     ).otherwise(F.lit(0.0))
     uniq_score = F.least(F.lit(1.0), uniq_ratio / 0.3)
 
