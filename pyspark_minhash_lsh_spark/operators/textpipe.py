@@ -88,34 +88,39 @@ def _stopword_hashes(spark, lang: str = "en") -> tuple:
     return _SW_HASH_MEMO[key]
 
 
-def _repetition_facets(token_hashes, token_lengths, sw_hashes: tuple):
-    """``struct<nd:int, topc:int, sum_len:bigint, en_hits:int>`` per doc
-    from its xxhash64 token-hash array + token-length array: ``nd`` =
-    distinct-token count, ``topc`` = the most frequent bigram's
-    multiplicity, ``sum_len`` = total token chars, ``en_hits`` = tokens
-    matching the ``sw_hashes`` stopword-hash set — one vectorized numpy
-    pass per Arrow batch (see ``with_repetition_metrics`` for the
-    measurement and the 64-bit collision rationale; the hits facet
-    matches string equality up to the same 2^-64 standard)."""
+def _repetition_facets(token_hashes, sw_hashes: tuple):
+    """``struct<nd:int, topc:int, en_hits:int>`` per doc from its xxhash64
+    token-hash array: ``nd`` = distinct-token count, ``topc`` = the most
+    frequent bigram's multiplicity, ``en_hits`` = tokens matching the
+    ``sw_hashes`` stopword-hash set — one vectorized numpy pass per Arrow
+    batch over the ONE hash array (a second token-length array was
+    measured a net loss: its per-token transform + Arrow transfer cost
+    more than the interpreted fold it replaced — sum_len comes natively
+    from ``length(array_join(toks, ''))`` instead). See
+    ``with_repetition_metrics`` for the 64-bit collision rationale; the
+    hits facet matches string equality at the same 2^-64 standard."""
     import numpy as np
 
     M = np.uint64(_BIGRAM_COMBINE_64)
-    sw = np.asarray(sorted(sw_hashes), dtype=np.int64)
+    # empty sw_hashes = caller doesn't want the hits facet (q53's path):
+    # skip the isin pass entirely, emit 0
+    sw = np.asarray(sorted(sw_hashes), dtype=np.int64) if sw_hashes else None
 
-    @F.pandas_udf("struct<nd:int, topc:int, sum_len:bigint, en_hits:int>")
-    def _facets(hs: pd.Series, ls: pd.Series) -> pd.DataFrame:
-        nd, tc, sl, hi = [], [], [], []
-        for h, le in zip(hs, ls):
+    @F.pandas_udf("struct<nd:int, topc:int, en_hits:int>")
+    def _facets(hs: pd.Series) -> pd.DataFrame:
+        nd, tc, hi = [], [], []
+        for h in hs:
             if h is None or len(h) == 0:
                 nd.append(0)
                 tc.append(0)
-                sl.append(0)
                 hi.append(0)
                 continue
             a64 = np.asarray(h, dtype=np.int64)
             nd.append(int(len(np.unique(a64))))
-            sl.append(int(np.asarray(le, dtype=np.int64).sum()))
-            hi.append(int(np.isin(a64, sw, assume_unique=False).sum()))
+            hi.append(
+                int(np.isin(a64, sw, assume_unique=False).sum())
+                if sw is not None else 0
+            )
             a = a64.view(np.uint64)
             if len(a) >= 2:
                 bg = a[:-1] * M + a[1:]
@@ -123,9 +128,9 @@ def _repetition_facets(token_hashes, token_lengths, sw_hashes: tuple):
                 tc.append(int(counts.max()))
             else:
                 tc.append(0)
-        return pd.DataFrame({"nd": nd, "topc": tc, "sum_len": sl, "en_hits": hi})
+        return pd.DataFrame({"nd": nd, "topc": tc, "en_hits": hi})
 
-    return _facets(token_hashes, token_lengths)
+    return _facets(token_hashes)
 
 
 def repetition_metrics(
@@ -226,14 +231,16 @@ def with_repetition_metrics(
     # in uint64 — multiplication by an odd constant is a bijection on
     # Z/2^64, so bigram collisions stay at the same 2^-64 standard.
     hs = F.transform(t, lambda x: F.xxhash64(x))
-    ls = F.transform(t, lambda x: F.length(x))
-    s1 = s0.select(*base, "_rm_t", hs.alias("_rm_h"), ls.alias("_rm_l"))
+    s1 = s0.select(*base, "_rm_t", hs.alias("_rm_h"))
+    # the stopword-hits facet is only computed when the quality column
+    # needs it (q53's facet-only path skips the isin pass)
+    sw_hashes = (
+        _stopword_hashes(df.sparkSession, "en")
+        if quality_col is not None else ()
+    )
     s2 = s1.select(
         *base, "_rm_t",
-        _repetition_facets(
-            F.col("_rm_h"), F.col("_rm_l"),
-            _stopword_hashes(df.sparkSession, "en"),
-        ).alias("_rm_f"),
+        _repetition_facets(F.col("_rm_h"), sw_hashes).alias("_rm_f"),
     )
     n_dist = F.col("_rm_f.nd")
     # total bigram positions is just n_tok - 1 (floored at 0)
@@ -278,10 +285,13 @@ def with_repetition_metrics(
         # 2^-64 hash standard)
         from ..functions.text_analysis import quality_score_from_facets
 
+        # sum of token lengths natively: length(concat of all tokens) ==
+        # the fold's value exactly (parity-tested), at codegen speed
+        sum_len = F.length(F.array_join(t, ""))
         extra.append(
             quality_score_from_facets(
                 F.col(text_col), n_tok,
-                F.col("_rm_f.sum_len"), F.col("_rm_f.en_hits"), n_dist,
+                sum_len, F.col("_rm_f.en_hits"), n_dist,
             ).alias(quality_col)
         )
     if tokens_out is not None:
