@@ -205,14 +205,22 @@ def _prev_bench(here: str, sf=None) -> "tuple[int | None, dict, int | None]":
     a same-policy baseline is preferred at any round distance over a
     newer cross-policy one (ADVICE r10 #5: warm-cache policy-1 mins are
     not comparable to cold-cache policy-2 mins). Returns
-    (round_no, {q: sec}, baseline_policy)."""
-    cands: list = []  # (round, source_rank, queries, policy)
+    (round_no, {q: sec}, baseline_policy, {q: load1}) — the per-query
+    load stamps of the baseline's timing windows (empty when the
+    baseline record carries no query_diag, e.g. a driver summary line)
+    feed the regression gate's load-suspect annotation."""
+    cands: list = []  # (round, source_rank, queries, policy, loads)
 
     def _add(n: int, rank: int, rec: dict, default_policy: int) -> None:
         if sf is not None and rec.get("sf") is not None and rec["sf"] != sf:
             return
+        loads = {
+            q: d.get("load1")
+            for q, d in (rec.get("query_diag") or {}).items()
+            if isinstance(d, dict)
+        }
         cands.append((n, rank, rec["queries"],
-                      int(rec.get("timing_policy", default_policy))))
+                      int(rec.get("timing_policy", default_policy)), loads))
 
     for n, p in _driver_rounds(here).items():
         try:
@@ -230,10 +238,10 @@ def _prev_bench(here: str, sf=None) -> "tuple[int | None, dict, int | None]":
         except Exception:
             continue
     if not cands:
-        return None, {}, None
+        return None, {}, None, {}
     same = [c for c in cands if c[3] == TIMING_POLICY]
-    n, _, q, pol = max(same or cands, key=lambda c: (c[0], c[1]))
-    return n, q, pol
+    n, _, q, pol, loads = max(same or cands, key=lambda c: (c[0], c[1]))
+    return n, q, pol, loads
 
 #: headline queries, chosen to cover every physical pattern (see module doc).
 #: Round 6 (VERDICT r05 #7): the two heaviest engine operators by measured
@@ -373,7 +381,17 @@ def main() -> None:
     # floor keeps sub-second jitter from flagging). A cross-policy
     # baseline (warm-cache rounds 1-9 vs cold-cache 10+) is annotated,
     # never gated — warm mins would spuriously flag every cold min.
-    prev_round, prev_q, prev_policy = _prev_bench(
+    # LOAD-SUSPECT annotation (r11, the headline twin of VERDICT r10 #3's
+    # scale-probe work ratios): a UNIFORMLY loaded window defeats the
+    # corroborated-min guard (three consistent slow runs, spread < 25%,
+    # observed [5.97, 5.88, 6.29] for a 3.8s-steady-state query at a
+    # stamped co-tenant wave), so a would-be flag whose own window load1
+    # is BOTH >= 2x and >= +4 over the baseline window's stamped load1 is
+    # recorded under ``load_suspect`` — with both loads and the full run
+    # spread, attributable from the JSON alone — instead of tripping the
+    # gate. A plan regression measured on a comparably-loaded host still
+    # flags exactly as before.
+    prev_round, prev_q, prev_policy, prev_loads = _prev_bench(
         os.path.dirname(os.path.abspath(__file__)), sf=sf)
     policy_match = (prev_policy == TIMING_POLICY) if prev_round else None
     regression = {"vs_round": prev_round, "baseline_policy": prev_policy,
@@ -381,17 +399,28 @@ def main() -> None:
     for name, cur in timings.items():
         prev = prev_q.get(name)
         if prev is not None and cur > max(2.0 * prev, prev + 1.0):
+            cur_load = diag[name]["load1"]
+            base_load = prev_loads.get(name)
             entry = {"query": name, "prev": prev, "cur": cur,
-                     "runs": diag[name]["runs"], "load1": diag[name]["load1"]}
-            if policy_match:
-                regression["regressed"].append(entry)
-                print(f"# REGRESSION {name}: {cur:.3f}s vs {prev:.3f}s in "
-                      f"round {prev_round}", file=sys.stderr)
-            else:  # annotate only: not comparable, re-baseline this round
+                     "runs": diag[name]["runs"], "load1": cur_load,
+                     "baseline_load1": base_load}
+            if not policy_match:
+                # annotate only: not comparable, re-baseline this round
                 regression.setdefault("cross_policy_slower", []).append(entry)
                 print(f"# cross-policy baseline: {name} {cur:.3f}s vs "
                       f"{prev:.3f}s (policy {prev_policy}) — not gated",
                       file=sys.stderr)
+            elif (base_load is not None and base_load >= 0
+                    and cur_load >= max(2.0 * base_load, base_load + 4.0)):
+                regression.setdefault("load_suspect", []).append(entry)
+                print(f"# LOAD-SUSPECT {name}: {cur:.3f}s vs {prev:.3f}s, "
+                      f"but window load1 {cur_load} vs baseline "
+                      f"{base_load} — annotated, not gated",
+                      file=sys.stderr)
+            else:
+                regression["regressed"].append(entry)
+                print(f"# REGRESSION {name}: {cur:.3f}s vs {prev:.3f}s in "
+                      f"round {prev_round}", file=sys.stderr)
 
     # bench-only suites (q76 multimodal / q79 tokenizers — moved off the
     # driver 50 in round 8 to fund two oracle rows): still exercised here
@@ -509,6 +538,8 @@ def main() -> None:
             "baseline_policy": regression["baseline_policy"],
             "policy_match": regression["policy_match"],
             "regressed": [e["query"] for e in regression["regressed"]],
+            "load_suspect": [e["query"]
+                             for e in regression.get("load_suspect", [])],
         },
         "regressed_vs_prev": bool(regression["regressed"]),
         "diag_file": diag_name,

@@ -42,19 +42,19 @@ def test_scheduled_probes_rotate_and_cover(tmp_path, monkeypatch):
 
 
 def test_prev_bench_picks_newest_round(tmp_path):
-    assert bench._prev_bench(str(tmp_path)) == (None, {}, None)
+    assert bench._prev_bench(str(tmp_path)) == (None, {}, None, {})
     _touch_rounds(tmp_path, 3)
-    n, q, pol = bench._prev_bench(str(tmp_path))
+    n, q, pol, loads = bench._prev_bench(str(tmp_path))
     # un-stamped driver records are policy 1 (the warm-cache rounds)
     assert n == 3 and q == {"q32_ann_query": 3.0} and pol == 1
     # a malformed newest file is skipped, not fatal
     (tmp_path / "BENCH_r04.json").write_text("{not json")
-    n, q, pol = bench._prev_bench(str(tmp_path))
+    n, q, pol, loads = bench._prev_bench(str(tmp_path))
     assert n == 3 and q == {"q32_ann_query": 3.0}
     # a parsed:null record (the r10 capture failure) is skipped too
     (tmp_path / "BENCH_r05.json").write_text(
         json.dumps({"n": 5, "parsed": None}))
-    n, q, pol = bench._prev_bench(str(tmp_path))
+    n, q, pol, loads = bench._prev_bench(str(tmp_path))
     assert n == 3
 
 
@@ -63,20 +63,20 @@ def test_prev_bench_prefers_same_policy_baseline(tmp_path):
     over a newer cross-policy one; with only cross-policy records the
     newest is returned (annotated, not gated, by main())."""
     _touch_rounds(tmp_path, 4)  # policy-1 driver records r1-r4
-    n, q, pol = bench._prev_bench(str(tmp_path))
+    n, q, pol, loads = bench._prev_bench(str(tmp_path))
     assert (n, pol) == (4, 1)
     # a bench-written DIAG sidecar from an OLDER round, current policy
     (tmp_path / "BENCH_DIAG_r03.json").write_text(json.dumps(
         {"timing_policy": bench.TIMING_POLICY,
          "queries": {"q32_ann_query": 9.9}}))
-    n, q, pol = bench._prev_bench(str(tmp_path))
+    n, q, pol, loads = bench._prev_bench(str(tmp_path))
     assert (n, pol) == (3, bench.TIMING_POLICY)
     assert q == {"q32_ann_query": 9.9}
     # a policy-stamped driver record at the same round outranks the DIAG
     (tmp_path / "BENCH_r03.json").write_text(json.dumps(
         {"n": 3, "parsed": {"timing_policy": bench.TIMING_POLICY,
                             "queries": {"q32_ann_query": 8.8}}}))
-    n, q, pol = bench._prev_bench(str(tmp_path))
+    n, q, pol, loads = bench._prev_bench(str(tmp_path))
     assert (n, q["q32_ann_query"]) == (3, 8.8)
 
 
@@ -103,15 +103,15 @@ def test_diag_sidecars_are_sf_scoped(tmp_path):
         {"sf": 0.01, "timing_policy": bench.TIMING_POLICY,
          "queries": {"q32_ann_query": 0.2}}))
     assert [n for n, _ in bench._diag_files(str(tmp_path))] == [5, 6]
-    n, q, pol = bench._prev_bench(str(tmp_path), sf=0.1)
+    n, q, pol, loads = bench._prev_bench(str(tmp_path), sf=0.1)
     assert (n, q["q32_ann_query"]) == (5, 2.0)  # the sf0.01 r06 excluded
-    n, q, pol = bench._prev_bench(str(tmp_path), sf=0.01)
+    n, q, pol, loads = bench._prev_bench(str(tmp_path), sf=0.01)
     assert (n, q["q32_ann_query"]) == (6, 0.2)
     # legacy suffix-free sidecar still scans (sf recorded inside)
     (tmp_path / "BENCH_DIAG_r07.json").write_text(json.dumps(
         {"sf": 0.1, "timing_policy": bench.TIMING_POLICY,
          "queries": {"q32_ann_query": 3.0}}))
-    n, q, pol = bench._prev_bench(str(tmp_path), sf=0.1)
+    n, q, pol, loads = bench._prev_bench(str(tmp_path), sf=0.1)
     assert (n, q["q32_ann_query"]) == (7, 3.0)
 
 
@@ -144,7 +144,7 @@ def test_diag_name_guards_curated_baseline(tmp_path, monkeypatch):
     # the .local record is never a baseline — the curated mins survive
     assert all(".local." not in p for _, p in
                bench._diag_files(str(tmp_path)))
-    n, q, _ = bench._prev_bench(str(tmp_path), sf=0.1)
+    n, q, _, _ = bench._prev_bench(str(tmp_path), sf=0.1)
     assert (n, q["q32_ann_query"]) == (11, 1.5)
     # explicit re-baseline
     monkeypatch.setenv("SPARK_GRAFT_DIAG_OVERWRITE", "1")
@@ -163,7 +163,7 @@ def test_diag_name_roundtrips_non_numeric_sf(tmp_path, monkeypatch):
         {"sf": "mycorpus", "timing_policy": bench.TIMING_POLICY,
          "queries": {"q32_ann_query": 4.0}}))
     assert [n for n, _ in bench._diag_files(str(tmp_path))] == [7]
-    n, q, _ = bench._prev_bench(str(tmp_path), sf="mycorpus")
+    n, q, _, _ = bench._prev_bench(str(tmp_path), sf="mycorpus")
     assert (n, q["q32_ann_query"]) == (7, 4.0)
     # hostile characters sanitize instead of breaking the name
     assert bench._diag_name(str(tmp_path), 7, "my corpus/x") == \
@@ -182,3 +182,20 @@ def test_serving_smoke_records_latencies(spark):
         assert isinstance(out[k], float) and out[k] >= 0, (k, out)
     # warm never exceeds cold by construction (min of 3 vs first query)
     assert out["lsh_q_warm"] <= out["lsh_q_cold"] * 1.5 + 0.5
+
+
+def test_prev_bench_returns_baseline_load_stamps(tmp_path):
+    """r11: the regression gate's load-suspect annotation needs the
+    baseline windows' per-query load1 stamps; records without query_diag
+    (driver summary lines) yield an empty mapping."""
+    (tmp_path / "BENCH_DIAG_r05_sf0.1.json").write_text(json.dumps(
+        {"sf": 0.1, "timing_policy": bench.TIMING_POLICY,
+         "queries": {"q32_ann_query": 2.0},
+         "query_diag": {"q32_ann_query": {"runs": [2.0], "load1": 3.1}}}))
+    n, q, pol, loads = bench._prev_bench(str(tmp_path), sf=0.1)
+    assert loads == {"q32_ann_query": 3.1}
+    (tmp_path / "BENCH_r06.json").write_text(json.dumps(
+        {"parsed": {"sf": 0.1, "timing_policy": bench.TIMING_POLICY,
+                    "queries": {"q32_ann_query": 2.5}}}))
+    n, q, pol, loads = bench._prev_bench(str(tmp_path), sf=0.1)
+    assert n == 6 and loads == {}
