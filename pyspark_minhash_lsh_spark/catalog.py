@@ -2039,8 +2039,15 @@ def q91_ann_serving_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM j),
     u AS (SELECT doc_id, r, 2 AS w FROM ra WHERE r <= 10
           UNION ALL SELECT doc_id, r, 1 AS w FROM rb WHERE r <= 10),
-    fz AS (SELECT doc_id, SUM(w * (1000000000000 // (60 + r))) AS rrf_key,
-                  COUNT(*) AS n_systems
+    -- CAST the summed key to BIGINT: DuckDB's SUM(BIGINT) yields HUGEINT,
+    -- which coerces to float64 through pandas/arrow fetch paths and breaks
+    -- the value hash (repr(3.0) vs repr(3)) while rows/schema still match —
+    -- the exact driver-vs-dryrun divergence signature. The q63/q93 oracles
+    -- already cast every hash-surface aggregate (the 476a831 hardening).
+    fz AS (SELECT doc_id,
+                  CAST(SUM(w * (1000000000000 // (60 + r))) AS BIGINT)
+                      AS rrf_key,
+                  CAST(COUNT(*) AS INT) AS n_systems
            FROM u GROUP BY doc_id)
     SELECT doc_id, rrf_key, n_systems FROM fz
     ORDER BY rrf_key DESC, doc_id LIMIT 10
