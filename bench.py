@@ -194,7 +194,17 @@ def _next_round(here: str) -> int:
     return max(_driver_rounds(here), default=0) + 1
 
 
-def _prev_bench(here: str, sf=None) -> "tuple[int | None, dict, int | None]":
+def _bench_cpus() -> int:
+    """The core count this bench run executes with — the same resolution
+    ``session.get_spark`` applies (``SPARK_GRAFT_CPUS``, else the host's
+    cpu count). Stamped into every diag sidecar so the regression gate
+    compares same-core-count records only (VERDICT r11 #6: the driver's
+    8-core scaling run flagged ``curate 14.52 vs 4.943`` against the
+    32-core baseline — the baseline wasn't core-count-aware)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+
+
+def _prev_bench(here: str, sf=None, cpus=None) -> "tuple[int | None, dict, int | None]":
     """Per-query timings of the newest usable baseline — the reference for
     the machine-gateable regression flag. Two sources, both scanned:
     the driver's BENCH_r*.json (its 'parsed' wrapper around the bench's
@@ -202,9 +212,13 @@ def _prev_bench(here: str, sf=None) -> "tuple[int | None, dict, int | None]":
     bench's own BENCH_DIAG_r*.json sidecars (always policy-stamped).
     Records at a DIFFERENT scale factor are excluded outright (a local
     sf0.01 validation run must never become the driver's sf0.1 baseline);
-    a same-policy baseline is preferred at any round distance over a
-    newer cross-policy one (ADVICE r10 #5: warm-cache policy-1 mins are
-    not comparable to cold-cache policy-2 mins). Returns
+    likewise records at a different CORE COUNT (VERDICT r11 #6: a driver
+    8-core scaling run is not a baseline for 32-core mins or vice versa —
+    records without a ``cpus`` stamp are the pre-r12 history, all of
+    which was recorded on local[32]); a same-policy baseline is preferred
+    at any round distance over a newer cross-policy one (ADVICE r10 #5:
+    warm-cache policy-1 mins are not comparable to cold-cache policy-2
+    mins). Returns
     (round_no, {q: sec}, baseline_policy, {q: load1}) — the per-query
     load stamps of the baseline's timing windows (empty when the
     baseline record carries no query_diag, e.g. a driver summary line)
@@ -213,6 +227,9 @@ def _prev_bench(here: str, sf=None) -> "tuple[int | None, dict, int | None]":
 
     def _add(n: int, rank: int, rec: dict, default_policy: int) -> None:
         if sf is not None and rec.get("sf") is not None and rec["sf"] != sf:
+            return
+        # unstamped records (rounds 1-11) are the 32-core history
+        if cpus is not None and int(rec.get("cpus", 32)) != cpus:
             return
         loads = {
             q: d.get("load1")
@@ -391,8 +408,9 @@ def main() -> None:
     # spread, attributable from the JSON alone — instead of tripping the
     # gate. A plan regression measured on a comparably-loaded host still
     # flags exactly as before.
+    cpus = _bench_cpus()
     prev_round, prev_q, prev_policy, prev_loads = _prev_bench(
-        os.path.dirname(os.path.abspath(__file__)), sf=sf)
+        os.path.dirname(os.path.abspath(__file__)), sf=sf, cpus=cpus)
     policy_match = (prev_policy == TIMING_POLICY) if prev_round else None
     regression = {"vs_round": prev_round, "baseline_policy": prev_policy,
                   "policy_match": policy_match, "regressed": []}
@@ -479,6 +497,7 @@ def main() -> None:
     full = {
         "round": rnd,
         "timing_policy": TIMING_POLICY,
+        "cpus": cpus,
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -507,6 +526,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "timing_policy": TIMING_POLICY,
+        "cpus": cpus,
         "scale": {
             "factor": scale.get("factor"),
             # per probe: [time_ratio, work_ratio] — a loaded window shows

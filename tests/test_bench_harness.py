@@ -115,6 +115,25 @@ def test_diag_sidecars_are_sf_scoped(tmp_path):
     assert (n, q["q32_ann_query"]) == (7, 3.0)
 
 
+def test_prev_bench_is_core_count_scoped(tmp_path):
+    """VERDICT r11 #6: an 8-core scaling run must not become (or use) the
+    32-core regression baseline. Records without a ``cpus`` stamp are the
+    pre-r12 history, all recorded on local[32]."""
+    (tmp_path / "BENCH_DIAG_r11_sf0.1.json").write_text(json.dumps(
+        {"sf": 0.1, "timing_policy": bench.TIMING_POLICY,
+         "queries": {"curate": 4.9}}))  # unstamped -> 32-core history
+    (tmp_path / "BENCH_DIAG_r12_sf0.1.json").write_text(json.dumps(
+        {"sf": 0.1, "timing_policy": bench.TIMING_POLICY, "cpus": 8,
+         "queries": {"curate": 14.5}}))
+    n, q, pol, loads = bench._prev_bench(str(tmp_path), sf=0.1, cpus=32)
+    assert (n, q["curate"]) == (11, 4.9)  # the 8-core r12 record excluded
+    n, q, pol, loads = bench._prev_bench(str(tmp_path), sf=0.1, cpus=8)
+    assert (n, q["curate"]) == (12, 14.5)  # ...but IS the 8-core baseline
+    # cpus=None (legacy callers/tests) keeps the old newest-record pick
+    n, q, pol, loads = bench._prev_bench(str(tmp_path), sf=0.1)
+    assert n == 12
+
+
 def test_headline_and_rotation_are_disjoint_sets():
     # every headline name resolves; scale probes reuse the same resolver
     for name in bench.HEADLINE:
