@@ -2941,18 +2941,34 @@ def q54_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     text of every document, not just counts. Spark compares spans by
     xxhash64; the oracle compares the span strings — results agree unless a
     64-bit collision occurs (~n^2/2^64)."""
-    from .operators.textpipe import duplicated_spans, remove_duplicated_spans
+    from ._pins import finalize_pins, release_pins
+    from .operators.textpipe import (
+        duplicated_spans,
+        remove_duplicated_spans,
+        span_hash_positions,
+    )
+    from .session import persist_partition_preserving
 
     docs = _t(spark, sf_dir, "documents")
-    det = duplicated_spans(docs, span=10).select(
-        "doc_id", "n_spans", "n_shared_spans",
-        _ratio_sint(F.col("n_shared_spans"), F.col("n_spans"), 6, empty=0)
-        .alias("shared_frac"),
-    )
-    rm = remove_duplicated_spans(docs, span=10).select(
-        "doc_id", "n_removed", F.col("text").alias("cleaned_text")
-    )
-    return det.join(rm, "doc_id")
+    # r12 (guide §5): the two legs previously each rebuilt the positional
+    # span-hash frame (tokenize -> posexplode -> 10-token lead window — the
+    # doc-keyed exchange that dominates the build). Compute it ONCE, persist
+    # for the query's lifetime (pin released via the standard lifecycle),
+    # and derive both legs from it. Values identical (hash-green re-verified).
+    pos = persist_partition_preserving(span_hash_positions(docs, span=10))
+    try:
+        det = duplicated_spans(docs, span=10, positions=pos).select(
+            "doc_id", "n_spans", "n_shared_spans",
+            _ratio_sint(F.col("n_shared_spans"), F.col("n_spans"), 6, empty=0)
+            .alias("shared_frac"),
+        )
+        rm = remove_duplicated_spans(docs, span=10, positions=pos).select(
+            "doc_id", "n_removed", F.col("text").alias("cleaned_text")
+        )
+        return finalize_pins(det.join(rm, "doc_id"), [pos], "q54_duplicated_spans")
+    except BaseException:
+        release_pins([pos])
+        raise
 
 
 @query(

@@ -35,6 +35,7 @@ from ..functions.text_analysis import bpe_token_count_estimate
 __all__ = [
     "repetition_metrics",
     "with_repetition_metrics",
+    "span_hash_positions",
     "duplicated_spans",
     "remove_duplicated_spans",
     "contamination_check",
@@ -299,11 +300,42 @@ def with_repetition_metrics(
     return s2.select(*base, *[exprs[c].alias(c) for c in cols], *extra)
 
 
+def span_hash_positions(
+    df: DataFrame,
+    span: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The positional span-hash frame ``(doc_id, pos, tok, sh)`` shared by
+    ``duplicated_spans`` and ``remove_duplicated_spans`` — one row per
+    token, ``sh`` = rolling ``xxhash64`` over the ``span``-token window
+    starting at ``pos`` (NULL for the trailing positions with fewer than
+    ``span`` tokens left).
+
+    Both span operators derive from this frame; a caller running both over
+    the same corpus (catalog q54) computes it ONCE and passes it via their
+    ``positions=`` parameter — persisted, the tokenize + posexplode +
+    lead-window pass (the doc-keyed exchange that dominates the build) is
+    paid once instead of per operator (guide §5: reuse beats recompute for
+    an intermediate the caller reads twice)."""
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    ex = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, span)]
+    guard = parts[0].isNotNull()
+    for c in parts[1:]:
+        guard = guard & c.isNotNull()
+    return ex.select(
+        "doc_id", "pos", "tok", F.when(guard, F.xxhash64(*parts)).alias("sh")
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     span: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-span detector (passage-level near-dup signal).
 
@@ -319,16 +351,16 @@ def duplicated_spans(
     collision). Plan: posexplode -> lead() window (doc-id shuffle) ->
     distinct (doc, span) -> span-keyed frequency agg -> doc-keyed count agg.
     Span hash is the high-cardinality key; no broadcast, no skew pivot.
+
+    ``positions``: an optional precomputed ``span_hash_positions(df, span)``
+    frame (same df/span/columns) — pass the SAME (ideally persisted) frame
+    to ``remove_duplicated_spans`` to share the span-hash build across both
+    operators; values are identical either way.
     """
-    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
-    ex = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, span)]
-    guard = parts[0].isNotNull()
-    for c in parts[1:]:
-        guard = guard & c.isNotNull()
+    if positions is None:
+        positions = span_hash_positions(df, span, text_col, id_col)
     spans = (
-        ex.select("doc_id", F.when(guard, F.xxhash64(*parts)).alias("sh"))
+        positions.select("doc_id", "sh")
         .where(F.col("sh").isNotNull())
         .distinct()
     )
@@ -362,6 +394,7 @@ def remove_duplicated_spans(
     span: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring REMOVAL (the scrub that pairs with
     ``duplicated_spans``'s detection): any run of ``span`` consecutive
@@ -391,17 +424,17 @@ def remove_duplicated_spans(
     one hot partition); coverage expansion is ``explode(sequence(...))`` of
     ±span positions on non-first occurrences only; the final anti-join and
     reassembly are doc-keyed.
+
+    ``positions``: an optional precomputed ``span_hash_positions(df, span)``
+    frame — see ``duplicated_spans``; with it the token totals also derive
+    from the shared frame (a doc-keyed count over the already-partitioned
+    rows) instead of a second tokenize pass. Values identical either way.
     """
-    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
-    ex = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, span)]
-    guard = parts[0].isNotNull()
-    for c in parts[1:]:
-        guard = guard & c.isNotNull()
-    spans = ex.select(
-        "doc_id", "pos", F.when(guard, F.xxhash64(*parts)).alias("sh")
-    ).where(F.col("sh").isNotNull())
+    share = positions is not None
+    if positions is None:
+        positions = span_hash_positions(df, span, text_col, id_col)
+    ex = positions.select("doc_id", "pos", "tok")
+    spans = positions.select("doc_id", "pos", "sh").where(F.col("sh").isNotNull())
     agg = spans.groupBy("sh").agg(
         F.count("*").alias("occ"), F.min(F.struct("doc_id", "pos")).alias("first"),
     )
@@ -430,7 +463,21 @@ def remove_duplicated_spans(
         ).alias("text"),
         F.count("*").alias("n_kept"),
     )
-    totals = base.select("doc_id", F.size("t").alias("n_tokens"))
+    if share:
+        # token totals from the shared (persisted) frame: one count per doc
+        # over rows already doc-partitioned — no second tokenize pass. Docs
+        # with zero tokens have no exploded rows; the id spine restores them.
+        counts = positions.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+        totals = (
+            df.select(F.col(id_col).alias("doc_id"))
+            .join(counts, "doc_id", "left")
+            .select("doc_id", F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"))
+        )
+    else:
+        totals = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        )
     return (
         totals.join(reasm, "doc_id", "left")
         .select(

@@ -1090,3 +1090,40 @@ def test_redact_secrets_over_cap_values_redact_whole(spark):
     # low-entropy over-cap: unconditional (charset runs that long are never
     # prose — the documented rule), so it redacts too
     assert out[2].redacted_text == "password = <SECRET> end"
+
+
+def test_span_ops_shared_positions_identical(spark):
+    """r12 (q54 leg sharing): both span operators fed the SAME precomputed
+    span_hash_positions frame must produce exactly their standalone results
+    — including empty/NULL/short docs restored through the id spine."""
+    from pyspark_minhash_lsh_spark.operators.textpipe import (
+        duplicated_spans,
+        remove_duplicated_spans,
+        span_hash_positions,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " taila tailb"),
+            (1, "headx " + shared),
+            (2, " ".join(f"u{i}" for i in range(12))),
+            (3, "too short"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    pos = span_hash_positions(docs, span=10).persist()
+    try:
+        det_shared = sorted(map(tuple, duplicated_spans(
+            docs, span=10, positions=pos).collect()))
+        rm_shared = sorted(map(tuple, remove_duplicated_spans(
+            docs, span=10, positions=pos).collect()))
+    finally:
+        pos.unpersist()
+    det_solo = sorted(map(tuple, duplicated_spans(docs, span=10).collect()))
+    rm_solo = sorted(map(tuple, remove_duplicated_spans(docs, span=10).collect()))
+    assert det_shared == det_solo
+    assert rm_shared == rm_solo
+    assert len(rm_shared) == 6  # every doc present, including empty/NULL
