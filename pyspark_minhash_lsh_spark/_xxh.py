@@ -1,0 +1,100 @@
+"""Driver-side XXH64 — bit-identical to Spark's ``xxhash64`` expression.
+
+The serving partition keys (``tp = pmod(xxhash64(term), P)``,
+``fd/sp = pmod(xxhash64(id), P)``) are pure functions of their input, but
+until r12 a point query mapped its terms to partitions with a tiny Spark
+job over a literal frame (``Bm25Index._term_partitions``) — one to two
+scheduler round-trips per COLD query for arithmetic the driver can do in
+microseconds (guide §5: the driver should do no *data* work; a 3-term hash
+is not data work). This module is the canonical XXH64 (Yann Collet's spec,
+the same algorithm Spark's ``XXH64`` catalyst class implements), seed 42
+like the ``xxhash64`` SQL function; parity with the JVM is pinned in
+tests/test_search.py over ASCII / unicode / empty / long inputs and longs.
+
+Only the two input types the serving keys use are exposed (UTF-8 strings
+and signed 64-bit integers); both return Spark's SIGNED int64, so
+``% partitions`` in Python reproduces ``pmod`` exactly (non-negative for a
+positive modulus).
+"""
+
+from __future__ import annotations
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _round(acc: int, val: int) -> int:
+    acc = (acc + val * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def _merge_round(h: int, acc: int) -> int:
+    h ^= _round(0, acc)
+    return (h * _P1 + _P4) & _M64
+
+
+def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
+    """Canonical XXH64 of ``data`` -> Spark's signed int64."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = ((_rotl(h, 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h = _fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxhash64_str(s: str, seed: int = 42) -> int:
+    """``xxhash64(string_col)`` twin (UTF-8 bytes, Spark's default seed)."""
+    return xxhash64_bytes(s.encode("utf-8"), seed)
+
+
+def xxhash64_long(v: int, seed: int = 42) -> int:
+    """``xxhash64(bigint_col)`` twin — Spark hashes the 8-byte
+    little-endian two's-complement value."""
+    return xxhash64_bytes((v & _M64).to_bytes(8, "little"), seed)

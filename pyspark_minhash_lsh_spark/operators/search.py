@@ -639,43 +639,16 @@ class Bm25Index:
             )
         return self._forward_df
 
-    #: point-query memo bound: past this many distinct terms the memo
-    #: resets (coarse, correct — it is a pure cache), so a long-lived
-    #: serving instance over a diverse query stream cannot grow the
-    #: driver dict without limit (r11 review)
-    _TP_MEMO_MAX = 50_000
-
     def _term_partitions(self, terms: "list[str]") -> "list[int]":
-        """tp values of the query's terms — one tiny Spark job over a
-        literal frame (xxhash64 is JVM-side; |terms| rows collected).
-        Memoized per term (a pure function of (term, partitions)), so a
-        repeated or overlapping query — RM3's second pass re-hashes the
-        original terms; a serving stream re-hashes hot terms — skips the
-        job for every term already seen by this instance. Large one-shot
-        batches (``search_batch`` can push up to 100k distinct terms)
-        bypass the memo entirely so they cannot evict the hot
-        point-query terms."""
-        memo = getattr(self, "_tp_memo", None)
-        if memo is None:
-            memo = self._tp_memo = {}
-        if len(terms) > 1_000:  # batch one-shot: compute, don't cache
-            rows = (
-                local_df(self.spark, [(t,) for t in terms], "term string")
-                .select(_tp_col("term", self.partitions).alias("tp"))
-                .distinct().collect()
-            )
-            return sorted(r.tp for r in rows)
-        new = [t for t in terms if t not in memo]
-        if new:
-            if len(memo) + len(new) > self._TP_MEMO_MAX:
-                memo.clear()
-            rows = (
-                local_df(self.spark, [(t,) for t in new], "term string")
-                .select("term", _tp_col("term", self.partitions).alias("tp"))
-                .collect()
-            )
-            memo.update((r.term, r.tp) for r in rows)
-        return sorted({memo[t] for t in terms})
+        """tp values of the query's terms — driver-side ``xxhash64``
+        (``_xxh.xxhash64_str``, bit-identical to the JVM expression that
+        wrote the layout; parity pinned in tests/test_search.py). Until
+        r12 this was a tiny Spark job over a literal frame plus a per-term
+        memo — one to two scheduler round-trips per cold point query for
+        arithmetic the driver does in microseconds (guide §5)."""
+        from .._xxh import xxhash64_str
+
+        return sorted({xxhash64_str(t) % self.partitions for t in terms})
 
     # -- lifecycle ---------------------------------------------------------------
 
@@ -828,7 +801,6 @@ class Bm25Index:
         )
         self.keep_cols = tuple(self._keep_col_types)
         self._postings_df = self._terms_df = self._forward_df = None
-        self._tp_memo = {}  # partitions may have changed with a re-save
         return self
 
     def compact(self, dest_path: str, rows_per_file: int = 1_000_000) -> int:

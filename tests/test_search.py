@@ -874,3 +874,58 @@ def test_rrf_batch_hybrid_over_serving_artifacts(spark, tmp_path):
         # rows arrive ordered within each query (rrf_key desc, id asc)
         keys = [(r.rrf_key, -r.doc_id) for r in rs]
         assert keys == sorted(keys, reverse=True)
+
+
+def test_driver_side_xxhash64_matches_jvm(spark):
+    """r12: Bm25Index._term_partitions computes tp driver-side — the
+    _xxh module must be bit-identical to Spark's xxhash64 (strings incl.
+    unicode/empty/32B-block boundaries, and signed longs)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark._xxh import xxhash64_long, xxhash64_str
+
+    strs = ["", "a", "spark", "x" * 4, "x" * 8, "x" * 31, "x" * 32,
+            "x" * 33, "x" * 100, "héllo", "中文" * 20,
+            "tok_1", "\U0001f642"]
+    got = {
+        r.s: r.h
+        for r in spark.createDataFrame([(s,) for s in strs], "s string")
+        .select("s", F.xxhash64("s").alias("h")).collect()
+    }
+    for s in strs:
+        assert xxhash64_str(s) == got[s], s
+    longs = [0, 1, -1, 42, 2**62, -(2**62)]
+    got_l = {
+        r.v: r.h
+        for r in spark.createDataFrame([(v,) for v in longs], "v bigint")
+        .select("v", F.xxhash64("v").alias("h")).collect()
+    }
+    for v in longs:
+        assert xxhash64_long(v) == got_l[v], v
+
+
+def test_term_partitions_match_layout_keys(spark, tmp_path):
+    """The driver-side tp mapping must select exactly the partitions the
+    save-time JVM expression wrote the query's terms into."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.operators.search import (
+        Bm25Index,
+        save_bm25_index,
+        _tp_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i} shared spark window") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "bm25")
+    save_bm25_index(docs, path, partitions=16)
+    idx = Bm25Index.load(spark, path)
+    terms = ["shared", "spark", "window", "term3", "missing_term"]
+    jvm = {
+        r.term: r.tp
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", _tp_col("term", 16).alias("tp")).collect()
+    }
+    assert idx._term_partitions(terms) == sorted({jvm[t] for t in terms})
