@@ -81,38 +81,51 @@ def train_bigram_lm(
     (so a bigram hit always has a well-defined prefix count). Both trims
     order by (count desc, word asc) — a deterministic cut even on count
     ties. ``total_tokens`` is the untrimmed token count (the unigram
-    backoff normalizer), derived by re-aggregating the persisted
-    word-count table (vocabulary-sized by Heaps' law) — the reference
-    corpus itself is scanned exactly TWICE (unigram counts, bigram
-    counts), never a third time for the total."""
-    t = tokens(F.col(text_col))
-    toks = reference.select(F.explode(t).alias("w"))
-    # the uni AND bi builds both read this vocabulary-sized table — persist
-    # it for the duration of TRAINING only: both model tables are
-    # materialized below (limit()-bounded eager local checkpoints, lineage
-    # cut), so nothing re-reads it afterwards and it releases at train
-    # time. (ADVICE r09: the pre-r10 code pinned it to the unigram frame's
-    # lifetime instead, so N live models retained N vocabulary-sized
-    # caches; now each model retains only its own <= top_unigrams +
-    # max_bigrams checkpointed rows. localCheckpoint trades fault
-    # tolerance for the lineage cut — an executor loss mid-lifetime fails
-    # the job instead of recomputing; retrain or save_bigram_lm/
-    # load_bigram_lm for durability.)
-    word_counts = toks.groupBy("w").agg(F.count("*").alias("c")).persist()
-    pinned = [word_counts]
+    backoff normalizer).
+
+    ONE corpus pass (r12, guide §2.3/§2.4 — previously two: a unigram
+    explode+agg and a transitions explode+agg): each document's
+    transition array gets a ``(last_token, NULL)`` sentinel pair
+    appended, so every token occurs exactly once as ``w1`` — the single
+    ``(w1, w2)`` count aggregate then yields the bigram counts (rows with
+    ``w2`` non-NULL), the EXACT unigram counts (sum of ``c`` per ``w1``),
+    and the exact total (sum of all ``c``), all from one tokenize pass
+    and one shuffle. The pair-count table is persisted for the duration
+    of TRAINING only: both model tables are materialized below
+    (limit()-bounded eager local checkpoints, lineage cut), so nothing
+    re-reads it afterwards and it releases at train time.
+    (localCheckpoint trades fault tolerance for the lineage cut — an
+    executor loss mid-lifetime fails the job instead of recomputing;
+    retrain or save_bigram_lm/load_bigram_lm for durability.)"""
+    # stage the token array as a real column: the expression below
+    # references it four times (two slices, last-element, size), and an
+    # interpreted-HOF input like tokens() gets no CSE (the r11 q29 lesson)
+    staged = reference.select(tokens(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
+    sentinel = F.array(F.struct(
+        F.element_at(t, -1).alias("w1"), F.lit(None).cast("string").alias("w2")
+    ))
+    pairs_plus = F.when(
+        F.size(t) > 0, F.concat(_transitions(t), sentinel)
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ex = staged.select(F.explode(pairs_plus).alias("pr")).select(
+        F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+    )
+    pair_counts = ex.groupBy("w1", "w2").agg(F.count("*").alias("c")).persist()
+    pinned = [pair_counts]
     try:
-        total = word_counts.agg(F.sum("c")).head()[0] or 0
+        total = pair_counts.agg(F.sum("c")).head()[0] or 0
+        word_counts = pair_counts.groupBy("w1").agg(F.sum("c").alias("c")).select(
+            F.col("w1").alias("w"), F.col("c")
+        )
         uni = (
             word_counts
             .orderBy(F.desc("c"), F.asc("w"))
             .limit(int(top_unigrams))
             .localCheckpoint(eager=True)
         )
-        pairs = reference.select(F.explode(_transitions(t)).alias("pr")).select(
-            F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
-        )
         bi = (
-            pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+            pair_counts.where(F.col("w2").isNotNull())
             .join(F.broadcast(uni.select(F.col("w").alias("w1"))), "w1")
             .join(F.broadcast(uni.select(F.col("w").alias("w2"))), "w2")
             .select("w1", "w2", "c")
