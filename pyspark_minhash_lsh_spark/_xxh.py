@@ -96,5 +96,39 @@ def xxhash64_str(s: str, seed: int = 42) -> int:
 
 def xxhash64_long(v: int, seed: int = 42) -> int:
     """``xxhash64(bigint_col)`` twin — Spark hashes the 8-byte
-    little-endian two's-complement value."""
-    return xxhash64_bytes((v & _M64).to_bytes(8, "little"), seed)
+    little-endian two's-complement value (the direct XXH64 8-byte-tail
+    formula, no byte materialization)."""
+    seed &= _M64
+    h = (seed + _P5 + 8) & _M64
+    h = ((_rotl(h ^ _round(0, v & _M64), 27) * _P1) + _P4) & _M64
+    h = _fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxhash64_int(v: int, seed: int = 42) -> int:
+    """``xxhash64(int_col)`` twin — Spark hashes ints through the XXH64
+    4-byte tail path (NOT widened to long)."""
+    seed &= _M64
+    h = (seed + _P5 + 4) & _M64
+    h ^= ((v & 0xFFFFFFFF) * _P1) & _M64
+    h = ((_rotl(h, 23) * _P2) + _P3) & _M64
+    h = _fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxhash64_multi(values, seed: int = 42) -> int:
+    """Spark's MULTI-INPUT ``xxhash64(a, b, ...)`` twin: the running hash
+    seeds each child's hash (arrays fold element-wise the same way).
+    ``values`` is a sequence of ('int'|'long'|'array<long>', value)."""
+    h = seed
+    for kind, v in values:
+        if kind == "int":
+            h = xxhash64_int(v, h)
+        elif kind == "long":
+            h = xxhash64_long(v, h)
+        elif kind == "array<long>":
+            for e in v:
+                h = xxhash64_long(e, h)
+        else:  # pragma: no cover - caller bug
+            raise ValueError(f"unsupported xxhash64 input kind: {kind}")
+    return h

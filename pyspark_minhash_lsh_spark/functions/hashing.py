@@ -614,3 +614,61 @@ def content_fingerprint(toks: Column, seed: int = 1) -> Column:
             F.lit(_P),
         ),
     )
+
+
+def minhash_query_signature_local(
+    text: "str | None", k: int = 2, num_hashes: int = 100, seed: int = 1
+) -> "list[int]":
+    """Driver-side twin of the query-signature pipeline (r12): tokens ->
+    per-token ``pmod(xxhash64, p)`` -> k-gram arithmetic combine -> the
+    ``permutation_constants`` mins, all in Python/numpy — so a serving
+    point query (``LshServingIndex.topk``) maps text to (signature, band
+    keys) without the 1-row Spark job the old ``_query_sig_keys`` ran per
+    query (~0.2s of pure scheduler/py4j latency at local[32]). Values are
+    bit-identical to ``signature_col(F.lit(text))`` — same xxhash64 (the
+    parity-pinned ``_xxh`` module), same combine constant, same family;
+    pinned against the JVM path in tests/test_lsh_serving.py. Empty /
+    punctuation-only / NULL text yields the sentinel signature exactly
+    like the column form."""
+    from .._xxh import xxhash64_str
+    from .text import tokens_local
+
+    toks = tokens_local(text)
+    hs = [xxhash64_str(t) % _P for t in toks]
+    if k > 1:
+        hs = [
+            _reduce_shingle(hs[i:i + k]) for i in range(len(hs) - k + 1)
+        ]
+    if not hs:
+        return [_EMPTY_SENTINEL] * num_hashes
+    a, b = permutation_constants(num_hashes, seed)
+    hv = np.asarray(hs, dtype=np.uint64)
+    a_np = np.array(a, dtype=np.uint64).reshape(-1, 1)
+    b_np = np.array(b, dtype=np.uint64).reshape(-1, 1)
+    return ((a_np * hv + b_np) % _P).min(axis=1).astype(np.int64).tolist()
+
+
+def _reduce_shingle(window: "list[int]") -> int:
+    """(acc * A + h) mod p over one k-token window — the
+    ``token_shingle_hashes`` combine."""
+    acc = window[0]
+    for h in window[1:]:
+        acc = (acc * _SHINGLE_COMBINE + h) % _P
+    return acc
+
+
+def lsh_band_keys_local(
+    signature: "list[int]", num_bands: int = 25, rows_per_band: int = 4
+) -> "list[int]":
+    """Driver-side twin of ``lsh_band_keys``: key[j] = xxhash64(j, slice)
+    with Spark's multi-input fold (int j through the 4-byte tail path,
+    array elements through the 8-byte path, running hash as seed)."""
+    from .._xxh import xxhash64_multi
+
+    return [
+        xxhash64_multi([
+            ("int", j),
+            ("array<long>", signature[j * rows_per_band:(j + 1) * rows_per_band]),
+        ])
+        for j in range(num_bands)
+    ]

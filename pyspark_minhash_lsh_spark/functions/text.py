@@ -89,3 +89,21 @@ def shingles(toks: Column, k: int = 2) -> Column:
     return F.when(n >= k, F.array_distinct(windows)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def tokens_local(text: "str | None") -> "list[str]":
+    """Driver-side twin of ``tokens`` for ONE string (r12) — the serving
+    point-query path computes its query signature without a Spark job, so
+    normalization must match the JVM expression bit-for-bit: Java regex
+    ``\\w``/``\\s`` are ASCII classes (mirrored with ``re.ASCII``; the
+    first substitution turns every non-ASCII char into a space, so the
+    later ``lower()`` only ever sees ASCII — no Unicode-table drift), and
+    Spark's ``trim`` strips spaces only. Parity with the column form is
+    pinned in tests/test_lsh_serving.py."""
+    import re
+
+    if text is None:
+        return []
+    cleaned = re.sub(r"[^\w\s]", " ", text, flags=re.ASCII)
+    collapsed = re.sub(r"\s+", " ", cleaned, flags=re.ASCII)
+    return [t for t in collapsed.lower().strip(" ").split(" ") if t]

@@ -504,24 +504,31 @@ class LshServingIndex:
         return self._sigs_df
 
     def _query_sig_keys(self, query_text: str):
-        """(signature, band_keys) of the query — the ONE bounded collect of
-        the point-query path (100 + num_bands longs; partition pruning
-        requires literal filters, and the reference's own query pipeline is
-        driver-side anyway, minhash_pyspark.py:184-198). Same column
-        expressions as the corpus index, so parity is by construction."""
-        row = (
-            self.spark.range(1)
-            .select(self.lsh.signature_col(F.lit(query_text)).alias("sig"))
-            .select(
-                "sig", self.lsh.band_keys_col(F.col("sig")).alias("keys")
-            )
-            .head()
+        """(signature, band_keys) of the query — computed DRIVER-SIDE
+        (r12): the old form ran a 1-row Spark job through the column
+        expressions per query, ~0.2s of pure scheduler/py4j latency on
+        every point query, cold and warm. The local twins
+        (``minhash_query_signature_local`` / ``lsh_band_keys_local``) are
+        bit-identical to the column pipeline — same parity-pinned xxhash64,
+        same combine constant, same permutation family — and the identity
+        is itself pinned against the JVM expressions in
+        tests/test_lsh_serving.py (including empty/punctuation/unicode
+        query text). The reference's own query pipeline is driver-side
+        anyway (minhash_pyspark.py:184-198)."""
+        from ..functions.hashing import (
+            lsh_band_keys_local,
+            minhash_query_signature_local,
         )
-        sig = row.sig if row is not None else None
-        keys = row.keys if row is not None else None
+
+        c = self.lsh.config
+        sig = minhash_query_signature_local(
+            query_text, k=c.shingle_size, num_hashes=c.num_hashes,
+            seed=c.seed,
+        )
+        keys = lsh_band_keys_local(sig, c.num_bands, c.rows_per_band)
         if not sig or any(x is None for x in sig) or not keys:
             return None, None
-        return [int(x) for x in sig], [int(k) for k in keys]
+        return sig, keys
 
     def _empty_result(self, with_text: bool) -> DataFrame:
         schema = f"{self.id_col} {self.id_type}, jaccard double"

@@ -531,3 +531,41 @@ def test_serving_artifact_cutover_drill(spark, tmp_path):
         for r in spark.read.parquet(out1).collect()
     } == got1
     assert not os.path.isdir(os.path.join(ck2, "state"))
+
+
+def test_query_sig_keys_local_matches_jvm_expressions(spark):
+    """r12: the serving point query computes (signature, band_keys)
+    driver-side — must be bit-identical to the column pipeline that built
+    the corpus index, across normal/empty/punctuation/unicode/long text."""
+    from pyspark.sql import functions as F
+
+    from pyspark_minhash_lsh_spark.functions.hashing import (
+        lsh_band_keys_local,
+        minhash_query_signature_local,
+    )
+    from pyspark_minhash_lsh_spark.operators.minhash_lsh import MinHashLSH
+
+    lsh = MinHashLSH()
+    c = lsh.config
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "", "!!! ...", "héllo wörld мир 中文 test",
+        "one_token",
+        "a b",  # exactly k tokens -> one shingle
+        "Tab\tand\nnewline  collapse   spaces",
+        " ".join(f"w{i % 7}" for i in range(500)),
+    ]
+    rows = (
+        spark.createDataFrame([(t,) for t in texts], "t string")
+        .select(
+            "t", lsh.signature_col(F.col("t")).alias("sig"))
+        .select("t", "sig", lsh.band_keys_col(F.col("sig")).alias("keys"))
+        .collect()
+    )
+    jvm = {r.t: (list(r.sig), list(r.keys)) for r in rows}
+    for t in texts:
+        sig = minhash_query_signature_local(
+            t, k=c.shingle_size, num_hashes=c.num_hashes, seed=c.seed)
+        keys = lsh_band_keys_local(sig, c.num_bands, c.rows_per_band)
+        assert sig == jvm[t][0], f"signature drift for {t!r}"
+        assert keys == jvm[t][1], f"band-key drift for {t!r}"
