@@ -11,7 +11,7 @@ failing OPEN exactly where the guard exists to refuse.
 
 from __future__ import annotations
 
-__all__ = ["dir_layout"]
+__all__ = ["dir_layout", "partition_values", "scoped_read"]
 
 
 def dir_layout(spark, path: str, key: str) -> "str | None":
@@ -59,3 +59,81 @@ def dir_layout(spark, path: str, key: str) -> "str | None":
     if has_part:
         return "partitioned"
     return "flat" if has_flat else None
+
+
+def partition_values(spark, path: str, key: str) -> "set[int] | None":
+    """Integer ``key=`` partition values present at ``path`` via ONE
+    non-recursive ``listStatus`` — the r12 serving cold-path primitive: a
+    point query needs a handful of partition directories, but building the
+    full-table DataFrame lists EVERY partition's files recursively and
+    infers schema from footers (measured ~0.3-0.5s per table at sf0.1
+    locally; far worse on object stores). Returns ``None`` when the layout
+    cannot be scoped — missing path, flat/mixed layout, or a non-integer
+    partition token — so callers fall back to the full read, never failing
+    open. An existing-but-empty (sidecar-only) directory returns the empty
+    set: a scopable artifact with no data yet."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    prefix = key + "="
+    vals: set[int] = set()
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        if not (st.isDirectory() and name.startswith(prefix)):
+            return None
+        try:
+            vals.add(int(name[len(prefix):]))
+        except ValueError:
+            return None
+    return vals
+
+
+def scoped_read(spark, root: str, key: str, values, schema: str,
+                vals_memo: dict, rels_memo: dict, max_dirs: int = 8):
+    """DataFrame over ONLY the ``key=`` dirs of ``root`` named in
+    ``values`` (explicit ``schema``, so no footer inference; ``basePath``
+    recovers the partition column) — or ``None`` when the layout cannot be
+    scoped (caller falls back to its full memoized relation).
+
+    ``vals_memo``/``rels_memo`` are caller-owned (per index instance, so
+    staleness follows the instance's existing contract: ``append``/
+    ``refresh`` reset them exactly where the full-table memos reset). The
+    per-VALUE relation memo keeps warm queries flat — a repeated partition
+    costs zero new listings; a query touching k fresh partitions lists
+    exactly k directories.
+
+    ``max_dirs`` bounds the union width: past it the scoped plan (one
+    parquet scan per directory) costs more to build and plan than the one
+    memoized full-table relation it replaces (measured: the 25-band LSH
+    query REGRESSED 0.42s -> 0.71s warm under a 25-way scoped union), so
+    un-selective reads fall back to the full path."""
+    present = vals_memo.get(root, False)
+    if present is False:
+        present = partition_values(spark, root, key)
+        vals_memo[root] = present
+    if present is None:
+        return None
+    hits = sorted(set(values) & present)
+    if len(hits) > max_dirs:
+        return None
+    if not hits:
+        return spark.createDataFrame([], schema)
+    parts = []
+    for v in hits:
+        rel = rels_memo.get((root, v))
+        if rel is None:
+            rel = (
+                spark.read.schema(schema)
+                .option("basePath", root)
+                .parquet(f"{root}/{key}={v}")
+            )
+            rels_memo[(root, v)] = rel
+        parts.append(rel)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

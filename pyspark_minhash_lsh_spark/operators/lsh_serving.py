@@ -115,27 +115,39 @@ def pruned_postings(bands: DataFrame, keys, band_partitions: int) -> DataFrame:
     )
 
 
-def fetch_candidate_sigs(sigs: DataFrame, cand: DataFrame, id_col: str,
+def fetch_candidate_sigs(sigs, cand: DataFrame, id_col: str,
                          sig_partitions: int,
-                         max_candidate_pushdown: int) -> "DataFrame | None":
+                         max_candidate_pushdown: int,
+                         scoped=None) -> "DataFrame | None":
     """The serving read path's signature fetch — shared by ``topk`` and the
     q91 oracle twin: candidate ids collected WITH their ``sp`` partition
     key (a Spark-side hash riding the same bounded collect, never
     recomputed driver-side) and injected as literals so the scan carries
     static ``sp`` PartitionFilters; past ``max_candidate_pushdown``
     candidates the fetch falls back to a broadcast join against the full
-    signature table (correct, just unpruned). ``None`` = no candidates."""
+    signature table (correct, just unpruned). ``None`` = no candidates.
+
+    r12: ``sigs`` may be a zero-arg CALLABLE returning the full signature
+    relation — resolved only on the fallback paths, so the pushdown path
+    with a ``scoped`` reader (sp-values -> scoped relation or None, the
+    ``_fsutil.scoped_read`` contract) never pays the full-table file
+    listing."""
     rows = cand.select(
         F.col(id_col), _sp_col(id_col, sig_partitions).alias("_sp")
     ).limit(max_candidate_pushdown + 1).collect()
     if not rows:
         return None
     if len(rows) <= max_candidate_pushdown:
-        return sigs.filter(
-            F.col("sp").isin(sorted({r[1] for r in rows}))
+        sps = sorted({r[1] for r in rows})
+        base = scoped(sps) if scoped is not None else None
+        if base is None:
+            base = sigs() if callable(sigs) else sigs
+        return base.filter(
+            F.col("sp").isin(sps)
             & F.col(id_col).isin(sorted({r[0] for r in rows}))
         )
-    return sigs.join(F.broadcast(cand), id_col)
+    full = sigs() if callable(sigs) else sigs
+    return full.join(F.broadcast(cand), id_col)
 
 
 def save_serving_index(
@@ -267,6 +279,11 @@ class LshServingIndex:
         # index; ``append`` (the one in-place mutation) invalidates both.
         self._bands_df: "DataFrame | None" = None
         self._sigs_df: "DataFrame | None" = None
+        # r12 scoped-read memos (see _fsutil.scoped_read): partition values
+        # per table (one listStatus) + per-partition relations; reset
+        # wherever the full-table memos reset
+        self._scope_vals: dict = {}
+        self._scope_rels: dict = {}
 
     @classmethod
     def load(cls, spark, path: str, corpus: "DataFrame | None" = None
@@ -414,6 +431,7 @@ class LshServingIndex:
         writer must call ``refresh()`` at its own sync points (or reload
         via ``load``, which is equivalent plus a sidecar re-read)."""
         self._bands_df = self._sigs_df = None
+        self._scope_vals, self._scope_rels = {}, {}
         return self
 
     def compact(self, dest_path: str, rows_per_file: int = 1_000_000) -> int:
@@ -485,23 +503,36 @@ class LshServingIndex:
         except AnalysisException:
             return self.spark.createDataFrame([], empty_schema)
 
+    def _bands_schema(self) -> str:
+        return f"bp int, v bigint, {self.id_col} {self.id_type}"
+
+    def _sigs_schema(self) -> str:
+        schema = (
+            f"sp int, {self.id_col} {self.id_type}, "
+            "signature array<bigint>"
+        )
+        if self.keep_cols_ddl:
+            schema += ", " + self.keep_cols_ddl
+        return schema
+
     def _bands(self) -> DataFrame:
         if self._bands_df is None:
-            self._bands_df = self._read_table(
-                "/bands", f"bp int, v bigint, {self.id_col} {self.id_type}"
-            )
+            self._bands_df = self._read_table("/bands", self._bands_schema())
         return self._bands_df
 
     def _sigs(self) -> DataFrame:
         if self._sigs_df is None:
-            schema = (
-                f"sp int, {self.id_col} {self.id_type}, "
-                "signature array<bigint>"
-            )
-            if self.keep_cols_ddl:
-                schema += ", " + self.keep_cols_ddl
-            self._sigs_df = self._read_table("/sigs", schema)
+            self._sigs_df = self._read_table("/sigs", self._sigs_schema())
         return self._sigs_df
+
+    def _scoped(self, sub: str, key: str, values, schema: str):
+        """Partition-scoped table read (r12, _fsutil.scoped_read) — only
+        the query's partitions enter the file index; None = caller falls
+        back to the full memoized read."""
+        from .._fsutil import scoped_read
+
+        return scoped_read(self.spark, self.path + sub, key, values, schema,
+                           self._scope_vals, self._scope_rels)
 
     def _query_sig_keys(self, query_text: str):
         """(signature, band_keys) of the query — computed DRIVER-SIDE
@@ -587,14 +618,22 @@ class LshServingIndex:
         sig, keys = self._query_sig_keys(query_text)
         if sig is None:
             return self._empty_result(with_text)
+        # scoped reads (r12): only the query's bp=/sp= directories enter
+        # the file index; the full memoized relations stay the fallback
+        pbs = sorted({k % self.band_partitions for k in keys})
+        bands = self._scoped("/bands", "bp", pbs, self._bands_schema())
+        if bands is None:
+            bands = self._bands()
         cand = (
-            pruned_postings(self._bands(), keys, self.band_partitions)
+            pruned_postings(bands, keys, self.band_partitions)
             .select(self.id_col)
             .distinct()
         )
         csigs = fetch_candidate_sigs(
-            self._sigs(), cand, self.id_col, self.sig_partitions,
+            self._sigs, cand, self.id_col, self.sig_partitions,
             max_candidate_pushdown,
+            scoped=lambda sps: self._scoped(
+                "/sigs", "sp", sps, self._sigs_schema()),
         )
         if csigs is None:
             return self._empty_result(with_text)

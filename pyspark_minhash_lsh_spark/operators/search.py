@@ -571,6 +571,11 @@ class Bm25Index:
         self._postings_df: "DataFrame | None" = None
         self._terms_df: "DataFrame | None" = None
         self._forward_df: "DataFrame | None" = None
+        # r12 scoped-read memos (see _fsutil.scoped_read): partition values
+        # per table (one listStatus) + per-partition relations; reset
+        # wherever the full-table memos reset
+        self._scope_vals: dict = {}
+        self._scope_rels: dict = {}
 
     @staticmethod
     def _read_sidecar(spark, path: str):
@@ -613,15 +618,30 @@ class Bm25Index:
         except AnalysisException:  # not-yet-populated artifact
             return self.spark.createDataFrame([], empty_schema)
 
+    def _postings_schema(self) -> str:
+        keep = f", {self.keep_cols_ddl}" if self.keep_cols_ddl else ""
+        return (
+            f"tp int, term string, {self.id_col} {self.id_type}, "
+            f"tf bigint, dl int{keep}"
+        )
+
     def _postings(self) -> DataFrame:
         if self._postings_df is None:
-            keep = f", {self.keep_cols_ddl}" if self.keep_cols_ddl else ""
             self._postings_df = self._read_table(
-                "/postings",
-                f"tp int, term string, {self.id_col} {self.id_type}, "
-                f"tf bigint, dl int{keep}",
+                "/postings", self._postings_schema()
             )
         return self._postings_df
+
+    def _scoped(self, sub: str, key: str, values, schema: str):
+        """Partition-scoped table read (r12, _fsutil.scoped_read): builds a
+        relation over ONLY the query's partitions — one listStatus for the
+        partition values, k single-directory file indexes, no recursive
+        full-table listing, no footer schema inference — or None when the
+        layout can't be scoped (caller falls back to the full read)."""
+        from .._fsutil import scoped_read
+
+        return scoped_read(self.spark, self.path + sub, key, values, schema,
+                           self._scope_vals, self._scope_rels)
 
     def _terms(self) -> DataFrame:
         if self._terms_df is None:
@@ -778,6 +798,7 @@ class Bm25Index:
                             self.keep_cols_ddl)
         # memoized relations hold the pre-append file index — drop them
         self._postings_df = self._terms_df = self._forward_df = None
+        self._scope_vals, self._scope_rels = {}, {}
         return self
 
     def refresh(self) -> "Bm25Index":
@@ -801,6 +822,7 @@ class Bm25Index:
         )
         self.keep_cols = tuple(self._keep_col_types)
         self._postings_df = self._terms_df = self._forward_df = None
+        self._scope_vals, self._scope_rels = {}, {}
         return self
 
     def compact(self, dest_path: str, rows_per_file: int = 1_000_000) -> int:
@@ -845,9 +867,11 @@ class Bm25Index:
         """Top-``k`` by Okapi BM25 from the saved artifact — identical
         scores and ranking to ``bm25_search`` on the save-time corpus
         (same formula, same order-independent integer ranking key), but
-        the plan reads ONLY the query's term partitions (static
-        PartitionFilters on both tables; no corpus scan, no doc-length
-        aggregate, no shuffle wider than the matched postings).
+        the plan reads ONLY the query's term partitions of the postings
+        table (static PartitionFilters; no corpus scan, no doc-length
+        aggregate, no terms-table read — ``df_`` is a per-term window
+        count over the pruned slice — no shuffle wider than the matched
+        postings, and ONE Spark job per point query).
         ``term_weights``/``with_key`` mirror ``bm25_search`` (weighted
         queries for ``search_rm3``; the retained exact ranking key).
 
@@ -860,18 +884,31 @@ class Bm25Index:
         the global ranking restricted to qualifying docs (tested)."""
         terms, weights = _resolve_query(query_terms, term_weights)
         tps = self._term_partitions(terms)
-        post = self._postings().filter(
+        # scoped read: only the query's tp= directories enter the file
+        # index (r12) — the residual filters keep semantics identical and
+        # the full-table memo remains the fallback for unscopable layouts
+        post = self._scoped("/postings", "tp", tps, self._postings_schema())
+        if post is None:
+            post = self._postings()
+        post = post.filter(
             F.col("tp").isin(tps) & F.col("term").isin(terms)
         )
+        # df_ = postings rows per term over the PRUNED slice — exactly the
+        # terms table's additive ``sum(df)`` (every (doc, term) posting
+        # contributes 1 to both, across appends and compactions), computed
+        # as a window inside the SAME job (r12): a point query now runs ONE
+        # Spark job instead of terms-scan + broadcast exchange + main job,
+        # and the terms table's cold file-index listing leaves the query
+        # path entirely. Computed BEFORE any ``where=`` filter — corpus
+        # stats stay GLOBAL (the Lucene stance below).
+        from pyspark.sql import Window as _W
+
+        post = post.withColumn(
+            "df_", F.count("*").over(_W.partitionBy("term")))
         if where is not None:
             from ._filters import apply_where
 
             post = apply_where(post, where)
-        # terms rows are ADDITIVE across appends — sum per term (identity
-        # on a freshly-saved or compacted artifact; the pruned set is tiny)
-        dfreq = self._terms().filter(
-            F.col("tp").isin(tps) & F.col("term").isin(terms)
-        ).groupBy("term").agg(F.sum("df").alias("df_"))
         idf = F.log(
             F.lit(1.0)
             + (F.lit(self.n_docs) - F.col("df_") + F.lit(0.5))
@@ -883,13 +920,17 @@ class Bm25Index:
         contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
         if weights is not None:
             # the bm25_search weighting contract: weight multiplies the
-            # COMPLETED per-term contribution, inside the per-term rounding
-            post = post.join(
-                F.broadcast(_weight_frame(self.spark, weights)), "term")
-            contrib = F.col("_w") * contrib
+            # COMPLETED per-term contribution, inside the per-term
+            # rounding. Weights are a bounded driver dict — injected as a
+            # literal map (same doubles the broadcast _weight_frame
+            # carried), so the weighted pass adds no broadcast job.
+            wmap = F.create_map(
+                *[x for t in sorted(weights)
+                  for x in (F.lit(t), F.lit(float(weights[t])))]
+            )
+            contrib = F.element_at(wmap, F.col("term")) * contrib
         out = (
-            post.join(F.broadcast(dfreq), "term")
-            .withColumn("_c", contrib)
+            post.withColumn("_c", contrib)
             .groupBy(self.id_col)
             .agg(
                 F.sum("_c").alias("score"),
@@ -962,8 +1003,15 @@ class Bm25Index:
             )
             fds = sorted({r._fd for r in fb})
             ids = sorted(r[0] for r in fb)
+            fwd = self._scoped(
+                "/forward", "fd", fds,
+                f"fd int, {self.id_col} {self.id_type}, term string, "
+                "tf bigint, dl int",
+            )
+            if fwd is None:
+                fwd = self._forward()
             exp = (
-                self._forward()
+                fwd
                 .filter(F.col("fd").isin(fds) & F.col(self.id_col).isin(ids))
                 .join(F.broadcast(fbdf), self.id_col)
                 .withColumn("_c", F.expr("(tf * _sk) div dl"))
