@@ -231,9 +231,9 @@ def minhash_index_df(
     family — parity-tested, golden-signature-locked). Empty/short docs ->
     sentinel signature.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, F.col(id_col))
+    from ..session import spread_small_scan
+
+    df = spread_small_scan(df, id_col)
     return df.select(
         F.col(id_col),
         minhash_signature_arrow(

@@ -23,6 +23,8 @@ they fit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -31,6 +33,49 @@ from .._pins import finalize_pins, release_pins
 from ..functions.text import tokens
 
 __all__ = ["ngram_jaccard_join", "ngram_containment_join"]
+
+#: odd multiplier for the wrapping-uint64 k-gram combine in
+#: ``shingle_set_arrow`` — FULL 64-bit space (the ``token_shingle_hashes``
+#: mod-2^31 family would carry corpus-level birthday risk on an EXACT-join
+#: surface: ~n^2/2^32 colliding shingle ids corpus-wide, each one able to
+#: flip a pair's exact Jaccard; the textpipe bigram combine made the same
+#: call in r11). Same standard as comparing 64-bit hashes anywhere else
+#: in the engine: ~n^2/2^64.
+_SHINGLE_COMBINE_64 = 0x9E3779B97F4A7C15
+
+
+def shingle_set_arrow(token_hashes, k: int = 2):
+    """Per-doc DISTINCT k-gram shingle-hash set ``array<bigint>`` from the
+    doc's xxhash64 token-hash array — ONE vectorized numpy pass per Arrow
+    batch (wrapping uint64 odd-multiplier combine over the k-window, then
+    ``np.unique``), the r12 PPJoin build kernel (guide §4.2).
+
+    Replaces the relational posexplode -> lead-window -> distinct ->
+    count-window build: the shingle SET and its size come out of the map
+    stage with zero exchanges, and the verify stage reads the arrays
+    directly instead of re-aggregating exploded rows with collect_list.
+    Shingle ids differ from the old ``xxhash64(tok, next_tok)`` values,
+    but every output of the join is hash-VALUE-independent (exact set
+    counts and ids only), at the same ~n^2/2^64 collision standard.
+    Docs with fewer than ``k`` tokens yield an empty array."""
+    M = np.uint64(_SHINGLE_COMBINE_64)
+
+    @F.pandas_udf("array<bigint>")
+    def _sh(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            if h is None or len(h) < k:
+                out.append([])
+                continue
+            a = np.asarray(h, dtype=np.int64).view(np.uint64)
+            n_sh = len(a) - k + 1
+            acc = a[:n_sh].copy()
+            for j in range(1, k):
+                acc = acc * M + a[j:n_sh + j]
+            out.append(np.unique(acc.view(np.int64)).tolist())
+        return pd.Series(out)
+
+    return _sh(token_hashes)
 
 
 
@@ -109,41 +154,37 @@ def ngram_jaccard_join(
         # a small parquet scan arrives as 1-2 partitions (measured 8x at sf0.1
         # on local[32]). At scale the scan already has >= defaultParallelism
         # partitions and this is a no-op.
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par, id_col)
+        from ..session import spread_small_scan
 
-        # Shingle table built RELATIONALLY — no per-row arrays, no higher-order
-        # lambdas (nested HOFs evaluate interpreted and re-evaluate the inner
-        # array per element; measured 5.6s warm vs ~1s for this path at sf0.1):
-        #   posexplode(tokens) -> lead() window pairs adjacent tokens ->
-        #   multi-column native xxhash64(tok, next_tok, ...) = 64-bit shingle id
-        #   -> groupBy(id, shingle) dedupe (reuses the window's id-partitioning:
-        #   no second shuffle) -> per-doc set size via count window.
-        # Downstream (frequency agg, prefix self-join, array_intersect verify)
-        # compares fixed-width longs instead of strings — measured 14x on the
-        # verify stage. A 64-bit collision would merge two distinct shingles
-        # (probability ~n^2/2^64 — negligible even at 100 TB shingle counts).
+        df = spread_small_scan(df, id_col)
+
+        # Shingle SETS built in the ARRAY domain (r12, guide §4.2 — the r11
+        # attempt lost because it hashed zipped STRUCTS per element
+        # interpreted; this one hashes each token ONCE via the same
+        # one-pass JVM transform the minhash index kernel rides, then a
+        # numpy Arrow pass does the k-gram combine + distinct in full
+        # 64-bit space): per doc, ``shingle_set_arrow`` yields the sorted
+        # distinct shingle-hash array and its size with ZERO exchanges —
+        # the old posexplode -> lead-window -> distinct -> count-window
+        # build paid a full token-row exchange before any pruning, and the
+        # verify stage re-aggregated exploded rows with collect_list just
+        # to recover these same arrays. Downstream compares fixed-width
+        # longs; a 64-bit collision merges two distinct shingles
+        # (~n^2/2^64 — negligible even at 100 TB shingle counts).
         tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
-        ex0 = tk.select("id", F.posexplode("tk").alias("pos", "tok"))
-        w = Window.partitionBy("id").orderBy("pos")
-        parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-        guard = parts[0].isNotNull()
-        for c in parts[1:]:
-            guard = guard & c.isNotNull()
-        dist = (
-            ex0.select("id", F.when(guard, F.xxhash64(*parts)).alias("shingle"))
-            .where(F.col("shingle").isNotNull())
-            .distinct()
-            .withColumn("n", F.count("*").over(Window.partitionBy("id")))
+        hs = F.transform(F.col("tk"), lambda t: F.xxhash64(t))
+        arr = tk.select("id", shingle_set_arrow(hs, k).alias("h")).select(
+            "id", "h", F.size("h").alias("n")
         )
         if persist_intermediate:
-            # 3 longs/row — cheap to cache, and the plan reads it 4x
-            # (frequency, rank, both self-join sides) + the verify arrays.
-            # Partition-preserving registration: the id-hash placement survives
-            # into every consumer (rank window + verify aggs shuffle-free).
-            dist = _persist_partition_preserving(dist)
-            pinned.append(dist)
+            # one row per doc (id, array, n) — the plan reads it 4x
+            # (frequency, rank via the explode below, both verify sides).
+            # Partition-preserving registration: the spread repartition's
+            # id-hash placement survives into every consumer (verify joins
+            # on id shuffle-free).
+            arr = _persist_partition_preserving(arr)
+            pinned.append(arr)
+        dist = arr.select("id", "n", F.explode("h").alias("shingle"))
 
         # measured-size broadcast gates (see docstring): each hint keyed on its
         # OWN build side's count. ONE agg job yields both stats and doubles as
@@ -217,16 +258,14 @@ def ngram_jaccard_join(
         )
 
         # verification: look up both full hashed-shingle arrays per candidate
-        # pair (built here from the exploded rows — no shuffle: grouping key id
-        # matches the cached table's partitioning). The (id, hashes) side is
-        # corpus-sized, so its broadcast hint rides the same measured-size gate:
-        # known-small corpora get map-side hash lookups with zero shuffle of the
-        # array table; everything else shuffle-joins on id (well distributed).
-        sh = dist.groupBy("id").agg(
-            F.collect_list("shingle").alias("h"), F.max("n").alias("n")
-        )
-        sa = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
-        sb = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), F.col("n").alias("n_b"))
+        # pair — the arrays come STRAIGHT from the cached per-doc table (r12:
+        # the old build re-aggregated exploded rows with collect_list here).
+        # The (id, hashes) side is corpus-sized, so its broadcast hint rides
+        # the same measured-size gate: known-small corpora get map-side hash
+        # lookups with zero shuffle of the array table; everything else
+        # shuffle-joins on id (well distributed).
+        sa = arr.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
+        sb = arr.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), F.col("n").alias("n_b"))
         if verify_small:
             sa, sb = F.broadcast(sa), F.broadcast(sb)
         inter = F.size(F.array_intersect("h_a", "h_b"))
@@ -286,26 +325,21 @@ def ngram_containment_join(
     # that caller's plan was still live
     pinned: list[DataFrame] = []
     try:
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par, id_col)
+        from ..session import spread_small_scan
 
+        df = spread_small_scan(df, id_col)
+
+        # same r12 array-domain shingle-set build as ngram_jaccard_join
+        # (see its inline comment for the measured rationale)
         tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
-        ex0 = tk.select("id", F.posexplode("tk").alias("pos", "tok"))
-        w = Window.partitionBy("id").orderBy("pos")
-        parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-        guard = parts[0].isNotNull()
-        for c in parts[1:]:
-            guard = guard & c.isNotNull()
-        dist = (
-            ex0.select("id", F.when(guard, F.xxhash64(*parts)).alias("shingle"))
-            .where(F.col("shingle").isNotNull())
-            .distinct()
-            .withColumn("n", F.count("*").over(Window.partitionBy("id")))
+        hs = F.transform(F.col("tk"), lambda t: F.xxhash64(t))
+        arr = tk.select("id", shingle_set_arrow(hs, k).alias("h")).select(
+            "id", "h", F.size("h").alias("n")
         )
         if persist_intermediate:
-            dist = _persist_partition_preserving(dist)
-            pinned.append(dist)
+            arr = _persist_partition_preserving(arr)
+            pinned.append(arr)
+        dist = arr.select("id", "n", F.explode("h").alias("shingle"))
 
         freq = dist.groupBy("shingle").agg(F.count("*").alias("df_"))
         wr = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
@@ -324,11 +358,8 @@ def ngram_containment_join(
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-        sh = dist.groupBy("id").agg(
-            F.collect_list("shingle").alias("h"), F.max("n").alias("n")
-        )
-        sa = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
-        sb = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+        sa = arr.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
+        sb = arr.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
         inter = F.size(F.array_intersect("h_a", "h_b"))
         out = (
             cand.join(sa, "id_a")
