@@ -35,7 +35,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r11")
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     names = sorted(QUERIES)
