@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 import bench
 
 
@@ -189,6 +191,7 @@ def test_diag_name_roundtrips_non_numeric_sf(tmp_path, monkeypatch):
         "BENCH_DIAG_r07_sfmy-corpus-x.json"
 
 
+@pytest.mark.slow
 def test_serving_smoke_records_latencies(spark):
     """Round 11: the serving smoke must build both artifact families from
     the corpus, answer point queries with >0 rows, and record every

@@ -13,13 +13,23 @@ from .oracle_utils import compare_query
 ORACLE_BACKED = sorted(ORACLE_SQL)
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE_SQL))
 
+#: the two suite walls run (and are rows-checked) by the DRIVER's own
+#: correctness pass every round; their default-gate pytest re-run is
+#: marked slow (VERDICT r11 #2) — q75's quality facets stay default-
+#: covered through tests/test_ann_recall.py's fixture
+_SUITE_WALLS = {"q74_dedup_suite", "q75_ann_index_suite"}
+ROWS_ONLY_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SUITE_WALLS else n
+    for n in ROWS_ONLY
+]
+
 
 @pytest.mark.parametrize("name", ORACLE_BACKED)
 def test_oracle_match(spark, name):
     compare_query(spark, SF_CORRECT, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", ROWS_ONLY_PARAMS)
 def test_rows_only_runs(spark, name):
     df = QUERIES[name](spark, SF_SMOKE)
     rows = df.collect()

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import gzip
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pyspark_minhash_lsh_spark.sources.readers import read_warc, stream_warc
@@ -82,6 +84,7 @@ def _fixture_segments(tmp_path):
     return seg_dir
 
 
+@pytest.mark.slow
 def test_crawl_curate_stream_equals_batch_composition(spark, tmp_path):
     seg_dir = tmp_path / "segs"
     seg_dir.mkdir()
@@ -201,6 +204,7 @@ def test_warc_date_parses_iso_variants(spark, tmp_path):
     assert _parse_warc_date("not-a-date") is None
 
 
+@pytest.mark.slow
 def test_crawl_curate_promotion_gate(spark, tmp_path):
     """Round 7 (VERDICT r06 #8): the opt-in Deequ loop on the crawl path.
     Batch mode gates survivors against a known-good baseline snapshot

@@ -398,6 +398,7 @@ def test_promotion_gate_serving_snapshot_runbook(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_serving_snapshot_cutover_drill_30x(spark, tmp_path):
     """VERDICT r08 #7: the promotion runbook COMPOSED with live serving at
     a 30x-replica index. v1 serves a query stream; the refresh is gated,

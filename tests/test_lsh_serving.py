@@ -444,6 +444,7 @@ def test_where_udf_and_unreachable_handles_are_unstable(spark):
     assert not where_is_call_stable("created < current_timestamp()")
 
 
+@pytest.mark.slow
 def test_serving_artifact_cutover_drill(spark, tmp_path):
     """VERDICT r10 #6: the promotion runbook composed END-TO-END on the
     SERVING layout — live stream over v1 -> append the refresh batch into

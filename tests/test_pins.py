@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import gc
 
+import pytest
+
 from .conftest import SF_SMOKE
 
 
@@ -110,6 +112,7 @@ def test_release_slot_and_release_all(spark):
     gc.collect()
 
 
+@pytest.mark.slow
 def test_pin_churn_sweep_bounded(spark):
     """VERDICT r09 #6: a bench-shaped sequential sweep — many interleaved
     calls through pin-registering operators — retains at most ONE call's

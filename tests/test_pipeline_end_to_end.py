@@ -18,6 +18,7 @@ def raw(spark):
     ).cache()
 
 
+@pytest.mark.slow
 def test_full_pipeline(spark, raw, tmp_path_factory):
     from pyspark_minhash_lsh_spark.operators import (
         chunk_documents,
@@ -80,6 +81,7 @@ def test_full_pipeline(spark, raw, tmp_path_factory):
     }
 
 
+@pytest.mark.slow
 def test_crawl_ingest_pipeline(spark, raw):
     """Raw-crawl ingest front end (round 5): synthetic markup pages with
     urls -> html_to_text -> filter_by_domain -> extract_links (frontier) ->

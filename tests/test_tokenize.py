@@ -261,6 +261,7 @@ def test_learn_bpe_merges_matches_naive_recompute():
         assert learn_bpe_merges(wc, 60) == _naive_bpe_merges(wc, 60), trial
 
 
+@pytest.mark.slow
 def test_learn_bpe_merges_scales_to_100k_types():
     """Perf bound (VERDICT r03 #4 done-criterion): 100k word types, 500
     merges, well under a minute on the incremental index (the naive
